@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scan → filter → join → aggregate → having →
+  * top-n. These are the engine's flagship analytical queries, exercising
+  * the full physical stack (vectorized parquet scan with pushed filters,
+  * broadcast hash join for dimensions, partial+final hash aggregate,
+  * top-k sort).
+  *
+  * Shapes derive from the reference's declared quality/mart queries:
+  * grouped HAVING check `config/pipelines/sample_pipeline.yaml:111-113`,
+  * fact/dim join `sample_pipeline.yaml:89-99`, plus TPC-H-style pricing
+  * summary as the flagship aggregation.
+  */
+object CoreQueries extends QueryPack {
+
+  /** Flagship: pricing summary (scan + filter + 8-group hash agg).
+    * Filter is pushed to the parquet scan; aggregation is partial/final
+    * with no raw-row shuffle beyond the 8 groups. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .filter($"l_shipdate" <= ts("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        decSum($"l_quantity").as("sum_qty"),
+        decSum($"l_extendedprice").as("sum_base_price"),
+        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        decAvg($"l_quantity").as("avg_qty"),
+        decAvg($"l_extendedprice").as("avg_price"),
+        decAvg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Revenue top-10 customers: 3-way join (two broadcastable dims) +
+    * hash agg + deterministic top-k. customer and orders are small
+    * relative to lineitem at every SF, so Catalyst/AQE broadcasts them —
+    * lineitem never shuffles. */
+  def q3TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+    val l = table(s, dir, "lineitem")
+    l.join(broadcast(o), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
+      .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(10)
+  }
+
+  /** The reference's grouped-HAVING duplicate probe
+    * (`sample_pipeline.yaml:111-113`: GROUP BY ... HAVING COUNT(*) > 1),
+    * applied to repeat customers. */
+  def q4RepeatCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("total_spend"))
+      .filter($"n_orders" > 1)
+      .orderBy($"o_custkey")
+  }
+
+  /** T6 referential-integrity check (dbt `relationships` test,
+    * `sample_pipeline.yaml:73-75`) — orphan foreign keys via LEFT ANTI
+    * join (never materializes matches; broadcastable dim side). */
+  def t6ReferentialOrphans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("orphan_count"))
+  }
+
+  /** Multi-dim star join: nation → supplier revenue by region
+    * (region/nation/supplier all broadcast; lineitem streams through). */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = table(s, dir, "lineitem")
+    val sup = table(s, dir, "supplier")
+    val n = table(s, dir, "nation")
+    val r = table(s, dir, "region")
+    l.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_customers" -> (q3TopCustomers _),
+    "q4_repeat_customers" -> (q4RepeatCustomers _),
+    "t6_referential_orphans" -> (t6ReferentialOrphans _),
+    "q5_region_revenue" -> (q5RegionRevenue _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${decSumSql("l_quantity")} AS sum_qty,
+        ${decSumSql("l_extendedprice")} AS sum_base_price,
+        ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${decSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        ${decAvgSql("l_quantity")} AS avg_qty,
+        ${decAvgSql("l_extendedprice")} AS avg_price,
+        ${decAvgSql("l_discount")} AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_customers" -> s"""
+      SELECT c_custkey, c_name, c_mktsegment,
+        ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        COUNT(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name, c_mktsegment
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 10""",
+    "q4_repeat_customers" -> s"""
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        ${decSumSql("o_totalprice")} AS total_spend
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) > 1
+      ORDER BY o_custkey""",
+    "t6_referential_orphans" -> """
+      SELECT COUNT(*) AS orphan_count
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
+    "q5_region_revenue" -> s"""
+      SELECT r_name,
+        ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""")
+}

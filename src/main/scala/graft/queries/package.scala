@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Query-pack plumbing shared by every SparkEntry entry.
+  *
+  * Oracle-parity conventions (the driver hash-compares our parquet output
+  * against DuckDB running `oracleSql` on the same tables):
+  *  - Double aggregations are ORDER-DEPENDENT in floating point, so any
+  *    summed measure goes through `decSum`: per-row cast to DECIMAL(18,6)
+  *    (deterministic, identical in both engines), exact decimal sum
+  *    (order-free), then a final exact cast to DOUBLE. The SQL twin is
+  *    `CAST(SUM(CAST(expr AS DECIMAL(18,6))) AS DOUBLE)`. Scale 6 matters:
+  *    measures here are products of ≤3 two-decimal factors, i.e. exact at
+  *    6 dp, so the cast never rounds — scale 4 would round at tie points
+  *    where Spark (HALF_UP on the exact decimal expansion) and DuckDB
+  *    (scaled-double rounding) disagree.
+  *  - Timestamp columns in RESULTS are formatted to strings (`fmtTs`) —
+  *    parquet timestamp flavors (ns/us, tz-adjusted or not) differ between
+  *    writers and would break value comparison.
+  *  - Every query ends in a total ORDER BY so row order is deterministic.
+  */
+package object queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** A named set of queries plus their DuckDB oracle SQL. */
+  trait QueryPack {
+    def queries: Map[String, QueryFn]
+    def oracles: Map[String, String]
+  }
+
+  /** Load one testdata table (TESTDATA.md layout: `dir/name.parquet`). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Order-independent, engine-exact sum of a double measure (see above). */
+  def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** SQL twin of [[decSum]]. */
+  def decSumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Exact average: exact decimal sum cast to double, divided by count —
+    * both engines do the same single IEEE division. */
+  def decAvg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast(DoubleType) / count(c)
+
+  def decAvgSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE) / COUNT($expr)"
+
+  /** Render a timestamp deterministically for result comparison. */
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** DuckDB twin of [[fmtTs]]. */
+  def fmtTsSql(expr: String): String = s"strftime($expr, '%Y-%m-%d %H:%M:%S')"
+
+  def ts(s: String): Column = to_timestamp(lit(s))
+}
