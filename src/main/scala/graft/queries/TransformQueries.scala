@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.operators.{Merge, Models}
+import graft.validation.Rules
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.6 (T1–T3 declared dbt models) and §2.7 (Q1–Q7 target
+  * validations) as oracle-checked queries. The model queries route through
+  * [[graft.operators.Models]]/[[graft.operators.Merge]] — the engine's real
+  * transformation layer — so the oracle validates the library, not inline
+  * SQL.
+  *
+  * The T3 delta feed is derived deterministically from `orders`
+  * (keys ≡ 0 mod 7, price uplift, next-day date) because the driver
+  * provides no second CDC table; the merge path exercised is the real
+  * latest-wins upsert used by the streaming sink.
+  */
+object TransformQueries extends QueryPack {
+
+  private def staging(s: SparkSession, dir: String): DataFrame =
+    Models.stagingOrders(table(s, dir, "orders"))
+
+  private def delta(st: DataFrame): DataFrame =
+    st.filter(col("order_id") % 7 === 0)
+      .withColumn("order_status", lit("U"))
+      .withColumn("total_amount", col("total_amount") * 1.1)
+      .withColumn("order_date", col("order_date") + expr("INTERVAL 1 DAY"))
+
+  /** T1 staging model (cleaned/conformed orders). */
+  def t1StagingOrders(s: SparkSession, dir: String): DataFrame =
+    staging(s, dir)
+      .withColumn("order_date", fmtTs(col("order_date")))
+      .orderBy(col("order_id"))
+
+  /** T2 dimension with deterministic surrogate key. */
+  def t2DimCustomers(s: SparkSession, dir: String): DataFrame =
+    Models.dimCustomers(Models.stagingCustomers(table(s, dir, "customer")))
+      .orderBy(col("customer_key"))
+
+  /** T3 incremental merge (latest-wins upsert) + dim join. */
+  def t3FactOrdersMerge(s: SparkSession, dir: String): DataFrame = {
+    val st = staging(s, dir)
+    val dim = Models.dimCustomers(Models.stagingCustomers(table(s, dir, "customer")))
+    Models.factOrders(st, delta(st), dim)
+      .withColumn("order_date", fmtTs(col("order_date")))
+      .orderBy(col("order_id"))
+  }
+
+  /** Q1 min-row-count assertion (declared threshold semantics,
+    * `operators.py:303-313` stub → implemented for real). */
+  def qa1MinRowCount(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders").agg(
+      count(lit(1)).as("row_count"),
+      (count(lit(1)) >= 1000L).as("passed"))
+
+  /** Q2 freshness assertion vs a FIXED as-of instant (never wall-clock —
+    * SURVEY §7.5 risk 6). */
+  def qa2Freshness(s: SparkSession, dir: String): DataFrame = {
+    val asOf = "2024-07-01 00:00:00"
+    table(s, dir, "events").agg(
+      fmtTs(max(col("ts"))).as("newest"),
+      (unix_timestamp(ts(asOf)) - unix_timestamp(max(col("ts"))))
+        .as("age_seconds"),
+      ((unix_timestamp(ts(asOf)) - unix_timestamp(max(col("ts")))) <= 7200L)
+        .as("passed"))
+  }
+
+  /** Q3 custom scalar checks — the reference's two declared custom SQL
+    * probes (`sample_pipeline.yaml:107-110,120-126`): negative amounts,
+    * future order dates (vs fixed as-of). */
+  def qa3CustomScalar(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders").agg(
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("negative_amounts"),
+      sum(when(col("o_orderdate") > ts("1998-08-01 00:00:00"), 1L).otherwise(0L))
+        .as("future_orders"))
+
+  /** Q4 grouped-HAVING probe (`sample_pipeline.yaml:111-113` shape) on
+    * user × event_type activity. */
+  def qa4GroupedHaving(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 3)
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Q7 quarantine: rows failing the rule set are captured, not dropped
+    * (design.md:262-265; `operators.py:94-100` keeps only valid rows —
+    * we emit the reject stream for a quarantine table). */
+  def qa7Quarantine(s: SparkSession, dir: String): DataFrame = {
+    import Rules._
+    val bad =
+      range(col("value"), Some(0.0), Some(150.0)) ||
+      allowedValues(col("event_type"), Seq("view", "click", "purchase", "signup", "error")) ||
+      col("value").isNull
+    table(s, dir, "events")
+      .filter(bad)
+      .withColumn("ts", fmtTs(col("ts")))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "t1_staging_orders" -> (t1StagingOrders _),
+    "t2_dim_customers" -> (t2DimCustomers _),
+    "t3_fact_orders_merge" -> (t3FactOrdersMerge _),
+    "qa1_min_row_count" -> (qa1MinRowCount _),
+    "qa2_freshness" -> (qa2Freshness _),
+    "qa3_custom_scalar" -> (qa3CustomScalar _),
+    "qa4_grouped_having" -> (qa4GroupedHaving _),
+    "qa7_quarantine" -> (qa7Quarantine _))
+
+  private val stagingSql = """
+    SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+           upper(trim(o_orderstatus)) AS order_status,
+           o_totalprice AS total_amount, o_orderdate AS order_date,
+           trim(o_orderpriority) AS order_priority
+    FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL"""
+
+  private val dimSql = """
+    SELECT row_number() OVER (ORDER BY customer_id) AS customer_key,
+           customer_id, customer_name, nation_id, account_balance, market_segment
+    FROM (SELECT c_custkey AS customer_id, trim(c_name) AS customer_name,
+                 c_nationkey AS nation_id, c_acctbal AS account_balance,
+                 upper(trim(c_mktsegment)) AS market_segment
+          FROM customer WHERE c_custkey IS NOT NULL)"""
+
+  val oracles: Map[String, String] = Map(
+    "t1_staging_orders" -> s"""
+      SELECT order_id, customer_id, order_status, total_amount,
+             ${fmtTsSql("order_date")} AS order_date, order_priority
+      FROM ($stagingSql) ORDER BY order_id""",
+    "t2_dim_customers" -> s"$dimSql ORDER BY customer_key",
+    "t3_fact_orders_merge" -> s"""
+      WITH staging AS ($stagingSql),
+      delta AS (
+        SELECT order_id, customer_id, 'U' AS order_status,
+               total_amount * 1.1 AS total_amount,
+               order_date + INTERVAL 1 DAY AS order_date, order_priority
+        FROM staging WHERE order_id % 7 = 0),
+      unioned AS (
+        SELECT *, 0 AS src FROM staging
+        UNION ALL SELECT *, 1 AS src FROM delta),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY order_id ORDER BY order_date DESC, src DESC) AS rn
+        FROM unioned),
+      dim AS ($dimSql)
+      SELECT r.order_id, d.customer_key, r.order_status, r.total_amount,
+             ${fmtTsSql("r.order_date")} AS order_date
+      FROM ranked r JOIN dim d ON r.customer_id = d.customer_id
+      WHERE r.rn = 1
+      ORDER BY r.order_id""",
+    "qa1_min_row_count" -> """
+      SELECT COUNT(*) AS row_count, COUNT(*) >= 1000 AS passed FROM orders""",
+    "qa2_freshness" -> """
+      SELECT strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS newest,
+             date_diff('second', MAX(ts), TIMESTAMP '2024-07-01 00:00:00') AS age_seconds,
+             date_diff('second', MAX(ts), TIMESTAMP '2024-07-01 00:00:00') <= 7200 AS passed
+      FROM events""",
+    "qa3_custom_scalar" -> """
+      SELECT SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS negative_amounts,
+             SUM(CASE WHEN o_orderdate > TIMESTAMP '1998-08-01 00:00:00' THEN 1 ELSE 0 END) AS future_orders
+      FROM orders""",
+    "qa4_grouped_having" -> """
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 3
+      ORDER BY user_id, event_type""",
+    "qa7_quarantine" -> """
+      SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+             event_type, value, props
+      FROM events
+      WHERE (value IS NOT NULL AND (value < 0.0 OR value > 150.0))
+         OR (event_type IS NOT NULL AND event_type NOT IN ('view','click','purchase','signup','error'))
+         OR value IS NULL
+      ORDER BY event_id""")
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.core._
+import graft.validation.{Rules, Validator}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.4 (V1–V21) + §2.5 (P1–P5) exposed as oracle-checked queries
+  * over the driver's testdata tables. Each query routes through the
+  * engine's [[graft.validation.Validator]]/[[graft.validation.Rules]]
+  * library, so the DuckDB compare exercises the real rule engine — the
+  * fused single-pass aggregation — not ad-hoc SQL.
+  *
+  * Scale note: every query here is ONE scan + ONE partial/final aggregate
+  * regardless of rule count (constraint/rule/profile expressions are all
+  * columns of the same `agg`). At 100 TB, validation cost stays one pass.
+  */
+object ValidationQueries extends QueryPack {
+
+  /** V9–V13 constraint counts on `orders`: nullability for required
+    * columns, unique + PK duplicate counts, type conformance (V10) for
+    * the declared types — fused in one aggregation
+    * (reference `validators.py:154-216`). */
+  def vConstraintsOrders(s: SparkSession, dir: String): DataFrame = {
+    val schema = TableSchema(
+      table = "orders",
+      columns = Seq(
+        "o_orderkey" -> GDataType.GInteger,
+        "o_custkey" -> GDataType.GInteger,
+        "o_orderstatus" -> GDataType.GString,
+        "o_totalprice" -> GDataType.GFloat,
+        "o_orderdate" -> GDataType.GDateTime,
+        "o_orderpriority" -> GDataType.GString),
+      requiredColumns = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      uniqueColumns = Seq("o_orderkey"),
+      primaryKey = Seq("o_orderkey"))
+    Validator.countsFrame(table(s, dir, "orders"), schema, Seq.empty)
+  }
+
+  /** V1–V8 rule engine on `events`: not_null, range, allowed_values,
+    * business_hours, future_date, pattern, length — plus V10 JSON
+    * conformance on `props` — all counted in the same single pass
+    * (reference `validators.py:306-349,442-477`). */
+  def vRulesEvents(s: SparkSession, dir: String): DataFrame = {
+    import Rules._
+    val schema = TableSchema(
+      table = "events",
+      columns = Seq("props" -> GDataType.GJson),
+      requiredColumns = Seq("event_id", "ts", "user_id"))
+    val rules = Seq(
+      Rule("not_null", "value", Severity.Error, notNull(col("value"))),
+      Rule("range", "value", Severity.Error,
+        range(col("value"), Some(0.0), Some(150.0))),
+      Rule("allowed_values", "event_type", Severity.Warning,
+        allowedValues(col("event_type"), Seq("view", "click", "purchase", "signup"))),
+      Rule("business_hours", "ts", Severity.Warning, businessHours(col("ts"))),
+      Rule("future_date", "ts", Severity.Warning,
+        futureDate(col("ts"), ts("2024-06-01 00:00:00"))),
+      Rule("pattern", "event_type", Severity.Info,
+        pattern(col("event_type"), "^[a-z]+$")),
+      Rule("length", "event_type", Severity.Info,
+        lengthRule(col("event_type"), Some(4), Some(8))))
+    Validator.countsFrame(table(s, dir, "events"), schema, rules)
+  }
+
+  /** P1–P5 profiling on `lineitem`, decimal-exact where sums are involved
+    * (reference `validators.py:356-390`; fused here into ONE pass where
+    * the reference runs one pandas pass per stat). */
+  def vProfileLineitem(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = $"l_quantity"; val p = $"l_extendedprice"; val f = $"l_returnflag"
+    table(s, dir, "lineitem").agg(
+      count(lit(1)).as("row_count"),
+      (count(lit(1)) - count(q)).as("null_count__l_quantity"),
+      countDistinct(q).as("distinct_count__l_quantity"),
+      decAvg(q).as("mean__l_quantity"),
+      expr("percentile(l_quantity, 0.5)").as("median__l_quantity"),
+      min(q).cast(DoubleType).as("min__l_quantity"),
+      max(q).cast(DoubleType).as("max__l_quantity"),
+      sum(when(q === 0, 1L).otherwise(0L)).as("zero_count__l_quantity"),
+      sum(when(q < 0, 1L).otherwise(0L)).as("negative_count__l_quantity"),
+      decAvg(p).as("mean__l_extendedprice"),
+      min(p).cast(DoubleType).as("min__l_extendedprice"),
+      max(p).cast(DoubleType).as("max__l_extendedprice"),
+      countDistinct(f).as("distinct_count__l_returnflag"),
+      decAvg(length(f)).as("avg_length__l_returnflag"),
+      min(length(f)).cast(LongType).as("min_length__l_returnflag"),
+      max(length(f)).cast(LongType).as("max_length__l_returnflag"),
+      sum(when(f === "", 1L).otherwise(0L)).as("empty_count__l_returnflag"))
+  }
+
+  /** Whole-row checks on `events`: V17 all-null rows, V18 fully-duplicated
+    * rows, V20 infinite values, V21 null percentage — one fused pass
+    * except the exact-duplicate count, which needs its own distinct
+    * aggregation (reference `extractors.py:236-277`). */
+  def vRowlevelEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+    val cols = ev.columns.map(col).toSeq
+    val base = ev.agg(
+      count(lit(1)).as("row_count"),
+      sum(when(Rules.allNullRow(cols), 1L).otherwise(0L)).as("all_null_rows"),
+      sum(when(Rules.isInfinite($"value"), 1L).otherwise(0L)).as("infinite_values"),
+      // V21 null pct as exact ratio of longs → one IEEE division
+      ((count(lit(1)) - count($"value")).cast(DoubleType) / count(lit(1)))
+        .as("null_pct__value"))
+    val dups = ev.agg(
+      (count(lit(1)) - countDistinct(struct(cols: _*))).as("duplicate_rows"))
+    base.crossJoin(dups)
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "v_constraints_orders" -> (vConstraintsOrders _),
+    "v_rules_events" -> (vRulesEvents _),
+    "v_profile_lineitem" -> (vProfileLineitem _),
+    "v_rowlevel_events" -> (vRowlevelEvents _))
+
+  val oracles: Map[String, String] = Map(
+    "v_constraints_orders" -> """
+      SELECT COUNT(*) AS row_count,
+        SUM(CASE WHEN o_orderkey IS NOT NULL AND TRY_CAST(o_orderkey AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS type_violations__o_orderkey,
+        SUM(CASE WHEN o_custkey IS NOT NULL AND TRY_CAST(o_custkey AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS type_violations__o_custkey,
+        SUM(CASE WHEN o_totalprice IS NOT NULL AND TRY_CAST(o_totalprice AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS type_violations__o_totalprice,
+        SUM(CASE WHEN o_orderdate IS NOT NULL AND TRY_CAST(o_orderdate AS TIMESTAMP) IS NULL THEN 1 ELSE 0 END) AS type_violations__o_orderdate,
+        SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_violations__o_orderkey,
+        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_violations__o_custkey,
+        SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_violations__o_totalprice,
+        COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS duplicate_values__o_orderkey,
+        COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_duplicates
+      FROM orders""",
+    "v_rules_events" -> """
+      SELECT COUNT(*) AS row_count,
+        SUM(CASE WHEN props IS NOT NULL AND NOT json_valid(props) THEN 1 ELSE 0 END) AS type_violations__props,
+        SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_violations__event_id,
+        SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_violations__ts,
+        SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_violations__user_id,
+        SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS not_null__value,
+        SUM(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 150.0) THEN 1 ELSE 0 END) AS range__value,
+        SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS allowed_values__event_type,
+        SUM(CASE WHEN ts IS NOT NULL AND (hour(ts) < 9 OR hour(ts) >= 17) THEN 1 ELSE 0 END) AS business_hours__ts,
+        SUM(CASE WHEN ts IS NOT NULL AND ts > TIMESTAMP '2024-06-01 00:00:00' THEN 1 ELSE 0 END) AS future_date__ts,
+        SUM(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS pattern__event_type,
+        SUM(CASE WHEN event_type IS NOT NULL AND (length(CAST(event_type AS VARCHAR)) < 4 OR length(CAST(event_type AS VARCHAR)) > 8) THEN 1 ELSE 0 END) AS length__event_type
+      FROM events""",
+    "v_profile_lineitem" -> s"""
+      SELECT COUNT(*) AS row_count,
+        COUNT(*) - COUNT(l_quantity) AS null_count__l_quantity,
+        COUNT(DISTINCT l_quantity) AS distinct_count__l_quantity,
+        ${decAvgSql("l_quantity")} AS mean__l_quantity,
+        quantile_cont(l_quantity, 0.5) AS median__l_quantity,
+        CAST(MIN(l_quantity) AS DOUBLE) AS min__l_quantity,
+        CAST(MAX(l_quantity) AS DOUBLE) AS max__l_quantity,
+        SUM(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END) AS zero_count__l_quantity,
+        SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS negative_count__l_quantity,
+        ${decAvgSql("l_extendedprice")} AS mean__l_extendedprice,
+        CAST(MIN(l_extendedprice) AS DOUBLE) AS min__l_extendedprice,
+        CAST(MAX(l_extendedprice) AS DOUBLE) AS max__l_extendedprice,
+        COUNT(DISTINCT l_returnflag) AS distinct_count__l_returnflag,
+        ${decAvgSql("length(l_returnflag)")} AS avg_length__l_returnflag,
+        CAST(MIN(length(l_returnflag)) AS BIGINT) AS min_length__l_returnflag,
+        CAST(MAX(length(l_returnflag)) AS BIGINT) AS max_length__l_returnflag,
+        SUM(CASE WHEN l_returnflag = '' THEN 1 ELSE 0 END) AS empty_count__l_returnflag
+      FROM lineitem""",
+    "v_rowlevel_events" -> """
+      SELECT COUNT(*) AS row_count,
+        SUM(CASE WHEN event_id IS NULL AND ts IS NULL AND user_id IS NULL
+             AND event_type IS NULL AND value IS NULL AND props IS NULL
+             THEN 1 ELSE 0 END) AS all_null_rows,
+        SUM(CASE WHEN value = 'infinity'::DOUBLE OR value = '-infinity'::DOUBLE THEN 1 ELSE 0 END) AS infinite_values,
+        CAST(COUNT(*) - COUNT(value) AS DOUBLE) / COUNT(*) AS null_pct__value,
+        (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM events)) AS duplicate_rows
+      FROM events""")
+}

@@ -32,9 +32,21 @@ package object queries {
     def oracles: Map[String, String]
   }
 
-  /** Load one testdata table (TESTDATA.md layout: `dir/name.parquet`). */
+  /** Load one testdata table (TESTDATA.md layout: `dir/name.parquet`).
+    *
+    * `events.parquet` is written with NANOSECOND timestamps, which Spark's
+    * parquet reader rejects outright; we read them as raw longs
+    * (`nanosAsLong`) and rebuild a microsecond timestamp. Result columns
+    * holding timestamps are always formatted to second precision (fmtTs),
+    * so the dropped sub-microsecond digits never reach a compared value —
+    * but equality/boundary semantics finer than 1µs must not be used in
+    * oracle-checked queries. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Order-independent, engine-exact sum of a double measure (see above). */
   def decSum(c: Column): Column =
