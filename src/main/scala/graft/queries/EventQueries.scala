@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.operators.ChangeDetection
+import graft.streaming.Windows
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 S2 / §2.3 C1–C7 (change detection, watermark scans, dedup,
+  * CDC latest-state) and the §7.2 windowed retail KPIs, as oracle-checked
+  * batch queries over `events`. The streaming twins of these exact
+  * aggregations run in `graft.streaming` (same builder functions) — batch
+  * oracle parity here validates the shared logic.
+  *
+  * All timestamps are compared at second precision and bucketed at ≥30 min
+  * granularity; the events table's sub-microsecond digits (see
+  * `queries.table`) cannot affect any compared value.
+  */
+object EventQueries extends QueryPack {
+
+  private val wmDefault = "2024-03-01 00:00:00"
+  private val wmClick = "2024-04-01 00:00:00"
+  private val wmView = "2024-05-01 00:00:00"
+
+  /** S2 watermark probe: COUNT(*) + MAX(ts) newer than the watermark —
+    * the exact change-detection SQL the reference generates per table
+    * (`data_sources.py:138-142`). */
+  def s2WatermarkScan(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .filter(col("ts") > ts(wmDefault))
+      .agg(count(lit(1)).as("change_count"), fmtTs(max(col("ts"))).as("max_ts"))
+
+  /** S2 incremental extraction: full rows newer than the watermark
+    * (`data_sources.py:224-231` — `SELECT * WHERE ts > :last ORDER BY ts`).
+    * The predicate reaches the parquet scan as a pushed filter. */
+  def s2IncrementalExtract(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .filter(col("ts") > ts("2024-06-10 00:00:00"))
+      .withColumn("ts", fmtTs(col("ts")))
+      .orderBy(col("event_id"))
+
+  /** C3 multi-key change detection through the engine's
+    * [[ChangeDetection.detectChanges]]: per-event-type watermarks (two
+    * explicit, rest defaulted), one fused pass. */
+  def c3DetectChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wm = Seq(("click", java.sql.Timestamp.valueOf(wmClick)),
+      ("view", java.sql.Timestamp.valueOf(wmView)))
+      .toDF("key", "last_ts")
+    ChangeDetection.detectChanges(table(s, dir, "events"), "event_type", "ts",
+        wm, ts(wmDefault))
+      .withColumn("new_watermark", fmtTs(col("new_watermark")))
+      .orderBy(col("event_type"))
+  }
+
+  /** C2 dedup of exact re-deliveries on the reference's composite key
+    * (source:table:type:timestamp ≈ user:type:ts here) — result is the
+    * surviving-row count vs total (`change_detection.py:93-134`). */
+  def c2DedupEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val kept = ChangeDetection.dedupExactRedeliveries(
+      ev, Seq("user_id", "event_type"), "ts")
+    kept.agg(count(lit(1)).as("unique_events"))
+      .crossJoin(ev.agg(count(lit(1)).as("total_events")))
+  }
+
+  /** S3/C4 CDC latest-state: collapse the event log to the newest row per
+    * user — the read-side MERGE of a changelog
+    * (`data_sources.py:166-209`). */
+  def cdcLatestState(s: SparkSession, dir: String): DataFrame =
+    ChangeDetection.latestState(table(s, dir, "events"),
+        Seq("user_id"), "ts", "event_id")
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        col("value").as("last_value"), fmtTs(col("ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+
+  /** Tumbling 1h revenue KPI (purchases only) — the streaming mart's
+    * windowed aggregation, batch mode. */
+  def wTumblingRevenue(s: SparkSession, dir: String): DataFrame =
+    Windows.tumbling(
+        table(s, dir, "events").filter(col("event_type") === "purchase"),
+        "ts", "1 hour", Seq.empty,
+        Seq(count(lit(1)).as("n_purchases"), decSum(col("value")).as("revenue")))
+      .select(fmtTs(col("window_start")).as("window_start"),
+        col("n_purchases"), col("revenue"))
+      .orderBy(col("window_start"))
+
+  /** Sliding 1h/30min activity KPI per event type. */
+  def wSlidingActivity(s: SparkSession, dir: String): DataFrame =
+    Windows.sliding(table(s, dir, "events"), "ts", "1 hour", "30 minutes",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value")))
+      .select(fmtTs(col("window_start")).as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Per-user session windows (30 min inactivity gap) — native
+    * `session_window`, stateful in streaming mode. */
+  def wSessionUser(s: SparkSession, dir: String): DataFrame =
+    Windows.session(table(s, dir, "events"), "ts", "30 minutes",
+        Seq(col("user_id")),
+        Seq(count(lit(1)).as("n_events"), decSum(col("value")).as("session_value")))
+      .select(col("user_id"), fmtTs(col("session_start")).as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "s2_watermark_scan" -> (s2WatermarkScan _),
+    "s2_incremental_extract" -> (s2IncrementalExtract _),
+    "c3_detect_changes" -> (c3DetectChanges _),
+    "c2_dedup_events" -> (c2DedupEvents _),
+    "cdc_latest_state" -> (cdcLatestState _),
+    "w_tumbling_revenue" -> (wTumblingRevenue _),
+    "w_sliding_activity" -> (wSlidingActivity _),
+    "w_session_user" -> (wSessionUser _))
+
+  val oracles: Map[String, String] = Map(
+    "s2_watermark_scan" -> s"""
+      SELECT COUNT(*) AS change_count,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+      FROM events WHERE ts > TIMESTAMP '$wmDefault'""",
+    "s2_incremental_extract" -> """
+      SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+             event_type, value, props
+      FROM events WHERE ts > TIMESTAMP '2024-06-10 00:00:00'
+      ORDER BY event_id""",
+    "c3_detect_changes" -> s"""
+      WITH wm AS (
+        SELECT event_type,
+          CASE event_type
+            WHEN 'click' THEN TIMESTAMP '$wmClick'
+            WHEN 'view' THEN TIMESTAMP '$wmView'
+            ELSE TIMESTAMP '$wmDefault' END AS last_ts
+        FROM (SELECT DISTINCT event_type FROM events))
+      SELECT e.event_type, COUNT(*) AS change_count,
+             strftime(MAX(e.ts), '%Y-%m-%d %H:%M:%S') AS new_watermark
+      FROM events e JOIN wm ON e.event_type = wm.event_type
+      WHERE e.ts > wm.last_ts
+      GROUP BY e.event_type ORDER BY e.event_type""",
+    "c2_dedup_events" -> """
+      SELECT (SELECT COUNT(*) FROM (
+                SELECT DISTINCT user_id, event_type, date_trunc('millisecond', ts)
+                FROM events)) AS unique_events,
+             (SELECT COUNT(*) FROM events) AS total_events""",
+    "cdc_latest_state" -> """
+      SELECT user_id, event_type AS last_event_type, value AS last_value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY date_trunc('millisecond', ts) DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY user_id""",
+    "w_tumbling_revenue" -> s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             COUNT(*) AS n_purchases,
+             ${decSumSql("value")} AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY date_trunc('hour', ts)
+      ORDER BY window_start""",
+    "w_sliding_activity" -> s"""
+      SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - k.off, '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n_events,
+             ${decSumSql("value")} AS total_value
+      FROM events
+      CROSS JOIN (SELECT INTERVAL '0 minutes' AS off
+                  UNION ALL SELECT INTERVAL '30 minutes') k
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "w_session_user" -> s"""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts, value,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT user_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             COUNT(*) AS n_events,
+             ${decSumSql("value")} AS session_value
+      FROM sessions GROUP BY user_id, session_id
+      ORDER BY user_id, session_start""")
+}
