@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    CoreQueries, ValidationQueries, TransformQueries, EventQueries)
+    CoreQueries, ValidationQueries, TransformQueries, EventQueries,
+    DedupQueries, SimilarityQueries, TextQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

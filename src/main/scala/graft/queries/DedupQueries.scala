@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-deduplication operators over the `documents` table: exact,
+  * MinHash+LSH (probabilistic candidates, exact verification), blocked
+  * exact n-gram Jaccard, and SimHash (rows-only — its hash space is
+  * engine-internal).
+  *
+  * The MinHash-LSH oracle is the FULL all-pairs exact Jaccard: with
+  * 16 bands × 4 rows, recall at the planted near-dup similarity (≈0.98)
+  * is 1−1e-13, so LSH output must equal the exhaustive answer — any
+  * banding bug shows up as a hash mismatch. */
+object DedupQueries extends QueryPack {
+
+  /** Exact-dedup summary: total vs distinct-content vs survivors. */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val kept = Dedup.exactByContent(docs, "doc_id", "text")
+    docs.agg(count(lit(1)).as("total_docs"),
+        countDistinct(col("text")).as("distinct_texts"))
+      .crossJoin(kept.agg(count(lit(1)).as("surviving_docs")))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exact-verified at j ≥ 0.8. */
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 5, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Blocked exact-Jaccard near-dup pairs (3-token prefix blocks). */
+  def d4BlockedJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 5, blockTokens = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit token-vote hash).
+    * No SQL oracle — xxhash64 is engine-internal; correctness is pinned
+    * by DedupSpec against brute-force hamming. */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_blocked_jaccard" -> (d4BlockedJaccard _))
+
+  private def shingleSetsSql = """
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+4], ' ')
+                          FOR i IN range(1, len(toks) - 3)]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 5"""
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> """
+      SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
+             (SELECT COUNT(DISTINCT text) FROM documents) AS distinct_texts,
+             (SELECT COUNT(DISTINCT text) FROM documents) AS surviving_docs""",
+    "d2_minhash_lsh" -> s"""
+      WITH sets AS ($shingleSetsSql)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+      ORDER BY id_a, id_b""",
+    "d4_blocked_jaccard" -> s"""
+      WITH sets AS (
+        SELECT doc_id,
+               array_to_string(toks[1:3], ' ') AS blk,
+               list_distinct([array_to_string(toks[i:i+4], ' ')
+                              FOR i IN range(1, len(toks) - 3)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 5)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      FROM sets a JOIN sets b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+      ORDER BY id_a, id_b""")
+}

@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries extends QueryPack {
 
-  private val wmDefault = "2024-03-01 00:00:00"
-  private val wmClick = "2024-04-01 00:00:00"
-  private val wmView = "2024-05-01 00:00:00"
+  private val wmDefault = "2024-01-20 00:00:00"
+  private val wmClick = "2024-01-25 00:00:00"
+  private val wmView = "2024-01-28 00:00:00"
 
   /** S2 watermark probe: COUNT(*) + MAX(ts) newer than the watermark —
     * the exact change-detection SQL the reference generates per table
@@ -34,7 +34,7 @@ object EventQueries extends QueryPack {
     * The predicate reaches the parquet scan as a pushed filter. */
   def s2IncrementalExtract(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
-      .filter(col("ts") > ts("2024-06-10 00:00:00"))
+      .filter(col("ts") > ts("2024-01-28 00:00:00"))
       .withColumn("ts", fmtTs(col("ts")))
       .orderBy(col("event_id"))
 
@@ -121,7 +121,7 @@ object EventQueries extends QueryPack {
     "s2_incremental_extract" -> """
       SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
              event_type, value, props
-      FROM events WHERE ts > TIMESTAMP '2024-06-10 00:00:00'
+      FROM events WHERE ts > TIMESTAMP '2024-01-28 00:00:00'
       ORDER BY event_id""",
     "c3_detect_changes" -> s"""
       WITH wm AS (

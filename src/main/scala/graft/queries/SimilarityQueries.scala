@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN / near-duplicate search over `embeddings` (array<float>, 64-dim).
+  *
+  * Engine-exact cosine (see [[graft.similarity.Similarity]]): components
+  * quantized to integers (floor(x·10⁴)), exact integer dot/norms, one
+  * final double ratio — so even the cosine COLUMN hash-matches DuckDB,
+  * not just the neighbor ranking. */
+object SimilarityQueries extends QueryPack {
+
+  private val nQueries = 10
+  private val k = 5
+
+  /** Brute-force top-k cosine neighbors for the first 10 vectors —
+    * the recall baseline every ANN variant is judged against. */
+  def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < nQueries),
+        "vec_id", "embedding", k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style bucketed top-k: candidates restricted to the query's
+    * cluster (`label` = coarse quantizer cell). O(n/buckets) per query. */
+  def simTopkBucketed(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < nQueries),
+        "vec_id", "embedding", "label", k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ 0.40 within label blocks. */
+  def simNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.blockedNearDupPairs(table(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.40)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "sim_topk_brute" -> (simTopkBrute _),
+    "sim_topk_bucketed" -> (simTopkBucketed _),
+    "sim_neardup_pairs" -> (simNearDupPairs _))
+
+  /** Integer-quantized corpus CTE shared by the oracles: q = floor(x·10⁴)
+    * components, nsq = exact squared norm. */
+  private val prepSql = """
+    SELECT vec_id, label,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+    FROM embeddings"""
+
+  private val normSql = """
+    SELECT vec_id, label, q,
+           (SELECT SUM(a * b) FROM (SELECT unnest(p.q) AS a, unnest(p.q) AS b)) AS nsq
+    FROM prep p"""
+
+  private def cosSql(qa: String, qb: String, na: String, nb: String) =
+    s"""CAST((SELECT SUM(a * b) FROM (SELECT unnest($qa) AS a, unnest($qb) AS b)) AS DOUBLE)
+        / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"""
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" -> s"""
+      WITH prep AS ($prepSql), nrm AS ($normSql),
+      scored AS (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+               ${cosSql("qv.q", "cv.q", "qv.nsq", "cv.nsq")} AS cosine
+        FROM nrm qv JOIN nrm cv ON cv.vec_id <> qv.vec_id
+        WHERE qv.vec_id < $nQueries)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= $k ORDER BY query_id, rank""",
+    "sim_topk_bucketed" -> s"""
+      WITH prep AS ($prepSql), nrm AS ($normSql),
+      scored AS (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+               ${cosSql("qv.q", "cv.q", "qv.nsq", "cv.nsq")} AS cosine
+        FROM nrm qv JOIN nrm cv
+          ON cv.vec_id <> qv.vec_id AND cv.label = qv.label
+        WHERE qv.vec_id < $nQueries)
+      SELECT query_id, rank, neighbor_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= $k ORDER BY query_id, rank""",
+    "sim_neardup_pairs" -> s"""
+      WITH prep AS ($prepSql), nrm AS ($normSql)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${cosSql("a.q", "b.q", "a.nsq", "b.nsq")} AS cosine
+      FROM nrm a JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${cosSql("a.q", "b.q", "a.nsq", "b.nsq")} >= 0.40
+      ORDER BY id_a, id_b""")
+}

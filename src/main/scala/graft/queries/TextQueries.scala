@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over `documents`: language ID, quality
+  * features/scoring, token statistics, document fingerprinting — all
+  * expression-only so a 100 TB corpus pass stays inside whole-stage
+  * codegen with no UDF boundary. */
+object TextQueries extends QueryPack {
+
+  /** Language ID by stopword voting, compared against the declared lang
+    * column (agreement flag included — the synthetic corpus is
+    * English-vocabulary regardless of its label, which the heuristic
+    * honestly reports). */
+  def txLangId(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        TextFunctions.langId(col("text")).as("predicted_lang"))
+      .withColumn("agrees", col("declared_lang") === col("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Per-doc quality features + a composite score: token-length band
+    * weight × distinct-token ratio (C4/Gopher-style filters). */
+  def txQuality(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityFeatures(col("text")).as("f"))
+      .select(col("doc_id"),
+        col("f.n_chars").as("n_chars"),
+        col("f.n_tokens").as("n_tokens"),
+        col("f.chars_per_token").as("chars_per_token"),
+        col("f.distinct_token_ratio").as("distinct_token_ratio"),
+        col("f.n_punct").as("n_punct"))
+      .withColumn("quality_score",
+        when(col("n_tokens").between(20, 80), lit(1.0)).otherwise(lit(0.5))
+          * col("distinct_token_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus token statistics: frequency + doc-frequency of the 20 most
+    * common tokens (explode → two-level aggregate). */
+  def txTokenStats(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+
+  /** Per-doc token counting: whitespace tokens + BPE-ish subword units.
+    * tokens_per_100_chars is an exact int/int ratio → deterministic. */
+  def txTokenCount(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"),
+        (TextFunctions.tokenCount(col("text")).cast(DoubleType) * 100.0 /
+          length(col("text")).cast(DoubleType)).as("tokens_per_100_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: minimum MD5 over 5-token shingles
+    * (winnowing-lite, engine-portable because MD5 is standard). */
+  def txFingerprint(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.minShingleFingerprint(col("text"), 5).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "tx_lang_id" -> (txLangId _),
+    "tx_quality" -> (txQuality _),
+    "tx_token_stats" -> (txTokenStats _),
+    "tx_token_count" -> (txTokenCount _),
+    "tx_fingerprint" -> (txFingerprint _))
+
+  private val langCase = {
+    val sets = TextFunctions.langStopwords
+    val scoreExprs = sets.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(toks, $arr)) AS score_$lang"
+    }.mkString(",\n               ")
+    // argmax with earlier-listed language winning ties (strict >)
+    val best = sets.map(_._1).tail.foldLeft(
+      (s"'${sets.head._1}'", s"score_${sets.head._1}")) {
+      case ((bl, bs), l) =>
+        (s"CASE WHEN score_$l > $bs THEN '$l' ELSE $bl END",
+         s"CASE WHEN score_$l > $bs THEN score_$l ELSE $bs END")
+    }
+    (scoreExprs, best._1, best._2)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "tx_lang_id" -> s"""
+      WITH scored AS (
+        SELECT doc_id, lang AS declared_lang,
+               ${langCase._1}
+        FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents)),
+      best AS (
+        SELECT doc_id, declared_lang,
+               CASE WHEN ${langCase._3} > 0 THEN ${langCase._2}
+                    ELSE 'unknown' END AS predicted_lang
+        FROM scored)
+      SELECT doc_id, declared_lang, predicted_lang,
+             declared_lang = predicted_lang AS agrees
+      FROM best ORDER BY doc_id""",
+    "tx_quality" -> """
+      SELECT doc_id, n_chars, n_tokens, chars_per_token, distinct_token_ratio,
+             n_punct,
+             (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END)
+               * distinct_token_ratio AS quality_score
+      FROM (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_tokens,
+               CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS chars_per_token,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_token_ratio,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+              FROM documents))
+      ORDER BY doc_id""",
+    "tx_token_stats" -> """
+      SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+            FROM documents)
+      GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+    "tx_token_count" -> """
+      SELECT doc_id,
+             len(string_split_regex(text, '\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+             CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 100.0
+               / CAST(length(text) AS DOUBLE) AS tokens_per_100_chars
+      FROM documents ORDER BY doc_id""",
+    "tx_fingerprint" -> """
+      SELECT doc_id,
+             list_min([md5(array_to_string(toks[i:i+4], ' '))
+                       FOR i IN range(1, len(toks) - 3)]) AS fingerprint
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      ORDER BY doc_id""")
+}

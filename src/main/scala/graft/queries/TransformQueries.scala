@@ -57,7 +57,7 @@ object TransformQueries extends QueryPack {
   /** Q2 freshness assertion vs a FIXED as-of instant (never wall-clock —
     * SURVEY §7.5 risk 6). */
   def qa2Freshness(s: SparkSession, dir: String): DataFrame = {
-    val asOf = "2024-07-01 00:00:00"
+    val asOf = "2024-02-01 00:00:00"
     table(s, dir, "events").agg(
       fmtTs(max(col("ts"))).as("newest"),
       (unix_timestamp(ts(asOf)) - unix_timestamp(max(col("ts"))))
@@ -154,8 +154,8 @@ object TransformQueries extends QueryPack {
       SELECT COUNT(*) AS row_count, COUNT(*) >= 1000 AS passed FROM orders""",
     "qa2_freshness" -> """
       SELECT strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS newest,
-             date_diff('second', MAX(ts), TIMESTAMP '2024-07-01 00:00:00') AS age_seconds,
-             date_diff('second', MAX(ts), TIMESTAMP '2024-07-01 00:00:00') <= 7200 AS passed
+             date_diff('second', MAX(ts), TIMESTAMP '2024-02-01 00:00:00') AS age_seconds,
+             date_diff('second', MAX(ts), TIMESTAMP '2024-02-01 00:00:00') <= 7200 AS passed
       FROM events""",
     "qa3_custom_scalar" -> """
       SELECT SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS negative_amounts,

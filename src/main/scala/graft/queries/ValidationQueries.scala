@@ -56,7 +56,7 @@ object ValidationQueries extends QueryPack {
         allowedValues(col("event_type"), Seq("view", "click", "purchase", "signup"))),
       Rule("business_hours", "ts", Severity.Warning, businessHours(col("ts"))),
       Rule("future_date", "ts", Severity.Warning,
-        futureDate(col("ts"), ts("2024-06-01 00:00:00"))),
+        futureDate(col("ts"), ts("2024-01-15 00:00:00"))),
       Rule("pattern", "event_type", Severity.Info,
         pattern(col("event_type"), "^[a-z]+$")),
       Rule("length", "event_type", Severity.Info,
@@ -139,7 +139,7 @@ object ValidationQueries extends QueryPack {
         SUM(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 150.0) THEN 1 ELSE 0 END) AS range__value,
         SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS allowed_values__event_type,
         SUM(CASE WHEN ts IS NOT NULL AND (hour(ts) < 9 OR hour(ts) >= 17) THEN 1 ELSE 0 END) AS business_hours__ts,
-        SUM(CASE WHEN ts IS NOT NULL AND ts > TIMESTAMP '2024-06-01 00:00:00' THEN 1 ELSE 0 END) AS future_date__ts,
+        SUM(CASE WHEN ts IS NOT NULL AND ts > TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS future_date__ts,
         SUM(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS pattern__event_type,
         SUM(CASE WHEN event_type IS NOT NULL AND (length(CAST(event_type AS VARCHAR)) < 4 OR length(CAST(event_type AS VARCHAR)) > 8) THEN 1 ELSE 0 END) AS length__event_type
       FROM events""",

@@ -1,0 +1,111 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor and near-duplicate search over an
+  * embedding column (`array<float>`).
+  *
+  * Engine-exact arithmetic: components quantize to integers via
+  * `floor(double(x) · 10⁴)` — the float→double widening, the multiply,
+  * and the floor are all single IEEE ops, bit-identical in any engine
+  * (unlike float→decimal casts, whose rounding mode is engine-specific).
+  * Dot products and norms are then exact 64-bit integer sums (order-free,
+  * < 2⁵³ so their double images are exact), and only the final cosine
+  * ratio touches floating point: one multiply, one sqrt, one divide —
+  * bit-identical everywhere. This makes similarity results
+  * hash-comparable across engines, and costs nothing at scale: the
+  * quantized arrays are computed once per row inside codegen.
+  *
+  * Scale paths:
+  *  - brute force: queries broadcast, corpus scanned once, top-k via
+  *    per-query window — the baseline and the recall oracle;
+  *  - bucketed (IVF-style): search only within a partition key (cluster
+  *    id / LSH bucket), turning O(n·q) into O(n·q/buckets).
+  */
+object Similarity {
+
+  /** Quantize an array<float> to array<long> at 4-decimal resolution. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast(DoubleType) * 10000.0d).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared norm of a quantized vector. */
+  def normSqQ(v: Column): Column = dotQ(v, v)
+
+  /** Cosine from the exact integer parts — deterministic double. */
+  def cosineFromParts(dot: Column, nsqA: Column, nsqB: Column): Column =
+    dot.cast(DoubleType) / sqrt(nsqA.cast(DoubleType) * nsqB.cast(DoubleType))
+
+  /** Corpus with precomputed quantized vector + squared norm (computed
+    * once per row; reused by every query comparison). */
+  def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .withColumn("__nsq", normSqQ(col("__q")))
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `queries` is small (broadcast); the corpus is scanned once, never
+    * shuffled — the only shuffle is the per-query top-k window over
+    * q×n candidate rows. Self-matches are excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = prepare(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = prepare(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__q").as("__qq"), col("__nsq").as("__qnsq"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Bucketed (IVF-style) search: candidates are restricted to rows
+    * sharing `bucketCol` with the query — the coarse-quantizer pattern.
+    * With KMeans centroids as buckets this is classic IVF; any
+    * deterministic partitioner (label, LSH hyperplane signs) works. */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, bucketCol: String, k: Int): DataFrame = {
+    val c = prepare(corpus.withColumnRenamed(bucketCol, "__bkt"), idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val cWithB = corpus.select(col(idCol).as("neighbor_id"), col(bucketCol).as("__bkt"))
+      .join(c, "neighbor_id")
+    val q = prepare(queries, idCol, vecCol)
+      .join(queries.select(col(idCol), col(bucketCol).as("__qbkt")), idCol)
+      .select(col(idCol).as("query_id"), col("__q").as("__qq"),
+        col("__nsq").as("__qnsq"), col("__qbkt"))
+    val scored = cWithB.join(broadcast(q),
+        col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold within a blocking key
+    * (label / cluster): the embedding-space analog of
+    * [[graft.dedup.Dedup.blockedJaccardPairs]]. */
+  def blockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val p = prepare(df, idCol, vecCol)
+      .join(df.select(col(idCol), col(blockCol).as("__blk")), idCol)
+      .select(col(idCol).as("__id"), col("__q"), col("__nsq"), col("__blk"))
+    p.as("l").join(p.as("r"),
+        col("l.__blk") === col("r.__blk") && col("l.__id") < col("r.__id"))
+      .withColumn("cosine", cosineFromParts(
+        dotQ(col("l.__q"), col("r.__q")), col("l.__nsq"), col("r.__nsq")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"), col("cosine"))
+  }
+}

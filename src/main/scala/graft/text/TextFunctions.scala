@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for the training-data pipeline operators
+  * (dedup, language ID, quality scoring, fingerprinting). All pure
+  * `Column` expressions — codegen'd by Tungsten, no UDFs — so they run
+  * inside whole-stage codegen at 100 TB scan speed.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the `documents` table is single-spaced
+    * lowercase; `\s+` keeps semantics stable on messier input). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Sliding n-token shingles joined by spaces: the unit of MinHash /
+    * Jaccard document similarity. Empty for docs shorter than n tokens. */
+  def tokenShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(0, x) with x<0 DESCENDS in Spark — short docs must
+    // yield an empty shingle set, not [0,-1]-indexed garbage
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays.
+    * Ratio of two ints → one IEEE division, deterministic across
+    * engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** Token count, whitespace semantics. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword unit count: alpha runs, digit runs, single other
+    * non-space chars — a cheap proxy for tokenizer load. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality features (C4/Gopher-style heuristics over the reference's
+    * length/pattern rule vocabulary): emitted as a struct so one
+    * projection computes all of them in a single codegen stage. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(DoubleType)
+    struct(
+      length(text).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (length(text).cast(DoubleType) / nTok).as("chars_per_token"),
+      (size(array_distinct(toks)).cast(DoubleType) / nTok).as("distinct_token_ratio"),
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"))
+  }
+
+  /** Language-ID by stopword-set voting (n-gram-free heuristic): score
+    * per language = |tokens ∩ stopwords(lang)|, argmax with fixed
+    * preference order on ties. Sets below are small on purpose — this is
+    * the reference-style heuristic, not a trained model. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "y", "es", "un", "una"))
+
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scores: Seq[(String, Column)] = langStopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    // argmax; strict > so earlier-listed languages win ties
+    val (bestLang, bestScore) =
+      scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+        case ((bl, bs), (l, sc)) =>
+          (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+      }
+    when(bestScore > 0, bestLang).otherwise(lit("unknown"))
+  }
+
+  /** Document fingerprint: minimum MD5 over token shingles — a
+    * deterministic containment fingerprint (winnowing-lite) identical in
+    * any engine with standard MD5. */
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    array_min(transform(tokenShingles(text, n), s => md5(s)))
+
+  /** 64-bit SimHash over tokens: per bit, sign of Σ_tokens(±1) using
+    * xxhash64 bit b of each token. Computed fully vectorized: one
+    * projection builds the per-token hash array; the per-bit vote and
+    * reassembly stay inside codegen. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the probabilistic/engine-internal dedup paths against exhaustive
+  * brute force at sf0.001 (500 docs — all-pairs is cheap here). */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("simhash LSH pairs == brute-force hamming pairs (completeness)") {
+    val viaLsh = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.simhash64(col("text")).as("s"))
+    val brute = sh.as("l").join(sh.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .filter(bit_count(col("l.s").bitwiseXOR(col("r.s"))) <= 3)
+      .select(col("l.doc_id"), col("r.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh == brute, s"LSH ${viaLsh.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
+  test("minhash-LSH near-dups == exhaustive jaccard >= 0.8 (recall check)") {
+    val viaLsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.select(col("doc_id"),
+      TextFunctions.tokenShingles(col("text"), 5).as("sh"))
+    val brute = sets.as("l").join(sets.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .filter(TextFunctions.jaccard(col("l.sh"), col("r.sh")) >= 0.8)
+      .select(col("l.doc_id"), col("r.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh == brute, s"LSH ${viaLsh.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain minhash near-dups")
+  }
+
+  test("exact dedup keeps lowest-id survivor per content group") {
+    import spark.implicits._
+    val df = Seq((3L, "x y z"), (1L, "x y z"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactByContent(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+}

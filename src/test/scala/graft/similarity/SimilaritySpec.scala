@@ -1,0 +1,45 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("brute-force top-k: k rows per query, cosine in [-1,1], no self-match") {
+    val q = emb.filter(col("vec_id") < 5)
+    val res = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3).collect()
+    assert(res.length == 5 * 3)
+    assert(res.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+    assert(res.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    // ranks are 1..k per query and cosine non-increasing within a query
+    val byQ = res.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bucketed top-k returns only same-bucket neighbors") {
+    val q = emb.filter(col("vec_id") < 5)
+    val res = Similarity.bucketedTopK(emb, q, "vec_id", "embedding", "label", 3)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    res.collect().foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) == labels(r.getAs[Long]("neighbor_id")))
+    }
+  }
+
+  test("bucketed result cosine never exceeds brute-force at same rank") {
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    val bucketed = Similarity.bucketedTopK(emb, q, "vec_id", "embedding", "label", 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    bucketed.foreach { case (qid, c) => assert(c <= brute(qid) + 1e-12) }
+  }
+}

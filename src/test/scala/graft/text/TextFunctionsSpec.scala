@@ -1,0 +1,73 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+      .select(c.as("v")).collect()(0)
+  }
+
+  test("tokenShingles: sliding distinct n-grams; empty below n tokens") {
+    import spark.implicits._
+    val r = Seq("a b c d").toDF("text")
+      .select(TextFunctions.tokenShingles(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextFunctions.tokenShingles(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccard on known sets") {
+    import spark.implicits._
+    val j = Seq(("a b c d", "c d e f")).toDF("x", "y")
+      .select(TextFunctions.jaccard(
+        TextFunctions.tokenShingles(col("x"), 1),
+        TextFunctions.tokenShingles(col("y"), 1)).as("j"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(j - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("langId votes stopwords, unknown when no hits") {
+    import spark.implicits._
+    val r = Seq("the cat of the house", "der hund ist ein tier", "zzz qqq")
+      .toDF("text")
+      .select(TextFunctions.langId(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("en", "de", "unknown"))
+  }
+
+  test("quality features on known text") {
+    val f = one(TextFunctions.qualityFeatures(col("text")))
+    val s = f.getStruct(0)
+    assert(s.getAs[Int]("n_tokens") == 9)
+    assert(s.getAs[Int]("n_chars") == 43)
+    assert(s.getAs[Double]("distinct_token_ratio") == 8.0 / 9.0)
+  }
+
+  test("simhash: identical text → distance 0; near text close, far text far") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "spark query join filter the fast table scan merge sort"),
+      ("b", "spark query join filter the fast table scan merge sort"),
+      ("c", "spark query join filter the fast table scan merge dup"),
+      ("d", "zebra yak xylophone walrus vulture tiger snake rhino")
+    ).toDF("id", "text")
+      .select(col("id"), TextFunctions.simhash64(col("text")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(java.lang.Long.bitCount(m("a") ^ m("c")) <= 16)
+    assert(java.lang.Long.bitCount(m("a") ^ m("d")) > 16)
+  }
+
+  test("fingerprint is a 32-hex md5, stable") {
+    val fp = one(TextFunctions.minShingleFingerprint(col("text"), 3)).getString(0)
+    assert(fp.matches("[0-9a-f]{32}"))
+  }
+}
