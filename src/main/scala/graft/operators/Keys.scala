@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Deterministic surrogate-key assignment (SURVEY §2.6 T2) that scales.
+  *
+  * `row_number() OVER (ORDER BY key)` is the natural spelling but its
+  * physical plan moves EVERY row to one partition (WindowExec with no
+  * partition spec) — a non-starter at 100 TB. `monotonically_increasing_id`
+  * is partition-layout-dependent, so it breaks reproducibility across
+  * cluster sizes (SURVEY §7.5). This operator computes the exact same
+  * dense 1-based rank as the global window, distributed:
+  *
+  *  1. one aggregate pass computes exact percentile boundaries of the key
+  *     (exact `percentile`, deterministic for fixed data);
+  *  2. each row gets an order-preserving bucket id = #boundaries < key
+  *     (a codegen'd array filter — no shuffle);
+  *  3. a tiny per-bucket count (B rows to the driver) yields each bucket's
+  *     global offset;
+  *  4. rank = offset(bucket) + row_number within the bucket — the window
+  *     is PARTITIONED, so the sort is per-bucket, ~N/B rows each.
+  *
+  * Cost: two extra lightweight jobs (boundary agg + count agg, both
+  * partial-aggregated map-side) and one shuffle by bucket — vs. the global
+  * window's one shuffle to a SINGLE reducer. Result is bit-identical to
+  * `row_number() OVER (ORDER BY key)` whenever `key` is unique.
+  */
+object Keys {
+
+  /** Dense 1-based global rank by a unique numeric `keyCol`, added as
+    * `rankName`. `buckets` bounds both the driver collect (B rows) and the
+    * per-partition sort size (~N/B). */
+  def globalRank(df: DataFrame, keyCol: String, rankName: String,
+      buckets: Int = 64): DataFrame = {
+    val key = col(keyCol).cast(DoubleType)
+
+    val bounds: Seq[Double] =
+      if (buckets <= 1) Seq.empty
+      else {
+        val probs = (1 until buckets).map(i => i.toDouble / buckets)
+        val row = df
+          .agg(expr(s"percentile($keyCol, array(${probs.mkString(",")}))"))
+          .head()
+        if (row.isNullAt(0)) Seq.empty
+        else row.getSeq[Double](0).toSeq
+      }
+
+    if (bounds.isEmpty) {
+      // empty input or degenerate key distribution — single bucket
+      val w = Window.orderBy(col(keyCol))
+      return df.withColumn(rankName, row_number().over(w))
+    }
+
+    val boundsArr = array(bounds.map(lit): _*)
+    val bucket = size(filter(boundsArr, b => b < key))
+    val bucketed = df.withColumn("__bucket", bucket)
+
+    val counts: Map[Int, Long] = bucketed
+      .groupBy(col("__bucket")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val offsets = (0 until buckets).scanLeft(0L) {
+      (acc, b) => acc + counts.getOrElse(b, 0L)
+    }
+    val offsetMap = map(
+      (0 until buckets).flatMap(b =>
+        Seq(lit(b), lit(offsets(b)))): _*)
+
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
+    bucketed
+      .withColumn(rankName,
+        (element_at(offsetMap, col("__bucket")) + row_number().over(w)))
+      .drop("__bucket")
+  }
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's declared transformation models (SURVEY §2.6 T1–T3),
@@ -40,17 +39,16 @@ object Models {
 
   /** T2 conformed dimension with surrogate key
     * (`sample_pipeline.yaml:79-87`). The surrogate is a deterministic
-    * dense row_number over the natural key — NOT
+    * dense rank over the natural key — NOT
     * `monotonically_increasing_id()`, which is partition-dependent and
-    * would break reproducibility across cluster sizes. At 100 TB dims
-    * stay small relative to facts; the single window over the natural key
-    * is one shuffle of the dim only. */
-  def dimCustomers(stagingCustomers: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("customer_id"))
-    stagingCustomers.withColumn("customer_key", row_number().over(w))
+    * would break reproducibility across cluster sizes. Computed via
+    * [[Keys.globalRank]] (bucketed distributed ranking), identical to
+    * `row_number() OVER (ORDER BY customer_id)` but without the
+    * all-rows-to-one-partition window sort. */
+  def dimCustomers(stagingCustomers: DataFrame): DataFrame =
+    Keys.globalRank(stagingCustomers, "customer_id", "customer_key")
       .select(col("customer_key"), col("customer_id"), col("customer_name"),
         col("nation_id"), col("account_balance"), col("market_segment"))
-  }
 
   /** T3 incremental fact with MERGE on `order_id`
     * (`sample_pipeline.yaml:89-99`): upsert delta into base latest-wins

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KeysSpec extends AnyFunSuite with SparkSpec {
+
+  test("globalRank matches row_number over global order, distributed") {
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+
+    val ranked = Keys.globalRank(customer, "c_custkey", "rk", buckets = 8)
+      .select("c_custkey", "rk")
+    val expected = customer
+      .withColumn("rk", row_number().over(Window.orderBy(col("c_custkey"))))
+      .select("c_custkey", "rk")
+
+    assert(ranked.exceptAll(expected).isEmpty && expected.exceptAll(ranked).isEmpty)
+    // dense 1..N
+    val n = customer.count()
+    val agg = ranked.agg(min("rk"), max("rk"), countDistinct("rk")).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == n && agg.getLong(2) == n)
+  }
+
+  test("globalRank on empty input yields empty output") {
+    val empty = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") < 0)
+    assert(Keys.globalRank(empty, "c_custkey", "rk").count() == 0)
+  }
+
+  test("globalRank physical plan has no unpartitioned window over full data") {
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val plan = Keys.globalRank(customer, "c_custkey", "rk", buckets = 8)
+      .queryExecution.executedPlan.toString
+    // the ranking window must be partitioned (by bucket), not global
+    assert(!plan.contains("Window [row_number()") ||
+      plan.contains("windowspecdefinition(__bucket"))
+  }
+}
