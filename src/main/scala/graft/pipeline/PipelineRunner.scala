@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-side pipeline execution (SURVEY §2.8 O1–O3, §3.1 steps 2–5).
+  *
+  * The reference runs ingest → transform → validate as Airflow tasks with
+  * XCom/subprocess/warehouse hops between them
+  * (`dag_generator.py:290-349`, `operators.py:36-333`). Here each hop
+  * collapses into a registered temp view: tasks exchange DataFrames by
+  * name, lazily — Spark fuses whole chains into single jobs where
+  * possible, and the only remaining process boundary is driver →
+  * executors.
+  *
+  * Registries (no reflection — SURVEY §2.4 V6 note):
+  *  - `sources`:   source_id → DataFrame provider (ingestion result)
+  *  - `models`:    model_name → resolved-deps ⇒ DataFrame transformation
+  */
+class PipelineRunner(
+    spark: SparkSession,
+    sources: Map[String, SparkSession => DataFrame],
+    models: Map[String, Map[String, DataFrame] => DataFrame],
+    asOf: java.sql.Timestamp) {
+
+  private val built = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Execute every task of the spec in topological levels with
+    * trigger-rule gating; returns per-task results. Failed model tests /
+    * target validations follow Q6 routing: `fail_on_validation_error`
+    * true ⇒ task fails, false ⇒ warning, task succeeds
+    * (`operators.py:258-265`). */
+  def run(spec: PipelineSpec): Map[String, TaskResult] = {
+    val graph = TaskGraph.fromSpec(spec)
+    val errors = graph.validate
+    require(errors.isEmpty, s"invalid pipeline config: ${errors.mkString("; ")}")
+
+    var ctx = Map.empty[String, TaskResult]
+    graph.executionLevels.foreach { level =>
+      level.foreach { id =>
+        ctx += id -> (if (graph.canExecute(id, ctx)) execute(spec, id)
+                      else TaskResult(id, TaskStatus.Skipped))
+      }
+    }
+    ctx
+  }
+
+  private def execute(spec: PipelineSpec, id: String): TaskResult = {
+    val t0 = System.nanoTime()
+    def done(status: String, err: Option[String] = None) =
+      TaskResult(id, status, (System.nanoTime() - t0) / 1e9, err)
+    try {
+      id.split("_", 2) match {
+        case Array("ingest", sid) =>
+          val df = sources(sid)(spark)
+          built(sid) = df
+          df.createOrReplaceTempView(sid)
+          done(TaskStatus.Success)
+        case Array("transform", name) =>
+          val t = spec.transformations.find(_.modelName == name)
+            .getOrElse(throw new NoSuchElementException(s"model $name"))
+          val deps = t.dependencies.map(d => d -> built(d)).toMap
+          val df = models(name)(deps)
+          built(name) = df
+          df.createOrReplaceTempView(name)
+          val failures = runModelTests(t, df)
+          if (failures.nonEmpty)
+            done(TaskStatus.Failed, Some(failures.mkString("; ")))
+          else done(TaskStatus.Success)
+        case Array("validate", tbl) =>
+          val tg = spec.targets.find(_.tableName == tbl)
+            .getOrElse(throw new NoSuchElementException(s"target $tbl"))
+          val failures = runTargetChecks(tg)
+          if (failures.nonEmpty && tg.failOnValidationError)
+            done(TaskStatus.Failed, Some(failures.mkString("; ")))
+          else done(TaskStatus.Success,
+            if (failures.nonEmpty) Some("WARN: " + failures.mkString("; ")) else None)
+        case _ =>
+          done(TaskStatus.Failed, Some(s"unknown task kind: $id"))
+      }
+    } catch {
+      case e: Exception => done(TaskStatus.Failed, Some(e.toString))
+    }
+  }
+
+  /** dbt-style model tests (SURVEY §2.6 T4–T6), each ONE aggregate or
+    * left-anti join — never a row fetch. */
+  private def runModelTests(t: TransformationSpec, df: DataFrame): Seq[String] =
+    t.tests.flatMap {
+      case ModelTest("unique", cols, _, _) =>
+        // fused: count - countDistinct per column in one job
+        val aggs = cols.map(c =>
+          (count(col(c)) - countDistinct(col(c))).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.zipWithIndex.collect {
+          case (c, i) if row.getLong(i) > 0 =>
+            s"unique($c): ${row.getLong(i)} duplicates"
+        }
+      case ModelTest("not_null", cols, _, _) =>
+        val aggs = cols.map(c =>
+          (count(lit(1)) - count(col(c))).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.zipWithIndex.collect {
+          case (c, i) if row.getLong(i) > 0 =>
+            s"not_null($c): ${row.getLong(i)} nulls"
+        }
+      case ModelTest("relationships", _, Some(to), Some(field)) =>
+        // ref('staging_customers') → the built model; orphans via
+        // left-anti (broadcast the dim side when small — AQE decides)
+        val refName = "ref\\('([^']+)'\\)".r.findFirstMatchIn(to)
+          .map(_.group(1)).getOrElse(to)
+        val parent = built.getOrElse(refName, spark.table(refName))
+        val orphans = df.select(col(field)).where(col(field).isNotNull)
+          .join(parent.select(col(field)), Seq(field), "left_anti").count()
+        if (orphans > 0) Seq(s"relationships($field→$refName): $orphans orphans")
+        else Nil
+      case other => Seq(s"unknown test kind: ${other.kind}")
+    }
+
+  /** Target validations (SURVEY §2.7 Q1–Q4) against built tables. */
+  private def runTargetChecks(tg: TargetSpec): Seq[String] = {
+    val df = built.getOrElse(tg.tableName, spark.table(tg.tableName))
+    val minRow = tg.minRowCount.flatMap { n =>
+      val c = df.count()
+      if (c < n) Some(s"min_row_count: $c < $n") else None
+    }
+    val freshness = tg.maxAgeHours.flatMap { h =>
+      df.schema.fields.find(f =>
+        f.dataType == org.apache.spark.sql.types.TimestampType).flatMap { f =>
+        val newest = df.agg(max(col(f.name))).head().getTimestamp(0)
+        val ageH = (asOf.getTime - newest.getTime) / 3600000.0
+        if (ageH > h) Some(f"max_age_hours: ${ageH}%.1f h > $h h") else None
+      }
+    }
+    val customs = tg.customChecks.flatMap { c =>
+      val res = spark.sql(c.query)
+      (c.expectedResult, c.expectedRowCount) match {
+        case (Some(expected), _) =>
+          val actual = res.head().getLong(0)
+          if (actual != expected)
+            Some(s"${c.name}: got $actual, expected $expected")
+          else None
+        case (_, Some(expectedRows)) =>
+          val actual = res.count()
+          if (actual != expectedRows)
+            Some(s"${c.name}: got $actual rows, expected $expectedRows")
+          else None
+        case _ => None
+      }
+    }
+    minRow.toSeq ++ freshness.toSeq ++ customs
+  }
+}

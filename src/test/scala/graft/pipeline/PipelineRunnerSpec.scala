@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.operators.Models
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline over the driver's testdata: ingest parquet →
+  * staging/dim/fact models with dbt-style tests → target validation,
+  * ordered by the task graph — SURVEY §3.1 compressed into one driver. */
+class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
+
+  val yaml: String =
+    """name: retail_pipeline
+      |schedule_interval: "0 */2 * * *"
+      |sources:
+      |  - source_id: orders_src
+      |    source_type: file
+      |  - source_id: customer_src
+      |    source_type: file
+      |transformations:
+      |  - model_name: staging_orders
+      |    model_type: staging
+      |    dependencies: [orders_src]
+      |    tests:
+      |      - unique: [order_id]
+      |      - not_null: [order_id, customer_id]
+      |  - model_name: staging_customers
+      |    model_type: staging
+      |    dependencies: [customer_src]
+      |    tests:
+      |      - unique: [customer_id]
+      |  - model_name: dim_customers
+      |    model_type: mart
+      |    dependencies: [staging_customers]
+      |    tests:
+      |      - unique: [customer_key]
+      |      - not_null: [customer_key]
+      |  - model_name: fact_orders
+      |    model_type: mart
+      |    dependencies: [staging_orders, dim_customers]
+      |    tests:
+      |      - unique: [order_id]
+      |      - relationships:
+      |          to: ref('dim_customers')
+      |          field: customer_key
+      |targets:
+      |  - table_name: fact_orders
+      |    validation_rules:
+      |      min_row_count: 100
+      |      max_age_hours: 876000
+      |      custom_checks:
+      |        - name: negative_amount_check
+      |          query: "SELECT COUNT(*) FROM fact_orders WHERE total_amount < 0"
+      |          expected_result: 0
+      |        - name: dup_order_check
+      |          query: "SELECT order_id, COUNT(*) FROM fact_orders GROUP BY order_id HAVING COUNT(*) > 1"
+      |          expected_row_count: 0
+      |    fail_on_validation_error: true
+      |dependencies:
+      |  transform_staging_orders: [ingest_orders_src]
+      |  transform_staging_customers: [ingest_customer_src]
+      |  transform_dim_customers: [transform_staging_customers]
+      |  transform_fact_orders: [transform_staging_orders, transform_dim_customers]
+      |  validate_fact_orders: [transform_fact_orders]
+      |""".stripMargin
+
+  def runner: PipelineRunner = new PipelineRunner(
+    spark,
+    sources = Map(
+      "orders_src" -> (s => s.read.parquet(s"$sf/orders.parquet")),
+      "customer_src" -> (s => s.read.parquet(s"$sf/customer.parquet"))),
+    models = Map(
+      "staging_orders" -> (deps => Models.stagingOrders(deps("orders_src"))),
+      "staging_customers" -> (deps => Models.stagingCustomers(deps("customer_src"))),
+      "dim_customers" -> (deps => Models.dimCustomers(deps("staging_customers"))),
+      "fact_orders" -> (deps =>
+        Models.factOrders(deps("staging_orders"),
+          deps("staging_orders").limit(0), deps("dim_customers")))),
+    asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+
+  test("full pipeline run: every task succeeds in dependency order") {
+    val spec = PipelineSpec.fromYaml(yaml)
+    val results = runner.run(spec)
+    assert(results.size == 7)
+    val failed = results.values.filter(_.status != TaskStatus.Success)
+    assert(failed.isEmpty, failed.map(r => s"${r.taskId}: ${r.error}").mkString("; "))
+  }
+
+  test("failing model test fails the task; downstream is skipped") {
+    val badYaml = yaml.replace("- unique: [order_id]\n",
+      "- unique: [order_status]\n") // order_status is massively duplicated
+    val spec = PipelineSpec.fromYaml(badYaml)
+    val results = runner.run(spec)
+    assert(results("transform_staging_orders").status == TaskStatus.Failed)
+    assert(results("transform_staging_orders").error.get.contains("duplicates"))
+    // downstream of the failed task must not run (all_success default)
+    assert(results("transform_fact_orders").status == TaskStatus.Skipped)
+    assert(results("validate_fact_orders").status == TaskStatus.Skipped)
+  }
+
+  test("target validation failure with fail_on_validation_error=false warns") {
+    val warnYaml = yaml
+      .replace("min_row_count: 100", "min_row_count: 999999999")
+      .replace("fail_on_validation_error: true", "fail_on_validation_error: false")
+    val results = runner.run(PipelineSpec.fromYaml(warnYaml))
+    val v = results("validate_fact_orders")
+    assert(v.status == TaskStatus.Success)
+    assert(v.error.exists(e => e.startsWith("WARN") && e.contains("min_row_count")))
+  }
+
+  test("target validation failure with fail_on_validation_error=true fails") {
+    val failYaml = yaml.replace("min_row_count: 100", "min_row_count: 999999999")
+    val results = runner.run(PipelineSpec.fromYaml(failYaml))
+    assert(results("validate_fact_orders").status == TaskStatus.Failed)
+  }
+}

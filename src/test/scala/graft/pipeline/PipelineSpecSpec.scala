@@ -1,0 +1,195 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpecSpec extends AnyFunSuite {
+
+  val yaml: String =
+    """name: sample_data_pipeline
+      |description: sample
+      |schedule_interval: "0 */2 * * *"
+      |sources:
+      |  - source_id: customer_db
+      |    source_type: database
+      |    connection_params:
+      |      host: localhost
+      |      table: customers
+      |    change_detection:
+      |      method: timestamp
+      |      watermark_column: updated_at
+      |    validation_rules:
+      |      required_columns: [id, email]
+      |      null_checks: [id]
+      |    retries: 3
+      |  - source_id: orders_api
+      |    source_type: api
+      |    connection_params:
+      |      url: https://api.example.com/orders
+      |      headers: '{"Authorization": "Bearer ${API_TOKEN}"}'
+      |transformations:
+      |  - model_name: staging_orders
+      |    model_type: staging
+      |    dependencies: [orders_api]
+      |    materialization: table
+      |    tests:
+      |      - unique: [order_id]
+      |      - not_null: [order_id, customer_id]
+      |      - relationships:
+      |          to: ref('staging_customers')
+      |          field: customer_id
+      |  - model_name: fact_orders
+      |    model_type: mart
+      |    dependencies: [staging_orders]
+      |    materialization: incremental
+      |    incremental_strategy: merge
+      |    unique_key: order_id
+      |targets:
+      |  - table_name: fact_orders
+      |    validation_rules:
+      |      min_row_count: 5000
+      |      max_age_hours: 2
+      |      custom_checks:
+      |        - name: negative_amount_check
+      |          query: "SELECT COUNT(*) FROM fact_orders WHERE total_amount < 0"
+      |          expected_result: 0
+      |    fail_on_validation_error: false
+      |dependencies:
+      |  transform_staging_orders: [ingest_orders_api]
+      |  transform_fact_orders: [transform_staging_orders]
+      |  validate_fact_orders: [transform_fact_orders]
+      |""".stripMargin
+
+  test("parses the reference YAML shape into a typed spec") {
+    val spec = PipelineSpec.fromYaml(yaml, Map("API_TOKEN" -> "t0ken"))
+    assert(spec.name == "sample_data_pipeline")
+    assert(spec.sources.map(_.sourceId) == Seq("customer_db", "orders_api"))
+    assert(spec.sources.head.changeDetection("method") == "timestamp")
+    assert(spec.sources.head.validationRules("required_columns") == Seq("id", "email"))
+    assert(spec.sources(1).connectionParams("headers").contains("Bearer t0ken"))
+    val fact = spec.transformations.find(_.modelName == "fact_orders").get
+    assert(fact.incrementalStrategy.contains("merge"))
+    assert(fact.uniqueKey.contains("order_id"))
+    val so = spec.transformations.head
+    assert(so.tests.map(_.kind) == Seq("unique", "not_null", "relationships"))
+    assert(so.tests.last.relatedModel.contains("ref('staging_customers')"))
+    val tg = spec.targets.head
+    assert(tg.minRowCount.contains(5000L) && tg.maxAgeHours.contains(2))
+    assert(!tg.failOnValidationError)
+    assert(tg.customChecks.head.expectedResult.contains(0L))
+    assert(spec.taskIds.toSet == Set(
+      "ingest_customer_db", "ingest_orders_api", "transform_staging_orders",
+      "transform_fact_orders", "validate_fact_orders"))
+  }
+
+  test("dependency validation catches missing tasks and cycles") {
+    val g = TaskGraph(Set("a", "b", "c"),
+      Map("a" -> Seq("b"), "b" -> Seq("c"), "c" -> Seq("a", "x")))
+    val errs = g.validate
+    assert(errs.exists(_.contains("Missing upstream task: x")))
+    assert(errs.exists(_.contains("Circular dependency")))
+    assert(g.findCycle.isDefined)
+    val cyc = g.findCycle.get
+    assert(cyc.head == cyc.last && cyc.size == 4) // a->b->c->a shape
+  }
+
+  test("topological levels order ingest before transform before validate") {
+    val spec = PipelineSpec.fromYaml(yaml)
+    val levels = TaskGraph.fromSpec(spec).executionLevels
+    def levelOf(t: String) = levels.indexWhere(_.contains(t))
+    assert(levelOf("ingest_orders_api") < levelOf("transform_staging_orders"))
+    assert(levelOf("transform_staging_orders") < levelOf("transform_fact_orders"))
+    assert(levelOf("transform_fact_orders") < levelOf("validate_fact_orders"))
+  }
+
+  test("trigger rules gate execution like the reference") {
+    val g = TaskGraph(Set("up1", "up2", "down"),
+      Map("down" -> Seq("up1", "up2")),
+      triggerRules = Map("down" -> "one_success"))
+    val ok = Map("up1" -> TaskResult("up1", TaskStatus.Failed),
+      "up2" -> TaskResult("up2", TaskStatus.Success))
+    assert(g.canExecute("down", ok))
+    val allFail = Map("up1" -> TaskResult("up1", TaskStatus.Failed),
+      "up2" -> TaskResult("up2", TaskStatus.Failed))
+    assert(!g.canExecute("down", allFail))
+    val noneFailed = g.copy(triggerRules = Map("down" -> "none_failed"))
+    assert(!noneFailed.canExecute("down", allFail))
+    assert(noneFailed.canExecute("down",
+      Map("up1" -> TaskResult("up1", TaskStatus.Success))))
+    val allDone = g.copy(triggerRules = Map("down" -> "all_done"))
+    assert(allDone.canExecute("down", ok))
+    assert(!allDone.canExecute("down",
+      Map("up1" -> TaskResult("up1", TaskStatus.Success))))
+  }
+
+  test("ready set excludes blocked and already-run tasks") {
+    val g = TaskGraph(Set("a", "b", "c"), Map("b" -> Seq("a"), "c" -> Seq("b")))
+    assert(g.readyTasks(Map.empty) == Seq("a"))
+    val after = Map("a" -> TaskResult("a", TaskStatus.Success))
+    assert(g.readyTasks(after) == Seq("b"))
+  }
+}
+
+class SchedulesSpec extends AnyFunSuite {
+  import java.time.LocalDateTime
+
+  test("interval parser: 30s/30m/1h/2d; rejects junk") {
+    assert(Schedules.parseInterval("30s").getSeconds == 30)
+    assert(Schedules.parseInterval("30m").toMinutes == 30)
+    assert(Schedules.parseInterval("1h").toHours == 1)
+    assert(Schedules.parseInterval("2d").toDays == 2)
+    intercept[IllegalArgumentException](Schedules.parseInterval("2w"))
+    intercept[IllegalArgumentException](Schedules.parseInterval("h1"))
+  }
+
+  test("cron matching: the reference's '0 */2 * * *' every-2-hours") {
+    val expr = "0 */2 * * *"
+    assert(Schedules.cronMatches(expr, LocalDateTime.of(2024, 1, 1, 2, 0)))
+    assert(Schedules.cronMatches(expr, LocalDateTime.of(2024, 1, 1, 0, 0)))
+    assert(!Schedules.cronMatches(expr, LocalDateTime.of(2024, 1, 1, 3, 0)))
+    assert(!Schedules.cronMatches(expr, LocalDateTime.of(2024, 1, 1, 2, 1)))
+    assert(Schedules.nextCron(expr, LocalDateTime.of(2024, 1, 1, 2, 0))
+      .contains(LocalDateTime.of(2024, 1, 1, 4, 0)))
+  }
+
+  test("cron day-of-week: 0 is Sunday") {
+    // 2024-01-07 was a Sunday
+    assert(Schedules.cronMatches("0 9 * * 0", LocalDateTime.of(2024, 1, 7, 9, 0)))
+    assert(!Schedules.cronMatches("0 9 * * 0", LocalDateTime.of(2024, 1, 8, 9, 0)))
+    // ranges + lists
+    assert(Schedules.cronMatches("15 8-17 * * 1-5", LocalDateTime.of(2024, 1, 8, 9, 15)))
+    assert(Schedules.cronMatches("0,30 * * * *", LocalDateTime.of(2024, 1, 8, 9, 30)))
+  }
+
+  test("interval schedule: first run immediate, then last+interval") {
+    val now = LocalDateTime.of(2024, 1, 1, 12, 0)
+    assert(Schedules.nextInterval("30m", None, now) == now)
+    assert(Schedules.nextInterval("30m", Some(now), now) == now.plusMinutes(30))
+  }
+}
+
+class ConfigMergeSpec extends AnyFunSuite {
+  import ConfigMerge._
+
+  test("deep merge: nested maps merge, scalars override") {
+    val base = Map[String, Any]("a" -> 1,
+      "db" -> Map[String, Any]("host" -> "localhost", "port" -> 5432))
+    val over = Map[String, Any]("a" -> 2,
+      "db" -> Map[String, Any]("host" -> "prod"), "extra" -> true)
+    val merged = deepMerge(base, over)
+    assert(merged("a") == 2)
+    assert(getPath(merged, "db.host").contains("prod"))
+    assert(getPath(merged, "db.port").contains(5432))
+    assert(merged("extra") == true)
+  }
+
+  test("env overrides land at dotted paths with boolean coercion") {
+    val conf = Map[String, Any]("logging" -> Map[String, Any]("level" -> "INFO"))
+    val out = applyOverrides(conf,
+      Map("LOG_LEVEL" -> "logging.level", "DEBUG" -> "debug",
+        "MISSING" -> "nope.nothere"),
+      Map("LOG_LEVEL" -> "DEBUG", "DEBUG" -> "true"))
+    assert(getPath(out, "logging.level").contains("DEBUG"))
+    assert(getPath(out, "debug").contains(true))
+    assert(getPath(out, "nope.nothere").isEmpty)
+  }
+}
