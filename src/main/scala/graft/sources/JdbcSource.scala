@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** JDBC scan with watermark pushdown (SURVEY §2.1 S1/S2, §2.3 C3).
+  *
+  * The reference builds incremental SQL by hand and pulls rows through a
+  * SQLAlchemy cursor (`src/ingestion/data_sources.py:128-164,217-239`).
+  * Here the same predicates ride Spark's JDBC source: the watermark
+  * filter lands in the pushed-down `query`, so the database — not the
+  * cluster — prunes old rows; `numPartitions`+bounds split the read
+  * across executors (the reference is single-cursor).
+  */
+case class JdbcSourceConfig(
+    url: String,
+    table: String,
+    user: String = "",
+    password: String = "",
+    timestampColumn: String = "updated_at",
+    fetchSize: Int = 1000, // reference batch_size (extractors.py:42)
+    numPartitions: Int = 8,
+    partitionColumn: Option[String] = None,
+    lowerBound: Option[String] = None,
+    upperBound: Option[String] = None)
+
+object JdbcSource {
+
+  /** Probe SQL for change detection — row count + max timestamp past the
+    * watermark, one round trip (`data_sources.py:138-142`). */
+  def probeSql(table: String, tsCol: String): String =
+    s"SELECT COUNT(*) AS row_count, MAX($tsCol) AS max_timestamp " +
+      s"FROM $table WHERE $tsCol > ?"
+
+  /** Incremental extract SQL (`data_sources.py:224-231`): rows past the
+    * watermark in timestamp order. */
+  def incrementalSql(table: String, tsCol: String, lastTs: String): String =
+    s"SELECT * FROM $table WHERE $tsCol > '$lastTs' ORDER BY $tsCol"
+
+  /** Changelog probe for log-based CDC (`data_sources.py:166-209`):
+    * unprocessed operations grouped by op code. */
+  def changelogSql(table: String): String =
+    s"SELECT operation, COUNT(*) AS row_count, " +
+      s"MAX(change_timestamp) AS max_timestamp " +
+      s"FROM ${table}_changelog WHERE processed = false GROUP BY operation"
+
+  /** Map a changelog op code to a ChangeType
+    * (`data_sources.py:188-193`): I/U/D, default UPDATE. */
+  def opToChangeType(op: String): String = op match {
+    case "I" => graft.core.ChangeType.Insert
+    case "D" => graft.core.ChangeType.Delete
+    case _ => graft.core.ChangeType.Update
+  }
+
+  /** Reader for a full-table scan, parallelized when partition bounds are
+    * configured. */
+  def reader(spark: SparkSession, cfg: JdbcSourceConfig): DataFrameReader = {
+    val base = spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", cfg.table)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("fetchsize", cfg.fetchSize)
+    (cfg.partitionColumn, cfg.lowerBound, cfg.upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) =>
+        base.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", cfg.numPartitions)
+      case _ => base
+    }
+  }
+
+  /** Reader for an incremental extract: the watermark predicate is part
+    * of the pushed `query` option — executed inside the database. */
+  def incrementalReader(spark: SparkSession, cfg: JdbcSourceConfig,
+      lastTs: String): DataFrameReader =
+    spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("query", incrementalSql(cfg.table, cfg.timestampColumn, lastTs))
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("fetchsize", cfg.fetchSize)
+
+  def load(spark: SparkSession, cfg: JdbcSourceConfig): DataFrame =
+    reader(spark, cfg).load()
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** DataFrame serialization in the reference's formats (SURVEY §2.1 S7):
+  * Parquet, CSV, JSON — each with optional compression. Pickle
+  * (`extractors.py:353-413`) has no JVM analog and is dropped by design.
+  *
+  * Unlike the reference (bytes in driver memory), these go through
+  * distributed writers/readers — at 100 TB a "serialize" is a parallel
+  * write, never a single-buffer materialization. Round-trip fidelity is
+  * format-bound: Parquet is exact; CSV/JSON need the declared schema on
+  * read (schema inference would widen types), which callers pass back in.
+  */
+object Serde {
+
+  sealed trait Format { def name: String }
+  case object Parquet extends Format { val name = "parquet" }
+  case object Csv extends Format { val name = "csv" }
+  case object Json extends Format { val name = "json" }
+
+  def write(df: DataFrame, path: String, format: Format,
+      compression: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression.getOrElse("none"))
+    format match {
+      case Parquet => w.parquet(path)
+      case Csv => w.option("header", "true")
+        // explicit formats so timestamps survive the text round-trip
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(path)
+      case Json => w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+    }
+  }
+
+  /** Read back with the original schema enforced (exact round-trip). */
+  def read(spark: SparkSession, path: String, format: Format,
+      schema: Option[StructType] = None): DataFrame = {
+    format match {
+      case Parquet =>
+        spark.read.parquet(path)
+      case Csv =>
+        val r = spark.read.option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        schema.map(r.schema).getOrElse(r.option("inferSchema", "true")).csv(path)
+      case Json =>
+        val r = spark.read
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        schema.map(r.schema).getOrElse(r).json(path)
+    }
+  }
+}
