@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.operators.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Structured Streaming layer (SURVEY §2.3 C1–C7, §3.2).
+  *
+  * The reference's poke-loop + thread-pool + file-watermark machinery
+  * (`change_detection.py`, `sensors.py`) IS a micro-batch pipeline:
+  * `readStream → withWatermark → dropDuplicatesWithinWatermark →
+  * foreachBatch`, with checkpoints replacing `MetadataStore` and triggers
+  * replacing poll intervals. These builders keep every step declarative
+  * so the same transformations run batch or streaming.
+  */
+object Streams {
+
+  /** C2: drop exact re-deliveries within the dedup window. The key
+    * deliberately INCLUDES the event timestamp
+    * (`change_detection.py:102-104`; SURVEY §7.5 risk 2): logical
+    * duplicates with fresh timestamps pass through. State for a key is
+    * dropped once the watermark passes it — the reference's lazy
+    * eviction of expired keys, handled by the state store. */
+  def dedupExactRedeliveries(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], window: String = "60 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, window)
+      .dropDuplicatesWithinWatermark((keyCols :+ tsCol).toSeq)
+
+  /** C5: poll-interval suppression → micro-batch trigger. */
+  def trigger(checkIntervalSeconds: Long): Trigger =
+    Trigger.ProcessingTime(checkIntervalSeconds * 1000)
+
+  /** C7/"skip unnecessary processing": drain whatever is available, then
+    * stop — the reference's requirement 1.5 early-exit. */
+  def availableNow: Trigger = Trigger.AvailableNow()
+
+  /** T3/S8: incremental MERGE sink. Each micro-batch upserts into a
+    * parquet table via latest-wins, then atomically swaps directories.
+    * Plain parquet has no ACID MERGE (SURVEY §7.5 risk 1) — write-new +
+    * rename is the single-writer equivalent; a 100 TB deployment
+    * partitions the base table and rewrites only touched partitions.
+    * Batch sizes here are micro-batches: the base-read + window cost is
+    * proportional to base∪delta on the merge keys, one shuffle. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, path: String,
+      keys: Seq[String], versionCol: String): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val base =
+      if (fs.exists(target)) spark.read.parquet(path)
+      else batch.limit(0)
+    val merged = Merge.latestWins(base, batch, keys, col(versionCol))
+    val tmp = new Path(path + "__new")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
+
+  /** writeStream wiring for the merge sink (checkpointed — C1). */
+  def mergeSink(stream: DataFrame, path: String, checkpoint: String,
+      keys: Seq[String], versionCol: String,
+      trig: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch.sparkSession, batch, path, keys, versionCol)
+      }
+
+  /** E6: per-query input-row metrics via a listener (the reference's
+    * extraction stats under lock, `extractors.py:318-336`). */
+  class MetricsListener extends StreamingQueryListener {
+    private val rows =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    private val batches =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
+      rows.merge(name, e.progress.numInputRows, (a, b) => a + b)
+      batches.merge(name, 1L, (a, b) => a + b)
+    }
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+    def inputRows(name: String): Long = rows.getOrDefault(name, 0L)
+    def batchCount(name: String): Long = batches.getOrDefault(name, 0L)
+  }
+}

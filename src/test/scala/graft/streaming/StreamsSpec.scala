@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class Evt(sourceId: String, tableName: String, changeType: String,
+    timestamp: Timestamp, affectedRows: Long)
+
+case class Sale(orderId: Long, amount: Double, ts: Timestamp)
+
+/** Real Structured Streaming runs over MemoryStream — not batch stand-ins:
+  * stateful dedup-within-watermark, windowed aggregation with watermark,
+  * and the foreachBatch merge sink across multiple micro-batches. */
+class StreamsSpec extends AnyFunSuite with SparkSpec {
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("C2 dedup: exact re-deliveries collapse, fresh timestamps pass") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Evt]
+    val deduped = Streams.dedupExactRedeliveries(
+      input.toDF(), "timestamp",
+      Seq("sourceId", "tableName", "changeType"), "60 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      val e = Evt("db", "orders", "UPDATE", ts("2024-01-01 10:00:00"), 5)
+      input.addData(e, e, e) // exact re-delivery × 3
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 1)
+
+      // same logical key, NEW timestamp → passes (reference semantics)
+      input.addData(e.copy(timestamp = ts("2024-01-01 10:05:00")))
+      // and a re-delivery of the first event in the same batch → dropped
+      input.addData(e)
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("windowed aggregation with watermark emits closed windows only (append)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Sale]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum("amount").as("revenue"))
+    val q = agg.writeStream.format("memory")
+      .queryName("win_out").outputMode("append").start()
+    try {
+      input.addData(
+        Sale(1, 10.0, ts("2024-01-01 10:01:00")),
+        Sale(2, 20.0, ts("2024-01-01 10:02:00")),
+        Sale(3, 5.0, ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      // nothing closed yet: watermark = 10:06 - 10m = 09:56
+      assert(spark.table("win_out").count() == 0)
+
+      // advance event time: watermark 10:20-10m = 10:10 closes BOTH the
+      // 10:00-10:05 and 10:05-10:10 windows
+      input.addData(Sale(4, 1.0, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .selectExpr("window.start as s", "n", "revenue")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSet == Set(
+        (ts("2024-01-01 10:00:00"), 2L, 30.0),
+        (ts("2024-01-01 10:05:00"), 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch merge sink upserts latest-wins across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val input = MemoryStream[Sale]
+    val q = Streams.mergeSink(input.toDF(), s"$dir/fact", s"$dir/ckpt",
+      Seq("orderId"), "ts", Streams.trigger(1)).start()
+    try {
+      input.addData(Sale(1, 10.0, ts("2024-01-01 10:00:00")),
+        Sale(2, 20.0, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: update order 1 (newer ts), insert order 3
+      input.addData(Sale(1, 99.0, ts("2024-01-01 11:00:00")),
+        Sale(3, 30.0, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // batch 3: STALE update of order 2 (older ts) must lose
+      input.addData(Sale(2, 0.5, ts("2023-12-31 00:00:00")))
+      q.processAllAvailable()
+
+      val fact = spark.read.parquet(s"$dir/fact")
+        .select("orderId", "amount")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(fact == Set((1L, 99.0), (2L, 20.0), (3L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("metrics listener counts input rows per query (E6)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val listener = new Streams.MetricsListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[Sale]
+    val q = input.toDF().writeStream.format("memory")
+      .queryName("metrics_out").outputMode("append").start()
+    try {
+      input.addData(Sale(1, 1.0, ts("2024-01-01 00:00:00")),
+        Sale(2, 2.0, ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      // listener events are async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.inputRows("metrics_out") < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(listener.inputRows("metrics_out") == 2)
+      assert(listener.batchCount("metrics_out") >= 1)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
