@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.multimodal.{MediaRecord, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators as driver-checked queries over the
+  * `documents` table (its `text` column stands in for media bytes; a
+  * production source reads `binaryFile`). The decode stage is a
+  * deterministic stub ([[graft.multimodal.DecodeStub]]) — the Spark
+  * plumbing (binary schema, batched mapPartitions, size-aware
+  * partitioning, frame sampling) is the real deliverable.
+  */
+object MultimodalQueries extends QueryPack {
+
+  /** Binary payload + typed metadata projection (oracle-checked: byte
+    * length and md5 agree with DuckDB over the same UTF-8 bytes). */
+  def mmPayloadMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withPayload(table(s, dir, "documents"), "text")
+      .select(col("doc_id"),
+        col("meta.modality").as("modality"),
+        col("meta.size_bytes").as("size_bytes"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic frame sampling: 4 evenly-spaced 32-char windows. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(table(s, dir, "documents"), "text",
+      n = 4, frameLen = 32)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Batched decode + feature extraction via mapPartitions (rows-only:
+    * the stub features are not SQL-expressible; unit tests pin the
+    * values, the driver checks row shape). */
+  def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.withPayload(table(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("payload"),
+        col("meta.modality").as("modality"), col("meta.format").as("format"))
+      .as[MediaRecord]
+    Multimodal.extractFeatures(media, batchSize = 64)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_byte"), 4).as("mean_byte"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "mm_payload_meta" -> (mmPayloadMeta _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_decode_features" -> (mmDecodeFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_payload_meta" -> """
+      SELECT doc_id, 'text' AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+             md5(text) AS payload_md5
+      FROM documents ORDER BY doc_id""",
+    "mm_frame_sample" -> """
+      WITH idx AS (SELECT UNNEST([0,1,2,3]) AS frame_idx)
+      SELECT d.doc_id, i.frame_idx,
+             md5(substr(d.text,
+                 GREATEST(1, CAST(floor((length(d.text) - 32) * i.frame_idx / 3.0) AS BIGINT) + 1),
+                 32)) AS frame_hash
+      FROM documents d CROSS JOIN idx i
+      ORDER BY d.doc_id, i.frame_idx""")
+}
