@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot text-dedup path.
+  *
+  * The pure-`Column` formulations (TextFunctions.*Reference) express
+  * SimHash/shingling through higher-order functions — `transform` /
+  * `aggregate` lambdas are interpreted per element, so a 64-bit SimHash
+  * costs 64 interpreted array passes per row. These expressions compute
+  * the same values in one compiled loop per row and stay inside
+  * whole-stage codegen (static call, no UDF/serialization boundary).
+  * Parity with the Column versions is pinned by tests: same tokenizer
+  * (`split("\\s+", -1)`), same per-token `xxhash64(seed=42)`, same
+  * vote/threshold semantics, same first-occurrence shingle dedup.
+  */
+object NativeTextImpl {
+
+  /** Spark's split(str, "\\s+") semantics (limit −1). */
+  def tokenize(s: UTF8String): Array[String] = s.toString.split("\\s+", -1)
+
+  /** 64-bit SimHash over whitespace tokens; bit b set iff
+    * Σ_tokens(±1 by bit b of xxhash64(token, 42)) > 0. */
+  def simhash64(s: UTF8String): Long = {
+    val toks = tokenize(s)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val u = UTF8String.fromString(toks(t))
+      val h = XXH64.hashUTF8String(u, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Distinct n-token shingles in first-occurrence order (space-joined),
+    * empty array for docs shorter than n tokens. */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** string → long SimHash, codegen'd as one static call. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextImpl.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** string → array<string> distinct n-token shingles, codegen'd. */
+case class TokenShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextImpl.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShinglesExpr =
+    copy(child = newChild)
+}
+
+object NativeText {
+  /** Column wrappers. */
+  def simhash64(text: Column): Column =
+    GraftShims.column(SimHash64Expr(GraftShims.expression(text)))
+  def tokenShingles(text: Column, n: Int): Column =
+    GraftShims.column(TokenShinglesExpr(GraftShims.expression(text), n))
+}

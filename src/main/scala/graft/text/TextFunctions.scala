@@ -16,8 +16,15 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** Sliding n-token shingles joined by spaces: the unit of MinHash /
-    * Jaccard document similarity. Empty for docs shorter than n tokens. */
-  def tokenShingles(text: Column, n: Int): Column = {
+    * Jaccard document similarity. Empty for docs shorter than n tokens.
+    * Native expression ([[graft.functions.TokenShinglesExpr]]) — one
+    * compiled loop per row instead of interpreted nested HOFs. */
+  def tokenShingles(text: Column, n: Int): Column =
+    graft.functions.NativeText.tokenShingles(text, n)
+
+  /** Pure-Column reference formulation of [[tokenShingles]] (kept for
+    * parity tests; semantically identical, interpreted HOFs). */
+  def tokenShinglesReference(text: Column, n: Int): Column = {
     val toks = tokens(text)
     // guard: sequence(0, x) with x<0 DESCENDS in Spark — short docs must
     // yield an empty shingle set, not [0,-1]-indexed garbage
@@ -89,10 +96,14 @@ object TextFunctions {
     array_min(transform(tokenShingles(text, n), s => md5(s)))
 
   /** 64-bit SimHash over tokens: per bit, sign of Σ_tokens(±1) using
-    * xxhash64 bit b of each token. Computed fully vectorized: one
-    * projection builds the per-token hash array; the per-bit vote and
-    * reassembly stay inside codegen. */
-  def simhash64(text: Column): Column = {
+    * xxhash64 bit b of each token. Native expression
+    * ([[graft.functions.SimHash64Expr]]): one compiled loop per row. */
+  def simhash64(text: Column): Column =
+    graft.functions.NativeText.simhash64(text)
+
+  /** Pure-Column reference formulation of [[simhash64]] (parity tests
+    * only — 64 interpreted array passes per row). */
+  def simhash64Reference(text: Column): Column = {
     val hashes = transform(tokens(text), t => xxhash64(t))
     val bits = (0 until 64).map { b =>
       val vote = aggregate(hashes, lit(0L),
