@@ -31,8 +31,16 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast(DoubleType) * 10000.0d).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native
+    * expression ([[graft.functions.DotQExpr]]): one compiled loop, no
+    * intermediate array, stays in whole-stage codegen. The candidate
+    * join evaluates this once per pair, so interpreter overhead here
+    * multiplies by O(pairs). */
   def dotQ(a: Column, b: Column): Column =
+    graft.functions.NativeVec.dotQ(a, b)
+
+  /** Pure-Column reference formulation of [[dotQ]] (parity tests). */
+  def dotQReference(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Exact integer squared norm of a quantized vector. */
