@@ -101,6 +101,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF coarse quantizer built with MLlib KMeans (fixed seed ⇒
+    * deterministic centroids for fixed input): assigns every row a
+    * `cluster` column usable as the bucket for [[bucketedTopK]]. This is
+    * the "build the index ourselves" path when no natural partition key
+    * exists; nProbe>1 style multi-cell search comes from unioning the
+    * query's closest cells. Training samples the corpus (KMeans is
+    * iterative); assignment is one distributed pass. */
+  def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featurized = df.withColumn("__features",
+      array_to_vector(col(vecCol).cast(ArrayType(DoubleType))))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__features").setPredictionCol("cluster")
+    model.fit(featurized).transform(featurized)
+      .drop("__features")
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold within a blocking key
     * (label / cluster): the embedding-space analog of
     * [[graft.dedup.Dedup.blockedJaccardPairs]]. */

@@ -27,6 +27,26 @@ object Validator {
   def missingColumns(df: DataFrame, schema: TableSchema): Seq[String] =
     schema.requiredColumns.filterNot(df.columns.contains)
 
+  /** V16 empty-dataset warning (`validators.py:128-135`). `isEmpty` is a
+    * limit-1 probe, not a count. */
+  def emptyCheck(df: DataFrame): Option[ValidationIssue] =
+    if (df.isEmpty)
+      Some(ValidationIssue("empty_dataset", "", Severity.Warning, 0,
+        "dataset is empty"))
+    else None
+
+  /** V22 size guardrail (`extractors.py:267-270`): warn when the
+    * optimizer's estimated input size exceeds `maxBytes` (default 1 GB,
+    * the reference threshold). Estimate only — catches "you are about to
+    * materialize a monster" before the job runs. */
+  def sizeGuardrail(df: DataFrame, maxBytes: Long = 1L << 30): Option[ValidationIssue] = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > maxBytes)
+      Some(ValidationIssue("size_guardrail", "", Severity.Warning, 0,
+        s"estimated input $bytes bytes exceeds $maxBytes"))
+    else None
+  }
+
   /** Build the fused aggregate expressions for schema-constraint checks:
     * V10 type conformance, V11 nullability, V12 unique, V13 primary key. */
   def constraintAggs(df: DataFrame, schema: TableSchema,

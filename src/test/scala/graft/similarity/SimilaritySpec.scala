@@ -42,4 +42,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
     bucketed.foreach { case (qid, c) => assert(c <= brute(qid) + 1e-12) }
   }
+
+  test("kmeans IVF: deterministic clusters, bucketed search recall@1 is sane") {
+    val clustered = Similarity.kmeansClusters(emb, "vec_id", "embedding",
+      k = 8, seed = 42L)
+    // determinism: second run assigns identical clusters
+    val again = Similarity.kmeansClusters(emb, "vec_id", "embedding",
+      k = 8, seed = 42L)
+    assert(clustered.select("vec_id", "cluster")
+      .exceptAll(again.select("vec_id", "cluster")).isEmpty)
+    val sizes = clustered.groupBy("cluster").count().collect()
+    assert(sizes.length >= 2, "degenerate clustering")
+
+    val q = clustered.filter(col("vec_id") < 20)
+    val ivf = Similarity.bucketedTopK(clustered, q, "vec_id", "embedding",
+        "cluster", 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // IVF recall@1 vs brute force: same-cluster neighbors dominate in
+    // clustered data; require a sane floor, not perfection (single-probe)
+    val hits = ivf.count { case (qid, n) => brute.get(qid).contains(n) }
+    assert(ivf.nonEmpty && hits.toDouble / brute.size >= 0.5,
+      s"recall@1 = $hits/${brute.size}")
+  }
 }

@@ -106,6 +106,15 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("type_violations__n") == 2)
   }
 
+  test("empty-dataset check (V16) and size guardrail (V22)") {
+    assert(Validator.emptyCheck(clean).isEmpty)
+    assert(Validator.emptyCheck(clean.filter(col("id") < 0))
+      .exists(_.rule == "empty_dataset"))
+    assert(Validator.sizeGuardrail(clean, maxBytes = 1L << 40).isEmpty)
+    assert(Validator.sizeGuardrail(clean, maxBytes = 1L)
+      .exists(_.rule == "size_guardrail"))
+  }
+
   test("profiling (P1-P5): fused stats in one pass") {
     val profiles = Validator.collectProfiles(dirty, Seq("id", "email", "age"))
     val byCol = profiles.map(p => p.column -> p).toMap
