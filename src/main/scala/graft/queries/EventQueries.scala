@@ -23,18 +23,17 @@ object EventQueries extends QueryPack {
 
   /** S2 watermark probe: COUNT(*) + MAX(ts) newer than the watermark —
     * the exact change-detection SQL the reference generates per table
-    * (`data_sources.py:138-142`). */
+    * (`data_sources.py:138-142`). Predicate pushed in the raw-long
+    * domain (see [[eventsAfter]]) so parquet row groups prune. */
   def s2WatermarkScan(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .filter(col("ts") > ts(wmDefault))
+    eventsAfter(s, dir, wmDefault)
       .agg(count(lit(1)).as("change_count"), fmtTs(max(col("ts"))).as("max_ts"))
 
   /** S2 incremental extraction: full rows newer than the watermark
     * (`data_sources.py:224-231` — `SELECT * WHERE ts > :last ORDER BY ts`).
     * The predicate reaches the parquet scan as a pushed filter. */
   def s2IncrementalExtract(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .filter(col("ts") > ts("2024-01-28 00:00:00"))
+    eventsAfter(s, dir, "2024-01-28 00:00:00")
       .withColumn("ts", fmtTs(col("ts")))
       .orderBy(col("event_id"))
 

@@ -48,6 +48,24 @@ package object queries {
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Events newer than `wm` (UTC "yyyy-MM-dd HH:mm:ss"), with the
+    * watermark predicate applied in the RAW nanosecond-long domain
+    * BEFORE the timestamp rebuild — so it pushes down to the parquet
+    * scan (`PushedFilters: GreaterThan(ts, …)`) and row groups outside
+    * the watermark are skipped via column statistics. Filtering the
+    * derived timestamp instead would evaluate the conversion on every
+    * row of a 100 TB table. */
+  def eventsAfter(spark: SparkSession, dir: String, wm: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanos = java.time.LocalDateTime
+      .parse(wm.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+      .toEpochMilli * 1000000L
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("ts") > lit(nanos))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Order-independent, engine-exact sum of a double measure (see above). */
   def decSum(c: Column): Column =
     sum(c.cast(DecimalType(18, 6))).cast(DoubleType)

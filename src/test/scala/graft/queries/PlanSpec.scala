@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, partial aggregation) are pinned
+  * here so a refactor that silently loses one fails CI, not the cluster.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1: ship-date filter is pushed to the parquet scan; columns pruned") {
+    val plan = formatted(CoreQueries.q1PricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate,"), plan)
+    // only the 7 needed columns are read, not the full table
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"),
+      readSchema)
+  }
+
+  test("s2 incremental extract: watermark predicate reaches the scan") {
+    // the filter must be in the raw nanos-long domain (pre-conversion),
+    // or only IsNotNull pushes and 100 TB of row groups scan anyway
+    val plan = formatted(EventQueries.s2IncrementalExtract(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), plan)
+  }
+
+  test("q3/q5: dimension joins broadcast; fact side never shuffles for the join") {
+    val p3 = formatted(CoreQueries.q3TopCustomers(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    val p5 = formatted(CoreQueries.q5RegionRevenue(spark, sf))
+    // all three dims broadcast (formatted explain lists each node twice:
+    // tree + detail section — count detail headers)
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p5).size == 3, p5)
+    assert(!p5.contains("SortMergeJoin"), p5)
+  }
+
+  test("aggregations are partial+final (map-side combine before shuffle)") {
+    val plan = formatted(CoreQueries.q1PricingSummary(spark, sf))
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs\n$plan")
+  }
+
+  test("t6 referential check is a broadcast left-anti join, not a shuffle") {
+    val plan = formatted(CoreQueries.t6ReferentialOrphans(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
+  test("validator fused pass: one scan, no shuffle of raw rows") {
+    val df = ValidationQueries.vRulesEvents(spark, sf)
+    val plan = formatted(df)
+    // a single FileScan feeding aggregates — no join, no repartition
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
