@@ -107,6 +107,39 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful change detector: per-key watermark state across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[KeyedEvent]
+    val q = Stateful.detectChanges(input.toDS())
+      .writeStream.format("memory").queryName("detect_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        KeyedEvent("orders", ts("2024-01-01 10:00:00")),
+        KeyedEvent("orders", ts("2024-01-01 11:00:00")),
+        KeyedEvent("customers", ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val b1 = spark.table("detect_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+      assert(b1 == Set(
+        ("orders", 2L, ts("2024-01-01 11:00:00")),
+        ("customers", 1L, ts("2024-01-01 09:00:00"))))
+
+      // batch 2: one stale (≤ stored watermark — suppressed), one fresh;
+      // customers has nothing new → no emission at all
+      input.addData(
+        KeyedEvent("orders", ts("2024-01-01 10:30:00")),
+        KeyedEvent("orders", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val b2 = spark.table("detect_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+      assert(b2 == b1 + (("orders", 1L, ts("2024-01-01 12:00:00"))))
+    } finally q.stop()
+  }
+
   test("metrics listener counts input rows per query (E6)") {
     val spark2 = spark
     import spark2.implicits._
