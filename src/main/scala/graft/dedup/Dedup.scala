@@ -61,10 +61,22 @@ object Dedup {
   }
 
   /** MinHash signature per document: (id, sig: array<long>) with
-    * sig_i = min over shingles of (a_i·h + b_i mod P). Computed by
-    * exploding shingles once and taking k mins in ONE aggregation —
-    * map-side partials keep the shuffle at k longs per doc. */
+    * sig_i = min over shingles of (a_i·h + b_i mod P). A signature is a
+    * pure function of one document's shingle set, so it computes as a
+    * PROJECTION (native [[graft.functions.MinHashSigExpr]], all k lanes
+    * in one compiled loop) — no explode, no shuffle, map-only scan.
+    * Docs with fewer tokens than the shingle size have no signature. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 64): DataFrame =
+    df.select(col(idCol),
+        graft.functions.NativeMinHash.signature(
+          TextFunctions.tokenShingles(col(textCol), shingleSize),
+          coefficients(numHashes), MinHashPrime).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Aggregate reference formulation of [[minhashSignatures]] (parity
+    * tests): explode shingles → k min-aggregates, one shuffle. */
+  def minhashSignaturesReference(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64): DataFrame = {
     val sh = df.select(col(idCol),
       explode(TextFunctions.tokenShingles(col(textCol), shingleSize)).as("__sh"))

@@ -32,10 +32,22 @@ object Keys {
 
   /** Dense 1-based global rank by a unique numeric `keyCol`, added as
     * `rankName`. `buckets` bounds both the driver collect (B rows) and the
-    * per-partition sort size (~N/B). */
+    * per-partition sort size (~N/B).
+    *
+    * Inputs whose optimizer size estimate is ≤ `smallBytes` take the
+    * single-window path directly: for a dimension that fits in one
+    * partition, one sort beats three jobs; the distributed path is the
+    * default the moment the estimate crosses the threshold (so a 10B-row
+    * table can never reach the global window). */
   def globalRank(df: DataFrame, keyCol: String, rankName: String,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64, smallBytes: Long = 64L << 20): DataFrame = {
     val key = col(keyCol).cast(DoubleType)
+
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estimated <= smallBytes) {
+      val w = Window.orderBy(col(keyCol))
+      return df.withColumn(rankName, row_number().over(w))
+    }
 
     val bounds: Seq[Double] =
       if (buckets <= 1) Seq.empty

@@ -56,8 +56,11 @@ object EventQueries extends QueryPack {
     * surviving-row count vs total (`change_detection.py:93-134`). */
   def c2DedupEvents(s: SparkSession, dir: String): DataFrame = {
     val ev = table(s, dir, "events")
+    // project the dedup key BEFORE the operator: the distinct shuffle then
+    // carries 3 columns, not whole rows (the count is key-only anyway)
     val kept = ChangeDetection.dedupExactRedeliveries(
-      ev, Seq("user_id", "event_type"), "ts")
+      ev.select(col("user_id"), col("event_type"), col("ts")),
+      Seq("user_id", "event_type"), "ts")
     kept.agg(count(lit(1)).as("unique_events"))
       .crossJoin(ev.agg(count(lit(1)).as("total_events")))
   }

@@ -11,7 +11,8 @@ class KeysSpec extends AnyFunSuite with SparkSpec {
     val customer = spark.read.parquet(s"$sf/customer.parquet")
       .select(col("c_custkey"), col("c_name"))
 
-    val ranked = Keys.globalRank(customer, "c_custkey", "rk", buckets = 8)
+    val ranked = Keys.globalRank(customer, "c_custkey", "rk", buckets = 8,
+        smallBytes = 0L) // force the distributed path
       .select("c_custkey", "rk")
     val expected = customer
       .withColumn("rk", row_number().over(Window.orderBy(col("c_custkey"))))
@@ -32,10 +33,24 @@ class KeysSpec extends AnyFunSuite with SparkSpec {
 
   test("globalRank physical plan has no unpartitioned window over full data") {
     val customer = spark.read.parquet(s"$sf/customer.parquet")
-    val plan = Keys.globalRank(customer, "c_custkey", "rk", buckets = 8)
+    val plan = Keys.globalRank(customer, "c_custkey", "rk", buckets = 8,
+        smallBytes = 0L)
       .queryExecution.executedPlan.toString
     // the ranking window must be partitioned (by bucket), not global
     assert(!plan.contains("Window [row_number()") ||
       plan.contains("windowspecdefinition(__bucket"))
+  }
+
+  test("small inputs (by optimizer estimate) take the single-window path") {
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val small = Keys.globalRank(customer, "c_custkey", "rk") // default 64 MB
+      .queryExecution.executedPlan.toString
+    assert(small.contains("windowspecdefinition(c_custkey") ||
+      small.contains("Window [row_number()"), small)
+    // and it matches the distributed result exactly
+    val a = Keys.globalRank(customer, "c_custkey", "rk").select("c_custkey", "rk")
+    val b = Keys.globalRank(customer, "c_custkey", "rk", buckets = 8,
+      smallBytes = 0L).select("c_custkey", "rk")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 }
