@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration of the engine's native expressions, so
+  * `spark.sql("SELECT graft_simhash64(text) …")` works alongside the
+  * Column API.
+  *
+  * Two installation paths:
+  *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (applied at session build — the standard library-extension hook);
+  *  - runtime: `GraftExtensions.install(spark)` for an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[TokenShinglesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) =>
+        TokenShinglesExpr(args(0), intArg(args(1), "graft_shingles"))),
+    ("graft_dotq",
+      new ExpressionInfo(classOf[DotQExpr].getName, "graft_dotq"),
+      (args: Seq[Expression]) => DotQExpr(args(0), args(1))))
+
+  /** Register on an already-built session. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.GraftShims.registerFunction(spark, name, info, builder)
+    }
+}

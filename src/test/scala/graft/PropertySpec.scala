@@ -1,0 +1,131 @@
+package graft
+
+import graft.pipeline.Schedules
+import graft.validation.Validator
+import graft.core.{Severity, ValidationIssue}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants for the driver-side (non-Spark) logic.
+  * Plain ScalaCheck generators with fixed seeds (the scalatest bridge
+  * artifact is not in the offline cache). */
+class PropertySpec extends AnyFunSuite {
+
+  private def forSamples[T](gen: Gen[T], n: Int = 200)(f: T => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = Seed(42L)
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 20) {
+      gen.apply(params, seed) match {
+        case Some(v) => f(v); produced += 1
+        case None =>
+      }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced == n, s"generator too sparse: $produced/$n")
+  }
+
+  test("interval parser: value/unit round-trip for all valid forms") {
+    val gen = for {
+      v <- Gen.choose(1, 10000)
+      (u, secs) <- Gen.oneOf(("s", 1L), ("m", 60L), ("h", 3600L), ("d", 86400L))
+    } yield (s"$v$u", v * secs)
+    forSamples(gen) { case (str, expected) =>
+      assert(Schedules.parseInterval(str).getSeconds == expected)
+    }
+  }
+
+  test("quality score: bounded to [0,1], monotone in violation count") {
+    val issueGen = for {
+      sev <- Gen.oneOf(Severity.Error, Severity.Warning, Severity.Info)
+      n <- Gen.choose(0L, 1000L)
+    } yield ValidationIssue("r", "c", sev, n, "")
+    val gen = for {
+      rows <- Gen.choose(1L, 10000L)
+      cols <- Gen.choose(1, 20)
+      issues <- Gen.listOfN(5, issueGen)
+    } yield (rows, cols, issues)
+    forSamples(gen) { case (rows, cols, issues) =>
+      val s = Validator.qualityScore(rows, cols, issues)
+      assert(s >= 0.0 && s <= 1.0)
+      val worse = Validator.qualityScore(rows, cols,
+        issues :+ ValidationIssue("x", "c", Severity.Error, rows, ""))
+      assert(worse <= s + 1e-9)
+    }
+  }
+
+  test("cron: nextCron always yields a matching minute strictly after from") {
+    val fieldGen = Gen.oneOf("*", "*/5", "0", "1-10", "0,30")
+    val gen = for {
+      m <- fieldGen
+      h <- Gen.oneOf("*", "*/2", "9-17")
+      s <- Gen.choose(0L, 4102444800L)
+    } yield (s"$m $h * * *",
+      java.time.LocalDateTime.ofEpochSecond(s - s % 60, 0,
+        java.time.ZoneOffset.UTC))
+    forSamples(gen, n = 100) { case (expr, from) =>
+      Schedules.nextCron(expr, from).foreach { next =>
+        assert(next.isAfter(from))
+        assert(Schedules.cronMatches(expr, next))
+      }
+    }
+  }
+
+  test("simhash: deterministic; one appended token moves few bits") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val docGen = Gen.listOfN(30, word).map(_.mkString(" "))
+    forSamples(docGen, n = 50) { d =>
+      val h1 = graft.functions.NativeTextImpl.simhash64(UTF8String.fromString(d))
+      val h2 = graft.functions.NativeTextImpl.simhash64(UTF8String.fromString(d))
+      assert(h1 == h2)
+    }
+    val pairGen = for { d <- docGen; w <- word } yield (d, w)
+    forSamples(pairGen, n = 50) { case (d, w) =>
+      val base = graft.functions.NativeTextImpl.simhash64(UTF8String.fromString(d))
+      val tweaked = graft.functions.NativeTextImpl
+        .simhash64(UTF8String.fromString(d + " " + w))
+      assert(java.lang.Long.bitCount(base ^ tweaked) <= 24)
+    }
+  }
+
+  test("shingles: count bound and n-token width") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val gen = for {
+      words <- Gen.listOf(word)
+      n <- Gen.choose(1, 5)
+    } yield (words, n)
+    forSamples(gen) { case (words, n) =>
+      val text = words.mkString(" ")
+      val arr = graft.functions.NativeTextImpl
+        .shingles(UTF8String.fromString(text), n)
+      val toks = graft.functions.NativeTextImpl
+        .tokenize(UTF8String.fromString(text))
+      if (toks.length < n) assert(arr.numElements() == 0)
+      else {
+        assert(arr.numElements() <= toks.length - n + 1)
+        (0 until arr.numElements()).foreach { i =>
+          assert(arr.getUTF8String(i).toString.split(" ", -1).length == n)
+        }
+      }
+    }
+  }
+
+  test("config deep-merge: override wins, base-only keys survive") {
+    import graft.pipeline.ConfigMerge
+    val scalarGen = Gen.oneOf[Any](Gen.alphaStr, Gen.choose(0, 99), Gen.oneOf(true, false))
+    val mapGen: Gen[Map[String, Any]] = Gen.mapOf(
+      Gen.zip(Gen.oneOf("a", "b", "c", "d"), scalarGen))
+    val gen = Gen.zip(mapGen, mapGen)
+    forSamples(gen) { case (base, over) =>
+      val merged = ConfigMerge.deepMerge(base, over)
+      over.foreach { case (k, v) => assert(merged(k) == v) }
+      (base.keySet -- over.keySet).foreach(k => assert(merged(k) == base(k)))
+    }
+  }
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("native functions callable from SQL after install") {
+    GraftExtensions.install(spark)
+    val row = spark.sql(
+      """SELECT graft_simhash64('the quick brown fox') AS h,
+        |       graft_shingles('a b c d', 2) AS sh,
+        |       graft_dotq(array(1L, 2L), array(3L, 4L)) AS d
+        |""".stripMargin).head()
+    assert(row.getLong(0) != 0L)
+    assert(row.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(row.getLong(2) == 11L)
+  }
+
+  test("SQL results match the Column API") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    df.createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash64(text) AS h FROM docs_ext")
+    val viaCol = df.select(col("doc_id"),
+      graft.text.TextFunctions.simhash64(col("text")).as("h"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("extensions class applies cleanly to a SparkSessionExtensions") {
+    // the config-time path: spark.sql.extensions=graft.functions.GraftExtensions
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+  }
+}
