@@ -67,12 +67,40 @@ object TextQueries extends QueryPack {
         TextFunctions.minShingleFingerprint(col("text"), 5).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF-lite top terms per document: score = tf·N/df with the log
+    * dropped, so the score is ONE IEEE division of exact integers —
+    * bit-identical across engines (ln() is libm-dependent and would
+    * break hash comparison on near-ties). vocabulary-side (df) is tiny
+    * → broadcast; the only big shuffle is the (doc, term) aggregate. */
+  def txTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("score",
+        (col("tf") * lit(n)).cast(DoubleType) / col("df").cast(DoubleType))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "tx_lang_id" -> (txLangId _),
     "tx_quality" -> (txQuality _),
     "tx_token_stats" -> (txTokenStats _),
     "tx_token_count" -> (txTokenCount _),
-    "tx_fingerprint" -> (txFingerprint _))
+    "tx_fingerprint" -> (txFingerprint _),
+    "tx_tfidf_top_terms" -> (txTfidfTopTerms _))
 
   private val langCase = {
     val sets = TextFunctions.langStopwords
@@ -137,5 +165,24 @@ object TextQueries extends QueryPack {
              list_min([md5(array_to_string(toks[i:i+4], ' '))
                        FOR i IN range(1, len(toks) - 3)]) AS fingerprint
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      ORDER BY doc_id""")
+      ORDER BY doc_id""",
+    "tx_tfidf_top_terms" -> """
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+              FROM documents)
+        GROUP BY doc_id, term),
+      dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf * n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      SELECT doc_id, rank, term, tf, df, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rank
+        FROM scored)
+      WHERE rank <= 3
+      ORDER BY doc_id, rank""")
 }

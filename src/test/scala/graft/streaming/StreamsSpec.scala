@@ -140,6 +140,42 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("S6 file source: streaming the events table equals the batch result") {
+    import graft.streaming.Windows
+    import org.apache.spark.sql.functions.{count => cnt, sum}
+
+    // the real events parquet, read as a STREAM (file-arrival source —
+    // which watches a DIRECTORY, so stage the file into one)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = Files.createTempDirectory("graft-file-src")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val batchDf = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    val streamDf = spark.readStream
+      .schema(spark.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+
+    def kpi(df: org.apache.spark.sql.DataFrame) =
+      Windows.tumbling(df, "ts", "1 hour", Seq.empty,
+        Seq(cnt(lit(1)).as("n"), sum("value").as("v")))
+
+    val q = kpi(streamDf).writeStream.format("memory")
+      .queryName("file_stream_out").outputMode("complete")
+      .trigger(Streams.availableNow).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_out")
+        .select("window_start", "n")
+      val batch = kpi(batchDf).select("window_start", "n")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
   test("metrics listener counts input rows per query (E6)") {
     val spark2 = spark
     import spark2.implicits._
