@@ -154,6 +154,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Apply near-duplicate pairs to the corpus: every `id_b` of a pair is
+    * dropped (pairs are canonical with id_a < id_b, so the lowest id of
+    * each duplicate cluster survives — greedy, deterministic). A full
+    * connected-components pass would need iteration; for dedup the
+    * greedy rule is the standard choice and never drops a whole cluster.
+    * The drop side is a broadcast left-anti join: the corpus streams,
+    * the (small) pair list broadcasts. */
+  def removeNearDuplicates(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame =
+    df.join(broadcast(pairs.select(col("id_b").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   /** Exact n-gram Jaccard dedup with deterministic blocking (first
     * `blockTokens` tokens): every within-block pair is verified exactly.
     * Fully oracle-replicable — the scale path for when candidate recall

@@ -38,11 +38,43 @@ class PipelineRunner(
     var ctx = Map.empty[String, TaskResult]
     graph.executionLevels.foreach { level =>
       level.foreach { id =>
-        ctx += id -> (if (graph.canExecute(id, ctx)) execute(spec, id)
+        ctx += id -> (if (graph.canExecute(id, ctx)) executeWithRetries(spec, id)
                       else TaskResult(id, TaskStatus.Skipped))
       }
     }
     ctx
+  }
+
+  /** Honor the spec's per-task `retries` (sources/transformations;
+    * reference `sample_pipeline.yaml:34-35,63-64`): a failed attempt
+    * reruns up to N times; validation tasks don't retry (their failure
+    * is a data fact, not transient). `sleeper` is injected for tests. */
+  private[pipeline] var sleeper: Long => Unit = Thread.sleep
+
+  private def executeWithRetries(spec: PipelineSpec, id: String): TaskResult = {
+    val (retries, delayMinutes) = id.split("_", 2) match {
+      case Array("ingest", sid) =>
+        spec.sources.find(_.sourceId == sid)
+          .map(s => (s.retries, s.retryDelayMinutes)).getOrElse((0, 0))
+      case Array("transform", name) =>
+        spec.transformations.find(_.modelName == name)
+          .map(t => (t.retries, t.retryDelayMinutes)).getOrElse((0, 0))
+      case _ => (0, 0)
+    }
+    // data-fact failures (model tests / target validations) are
+    // deterministic — rerunning cannot change them; only execution
+    // exceptions retry
+    def retryable(r: TaskResult): Boolean =
+      r.status == TaskStatus.Failed &&
+        !r.error.exists(_.startsWith("tests:"))
+    var attempt = 0
+    var result = execute(spec, id)
+    while (retryable(result) && attempt < retries) {
+      sleeper(delayMinutes.toLong * 60000)
+      attempt += 1
+      result = execute(spec, id)
+    }
+    result
   }
 
   private def execute(spec: PipelineSpec, id: String): TaskResult = {
@@ -65,7 +97,7 @@ class PipelineRunner(
           df.createOrReplaceTempView(name)
           val failures = runModelTests(t, df)
           if (failures.nonEmpty)
-            done(TaskStatus.Failed, Some(failures.mkString("; ")))
+            done(TaskStatus.Failed, Some("tests: " + failures.mkString("; ")))
           else done(TaskStatus.Success)
         case Array("validate", tbl) =>
           val tg = spec.targets.find(_.tableName == tbl)

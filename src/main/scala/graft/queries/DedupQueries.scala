@@ -43,11 +43,23 @@ object DedupQueries extends QueryPack {
     Dedup.simhashNearDuplicates(table(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** End-to-end corpus dedup: LSH pairs → greedy removal (id_b drops,
+    * lowest id per cluster survives) → surviving doc ids. */
+  def d5DedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 5, threshold = 0.8)
+    Dedup.removeNearDuplicates(docs, pairs, "doc_id")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
-    "d4_blocked_jaccard" -> (d4BlockedJaccard _))
+    "d4_blocked_jaccard" -> (d4BlockedJaccard _),
+    "d5_dedup_apply" -> (d5DedupApply _))
 
   private def shingleSetsSql = """
     SELECT doc_id,
@@ -85,5 +97,15 @@ object DedupQueries extends QueryPack {
         ON a.blk = b.blk AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
-      ORDER BY id_a, id_b""")
+      ORDER BY id_a, id_b""",
+    "d5_dedup_apply" -> s"""
+      WITH sets AS ($shingleSetsSql),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+      ORDER BY doc_id""")
 }

@@ -99,7 +99,25 @@ object TransformQueries extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Q7b quarantine with per-row violation reasons (one pass; rule names
+    * in declaration order) — the reject stream is self-describing. */
+  def qa8QuarantineReasons(s: SparkSession, dir: String): DataFrame = {
+    import Rules._
+    val rules = Seq(
+      Rule("range", "value", graft.core.Severity.Error,
+        range(col("value"), Some(0.0), Some(150.0))),
+      Rule("allowed_values", "event_type", graft.core.Severity.Warning,
+        allowedValues(col("event_type"),
+          Seq("view", "click", "purchase", "signup", "error"))),
+      Rule("not_null", "value", graft.core.Severity.Error, col("value").isNull))
+    val (_, rejects) = quarantineSplit(table(s, dir, "events"), rules)
+    rejects
+      .select(col("event_id"), col("reasons"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "qa8_quarantine_reasons" -> (qa8QuarantineReasons _),
     "t1_staging_orders" -> (t1StagingOrders _),
     "t2_dim_customers" -> (t2DimCustomers _),
     "t3_fact_orders_merge" -> (t3FactOrdersMerge _),
@@ -125,6 +143,22 @@ object TransformQueries extends QueryPack {
           FROM customer WHERE c_custkey IS NOT NULL)"""
 
   val oracles: Map[String, String] = Map(
+    "qa8_quarantine_reasons" -> """
+      SELECT event_id,
+             array_to_string(list_filter([
+               CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 150.0)
+                    THEN 'range__value' END,
+               CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                         ('view','click','purchase','signup','error')
+                    THEN 'allowed_values__event_type' END,
+               CASE WHEN value IS NULL THEN 'not_null__value' END
+             ], x -> x IS NOT NULL), ',') AS reasons
+      FROM events
+      WHERE (value IS NOT NULL AND (value < 0.0 OR value > 150.0))
+         OR (event_type IS NOT NULL AND event_type NOT IN
+             ('view','click','purchase','signup','error'))
+         OR value IS NULL
+      ORDER BY event_id""",
     "t1_staging_orders" -> s"""
       SELECT order_id, customer_id, order_status, total_amount,
              ${fmtTsSql("order_date")} AS order_date, order_priority

@@ -75,6 +75,27 @@ object Rules {
     "future_date" -> (c => futureDate(c))
   )
 
+  /** Q7 quarantine split: one pass tags each row with the names of the
+    * rules it violates; callers route `reasons == []` to the target and
+    * the rest to the quarantine table (design.md:262-265 — reject
+    * capture instead of the reference's silent dropna). The reasons
+    * column is a comma-joined string in declaration order (array-free
+    * for portable comparison). */
+  def withViolationReasons(df: org.apache.spark.sql.DataFrame,
+      rules: Seq[Rule]): org.apache.spark.sql.DataFrame = {
+    val tags = rules.map(r =>
+      when(r.violationPredicate, lit(s"${r.name}__${r.column}")))
+    df.withColumn("reasons",
+      concat_ws(",", array_compact(array(tags: _*))))
+  }
+
+  def quarantineSplit(df: org.apache.spark.sql.DataFrame, rules: Seq[Rule])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tagged = withViolationReasons(df, rules)
+    (tagged.filter(col("reasons") === "").drop("reasons"),
+      tagged.filter(col("reasons") =!= ""))
+  }
+
   // ---- whole-row checks (SURVEY §2.4 V17, V18, V20) ----
 
   /** V17 all-null-row predicate over the given columns.

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class MergeSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val sess = spark
+  import sess.implicits._
+
+  test("latestWins: upserts, stale rejects, deletes") {
+    val base = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 10))
+      .toDF("id", "v", "ver")
+    val delta = Seq((2L, "B", 20), (3L, "stale", 5), (4L, "d", 20))
+      .toDF("id", "v", "ver")
+    val merged = Merge.latestWins(base, delta, Seq("id"), col("ver"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+
+    // delete path requires symmetric schemas (unionByName)
+    val baseD = base.withColumn("del", lit(false))
+    val out = Merge.latestWins(baseD,
+      Seq((2L, "B", 20, true)).toDF("id", "v", "ver", "del"),
+      Seq("id"), col("ver"), deleteMarker = Some(col("del")))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("mergeIntoPartitioned rewrites ONLY touched partitions") {
+    val dir = Files.createTempDirectory("graft-merge").toString + "/fact"
+    val base = Seq(
+      (1L, "2024-01-01", "a", 10), (2L, "2024-01-01", "b", 10),
+      (3L, "2024-01-02", "c", 10), (4L, "2024-01-03", "d", 10))
+      .toDF("id", "dt", "v", "ver")
+    base.write.partitionBy("dt").parquet(dir)
+
+    def filesOf(part: String): Map[String, Long] = {
+      val p = Paths.get(dir, s"dt=$part")
+      Files.list(p).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    }
+    val before01 = filesOf("2024-01-01")
+    val before02 = filesOf("2024-01-02")
+    val before03 = filesOf("2024-01-03")
+    Thread.sleep(1100) // mtime resolution
+
+    // delta touches only 2024-01-01 (update id=2, insert id=5)
+    val delta = Seq((2L, "2024-01-01", "B", 20), (5L, "2024-01-01", "e", 20))
+      .toDF("id", "dt", "v", "ver")
+    Merge.mergeIntoPartitioned(spark, dir, delta, Seq("id"), col("ver"), "dt")
+
+    // untouched partitions: identical files, identical mtimes
+    assert(filesOf("2024-01-02") == before02)
+    assert(filesOf("2024-01-03") == before03)
+    // touched partition: rewritten
+    assert(filesOf("2024-01-01") != before01)
+
+    val out = spark.read.parquet(dir)
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d", 5L -> "e"))
+  }
+
+  test("mergeIntoPartitioned bootstraps an empty table") {
+    val dir = Files.createTempDirectory("graft-merge0").toString + "/fact"
+    val delta = Seq((1L, "2024-01-01", "a", 1)).toDF("id", "dt", "v", "ver")
+    Merge.mergeIntoPartitioned(spark, dir, delta, Seq("id"), col("ver"), "dt")
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+}

@@ -99,6 +99,60 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(results("validate_fact_orders").status == TaskStatus.Skipped)
   }
 
+  test("transient task failures retry per the spec; data-fact failures don't") {
+    // a source that fails twice then succeeds — retries: 3 in the spec
+    var calls = 0
+    val flaky = new PipelineRunner(
+      spark,
+      sources = Map(
+        "orders_src" -> (s => {
+          calls += 1
+          if (calls < 3) throw new RuntimeException("connection reset")
+          s.read.parquet(s"$sf/orders.parquet")
+        }),
+        "customer_src" -> (s => s.read.parquet(s"$sf/customer.parquet"))),
+      models = Map(
+        "staging_orders" -> (deps => Models.stagingOrders(deps("orders_src"))),
+        "staging_customers" -> (deps => Models.stagingCustomers(deps("customer_src"))),
+        "dim_customers" -> (deps => Models.dimCustomers(deps("staging_customers"))),
+        "fact_orders" -> (deps =>
+          Models.factOrders(deps("staging_orders"),
+            deps("staging_orders").limit(0), deps("dim_customers")))),
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val delays = Seq.newBuilder[Long]
+    flaky.sleeper = delays += _
+    val withRetries = yaml.replace("  - source_id: orders_src\n    source_type: file\n",
+      "  - source_id: orders_src\n    source_type: file\n    retries: 3\n    retry_delay_minutes: 5\n")
+    val results = flaky.run(PipelineSpec.fromYaml(withRetries))
+    assert(results("ingest_orders_src").status == TaskStatus.Success)
+    assert(calls == 3)
+    assert(delays.result() == Seq(300000L, 300000L))
+
+    // model-test (data-fact) failures must NOT retry
+    var modelBuilds = 0
+    val counting = new PipelineRunner(
+      spark,
+      sources = Map(
+        "orders_src" -> (s => s.read.parquet(s"$sf/orders.parquet")),
+        "customer_src" -> (s => s.read.parquet(s"$sf/customer.parquet"))),
+      models = Map(
+        "staging_orders" -> (deps => {
+          modelBuilds += 1
+          Models.stagingOrders(deps("orders_src"))
+        }),
+        "staging_customers" -> (deps => Models.stagingCustomers(deps("customer_src"))),
+        "dim_customers" -> (deps => Models.dimCustomers(deps("staging_customers"))),
+        "fact_orders" -> (deps =>
+          Models.factOrders(deps("staging_orders"),
+            deps("staging_orders").limit(0), deps("dim_customers")))),
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    counting.sleeper = _ => ()
+    val badYaml = yaml.replace("- unique: [order_id]\n", "- unique: [order_status]\n")
+    val r2 = counting.run(PipelineSpec.fromYaml(badYaml))
+    assert(r2("transform_staging_orders").status == TaskStatus.Failed)
+    assert(modelBuilds == 1) // built once, not retried
+  }
+
   test("target validation failure with fail_on_validation_error=false warns") {
     val warnYaml = yaml
       .replace("min_row_count: 100", "min_row_count: 999999999")
