@@ -105,7 +105,30 @@ object EventQueries extends QueryPack {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** As-of join ([[graft.operators.AsOfJoin]]): each event annotated
+    * with the user's latest order at or before the event time. Orders
+    * are pre-collapsed to one row per (customer, date) so the as-of
+    * match is deterministic; DuckDB's native ASOF LEFT JOIN is the
+    * oracle. */
+  def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ords = ChangeDetection.latestState(
+        table(s, dir, "orders"), Seq("o_custkey", "o_orderdate"),
+        "o_orderdate", "o_orderkey")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsOfJoin.asOf(ev, ords, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        col("o_orderkey").as("last_order_key"),
+        col("o_totalprice").as("last_order_total"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "asof_last_order" -> (asofLastOrder _),
     "s2_watermark_scan" -> (s2WatermarkScan _),
     "s2_incremental_extract" -> (s2IncrementalExtract _),
     "c3_detect_changes" -> (c3DetectChanges _),
@@ -116,6 +139,20 @@ object EventQueries extends QueryPack {
     "w_session_user" -> (wSessionUser _))
 
   val oracles: Map[String, String] = Map(
+    "asof_last_order" -> """
+      WITH ords AS (
+        SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT e.event_id, e.user_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             o.o_orderkey AS last_order_key,
+             o.o_totalprice AS last_order_total
+      FROM events e ASOF LEFT JOIN ords o
+        ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+      ORDER BY e.event_id""",
     "s2_watermark_scan" -> s"""
       SELECT COUNT(*) AS change_count,
              strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
