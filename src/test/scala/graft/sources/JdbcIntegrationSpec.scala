@@ -57,8 +57,10 @@ class JdbcIntegrationSpec extends AnyFunSuite with SparkSpec {
     // rows are at 12:00, so day 20 itself is past the midnight watermark
     val expected = (1 to 100).count(i => (i % 28) + 1 >= 20)
     assert(got == expected)
-    // and the plan is a plain JDBC relation scan — no Spark-side filter
+    // and the watermark lives inside the pushed JDBC subquery — no
+    // Spark-side Filter node
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Filter"), plan)
+    assert(plan.contains("WHERE updated_at > '2024-01-20 00:00:00'"), plan)
+    assert("\\(\\d+\\) Filter".r.findFirstIn(plan).isEmpty, plan)
   }
 }
