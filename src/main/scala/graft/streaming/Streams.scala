@@ -69,6 +69,22 @@ object Streams {
         mergeBatch(batch.sparkSession, batch, path, keys, versionCol)
       }
 
+  /** Streaming twin of [[graft.operators.Merge.mergeIntoPartitioned]]:
+    * each micro-batch rewrites only the partitions it touches. This is
+    * the sink a 100 TB fact table actually runs — per-batch cost scales
+    * with the delta, not the table. */
+  def partitionedMergeSink(stream: DataFrame, path: String,
+      checkpoint: String, keys: Seq[String], versionCol: String,
+      partitionCol: String,
+      trig: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Merge.mergeIntoPartitioned(
+          batch.sparkSession, path, batch, keys, col(versionCol), partitionCol)
+      }
+
   /** E6: per-query input-row metrics via a listener (the reference's
     * extraction stats under lock, `extractors.py:318-336`). */
   class MetricsListener extends StreamingQueryListener {

@@ -137,6 +137,18 @@ object Validator {
     math.round(score * 1000).toDouble / 1000
   }
 
+  /** Piggyback violation counters on an EXISTING pass via
+    * `Dataset.observe`: zero extra scans — the counts materialize as a
+    * side effect of whatever action consumes `df` (streaming-safe;
+    * surface them with a QueryExecutionListener / StreamingQueryListener
+    * reading `observedMetrics`). Complements [[countsFrame]], which is
+    * the right tool when validation IS the job. */
+  def observed(df: DataFrame, obs: org.apache.spark.sql.Observation,
+      rules: Seq[Rules.Rule]): DataFrame = {
+    val aggs = count(lit(1)).as("row_count") +: rules.map(_.violationCount)
+    df.observe(obs, aggs.head, aggs.tail: _*)
+  }
+
   /** Full validation: V9 driver-side, then ONE fused aggregation job for
     * V10–V13 + all rules, then report assembly + score. Profiling runs as a
     * second fused job only if `profile=true` (two scans total, matching the

@@ -140,6 +140,32 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("partitioned merge sink: micro-batches rewrite only touched partitions") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-pstream").toString
+    val input = MemoryStream[(Long, String, Double, Timestamp)]
+    val stream = input.toDF().toDF("orderId", "dt", "amount", "ts")
+    val q = Streams.partitionedMergeSink(stream, s"$dir/fact", s"$dir/ckpt",
+      Seq("orderId"), "ts", "dt", Streams.trigger(1)).start()
+    try {
+      input.addData(
+        (1L, "2024-01-01", 10.0, ts("2024-01-01 10:00:00")),
+        (2L, "2024-01-02", 20.0, ts("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      // second batch touches only 2024-01-01
+      input.addData((1L, "2024-01-01", 99.0, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+
+      val fact = spark.read.parquet(s"$dir/fact")
+        .select("orderId", "amount")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(fact == Set((1L, 99.0), (2L, 20.0)))
+    } finally q.stop()
+  }
+
   test("S6 file source: streaming the events table equals the batch result") {
     import graft.streaming.Windows
     import org.apache.spark.sql.functions.{count => cnt, sum}

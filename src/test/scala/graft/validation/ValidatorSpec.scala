@@ -115,6 +115,16 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
       .exists(_.rule == "size_guardrail"))
   }
 
+  test("observe(): violation counters ride an existing pass, no extra scan") {
+    val obs = new org.apache.spark.sql.Observation("graft_validation")
+    val df = Validator.observed(dirty, obs, rules.take(2))
+    df.collect() // one action; counters come along for free
+    val row = obs.get
+    assert(row("row_count") == 4L)
+    assert(row("not_null__email") == 1L)
+    assert(row("range__age") == 2L)
+  }
+
   test("profiling (P1-P5): fused stats in one pass") {
     val profiles = Validator.collectProfiles(dirty, Seq("id", "email", "age"))
     val byCol = profiles.map(p => p.column -> p).toMap
