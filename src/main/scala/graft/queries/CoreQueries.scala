@@ -94,7 +94,27 @@ object CoreQueries extends QueryPack {
       .orderBy($"r_name")
   }
 
+  /** Promo-revenue share (TPC-H Q14 shape): lineitem ⨝ broadcast part,
+    * LIKE-predicate conditional aggregation, one date-windowed scan.
+    * The ratio is (decimal-exact double) / (decimal-exact double) —
+    * one IEEE division, engine-portable. */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = table(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1995-01-01") && $"l_shipdate" < ts("1996-01-01"))
+    val p = table(s, dir, "part")
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .agg(
+        decSum(when($"p_type".startsWith("PROMO"),
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * $"promo_revenue" / $"total_revenue")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q14_promo_revenue" -> (q14PromoRevenue _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_customers" -> (q3TopCustomers _),
     "q4_repeat_customers" -> (q4RepeatCustomers _),
@@ -102,6 +122,16 @@ object CoreQueries extends QueryPack {
     "q5_region_revenue" -> (q5RegionRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q14_promo_revenue" -> s"""
+      SELECT promo_revenue, total_revenue,
+             100.0 * promo_revenue / total_revenue AS promo_pct
+      FROM (
+        SELECT
+          ${decSumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+          ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01')""",
     "q1_pricing_summary" -> s"""
       SELECT l_returnflag, l_linestatus,
         ${decSumSql("l_quantity")} AS sum_qty,

@@ -35,6 +35,29 @@ object Serde {
     }
   }
 
+  /** V19, schema-enforced form: read text-format data PERMISSIVEly with
+    * a corrupt-record column — malformed rows survive (nulled fields +
+    * raw line captured) instead of failing the job or silently skewing
+    * type inference. The reference samples 100 values per object column
+    * to guess at mixed types (`extractors.py:247-254`); under a declared
+    * schema the honest equivalent is counting rows that failed to parse. */
+  def readJsonTracking(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .json(path)
+  }
+
+  /** Corrupt-row count from a tracking read (requires the frame to be
+    * cached or re-readable — Spark computes _corrupt_record per scan). */
+  def corruptCount(df: DataFrame): Long =
+    df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+      .count()
+
   /** Read back with the original schema enforced (exact round-trip). */
   def read(spark: SparkSession, path: String, format: Format,
       schema: Option[StructType] = None): DataFrame = {

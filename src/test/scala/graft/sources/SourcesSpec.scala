@@ -29,6 +29,28 @@ class SerdeSpec extends AnyFunSuite with SparkSpec {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("corrupt-record tracking (V19): malformed rows counted, not dropped") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-corrupt")
+    Files.writeString(dir.resolve("data.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{not json at all
+        |{"id": "not-a-number", "v": 3}
+        |{"id": 4, "v": "fine"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val df = Serde.readJsonTracking(spark, dir.toString, schema).cache()
+    try {
+      assert(df.count() == 5) // nothing silently dropped
+      assert(Serde.corruptCount(df) == 2) // bad syntax + bad type
+      val good = df.filter(col("_corrupt_record").isNull)
+      assert(good.count() == 3)
+      assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    } finally df.unpersist()
+  }
+
   test("json round-trip with declared schema is exact") {
     val df = spark.read.parquet(s"$sf/customer.parquet")
     val path = tmp()
