@@ -91,9 +91,10 @@ object Dedup {
 
   /** LSH candidate pairs from banded signatures: docs sharing any band
     * collide; pairs are deduped. `bands` must divide the signature
-    * length. Returns (idA, idB) with idA < idB. */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val k = 64 // callers use the default signature length
+    * length `k`. Returns (idA, idB) with idA < idB. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int,
+      k: Int = 64): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide signature length $k")
     val rows = k / bands
     val banded = sigs.select(col(idCol).as("__id"),
       posexplode(array((0 until bands).map(b =>

@@ -85,6 +85,25 @@ object Streams {
           batch.sparkSession, path, batch, keys, col(versionCol), partitionCol)
       }
 
+  /** Validated sink (Q7 at stream time): each micro-batch splits into
+    * valid rows → the target table and rejects (with reason tags) → the
+    * quarantine table, in ONE pass over the batch
+    * ([[graft.validation.Rules.quarantineSplit]]). Mirrors design.md's
+    * quarantine declaration; the reference only drops invalid rows. */
+  def validatedSink(stream: DataFrame, targetPath: String,
+      quarantinePath: String, checkpoint: String,
+      rules: Seq[graft.validation.Rules.Rule],
+      trig: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (valid, rejects) =
+          graft.validation.Rules.quarantineSplit(batch, rules)
+        valid.write.mode("append").parquet(targetPath)
+        rejects.write.mode("append").parquet(quarantinePath)
+      }
+
   /** E6: per-query input-row metrics via a listener (the reference's
     * extraction stats under lock, `extractors.py:318-336`). */
   class MetricsListener extends StreamingQueryListener {

@@ -166,6 +166,66 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("validated sink: per-batch quarantine split, reasons preserved") {
+    import graft.validation.Rules
+    import graft.core.Severity
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-vsink").toString
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("id", "amount")
+    val rules = Seq(
+      Rules.Rule("range", "amount", Severity.Error,
+        Rules.range(col("amount"), Some(0.0), Some(100.0))),
+      Rules.Rule("not_null", "amount", Severity.Error, col("amount").isNull))
+    val q = Streams.validatedSink(stream, s"$dir/t", s"$dir/quarantine",
+      s"$dir/ckpt", rules, Streams.trigger(1)).start()
+    try {
+      input.addData((1L, 50.0), (2L, -5.0), (3L, 99.0))
+      q.processAllAvailable()
+      input.addData((4L, 500.0), (5L, 10.0))
+      q.processAllAvailable()
+
+      val valid = spark.read.parquet(s"$dir/t")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(valid == Set(1L, 3L, 5L))
+      val rejects = spark.read.parquet(s"$dir/quarantine")
+        .select("id", "reasons").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rejects == Map(2L -> "range__amount", 4L -> "range__amount"))
+    } finally q.stop()
+  }
+
+  test("streaming session windows close past the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Sale]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("orderId"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    try {
+      // two events 3 min apart → one session; then advance the watermark
+      input.addData(Sale(7, 1.0, ts("2024-01-01 10:00:00")),
+        Sale(7, 1.0, ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // session still open
+      input.addData(Sale(8, 1.0, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .selectExpr("orderId", "n", "session_window.start as s").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 7L && rows.head.getLong(1) == 2L)
+      assert(rows.head.getTimestamp(2) == ts("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
   test("S6 file source: streaming the events table equals the batch result") {
     import graft.streaming.Windows
     import org.apache.spark.sql.functions.{count => cnt, sum}
