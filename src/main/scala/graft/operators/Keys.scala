@@ -44,7 +44,12 @@ object Keys {
     val key = col(keyCol).cast(DoubleType)
 
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estimated <= smallBytes) {
+    val numericKey = df.schema(keyCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // percentile bucketing needs a numeric key; non-numeric keys (rare
+    // for surrogate-key sources) fall back to the single window — at
+    // scale, rank such tables via a numeric surrogate first
+    if (estimated <= smallBytes || !numericKey) {
       val w = Window.orderBy(col(keyCol))
       return df.withColumn(rankName, row_number().over(w))
     }
