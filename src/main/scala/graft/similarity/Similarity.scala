@@ -79,17 +79,19 @@ object Similarity {
   /** Bucketed (IVF-style) search: candidates are restricted to rows
     * sharing `bucketCol` with the query — the coarse-quantizer pattern.
     * With KMeans centroids as buckets this is classic IVF; any
-    * deterministic partitioner (label, LSH hyperplane signs) works. */
+    * deterministic partitioner (label, LSH hyperplane signs) works.
+    * Quantization + bucket ride ONE projection of the corpus — no
+    * self-join to reattach the bucket. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, bucketCol: String, k: Int): DataFrame = {
-    val c = prepare(corpus.withColumnRenamed(bucketCol, "__bkt"), idCol, vecCol)
-      .withColumnRenamed(idCol, "neighbor_id")
-    val cWithB = corpus.select(col(idCol).as("neighbor_id"), col(bucketCol).as("__bkt"))
-      .join(c, "neighbor_id")
-    val q = prepare(queries, idCol, vecCol)
-      .join(queries.select(col(idCol), col(bucketCol).as("__qbkt")), idCol)
-      .select(col(idCol).as("query_id"), col("__q").as("__qq"),
-        col("__nsq").as("__qnsq"), col("__qbkt"))
+    val cWithB = corpus
+      .select(col(idCol).as("neighbor_id"), col(bucketCol).as("__bkt"),
+        quantize(col(vecCol)).as("__q"))
+      .withColumn("__nsq", normSqQ(col("__q")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(bucketCol).as("__qbkt"),
+        quantize(col(vecCol)).as("__qq"))
+      .withColumn("__qnsq", normSqQ(col("__qq")))
     val scored = cWithB.join(broadcast(q),
         col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -126,9 +128,10 @@ object Similarity {
     * [[graft.dedup.Dedup.blockedJaccardPairs]]. */
   def blockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val p = prepare(df, idCol, vecCol)
-      .join(df.select(col(idCol), col(blockCol).as("__blk")), idCol)
-      .select(col(idCol).as("__id"), col("__q"), col("__nsq"), col("__blk"))
+    val p = df
+      .select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+        quantize(col(vecCol)).as("__q"))
+      .withColumn("__nsq", normSqQ(col("__q")))
     p.as("l").join(p.as("r"),
         col("l.__blk") === col("r.__blk") && col("l.__id") < col("r.__id"))
       .withColumn("cosine", cosineFromParts(
