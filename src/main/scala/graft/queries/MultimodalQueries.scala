@@ -29,9 +29,10 @@ object MultimodalQueries extends QueryPack {
       n = 4, frameLen = 32)
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** Batched decode + feature extraction via mapPartitions (rows-only:
-    * the stub features are not SQL-expressible; unit tests pin the
-    * values, the driver checks row shape). */
+  /** Batched decode + feature extraction via mapPartitions. The stub
+    * decoder is a pure function of the payload bytes, so even this
+    * query is oracle-checked: DuckDB recomputes width/height/mean from
+    * the same bytes (corpus is ASCII ⇒ char codes ≡ UTF-8 bytes). */
   def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Multimodal.withPayload(table(s, dir, "documents"), "text")
@@ -63,5 +64,13 @@ object MultimodalQueries extends QueryPack {
                  GREATEST(1, CAST(floor((length(d.text) - 32) * i.frame_idx / 3.0) AS BIGINT) + 1),
                  32)) AS frame_hash
       FROM documents d CROSS JOIN idx i
-      ORDER BY d.doc_id, i.frame_idx""")
+      ORDER BY d.doc_id, i.frame_idx""",
+    "mm_decode_features" -> """
+      SELECT doc_id,
+             1 + ascii(substr(text, 1, 1)) % 640 AS width,
+             1 + ascii(substr(text, length(text), 1)) % 480 AS height,
+             round(list_avg(list_transform(range(1, length(text) + 1),
+               i -> ascii(substr(text, CAST(i AS INT), 1)))), 4) AS mean_byte
+      FROM documents
+      ORDER BY doc_id""")
 }
