@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   *  - `sources`:   source_id → DataFrame provider (ingestion result)
   *  - `models`:    model_name → resolved-deps ⇒ DataFrame transformation
   */
+object PipelineRunner {
+  /** Ingestion providers straight from the spec's source declarations
+    * (`source_type` + `connection_params`) via the pluggable
+    * [[graft.sources.SourceFactory]] — the fully config-driven path the
+    * reference's factory serves (`data_sources.py:489-517`). Models
+    * stay code (they ARE the transformations); sources are config. */
+  def sourcesFromSpec(spec: PipelineSpec): Map[String, SparkSession => DataFrame] =
+    spec.sources.map(s => s.sourceId ->
+      ((spark: SparkSession) =>
+        graft.sources.SourceFactory.create(s.sourceType, spark,
+          s.connectionParams))).toMap
+}
+
 class PipelineRunner(
     spark: SparkSession,
     sources: Map[String, SparkSession => DataFrame],

@@ -87,6 +87,37 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(failed.isEmpty, failed.map(r => s"${r.taskId}: ${r.error}").mkString("; "))
   }
 
+  test("sources come straight from the spec's connection params") {
+    val configDriven = yaml
+      .replace("  - source_id: orders_src\n    source_type: file\n",
+        s"""  - source_id: orders_src
+           |    source_type: file
+           |    connection_params:
+           |      path: $sf/orders.parquet
+           |""".stripMargin)
+      .replace("  - source_id: customer_src\n    source_type: file\n",
+        s"""  - source_id: customer_src
+           |    source_type: file
+           |    connection_params:
+           |      path: $sf/customer.parquet
+           |""".stripMargin)
+    val spec = PipelineSpec.fromYaml(configDriven)
+    val fromSpec = new PipelineRunner(
+      spark,
+      sources = PipelineRunner.sourcesFromSpec(spec),
+      models = Map(
+        "staging_orders" -> (deps => Models.stagingOrders(deps("orders_src"))),
+        "staging_customers" -> (deps => Models.stagingCustomers(deps("customer_src"))),
+        "dim_customers" -> (deps => Models.dimCustomers(deps("staging_customers"))),
+        "fact_orders" -> (deps =>
+          Models.factOrders(deps("staging_orders"),
+            deps("staging_orders").limit(0), deps("dim_customers")))),
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val results = fromSpec.run(spec)
+    val failed = results.values.filter(_.status != TaskStatus.Success)
+    assert(failed.isEmpty, failed.map(r => s"${r.taskId}: ${r.error}").mkString("; "))
+  }
+
   test("failing model test fails the task; downstream is skipped") {
     val badYaml = yaml.replace("- unique: [order_id]\n",
       "- unique: [order_status]\n") // order_status is massively duplicated
