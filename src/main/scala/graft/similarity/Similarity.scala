@@ -69,10 +69,17 @@ object Similarity {
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, k)
+  }
+
+  /** Per-query top-k via the heap operator
+    * ([[graft.plans.TopKPerKeyExec]]): one pass, O(n log k), no
+    * per-partition sort of the full candidate set — the window+filter
+    * spelling sorts EVERY candidate row before discarding all but k. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    import graft.plans.TopK
+    TopK.perKey(scored, Seq("query_id"),
+        Seq(TopK.desc("cosine"), TopK.asc("neighbor_id")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
@@ -96,11 +103,7 @@ object Similarity {
         col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topK(scored, k)
   }
 
   /** IVF coarse quantizer built with MLlib KMeans (fixed seed ⇒

@@ -14,6 +14,12 @@ object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a logical plan (for library-defined logical
+    * nodes — the analyzer/optimizer/planner run as usual). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a native function on an existing session (the config-time
     * path is `spark.sql.extensions`; this is the runtime equivalent). */
   def registerFunction(spark: SparkSession, name: String,
