@@ -73,7 +73,7 @@ object TextQueries extends QueryPack {
     * break hash comparison on near-ties). vocabulary-side (df) is tiny
     * → broadcast; the only big shuffle is the (doc, term) aggregate. */
   def txTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.plans.TopK
     val docs = table(s, dir, "documents")
     val n = docs.count()
     val tf = docs
@@ -85,10 +85,9 @@ object TextQueries extends QueryPack {
     val scored = tf.join(broadcast(dfreq), "term")
       .withColumn("score",
         (col("tf") * lit(n)).cast(DoubleType) / col("df").cast(DoubleType))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    // per-doc top-3 through the heap operator (no per-doc sort)
+    TopK.perKey(scored, Seq("doc_id"),
+        Seq(TopK.desc("score"), TopK.asc("term")), k = 3)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
         col("score"))
       .orderBy(col("doc_id"), col("rank"))
