@@ -127,7 +127,25 @@ object EventQueries extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Range join ([[graft.operators.RangeJoin]]): event values matched to
+    * overlapping value bands via the bin equi-join (no nested-loop).
+    * Result: per band, how many events and their value sum. */
+  def rangeJoinBands(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    import s.implicits._
+    val bands = (0 until 12).map(i => (i.toLong, i * 10.0, i * 10.0 + 25.0))
+      .toDF("band_id", "lo", "hi")
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("value"))
+      .filter(col("value").isNotNull)
+    RangeJoin.pointInInterval(ev, bands, "value", "lo", "hi", binWidth = 10.0)
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
+      .orderBy(col("band_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "range_join_bands" -> (rangeJoinBands _),
     "asof_last_order" -> (asofLastOrder _),
     "s2_watermark_scan" -> (s2WatermarkScan _),
     "s2_incremental_extract" -> (s2IncrementalExtract _),
@@ -139,6 +157,16 @@ object EventQueries extends QueryPack {
     "w_session_user" -> (wSessionUser _))
 
   val oracles: Map[String, String] = Map(
+    "range_join_bands" -> s"""
+      WITH bands AS (
+        SELECT i AS band_id, i * 10.0 AS lo, i * 10.0 + 25.0 AS hi
+        FROM (SELECT UNNEST(range(0, 12)) AS i))
+      SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n_events,
+             ${decSumSql("e.value")} AS value_sum
+      FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+      WHERE e.value IS NOT NULL
+      GROUP BY b.band_id, b.lo, b.hi
+      ORDER BY b.band_id""",
     "asof_last_order" -> """
       WITH ords AS (
         SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
