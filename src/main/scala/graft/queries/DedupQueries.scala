@@ -54,7 +54,27 @@ object DedupQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic 20% corpus sample by doc-id hash — identical subset
+    * on any engine/partitioning ([[graft.operators.Sampling]]). */
+  def sampleDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicSample(
+        table(s, dir, "documents"), "doc_id", 0.20)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Training-mixture downsample: per-source keep rates over the
+    * document corpus, reproducible row-for-row. */
+  def mixSources(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedMix(
+        table(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"))
+      .orderBy(col("source"))
+
   val queries: Map[String, QueryFn] = Map(
+    "sample_docs" -> (sampleDocs _),
+    "mix_sources" -> (mixSources _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
@@ -68,7 +88,21 @@ object DedupQueries extends QueryPack {
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     WHERE len(toks) >= 5"""
 
+  private val bucketSql =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+
   val oracles: Map[String, String] = Map(
+    "sample_docs" -> s"""
+      SELECT doc_id, source FROM documents
+      WHERE $bucketSql < 200000
+      ORDER BY doc_id""",
+    "mix_sources" -> s"""
+      SELECT source, COUNT(*) AS kept FROM documents
+      WHERE $bucketSql <
+        CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000
+                    ELSE -1 END
+      GROUP BY source ORDER BY source""",
     "d1_exact_dedup" -> """
       SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
              (SELECT COUNT(DISTINCT text) FROM documents) AS distinct_texts,

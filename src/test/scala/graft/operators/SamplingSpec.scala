@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("deterministic sample: same subset regardless of partitioning") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id")
+    val b = Sampling.deterministicSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // fraction is approximately honored
+    val rate = a.count().toDouble / docs.count()
+    assert(rate > 0.15 && rate < 0.45, s"rate=$rate")
+    // nested subsets: a 10% sample is contained in a 30% sample
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.1).select("doc_id")
+    assert(small.exceptAll(a).isEmpty)
+  }
+
+  test("stratified mix honors per-source rates; unlisted sources drop") {
+    val mixed = Sampling.stratifiedMix(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.0))
+    val bySource = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0Total = docs.filter(col("source") === "src0").count()
+    assert(bySource.get("src0").contains(src0Total)) // rate 1.0 keeps all
+    assert(!bySource.contains("src1")) // rate 0.0 drops all
+    assert(bySource.keySet == Set("src0")) // unlisted sources drop
+  }
+
+  test("sampling is a pure filter: no shuffle") {
+    val plan = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
