@@ -93,7 +93,22 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** PII scrubbing over a synthetic-augmented corpus: emails/URLs are
+    * planted deterministically (the raw corpus has none), then redacted;
+    * output proves the redaction and the md5 of the scrubbed text. */
+  def txRedact(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("https://example.org/doc/"), col("doc_id")))
+      .select(col("doc_id"),
+        TextFunctions.redact(col("dirty")).as("clean"))
+      .withColumn("clean_md5", md5(col("clean")))
+      .withColumn("has_email", col("clean").rlike("@"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_redact" -> (txRedact _),
     "tx_lang_id" -> (txLangId _),
     "tx_quality" -> (txQuality _),
     "tx_token_stats" -> (txTokenStats _),
@@ -118,6 +133,21 @@ object TextQueries extends QueryPack {
   }
 
   val oracles: Map[String, String] = Map(
+    "tx_redact" -> """
+      WITH dirty AS (
+        SELECT doc_id,
+               concat(text, ' contact user', doc_id, '@example.com or ',
+                      'https://example.org/doc/', doc_id) AS dirty
+        FROM documents),
+      clean AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(dirty, 'https?://[^\s/$.?#][^\s]*', '<URL>', 'g'),
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS clean
+        FROM dirty)
+      SELECT doc_id, clean, md5(clean) AS clean_md5,
+             regexp_matches(clean, '@') AS has_email
+      FROM clean ORDER BY doc_id""",
     "tx_lang_id" -> s"""
       WITH scored AS (
         SELECT doc_id, lang AS declared_lang,

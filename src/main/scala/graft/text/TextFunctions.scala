@@ -89,6 +89,17 @@ object TextFunctions {
     when(bestScore > 0, bestLang).otherwise(lit("unknown"))
   }
 
+  /** PII-style scrubbing for corpus curation: replace email addresses
+    * and URLs with placeholder tokens. Patterns are the engine's declared
+    * EMAIL/URL domain regexes (`core.GDataType`) minus anchors — both
+    * Java regex and RE2 (DuckDB) read them identically, so redaction is
+    * engine-reproducible. One codegen'd projection, no UDF. */
+  def redact(text: Column): Column = {
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val urlPat = "https?://[^\\s/$.?#][^\\s]*"
+    regexp_replace(regexp_replace(text, urlPat, "<URL>"), emailPat, "<EMAIL>")
+  }
+
   /** Document fingerprint: minimum MD5 over token shingles — a
     * deterministic containment fingerprint (winnowing-lite) identical in
     * any engine with standard MD5. */

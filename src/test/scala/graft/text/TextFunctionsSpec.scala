@@ -66,6 +66,18 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(java.lang.Long.bitCount(m("a") ^ m("d")) > 16)
   }
 
+  test("redact scrubs emails and URLs, leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at alice.smith+x@test-mail.org today",
+      "see https://example.com/a?b=1#frag and http://x.io/y",
+      "nothing sensitive here").toDF("t")
+    val out = df.select(TextFunctions.redact(col("t"))).collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "see <URL> and <URL>")
+    assert(out(2) == "nothing sensitive here")
+  }
+
   test("fingerprint is a 32-hex md5, stable") {
     val fp = one(TextFunctions.minShingleFingerprint(col("text"), 3)).getString(0)
     assert(fp.matches("[0-9a-f]{32}"))
