@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch-mode change detection (SURVEY §2.3 C1–C7, §2.1 S2/S3).
@@ -50,13 +49,17 @@ object ChangeDetection {
 
   /** S3/C4: log-based CDC apply — collapse a changelog to latest state
     * per key (deterministic tie-break on `seqCol`, e.g. a log offset).
-    * This is the read-side of `MERGE`: one shuffle on the key. */
+    * This is the read-side of `MERGE`: one shuffle on the key, then a
+    * k=1 heap per key ([[graft.plans.TopKPerKeyExec]]) — no per-key
+    * sort of the whole changelog, which is the dominant cost when keys
+    * have deep histories. */
   def latestState(changelog: DataFrame, keys: Seq[String], tsCol: String,
       seqCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(date_trunc("millisecond", col(tsCol)).desc, col(seqCol).desc)
-    changelog.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    import graft.plans.TopK
+    TopK.perKey(
+        changelog.withColumn("__ts_ms", date_trunc("millisecond", col(tsCol))),
+        keys,
+        Seq(TopK.desc("__ts_ms"), TopK.desc(seqCol)), k = 1)
+      .drop("rank", "__ts_ms")
   }
 }

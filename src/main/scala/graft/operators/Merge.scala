@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental MERGE semantics (SURVEY §2.6 T3, §7.5 risk 1).
@@ -27,14 +26,15 @@ object Merge {
     * handled by filtering `deleteMarker` rows after the merge. */
   def latestWins(base: DataFrame, delta: DataFrame, keys: Seq[String],
       version: Column, deleteMarker: Option[Column] = None): DataFrame = {
+    import graft.plans.TopK
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(delta.withColumn("__src", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(version.desc, col("__src").desc)
-    val merged = tagged
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__src")
+      .withColumn("__version", version)
+    // k=1 heap per key (no per-key sort): the winner is the highest
+    // (version, delta-over-base) row
+    val merged = TopK.perKey(tagged, keys,
+        Seq(TopK.desc("__version"), TopK.desc("__src")), k = 1)
+      .drop("rank", "__version", "__src")
     deleteMarker.map(m => merged.filter(!coalesce(m, lit(false)))).getOrElse(merged)
   }
 
