@@ -46,6 +46,15 @@ class TopKPerKeySpec extends AnyFunSuite with SparkSpec {
     assert(out == Set(("a", 5, 1), ("a", 1, 2), ("b", 7, 1)))
   }
 
+  test("partitioning propagates: same-key groupBy after TopK adds no exchange") {
+    val grouped = TopK.perKey(events, Seq("user_id"),
+        Seq(TopK.desc("value")), k = 3)
+      .groupBy(col("user_id")).agg(sum("value"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    // exactly ONE exchange (feeding TopK); the aggregate reuses it
+    assert("\\bExchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("downstream operations compose (filter/agg over the rank column)") {
     val top1 = TopK.perKey(events, Seq("user_id"),
       Seq(TopK.desc("value"), TopK.asc("event_id")), k = 3)
