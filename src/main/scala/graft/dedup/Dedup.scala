@@ -135,25 +135,69 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** SimHash near-dup pairs at hamming distance ≤ `maxHamming` (< 16):
-    * 4×16-bit chunk blocking (pigeonhole-complete for maxHamming ≤ 3),
-    * verified with bit_count(xor). */
-  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      TextFunctions.simhash64(col(textCol)).as("__sim"))
-    val chunked = sh.select(col("__id"), col("__sim"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("__sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
+  /** Chunk-blocked hamming pairs over (\_\_id, \_\_sim) signatures:
+    * explode into `nChunks` chunks of `chunkBits` bits, equi-join on
+    * (chunk index, chunk value) — pigeonhole-complete whenever
+    * maxHamming < nChunks — then verify with bit_count(xor). */
+  private def hammingPairs(sigs: DataFrame, chunkBits: Int, nChunks: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < nChunks,
+      s"pigeonhole blocking needs maxHamming ($maxHamming) < nChunks ($nChunks)")
+    val mask = (1L << chunkBits) - 1
+    val chunked = sigs.select(col("__id"), col("__sim"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("__sim"), c * chunkBits).bitwiseAND(mask)): _*))
         .as(Seq("__chunk", "__cv")))
     chunked.as("l").join(chunked.as("r"),
         col("l.__chunk") === col("r.__chunk") && col("l.__cv") === col("r.__cv") &&
         col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).as("hamming"))
+        bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).cast(LongType)
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs at hamming distance ≤ `maxHamming` (< 16):
+    * 4×16-bit chunk blocking (pigeonhole-complete for maxHamming ≤ 3),
+    * verified with bit_count(xor). Production path — xxhash64 token
+    * hashes, one compiled projection per row. */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("__id"),
+        TextFunctions.simhash64(col(textCol)).as("__sim")),
+      chunkBits = 16, nChunks = 4, maxHamming = maxHamming)
+
+  /** 60-bit SimHash from md5 token hashes (first 15 hex chars → long).
+    * Unlike xxhash64, md5 is identical in every engine, so this variant
+    * is end-to-end oracle-checkable in DuckDB. Shape: one explode + one
+    * groupBy(doc) shuffle with 60 partial-aggregated ±1 bit votes —
+    * map-side combine keeps the shuffle at one row per (doc, 60 longs).
+    * The xxhash64 path stays the production default (map-only, no
+    * explode); this is the verification twin. */
+  def simhashMd5Signatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(TextFunctions.tokens(col(textCol))).as("__t"))
+    val votes = (0 until 60).map(b =>
+      sum(shiftright(col("__h"), b).bitwiseAND(1L) * 2L - 1L).as(s"__v$b"))
+    val assembled = (0 until 60).map(b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    toks
+      .withColumn("__h",
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast(LongType))
+      .groupBy(col("__id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("__id"), assembled.as("__sim"))
+  }
+
+  /** md5-SimHash near-dup pairs: 4×15-bit chunk blocking over the 60-bit
+    * signature (pigeonhole-complete for maxHamming ≤ 3). */
+  def simhashMd5NearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashMd5Signatures(df, idCol, textCol),
+      chunkBits = 15, nChunks = 4, maxHamming = maxHamming)
 
   /** Apply near-duplicate pairs to the corpus: every `id_b` of a pair is
     * dropped (pairs are canonical with id_a < id_b, so the lowest id of

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types.DoubleType
   * cluster sizes (SURVEY §7.5). This operator computes the exact same
   * dense 1-based rank as the global window, distributed:
   *
-  *  1. one aggregate pass computes exact percentile boundaries of the key
-  *     (exact `percentile`, deterministic for fixed data);
+  *  1. one aggregate pass computes APPROXIMATE percentile boundaries of
+  *     the key (`approx_percentile`, bounded sketch state — exact
+  *     `percentile` would hold every distinct key in the aggregation
+  *     state, ~the table itself for a unique-key table);
   *  2. each row gets an order-preserving bucket id = #boundaries < key
   *     (a codegen'd array filter — no shuffle);
   *  3. a tiny per-bucket count (B rows to the driver) yields each bucket's
@@ -26,7 +28,10 @@ import org.apache.spark.sql.types.DoubleType
   * Cost: two extra lightweight jobs (boundary agg + count agg, both
   * partial-aggregated map-side) and one shuffle by bucket — vs. the global
   * window's one shuffle to a SINGLE reducer. Result is bit-identical to
-  * `row_number() OVER (ORDER BY key)` whenever `key` is unique.
+  * `row_number() OVER (ORDER BY key)` whenever `key` is unique: boundary
+  * values only steer bucket ASSIGNMENT — offsets are recomputed from the
+  * actual per-bucket counts, so approximate (even skewed) boundaries
+  * change load balance, never rank values.
   */
 object Keys {
 
@@ -58,8 +63,14 @@ object Keys {
       if (buckets <= 1) Seq.empty
       else {
         val probs = (1 until buckets).map(i => i.toDouble / buckets)
+        // approx_percentile keeps O(1/accuracy) sketch state per partition
+        // instead of exact percentile's value→count map over EVERY distinct
+        // key (OOM on a 10B-row unique-key table — the exact operator's
+        // state is the table). 10k accuracy → ±0.01% bucket-size error,
+        // irrelevant for load balance.
         val row = df
-          .agg(expr(s"percentile($keyCol, array(${probs.mkString(",")}))"))
+          .agg(expr(s"approx_percentile(CAST($keyCol AS DOUBLE), " +
+            s"array(${probs.mkString(",")}), 10000)"))
           .head()
         if (row.isNullAt(0)) Seq.empty
         else row.getSeq[Double](0).toSeq

@@ -36,16 +36,18 @@ object CoreQueries extends QueryPack {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  /** Revenue top-10 customers: 3-way join (two broadcastable dims) +
-    * hash agg + deterministic top-k. customer and orders are small
-    * relative to lineitem at every SF, so Catalyst/AQE broadcasts them —
-    * lineitem never shuffles. */
+  /** Revenue top-10 customers: fact⨝fact join + broadcast dim + hash agg
+    * + deterministic top-k. `orders` grows linearly with the fact table
+    * (1/4 of lineitem), so it is NOT broadcast — AQE picks sort-merge or
+    * shuffled-hash on `l_orderkey` and can convert to broadcast at runtime
+    * only when the build side is genuinely under the size threshold.
+    * `customer` is a true dimension and keeps its broadcast hint. */
   def q3TopCustomers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = table(s, dir, "customer")
     val o = table(s, dir, "orders")
     val l = table(s, dir, "lineitem")
-    l.join(broadcast(o), $"l_orderkey" === $"o_orderkey")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
       .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),

@@ -36,11 +36,13 @@ object DedupQueries extends QueryPack {
         shingleSize = 5, blockTokens = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit token-vote hash).
-    * No SQL oracle — xxhash64 is engine-internal; correctness is pinned
-    * by DedupSpec against brute-force hamming. */
+  /** SimHash near-dup pairs (hamming ≤ 3), oracle-checked via the
+    * md5-based 60-bit variant — md5 is engine-portable, so DuckDB can
+    * recompute signatures AND pairs from scratch (all-pairs, so any
+    * blocking bug shows up as a mismatch). The xxhash64 production path
+    * keeps its brute-force-parity pin in DedupSpec. */
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDuplicates(table(s, dir, "documents"), "doc_id", "text")
+    Dedup.simhashMd5NearDuplicates(table(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
   /** End-to-end corpus dedup: LSH pairs → greedy removal (id_b drops,
@@ -91,6 +93,15 @@ object DedupQueries extends QueryPack {
   private val bucketSql =
     "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
 
+  // md5-SimHash oracle: 60 per-bit ±1 vote sums, then bit assembly —
+  // generated, not hand-written, so Spark and DuckDB share the construction
+  private val simhashVoteCols = (0 until 60).map(b =>
+    s"CAST(SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+    .mkString(", ")
+  private val simhashAssemble = (0 until 60).map(b =>
+    s"CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
     "sample_docs" -> s"""
       SELECT doc_id, source FROM documents
@@ -115,6 +126,19 @@ object DedupQueries extends QueryPack {
       FROM sets a JOIN sets b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+      ORDER BY id_a, id_b""",
+    "d3_simhash" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      h AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv
+        FROM toks),
+      votes AS (SELECT doc_id, $simhashVoteCols FROM h GROUP BY doc_id),
+      sim AS (SELECT doc_id, $simhashAssemble AS s FROM votes)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3
       ORDER BY id_a, id_b""",
     "d4_blocked_jaccard" -> s"""
       WITH sets AS (

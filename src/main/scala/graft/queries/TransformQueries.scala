@@ -192,8 +192,8 @@ object TransformQueries extends QueryPack {
              date_diff('second', MAX(ts), TIMESTAMP '2024-02-01 00:00:00') <= 7200 AS passed
       FROM events""",
     "qa3_custom_scalar" -> """
-      SELECT SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS negative_amounts,
-             SUM(CASE WHEN o_orderdate > TIMESTAMP '1998-08-01 00:00:00' THEN 1 ELSE 0 END) AS future_orders
+      SELECT CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_amounts,
+             CAST(SUM(CASE WHEN o_orderdate > TIMESTAMP '1998-08-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS future_orders
       FROM orders""",
     "qa4_grouped_having" -> """
       SELECT user_id, event_type, COUNT(*) AS n

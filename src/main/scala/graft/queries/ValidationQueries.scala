@@ -117,42 +117,46 @@ object ValidationQueries extends QueryPack {
     "v_rowlevel_events" -> (vRowlevelEvents _))
 
   val oracles: Map[String, String] = Map(
+    // NOTE: DuckDB returns SUM over integers as HUGEINT (int128), which the
+    // driver's pandas bridge renders as float64 while Spark emits int64 —
+    // equal values, different hash. CAST every integer sum/difference to
+    // BIGINT so both engines agree on representation.
     "v_constraints_orders" -> """
       SELECT COUNT(*) AS row_count,
-        SUM(CASE WHEN o_orderkey IS NOT NULL AND TRY_CAST(o_orderkey AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS type_violations__o_orderkey,
-        SUM(CASE WHEN o_custkey IS NOT NULL AND TRY_CAST(o_custkey AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS type_violations__o_custkey,
-        SUM(CASE WHEN o_totalprice IS NOT NULL AND TRY_CAST(o_totalprice AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS type_violations__o_totalprice,
-        SUM(CASE WHEN o_orderdate IS NOT NULL AND TRY_CAST(o_orderdate AS TIMESTAMP) IS NULL THEN 1 ELSE 0 END) AS type_violations__o_orderdate,
-        SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_violations__o_orderkey,
-        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_violations__o_custkey,
-        SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_violations__o_totalprice,
-        COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS duplicate_values__o_orderkey,
-        COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_duplicates
+        CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND TRY_CAST(o_orderkey AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS type_violations__o_orderkey,
+        CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND TRY_CAST(o_custkey AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS type_violations__o_custkey,
+        CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND TRY_CAST(o_totalprice AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS type_violations__o_totalprice,
+        CAST(SUM(CASE WHEN o_orderdate IS NOT NULL AND TRY_CAST(o_orderdate AS TIMESTAMP) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS type_violations__o_orderdate,
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_violations__o_orderkey,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_violations__o_custkey,
+        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_violations__o_totalprice,
+        CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS duplicate_values__o_orderkey,
+        CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS pk_duplicates
       FROM orders""",
     "v_rules_events" -> """
       SELECT COUNT(*) AS row_count,
-        SUM(CASE WHEN props IS NOT NULL AND NOT json_valid(props) THEN 1 ELSE 0 END) AS type_violations__props,
-        SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_violations__event_id,
-        SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_violations__ts,
-        SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_violations__user_id,
-        SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS not_null__value,
-        SUM(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 150.0) THEN 1 ELSE 0 END) AS range__value,
-        SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS allowed_values__event_type,
-        SUM(CASE WHEN ts IS NOT NULL AND (hour(ts) < 9 OR hour(ts) >= 17) THEN 1 ELSE 0 END) AS business_hours__ts,
-        SUM(CASE WHEN ts IS NOT NULL AND ts > TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS future_date__ts,
-        SUM(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS pattern__event_type,
-        SUM(CASE WHEN event_type IS NOT NULL AND (length(CAST(event_type AS VARCHAR)) < 4 OR length(CAST(event_type AS VARCHAR)) > 8) THEN 1 ELSE 0 END) AS length__event_type
+        CAST(SUM(CASE WHEN props IS NOT NULL AND NOT json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS type_violations__props,
+        CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_violations__event_id,
+        CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_violations__ts,
+        CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_violations__user_id,
+        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null__value,
+        CAST(SUM(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 150.0) THEN 1 ELSE 0 END) AS BIGINT) AS range__value,
+        CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('view','click','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS allowed_values__event_type,
+        CAST(SUM(CASE WHEN ts IS NOT NULL AND (hour(ts) < 9 OR hour(ts) >= 17) THEN 1 ELSE 0 END) AS BIGINT) AS business_hours__ts,
+        CAST(SUM(CASE WHEN ts IS NOT NULL AND ts > TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS future_date__ts,
+        CAST(SUM(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS pattern__event_type,
+        CAST(SUM(CASE WHEN event_type IS NOT NULL AND (length(CAST(event_type AS VARCHAR)) < 4 OR length(CAST(event_type AS VARCHAR)) > 8) THEN 1 ELSE 0 END) AS BIGINT) AS length__event_type
       FROM events""",
     "v_profile_lineitem" -> s"""
       SELECT COUNT(*) AS row_count,
-        COUNT(*) - COUNT(l_quantity) AS null_count__l_quantity,
+        CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS null_count__l_quantity,
         COUNT(DISTINCT l_quantity) AS distinct_count__l_quantity,
         ${decAvgSql("l_quantity")} AS mean__l_quantity,
         quantile_cont(l_quantity, 0.5) AS median__l_quantity,
         CAST(MIN(l_quantity) AS DOUBLE) AS min__l_quantity,
         CAST(MAX(l_quantity) AS DOUBLE) AS max__l_quantity,
-        SUM(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END) AS zero_count__l_quantity,
-        SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS negative_count__l_quantity,
+        CAST(SUM(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count__l_quantity,
+        CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_count__l_quantity,
         ${decAvgSql("l_extendedprice")} AS mean__l_extendedprice,
         CAST(MIN(l_extendedprice) AS DOUBLE) AS min__l_extendedprice,
         CAST(MAX(l_extendedprice) AS DOUBLE) AS max__l_extendedprice,
@@ -160,15 +164,15 @@ object ValidationQueries extends QueryPack {
         ${decAvgSql("length(l_returnflag)")} AS avg_length__l_returnflag,
         CAST(MIN(length(l_returnflag)) AS BIGINT) AS min_length__l_returnflag,
         CAST(MAX(length(l_returnflag)) AS BIGINT) AS max_length__l_returnflag,
-        SUM(CASE WHEN l_returnflag = '' THEN 1 ELSE 0 END) AS empty_count__l_returnflag
+        CAST(SUM(CASE WHEN l_returnflag = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_count__l_returnflag
       FROM lineitem""",
     "v_rowlevel_events" -> """
       SELECT COUNT(*) AS row_count,
-        SUM(CASE WHEN event_id IS NULL AND ts IS NULL AND user_id IS NULL
+        CAST(SUM(CASE WHEN event_id IS NULL AND ts IS NULL AND user_id IS NULL
              AND event_type IS NULL AND value IS NULL AND props IS NULL
-             THEN 1 ELSE 0 END) AS all_null_rows,
-        SUM(CASE WHEN value = 'infinity'::DOUBLE OR value = '-infinity'::DOUBLE THEN 1 ELSE 0 END) AS infinite_values,
+             THEN 1 ELSE 0 END) AS BIGINT) AS all_null_rows,
+        CAST(SUM(CASE WHEN value = 'infinity'::DOUBLE OR value = '-infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS infinite_values,
         CAST(COUNT(*) - COUNT(value) AS DOUBLE) / COUNT(*) AS null_pct__value,
-        (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM events)) AS duplicate_rows
+        CAST((SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM events)) AS BIGINT) AS duplicate_rows
       FROM events""")
 }

@@ -24,6 +24,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "fixture should contain simhash near-dups")
   }
 
+  test("md5-simhash blocked pairs == brute-force hamming pairs") {
+    val blocked = Dedup.simhashMd5NearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashMd5Signatures(docs, "doc_id", "text")
+      .select(col("__id").as("doc_id"), col("__sim").as("s"))
+    val brute = sh.as("l").join(sh.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .filter(bit_count(col("l.s").bitwiseXOR(col("r.s"))) <= 3)
+      .select(col("l.doc_id"), col("r.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute, s"blocked ${blocked.size} vs brute ${brute.size}")
+    // 60-bit signatures: every bit above 59 must be zero
+    val bad = sh.filter(shiftright(col("s"), 60) =!= 0L).count()
+    assert(bad == 0L)
+  }
+
   test("minhash-LSH near-dups == exhaustive jaccard >= 0.8 (recall check)") {
     val viaLsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

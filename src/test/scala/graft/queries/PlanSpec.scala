@@ -31,9 +31,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"), plan)
   }
 
-  test("q3/q5: dimension joins broadcast; fact side never shuffles for the join") {
-    val p3 = formatted(CoreQueries.q3TopCustomers(spark, sf))
-    assert(p3.contains("BroadcastHashJoin"), p3)
+  test("q3: orders (fact-sized) is never hint-broadcast; customer (dim) is") {
+    // With auto-broadcast disabled, only an explicit hint could force a
+    // BroadcastHashJoin. Exactly ONE must survive — the customer dim hint.
+    // A second one would mean the linearly-growing `orders` side is being
+    // force-broadcast past AQE's size check (OOM at 100 TB).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p3 = formatted(CoreQueries.q3TopCustomers(spark, sf))
+      val bhj = "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p3).size
+      assert(bhj == 1, s"expected exactly 1 hinted broadcast (customer), got $bhj\n$p3")
+      assert(p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin"), p3)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q5: dimension joins broadcast; fact side never shuffles for the join") {
     val p5 = formatted(CoreQueries.q5RegionRevenue(spark, sf))
     // all three dims broadcast (formatted explain lists each node twice:
     // tree + detail section — count detail headers)
