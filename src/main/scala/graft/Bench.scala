@@ -33,6 +33,32 @@ object Bench {
             .orderBy(col("n_nationkey"))))
         .groupBy(col("r_name")).agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
+      // the as-of join's union + carry-forward-window shape compiles
+      // different codegen classes (unionByName with null padding,
+      // last(_, ignoreNulls) over a running-row frame); without warming
+      // it, the alphabetically-first bench query (asof_last_order) pays
+      // ~2 s of codegen that belongs to no query
+      val a = n.select(col("n_nationkey").as("k"),
+        col("n_regionkey").cast("long").as("__ts"), lit(0).as("__side"),
+        col("n_name").as("v"))
+      val b = n.select(col("n_nationkey").as("k"),
+        col("n_regionkey").cast("long").as("__ts"), lit(1).as("__side"),
+        lit(null).cast("string").as("v"))
+      val uw = Window.partitionBy(col("k")).orderBy(col("__ts"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.unionByName(b)
+        .withColumn("cf",
+          last(when(col("__side") === 0, col("v")), ignoreNulls = true).over(uw))
+        .filter(col("__side") === 1)
+        .write.format("noop").mode("overwrite").save()
+      // prime every input table once (parquet footers + OS page cache):
+      // the benchmark measures query execution, not whichever query
+      // happens to be the first cold reader of each file
+      Seq("lineitem", "orders", "customer", "supplier", "part",
+          "events", "documents", "embeddings").foreach { t =>
+        graft.queries.table(spark, sfDir, t)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

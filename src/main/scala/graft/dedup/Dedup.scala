@@ -91,20 +91,50 @@ object Dedup {
 
   /** LSH candidate pairs from banded signatures: docs sharing any band
     * collide; pairs are deduped. `bands` must divide the signature
-    * length `k`. Returns (idA, idB) with idA < idB. */
+    * length `k`. Returns (idA, idB) with idA < idB.
+    *
+    * `maxBandGroup` guards the hot-band quadratic blowup: a corpus with
+    * thousands of byte-identical docs puts them all in the same
+    * (band, hash) bucket, and the self-join emits O(n²) pairs per
+    * bucket. Groups larger than the cap switch to a STAR topology —
+    * every member pairs with the group's minimum id only, O(n) pairs.
+    * For near-dup REMOVAL the star loses nothing (each member still
+    * verifies against the representative and drops as an `id_b`); for
+    * exhaustive pair ENUMERATION keep the cap at 0 (off, the default,
+    * and what the exact-oracle queries use). Running [[exactByContent]]
+    * first shrinks such groups to 1 and is the recommended 100 TB
+    * pipeline order regardless. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int,
-      k: Int = 64): DataFrame = {
+      k: Int = 64, maxBandGroup: Int = 0): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide signature length $k")
     val rows = k / bands
     val banded = sigs.select(col(idCol).as("__id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))): _*))
         .as(Seq("__band", "__bh")))
-    banded.as("l").join(banded.as("r"),
-        col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh") &&
-        col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .distinct()
+    val allPairs = (l: DataFrame, r: DataFrame) =>
+      l.as("l").join(r.as("r"),
+          col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh") &&
+          col("l.__id") < col("r.__id"))
+        .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+    val pairs =
+      if (maxBandGroup <= 0) allPairs(banded, banded)
+      else {
+        // one window pass sizes each (band, hash) group — same shuffle
+        // key as the join, so no extra exchange shape
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band"), col("__bh"))
+        val sized = banded
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__rep", min(col("__id")).over(w))
+        val small = sized.filter(col("__n") <= maxBandGroup)
+          .select(col("__id"), col("__band"), col("__bh"))
+        val bigStar = sized.filter(col("__n") > maxBandGroup)
+          .filter(col("__id") =!= col("__rep"))
+          .select(col("__rep").as("id_a"), col("__id").as("id_b"))
+        allPairs(small, small).unionByName(bigStar)
+      }
+    pairs.distinct()
   }
 
   /** Verify candidate pairs with exact shingle Jaccard; keeps pairs at or

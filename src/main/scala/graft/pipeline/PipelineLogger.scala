@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.slf4j.LoggerFactory
+
+/** O13: structured JSON logging with pipeline context.
+  *
+  * The reference's `JSONFormatter` + `PipelineLogger`
+  * (`src/utils/logging.py:15-95`) emit one JSON object per log line with
+  * a sticky context (source/table/run id) merged into every entry. This
+  * is that surface on the JVM: entries are rendered to a single JSON
+  * line HERE (so the output is structured regardless of the installed
+  * log4j2 layout) and emitted through slf4j → Spark's log4j2 backend.
+  *
+  * For whole-process JSON logs (Spark's own loggers included), launch
+  * with `-Dlog4j2.configurationFile=graft-log4j2.properties` — the
+  * bundled config renders everything through log4j's JsonTemplateLayout.
+  *
+  * `sink` is injectable for tests (and for routing to a metrics bus);
+  * production default is the slf4j logger at the entry's level.
+  */
+class PipelineLogger(name: String, sink: Option[String => Unit] = None) {
+
+  private val underlying = LoggerFactory.getLogger(name)
+  @volatile private var context: Map[String, String] = Map.empty
+
+  /** Sticky context merged into every subsequent entry
+    * (`logging.py:58-61`: e.g. source_id, table_name, run_id). */
+  def setContext(kv: (String, String)*): Unit =
+    synchronized { context = context ++ kv }
+
+  def clearContext(): Unit = synchronized { context = Map.empty }
+
+  // JSON string escape: quote, backslash, and all control chars
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Render one entry: fixed fields first (`logging.py:24-32`), then
+    * sticky context, then per-call extras (extras win on key clash). */
+  private[pipeline] def entry(level: String, message: String,
+      extra: Seq[(String, String)]): String = {
+    val fields =
+      Seq(
+        "timestamp" -> java.time.Instant.now().toString,
+        "level" -> level,
+        "logger" -> name,
+        "message" -> message) ++
+        (context ++ extra.toMap).toSeq.sortBy(_._1)
+    fields.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+  }
+
+  private def emit(level: String, message: String,
+      extra: Seq[(String, String)], out: String => Unit): Unit = {
+    val line = entry(level, message, extra)
+    sink.getOrElse(out)(line)
+  }
+
+  def debug(message: String, extra: (String, String)*): Unit =
+    emit("DEBUG", message, extra, underlying.debug(_))
+  def info(message: String, extra: (String, String)*): Unit =
+    emit("INFO", message, extra, underlying.info(_))
+  def warn(message: String, extra: (String, String)*): Unit =
+    emit("WARN", message, extra, underlying.warn(_))
+  def error(message: String, extra: (String, String)*): Unit =
+    emit("ERROR", message, extra, underlying.error(_))
+
+  /** Exception entry with class + message + top frame, the reference's
+    * `exception` field (`logging.py:34-36`). */
+  def error(message: String, t: Throwable, extra: (String, String)*): Unit = {
+    val top = t.getStackTrace.headOption.map(_.toString).getOrElse("")
+    error(message,
+      (extra :+ ("exception" ->
+        s"${t.getClass.getName}: ${Option(t.getMessage).getOrElse("")} at $top")): _*)
+  }
+}

@@ -38,6 +38,11 @@ class PipelineRunner(
 
   private val built = scala.collection.mutable.Map.empty[String, DataFrame]
 
+  /** O13 structured logging: every task emits one JSON line with the
+    * pipeline context (reference `logging.py:50-95`). `var` so tests
+    * (or hosts) can inject a sink. */
+  private[pipeline] var log = new PipelineLogger("graft.pipeline.runner")
+
   /** Execute every task of the spec in topological levels with
     * trigger-rule gating; returns per-task results. Failed model tests /
     * target validations follow Q6 routing: `fail_on_validation_error`
@@ -48,11 +53,18 @@ class PipelineRunner(
     val errors = graph.validate
     require(errors.isEmpty, s"invalid pipeline config: ${errors.mkString("; ")}")
 
+    log.setContext("pipeline" -> spec.name)
     var ctx = Map.empty[String, TaskResult]
     graph.executionLevels.foreach { level =>
       level.foreach { id =>
-        ctx += id -> (if (graph.canExecute(id, ctx)) executeWithRetries(spec, id)
-                      else TaskResult(id, TaskStatus.Skipped))
+        val r = if (graph.canExecute(id, ctx)) executeWithRetries(spec, id)
+                else TaskResult(id, TaskStatus.Skipped)
+        val extras = Seq("task_id" -> id, "status" -> r.status,
+          "duration_sec" -> f"${r.durationSeconds}%.3f") ++
+          r.error.map("error" -> _)
+        if (r.status == TaskStatus.Failed) log.error(s"task $id failed", extras: _*)
+        else log.info(s"task $id ${r.status}", extras: _*)
+        ctx += id -> r
       }
     }
     ctx
@@ -74,12 +86,13 @@ class PipelineRunner(
           .map(t => (t.retries, t.retryDelayMinutes)).getOrElse((0, 0))
       case _ => (0, 0)
     }
-    // data-fact failures (model tests / target validations) are
-    // deterministic — rerunning cannot change them; only execution
-    // exceptions retry
+    // data-fact failures (model tests / target validations / quality
+    // gates) are deterministic — rerunning cannot change them; only
+    // execution exceptions retry (quality-gate breach = the reference's
+    // NonRetryableError, extractors.py:111-117)
     def retryable(r: TaskResult): Boolean =
       r.status == TaskStatus.Failed &&
-        !r.error.exists(_.startsWith("tests:"))
+        !r.error.exists(e => e.startsWith("tests:") || e.startsWith("quality:"))
     var attempt = 0
     var result = execute(spec, id)
     while (retryable(result) && attempt < retries) {
@@ -100,7 +113,29 @@ class PipelineRunner(
           val df = sources(sid)(spark)
           built(sid) = df
           df.createOrReplaceTempView(sid)
-          done(TaskStatus.Success)
+          // ingest-time quality gate (reference validators.py:80-84 gates
+          // extraction via extractors.py:111-117): one fused validation
+          // job over the source's declared rules, thresholds on the counts
+          val srcSpec = spec.sources.find(_.sourceId == sid)
+          srcSpec.flatMap(_.qualityThresholds) match {
+            case Some(t) =>
+              val vr = srcSpec.get.validationRules
+              val schema = graft.core.TableSchema(
+                table = sid,
+                columns = Seq.empty,
+                requiredColumns = vr.getOrElse("required_columns",
+                  vr.getOrElse("not_null", Seq.empty)),
+                uniqueColumns = vr.getOrElse("unique", Seq.empty))
+              val (_, breaches) =
+                graft.validation.QualityGate.evaluate(df, schema, Seq.empty, t)
+              if (breaches.nonEmpty && t.failOnBreach)
+                done(TaskStatus.Failed, Some("quality: " + breaches.mkString("; ")))
+              else done(TaskStatus.Success,
+                if (breaches.nonEmpty)
+                  Some("WARN quality: " + breaches.mkString("; "))
+                else None)
+            case None => done(TaskStatus.Success)
+          }
         case Array("transform", name) =>
           val t = spec.transformations.find(_.modelName == name)
             .getOrElse(throw new NoSuchElementException(s"model $name"))

@@ -19,7 +19,9 @@ case class SourceSpec(
     changeDetection: Map[String, String],
     validationRules: Map[String, Seq[String]],
     retries: Int,
-    retryDelayMinutes: Int)
+    retryDelayMinutes: Int,
+    // ingest-time quality gate (reference validators.py:80-84); None ⇒ no gate
+    qualityThresholds: Option[graft.validation.QualityThresholds] = None)
 
 case class ModelTest(kind: String, columns: Seq[String],
     relatedModel: Option[String] = None, field: Option[String] = None)
@@ -102,7 +104,19 @@ object PipelineSpec {
             .map(e => e.getKey -> strSeq(e.getValue)).toMap,
         retries = if (s.hasNonNull("retries")) s.get("retries").asInt else 3,
         retryDelayMinutes =
-          if (s.hasNonNull("retry_delay_minutes")) s.get("retry_delay_minutes").asInt else 5)
+          if (s.hasNonNull("retry_delay_minutes")) s.get("retry_delay_minutes").asInt else 5,
+        qualityThresholds =
+          if (!s.hasNonNull("quality_thresholds")) None
+          else {
+            val q = s.get("quality_thresholds")
+            def dbl(field: String, default: Double): Double =
+              if (q.hasNonNull(field)) q.get(field).asDouble else default
+            Some(graft.validation.QualityThresholds(
+              minQualityScore = dbl("min_data_quality_score", 0.8),
+              maxErrorPct = dbl("max_error_percentage", 0.05),
+              maxNullPct = dbl("max_null_percentage", 0.1),
+              failOnBreach = str(q, "enforcement", "fail") != "warn"))
+          })
     }
 
     val transformations = elems(root, "transformations").map { t =>

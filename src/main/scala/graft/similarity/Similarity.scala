@@ -111,18 +111,36 @@ object Similarity {
     * `cluster` column usable as the bucket for [[bucketedTopK]]. This is
     * the "build the index ourselves" path when no natural partition key
     * exists; nProbe>1 style multi-cell search comes from unioning the
-    * query's closest cells. Training samples the corpus (KMeans is
-    * iterative); assignment is one distributed pass. */
+    * query's closest cells.
+    *
+    * `maxTrainRows` bounds the ITERATIVE part: KMeans makes `maxIter`
+    * passes over its training input, so fitting on a 100 TB corpus pays
+    * 20 full scans. With Some(n), centroids are fit on a deterministic
+    * hash-sample of ~n rows (id-hash bucketing — same subset on any
+    * cluster layout) and only the single ASSIGNMENT pass touches every
+    * row. Centroid quality needs a representative sample, not the
+    * corpus: n in the 10⁵–10⁶ range is standard IVF practice. None fits
+    * on the full input (exact-reproducibility path used by the oracle
+    * queries at test scale). */
   def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, seed: Long = 42L): DataFrame = {
+      k: Int, seed: Long = 42L,
+      maxTrainRows: Option[Long] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featurized = df.withColumn("__features",
       array_to_vector(col(vecCol).cast(ArrayType(DoubleType))))
+    val train = maxTrainRows match {
+      case Some(n) =>
+        val total = featurized.count()
+        if (total <= n) featurized
+        else graft.operators.Sampling.deterministicSample(
+          featurized, idCol, n.toDouble / total)
+      case None => featurized
+    }
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("__features").setPredictionCol("cluster")
-    model.fit(featurized).transform(featurized)
+    model.fit(train).transform(featurized)
       .drop("__features")
   }
 

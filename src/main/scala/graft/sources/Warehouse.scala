@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** S8: warehouse DDL management over the session catalog — the loader
+  * ABC's `table_exists` / `create_table` surface
+  * (reference `src/interfaces/base.py:114-130`) that the merge sinks in
+  * [[graft.streaming.Streams]] sit on top of.
+  *
+  * Tables are EXTERNAL parquet tables: the catalog holds schema +
+  * location + partition spec, the data directory stays the single source
+  * of truth (so the same paths the sinks write remain readable by any
+  * engine). All operations here are catalog metadata — no data jobs. */
+object Warehouse {
+
+  /** `table_exists` (`base.py:127-130`). */
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+
+  /** `create_table` (`base.py:114-125`): external parquet table at
+    * `location` with an explicit schema; `partitionBy` columns become the
+    * table's partition spec (the 100 TB layout lever — partition pruning
+    * needs the spec declared, not inferred). No-op if it exists. */
+  def createTable(spark: SparkSession, table: String, location: String,
+      schema: StructType, partitionBy: Seq[String] = Seq.empty): Unit = {
+    val partClause =
+      if (partitionBy.isEmpty) ""
+      else partitionBy.mkString(" PARTITIONED BY (", ", ", ")")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table (${schema.toDDL})
+         |USING PARQUET$partClause
+         |LOCATION '$location'""".stripMargin)
+    if (partitionBy.nonEmpty)
+      // register partitions already present at the location
+      spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
+  /** Idempotent ensure-then-report: create if missing, return whether a
+    * create happened. */
+  def ensureTable(spark: SparkSession, table: String, location: String,
+      schema: StructType, partitionBy: Seq[String] = Seq.empty): Boolean =
+    if (tableExists(spark, table)) false
+    else { createTable(spark, table, location, schema, partitionBy); true }
+
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.core.LoadResult
 import graft.operators.Merge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQueryListener, Trigger}
@@ -45,28 +46,42 @@ object Streams {
     * Batch sizes here are micro-batches: the base-read + window cost is
     * proportional to base∪delta on the merge keys, one shuffle. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, path: String,
-      keys: Seq[String], versionCol: String): Unit = {
+      keys: Seq[String], versionCol: String): LoadResult = {
+    val t0 = System.nanoTime()
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
     val base =
       if (fs.exists(target)) spark.read.parquet(path)
       else batch.limit(0)
+    // one extra micro-batch-sized count for the LoadResult row tally
+    // (reference base.py:62-69) — batch is cached by the stream runner,
+    // never the 100 TB base table
+    val incoming = batch.count()
     val merged = Merge.latestWins(base, batch, keys, col(versionCol))
     val tmp = new Path(path + "__new")
     merged.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(tmp, target)
+    LoadResult(success = true, rowsLoaded = incoming, tableName = path,
+      durationSeconds = (System.nanoTime() - t0) / 1e9)
   }
 
-  /** writeStream wiring for the merge sink (checkpointed — C1). */
+  /** writeStream wiring for the merge sink (checkpointed — C1). Each
+    * micro-batch's [[graft.core.LoadResult]] is delivered to `onLoad`
+    * (S8 load reporting, reference `base.py:62-69`).
+    *
+    * NOTE: this whole-table form is the SMALL-table sink (dims, control
+    * tables). The documented default for fact-sized tables is
+    * [[partitionedMergeSink]], whose per-batch cost tracks the delta. */
   def mergeSink(stream: DataFrame, path: String, checkpoint: String,
       keys: Seq[String], versionCol: String,
-      trig: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trig)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch.sparkSession, batch, path, keys, versionCol)
+        onLoad(mergeBatch(batch.sparkSession, batch, path, keys, versionCol))
       }
 
   /** Streaming twin of [[graft.operators.Merge.mergeIntoPartitioned]]:
@@ -76,13 +91,18 @@ object Streams {
   def partitionedMergeSink(stream: DataFrame, path: String,
       checkpoint: String, keys: Seq[String], versionCol: String,
       partitionCol: String,
-      trig: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trig)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val t0 = System.nanoTime()
+        val incoming = batch.count()
         graft.operators.Merge.mergeIntoPartitioned(
           batch.sparkSession, path, batch, keys, col(versionCol), partitionCol)
+        onLoad(LoadResult(success = true, rowsLoaded = incoming,
+          tableName = path, durationSeconds = (System.nanoTime() - t0) / 1e9))
       }
 
   /** Validated sink (Q7 at stream time): each micro-batch splits into
@@ -93,15 +113,27 @@ object Streams {
   def validatedSink(stream: DataFrame, targetPath: String,
       quarantinePath: String, checkpoint: String,
       rules: Seq[graft.validation.Rules.Rule],
-      trig: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trig)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val t0 = System.nanoTime()
         val (valid, rejects) =
           graft.validation.Rules.quarantineSplit(batch, rules)
         valid.write.mode("append").parquet(targetPath)
         rejects.write.mode("append").parquet(quarantinePath)
+        // rowsLoaded = THIS batch's rows that reached the target; the
+        // quarantine tally rides in errorMessage so one LoadResult
+        // reports the whole split (both counts are micro-batch-sized)
+        val loaded = valid.count()
+        val rejected = rejects.count()
+        onLoad(LoadResult(success = true, rowsLoaded = loaded,
+          tableName = targetPath,
+          durationSeconds = (System.nanoTime() - t0) / 1e9,
+          errorMessage =
+            if (rejected > 0) Some(s"quarantined: $rejected") else None))
       }
 
   /** E6: per-query input-row metrics via a listener (the reference's

@@ -93,17 +93,27 @@ object Validator {
   /** P1–P5 profile aggregates for one column, all null-safe.
     * Numeric stats for numeric columns, length stats for strings —
     * mirrors `validators.py:356-390` but fused across ALL columns into one
-    * aggregation (the reference iterates column-by-column in pandas). */
-  def profileAggs(df: DataFrame, c: String): Seq[Column] = {
+    * aggregation (the reference iterates column-by-column in pandas).
+    *
+    * `approx=false` (exact) is for oracle-compared runs and
+    * small/medium tables: exact `percentile` state is a value→count map
+    * of every distinct value and exact `countDistinct` triggers the
+    * Expand rewrite — both scale with cardinality, not with the sketch.
+    * At 100 TB profile with `approx=true`: HLL distinct counts and
+    * KLL-sketch medians, constant state per partition. */
+  def profileAggs(df: DataFrame, c: String, approx: Boolean = false): Seq[Column] = {
     val dt = df.schema(c).dataType
     val x = col(c)
     val base = Seq(
       (count(lit(1)) - count(x)).as(s"null_count__$c"),
-      countDistinct(x).as(s"distinct_count__$c"))
+      (if (approx) approx_count_distinct(x) else countDistinct(x))
+        .as(s"distinct_count__$c"))
     val numeric = dt match {
       case _: NumericType => Seq(
           avg(x).as(s"mean__$c"),
-          expr(s"percentile($c, 0.5)").as(s"median__$c"),
+          (if (approx)
+             expr(s"approx_percentile(CAST($c AS DOUBLE), 0.5, 10000)")
+           else expr(s"percentile($c, 0.5)")).as(s"median__$c"),
           stddev(x).as(s"std__$c"),
           min(x).cast(DoubleType).as(s"min__$c"),
           max(x).cast(DoubleType).as(s"max__$c"),
@@ -120,8 +130,10 @@ object Validator {
   }
 
   /** One-row DataFrame profiling every requested column in a single pass. */
-  def profileFrame(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("row_count") +: cols.flatMap(profileAggs(df, _))
+  def profileFrame(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    val aggs = count(lit(1)).as("row_count") +:
+      cols.flatMap(profileAggs(df, _, approx))
     df.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -194,8 +206,9 @@ object Validator {
   }
 
   /** Materialize ColumnProfile case classes from the fused profile job. */
-  def collectProfiles(df: DataFrame, cols: Seq[String]): Seq[ColumnProfile] = {
-    val row = profileFrame(df, cols).collect()(0)
+  def collectProfiles(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false): Seq[ColumnProfile] = {
+    val row = profileFrame(df, cols, approx).collect()(0)
     val n = row.getAs[Long]("row_count").toDouble
     def opt[T](f: String): Option[T] = {
       val names = row.schema.fieldNames

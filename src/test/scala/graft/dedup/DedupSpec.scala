@@ -39,6 +39,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0L)
   }
 
+  test("LSH hot-band cap: mass duplicates emit star pairs, not O(n²)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 60 byte-identical docs (+ a handful of distinct ones) — every band
+    // of the 60 collides, the uncapped join would emit C(60,2)=1770 pairs
+    val clone = "the same exact document body repeated many times over and over again"
+    val docs = ((1L to 60L).map(i => (i, clone)) ++
+      (61L to 70L).map(i => (i, s"unique text number $i with its own words and trailing padding tokens")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val uncapped = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 16)
+    assert(uncapped.count() == 1770L + uncapped.filter($"id_a" > 60).count())
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 16,
+      maxBandGroup = 10)
+    val cappedClone = capped.filter($"id_b" <= 60)
+    // star topology: representative (min id = 1) to each other member
+    assert(cappedClone.count() == 59L)
+    assert(cappedClone.filter($"id_a" === 1L).count() == 59L)
+    // removal semantics survive the cap: one survivor of the clique
+    val verified = Dedup.verifyJaccard(docs, capped, "doc_id", "text",
+      shingleSize = 5, threshold = 0.8)
+    val kept = Dedup.removeNearDuplicates(docs, verified, "doc_id")
+      .filter($"doc_id" <= 60).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("minhash-LSH near-dups == exhaustive jaccard >= 0.8 (recall check)") {
     val viaLsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

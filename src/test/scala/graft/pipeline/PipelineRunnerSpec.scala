@@ -199,4 +199,72 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
     val results = runner.run(PipelineSpec.fromYaml(failYaml))
     assert(results("validate_fact_orders").status == TaskStatus.Failed)
   }
+
+  // ---- ingest-time quality gate (reference validators.py:80-84) ----
+
+  private def gateYaml(thresholds: String,
+      required: String = "o_orderkey"): String =
+    s"""name: gated
+       |sources:
+       |  - source_id: gated_src
+       |    source_type: file
+       |    retries: 2
+       |    validation_rules:
+       |      required_columns: [$required]
+       |      unique: [$required]
+       |    quality_thresholds:
+       |$thresholds
+       |""".stripMargin
+
+  private def gateRunner(table: String, onIngest: () => Unit = () => ()) = {
+    val r = new PipelineRunner(
+      spark,
+      sources = Map("gated_src" -> (s => {
+        onIngest(); graft.queries.table(s, sf, table) })),
+      models = Map.empty,
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    r.sleeper = _ => () // retries must never wall-clock-sleep in tests
+    r
+  }
+
+  test("quality gate passes on clean data (defaults)") {
+    val spec = PipelineSpec.fromYaml(gateYaml(
+      "      min_data_quality_score: 0.8\n"))
+    val r = gateRunner("orders").run(spec)("ingest_gated_src")
+    assert(r.status == TaskStatus.Success && r.error.isEmpty, r.error)
+  }
+
+  test("quality gate breach fails the ingest task and does not retry") {
+    var calls = 0
+    val spec = PipelineSpec.fromYaml(gateYaml(
+      "      min_data_quality_score: 1.01\n")) // unreachable: score ≤ 1.0
+    val r = gateRunner("orders", () => calls += 1).run(spec)("ingest_gated_src")
+    assert(r.status == TaskStatus.Failed)
+    assert(r.error.exists(e => e.startsWith("quality:") && e.contains("quality_score")))
+    assert(calls == 1, s"quality breach is a data fact, must not retry (got $calls)")
+  }
+
+  test("quality gate breach with enforcement=warn succeeds with warning") {
+    val spec = PipelineSpec.fromYaml(gateYaml(
+      "      min_data_quality_score: 1.01\n      enforcement: warn\n"))
+    val r = gateRunner("orders").run(spec)("ingest_gated_src")
+    assert(r.status == TaskStatus.Success)
+    assert(r.error.exists(_.startsWith("WARN quality:")))
+  }
+
+  test("quality gate null-percentage threshold catches nullable column") {
+    // 20% planted nulls breach the default max_null_percentage of 0.1
+    val spec = PipelineSpec.fromYaml(gateYaml(
+      "      max_null_percentage: 0.1\n", required = "value"))
+    val r = new PipelineRunner(
+      spark,
+      sources = Map("gated_src" -> (s => s.range(100)
+        .selectExpr("id", "CASE WHEN id % 5 = 0 THEN NULL ELSE id END AS value"))),
+      models = Map.empty,
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    r.sleeper = _ => ()
+    val res = r.run(spec)("ingest_gated_src")
+    assert(res.status == TaskStatus.Failed)
+    assert(res.error.exists(e => e.contains("null_pct(value)")), res.error)
+  }
 }

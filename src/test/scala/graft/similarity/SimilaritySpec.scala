@@ -67,4 +67,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ivf.nonEmpty && hits.toDouble / brute.size >= 0.5,
       s"recall@1 = $hits/${brute.size}")
   }
+
+  test("kmeans with bounded training sample still assigns every row") {
+    val total = emb.count()
+    val sampled = Similarity.kmeansClusters(emb, "vec_id", "embedding",
+      k = 4, seed = 42L, maxTrainRows = Some(total / 4))
+    // assignment covers the FULL corpus even though fit saw a sample
+    assert(sampled.count() == total)
+    assert(sampled.filter(col("cluster").isNull).count() == 0)
+    assert(sampled.select("cluster").distinct().count() >= 2)
+    // deterministic: the hash-sample (and so the centroids) are stable
+    val again = Similarity.kmeansClusters(emb, "vec_id", "embedding",
+      k = 4, seed = 42L, maxTrainRows = Some(total / 4))
+    assert(sampled.select("vec_id", "cluster")
+      .exceptAll(again.select("vec_id", "cluster")).isEmpty)
+  }
 }

@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** S8 DDL surface: catalog-backed external parquet tables. */
+class WarehouseSpec extends AnyFunSuite with SparkSpec {
+
+  test("tableExists / createTable / ensureTable round-trip") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val df = spark.range(10).selectExpr("id", "id % 3 AS grp")
+    df.write.mode("overwrite").parquet(s"$dir/t")
+
+    assert(!Warehouse.tableExists(spark, "wh_t"))
+    Warehouse.createTable(spark, "wh_t", s"$dir/t", df.schema)
+    assert(Warehouse.tableExists(spark, "wh_t"))
+    assert(spark.table("wh_t").count() == 10)
+
+    // idempotent: ensure on an existing table creates nothing
+    assert(!Warehouse.ensureTable(spark, "wh_t", s"$dir/t", df.schema))
+    Warehouse.dropTable(spark, "wh_t")
+    assert(!Warehouse.tableExists(spark, "wh_t"))
+    // data survives the drop (external table)
+    assert(spark.read.parquet(s"$dir/t").count() == 10)
+  }
+
+  test("partitioned table registers existing partitions and prunes") {
+    val dir = Files.createTempDirectory("graft-whp").toString
+    val df = spark.range(100)
+      .selectExpr("id", "CAST(id % 4 AS STRING) AS part")
+    df.write.mode("overwrite").partitionBy("part").parquet(s"$dir/t")
+
+    Warehouse.createTable(spark, "wh_part", s"$dir/t",
+      df.schema, partitionBy = Seq("part"))
+    try {
+      assert(spark.table("wh_part").count() == 100)
+      val pruned = spark.table("wh_part").where("part = '1'")
+      assert(pruned.count() == 25)
+      // partition filter reaches the scan, not a post-filter
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan)
+    } finally Warehouse.dropTable(spark, "wh_part")
+  }
+}

@@ -86,8 +86,10 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
 
     val dir = Files.createTempDirectory("graft-stream").toString
     val input = MemoryStream[Sale]
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
     val q = Streams.mergeSink(input.toDF(), s"$dir/fact", s"$dir/ckpt",
-      Seq("orderId"), "ts", Streams.trigger(1)).start()
+      Seq("orderId"), "ts", Streams.trigger(1),
+      onLoad = r => loads.synchronized { loads += r }).start()
     try {
       input.addData(Sale(1, 10.0, ts("2024-01-01 10:00:00")),
         Sale(2, 20.0, ts("2024-01-01 10:00:00")))
@@ -104,6 +106,11 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         .select("orderId", "amount")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(fact == Set((1L, 99.0), (2L, 20.0), (3L, 30.0)))
+      // S8 LoadResult per micro-batch: 2, 2, 1 rows loaded
+      val nonEmpty = loads.filter(_.rowsLoaded > 0)
+      assert(nonEmpty.map(_.rowsLoaded) == Seq(2L, 2L, 1L), nonEmpty)
+      assert(nonEmpty.forall(r => r.success && r.tableName == s"$dir/fact"))
+      assert(nonEmpty.forall(_.durationSeconds > 0))
     } finally q.stop()
   }
 
@@ -180,8 +187,10 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       Rules.Rule("range", "amount", Severity.Error,
         Rules.range(col("amount"), Some(0.0), Some(100.0))),
       Rules.Rule("not_null", "amount", Severity.Error, col("amount").isNull))
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
     val q = Streams.validatedSink(stream, s"$dir/t", s"$dir/quarantine",
-      s"$dir/ckpt", rules, Streams.trigger(1)).start()
+      s"$dir/ckpt", rules, Streams.trigger(1),
+      onLoad = r => loads.synchronized { loads += r }).start()
     try {
       input.addData((1L, 50.0), (2L, -5.0), (3L, 99.0))
       q.processAllAvailable()
@@ -195,6 +204,11 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         .select("id", "reasons").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(rejects == Map(2L -> "range__amount", 4L -> "range__amount"))
+      // S8 LoadResult per batch: target rows + quarantine tally
+      val nonEmpty = loads.filter(r =>
+        r.rowsLoaded > 0 || r.errorMessage.nonEmpty)
+      assert(nonEmpty.map(_.rowsLoaded) == Seq(2L, 1L), nonEmpty)
+      assert(nonEmpty.forall(_.errorMessage.contains("quarantined: 1")))
     } finally q.stop()
   }
 

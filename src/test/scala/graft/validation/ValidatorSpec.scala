@@ -135,4 +135,27 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
     assert(byCol("age").max.contains(250.0))
     assert(byCol("email").minLength.contains(10L)) // c@test.net
   }
+
+  test("approx profile path: sketch-based distinct/median, exact-free plan") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val exact = Validator.profileFrame(events, Seq("o_totalprice")).head()
+    val approx = Validator
+      .profileFrame(events, Seq("o_totalprice"), approx = true)
+    // the approx plan must contain NO exact-percentile / exact-distinct
+    // aggregates (their state scales with cardinality, the whole point)
+    val plan = approx.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("percentile(") || plan.contains("approx_percentile"), plan)
+    assert(!plan.toLowerCase.contains("count(distinct"), plan)
+    val a = approx.head()
+    def f(r: org.apache.spark.sql.Row, n: String): Double =
+      r.getAs[Any](n) match { case l: Long => l.toDouble; case d: Double => d }
+    // HLL ships with rsd=0.05 → allow 10% (2σ); the percentile sketch at
+    // accuracy 10000 is far tighter
+    assert(math.abs(f(a, "distinct_count__o_totalprice") -
+      f(exact, "distinct_count__o_totalprice")) <=
+      0.10 * f(exact, "distinct_count__o_totalprice"))
+    assert(math.abs(f(a, "median__o_totalprice") -
+      f(exact, "median__o_totalprice")) <=
+      0.02 * math.abs(f(exact, "median__o_totalprice")))
+  }
 }
