@@ -201,12 +201,22 @@ object Dedup {
 
   /** 60-bit SimHash from md5 token hashes (first 15 hex chars → long).
     * Unlike xxhash64, md5 is identical in every engine, so this variant
-    * is end-to-end oracle-checkable in DuckDB. Shape: one explode + one
-    * groupBy(doc) shuffle with 60 partial-aggregated ±1 bit votes —
-    * map-side combine keeps the shuffle at one row per (doc, 60 longs).
-    * The xxhash64 path stays the production default (map-only, no
-    * explode); this is the verification twin. */
+    * is end-to-end oracle-checkable in DuckDB. MAP-ONLY: the native
+    * [[graft.functions.SimHashMd5Expr]] computes all 60 bit votes in one
+    * compiled call per row — no explode, no shuffle. Parity with the
+    * relational formulation is pinned by
+    * [[simhashMd5SignaturesReference]] + DedupSpec. */
   def simhashMd5Signatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      graft.functions.NativeText.simhashMd5(col(textCol)).as("__sim"))
+
+  /** Relational reference formulation of [[simhashMd5Signatures]]
+    * (parity tests; identical construction to the DuckDB oracle SQL):
+    * explode tokens → `conv(substring(md5(t),1,15),16,10)` → 60
+    * partial-aggregated ±1 bit votes → bit assembly. One explode + one
+    * groupBy(doc) shuffle. */
+  def simhashMd5SignaturesReference(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode(TextFunctions.tokens(col(textCol))).as("__t"))

@@ -32,6 +32,9 @@ object GraftExtensions {
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64Expr(args.head)),
+    ("graft_simhash_md5",
+      new ExpressionInfo(classOf[SimHashMd5Expr].getName, "graft_simhash_md5"),
+      (args: Seq[Expression]) => SimHashMd5Expr(args.head)),
     ("graft_shingles",
       new ExpressionInfo(classOf[TokenShinglesExpr].getName, "graft_shingles"),
       (args: Seq[Expression]) =>

@@ -51,6 +51,51 @@ object NativeTextImpl {
     out
   }
 
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5-SimHash over whitespace tokens: per token, the first 15
+    * hex chars of md5 (= 60 bits, parsed big-endian exactly like
+    * `conv(substring(md5(t),1,15),16,10)`), then ±1 votes per bit.
+    * Bit-identical to the explode+aggregate formulation in
+    * [[graft.dedup.Dedup.simhashMd5SignaturesReference]] — pinned by a
+    * parity test — but map-only: no explode, no shuffle, one compiled
+    * call per row. */
+  def simhashMd5(s: UTF8String): Long = {
+    val toks = tokenize(s)
+    val votes = new Array[Int](60)
+    val md = mdLocal.get()
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(
+        toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 0
+      while (i < 15) {
+        val nib =
+          if (i % 2 == 0) (d(i / 2) >> 4) & 0xF else d(i / 2) & 0xF
+        v = (v << 4) | nib
+        i += 1
+      }
+      var b = 0
+      while (b < 60) {
+        if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Distinct n-token shingles in first-occurrence order (space-joined),
     * empty array for docs shorter than n tokens. */
   def shingles(s: UTF8String, n: Int): ArrayData = {
@@ -98,6 +143,26 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** string → long 60-bit md5-SimHash, codegen'd as one static call. */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_simhash_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextImpl.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+    copy(child = newChild)
+}
+
 /** string → array<string> distinct n-token shingles, codegen'd. */
 case class TokenShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -124,6 +189,8 @@ object NativeText {
   /** Column wrappers. */
   def simhash64(text: Column): Column =
     GraftShims.column(SimHash64Expr(GraftShims.expression(text)))
+  def simhashMd5(text: Column): Column =
+    GraftShims.column(SimHashMd5Expr(GraftShims.expression(text)))
   def tokenShingles(text: Column, n: Int): Column =
     GraftShims.column(TokenShinglesExpr(GraftShims.expression(text), n))
 }

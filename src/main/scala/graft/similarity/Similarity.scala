@@ -144,6 +144,145 @@ object Similarity {
       .drop("__features")
   }
 
+  /** Build the full IVF index once: (corpus with `cluster` column,
+    * centroid vectors). One KMeans fit (bounded by `maxTrainRows`, see
+    * [[kmeansClusters]]) + one assignment pass; the centroid list is
+    * k×dim doubles — driver-small by construction. */
+  def kmeansIndex(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      seed: Long = 42L, maxTrainRows: Option[Long] = None)
+      : (DataFrame, Seq[Seq[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featurized = df.withColumn("__features",
+      array_to_vector(col(vecCol).cast(ArrayType(DoubleType))))
+    val train = maxTrainRows match {
+      case Some(n) =>
+        val total = featurized.count()
+        if (total <= n) featurized
+        else graft.operators.Sampling.deterministicSample(
+          featurized, idCol, n.toDouble / total)
+      case None => featurized
+    }
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__features").setPredictionCol("cluster")
+      .fit(train)
+    (model.transform(featurized).drop("__features"),
+      model.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
+
+  /** The `nProbe` nearest centroid ids for a vector, as an array column.
+    * argmin over ||x−c||² = argmin over (||c||² − 2⟨x,c⟩); computed
+    * against the LITERAL centroid list, so this is a projection — meant
+    * for the (small, broadcast) query side of [[kmeansTopKMultiProbe]].
+    */
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= centroids.size)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val dot = aggregate(
+        zip_with(vec, array(c.map(lit): _*),
+          (x, y) => x.cast(DoubleType) * y),
+        lit(0.0d), (acc, v) => acc + v)
+      val cNormSq = c.map(x => x * x).sum
+      struct((lit(cNormSq) - lit(2.0d) * dot).as("d"), lit(i).as("id"))
+    }
+    slice(array_sort(array(scored: _*)), 1, nProbe)
+      .getField("id")
+  }
+
+  /** IVF search with nProbe > 1: each query searches its `nProbe`
+    * closest cells (the standard recall lever — single-probe misses
+    * neighbors that fall just across a Voronoi boundary). The corpus
+    * keeps its one-cell assignment from [[kmeansIndex]]; only the
+    * broadcast-small query side fans out ×nProbe. */
+  def kmeansTopKMultiProbe(clustered: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Double]], k: Int,
+      nProbe: Int): DataFrame = {
+    val c = clustered
+      .select(col(idCol).as("neighbor_id"), col("cluster").as("__bkt"),
+        quantize(col(vecCol)).as("__q"))
+      .withColumn("__nsq", normSqQ(col("__q")))
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("__qq"),
+        explode(nearestCentroids(col(vecCol), centroids, nProbe)).as("__qbkt"))
+      .withColumn("__qnsq", normSqQ(col("__qq")))
+    val candidates = c.join(broadcast(q),
+        col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine",
+        cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
+    topK(candidates, k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: `nPlanes`
+    * vectors of `dim` components in [−1, 1), derived from `seed` via the
+    * splitmix64 mixer — identical on every run/cluster layout, no
+    * training pass at all (the label-free alternative to
+    * [[kmeansClusters]] when no natural bucket key exists and even one
+    * KMeans fit is too much). Uniform components are the standard
+    * cheap stand-in for gaussian ones in sign-LSH. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var s = seed
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next().toDouble / Long.MaxValue.toDouble))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign of ⟨vec, plane_i⟩. A pure
+    * projection (no shuffle); cosine-close vectors collide with
+    * probability (1 − θ/π)^nPlanes. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, array(p.map(lit): _*),
+          (x, y) => x.cast(DoubleType) * y),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot > 0.0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hyperplane-LSH top-k with hamming-1 multiprobe: each query searches
+    * its own bucket plus every bucket one sign-flip away (the flipped
+    * plane is the one most likely responsible for a missed neighbor).
+    * Corpus cost: ONE projection adds the bucket; the join is an
+    * equi-join on bucket id — O(n·(nPlanes+1)/2^nPlanes) candidates per
+    * query instead of O(n). Fully deterministic, index-free. */
+  def hyperplaneTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Long = 42L,
+      probeHamming: Int = 1): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 30, s"nPlanes out of range: $nPlanes")
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("__q"),
+        hyperplaneBucket(col(vecCol), planes).as("__bkt"))
+      .withColumn("__nsq", normSqQ(col("__q")))
+    val probeSet = (own: Column) =>
+      if (probeHamming <= 0) array(own)
+      else array(own +: (0 until nPlanes).map(i =>
+        own.bitwiseXOR(lit(1L << i))): _*)
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("__qq"),
+        hyperplaneBucket(col(vecCol), planes).as("__obkt"))
+      .withColumn("__qnsq", normSqQ(col("__qq")))
+      .withColumn("__qbkt", explode(probeSet(col("__obkt"))))
+      .drop("__obkt")
+    val candidates = c.join(broadcast(q),
+        col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
+      // a pair can match through several probes — dedup BEFORE scoring
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine",
+        cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
+    topK(candidates, k)
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold within a blocking key
     * (label / cluster): the embedding-space analog of
     * [[graft.dedup.Dedup.blockedJaccardPairs]]. */

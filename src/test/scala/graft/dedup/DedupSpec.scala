@@ -24,6 +24,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "fixture should contain simhash near-dups")
   }
 
+  test("native md5-simhash expression == relational reference formulation") {
+    val native = Dedup.simhashMd5Signatures(docs, "doc_id", "text")
+    val reference = Dedup.simhashMd5SignaturesReference(docs, "doc_id", "text")
+    assert(native.exceptAll(reference).isEmpty &&
+      reference.exceptAll(native).isEmpty)
+    assert(native.count() == docs.count())
+  }
+
   test("md5-simhash blocked pairs == brute-force hamming pairs") {
     val blocked = Dedup.simhashMd5NearDuplicates(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -68,6 +68,54 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"recall@1 = $hits/${brute.size}")
   }
 
+  test("hyperplane LSH: deterministic buckets, multiprobe recall is sane") {
+    val planes = Similarity.hyperplanes(nPlanes = 4, dim = 64)
+    assert(planes.size == 4 && planes.forall(_.size == 64))
+    assert(planes == Similarity.hyperplanes(nPlanes = 4, dim = 64))
+
+    val bucketed = emb.select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), planes).as("b"))
+    val range = bucketed.agg(min("b"), max("b")).head()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 16L)
+    assert(bucketed.select("b").distinct().count() >= 4,
+      "degenerate bucketing")
+
+    val q = emb.filter(col("vec_id") < 20)
+    val lsh = Similarity.hyperplaneTopK(emb, q, "vec_id", "embedding",
+        k = 1, nPlanes = 4, dim = 64)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = lsh.count { case (qid, n) => brute.get(qid).contains(n) }
+    // hamming-1 multiprobe on 4 planes: sane recall floor, not perfection
+    assert(lsh.nonEmpty && hits.toDouble / brute.size >= 0.4,
+      s"recall@1 = $hits/${brute.size}")
+    // determinism of the full operator
+    val again = Similarity.hyperplaneTopK(emb, q, "vec_id", "embedding",
+        k = 1, nPlanes = 4, dim = 64)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(lsh == again)
+  }
+
+  test("IVF multiprobe: recall grows with nProbe; full probe == brute force") {
+    val (clustered, centroids) = Similarity.kmeansIndex(
+      emb, "vec_id", "embedding", k = 8, seed = 42L)
+    assert(centroids.size == 8)
+    val q = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    def recall(nProbe: Int): Double = {
+      val res = Similarity.kmeansTopKMultiProbe(clustered, q, "vec_id",
+          "embedding", centroids, k = 1, nProbe = nProbe)
+        .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+      res.count { case (qid, n) => brute.get(qid).contains(n) }.toDouble / brute.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"nProbe=2 recall $r2 < nProbe=1 recall $r1")
+    // probing EVERY cell covers the whole corpus — must equal brute force
+    assert(recall(8) == 1.0)
+  }
+
   test("kmeans with bounded training sample still assigns every row") {
     val total = emb.count()
     val sampled = Similarity.kmeansClusters(emb, "vec_id", "embedding",
