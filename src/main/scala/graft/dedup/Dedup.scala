@@ -138,12 +138,20 @@ object Dedup {
   }
 
   /** Verify candidate pairs with exact shingle Jaccard; keeps pairs at or
-    * above `threshold`. Joins the (small) candidate set back to the
-    * shingle arrays — the corpus is scanned, candidates broadcast. */
+    * above `threshold`. The corpus is first narrowed to docs that appear
+    * in some candidate pair via a broadcast SEMI-join on the (small, by
+    * LSH design) id set — shingle arrays are then computed only for
+    * those rows, not re-materialized for the whole corpus. At 100 TB the
+    * scan still touches every row group once, but the shingling CPU (the
+    * dominant verify cost) shrinks from O(corpus) to O(candidates). */
   def verifyJaccard(df: DataFrame, candidates: DataFrame, idCol: String,
       textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
-    val sets = df.select(col(idCol).as("__vid"),
-      TextFunctions.tokenShingles(col(textCol), shingleSize).as("__set"))
+    val ids = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val sets = df.join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__vid"),
+        TextFunctions.tokenShingles(col(textCol), shingleSize).as("__set"))
     candidates
       .join(sets.withColumnRenamed("__vid", "id_a").withColumnRenamed("__set", "__sa"), "id_a")
       .join(sets.withColumnRenamed("__vid", "id_b").withColumnRenamed("__set", "__sb"), "id_b")

@@ -36,7 +36,8 @@ class PipelineRunner(
     models: Map[String, Map[String, DataFrame] => DataFrame],
     asOf: java.sql.Timestamp) {
 
-  private val built = scala.collection.mutable.Map.empty[String, DataFrame]
+  // concurrent: tasks in the same execution level may build in parallel
+  private val built = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** O13 structured logging: every task emits one JSON line with the
     * pipeline context (reference `logging.py:50-95`). `var` so tests
@@ -47,8 +48,16 @@ class PipelineRunner(
     * trigger-rule gating; returns per-task results. Failed model tests /
     * target validations follow Q6 routing: `fail_on_validation_error`
     * true ⇒ task fails, false ⇒ warning, task succeeds
-    * (`operators.py:258-265`). */
-  def run(spec: PipelineSpec): Map[String, TaskResult] = {
+    * (`operators.py:258-265`).
+    *
+    * `parallelism` > 1 runs the INDEPENDENT tasks of one execution level
+    * concurrently on a bounded pool (E5, reference
+    * `extractors.py:289-316`; what Airflow does for a level's tasks).
+    * Concurrency is driver-side control plane only — each task's data
+    * work is still Spark jobs, which the scheduler interleaves across
+    * the cluster (fair sharing between concurrent jobs). Levels remain
+    * barriers, so dependency semantics are unchanged. */
+  def run(spec: PipelineSpec, parallelism: Int = 1): Map[String, TaskResult] = {
     val graph = TaskGraph.fromSpec(spec)
     val errors = graph.validate
     require(errors.isEmpty, s"invalid pipeline config: ${errors.mkString("; ")}")
@@ -56,9 +65,23 @@ class PipelineRunner(
     log.setContext("pipeline" -> spec.name)
     var ctx = Map.empty[String, TaskResult]
     graph.executionLevels.foreach { level =>
-      level.foreach { id =>
-        val r = if (graph.canExecute(id, ctx)) executeWithRetries(spec, id)
-                else TaskResult(id, TaskStatus.Skipped)
+      val snapshot = ctx
+      def runOne(id: String): TaskResult =
+        if (graph.canExecute(id, snapshot)) executeWithRetries(spec, id)
+        else TaskResult(id, TaskStatus.Skipped)
+      val results: Seq[(String, TaskResult)] =
+        if (parallelism <= 1 || level.size <= 1) level.map(id => id -> runOne(id))
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(parallelism, level.size))
+          try level.map(id => id -> pool.submit(
+              new java.util.concurrent.Callable[TaskResult] {
+                override def call(): TaskResult = runOne(id)
+              }))
+            .map { case (id, f) => id -> f.get() }
+          finally pool.shutdown()
+        }
+      results.foreach { case (id, r) =>
         val extras = Seq("task_id" -> id, "status" -> r.status,
           "duration_sec" -> f"${r.durationSeconds}%.3f") ++
           r.error.map("error" -> _)

@@ -1,0 +1,58 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.similarity.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins for the candidate-generation paths: the property that
+  * makes them survive 100 TB is that every "pair" join is an EQUI-join
+  * on a blocking key (band hash / chunk / bucket) — a refactor that
+  * degrades one to a cartesian/nested-loop product must fail here, not
+  * on the cluster. */
+class DedupPlanSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def assertNoProduct(plan: String): Unit = {
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("minhash-LSH candidates: banded equi-join, no cross product") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val plan = planOf(Dedup.lshCandidatePairs(sigs, "doc_id", bands = 16))
+    assertNoProduct(plan)
+  }
+
+  test("simhash pairs (both hash spaces): chunk equi-join, no cross product") {
+    assertNoProduct(planOf(
+      Dedup.simhashNearDuplicates(docs, "doc_id", "text")))
+    assertNoProduct(planOf(
+      Dedup.simhashMd5NearDuplicates(docs, "doc_id", "text")))
+  }
+
+  test("verifyJaccard narrows the corpus with a semi-join before shingling") {
+    val pairs = spark.range(2).selectExpr(
+      "id * 2 + 1 AS id_a", "id * 2 + 2 AS id_b")
+    val plan = planOf(Dedup.verifyJaccard(docs, pairs, "doc_id", "text",
+      shingleSize = 5, threshold = 0.8))
+    assert(plan.contains("LeftSemi"), plan)
+    assertNoProduct(plan)
+  }
+
+  test("hyperplane LSH top-k: bucket equi-join, no cross product") {
+    val q = emb.filter(col("vec_id") < 5)
+    val plan = planOf(Similarity.hyperplaneTopK(emb, q, "vec_id",
+      "embedding", k = 1, nPlanes = 4, dim = 64))
+    assertNoProduct(plan)
+    // the heap operator, not Sort+Window, produces the top-k
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+}

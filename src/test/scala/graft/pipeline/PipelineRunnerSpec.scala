@@ -200,6 +200,43 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(results("validate_fact_orders").status == TaskStatus.Failed)
   }
 
+  test("parallelism runs a level's independent ingests concurrently") {
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var highWater = 0
+    def tracked(path: String): org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame =
+      s => {
+        val n = active.incrementAndGet()
+        highWater = math.max(highWater, n)
+        try { Thread.sleep(150); s.read.parquet(path) }
+        finally active.decrementAndGet()
+      }
+    def make = new PipelineRunner(
+      spark,
+      sources = Map(
+        "orders_src" -> tracked(s"$sf/orders.parquet"),
+        "customer_src" -> tracked(s"$sf/customer.parquet")),
+      models = Map.empty,
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val yaml2 =
+      """name: par
+        |sources:
+        |  - source_id: orders_src
+        |    source_type: file
+        |  - source_id: customer_src
+        |    source_type: file
+        |""".stripMargin
+    val spec = PipelineSpec.fromYaml(yaml2)
+
+    val seq = make.run(spec) // default: sequential
+    assert(seq.values.forall(_.status == TaskStatus.Success))
+    assert(highWater == 1, s"sequential run overlapped: $highWater")
+
+    highWater = 0
+    val par = make.run(spec, parallelism = 2)
+    assert(par.values.forall(_.status == TaskStatus.Success))
+    assert(highWater == 2, s"parallel run never overlapped: $highWater")
+  }
+
   // ---- ingest-time quality gate (reference validators.py:80-84) ----
 
   private def gateYaml(thresholds: String,
