@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Core relational surface: scan → filter → join → aggregate → having →
   * top-n. These are the engine's flagship analytical queries, exercising
@@ -36,22 +37,35 @@ object CoreQueries extends QueryPack {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  /** Revenue top-10 customers: fact⨝fact join + broadcast dim + hash agg
-    * + deterministic top-k. `orders` grows linearly with the fact table
-    * (1/4 of lineitem), so it is NOT broadcast — AQE picks sort-merge or
-    * shuffled-hash on `l_orderkey` and can convert to broadcast at runtime
-    * only when the build side is genuinely under the size threshold.
-    * `customer` is a true dimension and keeps its broadcast hint. */
+  /** Revenue top-10 customers. Shape choices that survive 100 TB:
+    *
+    *  - lineitem is PRE-AGGREGATED to one revenue row per order BEFORE
+    *    the join (Catalyst never pushes an aggregate below a join on its
+    *    own): the orderkey shuffle moves ~4× fewer, narrower rows, and
+    *    the per-order partial sum combines map-side;
+    *  - the per-order sum stays DECIMAL (exact, associative) so the
+    *    re-aggregation per customer is bit-identical to the flat
+    *    `decSum` over raw rows — the final cast to double happens once;
+    *  - `countDistinct(o_orderkey)` becomes a plain `count`: after the
+    *    pre-aggregate each order contributes exactly one row, so the
+    *    Expand-based distinct rewrite (which doubles the joined stream)
+    *    disappears;
+    *  - `orders` grows linearly with the fact table, so it is NOT
+    *    hint-broadcast — AQE picks the join; `customer` is a true
+    *    dimension and keeps its broadcast hint. */
   def q3TopCustomers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = table(s, dir, "customer")
     val o = table(s, dir, "orders")
     val l = table(s, dir, "lineitem")
-    l.join(o, $"l_orderkey" === $"o_orderkey")
+    val perOrder = l.groupBy($"l_orderkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(18, 6))).as("__rev"))
+    perOrder.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
-      .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
-        countDistinct($"o_orderkey").as("n_orders"))
+      .agg(sum($"__rev").cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy($"revenue".desc, $"c_custkey")
       .limit(10)
   }

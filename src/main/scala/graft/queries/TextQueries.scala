@@ -43,8 +43,16 @@ object TextQueries extends QueryPack {
   def txTokenStats(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      // (token, doc) pre-aggregate first: `countDistinct(doc_id)` on the
+      // exploded stream triggers the Expand rewrite, which DOUBLES every
+      // exploded row before the shuffle — on a 100 TB corpus that is the
+      // dominant cost. Two cascaded exact aggregates move strictly less:
+      // the first combines map-side, the second sees one row per
+      // (token, doc). Same exact answer.
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("__n"))
       .groupBy(col("token"))
-      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+      .agg(sum(col("__n")).as("freq"), count(lit(1)).as("doc_freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(20)
 
