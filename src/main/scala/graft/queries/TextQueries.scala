@@ -38,6 +38,18 @@ object TextQueries extends QueryPack {
           * col("distinct_token_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Per-doc repetition profile: total vs distinct 3-grams and the
+    * duplicated-occurrence fraction ([[TextFunctions.repetitionScore]])
+    * — the Gopher repetition filter as a one-projection scan. */
+  def txRepetition(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        greatest(TextFunctions.tokenCount(col("text")) - 2, lit(0))
+          .as("n_ngrams"),
+        size(TextFunctions.tokenShingles(col("text"), 3)).as("n_distinct"),
+        TextFunctions.repetitionScore(col("text"), 3).as("repetition"))
+      .orderBy(col("doc_id"))
+
   /** Corpus token statistics: frequency + doc-frequency of the 20 most
     * common tokens (explode → two-level aggregate). */
   def txTokenStats(s: SparkSession, dir: String): DataFrame =
@@ -120,6 +132,7 @@ object TextQueries extends QueryPack {
     "tx_lang_id" -> (txLangId _),
     "tx_quality" -> (txQuality _),
     "tx_token_stats" -> (txTokenStats _),
+    "tx_repetition" -> (txRepetition _),
     "tx_token_count" -> (txTokenCount _),
     "tx_fingerprint" -> (txFingerprint _),
     "tx_tfidf_top_terms" -> (txTfidfTopTerms _))
@@ -190,6 +203,18 @@ object TextQueries extends QueryPack {
       FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
             FROM documents)
       GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+    "tx_repetition" -> """
+      SELECT doc_id,
+             GREATEST(len(toks) - 2, 0) AS n_ngrams,
+             len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                FOR i IN range(1, len(toks) - 1)])) AS n_distinct,
+             CASE WHEN len(toks) - 2 > 0
+                  THEN 1.0 - CAST(len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                                     FOR i IN range(1, len(toks) - 1)])) AS DOUBLE)
+                           / CAST(len(toks) - 2 AS DOUBLE)
+                  ELSE 0.0 END AS repetition
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      ORDER BY doc_id""",
     "tx_token_count" -> """
       SELECT doc_id,
              len(string_split_regex(text, '\s+')) AS n_tokens,

@@ -100,6 +100,19 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, urlPat, "<URL>"), emailPat, "<EMAIL>")
   }
 
+  /** Gopher-style repetition score: fraction of n-gram OCCURRENCES that
+    * are repeats of an earlier n-gram in the same doc —
+    * `1 − distinct/total`, 0 for docs shorter than n tokens. The classic
+    * duplicate-n-gram quality filter for training corpora; one int/int
+    * division + one subtraction, engine-portable. */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val total = tokenCount(text) - (n - 1)
+    val distinct = size(tokenShingles(text, n))
+    when(total > 0,
+      lit(1.0) - distinct.cast(DoubleType) / total.cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
   /** Document fingerprint: minimum MD5 over token shingles — a
     * deterministic containment fingerprint (winnowing-lite) identical in
     * any engine with standard MD5. */

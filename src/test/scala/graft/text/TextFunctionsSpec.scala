@@ -43,6 +43,20 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r == Seq("en", "de", "unknown"))
   }
 
+  test("repetition score: known values and short-doc zero") {
+    import spark.implicits._
+    def score(s: String): Double =
+      Seq(s).toDF("text")
+        .select(TextFunctions.repetitionScore(col("text"), 3).as("r"))
+        .collect()(0).getDouble(0)
+    // "a b c a b c a b c": 7 total 3-grams, 3 distinct → 1 − 3/7
+    assert(math.abs(score("a b c a b c a b c") - (1.0 - 3.0 / 7.0)) < 1e-12)
+    // all-distinct text repeats nothing
+    assert(score("the quick brown fox jumps") == 0.0)
+    // shorter than n tokens → 0, not NaN/negative
+    assert(score("a b") == 0.0)
+  }
+
   test("quality features on known text") {
     val f = one(TextFunctions.qualityFeatures(col("text")))
     val s = f.getStruct(0)
