@@ -59,6 +59,14 @@ object Bench {
         graft.queries.table(spark, sfDir, t)
           .write.format("noop").mode("overwrite").save()
       }
+      // compile the minhash-LSH pipeline's codegen classes on a 25-row
+      // stand-in corpus: the alphabetically-first dedup query (d2) was
+      // paying ~1.3 s of one-time codegen that its supersets (d5) then
+      // got for free
+      val tinyDocs = n.select(col("n_nationkey").cast("long").as("doc_id"),
+        concat_ws(" ", Seq.fill(8)(col("n_name")): _*).as("text"))
+      graft.dedup.Dedup.minhashNearDuplicates(tinyDocs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -280,6 +280,36 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("C1: merge sink resumes from checkpoint exactly-once across restarts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val input = MemoryStream[Sale]
+    def start() = Streams.mergeSink(input.toDF(), s"$dir/fact", s"$dir/ckpt",
+      Seq("orderId"), "ts", Streams.trigger(1)).start()
+
+    val q1 = start()
+    try {
+      input.addData(Sale(1, 10.0, ts("2024-01-01 10:00:00")),
+        Sale(2, 20.0, ts("2024-01-01 10:00:00")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart against the SAME checkpoint: already-committed batch 1
+    // must not re-apply; only the new data lands
+    input.addData(Sale(3, 30.0, ts("2024-01-01 11:00:00")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val fact = spark.read.parquet(s"$dir/fact")
+        .select("orderId", "amount")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(fact == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    } finally q2.stop()
+  }
+
   test("metrics listener counts input rows per query (E6)") {
     // own session = own StreamingQueryManager = own listener bus —
     // isolated from the parallel suites flooding the shared session's
@@ -310,7 +340,10 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         q.processAllAvailable()
         extra += 1
       }
-      assert(listener.inputRows("metrics_out") >= 2)
+      assert(listener.inputRows("metrics_out") >= 2,
+        s"listener=${listener.inputRows("metrics_out")} " +
+          s"progressRows=${q.recentProgress.map(_.numInputRows).toSeq} " +
+          s"active=${q.isActive} exception=${q.exception}")
       assert(listener.batchCount("metrics_out") >= 1)
     } finally {
       q.stop()
