@@ -87,6 +87,38 @@ object TextQueries extends QueryPack {
         TextFunctions.minShingleFingerprint(col("text"), 5).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination: docs outside the reference slice
+    * (source src0 stands in for "the eval set") whose content
+    * fingerprint collides with it. The reference-side fingerprint set is
+    * distinct-projected and BROADCAST (eval sets are small by nature);
+    * the corpus streams through a left-semi join — no shuffle of corpus
+    * rows, the standard shape for train/test-overlap sweeps. */
+  def txContamination(s: SparkSession, dir: String): DataFrame = {
+    val fp = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.minShingleFingerprint(col("text"), 5).as("fp"))
+    val reference = fp.filter(col("source") === "src0")
+      .select(col("fp")).distinct()
+    fp.filter(col("source") =!= "src0")
+      .join(broadcast(reference), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("source"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source corpus report: the mixture dashboard a curation run
+    * ends with — doc counts, token totals, mean doc length, distinct
+    * content ratio. One scan, one tiny aggregate. */
+  def txCorpusStats(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        (sum(TextFunctions.tokenCount(col("text")).cast("long")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("mean_tokens"))
+      .orderBy(col("source"))
+
   /** TF-IDF-lite top terms per document: score = tf·N/df with the log
     * dropped, so the score is ONE IEEE division of exact integers —
     * bit-identical across engines (ln() is libm-dependent and would
@@ -135,6 +167,8 @@ object TextQueries extends QueryPack {
     "tx_repetition" -> (txRepetition _),
     "tx_token_count" -> (txTokenCount _),
     "tx_fingerprint" -> (txFingerprint _),
+    "tx_contamination" -> (txContamination _),
+    "tx_corpus_stats" -> (txCorpusStats _),
     "tx_tfidf_top_terms" -> (txTfidfTopTerms _))
 
   private val langCase = {
@@ -228,6 +262,26 @@ object TextQueries extends QueryPack {
                        FOR i IN range(1, len(toks) - 3)]) AS fingerprint
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       ORDER BY doc_id""",
+    "tx_contamination" -> """
+      WITH fp AS (
+        SELECT doc_id, source,
+               list_min([md5(array_to_string(toks[i:i+4], ' '))
+                         FOR i IN range(1, len(toks) - 3)]) AS fp
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents))
+      SELECT doc_id, source, fp FROM fp
+      WHERE source <> 'src0'
+        AND fp IN (SELECT fp FROM fp WHERE source = 'src0')
+      ORDER BY doc_id""",
+    "tx_corpus_stats" -> """
+      SELECT source,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT text) AS n_distinct_texts,
+             CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+             CAST(SUM(len(string_split_regex(text, '\s+'))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+      FROM documents
+      GROUP BY source ORDER BY source""",
     "tx_tfidf_top_terms" -> """
       WITH tf AS (
         SELECT doc_id, term, COUNT(*) AS tf
