@@ -41,4 +41,24 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
+
+  /** Downsample every source to ≈`budget` units of `weightCol` (token
+    * counts, bytes, …): per-source rate = min(1, budget / total), then
+    * the deterministic hash mix. The totals aggregate is one tiny
+    * per-source job (S rows to the driver — sources are a config-sized
+    * set, never data-sized); the data pass stays a pure filter. Rates
+    * derive from data, so two runs over the same corpus pick the same
+    * rows — the reproducible "give me ~1B tokens per source" knob. */
+  def tokenBudgetMix(df: DataFrame, sourceCol: String, keyCol: String,
+      weightCol: Column, budget: Long): DataFrame = {
+    require(budget > 0)
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(weightCol.cast(LongType)).as("__total"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val rates = totals.map { case (src, total) =>
+      src -> math.min(1.0, budget.toDouble / math.max(1L, total))
+    }.toMap
+    stratifiedMix(df, sourceCol, keyCol, rates)
+  }
 }

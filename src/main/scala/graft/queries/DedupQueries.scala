@@ -74,9 +74,25 @@ object DedupQueries extends QueryPack {
       .agg(count(lit(1)).as("kept"))
       .orderBy(col("source"))
 
+  /** Token-budget mixture ([[graft.operators.Sampling.tokenBudgetMix]]):
+    * every source downsampled to ≈500 tokens; report kept docs/tokens
+    * per source. Rates derive from the data (budget / per-source total),
+    * so the oracle recomputes the same rates in SQL. */
+  def mixTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val docs = table(s, dir, "documents")
+    val w = TextFunctions.tokenCount(col("text"))
+    graft.operators.Sampling.tokenBudgetMix(docs, "source", "doc_id", w, 500L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(w.cast("long")).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sample_docs" -> (sampleDocs _),
     "mix_sources" -> (mixSources _),
+    "mix_token_budget" -> (mixTokenBudget _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
@@ -114,6 +130,20 @@ object DedupQueries extends QueryPack {
                     WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000
                     ELSE -1 END
       GROUP BY source ORDER BY source""",
+    "mix_token_budget" -> s"""
+      WITH tot AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total
+        FROM documents GROUP BY source),
+      rates AS (
+        SELECT source,
+               LEAST(1.0, CAST(500 AS DOUBLE) / CAST(GREATEST(total, 1) AS DOUBLE)) AS rate
+        FROM tot)
+      SELECT d.source, COUNT(*) AS kept_docs,
+             CAST(SUM(len(string_split_regex(d.text, '\\s+'))) AS BIGINT) AS kept_tokens
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE $bucketSql < FLOOR(r.rate * 1000000)
+      GROUP BY d.source ORDER BY d.source""",
     "d1_exact_dedup" -> """
       SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
              (SELECT COUNT(DISTINCT text) FROM documents) AS distinct_texts,

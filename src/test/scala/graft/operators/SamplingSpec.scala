@@ -38,4 +38,32 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("token-budget mix caps each source near the budget, deterministically") {
+    import graft.text.TextFunctions
+    val w = TextFunctions.tokenCount(col("text"))
+    val totals = docs.groupBy(col("source"))
+      .agg(sum(w.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = totals.values.min / 2 // force real downsampling everywhere
+    val mixed = Sampling.tokenBudgetMix(docs, "source", "doc_id", w, budget)
+    val kept = mixed.groupBy(col("source"))
+      .agg(sum(w.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source was reduced, and none wildly overshoots the budget
+    // (hash sampling is binomial — allow generous slack at 25-doc sources)
+    kept.foreach { case (src, t) =>
+      assert(t < totals(src), s"$src not reduced")
+      assert(t <= budget * 3, s"$src kept $t for budget $budget")
+    }
+    // deterministic: identical subset on a re-run
+    val again = Sampling.tokenBudgetMix(docs, "source", "doc_id", w, budget)
+      .select("doc_id")
+    assert(mixed.select("doc_id").exceptAll(again).isEmpty &&
+      again.exceptAll(mixed.select("doc_id")).isEmpty)
+    // a budget above every total keeps everything
+    val all = Sampling.tokenBudgetMix(docs, "source", "doc_id", w,
+      totals.values.max * 2)
+    assert(all.count() == docs.count())
+  }
 }
