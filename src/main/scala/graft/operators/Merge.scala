@@ -23,12 +23,21 @@ object Merge {
 
   /** Upsert `delta` into `base`: one surviving row per `keys`, the one
     * with the highest (`version`, delta-over-base) rank. Deletes are
-    * handled by filtering `deleteMarker` rows after the merge. */
+    * handled by filtering `deleteMarker` rows after the merge.
+    *
+    * `allowEvolution=true` accepts schema drift between base and delta
+    * (the CDC reality: upstream adds a column mid-stream): columns
+    * missing on either side are null-filled, so a new delta column
+    * appears in the merged table with nulls for historical rows, and a
+    * column dropped upstream keeps its history. Default is strict —
+    * silent drift on a curated fact table should fail loudly. */
   def latestWins(base: DataFrame, delta: DataFrame, keys: Seq[String],
-      version: Column, deleteMarker: Option[Column] = None): DataFrame = {
+      version: Column, deleteMarker: Option[Column] = None,
+      allowEvolution: Boolean = false): DataFrame = {
     import graft.plans.TopK
     val tagged = base.withColumn("__src", lit(0))
-      .unionByName(delta.withColumn("__src", lit(1)))
+      .unionByName(delta.withColumn("__src", lit(1)),
+        allowMissingColumns = allowEvolution)
       .withColumn("__version", version)
     // k=1 heap per key (no per-key sort): the winner is the highest
     // (version, delta-over-base) row

@@ -29,6 +29,25 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("latestWins schema evolution: new delta column null-fills history") {
+    val base = Seq((1L, "a", 10), (2L, "b", 10)).toDF("id", "v", "ver")
+    val delta = Seq((2L, "B", 20, "tagged"), (3L, "c", 20, "fresh"))
+      .toDF("id", "v", "ver", "note")
+    // strict default: drift fails loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Merge.latestWins(base, delta, Seq("id"), col("ver")).collect()
+    }
+    val merged = Merge.latestWins(base, delta, Seq("id"), col("ver"),
+        allowEvolution = true)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getAs[String]("note"))))
+      .toMap
+    assert(merged == Map(
+      1L -> ("a", None),            // historical row: new column nulls
+      2L -> ("B", Some("tagged")),  // delta wins, carries new column
+      3L -> ("c", Some("fresh"))))
+  }
+
   test("mergeIntoPartitioned rewrites ONLY touched partitions") {
     val dir = Files.createTempDirectory("graft-merge").toString + "/fact"
     val base = Seq(
