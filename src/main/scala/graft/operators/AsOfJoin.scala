@@ -57,4 +57,25 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightValues.map(v => col(s"__asof_$v").as(v)): _*)
   }
+
+  /** `left` ⟕asof `right` with a TOLERANCE: the carried predecessor only
+    * counts if it is within `toleranceSeconds` of the left timestamp —
+    * matches older than the window null out (the "last order, but only
+    * if recent" semantics; pandas `merge_asof(tolerance=…)`). Same
+    * single-shuffle carry-forward plan as [[asOf]]: the matched right
+    * timestamp rides along as one more carried column and one codegen'd
+    * conditional nulls the stale values — no second join, no extra
+    * shuffle. */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightValues: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    val matched = asOf(left, right.withColumn("__rts", col(rightTs)),
+      key, leftTs, rightTs, rightValues :+ "__rts")
+    val fresh = col("__rts").isNotNull &&
+      (unix_timestamp(col(leftTs).cast("timestamp")) -
+        unix_timestamp(col("__rts").cast("timestamp"))) <= toleranceSeconds
+    rightValues.foldLeft(matched) { (df, v) =>
+      df.withColumn(v, when(fresh, col(v)).otherwise(lit(null).cast(df.schema(v).dataType)))
+    }.drop("__rts")
+  }
 }

@@ -127,6 +127,26 @@ object EventQueries extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Tolerance as-of join ([[graft.operators.AsOfJoin.asOfWithin]]):
+    * each event carries the user's most recent purchase VALUE — but only
+    * if that purchase happened within the last hour (stale matches null
+    * out). Same one-shuffle carry-forward plan as the plain as-of; the
+    * oracle is DuckDB's native ASOF LEFT JOIN plus the tolerance CASE. */
+  def asofRecentPurchase(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ChangeDetection.latestState(
+        table(s, dir, "events").filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), "ts", "event_id")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+    AsOfJoin.asOfWithin(ev, purch, "user_id", "ts", "p_ts",
+        Seq("value"), toleranceSeconds = 3600L)
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        col("value").as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join ([[graft.operators.RangeJoin]]): event values matched to
     * overlapping value bands via the bin equi-join (no nested-loop).
     * Result: per band, how many events and their value sum. */
@@ -147,6 +167,7 @@ object EventQueries extends QueryPack {
   val queries: Map[String, QueryFn] = Map(
     "range_join_bands" -> (rangeJoinBands _),
     "asof_last_order" -> (asofLastOrder _),
+    "asof_recent_purchase" -> (asofRecentPurchase _),
     "s2_watermark_scan" -> (s2WatermarkScan _),
     "s2_incremental_extract" -> (s2IncrementalExtract _),
     "c3_detect_changes" -> (c3DetectChanges _),
@@ -180,6 +201,21 @@ object EventQueries extends QueryPack {
              o.o_totalprice AS last_order_total
       FROM events e ASOF LEFT JOIN ords o
         ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+      ORDER BY e.event_id""",
+    "asof_recent_purchase" -> """
+      WITH purch AS (
+        SELECT user_id, ts AS p_ts, value FROM (
+          SELECT user_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id, ts
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+      SELECT e.event_id, e.user_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             CASE WHEN p.p_ts IS NOT NULL
+                   AND date_diff('second', p.p_ts, e.ts) <= 3600
+                  THEN p.value ELSE NULL END AS last_purchase_value
+      FROM events e ASOF LEFT JOIN purch p
+        ON e.user_id = p.user_id AND e.ts >= p.p_ts
       ORDER BY e.event_id""",
     "s2_watermark_scan" -> s"""
       SELECT COUNT(*) AS change_count,

@@ -34,6 +34,25 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       4L -> Some("r2"), 5L -> Some("r3"), 6L -> None))
   }
 
+  test("asOfWithin: stale matches null out, fresh ones survive") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 12:30:00")), // 30 min after r1 → fresh
+      (2L, "u1", ts("2024-01-01 13:30:00")), // 90 min after r1 → stale
+      (3L, "u1", ts("2024-01-01 14:00:00")), // exactly at r2 → fresh (0s)
+      (4L, "u2", ts("2024-01-01 12:00:00"))  // no right at all → null
+    ).toDF("id", "k", "lts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 12:00:00"), "r1"),
+      ("u1", ts("2024-01-01 14:00:00"), "r2")
+    ).toDF("k", "rts", "v")
+
+    val out = AsOfJoin.asOfWithin(left, right, "k", "lts", "rts", Seq("v"),
+        toleranceSeconds = 3600L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(
+      1L -> Some("r1"), 2L -> None, 3L -> Some("r2"), 4L -> None))
+  }
+
   test("one shuffle on the key; no range-join explosion") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val left = spark.read.parquet(s"$sf/events.parquet")
