@@ -136,6 +136,34 @@ object Streams {
             if (rejected > 0) Some(s"quarantined: $rejected") else None))
       }
 
+  /** Streaming twin of the ingest quality gate
+    * ([[graft.validation.QualityGate]], reference `validators.py:80-84` +
+    * `extractors.py:111-117`): each micro-batch is validated with ONE
+    * fused aggregation; a batch that breaches the thresholds is diverted
+    * WHOLE to the reject path (the reference raises NonRetryableError —
+    * here the stream keeps running and the bad batch is preserved for
+    * replay instead of lost). Per-batch verdicts stream to `onGate`. */
+  def qualityGatedSink(stream: DataFrame, targetPath: String,
+      rejectPath: String, checkpoint: String,
+      schema: graft.core.TableSchema,
+      thresholds: graft.validation.QualityThresholds,
+      trig: Trigger = Trigger.AvailableNow(),
+      onGate: (Long, Seq[String]) => Unit = (_, _) => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, breaches) = graft.validation.QualityGate
+            .evaluate(batch, schema, Seq.empty, thresholds)
+          onGate(batchId, breaches)
+          if (breaches.nonEmpty && thresholds.failOnBreach)
+            batch.write.mode("append").parquet(rejectPath)
+          else
+            batch.write.mode("append").parquet(targetPath)
+        }
+      }
+
   /** E6: per-query input-row metrics via a listener (the reference's
     * extraction stats under lock, `extractors.py:318-336`). */
   class MetricsListener extends StreamingQueryListener {

@@ -280,6 +280,44 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("quality-gated sink diverts breaching batches whole, passes clean ones") {
+    import graft.core.TableSchema
+    import graft.validation.QualityThresholds
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-gsink").toString
+    val input = MemoryStream[(Long, Option[Double])]
+    val stream = input.toDF().toDF("id", "amount")
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val schema = TableSchema(table = "sales", columns = Seq.empty,
+      requiredColumns = Seq("amount"))
+    val q = Streams.qualityGatedSink(stream, s"$dir/t", s"$dir/reject",
+      s"$dir/ckpt", schema,
+      QualityThresholds(maxNullPct = 0.25),
+      Streams.trigger(1),
+      onGate = (id, br) => verdicts.synchronized { verdicts += ((id, br)) }).start()
+    try {
+      // clean batch → target
+      input.addData((1L, Some(10.0)), (2L, Some(20.0)))
+      q.processAllAvailable()
+      // 50% nulls > 25% threshold → whole batch diverted
+      input.addData((3L, None), (4L, Some(5.0)))
+      q.processAllAvailable()
+
+      val target = spark.read.parquet(s"$dir/t")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(target == Set(1L, 2L))
+      val rejected = spark.read.parquet(s"$dir/reject")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(rejected == Set(3L, 4L))
+      val byVerdict = verdicts.toSeq
+      assert(byVerdict.exists(_._2.isEmpty))
+      assert(byVerdict.exists(_._2.exists(_.contains("null_pct(amount)"))))
+    } finally q.stop()
+  }
+
   test("C1: merge sink resumes from checkpoint exactly-once across restarts") {
     val spark2 = spark
     import spark2.implicits._
