@@ -98,12 +98,17 @@ object Dedup {
     * (band, hash) bucket, and the self-join emits O(n²) pairs per
     * bucket. Groups larger than the cap switch to a STAR topology —
     * every member pairs with the group's minimum id only, O(n) pairs.
-    * For near-dup REMOVAL the star loses nothing (each member still
-    * verifies against the representative and drops as an `id_b`); for
-    * exhaustive pair ENUMERATION keep the cap at 0 (off, the default,
-    * and what the exact-oracle queries use). Running [[exactByContent]]
-    * first shrinks such groups to 1 and is the recommended 100 TB
-    * pipeline order regardless. */
+    *
+    * Recall trade, stated precisely: the star covers every pair that
+    * verifies against the group representative (the mass-duplicate case
+    * the cap exists for — near-identical docs share ALL bands, so their
+    * buckets are near-cliques). A pair of docs that are near-dups of
+    * EACH OTHER but not of the representative, whose only shared bucket
+    * was capped, is missed. Keep the cap at 0 (off, the default, and
+    * what the exact-oracle queries use) for exhaustive enumeration; at
+    * scale, run [[exactByContent]] FIRST — it collapses identical docs
+    * to one row, which both shrinks hot buckets and removes the main
+    * source of non-representative pairs. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int,
       k: Int = 64, maxBandGroup: Int = 0): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide signature length $k")

@@ -49,13 +49,17 @@ object AsOfJoin {
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightValues.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"__asof_$v",
-        last(when(col("__side") === 0, col(v)), ignoreNulls = true).over(w))
-    }
+    // Carry all right values as ONE struct: the struct is non-null for
+    // every right row even when individual fields are null, so the
+    // match always reflects the LATEST right row — carrying fields
+    // separately with ignoreNulls would resurrect an older row's value
+    // whenever the matched row holds a null (not what ASOF means).
+    val carried = unioned.withColumn("__asof",
+      last(when(col("__side") === 0,
+        struct(rightValues.map(col): _*)), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightValues.map(v => col(s"__asof_$v").as(v)): _*)
+        rightValues.map(v => col("__asof").getField(v).as(v)): _*)
   }
 
   /** `left` ⟕asof `right` with a TOLERANCE: the carried predecessor only

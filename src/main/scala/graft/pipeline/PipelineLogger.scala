@@ -41,8 +41,13 @@ class PipelineLogger(name: String, sink: Option[String => Unit] = None) {
     case c => c.toString
   } + "\""
 
+  private val FixedFields = Set("timestamp", "level", "logger", "message")
+
   /** Render one entry: fixed fields first (`logging.py:24-32`), then
-    * sticky context, then per-call extras (extras win on key clash). */
+    * sticky context, then per-call extras (extras win on key clash; a
+    * context/extra key that collides with a fixed field is prefixed
+    * `ctx_` — duplicate keys in one JSON object make parsers disagree,
+    * the reference filters them the same way, `logging.py:38-45`). */
   private[pipeline] def entry(level: String, message: String,
       extra: Seq[(String, String)]): String = {
     val fields =
@@ -52,6 +57,9 @@ class PipelineLogger(name: String, sink: Option[String => Unit] = None) {
         "logger" -> name,
         "message" -> message) ++
         (context ++ extra.toMap).toSeq.sortBy(_._1)
+          .map { case (k, v) =>
+            (if (FixedFields.contains(k)) s"ctx_$k" else k) -> v
+          }
     fields.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
   }
 

@@ -138,7 +138,12 @@ class PipelineRunner(
           df.createOrReplaceTempView(sid)
           // ingest-time quality gate (reference validators.py:80-84 gates
           // extraction via extractors.py:111-117): one fused validation
-          // job over the source's declared rules, thresholds on the counts
+          // job, thresholds on the counts. The YAML spec's
+          // validation_rules model carries column LISTS only, so the gate
+          // covers the list-expressible families (required_columns /
+          // not_null / unique via TableSchema); parameterized families
+          // (range/pattern/...) gate at the library level —
+          // QualityGate.evaluate takes a full Rules seq.
           val srcSpec = spec.sources.find(_.sourceId == sid)
           srcSpec.flatMap(_.qualityThresholds) match {
             case Some(t) =>

@@ -124,25 +124,8 @@ object Similarity {
     * queries at test scale). */
   def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long = 42L,
-      maxTrainRows: Option[Long] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featurized = df.withColumn("__features",
-      array_to_vector(col(vecCol).cast(ArrayType(DoubleType))))
-    val train = maxTrainRows match {
-      case Some(n) =>
-        val total = featurized.count()
-        if (total <= n) featurized
-        else graft.operators.Sampling.deterministicSample(
-          featurized, idCol, n.toDouble / total)
-      case None => featurized
-    }
-    val model = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("__features").setPredictionCol("cluster")
-    model.fit(train).transform(featurized)
-      .drop("__features")
-  }
+      maxTrainRows: Option[Long] = None): DataFrame =
+    kmeansIndex(df, idCol, vecCol, k, seed, maxTrainRows)._1
 
   /** Build the full IVF index once: (corpus with `cluster` column,
     * centroid vectors). One KMeans fit (bounded by `maxTrainRows`, see
@@ -208,9 +191,10 @@ object Similarity {
         quantize(col(vecCol)).as("__qq"),
         explode(nearestCentroids(col(vecCol), centroids, nProbe)).as("__qbkt"))
       .withColumn("__qnsq", normSqQ(col("__qq")))
+    // one cell per corpus row + nProbe DISTINCT query cells ⇒ each pair
+    // matches at most once; no dedup shuffle needed (see hyperplaneTopK)
     val candidates = c.join(broadcast(q),
         col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
     topK(candidates, k)
@@ -257,6 +241,8 @@ object Similarity {
       vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Long = 42L,
       probeHamming: Int = 1): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 30, s"nPlanes out of range: $nPlanes")
+    require(probeHamming <= 1,
+      s"only hamming-0/1 probing is implemented; got probeHamming=$probeHamming")
     val planes = hyperplanes(nPlanes, dim, seed)
     val c = corpus
       .select(col(idCol).as("neighbor_id"),
@@ -274,10 +260,13 @@ object Similarity {
       .withColumn("__qnsq", normSqQ(col("__qq")))
       .withColumn("__qbkt", explode(probeSet(col("__obkt"))))
       .drop("__obkt")
+    // no dedup needed: each corpus row sits in exactly ONE bucket and a
+    // query's probe buckets (own + single-bit flips) are pairwise
+    // distinct, so the equi-join matches each (query, neighbor) pair at
+    // most once — a dropDuplicates here would add a full extra shuffle
+    // of the candidate set for nothing
     val candidates = c.join(broadcast(q),
         col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
-      // a pair can match through several probes — dedup BEFORE scoring
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine",
         cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
     topK(candidates, k)

@@ -62,9 +62,32 @@ class MultiSourceRunner(spark: SparkSession, maxConcurrent: Int = 4) {
 
   def maxObservedConcurrency: Int = highWater
 
+  // running totals per query id, fed by `observe` below — recentProgress
+  // is a BOUNDED ring buffer (~100 entries), so summing it silently
+  // undercounts any source that outlives the window
+  private val rowTotals = new ConcurrentHashMap[java.util.UUID, Long]()
+  private val batchTotals = new ConcurrentHashMap[java.util.UUID, Long]()
+  private val lastSeenBatch = new ConcurrentHashMap[java.util.UUID, Long]()
+
+  /** Fold a query's new progress entries into the running totals —
+    * called on every status probe and at termination. Totals are exact
+    * whenever probes happen at least once per ring-buffer window
+    * (`spark.sql.streaming.numRecentProgressUpdates`, default 100
+    * batches); probe sparser than that and the gap's batches age out
+    * before they are folded — raise the conf for sparse monitoring. */
+  private def observe(q: StreamingQuery): Unit =
+    q.recentProgress.foreach { p =>
+      val last = lastSeenBatch.getOrDefault(q.id, -1L)
+      if (p.batchId > last) {
+        lastSeenBatch.put(q.id, p.batchId)
+        rowTotals.merge(q.id, p.numInputRows, (a, b) => a + b)
+        batchTotals.merge(q.id, 1L, (a, b) => a + b)
+      }
+    }
+
   private def progressTotals(q: StreamingQuery): (Long, Long) = {
-    val ps = q.recentProgress
-    (ps.map(_.numInputRows).sum, ps.length.toLong)
+    observe(q)
+    (rowTotals.getOrDefault(q.id, 0L), batchTotals.getOrDefault(q.id, 0L))
   }
 
   /** One bounded detection cycle: every registered source runs to
@@ -112,11 +135,13 @@ class MultiSourceRunner(spark: SparkSession, maxConcurrent: Int = 4) {
   }
 
   /** Continuous mode: start every registered source that is not already
-    * running. Returns the live queries by name. */
+    * running. Returns the live queries by name. `computeIfAbsent` makes
+    * the check-and-start atomic — two concurrent callers can never start
+    * (and leak) a second live query for the same source. */
   def startAll(): Map[String, StreamingQuery] = {
     val snapshot = synchronized { starters.toSeq }
     snapshot.foreach { case (name, starter) =>
-      if (!running.containsKey(name)) running.put(name, starter())
+      running.computeIfAbsent(name, _ => starter())
     }
     running.asScala.toMap
   }

@@ -120,20 +120,26 @@ object Streams {
       .trigger(trig)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val t0 = System.nanoTime()
-        val (valid, rejects) =
-          graft.validation.Rules.quarantineSplit(batch, rules)
-        valid.write.mode("append").parquet(targetPath)
-        rejects.write.mode("append").parquet(quarantinePath)
-        // rowsLoaded = THIS batch's rows that reached the target; the
-        // quarantine tally rides in errorMessage so one LoadResult
-        // reports the whole split (both counts are micro-batch-sized)
-        val loaded = valid.count()
-        val rejected = rejects.count()
-        onLoad(LoadResult(success = true, rowsLoaded = loaded,
-          tableName = targetPath,
-          durationSeconds = (System.nanoTime() - t0) / 1e9,
-          errorMessage =
-            if (rejected > 0) Some(s"quarantined: $rejected") else None))
+        // persist once: the split + two writes + two accounting counts
+        // would otherwise re-evaluate the batch (and every rule
+        // predicate) up to four times
+        val cached = batch.persist()
+        try {
+          val (valid, rejects) =
+            graft.validation.Rules.quarantineSplit(cached, rules)
+          valid.write.mode("append").parquet(targetPath)
+          rejects.write.mode("append").parquet(quarantinePath)
+          // rowsLoaded = THIS batch's rows that reached the target; the
+          // quarantine tally rides in errorMessage so one LoadResult
+          // reports the whole split (both counts are micro-batch-sized)
+          val loaded = valid.count()
+          val rejected = rejects.count()
+          onLoad(LoadResult(success = true, rowsLoaded = loaded,
+            tableName = targetPath,
+            durationSeconds = (System.nanoTime() - t0) / 1e9,
+            errorMessage =
+              if (rejected > 0) Some(s"quarantined: $rejected") else None))
+        } finally cached.unpersist()
       }
 
   /** Streaming twin of the ingest quality gate
@@ -153,15 +159,20 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trig)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val (_, breaches) = graft.validation.QualityGate
-            .evaluate(batch, schema, Seq.empty, thresholds)
-          onGate(batchId, breaches)
-          if (breaches.nonEmpty && thresholds.failOnBreach)
-            batch.write.mode("append").parquet(rejectPath)
-          else
-            batch.write.mode("append").parquet(targetPath)
-        }
+        // persist once: emptiness probe + fused validation + the write
+        // are three consumers of the same micro-batch
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) {
+            val (_, breaches) = graft.validation.QualityGate
+              .evaluate(cached, schema, Seq.empty, thresholds)
+            onGate(batchId, breaches)
+            if (breaches.nonEmpty && thresholds.failOnBreach)
+              cached.write.mode("append").parquet(rejectPath)
+            else
+              cached.write.mode("append").parquet(targetPath)
+          }
+        } finally cached.unpersist()
       }
 
   /** E6: per-query input-row metrics via a listener (the reference's

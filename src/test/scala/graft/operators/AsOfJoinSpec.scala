@@ -34,6 +34,21 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       4L -> Some("r2"), 5L -> Some("r3"), 6L -> None))
   }
 
+  test("a matched row's NULL value stays NULL (no resurrection of older rows)") {
+    // right rows: 10:00 → 'old', 12:00 → NULL. A left row at 12:30 must
+    // carry the 12:00 match (value NULL), not resurrect 'old' — ASOF
+    // semantics are "the matched row's value", exactly what pandas
+    // merge_asof and DuckDB ASOF return.
+    val left = Seq((1L, "u1", ts("2024-01-01 12:30:00"))).toDF("id", "k", "lts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), Some("old")),
+      ("u1", ts("2024-01-01 12:00:00"), None: Option[String])
+    ).toDF("k", "rts", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "lts", "rts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(1L -> None))
+  }
+
   test("asOfWithin: stale matches null out, fresh ones survive") {
     val left = Seq(
       (1L, "u1", ts("2024-01-01 12:30:00")), // 30 min after r1 → fresh

@@ -51,6 +51,20 @@ class PipelineLoggerSpec extends AnyFunSuite {
     assert(n.get("exception").asText.startsWith("java.lang.RuntimeException: conn reset at "))
   }
 
+  test("context keys colliding with fixed fields are prefixed, not duplicated") {
+    val (log, lines) = collecting
+    log.setContext("message" -> "ctx-msg", "level" -> "ctx-level")
+    log.info("real message")
+    val n = mapper.readTree(lines.head)
+    assert(n.get("message").asText == "real message")
+    assert(n.get("level").asText == "INFO")
+    assert(n.get("ctx_message").asText == "ctx-msg")
+    assert(n.get("ctx_level").asText == "ctx-level")
+    // no duplicate keys: raw line contains "message" exactly twice
+    // (message + ctx_message), never two bare "message" keys
+    assert("\"message\":".r.findAllIn(lines.head).size == 1)
+  }
+
   test("clearContext drops sticky fields") {
     val (log, lines) = collecting
     log.setContext("source_id" -> "s1")
