@@ -148,11 +148,16 @@ class PipelineRunner(
           srcSpec.flatMap(_.qualityThresholds) match {
             case Some(t) =>
               val vr = srcSpec.get.validationRules
+              // accept every list-valued family name the reference's
+              // sample configs use (sample_pipeline.yaml:31-33,49-50):
+              // required_columns / required_fields (presence+not-null),
+              // null_checks / not_null (not-null), unique
+              val required = Seq("required_columns", "required_fields",
+                "not_null", "null_checks").flatMap(vr.getOrElse(_, Seq.empty))
               val schema = graft.core.TableSchema(
                 table = sid,
                 columns = Seq.empty,
-                requiredColumns = vr.getOrElse("required_columns",
-                  vr.getOrElse("not_null", Seq.empty)),
+                requiredColumns = required.distinct,
                 uniqueColumns = vr.getOrElse("unique", Seq.empty))
               val (_, breaches) =
                 graft.validation.QualityGate.evaluate(df, schema, Seq.empty, t)
