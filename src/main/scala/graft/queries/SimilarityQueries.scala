@@ -39,10 +39,24 @@ object SimilarityQueries extends QueryPack {
         "vec_id", "embedding", "label", threshold = 0.40)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** End-to-end embedding dedup: near-dup pairs → greedy removal (every
+    * `id_b` drops, lowest id per cluster survives — the same broadcast
+    * anti-join application as the text corpus,
+    * [[graft.dedup.Dedup.removeNearDuplicates]]). */
+  def simDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val pairs = Similarity.blockedNearDupPairs(emb,
+      "vec_id", "embedding", "label", threshold = 0.40)
+    graft.dedup.Dedup.removeNearDuplicates(emb, pairs, "vec_id")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_bucketed" -> (simTopkBucketed _),
-    "sim_neardup_pairs" -> (simNearDupPairs _))
+    "sim_neardup_pairs" -> (simNearDupPairs _),
+    "sim_dedup_apply" -> (simDedupApply _))
 
   /** Integer-quantized corpus CTE shared by the oracles: q = floor(x·10⁴)
     * components, nsq = exact squared norm. */
@@ -93,5 +107,14 @@ object SimilarityQueries extends QueryPack {
              ${cosSql("a.q", "b.q", "a.nsq", "b.nsq")} AS cosine
       FROM nrm a JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE ${cosSql("a.q", "b.q", "a.nsq", "b.nsq")} >= 0.40
-      ORDER BY id_a, id_b""")
+      ORDER BY id_a, id_b""",
+    "sim_dedup_apply" -> s"""
+      WITH prep AS ($prepSql), nrm AS ($normSql),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nrm a JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.q", "b.q", "a.nsq", "b.nsq")} >= 0.40)
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+      ORDER BY vec_id""")
 }
