@@ -30,6 +30,16 @@ class PipelineLogger(name: String, sink: Option[String => Unit] = None) {
 
   def clearContext(): Unit = synchronized { context = Map.empty }
 
+  /** Child logger: same name and sink, but an INDEPENDENT sticky context
+    * seeded from this logger's context plus `kv`. Lets each pipeline run
+    * log under its own context — two overlapping `run()` calls on one
+    * runner never cross-contaminate the `pipeline` field. */
+  def withContext(kv: (String, String)*): PipelineLogger = {
+    val child = new PipelineLogger(name, sink)
+    child.setContext((context.toSeq ++ kv): _*)
+    child
+  }
+
   // JSON string escape: quote, backslash, and all control chars
   private def q(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""

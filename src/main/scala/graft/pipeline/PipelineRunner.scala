@@ -62,7 +62,9 @@ class PipelineRunner(
     val errors = graph.validate
     require(errors.isEmpty, s"invalid pipeline config: ${errors.mkString("; ")}")
 
-    log.setContext("pipeline" -> spec.name)
+    // per-run child logger: sticky context scoped to THIS run, so
+    // overlapping run() calls on one runner can't cross-contaminate
+    val rlog = log.withContext("pipeline" -> spec.name)
     var ctx = Map.empty[String, TaskResult]
     graph.executionLevels.foreach { level =>
       val snapshot = ctx
@@ -85,8 +87,8 @@ class PipelineRunner(
         val extras = Seq("task_id" -> id, "status" -> r.status,
           "duration_sec" -> f"${r.durationSeconds}%.3f") ++
           r.error.map("error" -> _)
-        if (r.status == TaskStatus.Failed) log.error(s"task $id failed", extras: _*)
-        else log.info(s"task $id ${r.status}", extras: _*)
+        if (r.status == TaskStatus.Failed) rlog.error(s"task $id failed", extras: _*)
+        else rlog.info(s"task $id ${r.status}", extras: _*)
         ctx += id -> r
       }
     }

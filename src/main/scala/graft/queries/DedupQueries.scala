@@ -99,11 +99,13 @@ object DedupQueries extends QueryPack {
     "d4_blocked_jaccard" -> (d4BlockedJaccard _),
     "d5_dedup_apply" -> (d5DedupApply _))
 
+  // tokenize with the same \s+ regex as the engine (TextFunctions.tokens)
+  // so multi-space / tab / newline fixtures can't diverge oracle vs engine
   private def shingleSetsSql = """
     SELECT doc_id,
            list_distinct([array_to_string(toks[i:i+4], ' ')
                           FOR i IN range(1, len(toks) - 3)]) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
     WHERE len(toks) >= 5"""
 
   private val bucketSql =
@@ -159,7 +161,7 @@ object DedupQueries extends QueryPack {
       ORDER BY id_a, id_b""",
     "d3_simhash" -> s"""
       WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
       h AS (
         SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv
         FROM toks),
@@ -176,7 +178,7 @@ object DedupQueries extends QueryPack {
                array_to_string(toks[1:3], ' ') AS blk,
                list_distinct([array_to_string(toks[i:i+4], ' ')
                               FOR i IN range(1, len(toks) - 3)]) AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
         WHERE len(toks) >= 5)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /

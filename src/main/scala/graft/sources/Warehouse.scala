@@ -14,6 +14,18 @@ import org.apache.spark.sql.types.StructType
   * engine). All operations here are catalog metadata — no data jobs. */
 object Warehouse {
 
+  /** Backtick-quote one identifier part (embedded backticks double). */
+  private def quotePart(part: String): String =
+    "`" + part.replace("`", "``") + "`"
+
+  /** Quote a possibly-qualified table name (`db.table`) part by part. */
+  private def quoteTable(table: String): String =
+    table.split('.').map(quotePart).mkString(".")
+
+  /** Escape a path for a single-quoted SQL string literal. */
+  private def quoteLocation(location: String): String =
+    "'" + location.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** `table_exists` (`base.py:127-130`). */
   def tableExists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
@@ -21,19 +33,22 @@ object Warehouse {
   /** `create_table` (`base.py:114-125`): external parquet table at
     * `location` with an explicit schema; `partitionBy` columns become the
     * table's partition spec (the 100 TB layout lever — partition pruning
-    * needs the spec declared, not inferred). No-op if it exists. */
+    * needs the spec declared, not inferred). No-op if it exists.
+    * Identifiers are backtick-quoted and the location is escaped, so
+    * paths with quotes or table names needing quoting can't break (or
+    * inject into) the statement. */
   def createTable(spark: SparkSession, table: String, location: String,
       schema: StructType, partitionBy: Seq[String] = Seq.empty): Unit = {
     val partClause =
       if (partitionBy.isEmpty) ""
-      else partitionBy.mkString(" PARTITIONED BY (", ", ", ")")
+      else partitionBy.map(quotePart).mkString(" PARTITIONED BY (", ", ", ")")
     spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS $table (${schema.toDDL})
+      s"""CREATE TABLE IF NOT EXISTS ${quoteTable(table)} (${schema.toDDL})
          |USING PARQUET$partClause
-         |LOCATION '$location'""".stripMargin)
+         |LOCATION ${quoteLocation(location)}""".stripMargin)
     if (partitionBy.nonEmpty)
       // register partitions already present at the location
-      spark.sql(s"MSCK REPAIR TABLE $table")
+      spark.sql(s"MSCK REPAIR TABLE ${quoteTable(table)}")
   }
 
   /** Idempotent ensure-then-report: create if missing, return whether a
@@ -44,5 +59,5 @@ object Warehouse {
     else { createTable(spark, table, location, schema, partitionBy); true }
 
   def dropTable(spark: SparkSession, table: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoteTable(table)}")
 }

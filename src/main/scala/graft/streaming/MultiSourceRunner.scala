@@ -69,13 +69,20 @@ class MultiSourceRunner(spark: SparkSession, maxConcurrent: Int = 4) {
   private val batchTotals = new ConcurrentHashMap[java.util.UUID, Long]()
   private val lastSeenBatch = new ConcurrentHashMap[java.util.UUID, Long]()
 
+  // serializes the check-then-update fold below; without it two
+  // concurrent status() probes (or a probe racing detectAll's terminal
+  // fold) can both pass the batchId > last check and double-count
+  private val observeLock = new Object
+
   /** Fold a query's new progress entries into the running totals —
     * called on every status probe and at termination. Totals are exact
     * whenever probes happen at least once per ring-buffer window
     * (`spark.sql.streaming.numRecentProgressUpdates`, default 100
     * batches); probe sparser than that and the gap's batches age out
-    * before they are folded — raise the conf for sparse monitoring. */
-  private def observe(q: StreamingQuery): Unit =
+    * before they are folded — raise the conf for sparse monitoring.
+    * Control-plane only (a handful of entries per probe), so one
+    * runner-wide monitor is cheap and race-free. */
+  private def observe(q: StreamingQuery): Unit = observeLock.synchronized {
     q.recentProgress.foreach { p =>
       val last = lastSeenBatch.getOrDefault(q.id, -1L)
       if (p.batchId > last) {
@@ -84,6 +91,7 @@ class MultiSourceRunner(spark: SparkSession, maxConcurrent: Int = 4) {
         batchTotals.merge(q.id, 1L, (a, b) => a + b)
       }
     }
+  }
 
   private def progressTotals(q: StreamingQuery): (Long, Long) = {
     observe(q)

@@ -73,6 +73,45 @@ class PipelineLoggerSpec extends AnyFunSuite {
     assert(mapper.readTree(lines.head).get("source_id") == null)
   }
 
+  test("withContext children are isolated from the parent and each other") {
+    val (log, lines) = collecting
+    log.setContext("shared" -> "base")
+    val a = log.withContext("pipeline" -> "run_a")
+    val b = log.withContext("pipeline" -> "run_b")
+    a.info("from a")
+    b.info("from b")
+    log.info("from parent")
+    val Seq(na, nb, np) = lines.toSeq.map(mapper.readTree)
+    assert(na.get("pipeline").asText == "run_a")
+    assert(nb.get("pipeline").asText == "run_b")
+    assert(np.get("pipeline") == null) // parent context untouched
+    // children inherit the parent context present at creation
+    assert(na.get("shared").asText == "base")
+    assert(nb.get("shared").asText == "base")
+  }
+
+  test("successive runner runs don't cross-contaminate pipeline context") {
+    val spark = graft.SparkSpec.session
+    val sf = "/root/testdata/sf0.001"
+    val runner = new PipelineRunner(
+      spark,
+      sources = Map("orders_src" -> (s => s.read.parquet(s"$sf/orders.parquet"))),
+      models = Map.empty,
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val lines = ArrayBuffer.empty[String]
+    runner.log = new PipelineLogger("graft.pipeline.runner", Some(lines += _))
+    val yaml = (n: String) =>
+      s"name: $n\nsources:\n  - source_id: orders_src\n    source_type: file\n"
+    runner.run(PipelineSpec.fromYaml(yaml("first")))
+    val afterFirst = lines.size
+    runner.run(PipelineSpec.fromYaml(yaml("second")))
+    assert(afterFirst > 0 && lines.size > afterFirst)
+    lines.take(afterFirst).foreach(l =>
+      assert(mapper.readTree(l).get("pipeline").asText == "first", l))
+    lines.drop(afterFirst).foreach(l =>
+      assert(mapper.readTree(l).get("pipeline").asText == "second", l))
+  }
+
   test("runner task lifecycle emits parseable JSON lines with pipeline context") {
     val spark = graft.SparkSpec.session
     val sf = "/root/testdata/sf0.001"

@@ -25,6 +25,20 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 10)
   }
 
+  test("locations with quotes and reserved-word table names are handled") {
+    // a location containing a single quote must not break the DDL string
+    val dir = Files.createTempDirectory("graft-wh'q").toString
+    assert(dir.contains("'"))
+    val df = spark.range(5).selectExpr("id")
+    df.write.mode("overwrite").parquet(s"$dir/t")
+    // `table` is a reserved word — only a quoted identifier parses
+    Warehouse.createTable(spark, "table", s"$dir/t", df.schema)
+    try {
+      assert(Warehouse.tableExists(spark, "`table`"))
+      assert(spark.table("`table`").count() == 5)
+    } finally Warehouse.dropTable(spark, "table")
+  }
+
   test("partitioned table registers existing partitions and prunes") {
     val dir = Files.createTempDirectory("graft-whp").toString
     val df = spark.range(100)
