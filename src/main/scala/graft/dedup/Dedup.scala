@@ -252,11 +252,87 @@ object Dedup {
     hammingPairs(simhashMd5Signatures(df, idCol, textCol),
       chunkBits = 15, nChunks = 4, maxHamming = maxHamming)
 
+  // ---- Transitive clustering (connected components) ----
+
+  /** Connected components over canonical near-dup pairs, via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — the same algorithm GraphFrames
+    * ships). Returns one row per node that appears in `pairs`:
+    * (`idCol`, cluster_id) with cluster_id = the component's minimum id.
+    *
+    * Scale design: state is only the edge list (never adjacency sets on
+    * one machine), each round is two node-keyed shuffles + a distinct,
+    * and the round count is O(log²) in the largest component — for
+    * near-dup graphs (shallow, star-heavy) it converges in a handful of
+    * rounds. `localCheckpoint` truncates lineage per round so plans
+    * don't grow with iterations. Driver work is only the convergence
+    * probe (two empty-checks per round), never edge data. */
+  def connectedComponents(pairs: DataFrame, idCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    // canonical direction: src > dst, so every edge points "downhill"
+    var e = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .distinct().localCheckpoint()
+
+    // large-star: u's whole neighborhood learns m = min(Γ(u) ∪ {u});
+    // emit (v, m) for the neighbors v > u
+    def largeStar(edges: DataFrame): DataFrame = {
+      val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val w = Window.partitionBy(col("src"))
+      und.withColumn("__m", least(min(col("dst")).over(w), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+    }
+
+    // small-star: u re-points its smaller neighbors (and itself) at
+    // m = min of that downhill neighborhood
+    def smallStar(edges: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src"))
+      val withMin = edges.withColumn("__m", min(col("dst")).over(w))
+      withMin.filter(col("dst") =!= col("__m"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        .unionByName(withMin.select(col("src"), col("__m").as("dst")))
+    }
+
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).distinct().localCheckpoint()
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // at convergence the edge set is a star per component: every
+    // non-root points straight at the component minimum
+    e.select(col("src").as(idCol), col("dst").as("cluster_id"))
+      .unionByName(
+        e.select(col("dst").as(idCol), col("dst").as("cluster_id")))
+      .distinct()
+  }
+
+  /** Transitive dedup: cluster the pairs with [[connectedComponents]],
+    * keep the minimum-id doc of each cluster. Unlike the greedy pairwise
+    * [[removeNearDuplicates]], chains A~B~C collapse to ONE survivor
+    * even though A~C was never directly verified — the semantics
+    * large-corpus curation pipelines standardize on (a duplicate of a
+    * duplicate is a duplicate). */
+  def removeNearDuplicatesTransitive(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, idCol)
+    val drop = comp.filter(col(idCol) =!= col("cluster_id")).select(col(idCol))
+    df.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   /** Apply near-duplicate pairs to the corpus: every `id_b` of a pair is
     * dropped (pairs are canonical with id_a < id_b, so the lowest id of
-    * each duplicate cluster survives — greedy, deterministic). A full
-    * connected-components pass would need iteration; for dedup the
-    * greedy rule is the standard choice and never drops a whole cluster.
+    * each duplicate cluster survives — greedy, deterministic). For
+    * transitive-closure semantics use
+    * [[removeNearDuplicatesTransitive]]; the greedy rule never drops a
+    * whole cluster and needs no iteration.
     * The drop side is a broadcast left-anti join: the corpus streams,
     * the (small) pair list broadcasts. */
   def removeNearDuplicates(df: DataFrame, pairs: DataFrame,

@@ -56,6 +56,28 @@ object DedupQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the LSH
+    * near-dup pairs — (doc_id, cluster_id = component min) for every doc
+    * that appears in some verified pair. */
+  def d6DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 5, threshold = 0.8)
+    Dedup.connectedComponents(pairs, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Transitive corpus dedup: one survivor (minimum id) per duplicate
+    * COMPONENT — a duplicate of a duplicate is a duplicate. */
+  def d7DedupTransitive(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 5, threshold = 0.8)
+    Dedup.removeNearDuplicatesTransitive(docs, pairs, "doc_id")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 20% corpus sample by doc-id hash — identical subset
     * on any engine/partitioning ([[graft.operators.Sampling]]). */
   def sampleDocs(s: SparkSession, dir: String): DataFrame =
@@ -97,7 +119,9 @@ object DedupQueries extends QueryPack {
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
     "d4_blocked_jaccard" -> (d4BlockedJaccard _),
-    "d5_dedup_apply" -> (d5DedupApply _))
+    "d5_dedup_apply" -> (d5DedupApply _),
+    "d6_dedup_clusters" -> (d6DedupClusters _),
+    "d7_dedup_transitive" -> (d7DedupTransitive _))
 
   // tokenize with the same \s+ regex as the engine (TextFunctions.tokens)
   // so multi-space / tab / newline fixtures can't diverge oracle vs engine
@@ -197,5 +221,44 @@ object DedupQueries extends QueryPack {
               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8)
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+      ORDER BY doc_id""",
+    // connected components in SQL: transitive closure by recursive CTE
+    // (exhaustive reachability — fine at oracle scale), component id =
+    // min reachable node; the engine runs large-star/small-star instead
+    "d6_dedup_clusters" -> s"""
+      WITH RECURSIVE sets AS ($shingleSetsSql),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS doc_id, MIN(dst) AS cluster_id
+      FROM reach GROUP BY src ORDER BY doc_id""",
+    "d7_dedup_transitive" -> s"""
+      WITH RECURSIVE sets AS ($shingleSetsSql),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
       ORDER BY doc_id""")
 }

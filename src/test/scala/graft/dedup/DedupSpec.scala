@@ -86,6 +86,67 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "fixture should contain minhash near-dups")
   }
 
+  test("connected components: chains, stars, and multiple components") {
+    val spark2 = spark
+    import spark2.implicits._
+    // components: chain {1,2,3,4}, star {10,11,12,13}, pair {20,21},
+    // plus out-of-order edge directions to exercise canonicalization
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), // chain 1-2-3-4
+      (10L, 11L), (10L, 12L), (13L, 10L), // star around 10
+      (21L, 20L)) // simple pair
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    assert(comp == expected)
+  }
+
+  test("connected components == union-find on a pseudo-random graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic graph: 200 nodes, 180 hash-derived edges
+    val edges = (0 until 180).map { i =>
+      val a = (i * 2654435761L % 200).abs
+      val b = ((i * 40503L + 7) % 200).abs
+      (math.max(a, b), math.min(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val pairs = edges.toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    assert(comp == expected)
+  }
+
+  test("transitive dedup keeps one survivor per component; greedy may keep more") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // A~C and B~C verified, A~B not: greedy drops only id_b's {3},
+    // transitive collapses the whole component {1,2,3} to min id 1
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val greedy = Dedup.removeNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val transitive = Dedup.removeNearDuplicatesTransitive(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(1L, 2L, 4L, 5L, 6L))
+    assert(transitive == Set(1L, 4L, 5L, 6L))
+  }
+
   test("exact dedup keeps lowest-id survivor per content group") {
     import spark.implicits._
     val df = Seq((3L, "x y z"), (1L, "x y z"), (2L, "a b c"))
