@@ -67,6 +67,13 @@ object Bench {
         concat_ws(" ", Seq.fill(8)(col("n_name")): _*).as("text"))
       graft.dedup.Dedup.minhashNearDuplicates(tinyDocs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
+      // prime the connected-components round shape (window-min star ops,
+      // fingerprint agg, broadcast anti apply) on a 3-component toy graph
+      val tinyPairs = n.limit(8)
+        .select(col("n_nationkey").cast("long").as("id_a"),
+          (col("n_nationkey").cast("long") + 8L).as("id_b"))
+      graft.dedup.Dedup.removeNearDuplicatesTransitive(tinyDocs, tinyPairs, "doc_id")
+        .write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -297,12 +297,29 @@ object Dedup {
         .unionByName(withMin.select(col("src"), col("__m").as("dst")))
     }
 
+    // convergence = stable edge-multiset fingerprint (count + sum + xor
+    // of per-edge hashes): ONE tiny agg job per round instead of two
+    // exceptAll joins. A false convergence needs a simultaneous sum+xor
+    // hash coincidence (~2^-96); the oracle-checked queries would
+    // surface it. Hashes are folded mod 2^32 before summing so the sum
+    // cannot overflow under ANSI mode at any realistic edge count.
+    def fingerprint(edges: DataFrame): (Long, Long, Long) = {
+      val h = xxhash64(col("src"), col("dst"))
+      val r = edges.agg(
+        count(lit(1)).as("c"),
+        coalesce(sum(pmod(h, lit(1L << 32))), lit(0L)).as("s"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("x")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
     var round = 0
     var converged = false
+    var fp = fingerprint(e)
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).distinct().localCheckpoint()
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      val nfp = fingerprint(next)
+      converged = nfp == fp
       e = next
+      fp = nfp
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
