@@ -207,7 +207,7 @@ object TextQueries extends QueryPack {
       WITH scored AS (
         SELECT doc_id, lang AS declared_lang,
                ${langCase._1}
-        FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        FROM (SELECT doc_id, lang, list_distinct(string_split_regex(text, '\\s+')) AS toks
               FROM documents)),
       best AS (
         SELECT doc_id, declared_lang,
@@ -247,7 +247,7 @@ object TextQueries extends QueryPack {
                                                      FOR i IN range(1, len(toks) - 1)])) AS DOUBLE)
                            / CAST(len(toks) - 2 AS DOUBLE)
                   ELSE 0.0 END AS repetition
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
       ORDER BY doc_id""",
     "tx_token_count" -> """
       SELECT doc_id,
@@ -260,14 +260,14 @@ object TextQueries extends QueryPack {
       SELECT doc_id,
              list_min([md5(array_to_string(toks[i:i+4], ' '))
                        FOR i IN range(1, len(toks) - 3)]) AS fingerprint
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
       ORDER BY doc_id""",
     "tx_contamination" -> """
       WITH fp AS (
         SELECT doc_id, source,
                list_min([md5(array_to_string(toks[i:i+4], ' '))
                          FOR i IN range(1, len(toks) - 3)]) AS fp
-        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
               FROM documents))
       SELECT doc_id, source, fp FROM fp
       WHERE source <> 'src0'
