@@ -117,8 +117,13 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))): _*))
         .as(Seq("__band", "__bh")))
+    // self-join: force a shuffled hash join so both sides share ONE
+    // identical Exchange subtree → ReuseExchange computes signatures and
+    // banding once. AQE's broadcast pick would scan (and re-minhash) the
+    // corpus twice — and a self-side broadcast is never right anyway:
+    // both sides are the same size at every scale.
     val allPairs = (l: DataFrame, r: DataFrame) =>
-      l.as("l").join(r.as("r"),
+      l.as("l").hint("shuffle_hash").join(r.as("r"),
           col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh") &&
           col("l.__id") < col("r.__id"))
         .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
@@ -191,7 +196,9 @@ object Dedup {
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("__sim"), c * chunkBits).bitwiseAND(mask)): _*))
         .as(Seq("__chunk", "__cv")))
-    chunked.as("l").join(chunked.as("r"),
+    // shuffle_hash on the self-join → one shared Exchange (signatures
+    // computed once); a self-side broadcast double-scans the corpus
+    chunked.as("l").hint("shuffle_hash").join(chunked.as("r"),
         col("l.__chunk") === col("r.__chunk") && col("l.__cv") === col("r.__cv") &&
         col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
@@ -254,6 +261,11 @@ object Dedup {
 
   // ---- Transitive clustering (connected components) ----
 
+  /** Default edge-count gate for [[connectedComponents]]'s driver-side
+    * fast path: 2M edges ≈ 32 MB of longs — far below driver heap, far
+    * above what LSH+verify emits for any real corpus slice. */
+  val SmallEdgeThreshold = 2000000L
+
   /** Connected components over canonical near-dup pairs, via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14 — the same algorithm GraphFrames
@@ -266,9 +278,20 @@ object Dedup {
     * near-dup graphs (shallow, star-heavy) it converges in a handful of
     * rounds. `localCheckpoint` truncates lineage per round so plans
     * don't grow with iterations. Driver work is only the convergence
-    * probe (two empty-checks per round), never edge data. */
+    * probe (two empty-checks per round), never edge data.
+    *
+    * Small-input fast path (same size-gated pattern as
+    * `Keys.globalRank`): the verified near-dup edge list is orders of
+    * magnitude smaller than the corpus — a 100 TB corpus with 1% dup
+    * pairs post-LSH is still only millions of edges. When the canonical
+    * edge count is ≤ `smallEdgeThreshold` and ids are integral, one
+    * driver union-find pass replaces the O(log²)-round distributed loop
+    * (each round = two shuffles + a distinct + a checkpoint). Set
+    * `smallEdgeThreshold = 0` to force the distributed path; tests pin
+    * both paths against the same expected clustering. */
   def connectedComponents(pairs: DataFrame, idCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25,
+      smallEdgeThreshold: Long = SmallEdgeThreshold): DataFrame = {
     // canonical direction: src > dst, so every edge points "downhill"
     var e = pairs
       .filter(col("id_a") =!= col("id_b"))
@@ -314,6 +337,11 @@ object Dedup {
     var round = 0
     var converged = false
     var fp = fingerprint(e)
+    val dt = e.schema("src").dataType
+    val integral =
+      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+    if (integral && fp._1 <= smallEdgeThreshold)
+      return localUnionFind(e, idCol, dt)
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).distinct().localCheckpoint()
       val nfp = fingerprint(next)
@@ -329,6 +357,49 @@ object Dedup {
       .unionByName(
         e.select(col("dst").as(idCol), col("dst").as("cluster_id")))
       .distinct()
+  }
+
+  /** Driver union-find over a small (gated) canonical edge list: one
+    * collect of (src, dst) longs, path-compressed find, min-id root —
+    * identical output contract to the distributed star rounds. */
+  private def localUnionFind(e: DataFrame, idCol: String,
+      dt: DataType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    e.collect().foreach { row =>
+      val a = asLong(row.get(0)); val b = asLong(row.get(1))
+      nodes += a; nodes += b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    def back(v: Long): Any = dt match {
+      case LongType => v
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      nodes.iterator.map(n =>
+        org.apache.spark.sql.Row(back(n), back(find(n)))).toList.asJava
+    e.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField(idCol, dt, nullable = false),
+      StructField("cluster_id", dt, nullable = false))))
   }
 
   /** Transitive dedup: cluster the pairs with [[connectedComponents]],
@@ -366,7 +437,7 @@ object Dedup {
     val withBlock = df.select(col(idCol).as("__id"),
       concat_ws(" ", slice(TextFunctions.tokens(col(textCol)), 1, blockTokens)).as("__blk"),
       TextFunctions.tokenShingles(col(textCol), shingleSize).as("__set"))
-    withBlock.as("l").join(withBlock.as("r"),
+    withBlock.as("l").hint("shuffle_hash").join(withBlock.as("r"),
         col("l.__blk") === col("r.__blk") && col("l.__id") < col("r.__id"))
       .withColumn("jaccard", TextFunctions.jaccard(col("l.__set"), col("r.__set")))
       .filter(col("jaccard") >= threshold)

@@ -281,7 +281,10 @@ object Similarity {
       .select(col(idCol).as("__id"), col(blockCol).as("__blk"),
         quantize(col(vecCol)).as("__q"))
       .withColumn("__nsq", normSqQ(col("__q")))
-    p.as("l").join(p.as("r"),
+    // shuffle_hash on the self-join → ReuseExchange quantizes embeddings
+    // once; a self-side broadcast would double-scan (and is unbounded at
+    // corpus scale)
+    p.as("l").hint("shuffle_hash").join(p.as("r"),
         col("l.__blk") === col("r.__blk") && col("l.__id") < col("r.__id"))
       .withColumn("cosine", cosineFromParts(
         dotQ(col("l.__q"), col("r.__q")), col("l.__nsq"), col("r.__nsq")))

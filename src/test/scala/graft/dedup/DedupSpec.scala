@@ -96,13 +96,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (10L, 11L), (10L, 12L), (13L, 10L), // star around 10
       (21L, 20L)) // simple pair
       .toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "doc_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
       20L -> 20L, 21L -> 20L)
-    assert(comp == expected)
+    // fast path (driver union-find, default gate) and distributed star
+    // rounds (gate forced off) must produce the identical clustering
+    val fast = Dedup.connectedComponents(pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, "doc_id",
+        smallEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expected)
+    assert(dist == expected)
   }
 
   test("connected components == union-find on a pseudo-random graph") {
@@ -115,7 +121,10 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       (math.max(a, b), math.min(a, b))
     }.filter(e => e._1 != e._2).distinct
     val pairs = edges.toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "doc_id")
+    // force the distributed star rounds: the driver union-find below IS
+    // the fast path's algorithm, so parity here must test the star loop
+    val comp = Dedup.connectedComponents(pairs, "doc_id",
+        smallEdgeThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reference union-find
     val parent = scala.collection.mutable.Map.empty[Long, Long]
