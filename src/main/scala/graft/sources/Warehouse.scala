@@ -60,4 +60,33 @@ object Warehouse {
 
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${quoteTable(table)}")
+
+  /** Bucketed external table write — the co-location lever for repeated
+    * fact-fact joins at 100 TB. Two tables bucketed (and optionally
+    * sorted) on the same key with the same bucket count join with NO
+    * exchange on either side: the scan's output partitioning already
+    * satisfies the join's required distribution, so the single biggest
+    * shuffle in a fact-fact plan (e.g. orders ⨝ lineitem on orderkey)
+    * disappears from every downstream run. Aggregations on the bucket
+    * key and equality filters (bucket pruning: only 1/N of the files
+    * read) get the same treatment. Bucket metadata lives in the session
+    * catalog, so this must go through `saveAsTable`; the data stays
+    * external parquet at `location`.
+    *
+    * Pick `numBuckets` so one bucket ≈ one healthy task input
+    * (128–512 MB): e.g. a 10 TB fact at 256 MB/bucket → ~40k buckets.
+    * Both join sides must use the SAME count (Spark joins equal-count
+    * bucketed scans shuffle-free; mismatched counts shuffle the smaller
+    * side). */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+      location: String, bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Seq.empty,
+      mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    var w = df.write.mode(mode).format("parquet")
+      .option("path", location)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
 }

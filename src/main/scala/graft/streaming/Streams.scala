@@ -30,6 +30,43 @@ object Streams {
       .withWatermark(tsCol, window)
       .dropDuplicatesWithinWatermark((keyCols :+ tsCol).toSeq)
 
+  /** Streaming sessionization: `session_window` with watermark-driven
+    * state eviction — the streaming twin of the batch gap-sessionization
+    * query (w_session_user). Windows that overlap within `gap` merge as
+    * events arrive; a session closes (and, in append mode, emits) once
+    * the watermark passes its end. State is one row per OPEN session per
+    * key — bounded by active users, not by history, which is what lets
+    * this run forever over a 100 TB/day event firehose. */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("events"))
+
+  /** Watermarked stream-stream inner join: right rows match left rows on
+    * `key` within ±`tolerance` of the left timestamp. The time-range
+    * bound in the join condition is what lets Spark evict both sides'
+    * state (watermark + tolerance), so state stays proportional to the
+    * in-flight window — without it a stream-stream join buffers forever.
+    * Output carries the left row plus `rightCols` from the match. */
+  def streamJoinWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, tolerance: String,
+      watermarkDelay: String, rightCols: Seq[String]): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).as("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).as("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"interval $tolerance") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"interval $tolerance"))
+      .select(left.columns.map(c => col(s"l.$c")) ++
+        rightCols.map(c => col(s"r.$c")): _*)
+  }
+
   /** C5: poll-interval suppression → micro-batch trigger. */
   def trigger(checkIntervalSeconds: Long): Trigger =
     Trigger.ProcessingTime(checkIntervalSeconds * 1000)

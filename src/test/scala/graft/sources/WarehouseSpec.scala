@@ -56,4 +56,49 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
       assert(plan.contains("PartitionFilters"), plan)
     } finally Warehouse.dropTable(spark, "wh_part")
   }
+
+  test("co-bucketed tables join and aggregate with no shuffle; bucket pruning") {
+    val dir = Files.createTempDirectory("graft-whb").toString
+    val facts = spark.range(1000)
+      .selectExpr("id % 100 AS k", "id AS v")
+    val dims = spark.range(500)
+      .selectExpr("id % 100 AS k", "id * 10 AS w")
+    Warehouse.writeBucketed(facts, "wh_ba", s"$dir/a",
+      bucketCols = Seq("k"), numBuckets = 8, sortCols = Seq("k"))
+    Warehouse.writeBucketed(dims, "wh_bb", s"$dir/b",
+      bucketCols = Seq("k"), numBuckets = 8, sortCols = Seq("k"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must pick a distribution-sensitive
+      // strategy — the point is that bucketing already satisfies it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("wh_ba").join(spark.table("wh_bb"), "k")
+      assert(joined.count() == 1000 * 5)
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(!jplan.contains("ShuffleExchange"), jplan)
+
+      // aggregation on the bucket key: scan partitioning satisfies the
+      // aggregate's distribution — no exchange
+      val agg = spark.table("wh_ba").groupBy("k").count()
+      assert(agg.count() == 100)
+      val aplan = agg.queryExecution.executedPlan.toString
+      assert(!aplan.contains("ShuffleExchange"), aplan)
+
+      // equality filter on the bucket key reads 1 of 8 buckets.
+      // autoBucketedScan drops bucket layout when no shuffle is saved,
+      // which also forfeits pruning — turn it off to assert the pruned
+      // read path.
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val pruned = spark.table("wh_ba").where("k = 7")
+        assert(pruned.count() == 10)
+        val pplan = pruned.queryExecution.executedPlan.toString
+        assert(pplan.contains("SelectedBucketsCount: 1 out of 8"), pplan)
+      } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      Warehouse.dropTable(spark, "wh_ba")
+      Warehouse.dropTable(spark, "wh_bb")
+    }
+  }
 }

@@ -222,10 +222,8 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     implicit val sqlCtx = spark.sqlContext
 
     val input = MemoryStream[Sale]
-    val agg = input.toDF()
-      .withWatermark("ts", "10 minutes")
-      .groupBy(session_window(col("ts"), "5 minutes"), col("orderId"))
-      .agg(count(lit(1)).as("n"))
+    val agg = Streams.sessionWindowAgg(input.toDF(), "ts", "orderId",
+      gap = "5 minutes", watermarkDelay = "10 minutes")
     val q = agg.writeStream.format("memory")
       .queryName("sess_out").outputMode("append").start()
     try {
@@ -237,10 +235,41 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       input.addData(Sale(8, 1.0, ts("2024-01-01 11:00:00")))
       q.processAllAvailable()
       val rows = spark.table("sess_out")
-        .selectExpr("orderId", "n", "session_window.start as s").collect()
+        .selectExpr("orderId", "events", "session_start").collect()
       assert(rows.length == 1)
       assert(rows.head.getLong(0) == 7L && rows.head.getLong(1) == 2L)
       assert(rows.head.getTimestamp(2) == ts("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
+  test("stream-stream join matches within tolerance, bounded state") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // orders enriched by payments arriving on their own stream: a match
+    // must land within ±10 minutes of the order timestamp
+    val orders = MemoryStream[(Long, Timestamp)]
+    val payments = MemoryStream[(Long, Double, Timestamp)]
+    val joined = Streams.streamJoinWithin(
+      orders.toDF().toDF("orderId", "ts"),
+      payments.toDF().toDF("orderId", "amount", "pts"),
+      key = "orderId", leftTs = "ts", rightTs = "pts",
+      tolerance = "10 minutes", watermarkDelay = "5 minutes",
+      rightCols = Seq("amount"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try {
+      orders.addData((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:00")))
+      // payment for 1 inside tolerance; payment for 2 an hour late
+      payments.addData((1L, 25.0, ts("2024-01-01 10:05:00")),
+        (2L, 99.0, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .selectExpr("orderId", "amount").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows == Map(1L -> 25.0))
     } finally q.stop()
   }
 
