@@ -112,11 +112,7 @@ object Dedup {
   def lshCandidatePairs(sigs: DataFrame, idCol: String, bands: Int,
       k: Int = 64, maxBandGroup: Int = 0): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide signature length $k")
-    val rows = k / bands
-    val banded = sigs.select(col(idCol).as("__id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))): _*))
-        .as(Seq("__band", "__bh")))
+    val bandedSigs = banded(sigs, idCol, bands, k)
     // self-join: force a shuffled hash join so both sides share ONE
     // identical Exchange subtree → ReuseExchange computes signatures and
     // banding once. AQE's broadcast pick would scan (and re-minhash) the
@@ -128,13 +124,13 @@ object Dedup {
           col("l.__id") < col("r.__id"))
         .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
     val pairs =
-      if (maxBandGroup <= 0) allPairs(banded, banded)
+      if (maxBandGroup <= 0) allPairs(bandedSigs, bandedSigs)
       else {
         // one window pass sizes each (band, hash) group — same shuffle
         // key as the join, so no extra exchange shape
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__band"), col("__bh"))
-        val sized = banded
+        val sized = bandedSigs
           .withColumn("__n", count(lit(1)).over(w))
           .withColumn("__rep", min(col("__id")).over(w))
         val small = sized.filter(col("__n") <= maxBandGroup)
@@ -145,6 +141,61 @@ object Dedup {
         allPairs(small, small).unionByName(bigStar)
       }
     pairs.distinct()
+  }
+
+  /** Banded LSH keys for a signature frame: (__id, __band, __bh). */
+  private def banded(sigs: DataFrame, idCol: String, bands: Int,
+      k: Int): DataFrame = {
+    val rows = k / bands
+    sigs.select(col(idCol).as("__id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))): _*))
+        .as(Seq("__band", "__bh")))
+  }
+
+  /** Incremental near-dup candidates for a GROWING corpus: a new batch
+    * is checked against an existing signature index (as written by
+    * [[minhashSignatures]] — persist it once, reuse it every increment)
+    * without recomputing or re-banding costing O(corpus). Emits
+    * canonical candidate pairs among
+    * new-vs-old and new-vs-new; OLD-vs-old pairs are deliberately not
+    * re-derived — they were resolved when those docs arrived.
+    *
+    * Scale shape: the index side shuffles on (band, bandHash) exactly
+    * once per increment (no signature recompute — reading k longs per
+    * doc, not re-shingling text); the new side is typically tiny
+    * relative to the corpus. This is the daily-increment workflow at
+    * 100 TB: signatures are write-once, candidates cost
+    * O(increment + index shuffle). */
+  def incrementalCandidatePairs(newSigs: DataFrame, indexSigs: DataFrame,
+      idCol: String, bands: Int, k: Int = 64): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide signature length $k")
+    val bNew = banded(newSigs, idCol, bands, k)
+    val bOld = banded(indexSigs, idCol, bands, k)
+    val newOld = bNew.as("l").join(bOld.as("r"),
+        col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh") &&
+        col("l.__id") =!= col("r.__id"))
+      .select(least(col("l.__id"), col("r.__id")).as("id_a"),
+        greatest(col("l.__id"), col("r.__id")).as("id_b"))
+    val newNew = bNew.as("l").hint("shuffle_hash").join(bNew.as("r"),
+        col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+    newOld.unionByName(newNew).distinct()
+  }
+
+  /** Incremental near-dup pipeline: candidates from
+    * [[incrementalCandidatePairs]], verified with exact Jaccard against
+    * `corpus` (any frame covering both id spaces — the verify step
+    * semi-join-narrows it to candidate ids before shingling, so the
+    * corpus is scanned once and only candidate docs are re-shingled). */
+  def incrementalNearDuplicates(newDocs: DataFrame, indexSigs: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, threshold: Double = 0.8,
+      bands: Int = 16): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize)
+    val cands = incrementalCandidatePairs(newSigs, indexSigs, idCol, bands)
+    verifyJaccard(corpus, cands, idCol, textCol, shingleSize, threshold)
   }
 
   /** Verify candidate pairs with exact shingle Jaccard; keeps pairs at or

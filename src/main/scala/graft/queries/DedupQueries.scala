@@ -78,6 +78,21 @@ object DedupQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup ([[Dedup.incrementalNearDuplicates]]): the
+    * even-id half of the corpus plays the pre-built signature index, the
+    * odd-id half is the arriving batch. Verified pairs must involve at
+    * least one new doc — old-old pairs were resolved at index-build
+    * time, so the oracle filters the exhaustive pair set the same way. */
+  def d8IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val indexSigs = Dedup.minhashSignatures(oldDocs, "doc_id", "text")
+    Dedup.incrementalNearDuplicates(newDocs, indexSigs, docs,
+        "doc_id", "text", shingleSize = 5, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Deterministic 20% corpus sample by doc-id hash — identical subset
     * on any engine/partitioning ([[graft.operators.Sampling]]). */
   def sampleDocs(s: SparkSession, dir: String): DataFrame =
@@ -121,7 +136,8 @@ object DedupQueries extends QueryPack {
     "d4_blocked_jaccard" -> (d4BlockedJaccard _),
     "d5_dedup_apply" -> (d5DedupApply _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
-    "d7_dedup_transitive" -> (d7DedupTransitive _))
+    "d7_dedup_transitive" -> (d7DedupTransitive _),
+    "d8_incremental_dedup" -> (d8IncrementalDedup _))
 
   // tokenize with the same \s+ regex as the engine (TextFunctions.tokens)
   // so multi-space / tab / newline fixtures can't diverge oracle vs engine
@@ -260,5 +276,17 @@ object DedupQueries extends QueryPack {
         FROM reach GROUP BY src)
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
-      ORDER BY doc_id""")
+      ORDER BY doc_id""",
+    // incremental = exhaustive pairs restricted to those touching the
+    // "new" (odd-id) half; even-even pairs belong to the index build
+    "d8_incremental_dedup" -> s"""
+      WITH sets AS ($shingleSetsSql)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+      ORDER BY id_a, id_b""")
 }

@@ -86,6 +86,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(brute.nonEmpty, "fixture should contain minhash near-dups")
   }
 
+  test("incremental dedup: new batch vs signature index == batch pipeline") {
+    // growing-corpus workflow: the corpus half is indexed once (signature
+    // frame persisted in practice), the "new" half arrives later
+    val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val indexSigs = Dedup.minhashSignatures(oldDocs, "doc_id", "text")
+    val inc = Dedup.incrementalNearDuplicates(newDocs, indexSigs, docs,
+        "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: every batch-pipeline pair that involves at least one new
+    // doc (old-old pairs were resolved when the index was built)
+    val batch = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = batch.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(inc == expected, s"incremental ${inc.size} vs expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture should contain cross-half near-dups")
+  }
+
   test("connected components: chains, stars, and multiple components") {
     val spark2 = spark
     import spark2.implicits._
