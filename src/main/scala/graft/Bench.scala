@@ -33,23 +33,32 @@ object Bench {
             .orderBy(col("n_nationkey"))))
         .groupBy(col("r_name")).agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
-      // the as-of join's union + carry-forward-window shape compiles
-      // different codegen classes (unionByName with null padding,
-      // last(_, ignoreNulls) over a running-row frame); without warming
-      // it, the alphabetically-first bench query (asof_last_order) pays
-      // ~2 s of codegen that belongs to no query
-      val a = n.select(col("n_nationkey").as("k"),
-        col("n_regionkey").cast("long").as("__ts"), lit(0).as("__side"),
-        col("n_name").as("v"))
-      val b = n.select(col("n_nationkey").as("k"),
-        col("n_regionkey").cast("long").as("__ts"), lit(1).as("__side"),
-        lit(null).cast("string").as("v"))
-      val uw = Window.partitionBy(col("k")).orderBy(col("__ts"), col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      a.unionByName(b)
-        .withColumn("cf",
-          last(when(col("__side") === 0, col("v")), ignoreNulls = true).over(uw))
-        .filter(col("__side") === 1)
+      // the as-of join's union + struct-carry window compiles per-carry-
+      // schema codegen classes; run the REAL operator (and the k=1 heap
+      // latestState that feeds it) on a nation-derived stand-in with the
+      // SAME carry shape (long + decimal) as the flagship as-of queries —
+      // without this the alphabetically-first bench query
+      // (asof_last_order) pays seconds of codegen that belongs to no query
+      val evW = n.select(col("n_nationkey").as("user_id"),
+        col("n_regionkey").cast("timestamp").as("ts"),
+        col("n_name").as("event_id"))
+      val ordW = graft.operators.ChangeDetection.latestState(
+        n.select(col("n_nationkey").as("user_id"),
+          col("n_regionkey").cast("timestamp").as("o_ts"),
+          col("n_nationkey").as("okey"),
+          col("n_nationkey").cast("decimal(15,2)").as("tot")),
+        Seq("user_id", "o_ts"), "o_ts", "okey")
+      graft.operators.AsOfJoin.asOf(evW, ordW, "user_id", "ts", "o_ts",
+          Seq("okey", "tot"))
+        .orderBy(col("event_id"))
+        .write.format("noop").mode("overwrite").save()
+      // global range sort (every oracle query ends in orderBy → a
+      // RangePartitioning exchange + sampling pass) and the
+      // date_format/fmtTs projection — both first exercised by the
+      // alphabetically-first query otherwise
+      n.orderBy(col("n_name"))
+        .withColumn("f", date_format(
+          col("n_nationkey").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"))
         .write.format("noop").mode("overwrite").save()
       // prime every input table once (parquet footers + OS page cache):
       // the benchmark measures query execution, not whichever query
