@@ -67,6 +67,78 @@ object Streams {
         rightCols.map(c => col(s"r.$c")): _*)
   }
 
+  /** Streaming corpus curation: each micro-batch of documents is
+    * near-dup-checked against the ACCUMULATED corpus
+    * ([[graft.dedup.Dedup.incrementalNearDuplicates]]' streaming form).
+    * Survivors append to `corpusPath`, their signatures to `indexPath`;
+    * a doc near-duplicating anything already indexed is dropped, and
+    * in-batch duplicates collapse greedily (lowest id survives — same
+    * rule as the batch d5 query).
+    *
+    * The dedup state is the PARQUET signature index, not the state
+    * store: k longs per doc, readable by any engine, rebuildable, and
+    * it survives checkpoint loss. Per-batch cost is the increment's
+    * signatures (map-only) + one band join against the index — the
+    * index is never re-shingled. Docs too short to sign (< shingle
+    * tokens) pass through unchecked, by construction of minhash.
+    * At 100 TB, write the index bucketed on the id
+    * ([[graft.sources.Warehouse.writeBucketed]]) so the
+    * old-side membership joins below are co-located.
+    *
+    * Dedup here is by CONTENT across distinct ids; an exact re-delivery
+    * of the same id is upstream's concern — chain
+    * [[dedupExactRedeliveries]] before this sink. */
+  def nearDupDedupSink(stream: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String, idCol: String, textCol: String,
+      shingleSize: Int = 5, threshold: Double = 0.8, bands: Int = 16,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.dedup.Dedup
+        val t0 = System.nanoTime()
+        val spark = batch.sparkSession
+        val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        val newSigs = Dedup
+          .minhashSignatures(batch, idCol, textCol, shingleSize)
+          .localCheckpoint()
+        val hasIndex = fs.exists(new Path(indexPath))
+        val indexSigs =
+          if (hasIndex) spark.read.parquet(indexPath) else newSigs.limit(0)
+        val corpus =
+          if (hasIndex) batch.unionByName(spark.read.parquet(corpusPath))
+          else batch
+        val cands = Dedup.incrementalCandidatePairs(newSigs, indexSigs,
+          idCol, bands)
+        val pairs = Dedup.verifyJaccard(corpus, cands, idCol, textCol,
+          shingleSize, threshold)
+        // pairs are canonical (id_a < id_b) and always involve ≥1 new
+        // doc. If id_b is indexed, id_a must be the new one → drop id_a;
+        // otherwise id_b is new (new-new greedy, or new-old with the old
+        // doc as id_a) → drop id_b.
+        val oldIds = indexSigs.select(col(idCol))
+        val dropA = pairs
+          .join(oldIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
+          .select(col("id_a").as(idCol))
+        val dropB = pairs
+          .join(oldIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_anti")
+          .select(col("id_b").as(idCol))
+        val drops = dropA.unionByName(dropB).distinct().localCheckpoint()
+        val kept = batch.join(broadcast(drops), Seq(idCol), "left_anti")
+          .localCheckpoint()
+        val keptN = kept.count()
+        val dropped = batch.count() - keptN
+        kept.write.mode("append").parquet(corpusPath)
+        newSigs.join(broadcast(drops), Seq(idCol), "left_anti")
+          .write.mode("append").parquet(indexPath)
+        onLoad(LoadResult(success = true, rowsLoaded = keptN,
+          tableName = corpusPath,
+          durationSeconds = (System.nanoTime() - t0) / 1e9,
+          errorMessage = if (dropped > 0) Some(s"deduped: $dropped") else None))
+      }
+
   /** C5: poll-interval suppression → micro-batch trigger. */
   def trigger(checkIntervalSeconds: Long): Trigger =
     Trigger.ProcessingTime(checkIntervalSeconds * 1000)

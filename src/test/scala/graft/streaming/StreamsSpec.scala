@@ -273,6 +273,49 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup sink: index accumulates across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-dsink").toString
+    // 80 distinct tokens → one-word edits keep shingle-Jaccard ≈ 0.88
+    val base = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace(" tok40 ", " changed ")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val q = Streams.nearDupDedupSink(stream, s"$dir/corpus", s"$dir/index",
+      s"$dir/ckpt", "doc_id", "text", trig = Streams.trigger(1),
+      onLoad = r => loads.synchronized { loads += r }).start()
+    try {
+      // batch 1: doc 1 kept; doc 2 is its in-batch near-dup (dropped)
+      input.addData((1L, base), (2L, nearDup))
+      q.processAllAvailable()
+      // batch 2: doc 3 near-dups the INDEXED doc 1 (dropped against the
+      // index, not the batch); doc 4 unique; doc 5 too short to sign
+      input.addData(
+        (3L, base.replace(" tok10 ", " other ")),
+        (4L, "completely different content about databases and shuffles " +
+          "with enough tokens to produce a full minhash signature today"),
+        (5L, "tiny doc"))
+      q.processAllAvailable()
+
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpus == Set(1L, 4L, 5L))
+      // index holds signatures for signable survivors only
+      val index = spark.read.parquet(s"$dir/index")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(index == Set(1L, 4L))
+      val nonEmpty = loads.filter(r => r.rowsLoaded > 0 || r.errorMessage.nonEmpty)
+      assert(nonEmpty.map(_.rowsLoaded).sum == 3L, nonEmpty)
+      val deduped = nonEmpty.flatMap(_.errorMessage)
+        .map(_.stripPrefix("deduped: ").toLong).sum
+      assert(deduped == 2L, nonEmpty)
+    } finally q.stop()
+  }
+
   test("S6 file source: streaming the events table equals the batch result") {
     import graft.streaming.Windows
     import org.apache.spark.sql.functions.{count => cnt, sum}
