@@ -76,12 +76,19 @@ object Bench {
         concat_ws(" ", Seq.fill(8)(col("n_name")): _*).as("text"))
       graft.dedup.Dedup.minhashNearDuplicates(tinyDocs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
-      // prime the connected-components round shape (window-min star ops,
-      // fingerprint agg, broadcast anti apply) on a 3-component toy graph
+      // prime BOTH connected-components paths on a toy edge list
+      // (8 two-node components): the default gate exercises the
+      // fingerprint agg + driver union-find + broadcast-anti apply that
+      // d6/d7 take at bench scale, and the forced-distributed call
+      // compiles the window-min star-round codegen so a gate overflow
+      // would not pay first-compile cost inside a timed query
       val tinyPairs = n.limit(8)
         .select(col("n_nationkey").cast("long").as("id_a"),
           (col("n_nationkey").cast("long") + 8L).as("id_b"))
       graft.dedup.Dedup.removeNearDuplicatesTransitive(tinyDocs, tinyPairs, "doc_id")
+        .write.format("noop").mode("overwrite").save()
+      graft.dedup.Dedup.connectedComponents(tinyPairs, "doc_id",
+          smallEdgeThreshold = 0L)
         .write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -192,9 +192,14 @@ object Dedup {
   def incrementalNearDuplicates(newDocs: DataFrame, indexSigs: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, threshold: Double = 0.8,
-      bands: Int = 16): DataFrame = {
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize)
-    val cands = incrementalCandidatePairs(newSigs, indexSigs, idCol, bands)
+      bands: Int = 16, numHashes: Int = 64): DataFrame = {
+    // numHashes MUST match the signature length the index was built
+    // with — banding reads sig[1..k] and a shorter persisted signature
+    // would fail (or silently truncate recall) otherwise
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleSize,
+      numHashes)
+    val cands = incrementalCandidatePairs(newSigs, indexSigs, idCol, bands,
+      numHashes)
     verifyJaccard(corpus, cands, idCol, textCol, shingleSize, threshold)
   }
 
@@ -313,9 +318,13 @@ object Dedup {
   // ---- Transitive clustering (connected components) ----
 
   /** Default edge-count gate for [[connectedComponents]]'s driver-side
-    * fast path: 2M edges ≈ 32 MB of longs — far below driver heap, far
-    * above what LSH+verify emits for any real corpus slice. */
-  val SmallEdgeThreshold = 2000000L
+    * fast path. The honest cost at the gate is NOT the 8 MB of raw
+    * longs: collect() materializes boxed Rows, and the union-find holds
+    * hash maps of boxed node ids plus the output row list — roughly
+    * 300–500 MB transient driver memory for 500k edges / ~1M nodes.
+    * That fits any real driver with headroom; the distributed star
+    * rounds take over beyond it. */
+  val SmallEdgeThreshold = 500000L
 
   /** Connected components over canonical near-dup pairs, via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in
@@ -333,13 +342,13 @@ object Dedup {
     *
     * Small-input fast path (same size-gated pattern as
     * `Keys.globalRank`): the verified near-dup edge list is orders of
-    * magnitude smaller than the corpus — a 100 TB corpus with 1% dup
-    * pairs post-LSH is still only millions of edges. When the canonical
-    * edge count is ≤ `smallEdgeThreshold` and ids are integral, one
-    * driver union-find pass replaces the O(log²)-round distributed loop
-    * (each round = two shuffles + a distinct + a checkpoint). Set
-    * `smallEdgeThreshold = 0` to force the distributed path; tests pin
-    * both paths against the same expected clustering. */
+    * magnitude smaller than the corpus, so increments and moderate
+    * corpora often land below [[SmallEdgeThreshold]]. When the
+    * canonical edge count is ≤ `smallEdgeThreshold` and ids are
+    * integral, one driver union-find pass replaces the O(log²)-round
+    * distributed loop (each round = two shuffles + a distinct + a
+    * checkpoint). Set `smallEdgeThreshold = 0` to force the distributed
+    * path; tests pin both paths against the same expected clustering. */
   def connectedComponents(pairs: DataFrame, idCol: String,
       maxRounds: Int = 25,
       smallEdgeThreshold: Long = SmallEdgeThreshold): DataFrame = {

@@ -77,10 +77,13 @@ object Streams {
     *
     * The dedup state is the PARQUET signature index, not the state
     * store: k longs per doc, readable by any engine, rebuildable, and
-    * it survives checkpoint loss. Per-batch cost is the increment's
-    * signatures (map-only) + one band join against the index — the
-    * index is never re-shingled. Docs too short to sign (< shingle
-    * tokens) pass through unchecked, by construction of minhash.
+    * it survives checkpoint loss. Per-batch cost: the increment's
+    * signatures (map-only), one band join against the index, and a
+    * verification read of the corpus PRUNED to candidate ids (pushed as
+    * a scan filter, so row-group stats skip non-candidate data — I/O
+    * tracks the candidate set, not the accumulated corpus). Docs too
+    * short to sign (< shingle tokens) pass through unchecked, by
+    * construction of minhash.
     * At 100 TB, write the index bucketed on the id
     * ([[graft.sources.Warehouse.writeBucketed]]) so the
     * old-side membership joins below are co-located.
@@ -96,22 +99,44 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trig)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.dedup.Dedup
         val t0 = System.nanoTime()
         val spark = batch.sparkSession
-        val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val indexDir = new Path(indexPath)
+        val hasIndex = indexDir.getFileSystem(conf).exists(indexDir)
         val newSigs = Dedup
           .minhashSignatures(batch, idCol, textCol, shingleSize)
           .localCheckpoint()
-        val hasIndex = fs.exists(new Path(indexPath))
         val indexSigs =
-          if (hasIndex) spark.read.parquet(indexPath) else newSigs.limit(0)
-        val corpus =
-          if (hasIndex) batch.unionByName(spark.read.parquet(corpusPath))
-          else batch
+          if (hasIndex)
+            spark.read.parquet(indexPath).select(col(idCol), col("sig"))
+          else newSigs.limit(0)
         val cands = Dedup.incrementalCandidatePairs(newSigs, indexSigs,
-          idCol, bands)
+          idCol, bands).localCheckpoint()
+        // candidate ids are batch-bounded (LSH collisions of ONE
+        // increment): push them into the corpus read as an In filter so
+        // parquet row-group stats skip everything else — verification
+        // I/O tracks the candidate set, not the accumulated corpus. The
+        // literal list is capped; an adversarial collision storm falls
+        // back to the plain scan (verifyJaccard still semi-join-narrows
+        // the shingling CPU either way).
+        val candIdProbe = cands
+          .select(col("id_a").as(idCol))
+          .unionByName(cands.select(col("id_b").as(idCol)))
+          .distinct().limit(100001).collect()
+        val corpus =
+          if (!hasIndex) batch
+          else {
+            val old = spark.read.parquet(corpusPath)
+              .select(batch.columns.map(col): _*)
+            if (candIdProbe.isEmpty) batch
+            else if (candIdProbe.length <= 100000)
+              batch.unionByName(
+                old.filter(col(idCol).isInCollection(candIdProbe.map(_.get(0)).toSeq)))
+            else batch.unionByName(old)
+          }
         val pairs = Dedup.verifyJaccard(corpus, cands, idCol, textCol,
           shingleSize, threshold)
         // pairs are canonical (id_a < id_b) and always involve ≥1 new
@@ -130,9 +155,14 @@ object Streams {
           .localCheckpoint()
         val keptN = kept.count()
         val dropped = batch.count() - keptN
-        kept.write.mode("append").parquet(corpusPath)
+        // idempotent replay: every batch owns a batch=<id> subdirectory
+        // written with overwrite — a post-crash re-run of the same
+        // batchId REPLACES its output instead of appending duplicates.
+        // (Readers see batch= as a partition column; the reads above
+        // project it away.)
+        kept.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
         newSigs.join(broadcast(drops), Seq(idCol), "left_anti")
-          .write.mode("append").parquet(indexPath)
+          .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
         onLoad(LoadResult(success = true, rowsLoaded = keptN,
           tableName = corpusPath,
           durationSeconds = (System.nanoTime() - t0) / 1e9,
@@ -157,8 +187,10 @@ object Streams {
   def mergeBatch(spark: SparkSession, batch: DataFrame, path: String,
       keys: Seq[String], versionCol: String): LoadResult = {
     val t0 = System.nanoTime()
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    // resolve by the path's own scheme — FileSystem.get(conf) returns
+    // the defaultFS client and throws on e.g. an s3a:// target
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base =
       if (fs.exists(target)) spark.read.parquet(path)
       else batch.limit(0)

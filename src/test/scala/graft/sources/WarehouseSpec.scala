@@ -75,14 +75,14 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
       val joined = spark.table("wh_ba").join(spark.table("wh_bb"), "k")
       assert(joined.count() == 1000 * 5)
       val jplan = joined.queryExecution.executedPlan.toString
-      assert(!jplan.contains("ShuffleExchange"), jplan)
+      assert(!jplan.contains("Exchange hashpartitioning"), jplan)
 
       // aggregation on the bucket key: scan partitioning satisfies the
       // aggregate's distribution — no exchange
       val agg = spark.table("wh_ba").groupBy("k").count()
       assert(agg.count() == 100)
       val aplan = agg.queryExecution.executedPlan.toString
-      assert(!aplan.contains("ShuffleExchange"), aplan)
+      assert(!aplan.contains("Exchange hashpartitioning"), aplan)
 
       // equality filter on the bucket key reads 1 of 8 buckets.
       // autoBucketedScan drops bucket layout when no shuffle is saved,
