@@ -164,7 +164,26 @@ object EventQueries extends QueryPack {
       .orderBy(col("band_id"))
   }
 
+  /** Skew-salted join ([[graft.operators.Skew.saltedJoin]]): events ⋈
+    * customer salted 8 ways, then per-segment counts and value sums.
+    * The oracle is the PLAIN join — salting must be invisible in the
+    * result (the operator's exactness contract), pinned here at the
+    * driver's hash-compare level, not just in a unit test. */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("value").isNotNull)
+    val cust = table(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, cust, "user_id", "event_id", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "skew_salted_join" -> (skewSaltedJoin _),
     "range_join_bands" -> (rangeJoinBands _),
     "asof_last_order" -> (asofLastOrder _),
     "asof_recent_purchase" -> (asofRecentPurchase _),
@@ -178,6 +197,13 @@ object EventQueries extends QueryPack {
     "w_session_user" -> (wSessionUser _))
 
   val oracles: Map[String, String] = Map(
+    "skew_salted_join" -> s"""
+      SELECT c.c_mktsegment, COUNT(*) AS n_events,
+             ${decSumSql("e.value")} AS value_sum
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.value IS NOT NULL
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment""",
     "range_join_bands" -> s"""
       WITH bands AS (
         SELECT i AS band_id, i * 10.0 AS lo, i * 10.0 + 25.0 AS hi
