@@ -25,10 +25,36 @@ class DedupPlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  /** Executes `df` and returns the FINAL adaptive plan — exchange reuse
+    * is stitched by AQE at runtime, so the static explain can't show it.
+    * collect() (not write) drives THIS QueryExecution; a write plans a
+    * fresh one and the inspected plan would stay isFinalPlan=false. */
+  private def executedPlanOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("minhash-LSH candidates: banded equi-join, no cross product") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-    val plan = planOf(Dedup.lshCandidatePairs(sigs, "doc_id", bands = 16))
-    assertNoProduct(plan)
+    val cands = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 16)
+    assertNoProduct(planOf(cands))
+    // the self-join's two sides must share ONE exchange (signatures and
+    // banding computed once) — the shuffle_hash hint exists for this;
+    // a broadcast pick would re-scan and re-minhash the corpus
+    val fin = executedPlanOf(cands)
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"), fin)
+  }
+
+  test("incremental candidates: equi-joins only, self side reuses its exchange") {
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val indexSigs = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val newSigs = Dedup.minhashSignatures(newDocs, "doc_id", "text")
+    val cands = Dedup.incrementalCandidatePairs(newSigs, indexSigs,
+      "doc_id", bands = 16)
+    assertNoProduct(planOf(cands))
+    val fin = executedPlanOf(cands)
+    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage"), fin)
   }
 
   test("simhash pairs (both hash spaces): chunk equi-join, no cross product") {
