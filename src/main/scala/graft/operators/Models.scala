@@ -64,4 +64,29 @@ object Models {
       .select(col("order_id"), col("customer_key"), col("order_status"),
         col("total_amount"), col("order_date"))
   }
+
+  /** Type-2 slowly-changing dimension from a change history: one row
+    * per (key, change), `valid_from` = the change timestamp,
+    * `valid_to` = the NEXT change's timestamp (null = current row,
+    * `is_current` flag). Ties on the timestamp break on `seqCol`
+    * (a log offset / id), exactly like
+    * [[graft.operators.ChangeDetection.latestState]].
+    *
+    * Scale shape: ONE shuffle on the key and a per-key window — the
+    * history never collects, and the window frame is (ts, seq)-ordered
+    * lead(1), so state per key is one row. Point-in-time lookups
+    * against the result are a range predicate
+    * (`valid_from <= t AND (valid_to IS NULL OR t < valid_to)`), which
+    * composes with [[graft.operators.RangeJoin]] for as-of enrichment
+    * at scale. */
+  def scd2(history: DataFrame, keys: Seq[String], tsCol: String,
+      seqCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(seqCol))
+    history
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

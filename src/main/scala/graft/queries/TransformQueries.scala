@@ -99,6 +99,22 @@ object TransformQueries extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** T2b type-2 slowly-changing dimension ([[Models.scd2]]): each
+    * customer's order history becomes versioned rows with
+    * valid_from/valid_to intervals and an is_current flag; the oracle
+    * is the textbook LEAD() window. */
+  def t9Scd2Customer(s: SparkSession, dir: String): DataFrame =
+    Models.scd2(
+        table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice")),
+        Seq("o_custkey"), "o_orderdate", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        fmtTs(col("valid_from")).as("valid_from"),
+        fmtTs(col("valid_to")).as("valid_to"),
+        col("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+
   /** Q7b quarantine with per-row violation reasons (one pass; rule names
     * in declaration order) — the reject stream is self-describing. */
   def qa8QuarantineReasons(s: SparkSession, dir: String): DataFrame = {
@@ -121,6 +137,7 @@ object TransformQueries extends QueryPack {
     "t1_staging_orders" -> (t1StagingOrders _),
     "t2_dim_customers" -> (t2DimCustomers _),
     "t3_fact_orders_merge" -> (t3FactOrdersMerge _),
+    "t9_scd2_customer" -> (t9Scd2Customer _),
     "qa1_min_row_count" -> (qa1MinRowCount _),
     "qa2_freshness" -> (qa2Freshness _),
     "qa3_custom_scalar" -> (qa3CustomScalar _),
@@ -164,6 +181,15 @@ object TransformQueries extends QueryPack {
              ${fmtTsSql("order_date")} AS order_date, order_priority
       FROM ($stagingSql) ORDER BY order_id""",
     "t2_dim_customers" -> s"$dimSql ORDER BY customer_key",
+    "t9_scd2_customer" -> s"""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ${fmtTsSql("o_orderdate")} AS valid_from,
+             ${fmtTsSql(
+      "LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)")} AS valid_to,
+             (LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+      FROM orders
+      ORDER BY o_custkey, valid_from, o_orderkey""",
     "t3_fact_orders_merge" -> s"""
       WITH staging AS ($stagingSql),
       delta AS (
