@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan audit across EVERY SparkEntry query: the two plan shapes
+  * that are always wrong at 100 TB — a cartesian product and a
+  * broadcast nested-loop join — must appear in none of them. Individual
+  * specs pin finer properties (exchange reuse, pushdown, heap top-k);
+  * this is the fleet-wide regression net: a refactor that degrades ANY
+  * query to an O(n²) or unbounded-broadcast join fails here by name. */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  /** Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
+    * construction — the only legitimate uses:
+    *  - c2/d1/v_rowlevel: 1-row aggregate frames (scalar subquery
+    *    cross-join) — the broadcast side is a single row at any scale;
+    *  - sim_topk_brute: the QUERY set broadcast against the corpus scan
+    *    is the definition of brute-force ANN; the corpus side streams,
+    *    the broadcast side is the user's bounded query batch.
+    * Anything NOT in this list planning a BNLJ is a regression. */
+  private val boundedBnlj = Set(
+    "c2_dedup_events", "d1_exact_dedup", "v_rowlevel_events",
+    "sim_topk_brute")
+
+  test("no query plans a CartesianProduct; BNLJ only where provably bounded") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        val cart =
+          if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct")
+          else Seq.empty
+        val bnlj =
+          if (plan.contains("BroadcastNestedLoopJoin") && !boundedBnlj(name))
+            Seq(s"$name: BroadcastNestedLoopJoin")
+          else Seq.empty
+        cart ++ bnlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
