@@ -129,7 +129,51 @@ object CoreQueries extends QueryPack {
         lit(100.0) * $"promo_revenue" / $"total_revenue")
   }
 
+  /** Multi-level ROLLUP(region, nation) revenue: region subtotals and a
+    * grand total in ONE pass — Spark's Expand + partial aggregation
+    * keeps this a single shuffle regardless of grouping-set count (vs.
+    * one job per level). NULLS FIRST on both engines so the subtotal
+    * rows (null group keys) sort identically. */
+  def q6RollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = table(s, dir, "lineitem")
+    val sup = table(s, dir, "supplier")
+    val n = table(s, dir, "nation")
+    val r = table(s, dir, "region")
+    l.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(decSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** Per-customer running revenue: cumulative sum over the order
+    * history — partitioned window (never a global sort), deterministic
+    * ROWS frame ordered by the unique (date, orderkey). Decimal partial
+    * sums make every prefix engine-exact, so all 15k×N rows
+    * hash-compare. */
+  def wRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    table(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("running_spend",
+        sum($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey",
+        fmtTs($"o_orderdate").as("o_orderdate"), $"running_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q6_rollup_revenue" -> (q6RollupRevenue _),
+    "w_running_total" -> (wRunningTotal _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_customers" -> (q3TopCustomers _),
@@ -138,6 +182,25 @@ object CoreQueries extends QueryPack {
     "q5_region_revenue" -> (q5RegionRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q6_rollup_revenue" -> s"""
+      SELECT r_name, n_name,
+        ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "w_running_total" -> """
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""",
     "q14_promo_revenue" -> s"""
       SELECT promo_revenue, total_revenue,
              100.0 * promo_revenue / total_revenue AS promo_pct

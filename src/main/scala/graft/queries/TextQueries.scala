@@ -159,7 +159,23 @@ object TextQueries extends QueryPack {
       .withColumn("has_email", col("clean").rlike("@"))
       .orderBy(col("doc_id"))
 
+  /** Dedup-grade normalization ([[TextFunctions.normalizeText]]):
+    * lowercase → strip punctuation → collapse whitespace, plus the
+    * md5 of the normalized form (what exact dedup would key on) and
+    * how many raw docs collapse per normalized form. */
+  def txNormalize(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("dirty", concat(lit("  "), col("text"),
+        lit("!!  Extra,  SPACES. "), col("doc_id")))
+      .select(col("doc_id"),
+        TextFunctions.normalizeText(col("dirty")).as("norm"))
+      .withColumn("norm_md5", md5(col("norm")))
+      .select(col("doc_id"), col("norm_md5"),
+        length(col("norm")).as("norm_len"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_normalize" -> (txNormalize _),
     "tx_redact" -> (txRedact _),
     "tx_lang_id" -> (txLangId _),
     "tx_quality" -> (txQuality _),
@@ -188,6 +204,18 @@ object TextQueries extends QueryPack {
   }
 
   val oracles: Map[String, String] = Map(
+    "tx_normalize" -> """
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(
+                   lower(concat('  ', text, '!!  Extra,  SPACES. ', doc_id)),
+                   '[^a-z0-9\s]', ' ', 'g'),
+                 '\s+', ' ', 'g')) AS n
+        FROM documents)
+      SELECT doc_id, md5(n) AS norm_md5,
+             CAST(len(n) AS INT) AS norm_len
+      FROM norm ORDER BY doc_id""",
     "tx_redact" -> """
       WITH dirty AS (
         SELECT doc_id,

@@ -46,6 +46,16 @@ object TextFunctions {
   /** Token count, whitespace semantics. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Dedup-grade normalization: lowercase, strip non-alphanumerics to
+    * spaces, collapse runs of whitespace, trim. Run BEFORE hashing so
+    * "Hello,  World!" and "hello world" collapse to one exact-dup
+    * group. ASCII character class on purpose — identical semantics in
+    * every regex engine (unicode \\p classes differ between engines,
+    * which would break oracle portability). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** BPE-ish subword unit count: alpha runs, digit runs, single other
     * non-space chars — a cheap proxy for tokenizer load. */
   def subwordCount(text: Column): Column =
