@@ -14,10 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - runtime: `GraftExtensions.install(spark)` for an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.SafeBroadcastRule())
+  }
 }
 
 object GraftExtensions {
@@ -44,8 +46,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotQExpr(args(0), args(1))))
 
   /** Register on an already-built session. */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     functions.foreach { case (name, info, builder) =>
       org.apache.spark.sql.GraftShims.registerFunction(spark, name, info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.SafeBroadcastRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SafeBroadcastRule()
+  }
 }
