@@ -171,7 +171,27 @@ object CoreQueries extends QueryPack {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Market-basket co-occurrence: the 20 part pairs most often bought
+    * in the same order. The pair join is an EQUI self-join on the order
+    * key (co-partitioned — each order's lines meet in one task, pair
+    * count bounded by lines-per-order²), hinted shuffle_hash so both
+    * sides reuse ONE exchange; DISTINCT (order, part) first so a part
+    * repeated within an order can't double-count. */
+  def q7BasketPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    li.as("a").hint("shuffle_hash").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+      .groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b")
+      .limit(20)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q7_basket_pairs" -> (q7BasketPairs _),
     "q6_rollup_revenue" -> (q6RollupRevenue _),
     "w_running_total" -> (wRunningTotal _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
@@ -182,6 +202,15 @@ object CoreQueries extends QueryPack {
     "q5_region_revenue" -> (q5RegionRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q7_basket_pairs" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      ORDER BY n_orders DESC, part_a, part_b
+      LIMIT 20""",
     "q6_rollup_revenue" -> s"""
       SELECT r_name, n_name,
         ${decSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
