@@ -26,8 +26,18 @@ case class SafeBroadcastRule() extends Rule[LogicalPlan] {
   private val confKey = "spark.graft.broadcast.maxBytes"
   private val defaultMax = 512L * 1024 * 1024
 
-  private def maxBytes: BigInt =
-    BigInt(conf.getConfString(confKey, defaultMax.toString).toLong)
+  /** Accepts plain bytes or Spark-style size strings ("512m", "1g");
+    * a malformed value degrades to the default with a warning — a
+    * misconfigured guardrail must never fail working queries. */
+  private def maxBytes: BigInt = {
+    val raw = conf.getConfString(confKey, defaultMax.toString)
+    try BigInt(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    catch {
+      case _: NumberFormatException =>
+        logWarning(s"$confKey='$raw' is not a size; using $defaultMax")
+        BigInt(defaultMax)
+    }
+  }
 
   private def isBroadcast(h: Option[HintInfo]): Boolean =
     h.exists(_.strategy.contains(BROADCAST))
@@ -35,13 +45,20 @@ case class SafeBroadcastRule() extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j: Join if isBroadcast(j.hint.leftHint) || isBroadcast(j.hint.rightHint) =>
       val cap = maxBytes
+      // stat-less sources (JDBC, streaming) report the unknown-stats
+      // default (spark.sql.defaultSizeInBytes ≈ Long.MaxValue): there a
+      // user hint is the ONLY size information available — trust it.
+      // The rule only overrides hints contradicted by REAL estimates.
+      val unknown = BigInt(conf.defaultSizeInBytes)
       def vet(side: Option[HintInfo], child: LogicalPlan,
-          name: String): Option[HintInfo] =
-        if (isBroadcast(side) && child.stats.sizeInBytes > cap) {
+          name: String): Option[HintInfo] = {
+        val size = child.stats.sizeInBytes
+        if (isBroadcast(side) && size > cap && size < unknown) {
           logWarning(s"stripping BROADCAST hint from $name join side: " +
-            s"estimated ${child.stats.sizeInBytes} bytes > $confKey=$cap")
+            s"estimated $size bytes > $confKey=$cap")
           None
         } else side
+      }
       j.copy(hint = j.hint.copy(
         leftHint = vet(j.hint.leftHint, j.left, "left"),
         rightHint = vet(j.hint.rightHint, j.right, "right")))

@@ -76,8 +76,11 @@ object Streams {
     * rule as the batch d5 query).
     *
     * The dedup state is the PARQUET signature index, not the state
-    * store: k longs per doc, readable by any engine, rebuildable, and
-    * it survives checkpoint loss. Per-batch cost: the increment's
+    * store: k longs per doc, readable by any engine, rebuildable. The
+    * DATA survives checkpoint loss; RESUMING ingestion after losing the
+    * checkpoint requires restoring it or starting a fresh output path —
+    * the sink detects the batchId collision and fails loudly rather
+    * than silently overwriting the oldest batch. Per-batch cost: the increment's
     * signatures (map-only), one band join against the index, and a
     * verification read of the corpus PRUNED to candidate ids (pushed as
     * a scan filter, so row-group stats skip non-candidate data — I/O
@@ -104,8 +107,27 @@ object Streams {
         val t0 = System.nanoTime()
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
-        val indexDir = new Path(indexPath)
-        val hasIndex = indexDir.getFileSystem(conf).exists(indexDir)
+        // "index exists" = at least one COMMITTED batch directory — a
+        // crash that left only _temporary files must look like a fresh
+        // start so the overwrite below can heal it, not a readable
+        // index (schema inference over uncommitted dirs would fail
+        // every replay forever)
+        val indexFs = new Path(indexPath).getFileSystem(conf)
+        val committed = indexFs
+          .globStatus(new Path(indexPath, "batch=*/_SUCCESS"))
+        val hasIndex = committed != null && committed.nonEmpty
+        // batchIds restart at 0 when the CHECKPOINT is lost; blindly
+        // overwriting batch=0 would then destroy the oldest accumulated
+        // data and its dedup state. Fail loudly instead: the operator
+        // restores the checkpoint or points at a fresh corpus/index.
+        // (A genuine replay of batch 0 — crash during the very first
+        // batch — has no OTHER committed batches and passes.)
+        if (batchId == 0 && hasIndex &&
+            committed.exists(s => s.getPath.getParent.getName != "batch=0"))
+          throw new IllegalStateException(
+            s"nearDupDedupSink: batchId restarted at 0 but $indexPath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or start a fresh corpus/index path.")
         val newSigs = Dedup
           .minhashSignatures(batch, idCol, textCol, shingleSize)
           .localCheckpoint()
@@ -115,20 +137,20 @@ object Streams {
           else newSigs.limit(0)
         val cands = Dedup.incrementalCandidatePairs(newSigs, indexSigs,
           idCol, bands).localCheckpoint()
-        // candidate ids are batch-bounded (LSH collisions of ONE
-        // increment): push them into the corpus read as an In filter so
-        // parquet row-group stats skip everything else — verification
-        // I/O tracks the candidate set, not the accumulated corpus. The
-        // literal list is capped; an adversarial collision storm falls
-        // back to the plain scan (verifyJaccard still semi-join-narrows
-        // the shingling CPU either way).
-        val candIdProbe = cands
-          .select(col("id_a").as(idCol))
-          .unionByName(cands.select(col("id_b").as(idCol)))
-          .distinct().limit(100001).collect()
         val corpus =
           if (!hasIndex) batch
           else {
+            // candidate ids are batch-bounded (LSH collisions of ONE
+            // increment): push them into the corpus read as an In filter
+            // so parquet row-group stats skip everything else —
+            // verification I/O tracks the candidate set, not the
+            // accumulated corpus. The literal list is capped; a
+            // collision storm falls back to the plain scan (verifyJaccard
+            // still semi-join-narrows the shingling CPU either way).
+            val candIdProbe = cands
+              .select(col("id_a").as(idCol))
+              .unionByName(cands.select(col("id_b").as(idCol)))
+              .distinct().limit(100001).collect()
             val old = spark.read.parquet(corpusPath)
               .select(batch.columns.map(col): _*)
             if (candIdProbe.isEmpty) batch

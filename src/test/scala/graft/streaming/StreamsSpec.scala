@@ -316,6 +316,44 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup sink refuses to clobber history after checkpoint loss") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-dsink-loss").toString
+    val mk = (i: Long) => (i, (0 until 80).map(t => s"w${i}x$t").mkString(" "))
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.nearDupDedupSink(input.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+      trig = Streams.trigger(1)).start()
+    try {
+      input.addData(mk(1)); q.processAllAvailable()
+      input.addData(mk(2)); q.processAllAvailable()
+    } finally q.stop()
+    // lose the checkpoint → batchIds restart at 0; the sink must fail
+    // loudly instead of overwriting the oldest committed batch
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/ckpt"))
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = Streams.nearDupDedupSink(input2.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+      trig = Streams.trigger(1)).start()
+    try {
+      input2.addData(mk(3))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("checkpoint was lost") ||
+        Option(ex.getCause).exists(_.getMessage.contains("checkpoint was lost")),
+        ex.getMessage)
+      // history intact: both original docs still in the corpus
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpus == Set(1L, 2L))
+    } finally q2.stop()
+  }
+
   test("S6 file source: streaming the events table equals the batch result") {
     import graft.streaming.Windows
     import org.apache.spark.sql.functions.{count => cnt, sum}
