@@ -61,6 +61,46 @@ object Warehouse {
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${quoteTable(table)}")
 
+  /** Small-files compaction — the hygiene every micro-batch sink needs
+    * at scale: thousands of tiny per-batch files turn a 100 TB scan
+    * into a listing/open-seek storm and starve the scheduler with
+    * sub-MB tasks. Rewrites the directory into ≈`targetBytes`-sized
+    * files (computed from the CURRENT total size, so compaction stays
+    * proportional to the data), then atomically swaps via write-new +
+    * rename — same single-writer contract as the merge sinks. Run it
+    * OFFLINE between streaming runs (single writer); for continuously
+    * live tables, compact partition-by-partition instead.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(dir, true)
+    var nBefore = 0L
+    var totalBytes = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.toString.contains("/_")) {
+        nBefore += 1; totalBytes += f.getLen
+      }
+    }
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new Path(path + "__compact")
+    spark.read.parquet(path).repartition(parts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+    val after = fs.listFiles(dir, true)
+    var nAfter = 0L
+    while (after.hasNext) {
+      val f = after.next()
+      if (!f.getPath.getName.startsWith("_")) nAfter += 1
+    }
+    (nBefore, nAfter)
+  }
+
   /** Bucketed external table write — the co-location lever for repeated
     * fact-fact joins at 100 TB. Two tables bucketed (and optionally
     * sorted) on the same key with the same bucket count join with NO

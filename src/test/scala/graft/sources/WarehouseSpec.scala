@@ -57,6 +57,23 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     } finally Warehouse.dropTable(spark, "wh_part")
   }
 
+  test("compaction collapses many small files, preserves data exactly") {
+    val dir = Files.createTempDirectory("graft-whc").toString
+    // simulate a micro-batch sink: 20 appends of 50 rows → ≥20 files
+    (0 until 20).foreach { i =>
+      spark.range(i * 50, i * 50 + 50).selectExpr("id", "id * 2 AS v")
+        .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    }
+    val before = spark.read.parquet(s"$dir/t")
+      .collect().map(_.getLong(0)).toSet
+    val (nBefore, nAfter) = Warehouse.compact(spark, s"$dir/t")
+    assert(nBefore >= 20L, nBefore)
+    assert(nAfter < nBefore, s"$nAfter vs $nBefore")
+    val after = spark.read.parquet(s"$dir/t")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == before && after.size == 1000)
+  }
+
   test("co-bucketed tables join and aggregate with no shuffle; bucket pruning") {
     val dir = Files.createTempDirectory("graft-whb").toString
     val facts = spark.range(1000)
