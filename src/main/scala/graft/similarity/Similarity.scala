@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -152,6 +152,35 @@ object Similarity {
       .fit(train)
     (model.transform(featurized).drop("__features"),
       model.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
+
+  /** Persist an IVF index built by [[kmeansIndex]]: the clustered
+    * corpus PARTITIONED BY cluster (a probe of nProbe cells reads only
+    * those directories — static pruning for literal cells, dynamic
+    * partition pruning for the probe join) and the centroid list
+    * (k×dim doubles, one tiny file). Build once, reuse for every query
+    * batch — at corpus scale the assignment pass is the expensive step
+    * and it is write-once here, mirroring the dedup signature index. */
+  def saveIndex(clustered: DataFrame, centroids: Seq[Seq[Double]],
+      path: String): Unit = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    clustered.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/corpus")
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index in [[kmeansIndex]]'s return shape. */
+  def loadIndex(spark: SparkSession, path: String)
+      : (DataFrame, Seq[Seq[Double]]) = {
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).map(_._2).toSeq
+    (corpus, cents)
   }
 
   /** The `nProbe` nearest centroid ids for a vector, as an array column.

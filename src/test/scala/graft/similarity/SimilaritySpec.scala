@@ -116,6 +116,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall(8) == 1.0)
   }
 
+  test("IVF index save/load round-trip: loaded index answers identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val (clustered, centroids) = Similarity.kmeansIndex(
+      emb, "vec_id", "embedding", k = 4, seed = 42L)
+    Similarity.saveIndex(clustered, centroids, dir)
+    val (loaded, loadedCents) = Similarity.loadIndex(spark, dir)
+    assert(loadedCents == centroids)
+    // cluster partitioning materialized as directories (probe pruning)
+    val parts = new java.io.File(s"$dir/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("cluster=")).toSet
+    assert(parts.nonEmpty)
+    val q = emb.filter(col("vec_id") < 10)
+    val fresh = Similarity.kmeansTopKMultiProbe(clustered, q, "vec_id",
+        "embedding", centroids, k = 2, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val viaLoaded = Similarity.kmeansTopKMultiProbe(loaded, q, "vec_id",
+        "embedding", loadedCents, k = 2, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(viaLoaded == fresh)
+  }
+
   test("kmeans with bounded training sample still assigns every row") {
     val total = emb.count()
     val sampled = Similarity.kmeansClusters(emb, "vec_id", "embedding",
