@@ -190,7 +190,111 @@ object CoreQueries extends QueryPack {
       .limit(20)
   }
 
+  /** Status-pivoted spend per order priority: the relational PIVOT
+    * surface. Pivot values are DECLARED (`Seq("F","O","P")`) so the
+    * plan is a single conditional aggregation — Spark never runs the
+    * extra distinct-values job a value-less `.pivot(col)` needs, which
+    * at 100 TB would be a full extra scan just to learn column names. */
+  def q8PivotStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(decSum($"o_totalprice"))
+      .select($"o_orderpriority", $"F".as("spend_f"), $"O".as("spend_o"),
+        $"P".as("spend_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Exact per-group quantiles (p50/p95) that scale: the window runs
+    * over DISTINCT (group, value) pairs with pre-aggregated counts —
+    * the raw fact table never sorts. Rank targets use pure integer
+    * arithmetic (`ceil(p·n)` as `(k·n + d − 1) div d`), so the chosen
+    * value is an actual data element, bit-identical across engines —
+    * no interpolation, no floating-point quantile math. The sketch
+    * twin for when exactness isn't required is
+    * `Validator.profileFrame(approx = true)`'s `approx_percentile`. */
+  def q9GroupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byPrice = table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"l_returnflag")
+    byPrice
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .groupBy($"l_returnflag")
+      .agg(
+        min(when($"cum" >= expr("(n + 1) div 2"), $"l_extendedprice")).as("p50"),
+        min(when($"cum" >= expr("(19 * n + 19) div 20"), $"l_extendedprice")).as("p95"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Fixed-bound histogram of order totals: bucket assignment is a
+    * map-side `floor(x / width)` (one IEEE divide — deterministic in
+    * both engines), so the shuffle moves only (bucket → partial agg)
+    * rows. Fixed bounds are the scalable form: a data-driven min/max
+    * would need an extra pass before bucketing. */
+  def q10PriceHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .select(
+        least(floor($"o_totalprice" / 50000.0), lit(9)).cast("bigint").as("bucket"),
+        $"o_totalprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("spend"))
+      .orderBy($"bucket")
+  }
+
+  /** Per-customer order-over-order spend delta: LAG over the customer's
+    * history — partitioned window (one key shuffle, never global),
+    * deterministic total order via the unique (date, orderkey). The
+    * delta is computed in exact decimal then cast once to double, so
+    * every row hash-compares. */
+  def wLagDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val dec = DecimalType(18, 6)
+    table(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("delta",
+        ($"o_totalprice".cast(dec) - $"prev_price".cast(dec)).cast(DoubleType))
+      .select($"o_custkey", $"o_orderkey", fmtTs($"o_orderdate").as("o_orderdate"),
+        $"prev_price", $"delta")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Ordered string aggregation (LISTAGG shape): each customer's order
+    * statuses concatenated in (date, orderkey) order. Spark's
+    * `collect_list` is unordered, so the deterministic form collects
+    * (date, key, status) structs and sorts INSIDE each group —
+    * per-group state is bounded by orders-per-customer, and there is
+    * no global sort. */
+  def q11StatusListagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"o_orderdate", $"o_orderkey", $"o_orderstatus"))),
+            x => x.getField("o_orderstatus")),
+          ",").as("status_seq"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q8_pivot_status" -> (q8PivotStatus _),
+    "q9_group_quantiles" -> (q9GroupQuantiles _),
+    "q10_price_histogram" -> (q10PriceHistogram _),
+    "w_lag_delta" -> (wLagDelta _),
+    "q11_status_listagg" -> (q11StatusListagg _),
     "q7_basket_pairs" -> (q7BasketPairs _),
     "q6_rollup_revenue" -> (q6RollupRevenue _),
     "w_running_total" -> (wRunningTotal _),
@@ -202,6 +306,55 @@ object CoreQueries extends QueryPack {
     "q5_region_revenue" -> (q5RegionRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q8_pivot_status" -> s"""
+      SELECT o_orderpriority,
+        ${decSumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS spend_f,
+        ${decSumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS spend_o,
+        ${decSumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS spend_p
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    "q9_group_quantiles" -> """
+      WITH byp AS (
+        SELECT l_returnflag, l_extendedprice, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (
+        SELECT l_returnflag, l_extendedprice,
+          SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM byp)
+      SELECT l_returnflag,
+        MIN(CASE WHEN cum >= (n + 1) // 2 THEN l_extendedprice END) AS p50,
+        MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN l_extendedprice END) AS p95
+      FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q10_price_histogram" -> s"""
+      SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+             COUNT(*) AS n_orders,
+             ${decSumSql("o_totalprice")} AS spend
+      FROM orders
+      GROUP BY 1
+      ORDER BY bucket""",
+    "w_lag_delta" -> """
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+             prev_price,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) -
+                  CAST(prev_price AS DECIMAL(18,6)) AS DOUBLE) AS delta
+      FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders)
+      ORDER BY o_custkey, o_orderkey""",
+    "q11_status_listagg" -> """
+      SELECT o_custkey,
+             string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey)
+               AS status_seq,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
     "q7_basket_pairs" -> """
       WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -174,7 +174,28 @@ object TextQueries extends QueryPack {
         length(col("norm")).as("norm_len"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-frequent 5-gram spans (boilerplate candidates): every span
+    * shared by ≥3 documents with its document frequency. One shuffle on
+    * the span; within-doc dedup happens map-side (`array_distinct`
+    * before the explode), so plain `count` IS document frequency. */
+  def txBoilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.text.Boilerplate
+      .frequentSpans(table(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 3L)
+      .orderBy(col("doc_freq").desc, col("span"))
+
+  /** Per-document boilerplate contamination: fraction of a doc's
+    * distinct spans that are corpus-frequent. The frequency aggregate
+    * and the span join share one hash-partitioning on `span`. */
+  def txBoilerplateRatio(s: SparkSession, dir: String): DataFrame =
+    graft.text.Boilerplate
+      .boilerplateRatio(table(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 3L)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_boilerplate_ngrams" -> (txBoilerplateNgrams _),
+    "tx_boilerplate_ratio" -> (txBoilerplateRatio _),
     "tx_normalize" -> (txNormalize _),
     "tx_redact" -> (txRedact _),
     "tx_lang_id" -> (txLangId _),
@@ -203,7 +224,30 @@ object TextQueries extends QueryPack {
     (scoreExprs, best._1, best._2)
   }
 
+  // doc → distinct 5-gram spans, the DuckDB twin of Boilerplate.docSpans
+  // (same \s+ tokenizer and 5-token windows as TokenShinglesExpr)
+  private val docSpansSql = """
+    SELECT doc_id,
+           unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                                 FOR i IN range(1, len(toks) - 3)])) AS span
+    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+    WHERE len(toks) >= 5"""
+
   val oracles: Map[String, String] = Map(
+    "tx_boilerplate_ngrams" -> s"""
+      WITH sp AS ($docSpansSql)
+      SELECT span, COUNT(*) AS doc_freq
+      FROM sp GROUP BY span HAVING COUNT(*) >= 3
+      ORDER BY doc_freq DESC, span""",
+    "tx_boilerplate_ratio" -> s"""
+      WITH sp AS ($docSpansSql),
+      freq AS (
+        SELECT span, COUNT(*) AS doc_freq
+        FROM sp GROUP BY span HAVING COUNT(*) >= 3)
+      SELECT s.doc_id, COUNT(*) AS n_spans, COUNT(f.doc_freq) AS n_frequent,
+             CAST(COUNT(f.doc_freq) AS DOUBLE) / COUNT(*) AS boilerplate_ratio
+      FROM sp s LEFT JOIN freq f ON s.span = f.span
+      GROUP BY s.doc_id ORDER BY s.doc_id""",
     "tx_normalize" -> """
       WITH norm AS (
         SELECT doc_id,

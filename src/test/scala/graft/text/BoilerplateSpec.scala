@@ -1,0 +1,53 @@
+package graft.text
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class BoilerplateSpec extends AnyFunSuite with SparkSpec {
+
+  // "a b c d e f" shares the spans "a b c d e"/"b c d e f" across docs
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "a b c d e f x y z w v"),
+      (4L, "p q r s t u"),
+      (5L, "short doc")
+    ).toDF("doc_id", "text")
+  }
+
+  test("frequentSpans finds spans shared by >= minDocs documents") {
+    val freq = Boilerplate.frequentSpans(docs, "doc_id", "text", n = 5, minDocs = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq == Map("a b c d e" -> 3L, "b c d e f" -> 3L))
+  }
+
+  test("within-doc repeats do not inflate document frequency") {
+    import spark.implicits._
+    val rep = Seq(
+      (1L, "a b c d e a b c d e"), // span "a b c d e" occurs twice in doc 1
+      (2L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val freq = Boilerplate.frequentSpans(rep, "doc_id", "text", n = 5, minDocs = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq("a b c d e") == 2L) // 2 docs, not 3 occurrences
+  }
+
+  test("boilerplateRatio: contaminated docs score high, clean docs zero, short docs absent") {
+    val ratio = Boilerplate.boilerplateRatio(docs, "doc_id", "text", n = 5, minDocs = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // docs 1 & 2: both spans frequent → ratio 1.0
+    assert(ratio(1L) == ((2L, 2L, 1.0)))
+    assert(ratio(2L) == ((2L, 2L, 1.0)))
+    // doc 3: 7 spans, 2 frequent
+    assert(ratio(3L)._1 == 7L && ratio(3L)._2 == 2L)
+    assert(math.abs(ratio(3L)._3 - 2.0 / 7.0) < 1e-12)
+    // doc 4: no frequent spans
+    assert(ratio(4L) == ((2L, 0L, 0.0)))
+    // doc 5: shorter than the shingle size → absent
+    assert(!ratio.contains(5L))
+  }
+}
