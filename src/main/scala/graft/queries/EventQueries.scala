@@ -182,7 +182,54 @@ object EventQueries extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Ordered funnel (view → click → purchase): each user's first view,
+    * first click AFTER that view, first purchase AFTER that click, and
+    * the funnel stage reached. Three whole-partition conditional MINs
+    * over ONE user_id shuffle — the sequential dependency (each step's
+    * predicate uses the previous step's timestamp) chains window
+    * operators on the same partitioning, so no joins and no re-shuffle.
+    * Strict `>` comparisons stay in the microsecond domain on both
+    * engines (the oracle casts the raw nanosecond timestamps down). */
+  def wFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("tv"), max(col("t2")).as("tc"),
+        max(col("t3")).as("tp"))
+      .select(col("user_id"),
+        when(col("tp").isNotNull, lit(3))
+          .when(col("tc").isNotNull, lit(2))
+          .when(col("tv").isNotNull, lit(1))
+          .otherwise(lit(0)).as("stage"),
+        fmtTs(col("tv")).as("t_view"), fmtTs(col("tc")).as("t_click"),
+        fmtTs(col("tp")).as("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON path extraction at scan time: pull `$.k` out of the props
+    * JSON column and aggregate on it — `get_json_object` is codegen'd,
+    * so the parse rides the scan (no UDF boundary, no second pass). */
+  def jPropsExtract(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
+      .orderBy(col("k"))
+
   val queries: Map[String, QueryFn] = Map(
+    "w_funnel_steps" -> (wFunnelSteps _),
+    "j_props_extract" -> (jPropsExtract _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "range_join_bands" -> (rangeJoinBands _),
     "asof_last_order" -> (asofLastOrder _),
@@ -197,6 +244,42 @@ object EventQueries extends QueryPack {
     "w_session_user" -> (wSessionUser _))
 
   val oracles: Map[String, String] = Map(
+    "w_funnel_steps" -> s"""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      w1 AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM e GROUP BY user_id),
+      w2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM e JOIN w1 ON e.user_id = w1.user_id
+        WHERE e.event_type = 'click' AND e.ts > w1.t1
+        GROUP BY e.user_id),
+      w3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM e JOIN w2 ON e.user_id = w2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > w2.t2
+        GROUP BY e.user_id)
+      SELECT u.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS stage,
+             ${fmtTsSql("t1")} AS t_view,
+             ${fmtTsSql("t2")} AS t_click,
+             ${fmtTsSql("t3")} AS t_purchase
+      FROM (SELECT DISTINCT user_id FROM e) u
+      LEFT JOIN w1 ON u.user_id = w1.user_id
+      LEFT JOIN w2 ON u.user_id = w2.user_id
+      LEFT JOIN w3 ON u.user_id = w3.user_id
+      ORDER BY u.user_id""",
+    "j_props_extract" -> s"""
+      SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+             COUNT(*) AS n_events,
+             ${decSumSql("value")} AS value_sum
+      FROM events
+      GROUP BY 1
+      ORDER BY k""",
     "skew_salted_join" -> s"""
       SELECT c.c_mktsegment, COUNT(*) AS n_events,
              ${decSumSql("e.value")} AS value_sum

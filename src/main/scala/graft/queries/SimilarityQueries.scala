@@ -52,7 +52,16 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-label centroid of the embedding space (long form: one row per
+    * (label, component)): exact integer component sums over quantized
+    * vectors — order-free, so the result hash-compares — with the mean
+    * as one final IEEE division. */
+  def simCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(table(s, dir, "embeddings"), "embedding", "label")
+      .orderBy(col("label"), col("pos"))
+
   val queries: Map[String, QueryFn] = Map(
+    "sim_centroids" -> (simCentroids _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_bucketed" -> (simTopkBucketed _),
     "sim_neardup_pairs" -> (simNearDupPairs _),
@@ -76,6 +85,20 @@ object SimilarityQueries extends QueryPack {
         / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"""
 
   val oracles: Map[String, String] = Map(
+    "sim_centroids" -> """
+      WITH q AS (
+        SELECT label,
+               unnest([{'pos': i - 1,
+                        'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000)
+                                  AS BIGINT)}
+                       FOR i IN range(1, len(embedding) + 1)],
+                      recursive := true)
+        FROM embeddings)
+      SELECT label, CAST(pos AS INT) AS pos, COUNT(*) AS n_vecs,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q
+      FROM q GROUP BY label, pos
+      ORDER BY label, pos""",
     "sim_topk_brute" -> s"""
       WITH prep AS ($prepSql), nrm AS ($normSql),
       scored AS (

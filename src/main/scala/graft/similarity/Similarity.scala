@@ -72,6 +72,22 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Per-group vector centroids in LONG form (group, component position,
+    * count, exact integer component sum, mean). Component sums run over
+    * QUANTIZED integers, so the aggregation is order-free and exact —
+    * float addition across rows would be partition-order-dependent. The
+    * explode fans each row out by the dimension, but partial aggregation
+    * combines map-side, so the shuffle carries only groups × dims rows.
+    * Long form keeps results scalar-typed (hash-comparable) and feeds
+    * `array_agg`-style pivots when an array<double> centroid is wanted. */
+  def labelCentroids(df: DataFrame, vecCol: String,
+      labelCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(quantize(col(vecCol))).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+      .withColumn("mean_q", col("sum_q").cast(DoubleType) / col("n_vecs"))
+
   /** Per-query top-k via the heap operator
     * ([[graft.plans.TopKPerKeyExec]]): one pass, O(n log k), no
     * per-partition sort of the full candidate set — the window+filter
