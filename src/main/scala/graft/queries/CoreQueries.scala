@@ -289,7 +289,67 @@ object CoreQueries extends QueryPack {
       .orderBy($"o_custkey")
   }
 
+  /** UNPIVOT (wide → long): three lineitem measures melt into
+    * (measure, value) rows, then one grouped profile per measure.
+    * `unpivot` is an Expand — map-side row fan-out, no shuffle until
+    * the (3-group) aggregate; the scan still prunes to exactly the
+    * unpivoted columns. */
+  def q12UnpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .select($"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "measure", "value")
+      .groupBy($"measure")
+      .agg(count(lit(1)).as("n_rows"), decSum($"value").as("total"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+      .orderBy($"measure")
+  }
+
+  /** Set operations: customers active in BOTH 1994 and 1995 (INTERSECT)
+    * and in 1994 but not 1995 (EXCEPT). Both rewrite to aggregates/
+    * anti-joins on the customer key — one shuffle each over the
+    * DISTINCT key sets, never the raw fact rows. */
+  def q13SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    def active(year: Int) = o
+      .filter($"o_orderdate" >= ts(s"$year-01-01") &&
+        $"o_orderdate" < ts(s"${year + 1}-01-01"))
+      .select($"o_custkey")
+    val both = active(1994).intersect(active(1995))
+    val only94 = active(1994).except(active(1995))
+    both.agg(count(lit(1)).as("n")).select(lit("both_94_95").as("cohort"), $"n")
+      .union(only94.agg(count(lit(1)).as("n"))
+        .select(lit("only_94").as("cohort"), $"n"))
+      .orderBy($"cohort")
+  }
+
+  /** Ranking windows (NTILE + PERCENT_RANK) over customer spend:
+    * deciles and exact percentile position. The ordering key
+    * (total_spend, custkey) is unique, so tile/rank assignment is
+    * deterministic. Runs on the AGGREGATED per-customer table (1/10th
+    * of orders), and the single-partition window is the documented
+    * small-side path — at 100 TB the same decile assignment comes from
+    * `Keys.globalRank`-style bucketed ranking, which this query's
+    * per-customer aggregate feeds unchanged. */
+  def wNtileSpend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"total_spend", $"o_custkey")
+    table(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(decSum($"o_totalprice").as("total_spend"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q12_unpivot_measures" -> (q12UnpivotMeasures _),
+    "q13_set_ops" -> (q13SetOps _),
+    "w_ntile_spend" -> (wNtileSpend _),
     "q8_pivot_status" -> (q8PivotStatus _),
     "q9_group_quantiles" -> (q9GroupQuantiles _),
     "q10_price_histogram" -> (q10PriceHistogram _),
@@ -306,6 +366,40 @@ object CoreQueries extends QueryPack {
     "q5_region_revenue" -> (q5RegionRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q12_unpivot_measures" -> s"""
+      WITH long AS (
+        SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem)
+      SELECT measure, COUNT(*) AS n_rows,
+             ${decSumSql("value")} AS total,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM long GROUP BY measure ORDER BY measure""",
+    "q13_set_ops" -> """
+      WITH a94 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate < TIMESTAMP '1995-01-01'),
+      a95 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01')
+      SELECT 'both_94_95' AS cohort,
+             (SELECT COUNT(*) FROM (SELECT * FROM a94 INTERSECT SELECT * FROM a95)) AS n
+      UNION ALL
+      SELECT 'only_94',
+             (SELECT COUNT(*) FROM (SELECT * FROM a94 EXCEPT SELECT * FROM a95)) AS n
+      ORDER BY cohort""",
+    "w_ntile_spend" -> s"""
+      SELECT o_custkey, total_spend,
+             NTILE(10) OVER (ORDER BY total_spend, o_custkey) AS decile,
+             PERCENT_RANK() OVER (ORDER BY total_spend, o_custkey) AS pct_rank
+      FROM (
+        SELECT o_custkey, ${decSumSql("o_totalprice")} AS total_spend
+        FROM orders GROUP BY o_custkey)
+      ORDER BY o_custkey""",
     "q8_pivot_status" -> s"""
       SELECT o_orderpriority,
         ${decSumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS spend_f,

@@ -21,6 +21,12 @@ case class KeyedEvent(key: String, ts: Timestamp)
 case class DetectedChange(key: String, changeCount: Long,
     newWatermark: Timestamp)
 
+/** One user interaction for streaming funnel tracking. */
+case class FunnelEvent(userId: Long, ts: Timestamp, eventType: String)
+
+/** A user's funnel progress: highest stage reached so far and when. */
+case class FunnelProgress(userId: Long, stage: Int, stageTs: Timestamp)
+
 object Stateful {
 
   /** Per-key stateful change detection. State = last watermark millis;
@@ -48,6 +54,53 @@ object Stateful {
           else {
             state.update(maxTs)
             Iterator(DetectedChange(key, count, new Timestamp(maxTs)))
+          }
+      }
+  }
+
+  /** Streaming twin of the batch funnel (`w_funnel_steps`): per-user
+    * ordered progression view → click → purchase, held as ONE (stage,
+    * timestamp) pair in the state store — constant state per user, the
+    * shape that survives unbounded streams. A batch's events sort
+    * in-memory (per user per micro-batch — bounded), advance the stage
+    * strictly in order (a click before the first view does NOT count),
+    * and a [[FunnelProgress]] row is emitted only when the stage
+    * actually advanced — the same suppress-no-change contract as
+    * [[detectChanges]]. */
+  def funnelTrack(events: Dataset[FunnelEvent],
+      steps: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelProgress] = {
+    implicit val stEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    implicit val outEnc = Encoders.product[FunnelProgress]
+    implicit val keyEnc = Encoders.scalaLong
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[(Int, Long), FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[(Int, Long)]) =>
+          var (stage, stageTs) = state.getOption.getOrElse((0, Long.MinValue))
+          val entered = stage
+          // within-batch events replay in event-time order; each step
+          // must be STRICTLY after the previous step's timestamp (same
+          // contract as the batch funnel). Cross-batch late arrivals
+          // can only be missed, never wrongly counted: the ts > stageTs
+          // guard still holds for whatever order batches deliver.
+          val relevant = batch
+            .filter(e => stepIdx.contains(e.eventType)).toArray
+            .sortBy(e => (e.ts.getTime, stepIdx(e.eventType)))
+          relevant.foreach { e =>
+            if (stage < steps.length && stepIdx(e.eventType) == stage &&
+                (stage == 0 || e.ts.getTime > stageTs)) {
+              stage += 1
+              stageTs = e.ts.getTime
+            }
+          }
+          if (stage == entered) Iterator.empty
+          else {
+            state.update((stage, stageTs))
+            Iterator(FunnelProgress(userId, stage, new Timestamp(stageTs)))
           }
       }
   }

@@ -148,6 +148,54 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: stage advances in strict order across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[FunnelEvent]
+    val q = Stateful.funnelTrack(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 views then clicks; user 2's click BEFORE any
+      // view must not advance; user 3 purchases without prior steps
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(1L, ts("2024-01-01 10:05:00"), "click"),
+        FunnelEvent(2L, ts("2024-01-01 09:00:00"), "click"),
+        FunnelEvent(3L, ts("2024-01-01 09:30:00"), "purchase"))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+      assert(b1 == Set((1L, 2, ts("2024-01-01 10:05:00"))))
+
+      // batch 2: user 1 purchases (stage 3); user 2 finally views
+      // (stage 1); a user-1 view is stale noise — no double-advance
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:10:00"), "purchase"),
+        FunnelEvent(1L, ts("2024-01-01 10:11:00"), "view"),
+        FunnelEvent(2L, ts("2024-01-01 09:10:00"), "view"))
+      q.processAllAvailable()
+      val b2 = spark.table("funnel_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+      assert(b2 == b1 ++ Set(
+        (1L, 3, ts("2024-01-01 10:10:00")),
+        (2L, 1, ts("2024-01-01 09:10:00"))))
+
+      // batch 3: click at the SAME timestamp as user 2's view must NOT
+      // advance (strictly-after contract); a later click does
+      input.addData(FunnelEvent(2L, ts("2024-01-01 09:10:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 3) // no emission
+      input.addData(FunnelEvent(2L, ts("2024-01-01 09:20:00"), "click"))
+      q.processAllAvailable()
+      val b4 = spark.table("funnel_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+      assert(b4.contains((2L, 2, ts("2024-01-01 09:20:00"))))
+    } finally q.stop()
+  }
+
   test("partitioned merge sink: micro-batches rewrite only touched partitions") {
     val spark2 = spark
     import spark2.implicits._
