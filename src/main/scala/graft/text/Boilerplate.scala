@@ -50,17 +50,24 @@ object Boilerplate {
     * distinct spans that are corpus-frequent. Documents shorter than
     * the shingle size have no spans and are absent from the output
     * (nothing to measure). The ratio is bigint/bigint → one IEEE
-    * division, engine-exact. */
+    * division, engine-exact.
+    *
+    * Span frequency is a COUNT-over-window on the span partitioning,
+    * not a groupBy + self-join: the aggregate-then-join spelling plans
+    * two full scans of the corpus (partial aggregation below the
+    * frequency shuffle makes the exchanges non-reusable), and at 100 TB
+    * re-scanning + re-shingling every document dwarfs the window's
+    * in-partition sort of the exploded spans. This shape shingles
+    * once: Generate → Exchange(span) → Window → Exchange(doc_id). */
   def boilerplateRatio(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Long = 3L): DataFrame = {
-    val sp = docSpans(docs, idCol, textCol, n)
-    val freq = sp.groupBy(col("span"))
-      .agg(count(lit(1)).as("doc_freq"))
-      .filter(col("doc_freq") >= minDocs)
-    sp.join(freq, Seq("span"), "left")
+    import org.apache.spark.sql.expressions.Window
+    val wSpan = Window.partitionBy(col("span"))
+    docSpans(docs, idCol, textCol, n)
+      .withColumn("doc_freq", count(lit(1)).over(wSpan))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        count(col("doc_freq")).as("n_frequent"))
+        count(when(col("doc_freq") >= minDocs, lit(1))).as("n_frequent"))
       .withColumn("boilerplate_ratio",
         col("n_frequent").cast("double") / col("n_spans"))
   }

@@ -74,4 +74,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("boilerplate ratio: corpus scanned & shingled ONCE (window, not agg+join)") {
+    // the aggregate-then-self-join spelling plans a second full scan of
+    // documents (partial agg below the frequency shuffle kills exchange
+    // reuse); the count-over-window form must keep exactly one scan
+    val plan = formatted(TextQueries.txBoilerplateRatio(spark, sf))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert("\\(\\d+\\) Generate".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("funnel: one user_id shuffle feeds all three step windows") {
+    val plan = formatted(EventQueries.wFunnelSteps(spark, sf))
+    // hashpartitioning(user_id) appears once; the final rangepartitioning
+    // is the ORDER BY, not a re-shuffle of the windows
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1, plan)
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 3, plan)
+  }
+
+  test("q9 quantiles: windows run over pre-aggregated distinct pairs") {
+    val plan = formatted(CoreQueries.q9GroupQuantiles(spark, sf))
+    // partial+final aggregate BELOW the windows compresses raw rows to
+    // distinct (flag, price) pairs before any sort
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, plan)
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("q8 pivot with declared values: no distinct-values pre-job, one agg") {
+    val df = CoreQueries.q8PivotStatus(spark, sf)
+    val plan = formatted(df)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Expand"), plan) // pivot folds into one agg pass
+  }
 }
