@@ -229,6 +229,59 @@ object Streams {
       durationSeconds = (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Incremental aggregate maintenance (materialized-view style): a
+    * persistent per-key aggregate table — row count + exact decimal sum
+    * per measure — kept current by folding each micro-batch's PARTIAL
+    * aggregate into the stored totals. Counts and decimal sums are
+    * associative, so delta-merging is EXACT: the result equals a full
+    * recompute over all data ever seen, but per-batch cost is
+    * (batch keys + stored keys), never the raw history. This is the
+    * streaming twin of the corpus-stats queries (tx_corpus_stats): at
+    * 100 TB/day the full recompute is off the table, the merge isn't.
+    * Non-associative stats (distinct, percentiles) deliberately aren't
+    * here — those need sketches (see `Validator.profileFrame(approx)`).
+    */
+  def aggMergeBatch(spark: SparkSession, batch: DataFrame, path: String,
+      keyCols: Seq[String], measureCol: String): LoadResult = {
+    val t0 = System.nanoTime()
+    val keyExprs = keyCols.map(col)
+    val partial = batch.groupBy(keyExprs: _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(measureCol).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .as("sum_measure"))
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base =
+      if (fs.exists(target)) spark.read.parquet(path)
+      else partial.limit(0)
+    val merged = base.union(partial)
+      .groupBy(keyExprs: _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_measure")).as("sum_measure"))
+    val tmp = new Path(path + "__new")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // count the WRITTEN files (footer metadata) before the swap — the
+    // merged plan still references the old base directory and cannot be
+    // re-executed once the rename replaces it
+    val outRows = spark.read.parquet(tmp.toString).count()
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+    LoadResult(success = true, rowsLoaded = outRows, tableName = path,
+      durationSeconds = (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** writeStream wiring for [[aggMergeBatch]] (checkpointed). */
+  def aggMergeSink(stream: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], measureCol: String,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onLoad(aggMergeBatch(batch.sparkSession, batch, path, keyCols, measureCol))
+      }
+
   /** writeStream wiring for the merge sink (checkpointed — C1). Each
     * micro-batch's [[graft.core.LoadResult]] is delivered to `onLoad`
     * (S8 load reporting, reference `base.py:62-69`).

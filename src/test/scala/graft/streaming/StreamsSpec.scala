@@ -148,6 +148,39 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("aggregate-merge sink: incremental totals equal a full recompute") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("aggmerge").toString
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+
+    val input = MemoryStream[(String, Double)]
+    val q = Streams.aggMergeSink(
+        input.toDS().toDF("source", "tokens"),
+        s"$dir/aggs", s"$dir/ckpt", Seq("source"), "tokens",
+        Streams.trigger(1),
+        onLoad = r => loads.synchronized { loads += r })
+      .start()
+    try {
+      input.addData(("web", 10.5), ("web", 2.25), ("books", 7.0))
+      q.processAllAvailable()
+      input.addData(("web", 1.0), ("code", 3.5))
+      q.processAllAvailable()
+
+      val stored = spark.read.parquet(s"$dir/aggs")
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_rows"),
+          r.getAs[java.math.BigDecimal]("sum_measure").doubleValue))
+        .toSet
+      // exactly the totals a full recompute over all five rows gives
+      assert(stored == Set(
+        ("web", 3L, 13.75), ("books", 1L, 7.0), ("code", 1L, 3.5)))
+      assert(loads.size == 2 && loads.forall(_.success))
+      assert(loads.last.rowsLoaded == 3) // 3 keys in the stored table
+    } finally q.stop()
+  }
+
   test("streaming funnel: stage advances in strict order across batches") {
     val spark2 = spark
     import spark2.implicits._
