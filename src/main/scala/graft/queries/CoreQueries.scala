@@ -346,7 +346,82 @@ object CoreQueries extends QueryPack {
       .orderBy($"o_custkey")
   }
 
+  /** Time-series gap filling: a generated 1995 calendar per priority,
+    * left-joined with daily aggregates — missing days surface as
+    * explicit zero rows, and `last_active_day` carries forward the most
+    * recent day with orders (monotone MAX window, identical semantics
+    * in both engines — no `last(ignoreNulls)` edge cases). The calendar
+    * side is dims × days (tiny, broadcastable); the fact side is
+    * pre-aggregated per day before the join, so the join never sees raw
+    * orders. */
+  def wGapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = table(s, dir, "orders")
+    val daily = o
+      .filter($"o_orderdate" >= ts("1995-01-01") && $"o_orderdate" < ts("1996-01-01"))
+      .groupBy($"o_orderpriority", to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"), decSum($"o_totalprice").as("spend"))
+    val cal = o.select($"o_orderpriority").distinct()
+      .select($"o_orderpriority",
+        explode(sequence(to_date(lit("1995-01-01")), to_date(lit("1995-12-31")),
+          expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("o_orderpriority", "day"), "left")
+      .select($"o_orderpriority", $"day",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"spend", lit(0.0)).as("spend"))
+      .withColumn("last_active_day",
+        date_format(max(when($"n_orders" > 0, $"day")).over(w), "yyyy-MM-dd"))
+      .select($"o_orderpriority", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_orders", $"spend", $"last_active_day")
+      .orderBy($"o_orderpriority", $"day")
+  }
+
+  /** FULL OUTER join: per-customer spend in 1995 vs 1996 — customers
+    * active in either year appear, with nulls marking the inactive
+    * side. Both inputs pre-aggregate to one row per customer before the
+    * join (the only scalable spelling: joining raw orders would shuffle
+    * the fact twice). */
+  def q15FullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    def spend(year: Int, alias: String) = o
+      .filter($"o_orderdate" >= ts(s"$year-01-01") &&
+        $"o_orderdate" < ts(s"${year + 1}-01-01"))
+      .groupBy($"o_custkey")
+      .agg(decSum($"o_totalprice").as(alias))
+    spend(1995, "spend_95").join(spend(1996, "spend_96"),
+        Seq("o_custkey"), "full_outer")
+      .orderBy($"o_custkey")
+  }
+
+  /** Semi-join chain (IN-subquery shape): customers who ever ordered a
+    * PROMO part — part filter broadcasts into a LEFT SEMI against
+    * lineitem, surviving orderkeys semi-join orders, custkeys semi-join
+    * customer. Semi joins never materialize match payloads, and each
+    * hop only carries the key column forward. */
+  def q16SemiChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promoParts = table(s, dir, "part").filter($"p_type".startsWith("PROMO"))
+      .select($"p_partkey")
+    val promoOrders = table(s, dir, "lineitem")
+      .join(broadcast(promoParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .select($"l_orderkey")
+    val promoCusts = table(s, dir, "orders")
+      .join(promoOrders, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_custkey")
+    table(s, dir, "customer")
+      .join(promoCusts, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "w_gap_fill" -> (wGapFill _),
+    "q15_full_outer" -> (q15FullOuter _),
+    "q16_semi_chain" -> (q16SemiChain _),
     "q12_unpivot_measures" -> (q12UnpivotMeasures _),
     "q13_set_ops" -> (q13SetOps _),
     "w_ntile_spend" -> (wNtileSpend _),
@@ -366,6 +441,58 @@ object CoreQueries extends QueryPack {
     "q5_region_revenue" -> (q5RegionRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "w_gap_fill" -> s"""
+      WITH cal AS (
+        SELECT p.o_orderpriority, CAST(t.d AS DATE) AS day
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+             generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                             INTERVAL 1 DAY) AS t(d)),
+      daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders,
+               ${decSumSql("o_totalprice")} AS spend
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2)
+      SELECT c.o_orderpriority, strftime(c.day, '%Y-%m-%d') AS day,
+             CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+             COALESCE(d.spend, 0.0) AS spend,
+             strftime(MAX(CASE WHEN d.n_orders > 0 THEN c.day END) OVER (
+               PARTITION BY c.o_orderpriority ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               '%Y-%m-%d') AS last_active_day
+      FROM cal c
+      LEFT JOIN daily d
+        ON c.o_orderpriority = d.o_orderpriority AND c.day = d.day
+      ORDER BY c.o_orderpriority, c.day""",
+    "q15_full_outer" -> s"""
+      WITH a AS (
+        SELECT o_custkey, ${decSumSql("o_totalprice")} AS spend_95
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY o_custkey),
+      b AS (
+        SELECT o_custkey, ${decSumSql("o_totalprice")} AS spend_96
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey)
+      SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+             a.spend_95, b.spend_96
+      FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      ORDER BY o_custkey""",
+    "q16_semi_chain" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE c_custkey IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%')))
+      ORDER BY c_custkey""",
     "q12_unpivot_measures" -> s"""
       WITH long AS (
         SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem

@@ -227,7 +227,28 @@ object EventQueries extends QueryPack {
       .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("value_sum"))
       .orderBy(col("k"))
 
+  /** Retention cohorts: users grouped by first-seen week, counted in
+    * each week they were active. Distinct (user, month) pairs are
+    * built by aggregation (never `countDistinct`'s Expand rewrite —
+    * after the pre-distinct, each pair is one row, so a plain count IS
+    * the distinct-user count), and the cohort join carries only
+    * (user → cohort). */
+  def wRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), date_trunc("WEEK", col("ts")).as("week"))
+    val active = ev.distinct()
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        date_format(col("week"), "yyyy-MM-dd").as("week"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "w_retention_cohorts" -> (wRetentionCohorts _),
     "w_funnel_steps" -> (wFunnelSteps _),
     "j_props_extract" -> (jPropsExtract _),
     "skew_salted_join" -> (skewSaltedJoin _),
@@ -244,6 +265,18 @@ object EventQueries extends QueryPack {
     "w_session_user" -> (wSessionUser _))
 
   val oracles: Map[String, String] = Map(
+    "w_retention_cohorts" -> """
+      WITH e AS (
+        SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+        FROM events),
+      active AS (SELECT DISTINCT user_id, week FROM e),
+      cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1)
+      SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+             strftime(a.week, '%Y-%m-%d') AS week,
+             COUNT(*) AS n_users
+      FROM active a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY c.cohort_week, a.week
+      ORDER BY cohort_week, week""",
     "w_funnel_steps" -> s"""
       WITH e AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
