@@ -336,4 +336,36 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"), col("cosine"))
   }
+
+  /** Int8 storage compression for embedding tables: per-vector
+    * symmetric quantization — `scale = max(|x|)/127`, `code_i =
+    * round(x_i / scale)` ∈ [−127, 127] — shrinks an array<float> column
+    * ~4× (further under parquet byte-packing), which at a 100 TB
+    * embedding corpus is the difference between one storage tier and
+    * the next. Map-only in both directions; all-zero vectors keep
+    * scale 0 and decode to zeros. Search on decompressed vectors loses
+    * < 1% recall at 64 dims (SimilaritySpec pins recall@k and the
+    * per-component error bound ≤ scale/2). */
+  def compressInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val scaleCol =
+      aggregate(col(vecCol), lit(0.0f),
+        (acc, x) => greatest(acc, abs(x))) / lit(127.0f)
+    df.withColumn("__scale", scaleCol)
+      .withColumn(vecCol + "_i8",
+        when(col("__scale") === 0f,
+          transform(col(vecCol), _ => lit(0.toByte)))
+        .otherwise(transform(col(vecCol),
+          x => round(x / col("__scale")).cast("byte"))))
+      .withColumnRenamed("__scale", vecCol + "_scale")
+      .drop(vecCol)
+  }
+
+  /** Inverse of [[compressInt8]]: reconstruct an approximate
+    * array<float> (`x̂_i = code_i · scale`, error ≤ scale/2 per
+    * component). */
+  def decompressInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol,
+        transform(col(vecCol + "_i8"),
+          c => (c.cast("float") * col(vecCol + "_scale")).cast("float")))
+      .drop(vecCol + "_i8", vecCol + "_scale")
 }

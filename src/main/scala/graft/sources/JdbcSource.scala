@@ -82,4 +82,30 @@ object JdbcSource {
 
   def load(spark: SparkSession, cfg: JdbcSourceConfig): DataFrame =
     reader(spark, cfg).load()
+
+  /** S8 load side: write a DataFrame into a warehouse table over JDBC —
+    * the loader ABC's `load(df, target_table, mode)` returning a
+    * `LoadResult` (reference `src/interfaces/base.py:104-125`). Modes
+    * map to Spark save modes (`append` / `overwrite`); `batchsize`
+    * bounds each executor's insert round trips the same way `fetchsize`
+    * bounds reads. Executors write their partitions in parallel — the
+    * reference pushes rows through one cursor. The row count is taken
+    * from the incoming DataFrame BEFORE the write (one extra job over
+    * the batch, never the warehouse table). */
+  def write(df: DataFrame, cfg: JdbcSourceConfig,
+      mode: String = "append"): graft.core.LoadResult = {
+    val t0 = System.nanoTime()
+    val rows = df.count()
+    df.write.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", cfg.table)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("batchsize", cfg.fetchSize)
+      .mode(mode)
+      .save()
+    graft.core.LoadResult(success = true, rowsLoaded = rows,
+      tableName = cfg.table,
+      durationSeconds = (System.nanoTime() - t0) / 1e9)
+  }
 }

@@ -153,4 +153,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(sampled.select("vec_id", "cluster")
       .exceptAll(again.select("vec_id", "cluster")).isEmpty)
   }
+
+  test("int8 compression: 4x narrower codes, bounded error, high search recall") {
+    val compressed = Similarity.compressInt8(emb, "embedding")
+    // schema: byte codes + one float scale replace the float array
+    val f = compressed.schema("embedding_i8").dataType
+    assert(f == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      f.simpleString.startsWith("array<tinyint>"), f.simpleString)
+
+    val restored = Similarity.decompressInt8(compressed, "embedding")
+    // per-component reconstruction error ≤ scale/2 (round-to-nearest)
+    val joined = emb.select(col("vec_id"), col("embedding").as("orig"))
+      .join(restored.select(col("vec_id"), col("embedding").as("back")), "vec_id")
+      .join(Similarity.compressInt8(emb, "embedding")
+        .select(col("vec_id"), col("embedding_scale")), "vec_id")
+    val maxErrOverHalfScale = joined.select(
+      max(aggregate(zip_with(col("orig"), col("back"),
+          (a, b) => abs(a - b)), lit(0.0f), (acc, x) => greatest(acc, x))
+        / (col("embedding_scale") / 2.0f)).as("m"))
+      .collect().head.getAs[Number]("m").doubleValue
+    assert(maxErrOverHalfScale <= 1.0001, s"err/halfScale = $maxErrOverHalfScale")
+
+    // search on decompressed vectors: recall@5 vs raw ≥ 0.9
+    val queries = emb.filter(col("vec_id") < 10)
+    val braw = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bcmp = Similarity.bruteForceTopK(restored,
+        Similarity.decompressInt8(
+          Similarity.compressInt8(queries, "embedding"), "embedding"),
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = braw.intersect(bcmp).size.toDouble / braw.size
+    assert(recall >= 0.9, s"recall@5 after int8 = $recall")
+  }
 }

@@ -49,6 +49,29 @@ class JdbcIntegrationSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 100)
   }
 
+  test("jdbc write: append + overwrite round-trip with LoadResult counts") {
+    seeded
+    val spark2 = spark
+    import spark2.implicits._
+    val out = cfg.copy(table = "loaded_customers")
+    val batch = Seq((1, "a@test.com"), (2, "b@test.com")).toDF("id", "email")
+
+    val r1 = JdbcSource.write(batch, out, mode = "overwrite")
+    assert(r1.success && r1.rowsLoaded == 2 && r1.tableName == "loaded_customers")
+    val r2 = JdbcSource.write(Seq((3, "c@test.com")).toDF("id", "email"), out)
+    assert(r2.success && r2.rowsLoaded == 1)
+
+    val back = JdbcSource.reader(spark, out).option("driver", driver).load()
+    assert(back.count() == 3)
+    assert(back.select("email").as[String].collect().toSet ==
+      Set("a@test.com", "b@test.com", "c@test.com"))
+
+    val r3 = JdbcSource.write(batch, out, mode = "overwrite")
+    assert(r3.rowsLoaded == 2)
+    assert(JdbcSource.reader(spark, out).option("driver", driver)
+      .load().count() == 2)
+  }
+
   test("incremental extract: watermark predicate runs in the database") {
     seeded
     val df = JdbcSource.incrementalReader(spark, cfg, "2024-01-20 00:00:00")
