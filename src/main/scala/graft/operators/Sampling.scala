@@ -42,6 +42,42 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
 
+  /** Importance sampling: keep each row with probability `weight` (a
+    * per-row Column in [0, 1] — e.g. a quality score), decided by the
+    * same key hash as every other sampler here, so the selection is
+    * partition- and run-independent and externally reproducible. The
+    * standard quality-weighted corpus downsample ("keep good documents
+    * more often") as a pure filter — no shuffle, no state. */
+  def weightedSample(df: DataFrame, keyCol: String,
+      weight: Column): DataFrame =
+    df.filter(hashBucket(col(keyCol)) <
+      (least(greatest(weight, lit(0.0)), lit(1.0)) * Buckets).cast(LongType))
+
+  /** Greedy contiguous sequence packing: within each `groupCol` stream,
+    * rows ordered by `keyCol` accumulate `weightCol` (token counts) and
+    * `batch_id = floor(start_offset / budget)` — every batch holds
+    * consecutive documents totalling ≈`budget` tokens (an over-long doc
+    * spills its batch rather than splitting). Deterministic layout:
+    * the (group, key) order fully defines every batch on any engine.
+    *
+    * Scale: ONE shuffle on the group; the cumulative window is
+    * inherently sequential PER STREAM (that is what contiguous packing
+    * means), so parallelism = number of streams — shard the group key
+    * (source × day/shard) upstream when single streams are huge. */
+  def packSequences(df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: Column, budget: Long): DataFrame = {
+    require(budget > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__w", weightCol.cast(LongType))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("batch_id",
+        expr(s"(__cum - __w) div ${budget}L")) // integer div — no FP floor
+      .drop("__cum")
+      .withColumnRenamed("__w", "n_tokens")
+  }
+
   /** Downsample every source to ≈`budget` units of `weightCol` (token
     * counts, bytes, …): per-source rate = min(1, budget / total), then
     * the deterministic hash mix. The totals aggregate is one tiny

@@ -126,7 +126,37 @@ object DedupQueries extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** Quality-weighted importance sampling: keep probability = the doc's
+    * size-based quality weight (min(1, n_chars/400)) — longer docs kept
+    * more often, decided by the same engine-reproducible key hash as
+    * every sampler. Pure filter, no shuffle until the report agg. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.operators.Sampling.weightedSample(docs, "doc_id",
+        least(lit(1.0), col("n_chars") / lit(400.0)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Sequence packing: per-source contiguous batches of ≈2048 tokens in
+    * doc_id order (deterministic layout — any engine derives the same
+    * batches). Reported per batch; the per-doc assignment is the
+    * operator output. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val docs = table(s, dir, "documents")
+    graft.operators.Sampling.packSequences(docs, "source", "doc_id",
+        TextFunctions.tokenCount(col("text")), 2048L)
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+      .orderBy(col("source"), col("batch_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "sample_weighted" -> (sampleWeighted _),
+    "pack_sequences" -> (packSequences _),
     "sample_docs" -> (sampleDocs _),
     "mix_sources" -> (mixSources _),
     "mix_token_budget" -> (mixTokenBudget _),
@@ -161,6 +191,29 @@ object DedupQueries extends QueryPack {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted" -> s"""
+      SELECT source, COUNT(*) AS kept_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      FROM documents
+      WHERE $bucketSql <
+        CAST(FLOOR(LEAST(1.0, n_chars / 400.0) * 1000000) AS BIGINT)
+      GROUP BY source ORDER BY source""",
+    "pack_sequences" -> """
+      WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM toks)
+      SELECT source, CAST((c - n_tokens) // 2048 AS BIGINT) AS batch_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+      FROM cum
+      GROUP BY source, CAST((c - n_tokens) // 2048 AS BIGINT)
+      ORDER BY source, batch_id""",
     "sample_docs" -> s"""
       SELECT doc_id, source FROM documents
       WHERE $bucketSql < 200000

@@ -66,4 +66,47 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       totals.values.max * 2)
     assert(all.count() == docs.count())
   }
+
+  test("weighted sample: weight 1 keeps all, weight 0 none, deterministic between") {
+    assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() ==
+      docs.count())
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
+    // out-of-range weights clamp instead of misbehaving
+    assert(Sampling.weightedSample(docs, "doc_id", lit(7.5)).count() ==
+      docs.count())
+    val half = Sampling.weightedSample(docs, "doc_id", lit(0.5))
+    val again = Sampling.weightedSample(docs, "doc_id", lit(0.5))
+    assert(half.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // weighted ⊆ uniform at the same fraction: same hash, same threshold
+    val uniform = Sampling.deterministicSample(docs, "doc_id", 0.5)
+    assert(half.select("doc_id").exceptAll(uniform.select("doc_id")).isEmpty)
+  }
+
+  test("sequence packing: contiguous batches near the budget, exact cover") {
+    import graft.text.TextFunctions
+    val packed = Sampling.packSequences(docs, "source", "doc_id",
+      TextFunctions.tokenCount(col("text")), 100L)
+    // every doc appears exactly once with its token count
+    assert(packed.count() == docs.count())
+    val batches = packed.groupBy(col("source"), col("batch_id"))
+      .agg(sum(col("n_tokens")).as("t"), max(col("n_tokens")).as("m"))
+      .collect()
+    // a batch exceeds the budget only when a single doc spilled it:
+    // total < budget + that batch's largest doc
+    batches.foreach { r =>
+      val (t, m) = (r.getLong(2), r.getLong(3))
+      assert(t < 100L + m, s"batch total $t with max doc $m")
+    }
+    // batches start at 0, and batch_id is monotone in doc order (an
+    // over-budget doc may skip ids — floor(start/budget) — never reuse)
+    val perSource = packed.groupBy(col("source"))
+      .agg(min(col("batch_id")).as("lo")).collect()
+    perSource.foreach(r => assert(r.getLong(1) == 0L))
+    val disorder = packed.as("a").join(packed.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.batch_id") > col("b.batch_id"))
+      .count()
+    assert(disorder == 0L)
+  }
 }
