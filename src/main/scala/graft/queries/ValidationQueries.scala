@@ -110,13 +110,70 @@ object ValidationQueries extends QueryPack {
     base.crossJoin(dups)
   }
 
+  /** Engine-exact statistical profile + 3σ outlier counts per event
+    * type. `stddev` is order-dependent floating point, so the moments
+    * come from EXACT decimal sums (Σx, Σx² in decimal arithmetic
+    * end-to-end, one final cast each) and mean/std derive via an
+    * identical double formula in both engines. Per-row z-tests ride a
+    * whole-partition window on the same shuffle as the moments — one
+    * pass, no join-back. The window is per event type (few groups);
+    * the sketch path for wide cardinality is `profileFrame(approx)`. */
+  def vStatsEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy($"event_type")
+    table(s, dir, "events")
+      .filter($"value".isNotNull)
+      .select($"event_type", $"value")
+      .withColumn("n", count($"value").over(w))
+      .withColumn("s", sum($"value".cast(dec)).over(w).cast("double"))
+      // Σx² carries scale 12 from the decimal product; re-scale to 6
+      // (exact here — 2dp inputs square to 4dp) BEFORE the double cast:
+      // DuckDB's scale-12 decimal→double conversion can differ by 1 ulp
+      .withColumn("s2",
+        sum($"value".cast(dec) * $"value".cast(dec)).over(w)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+          .cast("double"))
+      .withColumn("mean", $"s" / $"n")
+      .withColumn("std",
+        sqrt(($"s2" - $"s" * $"s" / $"n") / ($"n" - lit(1))))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_values"), max($"mean").as("mean"),
+        max($"std").as("std"),
+        count(when(abs($"value" - $"mean") > $"std" * 3, lit(1)))
+          .as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "v_stats_events" -> (vStatsEvents _),
     "v_constraints_orders" -> (vConstraintsOrders _),
     "v_rules_events" -> (vRulesEvents _),
     "v_profile_lineitem" -> (vProfileLineitem _),
     "v_rowlevel_events" -> (vRowlevelEvents _))
 
   val oracles: Map[String, String] = Map(
+    "v_stats_events" -> """
+      WITH st AS (
+        SELECT event_type,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) *
+                             CAST(value AS DECIMAL(18,6)))
+                         AS DECIMAL(28,6)) AS DOUBLE) AS s2
+        FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      p AS (
+        SELECT event_type, n, s / n AS mean,
+               SQRT((s2 - s * s / n) / (n - 1)) AS std
+        FROM st)
+      SELECT p.event_type, p.n AS n_values, p.mean, p.std,
+             CAST(SUM(CASE WHEN ABS(e.value - p.mean) > p.std * 3
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM events e JOIN p ON e.event_type = p.event_type
+      WHERE e.value IS NOT NULL
+      GROUP BY p.event_type, p.n, p.mean, p.std
+      ORDER BY p.event_type""",
     // NOTE: DuckDB returns SUM over integers as HUGEINT (int128), which the
     // driver's pandas bridge renders as float64 while Spark emits int64 —
     // equal values, different hash. CAST every integer sum/difference to
