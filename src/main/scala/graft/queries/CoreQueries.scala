@@ -307,22 +307,29 @@ object CoreQueries extends QueryPack {
       .orderBy($"measure")
   }
 
-  /** Set operations: customers active in BOTH 1994 and 1995 (INTERSECT)
-    * and in 1994 but not 1995 (EXCEPT). Both rewrite to aggregates/
-    * anti-joins on the customer key — one shuffle each over the
-    * DISTINCT key sets, never the raw fact rows. */
+  /** Set-operation cohorts: customers active in BOTH 1995 and 1996
+    * (INTERSECT semantics) and in 1995 only (EXCEPT semantics). The
+    * oracle literally runs INTERSECT/EXCEPT; the engine computes the
+    * same sets from ONE scan — per-customer year flags, then two
+    * conditional counts. Writing `a.intersect(b)` / `a.except(b)` here
+    * would instantiate each year's subtree twice (4 scans + 4 shuffles
+    * of the fact, verified with PlanProbe — Spark does not reuse
+    * exchanges across the two set-op branches); the flag form is one
+    * scan, one shuffle, and is the spelling that survives 100 TB. */
   def q13SetOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = table(s, dir, "orders")
-    def active(year: Int) = o
-      .filter($"o_orderdate" >= ts(s"$year-01-01") &&
-        $"o_orderdate" < ts(s"${year + 1}-01-01"))
-      .select($"o_custkey")
-    val both = active(1994).intersect(active(1995))
-    val only94 = active(1994).except(active(1995))
-    both.agg(count(lit(1)).as("n")).select(lit("both_94_95").as("cohort"), $"n")
-      .union(only94.agg(count(lit(1)).as("n"))
-        .select(lit("only_94").as("cohort"), $"n"))
+    table(s, dir, "orders")
+      .filter($"o_orderdate" >= ts("1995-01-01") &&
+        $"o_orderdate" < ts("1997-01-01"))
+      .groupBy($"o_custkey")
+      .agg(
+        max(when($"o_orderdate" < ts("1996-01-01"), 1).otherwise(0)).as("a95"),
+        max(when($"o_orderdate" >= ts("1996-01-01"), 1).otherwise(0)).as("a96"))
+      .agg(
+        sum(when($"a95" === 1 && $"a96" === 1, 1L).otherwise(0L)).as("both_n"),
+        sum(when($"a95" === 1 && $"a96" === 0, 1L).otherwise(0L)).as("only_n"))
+      .selectExpr(
+        "stack(2, 'both_95_96', both_n, 'only_95', only_n) AS (cohort, n)")
       .orderBy($"cohort")
   }
 
@@ -505,19 +512,19 @@ object CoreQueries extends QueryPack {
              MIN(value) AS min_value, MAX(value) AS max_value
       FROM long GROUP BY measure ORDER BY measure""",
     "q13_set_ops" -> """
-      WITH a94 AS (
-        SELECT DISTINCT o_custkey FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1994-01-01'
-          AND o_orderdate < TIMESTAMP '1995-01-01'),
-      a95 AS (
+      WITH a95 AS (
         SELECT DISTINCT o_custkey FROM orders
         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-          AND o_orderdate < TIMESTAMP '1996-01-01')
-      SELECT 'both_94_95' AS cohort,
-             (SELECT COUNT(*) FROM (SELECT * FROM a94 INTERSECT SELECT * FROM a95)) AS n
+          AND o_orderdate < TIMESTAMP '1996-01-01'),
+      a96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01')
+      SELECT 'both_95_96' AS cohort,
+             (SELECT COUNT(*) FROM (SELECT * FROM a95 INTERSECT SELECT * FROM a96)) AS n
       UNION ALL
-      SELECT 'only_94',
-             (SELECT COUNT(*) FROM (SELECT * FROM a94 EXCEPT SELECT * FROM a95)) AS n
+      SELECT 'only_95',
+             (SELECT COUNT(*) FROM (SELECT * FROM a95 EXCEPT SELECT * FROM a96)) AS n
       ORDER BY cohort""",
     "w_ntile_spend" -> s"""
       SELECT o_custkey, total_spend,

@@ -228,7 +228,7 @@ object EventQueries extends QueryPack {
       .orderBy(col("k"))
 
   /** Retention cohorts: users grouped by first-seen week, counted in
-    * each week they were active. Distinct (user, month) pairs are
+    * each week they were active. Distinct (user, week) pairs are
     * built by aggregation (never `countDistinct`'s Expand rewrite —
     * after the pre-distinct, each pair is one row, so a plain count IS
     * the distinct-user count), and the cohort join carries only

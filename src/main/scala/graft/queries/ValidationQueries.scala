@@ -136,8 +136,12 @@ object ValidationQueries extends QueryPack {
           .cast(org.apache.spark.sql.types.DecimalType(28, 6))
           .cast("double"))
       .withColumn("mean", $"s" / $"n")
+      // n == 1 guard: Spark's x/0 yields NULL but DuckDB's IEEE float
+      // division yields inf/NaN — make both engines emit NULL std (and
+      // a null z-predicate → zero outliers) for single-value groups
       .withColumn("std",
-        sqrt(($"s2" - $"s" * $"s" / $"n") / ($"n" - lit(1))))
+        when($"n" > 1,
+          sqrt(($"s2" - $"s" * $"s" / $"n") / ($"n" - lit(1)))))
       .groupBy($"event_type")
       .agg(max($"n").as("n_values"), max($"mean").as("mean"),
         max($"std").as("std"),
@@ -165,7 +169,8 @@ object ValidationQueries extends QueryPack {
         FROM events WHERE value IS NOT NULL GROUP BY event_type),
       p AS (
         SELECT event_type, n, s / n AS mean,
-               SQRT((s2 - s * s / n) / (n - 1)) AS std
+               CASE WHEN n > 1
+                    THEN SQRT((s2 - s * s / n) / (n - 1)) END AS std
         FROM st)
       SELECT p.event_type, p.n AS n_values, p.mean, p.std,
              CAST(SUM(CASE WHEN ABS(e.value - p.mean) > p.std * 3

@@ -89,23 +89,31 @@ object JdbcSource {
     * map to Spark save modes (`append` / `overwrite`); `batchsize`
     * bounds each executor's insert round trips the same way `fetchsize`
     * bounds reads. Executors write their partitions in parallel — the
-    * reference pushes rows through one cursor. The row count is taken
-    * from the incoming DataFrame BEFORE the write (one extra job over
-    * the batch, never the warehouse table). */
+    * reference pushes rows through one cursor. The batch is persisted
+    * across the count job and the insert job, so `rowsLoaded` always
+    * equals what landed in the warehouse (an uncached plan would
+    * re-execute between the two jobs — under any non-deterministic
+    * upstream the count and the insert would disagree) and expensive
+    * upstream transforms run once, not twice. Load batches are
+    * micro-batch-sized (never the warehouse table), so MEMORY_AND_DISK
+    * is safe. */
   def write(df: DataFrame, cfg: JdbcSourceConfig,
       mode: String = "append"): graft.core.LoadResult = {
     val t0 = System.nanoTime()
-    val rows = df.count()
-    df.write.format("jdbc")
-      .option("url", cfg.url)
-      .option("dbtable", cfg.table)
-      .option("user", cfg.user)
-      .option("password", cfg.password)
-      .option("batchsize", cfg.fetchSize)
-      .mode(mode)
-      .save()
-    graft.core.LoadResult(success = true, rowsLoaded = rows,
-      tableName = cfg.table,
-      durationSeconds = (System.nanoTime() - t0) / 1e9)
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = pinned.count()
+      pinned.write.format("jdbc")
+        .option("url", cfg.url)
+        .option("dbtable", cfg.table)
+        .option("user", cfg.user)
+        .option("password", cfg.password)
+        .option("batchsize", cfg.fetchSize)
+        .mode(mode)
+        .save()
+      graft.core.LoadResult(success = true, rowsLoaded = rows,
+        tableName = cfg.table,
+        durationSeconds = (System.nanoTime() - t0) / 1e9)
+    } finally pinned.unpersist()
   }
 }

@@ -241,16 +241,46 @@ object Streams {
     * Non-associative stats (distinct, percentiles) deliberately aren't
     * here — those need sketches (see `Validator.profileFrame(approx)`).
     */
+  private val AggBatchMarker = "_graft_lastbatch"
+
+  /** `batchId` makes replays idempotent: pass the foreachBatch batch id
+    * (or -1 to always apply, for direct batch use). The id of the last
+    * FOLDED batch rides inside the table directory itself — same atomic
+    * swap as the data — so "was this batch already applied" survives a
+    * crash between the parquet swap and Spark's checkpoint commit,
+    * which would otherwise double-count the replayed partials into
+    * totals that already contain them. The swap is rename-rename (old →
+    * backup, new → target), never delete-then-rename: a crash between
+    * the two renames leaves the backup, healed on the next call —
+    * delete-first would vaporize the accumulated history. */
   def aggMergeBatch(spark: SparkSession, batch: DataFrame, path: String,
-      keyCols: Seq[String], measureCol: String): LoadResult = {
+      keyCols: Seq[String], measureCol: String,
+      batchId: Long = -1L): LoadResult = {
     val t0 = System.nanoTime()
+    val target = new Path(path)
+    val backup = new Path(path + "__old")
+    val tmp = new Path(path + "__new")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a crash that landed between rename(target→backup) and
+    // rename(tmp→target): the backup IS the last committed state
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    def lastApplied: Long = {
+      val m = new Path(target, AggBatchMarker)
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    }
+    if (batchId >= 0 && fs.exists(target) && batchId <= lastApplied)
+      return LoadResult(success = true, rowsLoaded = 0L, tableName = path,
+        durationSeconds = (System.nanoTime() - t0) / 1e9)
     val keyExprs = keyCols.map(col)
     val partial = batch.groupBy(keyExprs: _*).agg(
       count(lit(1)).as("n_rows"),
       sum(col(measureCol).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
         .as("sum_measure"))
-    val target = new Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base =
       if (fs.exists(target)) spark.read.parquet(path)
       else partial.limit(0)
@@ -258,14 +288,17 @@ object Streams {
       .groupBy(keyExprs: _*)
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("sum_measure")).as("sum_measure"))
-    val tmp = new Path(path + "__new")
     merged.write.mode("overwrite").parquet(tmp.toString)
     // count the WRITTEN files (footer metadata) before the swap — the
     // merged plan still references the old base directory and cannot be
     // re-executed once the rename replaces it
     val outRows = spark.read.parquet(tmp.toString).count()
-    if (fs.exists(target)) fs.delete(target, true)
+    val out = fs.create(new Path(tmp, AggBatchMarker), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(backup, true) // stale backup from an earlier healed crash
+    if (fs.exists(target)) fs.rename(target, backup)
     fs.rename(tmp, target)
+    fs.delete(backup, true)
     LoadResult(success = true, rowsLoaded = outRows, tableName = path,
       durationSeconds = (System.nanoTime() - t0) / 1e9)
   }
@@ -278,8 +311,9 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trig)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        onLoad(aggMergeBatch(batch.sparkSession, batch, path, keyCols, measureCol))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onLoad(aggMergeBatch(batch.sparkSession, batch, path, keyCols,
+          measureCol, batchId))
       }
 
   /** writeStream wiring for the merge sink (checkpointed — C1). Each

@@ -21,7 +21,12 @@ object PlanProbe {
       println(s"========== $n")
       val df = graft.SparkEntry.queries(n)(spark, sf)
       val plan = df.queryExecution.executedPlan.toString
-      println("Exchanges: " + "Exchange ".r.findAllIn(plan).length +
+      // shuffles only — "Exchange " alone would also match Broadcast-
+      // and ReusedExchange and overstate the number the design cares about
+      println("Shuffles: " +
+        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+          .findAllIn(plan).length +
+        "  Broadcasts: " + "BroadcastExchange".r.findAllIn(plan).length +
         "  Reused: " + "ReusedExchange".r.findAllIn(plan).length +
         "  Windows: " + "Window".r.findAllIn(plan).length)
       println(plan.linesIterator.filter(l =>

@@ -95,11 +95,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("q9 quantiles: windows run over pre-aggregated distinct pairs") {
     val plan = formatted(CoreQueries.q9GroupQuantiles(spark, sf))
-    // partial+final aggregate BELOW the windows compresses raw rows to
-    // distinct (flag, price) pairs before any sort
-    val aggIdx = plan.indexOf("HashAggregate")
+    // the plan tree prints root-first, so an aggregate BELOW the windows
+    // (compressing raw rows to distinct pairs before any sort) must
+    // appear AFTER the first Window in the text — indexOf alone would
+    // also accept the final post-window aggregate and prove nothing
     val winIdx = plan.indexOf("Window")
-    assert(aggIdx >= 0 && winIdx >= 0, plan)
+    assert(winIdx >= 0, plan)
+    assert(plan.indexOf("HashAggregate", winIdx) > winIdx,
+      s"no aggregate below the windows\n$plan")
     assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 2, plan)
   }
 

@@ -181,6 +181,42 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("aggregate-merge batch: replayed batchId is a no-op; crash backup heals") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("aggreplay").toString
+    val path = s"$dir/aggs"
+    val b0 = Seq(("web", 10.0), ("web", 2.0)).toDF("source", "tokens")
+
+    val r0 = Streams.aggMergeBatch(spark, b0, path, Seq("source"), "tokens", 0L)
+    assert(r0.rowsLoaded == 1)
+    def webTotal = spark.read.parquet(path)
+      .filter(col("source") === "web")
+      .select(col("sum_measure").cast("double")).collect().head.getDouble(0)
+    assert(webTotal == 12.0)
+
+    // replay of the SAME batch id (checkpoint lost the commit): no-op,
+    // totals unchanged — not double-counted
+    val replay = Streams.aggMergeBatch(spark, b0, path, Seq("source"), "tokens", 0L)
+    assert(replay.success && replay.rowsLoaded == 0)
+    assert(webTotal == 12.0)
+
+    // a NEW batch id folds in
+    Streams.aggMergeBatch(spark, Seq(("web", 1.0)).toDF("source", "tokens"),
+      path, Seq("source"), "tokens", 1L)
+    assert(webTotal == 13.0)
+
+    // simulate a crash between the two swap renames: target gone,
+    // backup present → next call heals from the backup and applies
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old"))
+    Streams.aggMergeBatch(spark, Seq(("web", 5.0)).toDF("source", "tokens"),
+      path, Seq("source"), "tokens", 2L)
+    assert(webTotal == 18.0)
+  }
+
   test("streaming funnel: stage advances in strict order across batches") {
     val spark2 = spark
     import spark2.implicits._
