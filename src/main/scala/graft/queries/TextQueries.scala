@@ -193,7 +193,21 @@ object TextQueries extends QueryPack {
         n = 5, minDocs = 3L)
       .orderBy(col("doc_id"))
 
+  /** Context-window chunking: 32-token windows stepping by 24 (8-token
+    * overlap) — the training-data chunker. Chunks are reported as
+    * (doc, idx, md5, token count) so the result stays scalar-typed;
+    * chunking itself is map-side, the only shuffle is the final sort. */
+  def txChunkWindows(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.chunkTokens(col("text"), 32, 24))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"),
+        TextFunctions.tokenCount(col("chunk")).as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_chunk_windows" -> (txChunkWindows _),
     "tx_boilerplate_ngrams" -> (txBoilerplateNgrams _),
     "tx_boilerplate_ratio" -> (txBoilerplateRatio _),
     "tx_normalize" -> (txNormalize _),
@@ -234,6 +248,21 @@ object TextQueries extends QueryPack {
     WHERE len(toks) >= 5"""
 
   val oracles: Map[String, String] = Map(
+    "tx_chunk_windows" -> """
+      WITH chunks AS (
+        SELECT doc_id,
+               unnest([{'idx': i,
+                        'chunk': array_to_string(toks[i*24+1 : i*24+32], ' ')}
+                       FOR i IN range(0, (len(toks) - 1) // 24 + 1)],
+                      recursive := true)
+        FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 1 AND len(trim(text)) > 0)
+      SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+             md5(chunk) AS chunk_md5,
+             CAST(len(string_split_regex(chunk, '\s+')) AS INT) AS chunk_tokens
+      FROM chunks
+      ORDER BY doc_id, chunk_idx""",
     "tx_boilerplate_ngrams" -> s"""
       WITH sp AS ($docSpansSql)
       SELECT span, COUNT(*) AS doc_freq

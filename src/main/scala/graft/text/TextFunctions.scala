@@ -129,6 +129,27 @@ object TextFunctions {
   def minShingleFingerprint(text: Column, n: Int): Column =
     array_min(transform(tokenShingles(text, n), s => md5(s)))
 
+  /** Context-window chunking: split a document into `size`-token chunks
+    * whose starts step by `stride` (stride < size ⇒ overlapping
+    * windows, the standard training-data chunker). The tail chunk may
+    * be shorter; docs with at least one token produce
+    * `floor((n−1)/stride)+1` chunks; empty/whitespace docs produce
+    * none. Pure map-side expression — the doc never leaves its
+    * partition until the caller explodes the result. */
+  def chunkTokens(text: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1, "size and stride must be >= 1")
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    // floor of an exact small-int double division; `/` on int Columns
+    // is fractional, and sequence() needs integral bounds
+    val lastStart = floor((n - lit(1)).cast("double") / lit(stride)).cast("int")
+    when(length(trim(text)) > 0 && n >= 1,
+      transform(
+        sequence(lit(0), lastStart),
+        i => array_join(slice(toks, i * lit(stride) + lit(1), lit(size)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** 64-bit SimHash over tokens: per bit, sign of Σ_tokens(±1) using
     * xxhash64 bit b of each token. Native expression
     * ([[graft.functions.SimHash64Expr]]): one compiled loop per row. */

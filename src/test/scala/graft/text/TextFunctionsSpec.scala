@@ -96,4 +96,16 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     val fp = one(TextFunctions.minShingleFingerprint(col("text"), 3)).getString(0)
     assert(fp.matches("[0-9a-f]{32}"))
   }
+
+  test("chunkTokens: overlapping windows, short tail, empty doc yields none") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq(ten, "a b", "", "   ").toDF("t")
+    val rows = df.select(TextFunctions.chunkTokens(col("t"), 4, 3).as("c"))
+      .collect().map(_.getSeq[String](0))
+    // 10 tokens, size 4, stride 3 → starts 0,3,6,9 → 4 chunks, tail short
+    assert(rows(0) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(rows(1) == Seq("a b")) // shorter than one window: one chunk
+    assert(rows(2).isEmpty && rows(3).isEmpty)
+  }
 }
