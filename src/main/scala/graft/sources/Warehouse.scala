@@ -129,4 +129,29 @@ object Warehouse {
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.saveAsTable(table)
   }
+
+  /** Compute catalog statistics so the cost-based optimizer has real
+    * numbers: table-level size/row count, plus per-column NDV/min/max
+    * histogramless stats for `columns` (join-reorder and broadcast
+    * decisions read these — without ANALYZE, Spark falls back to file
+    * sizes only, and a compact-but-wide dimension can miss its
+    * broadcast). One pass per ANALYZE statement, metadata-only
+    * afterwards. */
+  def analyze(spark: SparkSession, table: String,
+      columns: Seq[String] = Seq.empty): Unit = {
+    spark.sql(s"ANALYZE TABLE ${quoteTable(table)} COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE ${quoteTable(table)} COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${columns.map(quotePart).mkString(", ")}")
+  }
+
+  /** Catalog row-count statistic for `table` (None until [[analyze]]
+    * has run). */
+  def tableRowCount(spark: SparkSession, table: String): Option[BigInt] =
+    spark.sql(s"DESCRIBE TABLE EXTENDED ${quoteTable(table)}")
+      .collect()
+      .find(_.getString(0) == "Statistics")
+      .flatMap { r =>
+        "(\\d+) rows".r.findFirstMatchIn(r.getString(1)).map(m => BigInt(m.group(1)))
+      }
 }

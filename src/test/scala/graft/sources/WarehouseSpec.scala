@@ -57,6 +57,22 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     } finally Warehouse.dropTable(spark, "wh_part")
   }
 
+  test("analyze publishes table + column statistics to the catalog") {
+    val dir = Files.createTempDirectory("graft-wh-an").toString
+    val df = spark.range(100).selectExpr("id", "id % 7 AS grp")
+    df.write.mode("overwrite").parquet(s"$dir/t")
+    Warehouse.createTable(spark, "wh_an", s"$dir/t", df.schema)
+    try {
+      assert(Warehouse.tableRowCount(spark, "wh_an").isEmpty)
+      Warehouse.analyze(spark, "wh_an", Seq("grp"))
+      assert(Warehouse.tableRowCount(spark, "wh_an").contains(BigInt(100)))
+      // column stats landed: NDV for grp is visible to the optimizer
+      val colStats = spark.sql("DESCRIBE TABLE EXTENDED wh_an grp")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(colStats.get("distinct_count").exists(_.trim == "7"), colStats)
+    } finally Warehouse.dropTable(spark, "wh_an")
+  }
+
   test("compaction collapses many small files, preserves data exactly") {
     val dir = Files.createTempDirectory("graft-whc").toString
     // simulate a micro-batch sink: 20 appends of 50 rows → ≥20 files
