@@ -66,4 +66,21 @@ object Schedules {
   def nextInterval(interval: String, lastExecution: Option[LocalDateTime],
       now: LocalDateTime): LocalDateTime =
     lastExecution.map(_.plus(parseInterval(interval))).getOrElse(now)
+
+  /** Catchup/backfill enumeration: every cron firing in `(from, to]`,
+    * oldest first, capped at `max` (a runaway guard for a years-stale
+    * watermark — callers page through). This is the scheduler-catchup
+    * primitive: a pipeline that was down computes the run dates it owes,
+    * then replays them through `PipelineRunner` oldest-first so
+    * incremental models see data in order. */
+  def runsBetween(expr: String, from: LocalDateTime, to: LocalDateTime,
+      max: Int = 1000): Seq[LocalDateTime] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[LocalDateTime]
+    var t = nextCron(expr, from)
+    while (out.size < max && t.exists(!_.isAfter(to))) {
+      out += t.get
+      t = nextCron(expr, t.get)
+    }
+    out.toSeq
+  }
 }

@@ -160,6 +160,19 @@ class SchedulesSpec extends AnyFunSuite {
     assert(Schedules.cronMatches("0,30 * * * *", LocalDateTime.of(2024, 1, 8, 9, 30)))
   }
 
+  test("catchup: runsBetween enumerates owed cron firings oldest-first, capped") {
+    import java.time.LocalDateTime
+    val from = LocalDateTime.of(2024, 1, 1, 0, 30)
+    val to = LocalDateTime.of(2024, 1, 1, 6, 0)
+    val runs = Schedules.runsBetween("0 */2 * * *", from, to)
+    assert(runs == Seq(
+      LocalDateTime.of(2024, 1, 1, 2, 0),
+      LocalDateTime.of(2024, 1, 1, 4, 0),
+      LocalDateTime.of(2024, 1, 1, 6, 0))) // (from, to] — boundary included
+    assert(Schedules.runsBetween("0 */2 * * *", from, to, max = 2).size == 2)
+    assert(Schedules.runsBetween("0 */2 * * *", to, to).isEmpty)
+  }
+
   test("interval schedule: first run immediate, then last+interval") {
     val now = LocalDateTime.of(2024, 1, 1, 12, 0)
     assert(Schedules.nextInterval("30m", None, now) == now)
