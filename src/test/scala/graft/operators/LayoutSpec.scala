@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite with SparkSpec {
+
+  test("spread16/mortonZ: known interleavings") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Layout.mortonZ(col("a"), col("b")).as("z"))
+    val z = df.collect().map(_.getLong(0))
+    assert(z(0) == 0L)
+    assert(z(1) == 1L) // a occupies even bits
+    assert(z(2) == 2L) // b occupies odd bits
+    // a=3 (011), b=5 (101) → z = b2 a2 b1 a1 b0 a0 = 1 0 0 1 1 1 = 39
+    assert(z(3) == 39L)
+    assert(z(4) == 0xFFFFFFFFL) // all 32 low bits set
+  }
+
+  test("z-order layout prunes on BOTH dimensions; single-sort only on one") {
+    import spark.implicits._
+    val n = 20000
+    // two independent uniform dimensions
+    val df = (0 until n).map { i =>
+      (((i * 2654435761L) % 10007).toDouble, ((i * 40503L) % 9973).toDouble)
+    }.toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+
+    Layout.zorderWrite(df, s"$dir/z", "a", "b", 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(s"$dir/asorted")
+
+    def avgSpan(path: String, c: String, full: Double): Double = {
+      val spans = Layout.fileSpans(spark, path, c)
+      spans.map { case (lo, hi) => (hi - lo) / full }.sum / spans.length
+    }
+    // a-sorted layout: tight on a, useless on b (files span ~the full range)
+    assert(avgSpan(s"$dir/asorted", "a", 10007.0) < 0.2)
+    assert(avgSpan(s"$dir/asorted", "b", 9973.0) > 0.8)
+    // z-order: BOTH dimensions substantially narrowed per file
+    val za = avgSpan(s"$dir/z", "a", 10007.0)
+    val zb = avgSpan(s"$dir/z", "b", 9973.0)
+    assert(za < 0.6, s"z-order a-span $za")
+    assert(zb < 0.6, s"z-order b-span $zb")
+
+    // layout changes bytes, never data
+    assert(spark.read.parquet(s"$dir/z").count() == n)
+    assert(spark.read.parquet(s"$dir/z").exceptAll(df).isEmpty)
+  }
+}
