@@ -46,13 +46,26 @@ object Layout {
     * in the first file (their stats are useless anyway). */
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int): Unit = {
-    val b = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-        min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+    // NaN sorts above every double in Spark's min/max — exclude it from
+    // the bounds probe or one bad row poisons aHi and the whole relayout
+    def cleanD(c: String) =
+      when(!isnan(col(c).cast("double")), col(c).cast("double"))
+    val b = df.agg(min(cleanD(colA)), max(cleanD(colA)),
+        min(cleanD(colB)), max(cleanD(colB)))
       .collect().head
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty input or a layout column with no usable values: there is
+      // nothing to cluster — write the data unclustered rather than NPE
+      df.repartition(math.max(1, numFiles)).write.mode("overwrite").parquet(path)
+      return
+    }
     val (aLo, aHi) = (b.getDouble(0), b.getDouble(1))
     val (bLo, bHi) = (b.getDouble(2), b.getDouble(3))
+    // NULL/NaN rows get z = −1 and cluster into the first file
+    val unusable = col(colA).isNull || col(colB).isNull ||
+      isnan(col(colA).cast("double")) || isnan(col(colB).cast("double"))
     df.withColumn("__z",
-        when(col(colA).isNull || col(colB).isNull, lit(-1L))
+        when(unusable, lit(-1L))
           .otherwise(mortonZ(
             bucket16(col(colA), aLo, math.nextUp(aHi)),
             bucket16(col(colB), bLo, math.nextUp(bHi)))))
@@ -69,5 +82,9 @@ object Layout {
     spark.read.parquet(path)
       .groupBy(input_file_name())
       .agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
-      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      .collect()
+      // a file of all-NULL values (the z = −1 cluster the writer itself
+      // produces) has no span to report — skip it, don't NPE
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getDouble(1), r.getDouble(2)))
 }

@@ -199,11 +199,14 @@ object TextQueries extends QueryPack {
     * chunking itself is map-side, the only shuffle is the final sort. */
   def txChunkWindows(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .select(col("doc_id"),
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("__n"),
         posexplode(TextFunctions.chunkTokens(col("text"), 32, 24))
           .as(Seq("chunk_idx", "chunk")))
+      // chunk length from the window arithmetic — re-tokenizing each
+      // chunk would run a second regex pass over ~size/stride × the text
       .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"),
-        TextFunctions.tokenCount(col("chunk")).as("chunk_tokens"))
+        least(lit(32), col("__n") - col("chunk_idx") * 24).cast("int")
+          .as("chunk_tokens"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   val queries: Map[String, QueryFn] = Map(
@@ -250,17 +253,17 @@ object TextQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "tx_chunk_windows" -> """
       WITH chunks AS (
-        SELECT doc_id,
+        SELECT doc_id, len(toks) AS n,
                unnest([{'idx': i,
                         'chunk': array_to_string(toks[i*24+1 : i*24+32], ' ')}
                        FOR i IN range(0, (len(toks) - 1) // 24 + 1)],
                       recursive := true)
         FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
               FROM documents)
-        WHERE len(toks) >= 1 AND len(trim(text)) > 0)
+        WHERE len(trim(text)) > 0)
       SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
              md5(chunk) AS chunk_md5,
-             CAST(len(string_split_regex(chunk, '\s+')) AS INT) AS chunk_tokens
+             CAST(LEAST(32, n - idx * 24) AS INT) AS chunk_tokens
       FROM chunks
       ORDER BY doc_id, chunk_idx""",
     "tx_boilerplate_ngrams" -> s"""

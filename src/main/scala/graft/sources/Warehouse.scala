@@ -138,12 +138,15 @@ object Warehouse {
     * broadcast). One pass per ANALYZE statement, metadata-only
     * afterwards. */
   def analyze(spark: SparkSession, table: String,
-      columns: Seq[String] = Seq.empty): Unit = {
-    spark.sql(s"ANALYZE TABLE ${quoteTable(table)} COMPUTE STATISTICS")
-    if (columns.nonEmpty)
+      columns: Seq[String] = Seq.empty): Unit =
+    // FOR COLUMNS also computes table-level row count/size — running the
+    // plain statement first would scan the table a second time for
+    // statistics the column pass produces anyway
+    if (columns.isEmpty)
+      spark.sql(s"ANALYZE TABLE ${quoteTable(table)} COMPUTE STATISTICS")
+    else
       spark.sql(s"ANALYZE TABLE ${quoteTable(table)} COMPUTE STATISTICS " +
         s"FOR COLUMNS ${columns.map(quotePart).mkString(", ")}")
-  }
 
   /** Catalog row-count statistic for `table` (None until [[analyze]]
     * has run). */

@@ -143,7 +143,9 @@ object TextFunctions {
     // floor of an exact small-int double division; `/` on int Columns
     // is fractional, and sequence() needs integral bounds
     val lastStart = floor((n - lit(1)).cast("double") / lit(stride)).cast("int")
-    when(length(trim(text)) > 0 && n >= 1,
+    // split() never yields an empty array, so the only no-chunk cases
+    // are NULL/whitespace-only text — one trim-length guard covers both
+    when(length(trim(text)) > 0,
       transform(
         sequence(lit(0), lastStart),
         i => array_join(slice(toks, i * lit(stride) + lit(1), lit(size)), " ")))

@@ -50,4 +50,25 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$dir/z").count() == n)
     assert(spark.read.parquet(s"$dir/z").exceptAll(df).isEmpty)
   }
+
+  test("zorderWrite survives empty input, all-NULL columns, NaN rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zorder-edge").toString
+
+    Layout.zorderWrite(Seq.empty[(Double, Double)].toDF("a", "b"),
+      s"$dir/empty", "a", "b", 4)
+    assert(spark.read.parquet(s"$dir/empty").isEmpty)
+
+    val allNull = Seq((Some(1.0), Option.empty[Double]),
+      (Some(2.0), Option.empty[Double])).toDF("a", "b")
+    Layout.zorderWrite(allNull, s"$dir/nulls", "a", "b", 4)
+    assert(spark.read.parquet(s"$dir/nulls").count() == 2)
+    // fileSpans skips the span-less all-NULL column instead of throwing
+    assert(Layout.fileSpans(spark, s"$dir/nulls", "b").isEmpty)
+
+    // one NaN row must not poison the bounds or abort the write
+    val withNan = Seq((1.0, 5.0), (2.0, Double.NaN), (3.0, 7.0)).toDF("a", "b")
+    Layout.zorderWrite(withNan, s"$dir/nan", "a", "b", 2)
+    assert(spark.read.parquet(s"$dir/nan").count() == 3)
+  }
 }
