@@ -425,7 +425,41 @@ object CoreQueries extends QueryPack {
       .orderBy($"c_custkey")
   }
 
+  /** Winsorization (robust statistics): clip prices to each group's
+    * exact [p05, p95] and report how much mass moved. The thresholds
+    * come from the same cumulative-count-over-distinct-values technique
+    * as q9 (rank targets in pure integer arithmetic — thresholds are
+    * real data elements, engine-exact), broadcast back onto the fact
+    * rows, and the clipped sum stays decimal-exact. */
+  def q17Winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = table(s, dir, "lineitem").select($"l_returnflag", $"l_extendedprice")
+    val byPrice = li.groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"l_returnflag")
+    val cuts = byPrice
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .groupBy($"l_returnflag")
+      .agg(
+        min(when($"cum" >= expr("(n + 19) div 20"), $"l_extendedprice")).as("p05"),
+        min(when($"cum" >= expr("(19 * n + 19) div 20"), $"l_extendedprice")).as("p95"))
+    li.join(broadcast(cuts), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(
+        max($"p05").as("p05"), max($"p95").as("p95"),
+        count(when($"l_extendedprice" < $"p05", lit(1))).as("n_clipped_low"),
+        count(when($"l_extendedprice" > $"p95", lit(1))).as("n_clipped_high"),
+        decSum(greatest(least($"l_extendedprice", $"p95"), $"p05"))
+          .as("winsorized_sum"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q17_winsorize" -> (q17Winsorize _),
     "w_gap_fill" -> (wGapFill _),
     "q15_full_outer" -> (q15FullOuter _),
     "q16_semi_chain" -> (q16SemiChain _),
@@ -448,6 +482,31 @@ object CoreQueries extends QueryPack {
     "q5_region_revenue" -> (q5RegionRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q17_winsorize" -> s"""
+      WITH byp AS (
+        SELECT l_returnflag, l_extendedprice, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (
+        SELECT l_returnflag, l_extendedprice,
+          SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM byp),
+      cuts AS (
+        SELECT l_returnflag,
+          MIN(CASE WHEN cum >= (n + 19) // 20 THEN l_extendedprice END) AS p05,
+          MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN l_extendedprice END) AS p95
+        FROM cum GROUP BY l_returnflag)
+      SELECT li.l_returnflag, c.p05, c.p95,
+        CAST(SUM(CASE WHEN li.l_extendedprice < c.p05 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped_low,
+        CAST(SUM(CASE WHEN li.l_extendedprice > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped_high,
+        ${decSumSql("GREATEST(LEAST(li.l_extendedprice, c.p95), c.p05)")}
+          AS winsorized_sum
+      FROM lineitem li JOIN cuts c ON li.l_returnflag = c.l_returnflag
+      GROUP BY li.l_returnflag, c.p05, c.p95
+      ORDER BY li.l_returnflag""",
     "w_gap_fill" -> s"""
       WITH cal AS (
         SELECT p.o_orderpriority, CAST(t.d AS DATE) AS day

@@ -255,7 +255,39 @@ object Streams {
     * delete-first would vaporize the accumulated history. */
   def aggMergeBatch(spark: SparkSession, batch: DataFrame, path: String,
       keyCols: Seq[String], measureCol: String,
-      batchId: Long = -1L): LoadResult = {
+      batchId: Long = -1L): LoadResult =
+    foldBatch(spark, path, keyCols, batchId) {
+      batch.groupBy(keyCols.map(col): _*).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(measureCol).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .as("sum_measure"))
+    }
+
+  /** Running-moments twin of [[aggMergeBatch]]: maintains (n, Σx, Σx²)
+    * per key — count and both moment sums are associative (decimal, so
+    * exact), which is what makes streaming mean/std/z-score possible
+    * without rescanning history. Read the table and derive
+    * `mean = Σx/n`, `var = (Σx² − Σx²/n)/(n−1)` — the same formula the
+    * batch `v_stats_events` oracle-pins. */
+  def statsMergeBatch(spark: SparkSession, batch: DataFrame, path: String,
+      keyCols: Seq[String], measureCol: String,
+      batchId: Long = -1L): LoadResult =
+    foldBatch(spark, path, keyCols, batchId) {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val x = col(measureCol)
+      batch.filter(x.isNotNull).groupBy(keyCols.map(col): _*).agg(
+        count(lit(1)).as("n_rows"),
+        sum(x.cast(dec)).as("sum_x"),
+        sum((x.cast(dec) * x.cast(dec))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("sum_x2"))
+    }
+
+  /** Shared atomic fold: merge `partial` (keys + associative numeric
+    * columns) into the stored totals at `path`, summing every non-key
+    * column by name. Replay-idempotent via the batch marker; crash-safe
+    * via the rename-rename swap (see [[aggMergeBatch]]'s doc). */
+  private def foldBatch(spark: SparkSession, path: String,
+      keyCols: Seq[String], batchId: Long)(partial: DataFrame): LoadResult = {
     val t0 = System.nanoTime()
     val target = new Path(path)
     val backup = new Path(path + "__old")
@@ -276,18 +308,14 @@ object Streams {
     if (batchId >= 0 && fs.exists(target) && batchId <= lastApplied)
       return LoadResult(success = true, rowsLoaded = 0L, tableName = path,
         durationSeconds = (System.nanoTime() - t0) / 1e9)
-    val keyExprs = keyCols.map(col)
-    val partial = batch.groupBy(keyExprs: _*).agg(
-      count(lit(1)).as("n_rows"),
-      sum(col(measureCol).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-        .as("sum_measure"))
     val base =
       if (fs.exists(target)) spark.read.parquet(path)
       else partial.limit(0)
+    val sumCols = partial.columns.filterNot(keyCols.contains)
     val merged = base.union(partial)
-      .groupBy(keyExprs: _*)
-      .agg(sum(col("n_rows")).as("n_rows"),
-        sum(col("sum_measure")).as("sum_measure"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
     merged.write.mode("overwrite").parquet(tmp.toString)
     // count the WRITTEN files (footer metadata) before the swap — the
     // merged plan still references the old base directory and cannot be
@@ -313,6 +341,19 @@ object Streams {
       .trigger(trig)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onLoad(aggMergeBatch(batch.sparkSession, batch, path, keyCols,
+          measureCol, batchId))
+      }
+
+  /** writeStream wiring for [[statsMergeBatch]] (checkpointed). */
+  def statsMergeSink(stream: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], measureCol: String,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onLoad(statsMergeBatch(batch.sparkSession, batch, path, keyCols,
           measureCol, batchId))
       }
 

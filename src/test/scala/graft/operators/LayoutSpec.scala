@@ -20,6 +20,24 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(z(4) == 0xFFFFFFFFL) // all 32 low bits set
   }
 
+  test("mortonZ matches a reference interleave on 500 random bucket pairs") {
+    import spark.implicits._
+    def refMorton(a: Long, b: Long): Long = {
+      var z = 0L
+      for (bit <- 0 until 16)
+        z |= (((a >> bit) & 1L) << (2 * bit)) | (((b >> bit) & 1L) << (2 * bit + 1))
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.mortonZ(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == refMorton(a, b), s"($a, $b)")
+    }
+  }
+
   test("z-order layout prunes on BOTH dimensions; single-sort only on one") {
     import spark.implicits._
     val n = 20000

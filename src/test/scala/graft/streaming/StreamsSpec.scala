@@ -181,6 +181,39 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stats-merge sink: running moments match a batch recompute exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("statsmerge").toString
+
+    val input = MemoryStream[(String, Double)]
+    val q = Streams.statsMergeSink(
+        input.toDS().toDF("k", "x"), s"$dir/stats", s"$dir/ckpt",
+        Seq("k"), "x", Streams.trigger(1))
+      .start()
+    try {
+      input.addData(("a", 2.0), ("a", 4.0), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 6.0))
+      q.processAllAvailable()
+
+      val m = spark.read.parquet(s"$dir/stats")
+        .collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Long]("n_rows"),
+          r.getAs[java.math.BigDecimal]("sum_x").doubleValue,
+          r.getAs[java.math.BigDecimal]("sum_x2").doubleValue))
+        .toSet
+      // moments over ALL data ever streamed: a{2,4,6}, b{10}
+      assert(m == Set(("a", 3L, 12.0, 56.0), ("b", 1L, 10.0, 100.0)))
+      // derived stats: mean 4, var (56 - 48)/2 = 4 → std 2
+      val a = m.find(_._1 == "a").get
+      val mean = a._3 / a._2
+      val variance = (a._4 - a._3 * a._3 / a._2) / (a._2 - 1)
+      assert(mean == 4.0 && variance == 4.0)
+    } finally q.stop()
+  }
+
   test("aggregate-merge batch: replayed batchId is a no-op; crash backup heals") {
     val spark2 = spark
     import spark2.implicits._

@@ -97,6 +97,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(fp.matches("[0-9a-f]{32}"))
   }
 
+  test("chunkTokens invariants on 200 random docs: cover, count, reassembly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = Seq.fill(200) {
+      val n = rnd.nextInt(60) + 1
+      (1 to n).map(i => s"w${rnd.nextInt(50)}").mkString(" ")
+    }
+    val (size, stride) = (7, 7) // stride == size → exact partition of the doc
+    val rows = docs.toDF("t")
+      .select(col("t"), TextFunctions.chunkTokens(col("t"), size, stride).as("c"))
+      .collect()
+    rows.foreach { r =>
+      val (t, chunks) = (r.getString(0), r.getSeq[String](1))
+      val n = t.split("\\s+").length
+      // chunk count formula, full cover on reassembly, width bound
+      assert(chunks.length == (n - 1) / stride + 1)
+      assert(chunks.mkString(" ") == t) // non-overlapping chunks partition the doc
+      assert(chunks.forall(_.split("\\s+").length <= size))
+    }
+  }
+
   test("chunkTokens: overlapping windows, short tail, empty doc yields none") {
     import spark.implicits._
     val ten = (1 to 10).map(i => s"t$i").mkString(" ")
