@@ -488,6 +488,26 @@ object Dedup {
     df.join(broadcast(pairs.select(col("id_b").as(idCol)).distinct()),
       Seq(idCol), "left_anti")
 
+  /** Quality-aware transitive dedup: per duplicate COMPONENT, keep the
+    * row with the highest `scoreCol` (lowest id on ties) instead of the
+    * arbitrary lowest-id survivor — "keep the best copy", the curation
+    * rule real training pipelines want. Cluster membership comes from
+    * [[connectedComponents]]; the per-cluster argmax runs through the
+    * bounded-heap top-k operator (k = 1 — no per-cluster sort), and
+    * rows outside every cluster pass through untouched via a left-anti
+    * on the (small, broadcast) membership list. */
+  def removeNearDuplicatesBest(df: DataFrame, pairs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    import graft.plans.TopK
+    val comp = connectedComponents(pairs, idCol)
+    val winners = TopK.perKey(df.join(comp, Seq(idCol)), Seq("cluster_id"),
+        Seq(TopK.desc(scoreCol), TopK.asc(idCol)), 1)
+      .drop("rank", "cluster_id")
+    val loners = df.join(broadcast(comp.select(col(idCol))),
+      Seq(idCol), "left_anti")
+    loners.unionByName(winners)
+  }
+
   /** Exact n-gram Jaccard dedup with deterministic blocking (first
     * `blockTokens` tokens): every within-block pair is verified exactly.
     * Fully oracle-replicable — the scale path for when candidate recall

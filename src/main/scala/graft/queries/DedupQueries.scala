@@ -154,7 +154,21 @@ object DedupQueries extends QueryPack {
       .orderBy(col("source"), col("batch_id"))
   }
 
+  /** Quality-aware dedup: per duplicate component keep the LONGEST doc
+    * (n_chars; lowest id on ties) — "keep the best copy" instead of
+    * d7's lowest-id rule. Survivor selection = bounded-heap top-1 per
+    * cluster, never a per-cluster sort. */
+  def d9BestSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 5, threshold = 0.8)
+    Dedup.removeNearDuplicatesBest(docs, pairs, "doc_id", "n_chars")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d9_best_survivor" -> (d9BestSurvivor _),
     "sample_weighted" -> (sampleWeighted _),
     "pack_sequences" -> (packSequences _),
     "sample_docs" -> (sampleDocs _),
@@ -310,6 +324,33 @@ object DedupQueries extends QueryPack {
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
       SELECT src AS doc_id, MIN(dst) AS cluster_id
       FROM reach GROUP BY src ORDER BY doc_id""",
+    "d9_best_survivor" -> s"""
+      WITH RECURSIVE sets AS ($shingleSetsSql),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src),
+      winners AS (
+        SELECT d.doc_id
+        FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY c.cluster_id
+          ORDER BY d.n_chars DESC, d.doc_id) = 1)
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM winners)
+         OR doc_id NOT IN (SELECT doc_id FROM comp)
+      ORDER BY doc_id""",
     "d7_dedup_transitive" -> s"""
       WITH RECURSIVE sets AS ($shingleSetsSql),
       pairs AS (

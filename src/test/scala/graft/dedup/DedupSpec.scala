@@ -182,4 +182,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L))
   }
+
+  test("best-survivor dedup keeps the highest score per component, ties to lowest id") {
+    import spark.implicits._
+    // component {1,2,3} (chain), component {5,6}, loner 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 20.0), // best: 2
+      (5L, 7.0), (6L, 7.0),               // tie → lowest id 5
+      (9L, 1.0)                           // no pairs → survives
+    ).toDF("doc_id", "score")
+    val kept = Dedup.removeNearDuplicatesBest(docs, pairs, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L, 9L))
+  }
 }
