@@ -458,7 +458,30 @@ object CoreQueries extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Correlated-scalar-subquery shape (TPC-H Q2's MIN-cost pattern):
+    * for each small part, the supplier(s) charging the group minimum.
+    * The oracle runs the literal correlated subquery; the engine uses
+    * the decorrelated spelling Catalyst would rewrite to anyway — a
+    * whole-partition MIN window on ONE partkey shuffle, then filter to
+    * rows at the minimum. Never a per-part subquery execution. */
+  def q18MinPriceSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val smallParts = table(s, dir, "part").filter($"p_size" === 1)
+      .select($"p_partkey", $"p_name")
+    val li = table(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+    val w = Window.partitionBy($"l_partkey")
+    li.join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+      .withColumn("min_price", min($"l_extendedprice").over(w))
+      .filter($"l_extendedprice" === $"min_price")
+      .groupBy($"p_partkey", $"p_name", $"min_price")
+      .agg(min($"l_suppkey").as("supplier"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q18_min_price_supplier" -> (q18MinPriceSupplier _),
     "q17_winsorize" -> (q17Winsorize _),
     "w_gap_fill" -> (wGapFill _),
     "q15_full_outer" -> (q15FullOuter _),
@@ -482,6 +505,17 @@ object CoreQueries extends QueryPack {
     "q5_region_revenue" -> (q5RegionRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q18_min_price_supplier" -> """
+      SELECT p.p_partkey, p.p_name,
+             MIN(l.l_extendedprice) AS min_price,
+             MIN(l.l_suppkey) AS supplier
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      WHERE p.p_size = 1
+        AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY p.p_partkey, p.p_name
+      ORDER BY p.p_partkey""",
     "q17_winsorize" -> s"""
       WITH byp AS (
         SELECT l_returnflag, l_extendedprice, COUNT(*) AS cnt

@@ -19,6 +19,7 @@ object Serde {
   case object Parquet extends Format { val name = "parquet" }
   case object Csv extends Format { val name = "csv" }
   case object Json extends Format { val name = "json" }
+  case object Orc extends Format { val name = "orc" }
 
   def write(df: DataFrame, path: String, format: Format,
       compression: Option[String] = None): Unit = {
@@ -32,6 +33,7 @@ object Serde {
         .csv(path)
       case Json => w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .json(path)
+      case Orc => w.orc(path)
     }
   }
 
@@ -72,6 +74,8 @@ object Serde {
         val r = spark.read
           .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         schema.map(r.schema).getOrElse(r).json(path)
+      case Orc =>
+        spark.read.orc(path)
     }
   }
 }

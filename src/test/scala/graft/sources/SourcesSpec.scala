@@ -19,6 +19,15 @@ class SerdeSpec extends AnyFunSuite with SparkSpec {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("orc round-trip is exact") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+    val path = tmp()
+    Serde.write(df, path, Serde.Orc, compression = Some("zlib"))
+    val back = Serde.read(spark, path, Serde.Orc)
+    assert(back.schema == df.schema)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("csv round-trip with declared schema is exact") {
     val df = spark.read.parquet(s"$sf/orders.parquet")
     val path = tmp()
