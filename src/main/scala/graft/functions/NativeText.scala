@@ -121,6 +121,36 @@ object NativeTextImpl {
     while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(arr)
   }
+
+  /** Context-window chunks (see TextFunctions.chunkTokens): size-token
+    * windows whose starts step by stride, short tail kept, none for
+    * whitespace-only/empty docs. One tokenize + one StringBuilder pass
+    * per row instead of the Column form's interpreted
+    * sequence/transform/slice/array_join chain. */
+  def chunks(s: UTF8String, size: Int, stride: Int): ArrayData = {
+    if (s.trimAll().numChars() == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val toks = tokenize(s)
+    val n = toks.length
+    val nChunks = (n - 1) / stride + 1
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder
+    var c = 0
+    while (c < nChunks) {
+      sb.setLength(0)
+      val start = c * stride
+      val end = math.min(start + size, n)
+      var i = start
+      while (i < end) {
+        if (i > start) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** string → long SimHash, codegen'd as one static call. */
@@ -185,6 +215,29 @@ case class TokenShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** string → array<string> context-window chunks, codegen'd. */
+case class ChunkTokensExpr(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression {
+  require(size >= 1 && stride >= 1,
+    s"size and stride must be >= 1, got size=$size stride=$stride")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.chunks(input.asInstanceOf[UTF8String], size, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextImpl.chunks($c, $size, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkTokensExpr =
+    copy(child = newChild)
+}
+
 object NativeText {
   /** Column wrappers. */
   def simhash64(text: Column): Column =
@@ -193,4 +246,6 @@ object NativeText {
     GraftShims.column(SimHashMd5Expr(GraftShims.expression(text)))
   def tokenShingles(text: Column, n: Int): Column =
     GraftShims.column(TokenShinglesExpr(GraftShims.expression(text), n))
+  def chunkTokens(text: Column, size: Int, stride: Int): Column =
+    GraftShims.column(ChunkTokensExpr(GraftShims.expression(text), size, stride))
 }

@@ -134,9 +134,15 @@ object TextFunctions {
     * windows, the standard training-data chunker). The tail chunk may
     * be shorter; docs with at least one token produce
     * `floor((n−1)/stride)+1` chunks; empty/whitespace docs produce
-    * none. Pure map-side expression — the doc never leaves its
-    * partition until the caller explodes the result. */
-  def chunkTokens(text: Column, size: Int, stride: Int): Column = {
+    * none. Native expression ([[graft.functions.ChunkTokensExpr]]) —
+    * one tokenize + one builder pass per row in codegen; map-side, the
+    * doc never leaves its partition until the caller explodes. */
+  def chunkTokens(text: Column, size: Int, stride: Int): Column =
+    graft.functions.NativeText.chunkTokens(text, size, stride)
+
+  /** Pure-Column reference formulation of [[chunkTokens]] (parity
+    * tests; semantically identical, interpreted HOFs). */
+  def chunkTokensReference(text: Column, size: Int, stride: Int): Column = {
     require(size >= 1 && stride >= 1, "size and stride must be >= 1")
     val toks = tokens(text)
     val n = org.apache.spark.sql.functions.size(toks)

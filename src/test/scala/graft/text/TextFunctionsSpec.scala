@@ -106,7 +106,10 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     }
     val (size, stride) = (7, 7) // stride == size → exact partition of the doc
     val rows = docs.toDF("t")
-      .select(col("t"), TextFunctions.chunkTokens(col("t"), size, stride).as("c"))
+      .select(col("t"), TextFunctions.chunkTokens(col("t"), size, stride).as("c"),
+        TextFunctions.chunkTokensReference(col("t"), size, stride).as("ref"),
+        TextFunctions.chunkTokensReference(col("t"), 5, 3).as("ref53"),
+        TextFunctions.chunkTokens(col("t"), 5, 3).as("c53"))
       .collect()
     rows.foreach { r =>
       val (t, chunks) = (r.getString(0), r.getSeq[String](1))
@@ -115,6 +118,9 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       assert(chunks.length == (n - 1) / stride + 1)
       assert(chunks.mkString(" ") == t) // non-overlapping chunks partition the doc
       assert(chunks.forall(_.split("\\s+").length <= size))
+      // native expression == Column reference, partitioned AND overlapping
+      assert(chunks == r.getSeq[String](2))
+      assert(r.getSeq[String](4) == r.getSeq[String](3))
     }
   }
 
