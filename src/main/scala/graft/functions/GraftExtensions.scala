@@ -43,7 +43,11 @@ object GraftExtensions {
         TokenShinglesExpr(args(0), intArg(args(1), "graft_shingles"))),
     ("graft_dotq",
       new ExpressionInfo(classOf[DotQExpr].getName, "graft_dotq"),
-      (args: Seq[Expression]) => DotQExpr(args(0), args(1))))
+      (args: Seq[Expression]) => DotQExpr(args(0), args(1))),
+    ("graft_chunks",
+      new ExpressionInfo(classOf[ChunkTokensExpr].getName, "graft_chunks"),
+      (args: Seq[Expression]) => ChunkTokensExpr(args(0),
+        intArg(args(1), "graft_chunks"), intArg(args(2), "graft_chunks"))))
 
   /** Register on an already-built session. */
   def install(spark: SparkSession): Unit = {
