@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.SafeBroadcastRule())
+    // row_number()<=k window-filter → bounded-heap TopKPerKey, plus the
+    // strategy that plans the rewritten node
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule())
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -58,5 +62,12 @@ object GraftExtensions {
         .exists(_.isInstanceOf[graft.plans.SafeBroadcastRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.SafeBroadcastRule()
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.TopKRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKRewriteRule()
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
   }
 }

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rewrite: the declarative top-k-per-key idiom
+  *
+  * {{{ df.withColumn("rn", row_number().over(partitionBy(k).orderBy(o)))
+  *      .filter($"rn" <= k) }}}
+  *
+  * plans as Exchange → full per-partition Sort → WindowExec that
+  * materializes EVERY row before the filter discards all but k. This
+  * rule recognizes the pattern after analysis and replaces it with
+  * [[TopKPerKeyNode]] — the bounded-heap operator (one pass, O(n log k),
+  * no sort) — so users writing the standard window spelling get the
+  * heap plan automatically.
+  *
+  * Deliberately narrow match (anything else is left untouched):
+  *  - the Window computes exactly ONE expression, a `row_number()`;
+  *  - non-empty partition AND order specs (a global top-k has no key to
+  *    cluster on — that is a plain sort+limit, Spark's TakeOrdered);
+  *  - the filter's rank predicate is `rn <= lit` / `rn < lit` /
+  *    `rn = 1` / `lit >= rn` / `lit > rn`, with `k ≤ maxK` bounding
+  *    heap memory (O(keys · k) per task);
+  *  - other conjuncts survive in a Filter ABOVE the rewritten node.
+  *
+  * Ties: `row_number` under a non-total order is already
+  * non-deterministic; the heap keeps an equally-valid set, so the
+  * rewrite preserves semantics exactly when the order is total and up
+  * to the same tie arbitrariness otherwise. The minted rank attribute
+  * reuses the original alias' exprId, so downstream references (and the
+  * rank values 1..k) resolve unchanged.
+  *
+  * Interplay with Spark's own `InferWindowGroupLimit` (which fires
+  * first): that rule inserts a WindowGroupLimit below the Window —
+  * its PARTIAL phase caps each map partition at k rows per key BEFORE
+  * the exchange, a shuffle-volume win this rewrite deliberately keeps.
+  * What this rule then removes is the final WindowExec, which would
+  * re-buffer every surviving group to attach row numbers; the heap
+  * ranks the (already small, ≤ k × mappers per key) post-shuffle
+  * stream in one pass instead.
+  */
+case class TopKRewriteRule(maxK: Int = 10000) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+          partSpec, orderSpec, child, _))
+        if partSpec.nonEmpty && orderSpec.nonEmpty =>
+      val rnId = alias.exprId
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (rnConds, others) = conjuncts.partition(c =>
+        c.references.size == 1 && c.references.head.exprId == rnId)
+      val bound: Option[Int] = rnConds match {
+        case Seq(one) => one match {
+          case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
+            if a.exprId == rnId => Some(k)
+          case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+            if a.exprId == rnId => Some(k - 1)
+          case EqualTo(a: AttributeReference, Literal(1, IntegerType))
+            if a.exprId == rnId => Some(1)
+          case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference)
+            if a.exprId == rnId => Some(k)
+          case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference)
+            if a.exprId == rnId => Some(k - 1)
+          case _ => None
+        }
+        case _ => None
+      }
+      bound match {
+        case Some(k) if k >= 1 && k <= maxK =>
+          val rankAttr = AttributeReference(alias.name, IntegerType,
+            nullable = false)(exprId = rnId)
+          val topk = TopKPerKeyNode(partSpec, orderSpec, k, rankAttr, child)
+          others.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
+        case _ => f
+      }
+  }
+}
