@@ -480,7 +480,28 @@ object CoreQueries extends QueryPack {
       .orderBy($"p_partkey")
   }
 
+  /** Declarative top-n-per-key, auto-rewritten: written as the standard
+    * `row_number().over(...) <= 2` window idiom, with
+    * [[graft.functions.GraftExtensions]] installed so
+    * [[graft.plans.TopKRewriteRule]] swaps the final WindowExec for the
+    * bounded-heap operator — the oracle checks the SEMANTICS (DuckDB
+    * QUALIFY), TopKRewriteSpec pins the plan. Total order via
+    * (price desc, orderkey) so ranks are deterministic. */
+  def wTopnOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.install(s)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    table(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .orderBy($"o_custkey", $"rn")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "w_topn_orders" -> (wTopnOrders _),
     "q18_min_price_supplier" -> (q18MinPriceSupplier _),
     "q17_winsorize" -> (q17Winsorize _),
     "w_gap_fill" -> (wGapFill _),
@@ -505,6 +526,13 @@ object CoreQueries extends QueryPack {
     "q5_region_revenue" -> (q5RegionRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "w_topn_orders" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+      QUALIFY rn <= 2
+      ORDER BY o_custkey, rn""",
     "q18_min_price_supplier" -> """
       SELECT p.p_partkey, p.p_name,
              MIN(l.l_extendedprice) AS min_price,
