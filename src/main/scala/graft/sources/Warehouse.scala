@@ -130,6 +130,53 @@ object Warehouse {
     w.saveAsTable(table)
   }
 
+  /** Write parquet with BLOOM FILTERS on `bloomCols`: row groups that
+    * cannot contain a point-predicate value are skipped at scan time —
+    * the data-skipping lever for high-cardinality point lookups (id
+    * probes on a 100 TB fact) where min/max statistics are useless
+    * because every row group spans the whole id range. `ndv` sizes the
+    * filter (bits ∝ distinct values per row group at the configured
+    * false-positive rate). Sorting by the bloom column first
+    * concentrates each value into few row groups — combine with
+    * [[writeBucketed]] or a sort for best skipping. */
+  def writeWithBloomFilters(df: org.apache.spark.sql.DataFrame, path: String,
+      bloomCols: Seq[String], ndv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "bloomCols must be non-empty")
+    var w = df.write.mode("overwrite")
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
+  /** Do the parquet files at `path` carry a bloom filter for `column`?
+    * Reads the footers (metadata only — no data I/O); used by tests and
+    * layout audits. */
+  def hasBloomFilter(spark: SparkSession, path: String,
+      column: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir)
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    parts.nonEmpty && parts.forall { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        !blocks.isEmpty && {
+          import scala.jdk.CollectionConverters._
+          blocks.asScala.forall(_.getColumns.asScala
+            .exists(c => c.getPath.toDotString == column &&
+              c.getBloomFilterOffset >= 0))
+        }
+      } finally reader.close()
+    }
+  }
+
   /** Compute catalog statistics so the cost-based optimizer has real
     * numbers: table-level size/row count, plus per-column NDV/min/max
     * histogramless stats for `columns` (join-reorder and broadcast

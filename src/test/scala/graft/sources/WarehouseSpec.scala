@@ -73,6 +73,17 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     } finally Warehouse.dropTable(spark, "wh_an")
   }
 
+  test("bloom-filter writes carry the filter in every footer; data exact") {
+    val dir = Files.createTempDirectory("graft-wh-bloom").toString
+    val df = spark.range(10000).selectExpr("id", "CAST(id % 97 AS STRING) AS tag")
+    Warehouse.writeWithBloomFilters(df, s"$dir/t", Seq("id"), ndv = 10000L)
+    assert(Warehouse.hasBloomFilter(spark, s"$dir/t", "id"))
+    assert(!Warehouse.hasBloomFilter(spark, s"$dir/t", "tag")) // not requested
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 10000)
+    assert(back.filter(back("id") === 4321L).count() == 1)
+  }
+
   test("compaction collapses many small files, preserves data exactly") {
     val dir = Files.createTempDirectory("graft-whc").toString
     // simulate a micro-batch sink: 20 appends of 50 rows → ≥20 files
