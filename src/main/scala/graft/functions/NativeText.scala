@@ -128,7 +128,10 @@ object NativeTextImpl {
     * per row instead of the Column form's interpreted
     * sequence/transform/slice/array_join chain. */
   def chunks(s: UTF8String, size: Int, stride: Int): ArrayData = {
-    if (s.trimAll().numChars() == 0)
+    // space-only trim — EXACTLY Spark SQL trim() / DuckDB trim(), which
+    // the Column reference and the oracle use; trimAll (tabs/newlines)
+    // would diverge on whitespace-only docs without 0x20 spaces
+    if (s.trim().numChars() == 0)
       return new GenericArrayData(Array.empty[Any])
     val toks = tokenize(s)
     val n = toks.length

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -33,14 +33,17 @@ import org.apache.spark.sql.types.IntegerType
   * reuses the original alias' exprId, so downstream references (and the
   * rank values 1..k) resolve unchanged.
   *
-  * Interplay with Spark's own `InferWindowGroupLimit` (which fires
-  * first): that rule inserts a WindowGroupLimit below the Window —
-  * its PARTIAL phase caps each map partition at k rows per key BEFORE
-  * the exchange, a shuffle-volume win this rewrite deliberately keeps.
-  * What this rule then removes is the final WindowExec, which would
-  * re-buffer every surviving group to attach row numbers; the heap
-  * ranks the (already small, ≤ k × mappers per key) post-shuffle
-  * stream in one pass instead.
+  * Interplay with Spark's own `InferWindowGroupLimit`: its PARTIAL
+  * phase caps each map partition at k rows per key BEFORE the
+  * exchange — a shuffle-volume win this rewrite keeps. Whether that
+  * rule has fired depends on the installation path (`install()` runs
+  * after Spark's "Infer window group limit" batch; the
+  * `spark.sql.extensions` hook runs BEFORE it), so this rule inserts
+  * the WindowGroupLimit itself when the child doesn't already carry
+  * one — both paths plan identically. What the rewrite removes is the
+  * final WindowExec, which would re-buffer every surviving group to
+  * attach row numbers; the heap ranks the (already small, ≤ k × mappers
+  * per key) post-shuffle stream in one pass instead.
   */
 case class TopKRewriteRule(maxK: Int = 10000) extends Rule[LogicalPlan]
     with PredicateHelper {
@@ -74,7 +77,14 @@ case class TopKRewriteRule(maxK: Int = 10000) extends Rule[LogicalPlan]
         case Some(k) if k >= 1 && k <= maxK =>
           val rankAttr = AttributeReference(alias.name, IntegerType,
             nullable = false)(exprId = rnId)
-          val topk = TopKPerKeyNode(partSpec, orderSpec, k, rankAttr, child)
+          // map-side pre-filter: present already when Spark's
+          // InferWindowGroupLimit ran before us, added here otherwise
+          val limited = child match {
+            case wgl: WindowGroupLimit => wgl
+            case other =>
+              WindowGroupLimit(partSpec, orderSpec, RowNumber(), k, other)
+          }
+          val topk = TopKPerKeyNode(partSpec, orderSpec, k, rankAttr, limited)
           others.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
         case _ => f
       }

@@ -267,8 +267,8 @@ object Streams {
     * per key — count and both moment sums are associative (decimal, so
     * exact), which is what makes streaming mean/std/z-score possible
     * without rescanning history. Read the table and derive
-    * `mean = Σx/n`, `var = (Σx² − Σx²/n)/(n−1)` — the same formula the
-    * batch `v_stats_events` oracle-pins. */
+    * `mean = Σx/n`, `var = (Σx² − (Σx)²/n)/(n−1)` — the same formula
+    * the batch `v_stats_events` oracle-pins. */
   def statsMergeBatch(spark: SparkSession, batch: DataFrame, path: String,
       keyCols: Seq[String], measureCol: String,
       batchId: Long = -1L): LoadResult =
@@ -331,31 +331,34 @@ object Streams {
       durationSeconds = (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Shared writeStream wiring for the fold sinks. */
+  private def foldSink(stream: DataFrame, checkpoint: String, trig: Trigger,
+      onLoad: LoadResult => Unit)(
+      batchFn: (DataFrame, Long) => LoadResult): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onLoad(batchFn(batch, batchId))
+      }
+
   /** writeStream wiring for [[aggMergeBatch]] (checkpointed). */
   def aggMergeSink(stream: DataFrame, path: String, checkpoint: String,
       keyCols: Seq[String], measureCol: String,
       trig: Trigger = Trigger.AvailableNow(),
       onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(trig)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onLoad(aggMergeBatch(batch.sparkSession, batch, path, keyCols,
-          measureCol, batchId))
-      }
+    foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
+      aggMergeBatch(batch.sparkSession, batch, path, keyCols, measureCol, batchId)
+    }
 
   /** writeStream wiring for [[statsMergeBatch]] (checkpointed). */
   def statsMergeSink(stream: DataFrame, path: String, checkpoint: String,
       keyCols: Seq[String], measureCol: String,
       trig: Trigger = Trigger.AvailableNow(),
       onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(trig)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onLoad(statsMergeBatch(batch.sparkSession, batch, path, keyCols,
-          measureCol, batchId))
-      }
+    foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
+      statsMergeBatch(batch.sparkSession, batch, path, keyCols, measureCol, batchId)
+    }
 
   /** writeStream wiring for the merge sink (checkpointed — C1). Each
     * micro-batch's [[graft.core.LoadResult]] is delivered to `onLoad`

@@ -136,9 +136,13 @@ object TextFunctions {
     * `floor((n−1)/stride)+1` chunks; empty/whitespace docs produce
     * none. Native expression ([[graft.functions.ChunkTokensExpr]]) —
     * one tokenize + one builder pass per row in codegen; map-side, the
-    * doc never leaves its partition until the caller explodes. */
+    * doc never leaves its partition until the caller explodes. NULL
+    * text yields an empty array (the expression itself is
+    * null-intolerant; the coalesce restores the reference's NULL→[]
+    * contract so `size(...) === 0` finds unchunkable docs). */
   def chunkTokens(text: Column, size: Int, stride: Int): Column =
-    graft.functions.NativeText.chunkTokens(text, size, stride)
+    coalesce(graft.functions.NativeText.chunkTokens(text, size, stride),
+      array().cast("array<string>"))
 
   /** Pure-Column reference formulation of [[chunkTokens]] (parity
     * tests; semantically identical, interpreted HOFs). */

@@ -135,4 +135,24 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1) == Seq("a b")) // shorter than one window: one chunk
     assert(rows(2).isEmpty && rows(3).isEmpty)
   }
+
+  test("chunkTokens edge parity: NULL → [], tab/newline docs match the reference") {
+    import spark.implicits._
+    // NULL text: the reference contract is an EMPTY array, not NULL
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.chunkTokens(col("t"), 4, 3).as("c"),
+        TextFunctions.chunkTokensReference(col("t"), 4, 3).as("ref"))
+      .collect().head
+    assert(nullRow.getSeq[String](0) == Seq.empty)
+    assert(nullRow.getSeq[String](1) == Seq.empty)
+    // whitespace without 0x20: SQL trim() keeps it → native must agree
+    // with the Column reference (and so with the DuckDB oracle) exactly
+    Seq("\t", "\n", " \t ", "a\tb", "a\nb c").foreach { t =>
+      val r = Seq(t).toDF("t")
+        .select(TextFunctions.chunkTokens(col("t"), 3, 2).as("c"),
+          TextFunctions.chunkTokensReference(col("t"), 3, 2).as("ref"))
+        .collect().head
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"input ${t.map(_.toInt)}")
+    }
+  }
 }
