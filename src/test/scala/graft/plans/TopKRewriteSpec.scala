@@ -28,9 +28,11 @@ class TopKRewriteSpec extends AnyFunSuite with SparkSpec {
     val q = windowed(data).filter(col("rn") <= 3)
     val physical = q.queryExecution.executedPlan.toString
     assert(physical.contains("TopKPerKey"), physical)
-    // the final WindowExec is gone; Spark's OWN WindowGroupLimit
-    // pre-filter (map-side top-k before the exchange) is kept on purpose
+    // the final WindowExec is gone; the map-side WindowGroupLimit
+    // pre-filter (top-k per mapper BEFORE the exchange) must remain —
+    // losing it would shuffle every row per key instead of ≤ k
     assert(!physical.matches("(?s).*\\sWindow \\[.*"), physical)
+    assert(physical.contains("WindowGroupLimit"), physical)
 
     // results identical to the un-rewritten window+filter semantics
     val expected = data.collect().toSeq
