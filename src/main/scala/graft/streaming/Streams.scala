@@ -331,6 +331,40 @@ object Streams {
       durationSeconds = (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Streaming trending top-k: tumbling-window counts per item with
+    * watermark eviction, and — per micro-batch — the CLOSED windows'
+    * top-k items appended to `path`. Append output mode is what makes
+    * the top-k correct: a window's counts are emitted exactly once,
+    * all together, when the watermark passes its end, so the per-window
+    * ranking never sees a partial window. Ranking goes through the
+    * bounded-heap operator (k of potentially millions of items per
+    * window, no sort); state is bounded by open windows × active items.
+    */
+  def trendingTopKSink(events: DataFrame, tsCol: String, itemCol: String,
+      windowLen: String, watermarkDelay: String, k: Int, path: String,
+      checkpoint: String,
+      trig: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val counts = events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(itemCol))
+      .agg(count(lit(1)).as("n_events"))
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val flat = batch.select(
+            col("window.start").as("window_start"), col(itemCol),
+            col("n_events"))
+          graft.plans.TopK.perKey(flat, Seq("window_start"),
+              Seq(graft.plans.TopK.desc("n_events"),
+                graft.plans.TopK.asc(itemCol)), k)
+            .write.mode("append").parquet(path)
+        }
+      }
+  }
+
   /** Shared writeStream wiring for the fold sinks. */
   private def foldSink(stream: DataFrame, checkpoint: String, trig: Trigger,
       onLoad: LoadResult => Unit)(

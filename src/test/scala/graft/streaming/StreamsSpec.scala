@@ -181,6 +181,41 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("trending top-k sink: closed windows rank their items via the heap") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("trending").toString
+
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.trendingTopKSink(
+        input.toDS().toDF("ts", "item"), "ts", "item",
+        windowLen = "5 minutes", watermarkDelay = "1 minute", k = 2,
+        path = s"$dir/top", checkpoint = s"$dir/ckpt",
+        trig = Streams.trigger(1))
+      .start()
+    try {
+      // window [10:00, 10:05): a×3, b×2, c×1 — still open, nothing written
+      input.addData(
+        (ts("2024-01-01 10:00:10"), "a"), (ts("2024-01-01 10:00:20"), "a"),
+        (ts("2024-01-01 10:01:00"), "a"), (ts("2024-01-01 10:02:00"), "b"),
+        (ts("2024-01-01 10:03:00"), "b"), (ts("2024-01-01 10:04:00"), "c"))
+      q.processAllAvailable()
+      // advance the watermark past 10:05 + 1min → the window closes
+      input.addData((ts("2024-01-01 10:10:00"), "d"))
+      q.processAllAvailable()
+
+      val out = spark.read.parquet(s"$dir/top")
+        .collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("item"),
+          r.getAs[Long]("n_events"), r.getAs[Int]("rank")))
+        .toSet
+      assert(out == Set(
+        (ts("2024-01-01 10:00:00"), "a", 3L, 1),
+        (ts("2024-01-01 10:00:00"), "b", 2L, 2)))
+    } finally q.stop()
+  }
+
   test("stats-merge sink: running moments match a batch recompute exactly") {
     val spark2 = spark
     import spark2.implicits._
