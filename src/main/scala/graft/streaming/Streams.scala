@@ -344,6 +344,8 @@ object Streams {
       windowLen: String, watermarkDelay: String, k: Int, path: String,
       checkpoint: String,
       trig: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(!Set("window_start", "n_events", "rank").contains(itemCol),
+      s"itemCol '$itemCol' collides with a sink output column")
     val counts = events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen), col(itemCol))
@@ -352,16 +354,19 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trig)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val flat = batch.select(
-            col("window.start").as("window_start"), col(itemCol),
-            col("n_events"))
-          graft.plans.TopK.perKey(flat, Seq("window_start"),
-              Seq(graft.plans.TopK.desc("n_events"),
-                graft.plans.TopK.asc(itemCol)), k)
-            .write.mode("append").parquet(path)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch OVERWRITE into batch=<id> (the nearDupDedupSink
+        // pattern): a foreachBatch replay REPLACES its own output
+        // instead of appending duplicate top-k rows; no isEmpty
+        // pre-check — that would re-execute the stateful plan once
+        // just to decide whether to run it again
+        val flat = batch.select(
+          col("window.start").as("window_start"), col(itemCol),
+          col("n_events"))
+        graft.plans.TopK.perKey(flat, Seq("window_start"),
+            Seq(graft.plans.TopK.desc("n_events"),
+              graft.plans.TopK.asc(itemCol)), k)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
   }
 

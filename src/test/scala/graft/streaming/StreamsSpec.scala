@@ -213,6 +213,10 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       assert(out == Set(
         (ts("2024-01-01 10:00:00"), "a", 3L, 1),
         (ts("2024-01-01 10:00:00"), "b", 2L, 2)))
+      // output landed in a batch=<id> dir — a replayed batch overwrites
+      // its own directory instead of appending duplicates
+      assert(new java.io.File(s"$dir/top").listFiles()
+        .exists(_.getName.startsWith("batch=")))
     } finally q.stop()
   }
 
