@@ -39,24 +39,56 @@ object Keys {
     * `rankName`. `buckets` bounds both the driver collect (B rows) and the
     * per-partition sort size (~N/B).
     *
+    * `tieBreakers` extend the ordering to `(keyCol, tieBreakers…)` when
+    * `keyCol` alone is not unique — equal key values always land in the
+    * same bucket (bucket id is a pure function of the key value), so the
+    * tiebreak stays a within-bucket sort and the result equals
+    * `row_number() OVER (ORDER BY keyCol, tieBreakers…)` exactly.
+    *
     * Inputs whose optimizer size estimate is ≤ `smallBytes` take the
     * single-window path directly: for a dimension that fits in one
     * partition, one sort beats three jobs; the distributed path is the
     * default the moment the estimate crosses the threshold (so a 10B-row
-    * table can never reach the global window). */
+    * table can never reach the global window). The session conf
+    * `graft.rank.smallBytes` overrides the threshold — PlanAuditSpec sets
+    * it to 0 to audit every query's AT-SCALE plan shape (zero
+    * unpartitioned WindowExec) regardless of test-data size. */
   def globalRank(df: DataFrame, keyCol: String, rankName: String,
-      buckets: Int = 64, smallBytes: Long = 64L << 20): DataFrame = {
-    val key = col(keyCol).cast(DoubleType)
+      buckets: Int = 64, smallBytes: Long = 64L << 20,
+      tieBreakers: Seq[Column] = Seq.empty): DataFrame =
+    rankImpl(df, keyCol, rankName, buckets, smallBytes, tieBreakers)._1
 
+  /** [[globalRank]], plus the exact total row count N — free on the
+    * distributed path (N = the sum of the per-bucket counts the rank
+    * already collects), one extra count job on the window paths. For
+    * rank-arithmetic consumers (NTILE / PERCENT_RANK / CDF as
+    * closed-form functions of `(rank, N)`) this avoids a second
+    * aggregate branch and its scan entirely. */
+  def globalRankWithCount(df: DataFrame, keyCol: String, rankName: String,
+      buckets: Int = 64, smallBytes: Long = 64L << 20,
+      tieBreakers: Seq[Column] = Seq.empty): (DataFrame, Long) = {
+    val (ranked, counted) =
+      rankImpl(df, keyCol, rankName, buckets, smallBytes, tieBreakers)
+    (ranked, counted.getOrElse(df.count()))
+  }
+
+  private def rankImpl(df: DataFrame, keyCol: String, rankName: String,
+      buckets: Int, smallBytes: Long,
+      tieBreakers: Seq[Column]): (DataFrame, Option[Long]) = {
+    val key = col(keyCol).cast(DoubleType)
+    val order = col(keyCol) +: tieBreakers
+
+    val threshold = df.sparkSession.conf
+      .getOption("graft.rank.smallBytes").map(_.toLong).getOrElse(smallBytes)
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val numericKey = df.schema(keyCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     // percentile bucketing needs a numeric key; non-numeric keys (rare
     // for surrogate-key sources) fall back to the single window — at
     // scale, rank such tables via a numeric surrogate first
-    if (estimated <= smallBytes || !numericKey) {
-      val w = Window.orderBy(col(keyCol))
-      return df.withColumn(rankName, row_number().over(w))
+    if (estimated <= threshold || !numericKey) {
+      val w = Window.orderBy(order: _*)
+      return (df.withColumn(rankName, row_number().over(w)), None)
     }
 
     val bounds: Seq[Double] =
@@ -78,8 +110,8 @@ object Keys {
 
     if (bounds.isEmpty) {
       // empty input or degenerate key distribution — single bucket
-      val w = Window.orderBy(col(keyCol))
-      return df.withColumn(rankName, row_number().over(w))
+      val w = Window.orderBy(order: _*)
+      return (df.withColumn(rankName, row_number().over(w)), None)
     }
 
     val boundsArr = array(bounds.map(lit): _*)
@@ -98,10 +130,11 @@ object Keys {
       (0 until buckets).flatMap(b =>
         Seq(lit(b), lit(offsets(b)))): _*)
 
-    val w = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
-    bucketed
+    val w = Window.partitionBy(col("__bucket")).orderBy(order: _*)
+    val ranked = bucketed
       .withColumn(rankName,
         (element_at(offsetMap, col("__bucket")) + row_number().over(w)))
       .drop("__bucket")
+    (ranked, Some(counts.values.sum))
   }
 }

@@ -46,7 +46,13 @@ object Models {
     * `row_number() OVER (ORDER BY customer_id)` but without the
     * all-rows-to-one-partition window sort. */
   def dimCustomers(stagingCustomers: DataFrame): DataFrame =
-    Keys.globalRank(stagingCustomers, "customer_id", "customer_key")
+    // smallBytes = 0: a conformed dimension can be 1e9 rows — always
+    // take the distributed path so the tested plan IS the at-scale plan
+    // (and bench/verify logs stay free of the single-partition-window
+    // warning). The adaptive small-input window remains opt-in on
+    // Keys.globalRank for genuinely bounded inputs.
+    Keys.globalRank(stagingCustomers, "customer_id", "customer_key",
+        smallBytes = 0L)
       .select(col("customer_key"), col("customer_id"), col("customer_name"),
         col("nation_id"), col("account_balance"), col("market_segment"))
 

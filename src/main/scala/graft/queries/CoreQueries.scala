@@ -336,20 +336,40 @@ object CoreQueries extends QueryPack {
   /** Ranking windows (NTILE + PERCENT_RANK) over customer spend:
     * deciles and exact percentile position. The ordering key
     * (total_spend, custkey) is unique, so tile/rank assignment is
-    * deterministic. Runs on the AGGREGATED per-customer table (1/10th
-    * of orders), and the single-partition window is the documented
-    * small-side path — at 100 TB the same decile assignment comes from
-    * `Keys.globalRank`-style bucketed ranking, which this query's
-    * per-customer aggregate feeds unchanged. */
+    * deterministic — and because it is unique, both functions are
+    * closed-form in the global row number `rn` and the total count `N`:
+    * the first N%10 tiles get ceil(N/10) rows and the rest floor(N/10)
+    * (the SQL-standard NTILE fill), and PERCENT_RANK = (rn-1)/(N-1).
+    * `rn` comes from [[graft.operators.Keys.globalRankWithCount]]
+    * (bucketed distributed ranking with the custkey tiebreak, forced —
+    * `smallBytes = 0`), so NO unpartitioned WindowExec exists in this
+    * plan at any data size — PlanAuditSpec pins that fleet-wide. N is
+    * the sum of the per-bucket counts the rank already collects, so
+    * tile/rank arithmetic folds into the projection as literals: no
+    * second aggregate branch, no extra scan, no join. */
   def wNtileSpend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy($"total_spend", $"o_custkey")
-    table(s, dir, "orders")
+    val perCust = table(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(decSum($"o_totalprice").as("total_spend"))
-      .withColumn("decile", ntile(10).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
+    val (ranked, n) = graft.operators.Keys.globalRankWithCount(
+      perCust, "total_spend", "rn", smallBytes = 0L,
+      tieBreakers = Seq($"o_custkey"))
+    val q = n / 10; val r = n % 10
+    // SQL-standard NTILE fill: first r tiles get q+1 rows, the rest q.
+    // Integer `div` (not double floor-division, which mis-rounds near
+    // tile boundaries once q+1 exceeds ~1e9) keeps this exact at any N;
+    // the else-branch is unreachable when q == 0, max(q,1) just keeps
+    // the ANSI divide total.
+    val decile = expr(
+      s"CAST(IF(rn <= ${r * (q + 1)}, (rn - 1) div ${q + 1}, " +
+      s"$r + (rn - 1 - ${r * (q + 1)}) div ${math.max(q, 1L)}) AS INT) + 1")
+    val pctRank =
+      if (n > 1) (col("rn") - 1).cast("double") / (n - 1) else lit(0.0)
+    ranked
+      .withColumn("decile", decile)
+      .withColumn("pct_rank", pctRank)
+      .select($"o_custkey", $"total_spend", $"decile", $"pct_rank")
       .orderBy($"o_custkey")
   }
 

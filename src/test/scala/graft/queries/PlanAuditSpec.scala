@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
-import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.execution.{ExplainMode, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExecBase
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Global plan audit across EVERY SparkEntry query: the two plan shapes
@@ -39,5 +41,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         cart ++ bnlj
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** Third always-wrong-at-scale shape: a WindowExec with an EMPTY
+    * partition spec moves every row to a single partition ("No Partition
+    * Defined for Window" in the logs) — a one-task sort no matter how
+    * many executors exist. `Keys.globalRank` deliberately keeps a
+    * single-window fast path for provably small inputs; setting
+    * `graft.rank.smallBytes=0` here forces every query to build its
+    * AT-SCALE plan, so the audit sees what a 100 TB run would see. */
+  test("no query plans an unpartitioned WindowExec at scale") {
+    spark.conf.set("graft.rank.smallBytes", "0")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan = fn(spark, sf).queryExecution.executedPlan
+          val physical = plan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p: SparkPlan => p
+          }
+          physical.collect {
+            case w: WindowExecBase if w.partitionSpec.isEmpty =>
+              s"$name: unpartitioned ${w.nodeName}"
+          }
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    } finally spark.conf.unset("graft.rank.smallBytes")
   }
 }
