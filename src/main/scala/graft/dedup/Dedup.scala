@@ -359,25 +359,38 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("dst"))
       .distinct().localCheckpoint()
 
+    // Neighborhood minima via groupBy + re-join, NOT
+    // Window.partitionBy(src): a window buffers a node's ENTIRE
+    // neighborhood in one task, and dedup graphs have hubs (a
+    // boilerplate-heavy doc near-dup to millions of others) — a
+    // 10^7-degree hub would be one task's memory. The aggregate is
+    // partial/streamed map-side (per-partition state = one min per
+    // distinct src), the re-join streams the edge side, and AQE
+    // skew-join can further split a hub's join partition. Identical
+    // semantics: every edge row still sees its group minimum.
+
     // large-star: u's whole neighborhood learns m = min(Γ(u) ∪ {u});
     // emit (v, m) for the neighbors v > u
     def largeStar(edges: DataFrame): DataFrame = {
       val und = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      val w = Window.partitionBy(col("src"))
-      und.withColumn("__m", least(min(col("dst")).over(w), col("src")))
+      val mins = und.groupBy(col("src")).agg(min(col("dst")).as("__gm"))
+      und.join(mins, "src")
         .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("__m").as("dst"))
+        .select(col("dst").as("src"),
+          least(col("__gm"), col("src")).as("dst"))
     }
 
     // small-star: u re-points its smaller neighbors (and itself) at
-    // m = min of that downhill neighborhood
+    // m = min of that downhill neighborhood; (u, m) itself comes from
+    // the (already-distinct) minima frame rather than once per edge —
+    // the same set after the loop's distinct()
     def smallStar(edges: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("src"))
-      val withMin = edges.withColumn("__m", min(col("dst")).over(w))
-      withMin.filter(col("dst") =!= col("__m"))
+      val mins = edges.groupBy(col("src")).agg(min(col("dst")).as("__m"))
+      edges.join(mins, "src")
+        .filter(col("dst") =!= col("__m"))
         .select(col("dst").as("src"), col("__m").as("dst"))
-        .unionByName(withMin.select(col("src"), col("__m").as("dst")))
+        .unionByName(mins.select(col("src"), col("__m").as("dst")))
     }
 
     // convergence = stable edge-multiset fingerprint (count + sum + xor

@@ -159,6 +159,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(comp == expected)
   }
 
+  test("connected components: hub-skew star graph (1 hub, 1e5 spokes)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the worst-case shape the groupBy-min rewrite exists for: one node
+    // adjacent to every other. The hub id is ABOVE every spoke id so the
+    // star rounds must actually re-point the whole neighborhood, and the
+    // neighborhood minimum is computed by streamed partial aggregation —
+    // never by buffering 1e5 rows in one window frame.
+    val hub = 500000L
+    val pairs = spark2.range(1, 100001)
+      .select(lit(hub).as("id_a"), col("id").as("id_b"))
+    val comp = Dedup.connectedComponents(pairs, "doc_id",
+        smallEdgeThreshold = 0L)
+    val agg = comp.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("cluster_id")).as("k"),
+      min(col("cluster_id")).as("m")).head()
+    assert(agg.getLong(0) == 100001L) // hub + every spoke gets a row
+    assert(agg.getLong(1) == 1L && agg.getLong(2) == 1L) // one cluster, min id
+  }
+
   test("transitive dedup keeps one survivor per component; greedy may keep more") {
     val spark2 = spark
     import spark2.implicits._
