@@ -77,10 +77,18 @@ case class TopKRewriteRule(maxK: Int = 10000) extends Rule[LogicalPlan]
         case Some(k) if k >= 1 && k <= maxK =>
           val rankAttr = AttributeReference(alias.name, IntegerType,
             nullable = false)(exprId = rnId)
-          // map-side pre-filter: present already when Spark's
-          // InferWindowGroupLimit ran before us, added here otherwise
+          // map-side pre-filter: reuse the child's WindowGroupLimit only
+          // if it is THIS window's (same specs, row_number, limit ≥ k —
+          // i.e. Spark's InferWindowGroupLimit ran before us); a WGL
+          // present for any other reason must not stand in for the
+          // pre-filter, so a fresh one wraps it instead
           val limited = child match {
-            case wgl: WindowGroupLimit => wgl
+            case wgl @ WindowGroupLimit(p, o, _: RowNumber, limit, _)
+                if limit >= k && p.length == partSpec.length &&
+                  p.zip(partSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+                  o.length == orderSpec.length &&
+                  o.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
+              wgl
             case other =>
               WindowGroupLimit(partSpec, orderSpec, RowNumber(), k, other)
           }

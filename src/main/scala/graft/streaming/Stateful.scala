@@ -87,8 +87,13 @@ object Stateful {
           // contract as the batch funnel). Cross-batch late arrivals
           // can only be missed, never wrongly counted: the ts > stageTs
           // guard still holds for whatever order batches deliver.
+          // e.ts != null: a null event timestamp would NPE inside the
+          // state function and kill the whole streaming query — an
+          // un-timestamped event can never advance a time-ordered
+          // funnel, so it is dropped with the non-step events
           val relevant = batch
-            .filter(e => stepIdx.contains(e.eventType)).toArray
+            .filter(e => e.ts != null && stepIdx.contains(e.eventType))
+            .toArray
             .sortBy(e => (e.ts.getTime, stepIdx(e.eventType)))
           relevant.foreach { e =>
             if (stage < steps.length && stepIdx(e.eventType) == stage &&

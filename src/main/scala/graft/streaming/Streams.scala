@@ -285,9 +285,19 @@ object Streams {
   /** Shared atomic fold: merge `partial` (keys + associative numeric
     * columns) into the stored totals at `path`, summing every non-key
     * column by name. Replay-idempotent via the batch marker; crash-safe
-    * via the rename-rename swap (see [[aggMergeBatch]]'s doc). */
+    * via the rename-rename swap (see [[aggMergeBatch]]'s doc).
+    *
+    * Exactness bound: totals accumulate in DecimalType(38,6), i.e.
+    * |total| < 10^32 — unreachable for realistic revenue/count streams.
+    * The merge requires ANSI mode (Spark 4's default) so that a sum
+    * OVERFLOW fails the batch loudly; under legacy non-ANSI mode the
+    * sum would silently return NULL and persist corrupt totals, which
+    * is why the mode is asserted instead of worked around. */
   private def foldBatch(spark: SparkSession, path: String,
       keyCols: Seq[String], batchId: Long)(partial: DataFrame): LoadResult = {
+    require(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean,
+      "fold sinks require spark.sql.ansi.enabled=true: non-ANSI decimal " +
+      "sum overflow yields NULL and would silently corrupt stored totals")
     val t0 = System.nanoTime()
     val target = new Path(path)
     val backup = new Path(path + "__old")
@@ -312,7 +322,11 @@ object Streams {
       if (fs.exists(target)) spark.read.parquet(path)
       else partial.limit(0)
     val sumCols = partial.columns.filterNot(keyCols.contains)
-    val merged = base.union(partial)
+    // by-name union: if a caller reuses an existing table path with a
+    // different column order (or a renamed measure), a positional union
+    // would silently sum values into the wrong columns — unionByName
+    // instead aligns matching names and FAILS on a schema mismatch
+    val merged = base.unionByName(partial)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
@@ -357,16 +371,24 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // per-batch OVERWRITE into batch=<id> (the nearDupDedupSink
         // pattern): a foreachBatch replay REPLACES its own output
-        // instead of appending duplicate top-k rows; no isEmpty
-        // pre-check — that would re-execute the stateful plan once
-        // just to decide whether to run it again
+        // instead of appending duplicate top-k rows. The ranked result
+        // is persisted so the batch plan runs ONCE, then the emptiness
+        // probe decides whether to write at all — watermark-only
+        // batches that close no window would otherwise accumulate
+        // unbounded empty batch=* directories under a continuous
+        // trigger (old non-empty batches still deserve periodic
+        // compaction on long-running queries).
         val flat = batch.select(
           col("window.start").as("window_start"), col(itemCol),
           col("n_events"))
-        graft.plans.TopK.perKey(flat, Seq("window_start"),
+        val ranked = graft.plans.TopK.perKey(flat, Seq("window_start"),
             Seq(graft.plans.TopK.desc("n_events"),
               graft.plans.TopK.asc(itemCol)), k)
-          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+          .persist()
+        try {
+          if (ranked.limit(1).count() > 0)
+            ranked.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        } finally ranked.unpersist()
       }
   }
 

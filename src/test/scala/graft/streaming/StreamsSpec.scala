@@ -300,10 +300,12 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       .outputMode("append").start()
     try {
       // batch 1: user 1 views then clicks; user 2's click BEFORE any
-      // view must not advance; user 3 purchases without prior steps
+      // view must not advance; user 3 purchases without prior steps;
+      // a null-timestamp event must be DROPPED, not NPE the query
       input.addData(
         FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
         FunnelEvent(1L, ts("2024-01-01 10:05:00"), "click"),
+        FunnelEvent(1L, null, "purchase"),
         FunnelEvent(2L, ts("2024-01-01 09:00:00"), "click"),
         FunnelEvent(3L, ts("2024-01-01 09:30:00"), "purchase"))
       q.processAllAvailable()
