@@ -44,6 +44,58 @@ class PipelineRunner(
     * (or hosts) can inject a sink. */
   private[pipeline] var log = new PipelineLogger("graft.pipeline.runner")
 
+  /** Alert delivery callback (reference `sample_pipeline.yaml:146-148`
+    * channel routing): invoked once per fired [[Alert]] with the spec's
+    * channels. Default delivery is the severity-routed structured log —
+    * actual email/Slack transport is host infrastructure, injected here.
+    * `var` for the same injection contract as `log`/`sleeper`. */
+  var alertSink: (Alert, Seq[AlertChannel]) => Unit = (a, chs) => {
+    val extras = Seq("alert" -> a.rule, "severity" -> a.severity,
+      "task_id" -> a.taskId,
+      "channels" -> chs.map(c => s"${c.kind}:${c.target}").mkString(","))
+    if (a.severity == "critical") log.error(a.message, extras: _*)
+    else log.warn(a.message, extras: _*)
+  }
+
+  /** Per-task execution history ring across run() calls (reference
+    * `task_manager.py:330-345`), capped at [[maxExecutionHistory]]
+    * entries per task like the reference's `max_execution_history`.
+    * Driver-side control plane: one small record per task execution. */
+  var maxExecutionHistory: Int = 100
+  private val history =
+    scala.collection.mutable.Map.empty[String, Vector[TaskResult]]
+
+  private def record(r: TaskResult): Unit = history.synchronized {
+    val cur = history.getOrElse(r.taskId, Vector.empty)
+    history(r.taskId) = (cur :+ r).takeRight(maxExecutionHistory)
+  }
+
+  /** Most recent executions of `taskId`, oldest first
+    * (`task_manager.py:347-354`). */
+  def executionHistory(taskId: String, limit: Int = Int.MaxValue): Seq[TaskResult] =
+    history.synchronized {
+      history.getOrElse(taskId, Vector.empty).takeRight(limit)
+    }
+
+  /** Aggregate execution statistics for one task
+    * (`task_manager.py:356-388`). */
+  def taskStatistics(taskId: String): TaskStats = history.synchronized {
+    val h = history.getOrElse(taskId, Vector.empty)
+    val ok = h.count(_.status == TaskStatus.Success)
+    TaskStats(
+      taskId = taskId,
+      totalExecutions = h.size,
+      successfulExecutions = ok,
+      successRate = if (h.isEmpty) 0.0 else ok.toDouble / h.size * 100.0,
+      avgDurationSeconds =
+        if (h.isEmpty) 0.0 else h.map(_.durationSeconds).sum / h.size,
+      lastStatus = h.lastOption.map(_.status))
+  }
+
+  /** One [[TaskStats]] row per task ever executed by this runner. */
+  def statsReport: Seq[TaskStats] =
+    history.synchronized(history.keys.toSeq.sorted).map(taskStatistics)
+
   /** Execute every task of the spec in topological levels with
     * trigger-rule gating; returns per-task results. Failed model tests /
     * target validations follow Q6 routing: `fail_on_validation_error`
@@ -89,8 +141,15 @@ class PipelineRunner(
           r.error.map("error" -> _)
         if (r.status == TaskStatus.Failed) rlog.error(s"task $id failed", extras: _*)
         else rlog.info(s"task $id ${r.status}", extras: _*)
+        record(r)
         ctx += id -> r
       }
+    }
+    // declarative alert rules over the finished run's results
+    // (sample_pipeline.yaml:150-159), routed to the spec's channels
+    spec.monitoring.foreach { m =>
+      Alerts.evaluate(m.alertRules, ctx)
+        .foreach(a => alertSink(a, m.alertChannels))
     }
     ctx
   }

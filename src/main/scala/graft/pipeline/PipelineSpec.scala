@@ -54,7 +54,8 @@ case class PipelineSpec(
     sources: Seq[SourceSpec],
     transformations: Seq[TransformationSpec],
     targets: Seq[TargetSpec],
-    dependencies: Map[String, Seq[String]]) {
+    dependencies: Map[String, Seq[String]],
+    monitoring: Option[MonitoringSpec] = None) {
 
   /** Task ids in the reference's naming scheme
     * (`dag_generator.py:204-274`): ingest_/transform_/validate_. */
@@ -175,6 +176,27 @@ object PipelineSpec {
       else root.get("dependencies").properties().asScala
         .map(e => e.getKey -> strSeq(e.getValue)).toMap
 
+    // monitoring: alert channels are a list of single-key maps
+    // (`- email: addr` / `- slack: "#chan"`, sample_pipeline.yaml:146-148),
+    // rules are name/condition/severity triples (yaml:150-159)
+    val monitoring =
+      if (!root.hasNonNull("monitoring")) None
+      else {
+        val m = root.get("monitoring")
+        val channels = elems(m, "alert_channels").flatMap(
+          _.properties().asScala.map(e =>
+            AlertChannel(e.getKey, e.getValue.asText())))
+        val rules = elems(m, "alert_rules").map(r =>
+          AlertRule(str(r, "name"), str(r, "condition"),
+            str(r, "severity", "warning")))
+        Some(MonitoringSpec(
+          enableMetrics =
+            !m.hasNonNull("enable_metrics") ||
+              m.get("enable_metrics").asBoolean(),
+          alertChannels = channels,
+          alertRules = rules))
+      }
+
     PipelineSpec(
       name = str(root, "name"),
       description = str(root, "description"),
@@ -182,7 +204,8 @@ object PipelineSpec {
       sources = sources,
       transformations = transformations,
       targets = targets,
-      dependencies = deps)
+      dependencies = deps,
+      monitoring = monitoring)
   }
 
   private def elems(n: JsonNode, field: String): Seq[JsonNode] =

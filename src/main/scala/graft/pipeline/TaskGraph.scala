@@ -21,6 +21,12 @@ object TaskStatus {
 case class TaskResult(taskId: String, status: String,
     durationSeconds: Double = 0.0, error: Option[String] = None)
 
+/** Aggregate execution statistics for one task across a runner's
+  * history (reference `task_manager.py:356-388`). */
+case class TaskStats(taskId: String, totalExecutions: Int,
+    successfulExecutions: Int, successRate: Double,
+    avgDurationSeconds: Double, lastStatus: Option[String])
+
 /** `deps`: downstream → upstream ids (the YAML `dependencies` map). */
 case class TaskGraph(tasks: Set[String], deps: Map[String, Seq[String]],
     triggerRules: Map[String, String] = Map.empty) {

@@ -289,6 +289,123 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
     assert(r.error.exists(_.startsWith("WARN quality:")))
   }
 
+  // ---- declarative alert rules (sample_pipeline.yaml:144-159) ----
+
+  test("alert rules: each condition fires on its matching task, severity routed") {
+    val monYaml =
+      """name: mon
+        |sources:
+        |  - source_id: ok_src
+        |    source_type: file
+        |    quality_thresholds:
+        |      min_data_quality_score: 1.01
+        |      enforcement: warn
+        |  - source_id: bad_src
+        |    source_type: file
+        |    retries: 0
+        |monitoring:
+        |  alert_channels:
+        |    - email: data-team@example.com
+        |    - slack: "#data-alerts"
+        |  alert_rules:
+        |    - name: pipeline_failure
+        |      condition: task_failed
+        |      severity: critical
+        |    - name: data_quality_warning
+        |      condition: validation_warning
+        |      severity: warning
+        |    - name: long_running_task
+        |      condition: task_duration > 3600
+        |      severity: warning
+        |    - name: any_duration
+        |      condition: task_duration >= 0
+        |      severity: info
+        |""".stripMargin
+    val spec = PipelineSpec.fromYaml(monYaml)
+    assert(spec.monitoring.exists(_.alertRules.size == 4))
+    val r = new PipelineRunner(
+      spark,
+      sources = Map(
+        "ok_src" -> (s => s.read.parquet(s"$sf/orders.parquet")),
+        "bad_src" -> (_ => throw new RuntimeException("boom"))),
+      models = Map.empty,
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    r.sleeper = _ => ()
+    val fired = Seq.newBuilder[(Alert, Seq[AlertChannel])]
+    r.alertSink = (a, chs) => fired += ((a, chs))
+    r.run(spec)
+    val alerts = fired.result()
+    val byRule = alerts.map(_._1).groupBy(_.rule)
+    // task_failed → the failing ingest, critical
+    assert(byRule("pipeline_failure").map(a => (a.taskId, a.severity)) ==
+      Seq(("ingest_bad_src", "critical")))
+    assert(byRule("pipeline_failure").head.message.contains("boom"))
+    // validation_warning → the succeeded-with-WARN ingest
+    assert(byRule("data_quality_warning").map(_.taskId) == Seq("ingest_ok_src"))
+    // the 1-hour duration rule must not fire on a test pipeline
+    assert(!byRule.contains("long_running_task"))
+    // a trivially-true duration rule fires once per executed task
+    assert(byRule("any_duration").map(_.taskId).sorted ==
+      Seq("ingest_bad_src", "ingest_ok_src"))
+    // the spec's channels reach the sink verbatim
+    assert(alerts.head._2 == Seq(
+      AlertChannel("email", "data-team@example.com"),
+      AlertChannel("slack", "#data-alerts")))
+  }
+
+  test("alert rules: unknown condition surfaces a config alert, not silence") {
+    val alerts = Alerts.evaluate(
+      Seq(AlertRule("typo_rule", "task_filed", "critical")),
+      Map("t" -> TaskResult("t", TaskStatus.Failed)))
+    assert(alerts.map(a => (a.rule, a.message)) ==
+      Seq(("typo_rule", "unknown alert condition: task_filed")))
+  }
+
+  // ---- task execution history (reference task_manager.py:330-388) ----
+
+  test("execution history and statistics accumulate across runs") {
+    val histYaml =
+      """name: hist
+        |sources:
+        |  - source_id: src
+        |    source_type: file
+        |    retries: 0
+        |""".stripMargin
+    val spec = PipelineSpec.fromYaml(histYaml)
+    var fail = false
+    val r = new PipelineRunner(
+      spark,
+      sources = Map("src" -> (s => {
+        if (fail) throw new RuntimeException("down")
+        s.read.parquet(s"$sf/orders.parquet")
+      })),
+      models = Map.empty,
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    r.sleeper = _ => ()
+    r.run(spec); fail = true; r.run(spec)
+    val h = r.executionHistory("ingest_src")
+    assert(h.map(_.status) == Seq(TaskStatus.Success, TaskStatus.Failed))
+    assert(r.executionHistory("ingest_src", limit = 1)
+      .map(_.status) == Seq(TaskStatus.Failed))
+    val stats = r.taskStatistics("ingest_src")
+    assert(stats.totalExecutions == 2 && stats.successfulExecutions == 1)
+    assert(stats.successRate == 50.0)
+    assert(stats.lastStatus.contains(TaskStatus.Failed))
+    assert(stats.avgDurationSeconds > 0.0)
+    assert(r.statsReport.map(_.taskId) == Seq("ingest_src"))
+    // never-executed task → empty stats, not a crash
+    assert(r.taskStatistics("nope") ==
+      TaskStats("nope", 0, 0, 0.0, 0.0, None))
+
+    // the history ring is capped like the reference's max_execution_history
+    r.maxExecutionHistory = 3
+    fail = false
+    r.run(spec); r.run(spec)
+    assert(r.executionHistory("ingest_src").size == 3)
+    assert(r.executionHistory("ingest_src").map(_.status) ==
+      Seq(TaskStatus.Failed, TaskStatus.Success, TaskStatus.Success))
+  }
+
   test("quality gate null-percentage threshold catches nullable column") {
     // 20% planted nulls breach the default max_null_percentage of 0.1
     val spec = PipelineSpec.fromYaml(gateYaml(
