@@ -36,16 +36,57 @@ case class MediaRecord(doc_id: Long, payload: Array[Byte],
 case class MediaFeatures(doc_id: Long, width: Int, height: Int,
     mean_byte: Double, embedding: Array[Float])
 
-/** STUB decoder — a real deployment replaces this object with codec
-  * bindings (JNI/FFI); everything upstream/downstream is unchanged.
-  * Deterministic on the payload bytes so tests and reruns agree. */
+/** Decoder: REAL in-JDK image decode via `javax.imageio` (PNG / BMP /
+  * GIF / JPEG — the formats the JDK ships readers for, no new
+  * dependency), with the deterministic byte-derived fake as the
+  * fallback for payloads ImageIO does not recognize (text stand-ins,
+  * audio/video — codecs a real deployment drops in here via JNI/FFI).
+  * Both paths are pure functions of the payload bytes so tests and
+  * reruns agree; everything upstream/downstream is format-agnostic. */
 object DecodeStub {
   val embeddingDim = 8
 
-  /** Fake "decode": dimensions from leading bytes, per-byte mean, an
-    * 8-dim embedding from evenly-spaced taps. Pure function of bytes. */
+  // ImageIO's default stream cache writes temp FILES per decode —
+  // executor-local disk churn for zero benefit when the source is
+  // already an in-memory byte array
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decode(payload: Array[Byte]): (Int, Int, Double, Array[Float]) = {
     require(payload.nonEmpty, "empty payload")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img != null) decodeImage(img) else fallback(payload)
+  }
+
+  /** True decode: real dimensions, mean 0–255 luminance (ITU-R BT.601
+    * integer weights), embedding = evenly-spaced row-major luminance
+    * taps scaled to [0, 1]. */
+  private def decodeImage(
+      img: java.awt.image.BufferedImage): (Int, Int, Double, Array[Float]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    def gray(argb: Int): Int = {
+      val r = (argb >> 16) & 0xFF; val g = (argb >> 8) & 0xFF
+      val b = argb & 0xFF
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += gray(px(i)); i += 1 }
+    val mean = sum.toDouble / px.length
+    val emb = Array.tabulate(embeddingDim) { k =>
+      val idx = (k.toLong * (px.length - 1) / math.max(1, embeddingDim - 1)).toInt
+      gray(px(idx)) / 255.0f
+    }
+    (w, h, mean, emb)
+  }
+
+  /** Fallback "decode" for unrecognized formats: dimensions from
+    * leading bytes, per-byte mean, an 8-dim embedding from
+    * evenly-spaced taps. Pure function of bytes. */
+  private def fallback(payload: Array[Byte]): (Int, Int, Double, Array[Float]) = {
     val width = 1 + (payload(0) & 0xFF) % 640
     val height = 1 + (payload(payload.length - 1) & 0xFF) % 480
     var sum = 0L

@@ -29,6 +29,36 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(e1.forall(v => v >= 0f && v <= 1f))
   }
 
+  test("real PNG and BMP payloads decode to true dimensions and pixel mean") {
+    // 5×3 image: left 8 columns... build a 5x3 gradient whose luminance
+    // mean is computable by hand. Pixel (x,y) = gray level g = x*60
+    // (r=g=b), so BT.601 luminance == g exactly.
+    val w = 5; val h = 3
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = x * 60
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val expectedMean = (0 until w).map(_ * 60).sum.toDouble / w // rows equal
+    for (fmt <- Seq("png", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      val (dw, dh, mean, emb) = DecodeStub.decode(bos.toByteArray)
+      assert((dw, dh) == (w, h), s"$fmt dimensions")
+      assert(mean == expectedMean, s"$fmt mean: $mean vs $expectedMean")
+      assert(emb.length == DecodeStub.embeddingDim)
+      // first tap = top-left pixel (gray 0), last tap = bottom-right (240)
+      assert(emb.head == 0f && emb.last == 240 / 255.0f)
+    }
+    // a truncated PNG (bad body) must fall back, not throw
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val truncated = bos.toByteArray.take(20)
+    val (fw, fh, _, _) = DecodeStub.decode(truncated)
+    assert(fw >= 1 && fw <= 640 && fh >= 1 && fh <= 480)
+  }
+
   test("extractFeatures: batched mapPartitions matches direct decode") {
     import spark.implicits._
     val media = Multimodal.withPayload(docs.limit(100), "text")
