@@ -95,6 +95,27 @@ object EventQueries extends QueryPack {
         col("n_events"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Batch twin of [[graft.streaming.Streams.trendingTopKSink]]:
+    * tumbling 1-hour counts per user, top-5 per window ranked by
+    * (count desc, user asc) through the SAME bounded-heap operator and
+    * the same sort spec the sink uses per micro-batch — so the sink's
+    * ranking semantics are hash-pinned by the DuckDB oracle, not just
+    * spot-checked by the streaming test. One shuffle (the windowed
+    * count); the heap ranks each window's items in a single pass with
+    * O(k) state, never a per-window sort. */
+  def wTrendingTopk(s: SparkSession, dir: String): DataFrame = {
+    val counts = Windows.tumbling(table(s, dir, "events"), "ts", "1 hour",
+      Seq(col("user_id")), Seq(count(lit(1)).as("n_events")))
+    graft.plans.TopK.perKey(
+        counts.select(col("window_start"), col("user_id"), col("n_events")),
+        Seq("window_start"),
+        Seq(graft.plans.TopK.desc("n_events"),
+          graft.plans.TopK.asc("user_id")), 5)
+      .select(fmtTs(col("window_start")).as("window_start"),
+        col("user_id"), col("n_events"), col("rank"))
+      .orderBy(col("window_start"), col("rank"))
+  }
+
   /** Per-user session windows (30 min inactivity gap) — native
     * `session_window`, stateful in streaming mode. */
   def wSessionUser(s: SparkSession, dir: String): DataFrame =
@@ -262,6 +283,7 @@ object EventQueries extends QueryPack {
     "cdc_latest_state" -> (cdcLatestState _),
     "w_tumbling_revenue" -> (wTumblingRevenue _),
     "w_sliding_activity" -> (wSlidingActivity _),
+    "w_trending_topk" -> (wTrendingTopk _),
     "w_session_user" -> (wSessionUser _))
 
   val oracles: Map[String, String] = Map(
@@ -409,6 +431,18 @@ object EventQueries extends QueryPack {
       CROSS JOIN (SELECT INTERVAL '0 minutes' AS off
                   UNION ALL SELECT INTERVAL '30 minutes') k
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "w_trending_topk" -> """
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+             user_id, n_events, CAST(rnk AS INT) AS rank
+      FROM (
+        SELECT ws, user_id, n_events,
+               row_number() OVER (PARTITION BY ws
+                 ORDER BY n_events DESC, user_id) AS rnk
+        FROM (SELECT date_trunc('hour', ts) AS ws, user_id,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2))
+      WHERE rnk <= 5
+      ORDER BY window_start, rank""",
     "w_session_user" -> s"""
       WITH flagged AS (
         SELECT user_id, ts, event_id, value,
