@@ -102,7 +102,30 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full per-query line is ~2.3 KB for 90 queries, but the round
+    // driver keeps only the LAST 2000 chars of output — the line's head
+    // (and the total) was being truncated every round. Three sinks so
+    // the numbers always survive intact somewhere:
+    //  1. the full contract line on stdout (head may fall off the tail
+    //     window — humans and logs still get it);
+    //  2. the full JSON written to a file in the working directory
+    //     (captured whole, committed with the round);
+    //  3. a short final line — total + the 10 slowest queries +
+    //     a pointer to the file — that ALWAYS fits complete inside the
+    //     tail window, so the driver's JSON parse succeeds.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: $e")
+    }
+    println(full)
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
