@@ -116,16 +116,27 @@ object Bench {
     //     a pointer to the file — that ALWAYS fits complete inside the
     //     tail window, so the driver's JSON parse succeeds.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outFile: $e")
-    }
+    // advertise the file only if THIS run's write succeeded — a failed
+    // write with a surviving pointer would attribute a previous run's
+    // stale numbers to this one; best-effort delete so no stale file
+    // lingers either
+    val wrote =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+          (full + "\n").getBytes("UTF-8"))
+        true
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $outFile: $e")
+        try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outFile))
+        catch { case _: Exception => () }
+        false
+      }
     println(full)
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"$outFile","slowest":$slowest,"sf":"$sfDir"}""")
+    val filePtr = if (wrote) outFile else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"$filePtr","slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,12 +51,28 @@ object DecodeStub {
   // already an in-memory byte array
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Pixel-count cap for the real-decode path: a crafted header can
+    * declare absurd dimensions (a decompression bomb) and getRGB would
+    * try a multi-GB allocation — beyond the cap the payload takes the
+    * fallback instead of failing the task. 64 MP ≈ 256 MB transient. */
+  val maxDecodePixels: Long = 64L * 1024 * 1024
+
   def decode(payload: Array[Byte]): (Int, Int, Double, Array[Float]) = {
     require(payload.nonEmpty, "empty payload")
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    if (img != null) decodeImage(img) else fallback(payload)
+    // NonFatal, not just IOException: JDK readers throw runtime
+    // exceptions (NegativeArraySize, IllegalArgument, …) on payloads
+    // whose leading bytes merely LOOK like an image (“BM…” text sniffs
+    // as BMP) — one bad record must fall back, never kill the job
+    try {
+      val img =
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img != null &&
+          img.getWidth.toLong * img.getHeight <= maxDecodePixels)
+        decodeImage(img)
+      else fallback(payload)
+    } catch {
+      case scala.util.control.NonFatal(_) => fallback(payload)
+    }
   }
 
   /** True decode: real dimensions, mean 0–255 luminance (ITU-R BT.601

@@ -50,9 +50,16 @@ object Keys {
     * partition, one sort beats three jobs; the distributed path is the
     * default the moment the estimate crosses the threshold (so a 10B-row
     * table can never reach the global window). The session conf
-    * `graft.rank.smallBytes` overrides the threshold — PlanAuditSpec sets
-    * it to 0 to audit every query's AT-SCALE plan shape (zero
-    * unpartitioned WindowExec) regardless of test-data size. */
+    * `graft.rank.smallBytes` can LOWER the threshold (PlanAuditSpec
+    * sets it to 0 to audit every query's AT-SCALE plan shape — zero
+    * unpartitioned WindowExec — regardless of test-data size); it can
+    * never raise it above the call site's value.
+    *
+    * Snapshot semantics: the boundary/offset metadata (and
+    * [[globalRankWithCount]]'s N) is collected when the frame is BUILT —
+    * the returned ranking is consistent for that snapshot of the input.
+    * If the underlying source mutates, rebuild the frame; re-executing
+    * a stale one would mix fresh rows with stale offsets. */
   def globalRank(df: DataFrame, keyCol: String, rankName: String,
       buckets: Int = 64, smallBytes: Long = 64L << 20,
       tieBreakers: Seq[Column] = Seq.empty): DataFrame =
@@ -78,8 +85,16 @@ object Keys {
     val key = col(keyCol).cast(DoubleType)
     val order = col(keyCol) +: tieBreakers
 
-    val threshold = df.sparkSession.conf
-      .getOption("graft.rank.smallBytes").map(_.toLong).getOrElse(smallBytes)
+    // the conf can only LOWER the threshold (force the distributed
+    // path) — never raise it: call sites that pass smallBytes = 0 to
+    // pin the at-scale plan must stay pinned whatever the session sets
+    val confBytes = df.sparkSession.conf.getOption("graft.rank.smallBytes")
+      .map { v =>
+        require(v.forall(_.isDigit) && v.nonEmpty,
+          s"graft.rank.smallBytes must be a non-negative integer, got '$v'")
+        v.toLong
+      }
+    val threshold = math.min(smallBytes, confBytes.getOrElse(smallBytes))
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val numericKey = df.schema(keyCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]

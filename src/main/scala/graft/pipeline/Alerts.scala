@@ -67,7 +67,9 @@ object Alerts {
             .map(r => Alert(rule.name, rule.severity, r.taskId,
               f"task ${r.taskId} duration ${r.durationSeconds}%.1f s $op $bound"))
         case other =>
-          Seq(Alert(rule.name, "warning", "",
+          // keep the rule's own severity: a typo in a CRITICAL rule's
+          // condition must surface at critical visibility, not warning
+          Seq(Alert(rule.name, rule.severity, "",
             s"unknown alert condition: $other"))
       }
     }

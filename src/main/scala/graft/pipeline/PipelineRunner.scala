@@ -141,7 +141,10 @@ class PipelineRunner(
           r.error.map("error" -> _)
         if (r.status == TaskStatus.Failed) rlog.error(s"task $id failed", extras: _*)
         else rlog.info(s"task $id ${r.status}", extras: _*)
-        record(r)
+        // skipped tasks never EXECUTED — recording them would skew
+        // success rate / avg duration vs the reference's history
+        // semantics (task_manager.py records execution results only)
+        if (r.status != TaskStatus.Skipped) record(r)
         ctx += id -> r
       }
     }

@@ -386,7 +386,13 @@ object Streams {
               graft.plans.TopK.asc(itemCol)), k)
           .persist()
         try {
-          if (ranked.limit(1).count() > 0)
+          val fs = new Path(path).getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          // empty batches skip the write ONCE the path exists; the
+          // first batch always writes (even empty) so consumers can
+          // read the sink path with its schema instead of hitting
+          // PATH_NOT_FOUND when no window has closed yet
+          if (ranked.limit(1).count() > 0 || !fs.exists(new Path(path)))
             ranked.write.mode("overwrite").parquet(s"$path/batch=$batchId")
         } finally ranked.unpersist()
       }

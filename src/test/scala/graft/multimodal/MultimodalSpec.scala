@@ -57,6 +57,12 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val truncated = bos.toByteArray.take(20)
     val (fw, fh, _, _) = DecodeStub.decode(truncated)
     assert(fw >= 1 && fw <= 640 && fh >= 1 && fh <= 480)
+    // text whose leading bytes sniff as an image format ("BM…" → BMP)
+    // makes JDK readers throw RUNTIME exceptions — must fall back too
+    val bmText = "BMW is a carmaker, not a bitmap".getBytes("UTF-8")
+    val (bw, bh, bm, be) = DecodeStub.decode(bmText)
+    assert(bw >= 1 && bw <= 640 && bh >= 1 && bh <= 480)
+    assert(bm > 0 && bm < 256 && be.length == DecodeStub.embeddingDim)
   }
 
   test("extractFeatures: batched mapPartitions matches direct decode") {

@@ -41,6 +41,24 @@ class KeysSpec extends AnyFunSuite with SparkSpec {
       plan.contains("windowspecdefinition(__bucket"))
   }
 
+  test("graft.rank.smallBytes conf can force distributed, never re-enable the window") {
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    // a huge conf value must NOT override an explicit smallBytes = 0:
+    // call sites that pin the at-scale plan stay pinned
+    spark.conf.set("graft.rank.smallBytes", Long.MaxValue.toString)
+    try {
+      val plan = Keys.globalRank(customer, "c_custkey", "rk", buckets = 8,
+          smallBytes = 0L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("windowspecdefinition(__bucket"), plan)
+      val bad = intercept[IllegalArgumentException] {
+        spark.conf.set("graft.rank.smallBytes", "not-a-number")
+        Keys.globalRank(customer, "c_custkey", "rk")
+      }
+      assert(bad.getMessage.contains("graft.rank.smallBytes"))
+    } finally spark.conf.unset("graft.rank.smallBytes")
+  }
+
   test("small inputs (by optimizer estimate) take the single-window path") {
     val customer = spark.read.parquet(s"$sf/customer.parquet")
     val small = Keys.globalRank(customer, "c_custkey", "rk") // default 64 MB
