@@ -59,6 +59,35 @@ class KeysSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("graft.rank.smallBytes")
   }
 
+  test("closed-form NTILE/PERCENT_RANK == Spark's window functions for awkward N") {
+    // w_ntile_spend derives tiles from (rank, N) arithmetic instead of a
+    // global window; the oracle pins N=1500 (N%10 == 0), so the uneven
+    // first-r-tiles-get-one-extra branch needs explicit coverage.
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 2, 9, 17, 103)) {
+      val df = spark.range(n.toLong)
+        .select((col("id") * 37 % 1000).as("k"), col("id"))
+      val w = Window.orderBy(col("k"), col("id"))
+      val expected = df
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+      val (ranked, total) = Keys.globalRankWithCount(df, "k", "rn",
+        smallBytes = 0L, tieBreakers = Seq(col("id")))
+      assert(total == n.toLong)
+      val q = total / 10; val r = total % 10
+      val got = ranked
+        .withColumn("decile", expr(
+          s"CAST(IF(rn <= ${r * (q + 1)}, (rn - 1) div ${q + 1}, " +
+          s"$r + (rn - 1 - ${r * (q + 1)}) div ${math.max(q, 1L)}) AS INT) + 1"))
+        .withColumn("pct_rank",
+          if (total > 1) (col("rn") - 1).cast("double") / (total - 1)
+          else lit(0.0))
+        .select(col("k"), col("id"), col("decile"), col("pct_rank"))
+      val diff = got.exceptAll(expected.select("k", "id", "decile", "pct_rank"))
+      assert(diff.isEmpty, s"n=$n: ${diff.collect().take(5).mkString(";")}")
+    }
+  }
+
   test("small inputs (by optimizer estimate) take the single-window path") {
     val customer = spark.read.parquet(s"$sf/customer.parquet")
     val small = Keys.globalRank(customer, "c_custkey", "rk") // default 64 MB
