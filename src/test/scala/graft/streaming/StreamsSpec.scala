@@ -217,6 +217,19 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       // its own directory instead of appending duplicates
       assert(new java.io.File(s"$dir/top").listFiles()
         .exists(_.getName.startsWith("batch=")))
+      val dirsAfterClose = new java.io.File(s"$dir/top").listFiles()
+        .count(_.getName.startsWith("batch="))
+      // watermark-only data that closes NO window must not mint another
+      // batch=<id> directory (the unbounded-tiny-dirs guard) — window
+      // [10:10, 10:15) has data but stays open, nothing new closes
+      input.addData((ts("2024-01-01 10:11:00"), "e"))
+      q.processAllAvailable()
+      val dirsAfterIdle = new java.io.File(s"$dir/top").listFiles()
+        .count(_.getName.startsWith("batch="))
+      assert(dirsAfterIdle == dirsAfterClose,
+        s"empty batch minted a directory: $dirsAfterClose -> $dirsAfterIdle")
+      // the ranked rows are unchanged
+      assert(spark.read.parquet(s"$dir/top").count() == 2)
     } finally q.stop()
   }
 
