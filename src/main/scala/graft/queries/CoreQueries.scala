@@ -467,13 +467,24 @@ object CoreQueries extends QueryPack {
       .agg(
         min(when($"cum" >= expr("(n + 19) div 20"), $"l_extendedprice")).as("p05"),
         min(when($"cum" >= expr("(19 * n + 19) div 20"), $"l_extendedprice")).as("p95"))
-    li.join(broadcast(cuts), Seq("l_returnflag"))
+    // Aggregate from the DISTINCT-price counts, not the raw fact: every
+    // output (clip counts, winsorized sum) is a function of
+    // (price, cnt), so the fact is scanned ONCE (for byPrice, whose
+    // exchange both the cuts chain and this join reuse) and the join +
+    // final aggregate run over per-(flag, price) rows — at 100 TB that
+    // is the post-agg cardinality, not 600 M lineitems again. The
+    // weighted decimal sum (price×cnt in DecimalType(18,6)) is
+    // value-identical to decSum over the expanded rows.
+    byPrice.join(broadcast(cuts), Seq("l_returnflag"))
       .groupBy($"l_returnflag")
       .agg(
         max($"p05").as("p05"), max($"p95").as("p95"),
-        count(when($"l_extendedprice" < $"p05", lit(1))).as("n_clipped_low"),
-        count(when($"l_extendedprice" > $"p95", lit(1))).as("n_clipped_high"),
-        decSum(greatest(least($"l_extendedprice", $"p95"), $"p05"))
+        sum(when($"l_extendedprice" < $"p05", $"cnt").otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when($"l_extendedprice" > $"p95", $"cnt").otherwise(0L))
+          .as("n_clipped_high"),
+        sum(greatest(least($"l_extendedprice", $"p95"), $"p05")
+            .cast("decimal(18,6)") * $"cnt").cast("double")
           .as("winsorized_sum"))
       .orderBy($"l_returnflag")
   }

@@ -23,7 +23,13 @@ object PlanDump {
     }
     val df = graft.SparkEntry.queries(name)(spark, sf)
     println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
-    if (args.contains("--run")) df.show(10, truncate = false)
+    if (args.contains("--run")) {
+      df.show(10, truncate = false)
+      // post-execution plan: AQE applies exchange reuse / skew splits at
+      // runtime, so this is where ReusedExchange actually shows up
+      println("=== executed (AQE-final) ===")
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }
