@@ -80,8 +80,8 @@ object Bench {
       // (8 two-node components): the default gate exercises the
       // fingerprint agg + driver union-find + broadcast-anti apply that
       // d6/d7 take at bench scale, and the forced-distributed call
-      // compiles the window-min star-round codegen so a gate overflow
-      // would not pay first-compile cost inside a timed query
+      // compiles the groupBy-min + re-join star-round codegen so a gate
+      // overflow would not pay first-compile cost inside a timed query
       val tinyPairs = n.limit(8)
         .select(col("n_nationkey").cast("long").as("id_a"),
           (col("n_nationkey").cast("long") + 8L).as("id_b"))

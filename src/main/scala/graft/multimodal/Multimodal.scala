@@ -52,9 +52,10 @@ object DecodeStub {
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Pixel-count cap for the real-decode path: a crafted header can
-    * declare absurd dimensions (a decompression bomb) and getRGB would
-    * try a multi-GB allocation — beyond the cap the payload takes the
-    * fallback instead of failing the task. 64 MP ≈ 256 MB transient. */
+    * declare absurd dimensions (a decompression bomb), so the cap is
+    * checked against the HEADER dimensions before any raster is
+    * allocated — an over-cap payload takes the fallback without ever
+    * paying (or OOMing on) the decode. 64 MP ≈ 256 MB transient. */
   val maxDecodePixels: Long = 64L * 1024 * 1024
 
   def decode(payload: Array[Byte]): (Int, Int, Double, Array[Float]) = {
@@ -64,12 +65,24 @@ object DecodeStub {
     // whose leading bytes merely LOOK like an image (“BM…” text sniffs
     // as BMP) — one bad record must fall back, never kill the job
     try {
-      val img =
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img != null &&
-          img.getWidth.toLong * img.getHeight <= maxDecodePixels)
-        decodeImage(img)
-      else fallback(payload)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (iis == null) return fallback(payload)
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return fallback(payload)
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          // header-only probe: getWidth/getHeight parse metadata, they
+          // do NOT decode pixels — the bomb never allocates
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels)
+            fallback(payload)
+          else decodeImage(reader.read(0))
+        } finally reader.dispose()
+      } finally iis.close()
     } catch {
       case scala.util.control.NonFatal(_) => fallback(payload)
     }

@@ -79,6 +79,27 @@ object Keys {
     (ranked, counted.getOrElse(df.count()))
   }
 
+  /** Closed-form SQL-standard NTILE over a dense 1-based rank column
+    * (the [[globalRank]] output): the first N%tiles tiles get
+    * ceil(N/tiles) rows, the rest floor(N/tiles). Exact integer `div` —
+    * double floor-division mis-rounds near tile boundaries once a tile
+    * exceeds ~1e9 rows. The else-branch is unreachable when q == 0;
+    * max(q, 1) just keeps the ANSI divide total. Shared by the query
+    * AND its tests so the uneven-N branch is exercised on the same
+    * expression that ships. */
+  def ntileExpr(n: Long, tiles: Int, rankCol: String): Column = {
+    val q = n / tiles; val r = n % tiles
+    expr(s"CAST(IF($rankCol <= ${r * (q + 1)}, " +
+      s"($rankCol - 1) div ${q + 1}, " +
+      s"$r + ($rankCol - 1 - ${r * (q + 1)}) div ${math.max(q, 1L)}) " +
+      "AS INT) + 1")
+  }
+
+  /** PERCENT_RANK for a unique ordering (rank == row number):
+    * (rank-1)/(N-1), and 0.0 for the single-row frame. */
+  def percentRankExpr(n: Long, rankCol: String): Column =
+    if (n > 1) (col(rankCol) - 1).cast(DoubleType) / (n - 1) else lit(0.0)
+
   private def rankImpl(df: DataFrame, keyCol: String, rankName: String,
       buckets: Int, smallBytes: Long,
       tieBreakers: Seq[Column]): (DataFrame, Option[Long]) = {
@@ -90,9 +111,10 @@ object Keys {
     // pin the at-scale plan must stay pinned whatever the session sets
     val confBytes = df.sparkSession.conf.getOption("graft.rank.smallBytes")
       .map { v =>
-        require(v.forall(_.isDigit) && v.nonEmpty,
-          s"graft.rank.smallBytes must be a non-negative integer, got '$v'")
-        v.toLong
+        val parsed = scala.util.Try(v.toLong).toOption
+        require(parsed.exists(_ >= 0),
+          s"graft.rank.smallBytes must be a non-negative long, got '$v'")
+        parsed.get
       }
     val threshold = math.min(smallBytes, confBytes.getOrElse(smallBytes))
     val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -148,9 +148,20 @@ class PipelineRunner(
         ctx += id -> r
       }
     }
-    // declarative alert rules over the finished run's results
-    // (sample_pipeline.yaml:150-159), routed to the spec's channels
     spec.monitoring.foreach { m =>
+      // enable_metrics gates the run-summary metrics entry (reference
+      // `monitoring.enable_metrics`); one structured line per run
+      if (m.enableMetrics) {
+        val done = ctx.values
+        rlog.info("pipeline metrics",
+          "tasks_total" -> done.size.toString,
+          "tasks_success" -> done.count(_.status == TaskStatus.Success).toString,
+          "tasks_failed" -> done.count(_.status == TaskStatus.Failed).toString,
+          "tasks_skipped" -> done.count(_.status == TaskStatus.Skipped).toString,
+          "duration_sec" -> f"${done.map(_.durationSeconds).sum}%.3f")
+      }
+      // declarative alert rules over the finished run's results
+      // (sample_pipeline.yaml:150-159), routed to the spec's channels
       Alerts.evaluate(m.alertRules, ctx)
         .foreach(a => alertSink(a, m.alertChannels))
     }

@@ -355,20 +355,12 @@ object CoreQueries extends QueryPack {
     val (ranked, n) = graft.operators.Keys.globalRankWithCount(
       perCust, "total_spend", "rn", smallBytes = 0L,
       tieBreakers = Seq($"o_custkey"))
-    val q = n / 10; val r = n % 10
-    // SQL-standard NTILE fill: first r tiles get q+1 rows, the rest q.
-    // Integer `div` (not double floor-division, which mis-rounds near
-    // tile boundaries once q+1 exceeds ~1e9) keeps this exact at any N;
-    // the else-branch is unreachable when q == 0, max(q,1) just keeps
-    // the ANSI divide total.
-    val decile = expr(
-      s"CAST(IF(rn <= ${r * (q + 1)}, (rn - 1) div ${q + 1}, " +
-      s"$r + (rn - 1 - ${r * (q + 1)}) div ${math.max(q, 1L)}) AS INT) + 1")
-    val pctRank =
-      if (n > 1) (col("rn") - 1).cast("double") / (n - 1) else lit(0.0)
+    // shared closed-form expressions (see Keys.ntileExpr for the exact
+    // integer-div tile fill); KeysSpec exercises the uneven-N branch on
+    // these same expressions
     ranked
-      .withColumn("decile", decile)
-      .withColumn("pct_rank", pctRank)
+      .withColumn("decile", graft.operators.Keys.ntileExpr(n, 10, "rn"))
+      .withColumn("pct_rank", graft.operators.Keys.percentRankExpr(n, "rn"))
       .select($"o_custkey", $"total_spend", $"decile", $"pct_rank")
       .orderBy($"o_custkey")
   }

@@ -74,14 +74,11 @@ class KeysSpec extends AnyFunSuite with SparkSpec {
       val (ranked, total) = Keys.globalRankWithCount(df, "k", "rn",
         smallBytes = 0L, tieBreakers = Seq(col("id")))
       assert(total == n.toLong)
-      val q = total / 10; val r = total % 10
+      // the PRODUCTION expressions (shared with wNtileSpend), so the
+      // uneven-N branch is tested on the code that ships
       val got = ranked
-        .withColumn("decile", expr(
-          s"CAST(IF(rn <= ${r * (q + 1)}, (rn - 1) div ${q + 1}, " +
-          s"$r + (rn - 1 - ${r * (q + 1)}) div ${math.max(q, 1L)}) AS INT) + 1"))
-        .withColumn("pct_rank",
-          if (total > 1) (col("rn") - 1).cast("double") / (total - 1)
-          else lit(0.0))
+        .withColumn("decile", Keys.ntileExpr(total, 10, "rn"))
+        .withColumn("pct_rank", Keys.percentRankExpr(total, "rn"))
         .select(col("k"), col("id"), col("decile"), col("pct_rank"))
       val diff = got.exceptAll(expected.select("k", "id", "decile", "pct_rank"))
       assert(diff.isEmpty, s"n=$n: ${diff.collect().take(5).mkString(";")}")

@@ -353,6 +353,34 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
       AlertChannel("slack", "#data-alerts")))
   }
 
+  test("enable_metrics gates the run-summary metrics log line") {
+    def specWith(flag: String) = PipelineSpec.fromYaml(
+      s"""name: met
+         |sources:
+         |  - source_id: src
+         |    source_type: file
+         |monitoring:
+         |  enable_metrics: $flag
+         |  alert_rules: []
+         |""".stripMargin)
+    def runCapturing(flag: String): Seq[String] = {
+      val lines = Seq.newBuilder[String]
+      val r = new PipelineRunner(
+        spark,
+        sources = Map("src" -> (s => s.read.parquet(s"$sf/orders.parquet"))),
+        models = Map.empty,
+        asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      r.log = new PipelineLogger("cap", sink = Some(lines += _))
+      r.run(specWith(flag))
+      lines.result().filter(_.contains("pipeline metrics"))
+    }
+    val on = runCapturing("true")
+    assert(on.size == 1)
+    assert(on.head.contains("\"tasks_total\":\"1\"") &&
+      on.head.contains("\"tasks_success\":\"1\""))
+    assert(runCapturing("false").isEmpty)
+  }
+
   test("alert rules: unknown condition surfaces a config alert, not silence") {
     val alerts = Alerts.evaluate(
       Seq(AlertRule("typo_rule", "task_filed", "critical")),

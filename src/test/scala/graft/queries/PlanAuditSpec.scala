@@ -50,20 +50,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * single-window fast path for provably small inputs; setting
     * `graft.rank.smallBytes=0` here forces every query to build its
     * AT-SCALE plan, so the audit sees what a 100 TB run would see. */
+  /** Recursive sweep: `collect` alone skips subquery plans and nested
+    * AdaptiveSparkPlanExec roots — an unpartitioned window inside a
+    * scalar subquery would otherwise pass the audit. */
+  private def unpartitionedWindows(p: SparkPlan): Seq[String] = p match {
+    case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.executedPlan)
+    case plan =>
+      val here = plan.collectWithSubqueries {
+        case w: WindowExecBase if w.partitionSpec.isEmpty =>
+          s"unpartitioned ${w.nodeName}"
+      }
+      val nested = plan.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => a
+      }.flatMap(a => unpartitionedWindows(a.executedPlan))
+      here ++ nested
+  }
+
   test("no query plans an unpartitioned WindowExec at scale") {
     spark.conf.set("graft.rank.smallBytes", "0")
     try {
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
-          val plan = fn(spark, sf).queryExecution.executedPlan
-          val physical = plan match {
-            case a: AdaptiveSparkPlanExec => a.executedPlan
-            case p: SparkPlan => p
-          }
-          physical.collect {
-            case w: WindowExecBase if w.partitionSpec.isEmpty =>
-              s"$name: unpartitioned ${w.nodeName}"
-          }
+          unpartitionedWindows(fn(spark, sf).queryExecution.executedPlan)
+            .map(o => s"$name: $o")
       }
       assert(offenders.isEmpty, offenders.mkString("\n"))
     } finally spark.conf.unset("graft.rank.smallBytes")
