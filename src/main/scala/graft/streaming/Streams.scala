@@ -376,8 +376,8 @@ object Streams {
         // probe decides whether to write at all — watermark-only
         // batches that close no window would otherwise accumulate
         // unbounded empty batch=* directories under a continuous
-        // trigger (old non-empty batches still deserve periodic
-        // compaction on long-running queries).
+        // trigger (compact old non-empty batches periodically with
+        // [[compactBatchOutput]] on long-running queries).
         val flat = batch.select(
           col("window.start").as("window_start"), col(itemCol),
           col("n_events"))
@@ -396,6 +396,62 @@ object Streams {
             ranked.write.mode("overwrite").parquet(s"$path/batch=$batchId")
         } finally ranked.unpersist()
       }
+  }
+
+  /** Compact a [[trendingTopKSink]] output directory: merge every
+    * closed `batch=<id>` directory EXCEPT the newest into one directory
+    * (named for the largest merged id), so a long-running continuously
+    * triggered query does not accumulate unbounded small directories.
+    *
+    * Replay-safe by construction: Structured Streaming can only re-run
+    * the batch at/after the newest committed one, and the newest
+    * present directory is never touched — merged ids are strictly
+    * older, hence final. Crash-safe via the same marker + rename
+    * pattern as the fold sinks: the consolidated data is written to a
+    * side directory with a `_compact_target` manifest (target + source
+    * dir names), and only then are sources deleted and the side
+    * directory renamed in; re-running compact() heals an interrupted
+    * swap from the manifest. Run it from a maintenance task between
+    * micro-batches (new directories appearing concurrently have larger
+    * ids and are ignored). Returns the number of directories merged
+    * (0 = nothing worth compacting). */
+  def compactBatchOutput(spark: SparkSession, path: String): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__compact")
+    val marker = new Path(tmp, "_compact_target")
+    if (fs.exists(tmp)) {
+      if (fs.exists(marker) && fs.exists(new Path(tmp, "_SUCCESS"))) {
+        // completed write, interrupted swap — finish it
+        val in = fs.open(marker)
+        val lines =
+          try scala.io.Source.fromInputStream(in).getLines().toList
+          finally in.close()
+        lines.tail.foreach(d => fs.delete(new Path(root, d), true))
+        fs.rename(tmp, new Path(root, lines.head))
+      } else fs.delete(tmp, true) // incomplete write — discard, restart
+    }
+    if (!fs.exists(root)) return 0
+    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      .sorted
+    val sources = ids.dropRight(1) // newest dir is never touched
+    if (sources.size < 2) return 0
+    val targetDir = s"batch=${sources.last}"
+    // explicit leaf paths: no partition discovery, so the consolidated
+    // files carry the same columns as every other batch dir
+    val union = spark.read.parquet(
+      sources.map(i => s"$path/batch=$i"): _*)
+    union.write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(marker, true)
+    try out.write(
+      (targetDir +: sources.map(i => s"batch=$i"))
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    sources.foreach(i => fs.delete(new Path(root, s"batch=$i"), true))
+    fs.rename(tmp, new Path(root, targetDir))
+    sources.size
   }
 
   /** Shared writeStream wiring for the fold sinks. */

@@ -233,6 +233,45 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("trending output compaction merges closed batch dirs, newest untouched") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("trendcompact").toString
+
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.trendingTopKSink(
+        input.toDS().toDF("ts", "item"), "ts", "item",
+        windowLen = "5 minutes", watermarkDelay = "1 minute", k = 2,
+        path = s"$dir/top", checkpoint = s"$dir/ckpt",
+        trig = Streams.trigger(1))
+      .start()
+    try {
+      // four micro-batches, each closing the previous window
+      input.addData((ts("2024-01-01 10:00:10"), "a")); q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:10:00"), "b")); q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:20:00"), "c")); q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:30:00"), "d")); q.processAllAvailable()
+    } finally q.stop()
+    def dirs = new java.io.File(s"$dir/top").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    val before = spark.read.parquet(s"$dir/top")
+      .drop("batch").collect().map(_.toString).sorted.toSeq
+    assert(dirs.size >= 3, s"fixture needs >=3 batch dirs, got $dirs")
+
+    // an incomplete previous compaction attempt must be discarded
+    new java.io.File(s"$dir/top__compact").mkdirs()
+    val merged = Streams.compactBatchOutput(spark, s"$dir/top")
+    assert(merged == dirs.size - 1 || merged >= 2)
+    val after = spark.read.parquet(s"$dir/top")
+      .drop("batch").collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction changed the rows")
+    assert(dirs.size == 2, s"expected exactly target+newest, got $dirs")
+    assert(!new java.io.File(s"$dir/top__compact").exists())
+    // idempotent: nothing left worth compacting
+    assert(Streams.compactBatchOutput(spark, s"$dir/top") == 0)
+  }
+
   test("stats-merge sink: running moments match a batch recompute exactly") {
     val spark2 = spark
     import spark2.implicits._
