@@ -398,10 +398,14 @@ object Streams {
       }
   }
 
-  /** Compact a [[trendingTopKSink]] output directory: merge every
-    * closed `batch=<id>` directory EXCEPT the newest into one directory
+  /** Compact a per-batch-directory sink output ([[trendingTopKSink]],
+    * [[nearDupDedupSink]]'s corpus/index): merge every closed
+    * `batch=<id>` directory EXCEPT the newest into one directory
     * (named for the largest merged id), so a long-running continuously
     * triggered query does not accumulate unbounded small directories.
+    * Merged dirs keep the `batch=<numeric id>` naming, so wholesale
+    * reads, the partition-column dtype, and the near-dup sink's
+    * checkpoint-loss guard all see the layout they expect.
     *
     * Replay-safe by construction: Structured Streaming can only re-run
     * the batch at/after the newest committed one, and the newest

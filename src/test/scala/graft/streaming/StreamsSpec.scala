@@ -556,7 +556,31 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       val deduped = nonEmpty.flatMap(_.errorMessage)
         .map(_.stripPrefix("deduped: ").toLong).sum
       assert(deduped == 2L, nonEmpty)
+
+      // batch 3: one more unique doc so index/corpus reach 3 batch dirs
+      input.addData((6L, (0 until 80).map(t => s"fresh$t").mkString(" ")))
+      q.processAllAvailable()
     } finally q.stop()
+
+    // compact both accumulating paths (merges all closed dirs but the
+    // newest), then RESUME the same checkpoint: dedup against the
+    // compacted index must behave exactly as against the original
+    assert(Streams.compactBatchOutput(spark, s"$dir/index") >= 2)
+    assert(Streams.compactBatchOutput(spark, s"$dir/corpus") >= 2)
+    val q2 = Streams.nearDupDedupSink(stream,
+      s"$dir/corpus", s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+      trig = Streams.trigger(1)).start()
+    try {
+      // doc 7 near-dups INDEXED doc 1 (lives in a compacted dir);
+      // doc 8 is unique and must survive
+      input.addData(
+        (7L, base.replace(" tok20 ", " edited ")),
+        (8L, (0 until 80).map(t => s"novel$t").mkString(" ")))
+      q2.processAllAvailable()
+      val corpus2 = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpus2 == Set(1L, 4L, 5L, 6L, 8L), corpus2)
+    } finally q2.stop()
   }
 
   test("near-dup sink refuses to clobber history after checkpoint loss") {
