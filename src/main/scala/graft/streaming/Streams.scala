@@ -410,30 +410,64 @@ object Streams {
     * Replay-safe by construction: Structured Streaming can only re-run
     * the batch at/after the newest committed one, and the newest
     * present directory is never touched — merged ids are strictly
-    * older, hence final. Crash-safe via the same marker + rename
-    * pattern as the fold sinks: the consolidated data is written to a
-    * side directory with a `_compact_target` manifest (target + source
-    * dir names), and only then are sources deleted and the side
-    * directory renamed in; re-running compact() heals an interrupted
-    * swap from the manifest. Run it from a maintenance task between
-    * micro-batches (new directories appearing concurrently have larger
-    * ids and are ignored). Returns the number of directories merged
-    * (0 = nothing worth compacting). */
+    * older, hence final. Crash-safe via a manifest + rename protocol:
+    * the consolidated data is written to a side directory, then a
+    * `_compact_pending` manifest (target + source dir names) is
+    * PUBLISHED into the root by atomic rename — only after that are any
+    * source directories touched. Re-running compact() heals an
+    * interrupted swap from the manifest; manifest presence alone proves
+    * the merged copy was complete (no `_SUCCESS` gate — a committer
+    * configured without success markers must not turn recovery into
+    * discard). Run it from a maintenance task between micro-batches
+    * (new directories appearing concurrently have larger ids and are
+    * ignored). Returns the number of directories merged (0 = nothing
+    * worth compacting). */
   def compactBatchOutput(spark: SparkSession, path: String): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + "__compact")
-    val marker = new Path(tmp, "_compact_target")
-    if (fs.exists(tmp)) {
-      if (fs.exists(marker) && fs.exists(new Path(tmp, "_SUCCESS"))) {
-        // completed write, interrupted swap — finish it
-        val in = fs.open(marker)
-        val lines =
-          try scala.io.Source.fromInputStream(in).getLines().toList
-          finally in.close()
-        lines.tail.foreach(d => fs.delete(new Path(root, d), true))
-        fs.rename(tmp, new Path(root, lines.head))
-      } else fs.delete(tmp, true) // incomplete write — discard, restart
+    // suffix deliberately distinct from Warehouse.compact's "__compact":
+    // running the small-files tool on the same path must never clobber
+    // a crashed pending swap awaiting heal (or vice versa)
+    val tmp = new Path(path + "__compactbatches")
+    val manifest = new Path(root, "_compact_pending")
+    def checked(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"compactBatchOutput: $what failed on $path — merged data " +
+        s"preserved in $tmp/$manifest, re-run to heal")
+    // Swap the merged directory in. Ordering bounds what a reader racing
+    // the maintenance window can observe: only the target-named source
+    // is ever absent (one delete + one rename); the other sources stay
+    // readable until the merged copy CONTAINING their rows is in place,
+    // after which they are transiently duplicated, never missing. The
+    // manifest outlives the rename, so a crash at any point here resumes
+    // on the next call (every step is a no-op once its effect exists).
+    def swapIn(target: String, sources: Seq[String]): Unit = {
+      val targetPath = new Path(root, target)
+      if (fs.exists(tmp)) {
+        if (fs.exists(targetPath))
+          checked(fs.delete(targetPath, true), s"delete source $target")
+        checked(fs.rename(tmp, targetPath), s"rename merged dir to $target")
+      }
+      sources.filter(_ != target).foreach { d =>
+        val p = new Path(root, d)
+        if (fs.exists(p)) checked(fs.delete(p, true), s"delete source $d")
+      }
+      checked(fs.delete(manifest, false), "retire manifest")
+    }
+    if (fs.exists(manifest)) {
+      // interrupted swap — finish it (the manifest is only published
+      // after the merged write completed, by atomic rename, so it can
+      // never be half-written or name an incomplete side dir)
+      val in = fs.open(manifest)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      require(lines.size >= 2, s"corrupt compaction manifest $manifest: $lines")
+      swapIn(lines.head, lines.tail)
+    } else if (fs.exists(tmp)) {
+      // merged write that never published a manifest: no source was
+      // touched, the side copy is unaccounted — discard and restart
+      checked(fs.delete(tmp, true), "discard unpublished side dir")
     }
     if (!fs.exists(root)) return 0
     val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
@@ -448,13 +482,17 @@ object Streams {
     val union = spark.read.parquet(
       sources.map(i => s"$path/batch=$i"): _*)
     union.write.mode("overwrite").parquet(tmp.toString)
-    val out = fs.create(marker, true)
+    // publish the manifest atomically: write under a side name, close,
+    // rename — a crash mid-write leaves only the .inprogress file
+    // (underscore-prefixed, ignored by readers, overwritten next run)
+    val pending = new Path(root, "_compact_pending.inprogress")
+    val out = fs.create(pending, true)
     try out.write(
       (targetDir +: sources.map(i => s"batch=$i"))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    sources.foreach(i => fs.delete(new Path(root, s"batch=$i"), true))
-    fs.rename(tmp, new Path(root, targetDir))
+    checked(fs.rename(pending, manifest), "publish manifest")
+    swapIn(targetDir, sources.map(i => s"batch=$i"))
     sources.size
   }
 

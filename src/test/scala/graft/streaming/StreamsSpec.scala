@@ -255,21 +255,71 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
     def dirs = new java.io.File(s"$dir/top").listFiles()
       .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    val preCount = dirs.size
     val before = spark.read.parquet(s"$dir/top")
       .drop("batch").collect().map(_.toString).sorted.toSeq
-    assert(dirs.size >= 3, s"fixture needs >=3 batch dirs, got $dirs")
+    assert(preCount >= 3, s"fixture needs >=3 batch dirs, got $dirs")
 
-    // an incomplete previous compaction attempt must be discarded
-    new java.io.File(s"$dir/top__compact").mkdirs()
+    // an unpublished previous compaction attempt must be discarded
+    new java.io.File(s"$dir/top__compactbatches").mkdirs()
     val merged = Streams.compactBatchOutput(spark, s"$dir/top")
-    assert(merged == dirs.size - 1 || merged >= 2)
+    assert(merged == preCount - 1, s"merged $merged of $preCount dirs")
     val after = spark.read.parquet(s"$dir/top")
       .drop("batch").collect().map(_.toString).sorted.toSeq
     assert(after == before, "compaction changed the rows")
     assert(dirs.size == 2, s"expected exactly target+newest, got $dirs")
-    assert(!new java.io.File(s"$dir/top__compact").exists())
+    assert(!new java.io.File(s"$dir/top__compactbatches").exists())
     // idempotent: nothing left worth compacting
     assert(Streams.compactBatchOutput(spark, s"$dir/top") == 0)
+  }
+
+  test("compaction heals an interrupted swap from the published manifest") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compactheal").toString
+
+    def mkFixture(path: String): Seq[String] = {
+      (0L to 3L).foreach(i => Seq((i, s"row$i")).toDF("id", "v")
+        .write.parquet(s"$path/batch=$i"))
+      spark.read.parquet(path).drop("batch")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    // reproduce the exact pre-crash state the protocol can leave behind:
+    // merged side dir written, manifest PUBLISHED, no source touched yet
+    def publishPendingSwap(path: String): Unit = {
+      spark.read.parquet((0L to 2L).map(i => s"$path/batch=$i"): _*)
+        .write.parquet(path + "__compactbatches")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_compact_pending"),
+        "batch=2\nbatch=0\nbatch=1\nbatch=2".getBytes("UTF-8"))
+    }
+    def state(path: String) = (
+      spark.read.parquet(path).drop("batch")
+        .collect().map(_.toString).sorted.toSeq,
+      new java.io.File(path).listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).sorted.toSeq,
+      new java.io.File(path + "__compactbatches").exists() ||
+        new java.io.File(s"$path/_compact_pending").exists())
+
+    // crash BEFORE any source delete: heal must finish the whole swap
+    val p1 = s"$root/early"
+    val rows1 = mkFixture(p1)
+    publishPendingSwap(p1)
+    assert(Streams.compactBatchOutput(spark, p1) == 0) // heal, then nothing left
+    assert(state(p1) == ((rows1, Seq("batch=2", "batch=3"), false)))
+
+    // crash AFTER the rename landed but before residual source deletes:
+    // sources are transiently duplicated, heal must retire them
+    val p2 = s"$root/late"
+    val rows2 = mkFixture(p2)
+    publishPendingSwap(p2)
+    val fs = new org.apache.hadoop.fs.Path(p2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$p2/batch=2"), true))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p2 + "__compactbatches"),
+      new org.apache.hadoop.fs.Path(s"$p2/batch=2")))
+    assert(Streams.compactBatchOutput(spark, p2) == 0)
+    assert(state(p2) == ((rows2, Seq("batch=2", "batch=3"), false)))
   }
 
   test("stats-merge sink: running moments match a batch recompute exactly") {
