@@ -432,8 +432,7 @@ object Streams {
     val manifest = new Path(root, "_compact_pending")
     def checked(ok: Boolean, what: String): Unit =
       if (!ok) throw new java.io.IOException(
-        s"compactBatchOutput: $what failed on $path — merged data " +
-        s"preserved in $tmp/$manifest, re-run to heal")
+        s"compactBatchOutput: $what failed on $path")
     // Swap the merged directory in. Ordering bounds what a reader racing
     // the maintenance window can observe: only the target-named source
     // is ever absent (one delete + one rename); the other sources stay

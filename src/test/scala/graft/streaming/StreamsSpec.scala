@@ -320,6 +320,18 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       new org.apache.hadoop.fs.Path(s"$p2/batch=2")))
     assert(Streams.compactBatchOutput(spark, p2) == 0)
     assert(state(p2) == ((rows2, Seq("batch=2", "batch=3"), false)))
+
+    // crash BETWEEN deleting the target-named source and the rename —
+    // the one state where the target batch's rows live ONLY in the
+    // side dir; heal must rename it in, not discard it
+    val p3 = s"$root/mid"
+    val rows3 = mkFixture(p3)
+    publishPendingSwap(p3)
+    val fs3 = new org.apache.hadoop.fs.Path(p3).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs3.delete(new org.apache.hadoop.fs.Path(s"$p3/batch=2"), true))
+    assert(Streams.compactBatchOutput(spark, p3) == 0)
+    assert(state(p3) == ((rows3, Seq("batch=2", "batch=3"), false)))
   }
 
   test("stats-merge sink: running moments match a batch recompute exactly") {
