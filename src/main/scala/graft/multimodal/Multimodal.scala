@@ -36,6 +36,9 @@ case class MediaRecord(doc_id: Long, payload: Array[Byte],
 case class MediaFeatures(doc_id: Long, width: Int, height: Int,
     mean_byte: Double, embedding: Array[Float])
 
+case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+    frames: Long, duration_s: Double, rms: Double, embedding: Array[Float])
+
 /** Decoder: REAL in-JDK image decode via `javax.imageio` (PNG / BMP /
   * GIF / JPEG — the formats the JDK ships readers for, no new
   * dependency), with the deterministic byte-derived fake as the
@@ -112,6 +115,107 @@ object DecodeStub {
     (w, h, mean, emb)
   }
 
+  /** REAL in-JDK audio decode via `javax.sound.sampled` (WAV / AIFF /
+    * AU — the formats the JDK ships readers for), with a byte-derived
+    * deterministic fallback for anything else (mp3/ogg need external
+    * codecs a deployment drops in here). Returns
+    * (sampleRate, channels, frames, rms, embedding): rms is the mean
+    * signal power root over all channels in [0, 1]; the embedding is an
+    * [[embeddingDim]]-segment RMS energy envelope — the crude
+    * time-domain signature that lets downstream similarity/dedup group
+    * recordings before any model runs.
+    *
+    * Memory-bounded by construction: samples stream through a fixed
+    * 64 KiB buffer — a crafted header declaring absurd frame counts
+    * cannot allocate anything proportional to its claim (reading stops
+    * at the real payload end; segments the data never reaches stay 0,
+    * deterministically). */
+  def decodeAudio(payload: Array[Byte]): (Int, Int, Long, Double, Array[Float]) = {
+    require(payload.nonEmpty, "empty payload")
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = raw.getFormat
+        // header-declared frame count; unknown (-1) → not seekable
+        // enough to segment deterministically, use the fallback
+        val declaredFrames = raw.getFrameLength
+        if (declaredFrames <= 0 || f.getChannels <= 0)
+          return audioFallback(payload)
+        // normalize every encoding (u-law, a-law, unsigned 8-bit, any
+        // endianness) to signed 16-bit little-endian PCM so the sample
+        // loop reads ONE wire format
+        val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+          f.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, raw)
+        try {
+          val channels = f.getChannels
+          val sampleRate = math.round(f.getSampleRate)
+          val segs = Array.fill(embeddingDim)(0.0)
+          val segN = Array.fill(embeddingDim)(0L)
+          var sumSq = 0.0
+          var n = 0L
+          val samplesPerFrame = channels.toLong
+          val totalSamples = declaredFrames * samplesPerFrame
+          val buf = new Array[Byte](65536 - 65536 % (channels * 2))
+          var read = pcm.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s = ((buf(i) & 0xFF) | (buf(i + 1) << 8)).toShort
+              val v = s / 32768.0
+              val seg = math.min(embeddingDim - 1,
+                (n * embeddingDim / math.max(1L, totalSamples)).toInt)
+              segs(seg) += v * v
+              segN(seg) += 1
+              sumSq += v * v
+              n += 1
+              i += 2
+            }
+            read = pcm.read(buf)
+          }
+          if (n == 0) return audioFallback(payload)
+          val rms = math.sqrt(sumSq / n)
+          val emb = Array.tabulate(embeddingDim)(k =>
+            if (segN(k) == 0) 0.0f
+            else math.sqrt(segs(k) / segN(k)).toFloat)
+          (sampleRate, channels, n / samplesPerFrame, rms, emb)
+        } finally pcm.close()
+      } finally raw.close()
+    } catch {
+      // UnsupportedAudioFileException for non-audio bytes, plus the
+      // same runtime-exception surface as ImageIO on lookalike headers
+      case scala.util.control.NonFatal(_) => audioFallback(payload)
+    }
+  }
+
+  /** Fallback audio "decode" for unrecognized formats — pure function
+    * of the bytes, and (deliberately) expressible in ANSI SQL so the
+    * query over it is oracle-checked: rate/channels from edge bytes,
+    * one "frame" per byte, rms from the INTEGER byte² sum (exact in
+    * any engine; the only FP steps — one divide, one sqrt, one scale —
+    * run on identical inputs everywhere). */
+  private def audioFallback(payload: Array[Byte]): (Int, Int, Long, Double, Array[Float]) = {
+    val sampleRate = 8000 + ((payload(0) & 0xFF) % 8) * 1000
+    val channels = 1 + ((payload(payload.length - 1) & 0xFF) % 2)
+    val n = payload.length
+    var sumSq = 0L
+    var i = 0
+    while (i < n) { val b = payload(i) & 0xFF; sumSq += b.toLong * b; i += 1 }
+    val rms = math.sqrt(sumSq.toDouble / n) / 255.0
+    val emb = Array.tabulate(embeddingDim) { k =>
+      val from = (k.toLong * n / embeddingDim).toInt
+      val until = ((k + 1).toLong * n / embeddingDim).toInt max (from + 1)
+      var s = 0L
+      var j = from
+      while (j < until && j < n) { val b = payload(j) & 0xFF; s += b.toLong * b; j += 1 }
+      (math.sqrt(s.toDouble / (until - from)) / 255.0).toFloat
+    }
+    (sampleRate, channels, n.toLong, rms, emb)
+  }
+
   /** Fallback "decode" for unrecognized formats: dimensions from
     * leading bytes, per-byte mean, an 8-dim embedding from
     * evenly-spaced taps. Pure function of bytes. */
@@ -169,6 +273,25 @@ object Multimodal {
         batch.iterator.map { r =>
           val (w, h, mean, emb) = DecodeStub.decode(r.payload)
           MediaFeatures(r.doc_id, w, h, mean, emb)
+        }
+      }
+    }
+  }
+
+  /** Audio twin of [[extractFeatures]]: same batched streaming
+    * partition iterator, audio feature schema (rate / channels /
+    * frames / duration / rms / energy-envelope embedding). WAV, AIFF
+    * and AU payloads decode for real ([[DecodeStub.decodeAudio]]);
+    * anything else takes the deterministic fallback. */
+  def extractAudioFeatures(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (rate, ch, frames, rms, emb) = DecodeStub.decodeAudio(r.payload)
+          AudioFeatures(r.doc_id, rate, ch, frames,
+            frames.toDouble / rate, rms, emb)
         }
       }
     }

@@ -46,10 +46,32 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio-feature extraction over the same payloads. The corpus is
+    * text, so every row takes [[graft.multimodal.DecodeStub]]'s
+    * deterministic fallback — which is designed integer-exact (byte²
+    * sums) precisely so DuckDB can recompute it bit-for-bit; the REAL
+    * WAV/AIFF/AU path through the identical partition transform is
+    * pinned by MultimodalSpec on synthesized audio. */
+  def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.withPayload(table(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("payload"),
+        col("meta.modality").as("modality"), col("meta.format").as("format"))
+      .as[MediaRecord]
+    Multimodal.extractAudioFeatures(media, batchSize = 64)
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("frames"),
+        round(col("duration_s"), 6).as("duration_s"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "mm_payload_meta" -> (mmPayloadMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_decode_features" -> (mmDecodeFeatures _))
+    "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_audio_features" -> (mmAudioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "mm_payload_meta" -> """
@@ -71,6 +93,20 @@ object MultimodalQueries extends QueryPack {
              1 + ascii(substr(text, length(text), 1)) % 480 AS height,
              round(list_avg(list_transform(range(1, length(text) + 1),
                i -> ascii(substr(text, CAST(i AS INT), 1)))), 4) AS mean_byte
+      FROM documents
+      ORDER BY doc_id""",
+    "mm_audio_features" -> """
+      SELECT doc_id,
+             8000 + (ascii(substr(text, 1, 1)) % 8) * 1000 AS sample_rate,
+             1 + ascii(substr(text, length(text), 1)) % 2 AS channels,
+             CAST(length(text) AS BIGINT) AS frames,
+             round(CAST(length(text) AS DOUBLE) /
+                   (8000 + (ascii(substr(text, 1, 1)) % 8) * 1000), 6)
+               AS duration_s,
+             round(sqrt(CAST(list_sum(list_transform(range(1, length(text) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))
+                      * ascii(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
+                 / length(text)) / 255.0, 6) AS rms
       FROM documents
       ORDER BY doc_id""")
 }

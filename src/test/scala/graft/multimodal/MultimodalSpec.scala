@@ -83,6 +83,86 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Synthesize an in-memory WAV: 16-bit signed PCM, interleaved
+    * channels, `sample(frame, channel)` in [-1, 1]. */
+  private def wavBytes(rate: Float, channels: Int, frames: Int)(
+      sample: (Int, Int) => Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, channels * 2, rate, false)
+    val data = new Array[Byte](frames * channels * 2)
+    for (f <- 0 until frames; c <- 0 until channels) {
+      val v = math.max(-1.0, math.min(1.0, sample(f, c)))
+      val s = math.round(v * 32767).toShort
+      val i = (f * channels + c) * 2
+      data(i) = (s & 0xFF).toByte
+      data(i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV payloads decode to true rate/frames/rms; envelope tracks energy") {
+    // 0.5-amplitude sine, 8 kHz mono, exactly 1 s → rms = 0.5/√2
+    val n = 8000
+    val sine = wavBytes(8000f, 1, n)((f, _) =>
+      0.5 * math.sin(2 * math.Pi * 440 * f / 8000.0))
+    val (rate, ch, frames, rms, emb) = DecodeStub.decodeAudio(sine)
+    assert((rate, ch, frames) == ((8000, 1, n.toLong)))
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 1e-3, s"rms $rms")
+    assert(emb.length == DecodeStub.embeddingDim)
+    // constant-energy signal → every segment of the envelope ≈ rms
+    emb.foreach(v => assert(math.abs(v - rms) < 5e-3, emb.mkString(",")))
+
+    // amplitude ramp 0 → 1: the energy envelope must increase
+    val ramp = wavBytes(16000f, 2, 16000)((f, _) =>
+      (f / 16000.0) * math.sin(2 * math.Pi * 440 * f / 16000.0))
+    val (rRate, rCh, rFrames, _, rEmb) = DecodeStub.decodeAudio(ramp)
+    assert((rRate, rCh, rFrames) == ((16000, 2, 16000L)))
+    assert(rEmb.zip(rEmb.tail).forall { case (a, b) => a < b },
+      s"envelope not increasing: ${rEmb.mkString(",")}")
+
+    // truncated mid-data: decode is memory-bounded and returns what the
+    // bytes actually hold — segments the data never reached stay 0
+    val cut = sine.take(sine.length / 2)
+    val (_, _, cutFrames, _, cutEmb) = DecodeStub.decodeAudio(cut)
+    assert(cutFrames > 0 && cutFrames < n, s"cut frames $cutFrames")
+    assert(cutEmb.last == 0f)
+
+    // non-audio bytes take the deterministic byte-derived fallback,
+    // identical to a by-hand recompute (the SQL the oracle runs)
+    val txt = "no codec will claim this sentence".getBytes("UTF-8")
+    val (fRate, fCh, fFrames, fRms, fEmb) = DecodeStub.decodeAudio(txt)
+    assert(fRate == 8000 + ((txt(0) & 0xFF) % 8) * 1000)
+    assert(fCh == 1 + ((txt.last & 0xFF) % 2))
+    assert(fFrames == txt.length.toLong)
+    val sumSq = txt.map(b => (b & 0xFF).toLong).map(v => v * v).sum
+    assert(fRms == math.sqrt(sumSq.toDouble / txt.length) / 255.0)
+    assert(fEmb.length == DecodeStub.embeddingDim)
+  }
+
+  test("extractAudioFeatures: partition transform matches direct decode") {
+    import spark.implicits._
+    val media = Multimodal.withPayload(docs.limit(60), "text")
+      .select(col("doc_id"), col("payload"),
+        col("meta.modality").as("modality"), col("meta.format").as("format"))
+      .as[MediaRecord]
+    val feats = Multimodal.extractAudioFeatures(media, batchSize = 7)
+      .collect().map(f => f.doc_id -> f).toMap
+    val direct = media.collect()
+    assert(direct.nonEmpty && feats.size == direct.length)
+    direct.foreach { r =>
+      val (rate, ch, frames, rms, emb) = DecodeStub.decodeAudio(r.payload)
+      val f = feats(r.doc_id)
+      assert(f.sample_rate == rate && f.channels == ch && f.frames == frames)
+      assert(f.rms == rms && f.duration_s == frames.toDouble / rate)
+      assert(f.embedding.sameElements(emb))
+    }
+  }
+
   test("frame sampling: n frames per doc, stable hashes, no shuffle") {
     val out = Multimodal.sampleFrames(docs, "text", n = 4, frameLen = 32)
     val n = docs.count()
