@@ -140,8 +140,11 @@ object DecodeStub {
         val f = raw.getFormat
         // header-declared frame count; unknown (-1) → not seekable
         // enough to segment deterministically, use the fallback
+        // sampleRate <= 0 included: a fmt chunk declaring 0 Hz parses
+        // fine when the payload is already 16-bit PCM (no converter
+        // runs to reject it) and would yield duration = Infinity
         val declaredFrames = raw.getFrameLength
-        if (declaredFrames <= 0 || f.getChannels <= 0)
+        if (declaredFrames <= 0 || f.getChannels <= 0 || f.getSampleRate <= 0)
           return audioFallback(payload)
         // normalize every encoding (u-law, a-law, unsigned 8-bit, any
         // endianness) to signed 16-bit little-endian PCM so the sample

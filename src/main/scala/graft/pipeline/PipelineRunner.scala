@@ -53,7 +53,9 @@ class PipelineRunner(
     val extras = Seq("alert" -> a.rule, "severity" -> a.severity,
       "task_id" -> a.taskId,
       "channels" -> chs.map(c => s"${c.kind}:${c.target}").mkString(","))
-    if (a.severity == "critical") log.error(a.message, extras: _*)
+    // case-insensitive: severity strings come from user YAML unvalidated
+    // ("Critical"/"CRITICAL" must not silently downgrade to warn)
+    if (a.severity.equalsIgnoreCase("critical")) log.error(a.message, extras: _*)
     else log.warn(a.message, extras: _*)
   }
 

@@ -388,11 +388,17 @@ object Streams {
         try {
           val fs = new Path(path).getFileSystem(
             batch.sparkSession.sparkContext.hadoopConfiguration)
-          // empty batches skip the write ONCE the path exists; the
-          // first batch always writes (even empty) so consumers can
-          // read the sink path with its schema instead of hitting
-          // PATH_NOT_FOUND when no window has closed yet
-          if (ranked.limit(1).count() > 0 || !fs.exists(new Path(path)))
+          // empty batches skip the write once a COMMITTED batch dir
+          // exists (same probe as the near-dup sink: a crash that left
+          // only _temporary debris must not count, or a replay would
+          // skip the schema-establishing write and leave the path
+          // unreadable); the first batch always writes (even empty) so
+          // consumers can read the sink path with its schema instead
+          // of hitting PATH_NOT_FOUND when no window has closed yet
+          val committed =
+            fs.globStatus(new Path(path, "batch=*/_SUCCESS"))
+          if (ranked.limit(1).count() > 0 ||
+              committed == null || committed.isEmpty)
             ranked.write.mode("overwrite").parquet(s"$path/batch=$batchId")
         } finally ranked.unpersist()
       }

@@ -132,6 +132,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(cutFrames > 0 && cutFrames < n, s"cut frames $cutFrames")
     assert(cutEmb.last == 0f)
 
+    // a crafted fmt chunk declaring 0 Hz (bytes 24–31: sample rate +
+    // byte rate) must route to the fallback, not yield rate 0 and
+    // duration = Infinity downstream
+    val zeroHz = sine.clone()
+    for (i <- 24 until 32) zeroHz(i) = 0
+    val (zRate, _, _, _, _) = DecodeStub.decodeAudio(zeroHz)
+    assert(zRate == 8000 + ((zeroHz(0) & 0xFF) % 8) * 1000, s"rate $zRate")
+
     // non-audio bytes take the deterministic byte-derived fallback,
     // identical to a by-hand recompute (the SQL the oracle runs)
     val txt = "no codec will claim this sentence".getBytes("UTF-8")

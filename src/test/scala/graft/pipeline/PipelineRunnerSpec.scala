@@ -353,6 +353,24 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
       AlertChannel("slack", "#data-alerts")))
   }
 
+  test("default alert sink routes severity case-insensitively") {
+    val r = new PipelineRunner(spark, sources = Map.empty, models = Map.empty,
+      asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val lines = Seq.newBuilder[String]
+    r.log = new PipelineLogger("graft.test.alerts", Some(l => lines += l))
+    Seq("critical", "Critical", "CRITICAL", "warning").foreach { sev =>
+      r.alertSink(Alert("rule", sev, "t1", s"msg-$sev"),
+        Seq(AlertChannel("email", "x@example.com")))
+    }
+    val levels = lines.result().map { l =>
+      (raw""""level":"(\w+)"""".r.findFirstMatchIn(l).get.group(1),
+        raw""""message":"msg-(\w+)"""".r.findFirstMatchIn(l).get.group(1))
+    }
+    // every critical spelling lands at ERROR; warning stays WARN
+    assert(levels == Seq("ERROR" -> "critical", "ERROR" -> "Critical",
+      "ERROR" -> "CRITICAL", "WARN" -> "warning"), levels)
+  }
+
   test("enable_metrics gates the run-summary metrics log line") {
     def specWith(flag: String) = PipelineSpec.fromYaml(
       s"""name: met

@@ -233,6 +233,33 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("trending sink: crash debris without a committed batch still gets the schema write") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("trenddebris").toString
+    // simulate a first write that died mid-job: the root exists but the
+    // only batch dir holds _temporary debris, no committed files — the
+    // replayed (empty) batch must still perform the schema-establishing
+    // write instead of treating bare root existence as "already written"
+    new java.io.File(s"$dir/top/batch=0/_temporary").mkdirs()
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.trendingTopKSink(
+        input.toDS().toDF("ts", "item"), "ts", "item",
+        windowLen = "5 minutes", watermarkDelay = "1 minute", k = 2,
+        path = s"$dir/top", checkpoint = s"$dir/ckpt",
+        trig = Streams.trigger(1))
+      .start()
+    try {
+      input.addData((ts("2024-01-01 10:00:10"), "a")) // closes no window
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/top") // schema readable
+      assert(out.count() == 0)
+      assert(out.columns.toSet == Set("window_start", "item", "n_events",
+        "rank", "batch"))
+    } finally q.stop()
+  }
+
   test("trending output compaction merges closed batch dirs, newest untouched") {
     val spark2 = spark
     import spark2.implicits._
