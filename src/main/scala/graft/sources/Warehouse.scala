@@ -70,12 +70,36 @@ object Warehouse {
     * rename — same single-writer contract as the merge sinks. Run it
     * OFFLINE between streaming runs (single writer); for continuously
     * live tables, compact partition-by-partition instead.
+    *
+    * Crash-safe: the live directory is RENAMED aside (never deleted
+    * before the replacement is in place), so every interruption point
+    * leaves a complete copy under `path`, `path__compact`, or
+    * `path__compact_old`, and the next call heals: a missing live dir
+    * with the rewrite present finishes the swap; a leftover backup
+    * beside a live dir is retired; an unswapped rewrite is discarded
+    * (the live dir is still authoritative). Every FS mutation's return
+    * value is checked — a failed rename must surface, not report a
+    * successful compaction.
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__compact")
+    val backup = new Path(path + "__compact_old")
+    def checked(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"compact: $what failed on $path")
+    if (!fs.exists(dir) && fs.exists(tmp))
+      // crashed between the two renames: the rewrite (complete by
+      // construction — the live dir is only moved aside after the write
+      // returns) becomes the live dir
+      checked(fs.rename(tmp, dir), "heal: publish rewrite")
+    else if (!fs.exists(dir) && fs.exists(backup))
+      // defensive: only the moved-aside original remains — restore it
+      checked(fs.rename(backup, dir), "heal: restore backup")
+    if (fs.exists(backup)) checked(fs.delete(backup, true), "retire backup")
+    if (fs.exists(tmp)) checked(fs.delete(tmp, true), "discard stale rewrite")
     val files = fs.listFiles(dir, true)
     var nBefore = 0L
     var totalBytes = 0L
@@ -87,11 +111,11 @@ object Warehouse {
       }
     }
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new Path(path + "__compact")
     spark.read.parquet(path).repartition(parts)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dir, true)
-    fs.rename(tmp, dir)
+    checked(fs.rename(dir, backup), "move live dir aside")
+    checked(fs.rename(tmp, dir), "publish rewrite")
+    checked(fs.delete(backup, true), "retire backup")
     val after = fs.listFiles(dir, true)
     var nAfter = 0L
     while (after.hasNext) {

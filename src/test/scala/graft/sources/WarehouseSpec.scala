@@ -101,6 +101,45 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     assert(after == before && after.size == 1000)
   }
 
+  test("compaction heals every interruption point of the swap") {
+    val root = Files.createTempDirectory("graft-whheal").toString
+    val fsP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fixture(p: String): Set[Long] = {
+      spark.range(0, 100).selectExpr("id").coalesce(4)
+        .write.parquet(p)
+      spark.read.parquet(p).collect().map(_.getLong(0)).toSet
+    }
+    def path(n: String) = new org.apache.hadoop.fs.Path(n)
+
+    // crash between the two renames: live dir gone, rewrite complete
+    val p1 = s"$root/between"
+    val rows1 = fixture(p1)
+    spark.read.parquet(p1).coalesce(1)
+      .write.parquet(p1 + "__compact")
+    assert(fs.delete(path(p1), true)) // stands in for rename(dir, backup)…
+    assert(fs.exists(path(p1 + "__compact")))
+    Warehouse.compact(spark, p1)
+    assert(spark.read.parquet(p1).collect().map(_.getLong(0)).toSet == rows1)
+    assert(!fs.exists(path(p1 + "__compact")) &&
+      !fs.exists(path(p1 + "__compact_old")))
+
+    // crash after publishing, backup left behind: retired, data intact
+    val p2 = s"$root/backup"
+    val rows2 = fixture(p2)
+    spark.range(500, 510).write.parquet(p2 + "__compact_old")
+    Warehouse.compact(spark, p2)
+    assert(spark.read.parquet(p2).collect().map(_.getLong(0)).toSet == rows2)
+    assert(!fs.exists(path(p2 + "__compact_old")))
+
+    // crash mid-write: unswapped rewrite discarded, live dir untouched
+    val p3 = s"$root/stale"
+    val rows3 = fixture(p3)
+    spark.range(900, 950).write.parquet(p3 + "__compact")
+    Warehouse.compact(spark, p3)
+    assert(spark.read.parquet(p3).collect().map(_.getLong(0)).toSet == rows3)
+  }
+
   test("co-bucketed tables join and aggregate with no shuffle; bucket pruning") {
     val dir = Files.createTempDirectory("graft-whb").toString
     val facts = spark.range(1000)
