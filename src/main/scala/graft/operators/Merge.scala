@@ -69,9 +69,11 @@ object Merge {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val fs = org.apache.hadoop.fs.FileSystem
-        .get(spark.sparkContext.hadoopConfiguration)
-      val exists = fs.exists(new org.apache.hadoop.fs.Path(basePath))
+      // resolve by the path's own scheme — FileSystem.get(conf) returns
+      // the defaultFS client and throws on e.g. an s3a:// base path
+      val basePathP = new org.apache.hadoop.fs.Path(basePath)
+      val fs = basePathP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(basePathP)
       val base =
         if (exists)
           spark.read.parquet(basePath)

@@ -213,6 +213,13 @@ object Streams {
     // resolve by the path's own scheme — FileSystem.get(conf) returns
     // the defaultFS client and throws on e.g. an s3a:// target
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new Path(path + "__old")
+    // rename-rename swap, not delete-then-rename: a crash between a
+    // delete and the rename would vaporize the accumulated base table,
+    // while a crash between the two renames leaves the backup — healed
+    // here on the next batch (replays are safe: latest-wins re-merging
+    // the same delta is a no-op)
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
     val base =
       if (fs.exists(target)) spark.read.parquet(path)
       else batch.limit(0)
@@ -223,8 +230,10 @@ object Streams {
     val merged = Merge.latestWins(base, batch, keys, col(versionCol))
     val tmp = new Path(path + "__new")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    fs.delete(backup, true) // stale backup from an earlier healed crash
+    if (fs.exists(target)) fs.rename(target, backup)
     fs.rename(tmp, target)
+    fs.delete(backup, true)
     LoadResult(success = true, rowsLoaded = incoming, tableName = path,
       durationSeconds = (System.nanoTime() - t0) / 1e9)
   }

@@ -115,6 +115,32 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("merge batch heals a crash between the swap renames from the backup") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-mergeheal").toString
+    val path = s"$dir/fact"
+    Streams.mergeBatch(spark,
+      Seq(Sale(1, 10.0, ts("2024-01-01 10:00:00")),
+        Sale(2, 20.0, ts("2024-01-01 10:00:00"))).toDF(),
+      path, Seq("orderId"), "ts")
+    // simulate the crash window: target renamed aside, replacement never
+    // landed — the accumulated table exists ONLY as the backup
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // next batch must restore the backup and merge INTO it — a
+    // fresh-table fallback here would silently drop orders 1 and 2
+    Streams.mergeBatch(spark,
+      Seq(Sale(3, 30.0, ts("2024-01-01 11:00:00"))).toDF(),
+      path, Seq("orderId"), "ts")
+    val fact = spark.read.parquet(path).select("orderId", "amount")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(fact == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
   test("stateful change detector: per-key watermark state across batches") {
     val spark2 = spark
     import spark2.implicits._
