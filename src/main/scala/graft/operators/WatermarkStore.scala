@@ -11,18 +11,29 @@ import java.sql.Timestamp
   * (`change_detection.py:28-90`, JSON file per (source, table)) as a
   * TABLE: tiny keyed parquet, read fully to the driver (it has one row
   * per (source, table) — bytes, not data), merged + rewritten on update.
-  * Rewrite-on-update is atomic-enough for a single-driver control plane;
-  * a real multi-writer deployment would put this in a transactional
-  * store, which is exactly what the reference's file-per-key store also
-  * couldn't do.
+  * Rewrite-on-update goes through the same backup-rename swap as the
+  * merge sinks (write new, move live aside, rename in, heal on read):
+  * a crash mid-update must not lose EVERY watermark — at 100 TB that
+  * silently re-extracts every source from scratch. Single-driver
+  * control plane; a real multi-writer deployment would put this in a
+  * transactional store, which is exactly what the reference's
+  * file-per-key store also couldn't do.
   */
 class WatermarkStore(spark: SparkSession, path: String) {
   import spark.implicits._
+  import org.apache.hadoop.fs.Path
+
+  private val target = new Path(path)
+  private val backup = new Path(path + "__old")
+  private def fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def readAll(): DataFrame = {
     val empty = Seq.empty[(String, String, Timestamp)]
       .toDF("source_id", "table_name", "last_processed_timestamp")
     try {
+      // heal a crash between the swap renames: the backup IS the last
+      // committed store
+      if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
       val df = spark.read.parquet(path)
       if (df.columns.length == 3) df else empty
     } catch { case _: Exception => empty }
@@ -45,8 +56,15 @@ class WatermarkStore(spark: SparkSession, path: String) {
       .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2)))
     val merged = (others :+ ((sourceId, tableName, ts)))
       .toDF("source_id", "table_name", "last_processed_timestamp")
-    // write-then-swap: parquet overwrite of a tiny control table
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+    // write-new + rename-rename: a plain Overwrite of the live path
+    // deletes it before writing, so a crash mid-write would drop the
+    // whole store (readAll's catch would mask it as "no watermarks")
+    val tmp = new Path(path + "__new")
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(backup, true) // stale backup from an earlier healed crash
+    if (fs.exists(target)) fs.rename(target, backup)
+    fs.rename(tmp, target)
+    fs.delete(backup, true)
   }
 
   /** Earliest watermark across a source's tables — the consistent

@@ -298,4 +298,23 @@ class WatermarkStoreSpec extends AnyFunSuite with SparkSpec {
       .contains(Timestamp.valueOf("2024-01-01 00:00:00")))
     assert(store.asWatermarkFrame("src").count() == 2)
   }
+
+  test("store heals a crash between the swap renames from the backup") {
+    val path = Files.createTempDirectory("graft-wmheal").toString + "/wm"
+    val store = new WatermarkStore(spark, path)
+    store.update("src", "orders", Timestamp.valueOf("2024-01-02 00:00:00"))
+    // crash window: live store renamed aside, replacement never landed
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // a lost store would silently answer None → full re-extraction;
+    // the heal restores the backup instead
+    assert(store.get("src", "orders")
+      .contains(Timestamp.valueOf("2024-01-02 00:00:00")))
+    store.update("src", "orders", Timestamp.valueOf("2024-01-05 00:00:00"))
+    assert(store.get("src", "orders")
+      .contains(Timestamp.valueOf("2024-01-05 00:00:00")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
 }
