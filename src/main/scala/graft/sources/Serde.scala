@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** DataFrame serialization in the reference's formats (SURVEY §2.1 S7):
-  * Parquet, CSV, JSON — each with optional compression. Pickle
-  * (`extractors.py:353-413`) has no JVM analog and is dropped by design.
+  * Parquet, CSV, JSON — plus ORC and XML (both native to Spark 4) —
+  * each with optional compression. Pickle (`extractors.py:353-413`)
+  * has no JVM analog and is dropped by design.
   *
   * Unlike the reference (bytes in driver memory), these go through
   * distributed writers/readers — at 100 TB a "serialize" is a parallel
@@ -20,6 +21,9 @@ object Serde {
   case object Csv extends Format { val name = "csv" }
   case object Json extends Format { val name = "json" }
   case object Orc extends Format { val name = "orc" }
+  /** Spark 4 ships the XML source natively (the donated spark-xml) —
+    * API feeds and legacy enterprise interchange, no extra dependency. */
+  case object Xml extends Format { val name = "xml" }
 
   def write(df: DataFrame, path: String, format: Format,
       compression: Option[String] = None): Unit = {
@@ -34,6 +38,9 @@ object Serde {
       case Json => w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .json(path)
       case Orc => w.orc(path)
+      case Xml => w.option("rowTag", "row")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS[XXX]")
+        .format("xml").save(path)
     }
   }
 
@@ -76,6 +83,10 @@ object Serde {
         schema.map(r.schema).getOrElse(r).json(path)
       case Orc =>
         spark.read.orc(path)
+      case Xml =>
+        val r = spark.read.option("rowTag", "row")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS[XXX]")
+        schema.map(r.schema).getOrElse(r).format("xml").load(path)
     }
   }
 }

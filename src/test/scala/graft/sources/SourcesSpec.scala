@@ -67,6 +67,16 @@ class SerdeSpec extends AnyFunSuite with SparkSpec {
     val back = Serde.read(spark, path, Serde.Json, Some(df.schema))
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
+
+  test("xml round-trip with declared schema is exact") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+    val path = tmp()
+    Serde.write(df, path, Serde.Xml, compression = Some("gzip"))
+    val back = Serde.read(spark, path, Serde.Xml, Some(df.schema))
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
 }
 
 class RetrySpec extends AnyFunSuite {
