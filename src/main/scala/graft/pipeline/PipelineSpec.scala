@@ -21,7 +21,8 @@ case class SourceSpec(
     retries: Int,
     retryDelayMinutes: Int,
     // ingest-time quality gate (reference validators.py:80-84); None ⇒ no gate
-    qualityThresholds: Option[graft.validation.QualityThresholds] = None)
+    qualityThresholds: Option[graft.validation.QualityThresholds] = None,
+    priority: Int = 1)
 
 case class ModelTest(kind: String, columns: Seq[String],
     relatedModel: Option[String] = None, field: Option[String] = None)
@@ -35,7 +36,8 @@ case class TransformationSpec(
     uniqueKey: Option[String],
     tests: Seq[ModelTest],
     retries: Int,
-    retryDelayMinutes: Int)
+    retryDelayMinutes: Int,
+    priority: Int = 1)
 
 case class CustomCheck(name: String, query: String,
     expectedResult: Option[Long], expectedRowCount: Option[Long])
@@ -45,7 +47,8 @@ case class TargetSpec(
     minRowCount: Option[Long],
     maxAgeHours: Option[Int],
     customChecks: Seq[CustomCheck],
-    failOnValidationError: Boolean)
+    failOnValidationError: Boolean,
+    priority: Int = 1)
 
 case class PipelineSpec(
     name: String,
@@ -63,6 +66,13 @@ case class PipelineSpec(
     sources.map("ingest_" + _.sourceId) ++
       transformations.map("transform_" + _.modelName) ++
       targets.map("validate_" + _.tableName)
+
+  /** Per-task scheduling priority (reference `TaskConfig.priority`,
+    * `task_manager.py:93`; default 1) keyed by task id. */
+  def priorities: Map[String, Int] =
+    (sources.map(s => s"ingest_${s.sourceId}" -> s.priority) ++
+      transformations.map(t => s"transform_${t.modelName}" -> t.priority) ++
+      targets.map(t => s"validate_${t.tableName}" -> t.priority)).toMap
 }
 
 object PipelineSpec {
@@ -117,7 +127,8 @@ object PipelineSpec {
               maxErrorPct = dbl("max_error_percentage", 0.05),
               maxNullPct = dbl("max_null_percentage", 0.1),
               failOnBreach = str(q, "enforcement", "fail") != "warn"))
-          })
+          },
+        priority = if (s.hasNonNull("priority")) s.get("priority").asInt else 1)
     }
 
     val transformations = elems(root, "transformations").map { t =>
@@ -143,7 +154,8 @@ object PipelineSpec {
         tests = tests,
         retries = if (t.hasNonNull("retries")) t.get("retries").asInt else 2,
         retryDelayMinutes =
-          if (t.hasNonNull("retry_delay_minutes")) t.get("retry_delay_minutes").asInt else 10)
+          if (t.hasNonNull("retry_delay_minutes")) t.get("retry_delay_minutes").asInt else 10,
+        priority = if (t.hasNonNull("priority")) t.get("priority").asInt else 1)
     }
 
     val targets = elems(root, "targets").map { tg =>
@@ -168,7 +180,8 @@ object PipelineSpec {
         customChecks = checks,
         failOnValidationError =
           !tg.hasNonNull("fail_on_validation_error") ||
-            tg.get("fail_on_validation_error").asBoolean())
+            tg.get("fail_on_validation_error").asBoolean(),
+        priority = if (tg.hasNonNull("priority")) tg.get("priority").asInt else 1)
     }
 
     val deps =

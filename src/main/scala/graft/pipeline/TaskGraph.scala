@@ -27,9 +27,12 @@ case class TaskStats(taskId: String, totalExecutions: Int,
     successfulExecutions: Int, successRate: Double,
     avgDurationSeconds: Double, lastStatus: Option[String])
 
-/** `deps`: downstream → upstream ids (the YAML `dependencies` map). */
+/** `deps`: downstream → upstream ids (the YAML `dependencies` map);
+  * `priorities`: per-task scheduling priority, default 1
+  * (`task_manager.py:93`). */
 case class TaskGraph(tasks: Set[String], deps: Map[String, Seq[String]],
-    triggerRules: Map[String, String] = Map.empty) {
+    triggerRules: Map[String, String] = Map.empty,
+    priorities: Map[String, Int] = Map.empty) {
 
   def upstream(id: String): Seq[String] = deps.getOrElse(id, Seq.empty)
 
@@ -122,15 +125,19 @@ case class TaskGraph(tasks: Set[String], deps: Map[String, Seq[String]],
     }
   }
 
-  /** Tasks ready to execute now (`task_manager.py:327-341`). */
+  /** Tasks ready to execute now, higher priority first
+    * (`task_manager.py:327-341`; id-sorted within a priority so the
+    * order is deterministic). */
   def readyTasks(ctx: Map[String, TaskResult]): Seq[String] =
     tasks.toSeq.sorted
       .filterNot(ctx.contains)
       .filter(canExecute(_, ctx))
+      .sortBy(id => (-priorities.getOrElse(id, 1), id))
 }
 
 object TaskGraph {
   /** Graph from a pipeline spec: declared task ids + dependency map. */
   def fromSpec(spec: PipelineSpec): TaskGraph =
-    TaskGraph(spec.taskIds.toSet, spec.dependencies)
+    TaskGraph(spec.taskIds.toSet, spec.dependencies,
+      priorities = spec.priorities)
 }

@@ -127,6 +127,32 @@ class PipelineSpecSpec extends AnyFunSuite {
     val after = Map("a" -> TaskResult("a", TaskStatus.Success))
     assert(g.readyTasks(after) == Seq("b"))
   }
+
+  test("ready set orders by priority desc, id within a tie (task_manager.py:336-341)") {
+    val g = TaskGraph(Set("a", "b", "c", "d"), Map.empty,
+      priorities = Map("c" -> 9, "d" -> 9, "a" -> 2)) // b defaults to 1
+    assert(g.readyTasks(Map.empty) == Seq("c", "d", "a", "b"))
+  }
+
+  test("per-task priority parses from YAML into the graph") {
+    val spec = PipelineSpec.fromYaml(
+      """name: prio
+        |sources:
+        |  - source_id: hot
+        |    source_type: file
+        |    priority: 5
+        |  - source_id: cold
+        |    source_type: file
+        |transformations: []
+        |targets:
+        |  - table_name: t
+        |    priority: 3
+        |""".stripMargin)
+    assert(spec.priorities == Map(
+      "ingest_hot" -> 5, "ingest_cold" -> 1, "validate_t" -> 3))
+    assert(TaskGraph.fromSpec(spec).readyTasks(Map.empty) ==
+      Seq("ingest_hot", "validate_t", "ingest_cold"))
+  }
 }
 
 class SchedulesSpec extends AnyFunSuite {
