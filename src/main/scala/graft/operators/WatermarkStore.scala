@@ -30,10 +30,10 @@ class WatermarkStore(spark: SparkSession, path: String) {
   private def readAll(): DataFrame = {
     val empty = Seq.empty[(String, String, Timestamp)]
       .toDF("source_id", "table_name", "last_processed_timestamp")
+    // heal OUTSIDE the read's defensive catch: a failed heal rename is
+    // an FS error that must surface, not be masked as "no watermarks"
+    graft.core.AtomicSwap.heal(fs, target, backup)
     try {
-      // heal a crash between the swap renames: the backup IS the last
-      // committed store
-      if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
       val df = spark.read.parquet(path)
       if (df.columns.length == 3) df else empty
     } catch { case _: Exception => empty }
@@ -56,15 +56,13 @@ class WatermarkStore(spark: SparkSession, path: String) {
       .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2)))
     val merged = (others :+ ((sourceId, tableName, ts)))
       .toDF("source_id", "table_name", "last_processed_timestamp")
-    // write-new + rename-rename: a plain Overwrite of the live path
-    // deletes it before writing, so a crash mid-write would drop the
-    // whole store (readAll's catch would mask it as "no watermarks")
+    // write-new + checked rename-rename swap: a plain Overwrite of the
+    // live path deletes it before writing, so a crash mid-write would
+    // drop the whole store (readAll's catch would mask it as "no
+    // watermarks")
     val tmp = new Path(path + "__new")
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(backup, true) // stale backup from an earlier healed crash
-    if (fs.exists(target)) fs.rename(target, backup)
-    fs.rename(tmp, target)
-    fs.delete(backup, true)
+    graft.core.AtomicSwap.publish(fs, target, tmp, backup)
   }
 
   /** Earliest watermark across a source's tables — the consistent

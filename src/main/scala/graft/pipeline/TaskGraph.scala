@@ -95,8 +95,8 @@ case class TaskGraph(tasks: Set[String], deps: Map[String, Seq[String]],
     var remaining = tasks
     val levels = Seq.newBuilder[Seq[String]]
     while (remaining.nonEmpty) {
-      val level = remaining.filter(t =>
-        !upstream(t).exists(remaining.contains)).toSeq.sorted
+      val level = byPriority(remaining.filter(t =>
+        !upstream(t).exists(remaining.contains)).toSeq)
       if (level.isEmpty)
         throw new IllegalStateException("Circular dependency detected")
       levels += level
@@ -125,14 +125,17 @@ case class TaskGraph(tasks: Set[String], deps: Map[String, Seq[String]],
     }
   }
 
+  /** Higher priority first; id within a tie so the order is
+    * deterministic (`task_manager.py:336-341`). */
+  private def byPriority(ids: Seq[String]): Seq[String] =
+    ids.sortBy(id => (-priorities.getOrElse(id, 1), id))
+
   /** Tasks ready to execute now, higher priority first
-    * (`task_manager.py:327-341`; id-sorted within a priority so the
-    * order is deterministic). */
+    * (`task_manager.py:327-341`). */
   def readyTasks(ctx: Map[String, TaskResult]): Seq[String] =
-    tasks.toSeq.sorted
+    byPriority(tasks.toSeq
       .filterNot(ctx.contains)
-      .filter(canExecute(_, ctx))
-      .sortBy(id => (-priorities.getOrElse(id, 1), id))
+      .filter(canExecute(_, ctx)))
 }
 
 object TaskGraph {

@@ -93,11 +93,12 @@ object Warehouse {
     if (!fs.exists(dir) && fs.exists(tmp))
       // crashed between the two renames: the rewrite (complete by
       // construction — the live dir is only moved aside after the write
-      // returns) becomes the live dir
+      // returns) becomes the live dir; the backup, if also present, is
+      // the OLDER un-compacted copy and is retired below
       checked(fs.rename(tmp, dir), "heal: publish rewrite")
-    else if (!fs.exists(dir) && fs.exists(backup))
-      // defensive: only the moved-aside original remains — restore it
-      checked(fs.rename(backup, dir), "heal: restore backup")
+    else
+      // only the moved-aside original remains — restore it
+      graft.core.AtomicSwap.heal(fs, dir, backup)
     if (fs.exists(backup)) checked(fs.delete(backup, true), "retire backup")
     if (fs.exists(tmp)) checked(fs.delete(tmp, true), "discard stale rewrite")
     val files = fs.listFiles(dir, true)
@@ -113,9 +114,7 @@ object Warehouse {
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(path).repartition(parts)
       .write.mode("overwrite").parquet(tmp.toString)
-    checked(fs.rename(dir, backup), "move live dir aside")
-    checked(fs.rename(tmp, dir), "publish rewrite")
-    checked(fs.delete(backup, true), "retire backup")
+    graft.core.AtomicSwap.publish(fs, dir, tmp, backup)
     val after = fs.listFiles(dir, true)
     var nAfter = 0L
     while (after.hasNext) {

@@ -214,12 +214,12 @@ object Streams {
     // the defaultFS client and throws on e.g. an s3a:// target
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val backup = new Path(path + "__old")
-    // rename-rename swap, not delete-then-rename: a crash between a
-    // delete and the rename would vaporize the accumulated base table,
-    // while a crash between the two renames leaves the backup — healed
-    // here on the next batch (replays are safe: latest-wins re-merging
-    // the same delta is a no-op)
-    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    // checked rename-rename swap ([[graft.core.AtomicSwap]]), not
+    // delete-then-rename: a crash between a delete and the rename would
+    // vaporize the accumulated base table; a crash between the two
+    // renames leaves the backup, healed here on the next batch (replays
+    // are safe: latest-wins re-merging the same delta is a no-op)
+    graft.core.AtomicSwap.heal(fs, target, backup)
     val base =
       if (fs.exists(target)) spark.read.parquet(path)
       else batch.limit(0)
@@ -230,10 +230,7 @@ object Streams {
     val merged = Merge.latestWins(base, batch, keys, col(versionCol))
     val tmp = new Path(path + "__new")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(backup, true) // stale backup from an earlier healed crash
-    if (fs.exists(target)) fs.rename(target, backup)
-    fs.rename(tmp, target)
-    fs.delete(backup, true)
+    graft.core.AtomicSwap.publish(fs, target, tmp, backup)
     LoadResult(success = true, rowsLoaded = incoming, tableName = path,
       durationSeconds = (System.nanoTime() - t0) / 1e9)
   }
@@ -314,7 +311,7 @@ object Streams {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // heal a crash that landed between rename(target→backup) and
     // rename(tmp→target): the backup IS the last committed state
-    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    graft.core.AtomicSwap.heal(fs, target, backup)
     def lastApplied: Long = {
       val m = new Path(target, AggBatchMarker)
       if (!fs.exists(m)) -1L
@@ -346,10 +343,7 @@ object Streams {
     val outRows = spark.read.parquet(tmp.toString).count()
     val out = fs.create(new Path(tmp, AggBatchMarker), true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(backup, true) // stale backup from an earlier healed crash
-    if (fs.exists(target)) fs.rename(target, backup)
-    fs.rename(tmp, target)
-    fs.delete(backup, true)
+    graft.core.AtomicSwap.publish(fs, target, tmp, backup)
     LoadResult(success = true, rowsLoaded = outRows, tableName = path,
       durationSeconds = (System.nanoTime() - t0) / 1e9)
   }

@@ -152,6 +152,10 @@ class PipelineSpecSpec extends AnyFunSuite {
       "ingest_hot" -> 5, "ingest_cold" -> 1, "validate_t" -> 3))
     assert(TaskGraph.fromSpec(spec).readyTasks(Map.empty) ==
       Seq("ingest_hot", "validate_t", "ingest_cold"))
+    // the runner executes executionLevels in order, so the priority
+    // must order tasks WITHIN each level too (else it is test-only)
+    assert(TaskGraph.fromSpec(spec).executionLevels ==
+      Seq(Seq("ingest_hot", "validate_t", "ingest_cold")))
   }
 }
 

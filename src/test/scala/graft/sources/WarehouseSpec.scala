@@ -138,6 +138,18 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     spark.range(900, 950).write.parquet(p3 + "__compact")
     Warehouse.compact(spark, p3)
     assert(spark.read.parquet(p3).collect().map(_.getLong(0)).toSet == rows3)
+
+    // the REAL between-renames state: live dir moved aside (backup
+    // present) AND the complete rewrite present — heal must prefer the
+    // rewrite and retire the backup, not resurrect the stale copy
+    val p4 = s"$root/both"
+    val rows4 = fixture(p4)
+    spark.read.parquet(p4).coalesce(1).write.parquet(p4 + "__compact")
+    assert(fs.rename(path(p4), path(p4 + "__compact_old")))
+    Warehouse.compact(spark, p4)
+    assert(spark.read.parquet(p4).collect().map(_.getLong(0)).toSet == rows4)
+    assert(!fs.exists(path(p4 + "__compact")) &&
+      !fs.exists(path(p4 + "__compact_old")))
   }
 
   test("co-bucketed tables join and aggregate with no shuffle; bucket pruning") {
