@@ -130,9 +130,23 @@ object DecodeStub {
     * cannot allocate anything proportional to its claim (reading stops
     * at the real payload end; segments the data never reaches stay 0,
     * deterministically). */
+  /** Container magics of the formats the JDK ships readers for: WAV
+    * (RIFF····WAVE), AIFF (FORM), AU (.snd). Checked BEFORE asking
+    * AudioSystem: the provider lookup throws internally on every
+    * non-audio payload, and at corpus scale that is an exception per
+    * row for data that was never audio. A deployment adding codec
+    * providers extends this probe alongside them. */
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
   def decodeAudio(payload: Array[Byte]): (Int, Int, Long, Double, Array[Float]) = {
     require(payload.nonEmpty, "empty payload")
     import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (!looksLikeAudio(payload)) return audioFallback(payload)
     try {
       val raw = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
