@@ -495,7 +495,13 @@ object Dedup {
     * [[removeNearDuplicatesTransitive]]; the greedy rule never drops a
     * whole cluster and needs no iteration.
     * The drop side is a broadcast left-anti join: the corpus streams,
-    * the (small) pair list broadcasts. */
+    * the pair list broadcasts. The hint is deliberately vetoable: a
+    * dedup drop set is corpus-PROPORTIONAL on duplicate-heavy crawls,
+    * and its optimizer estimate explodes through the LSH pair cascade
+    * — [[graft.plans.SafeBroadcastRule]] strips the hint above the
+    * size cap (the bench-log "stripping BROADCAST" warnings on
+    * d5/sim_dedup_apply are this guardrail), and AQE then re-selects
+    * broadcast at runtime iff the REAL drop set is small. */
   def removeNearDuplicates(df: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame =
     df.join(broadcast(pairs.select(col("id_b").as(idCol)).distinct()),

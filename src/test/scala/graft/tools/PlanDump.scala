@@ -18,6 +18,10 @@ object PlanDump {
       .config("spark.ui.enabled", false)
       .appName("plandump").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production planning fidelity: the verify/bench sessions end up
+    // with the graft extensions installed (wTopnOrders installs them on
+    // the shared session), so dump plans under the same rules
+    graft.functions.GraftExtensions.install(spark)
     args.drop(1).filter(_.contains("=")).foreach { kv =>
       val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
     }
