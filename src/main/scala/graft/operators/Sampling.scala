@@ -53,6 +53,24 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) <
       (least(greatest(weight, lit(0.0)), lit(1.0)) * Buckets).cast(LongType))
 
+  /** Exact per-stratum quota: exactly min(`n`, |stratum|) rows per
+    * stratum, selected deterministically by the md5 key hash (raw key
+    * as tiebreak) — "10k documents per source" where the rate-based
+    * [[stratifiedMix]] is only approximate, still engine-independent
+    * and run-independent. Ranking goes through the bounded-heap top-k
+    * physical operator: one shuffle on the stratum, k rows of state
+    * per stratum, no per-stratum sort. */
+  def stratifiedQuota(df: DataFrame, strataCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    require(n > 0)
+    graft.plans.TopK.perKey(
+        df.withColumn("__bucket", hashBucket(col(keyCol))),
+        Seq(strataCol),
+        Seq(graft.plans.TopK.asc("__bucket"), graft.plans.TopK.asc(keyCol)),
+        n)
+      .drop("__bucket", "rank")
+  }
+
   /** Greedy contiguous sequence packing: within each `groupCol` stream,
     * rows ordered by `keyCol` accumulate `weightCol` (token counts) and
     * `batch_id = floor(start_offset / budget)` — every batch holds

@@ -111,6 +111,15 @@ object DedupQueries extends QueryPack {
       .agg(count(lit(1)).as("kept"))
       .orderBy(col("source"))
 
+  /** Exact per-source quota ([[graft.operators.Sampling.stratifiedQuota]]):
+    * 30 documents per source, hash-selected — the oracle is the literal
+    * ranked-window spelling of the same rule. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedQuota(
+        table(s, dir, "documents"), "source", "doc_id", 30)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** Token-budget mixture ([[graft.operators.Sampling.tokenBudgetMix]]):
     * every source downsampled to ≈500 tokens; report kept docs/tokens
     * per source. Rates derive from the data (budget / per-source total),
@@ -172,6 +181,7 @@ object DedupQueries extends QueryPack {
     "sample_weighted" -> (sampleWeighted _),
     "pack_sequences" -> (packSequences _),
     "sample_docs" -> (sampleDocs _),
+    "sample_stratified" -> (sampleStratified _),
     "mix_sources" -> (mixSources _),
     "mix_token_budget" -> (mixTokenBudget _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -231,6 +241,14 @@ object DedupQueries extends QueryPack {
     "sample_docs" -> s"""
       SELECT doc_id, source FROM documents
       WHERE $bucketSql < 200000
+      ORDER BY doc_id""",
+    "sample_stratified" -> s"""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY $bucketSql, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 30
       ORDER BY doc_id""",
     "mix_sources" -> s"""
       SELECT source, COUNT(*) AS kept FROM documents

@@ -33,6 +33,31 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(bySource.keySet == Set("src0")) // unlisted sources drop
   }
 
+  test("stratified quota: exactly min(n, stratum) rows, hash-deterministic, heap-planned") {
+    val n = 25
+    val out = Sampling.stratifiedQuota(docs, "source", "doc_id", n)
+    val perSource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource == totals.map { case (s, t) => s -> math.min(n.toLong, t) })
+    // partitioning-independent selection
+    val again = Sampling.stratifiedQuota(docs.repartition(7), "source",
+      "doc_id", n).select("doc_id")
+    assert(out.select("doc_id").exceptAll(again).isEmpty &&
+      again.exceptAll(out.select("doc_id")).isEmpty)
+    // equals the literal ranked-window spelling of the same rule
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Sampling.hashBucket(col("doc_id")), col("doc_id"))
+    val reference = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n).select("doc_id")
+    assert(out.select("doc_id").exceptAll(reference).isEmpty &&
+      reference.exceptAll(out.select("doc_id")).isEmpty)
+    // ranking runs on the bounded heap, not a per-stratum sort
+    assert(out.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("sampling is a pure filter: no shuffle") {
     val plan = Sampling.deterministicSample(docs, "doc_id", 0.5)
       .queryExecution.executedPlan.toString
