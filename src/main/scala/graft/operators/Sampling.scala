@@ -71,6 +71,46 @@ object Sampling {
       .drop("__bucket", "rank")
   }
 
+  /** Exact global sample of min(`n`, |df|) rows by the md5 key hash.
+    * Plans as TakeOrderedAndProject: each partition keeps its local
+    * top-n then the driver merges n-sized heads — no global sort, no
+    * full shuffle, driver memory bounded by n (keep n driver-sized;
+    * for corpus-scale quotas use [[stratifiedQuota]] and shard). */
+  def exactSample(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    df.withColumn("__bucket", hashBucket(col(keyCol)))
+      .orderBy(col("__bucket"), col(keyCol))
+      .limit(n)
+      .drop("__bucket")
+  }
+
+  /** Deterministic train/validation/test assignment: each row gets the
+    * split whose cumulative hash-bucket range contains its key bucket
+    * (fractions in declaration order; rows past the declared total —
+    * fractions summing < 1 — get NULL, i.e. held out). Pure projection,
+    * no shuffle; the same key always lands in the same split on any
+    * engine, any run — membership leakage between splits is impossible
+    * by construction. */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0))
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions exceed 1")
+    // round, don't truncate: cumulative FP sums land a hair under the
+    // exact bound (0.8 + 0.1 + 0.1 = 0.99999…), and truncation would
+    // silently hold out the top bucket of a fully-allocated split
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .map(c => math.round(c * Buckets))
+    val b = hashBucket(col(keyCol))
+    val expr = splits.zipWithIndex.foldRight(lit(null).cast(StringType)) {
+      case (((name, _), i), acc) =>
+        when(b < lit(bounds(i + 1)), lit(name)).otherwise(acc)
+    }
+    // foldRight nests: when(b < hi_0, s0).otherwise(when(b < hi_1, s1)…)
+    // — the FIRST matching cumulative bound wins, so each split owns
+    // the half-open bucket range [lo_i, hi_i)
+    df.withColumn(splitCol, expr)
+  }
+
   /** Greedy contiguous sequence packing: within each `groupCol` stream,
     * rows ordered by `keyCol` accumulate `weightCol` (token counts) and
     * `batch_id = floor(start_offset / budget)` — every batch holds

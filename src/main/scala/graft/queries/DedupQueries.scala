@@ -120,6 +120,25 @@ object DedupQueries extends QueryPack {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Exact global sample ([[graft.operators.Sampling.exactSample]]):
+    * the hash-lowest 100 documents corpus-wide. */
+  def sampleExactN(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.exactSample(
+        table(s, dir, "documents"), "doc_id", 100)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Train/valid/test assignment ([[graft.operators.Sampling.assignSplits]]):
+    * 80/10/10 by key hash; report per-split document and char volume. */
+  def sampleSplits(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.assignSplits(
+        table(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars"))
+      .orderBy(col("split"))
+
   /** Token-budget mixture ([[graft.operators.Sampling.tokenBudgetMix]]):
     * every source downsampled to ≈500 tokens; report kept docs/tokens
     * per source. Rates derive from the data (budget / per-source total),
@@ -182,6 +201,8 @@ object DedupQueries extends QueryPack {
     "pack_sequences" -> (packSequences _),
     "sample_docs" -> (sampleDocs _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_exact_n" -> (sampleExactN _),
+    "sample_splits" -> (sampleSplits _),
     "mix_sources" -> (mixSources _),
     "mix_token_budget" -> (mixTokenBudget _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -250,6 +271,19 @@ object DedupQueries extends QueryPack {
         FROM documents)
       WHERE rn <= 30
       ORDER BY doc_id""",
+    "sample_exact_n" -> s"""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source FROM documents
+        ORDER BY $bucketSql, doc_id LIMIT 100)
+      ORDER BY doc_id""",
+    "sample_splits" -> s"""
+      SELECT CASE WHEN $bucketSql < 800000 THEN 'train'
+                  WHEN $bucketSql < 900000 THEN 'valid'
+                  WHEN $bucketSql < 1000000 THEN 'test' END AS split,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents
+      GROUP BY 1 ORDER BY split""",
     "mix_sources" -> s"""
       SELECT source, COUNT(*) AS kept FROM documents
       WHERE $bucketSql <

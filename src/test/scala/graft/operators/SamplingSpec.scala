@@ -58,6 +58,47 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("exact global sample: n rows, nested in larger samples, TakeOrdered plan") {
+    val out = Sampling.exactSample(docs, "doc_id", 50)
+    assert(out.count() == 50)
+    // selection is the hash-lowest prefix: a 50-sample nests in a 120-sample
+    val bigger = Sampling.exactSample(docs, "doc_id", 120).select("doc_id")
+    assert(out.select("doc_id").exceptAll(bigger).isEmpty)
+    // partitioning-independent
+    val again = Sampling.exactSample(docs.repartition(7), "doc_id", 50)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // per-partition top-n + driver merge — no global sort exchange
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // n beyond the corpus keeps everything
+    assert(Sampling.exactSample(docs, "doc_id", Int.MaxValue).count() == docs.count())
+  }
+
+  test("split assignment: disjoint cover, deterministic, full allocation leaves no NULLs") {
+    val out = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)).cache()
+    try {
+      assert(out.count() == docs.count())
+      // fully-allocated fractions must label EVERY row (the 0.8+0.1+0.1
+      // cumulative sum lands a hair under 1.0 in FP — rounding, not
+      // truncation, keeps the top bucket in 'test')
+      assert(out.filter(col("split").isNull).count() == 0)
+      val byName = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byName.keySet == Set("train", "valid", "test"))
+      assert(byName("train") > byName("valid") && byName("train") > byName("test"))
+      // no shuffle: pure projection
+      assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally out.unpersist()
+    // under-allocated fractions hold the remainder out as NULL
+    val held = Sampling.assignSplits(docs, "doc_id", Seq("train" -> 0.5))
+    assert(held.filter(col("split").isNull).count() > 0)
+    // same key, same split, any partitioning
+    val again = Sampling.assignSplits(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    assert(out.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).isEmpty)
+  }
+
   test("sampling is a pure filter: no shuffle") {
     val plan = Sampling.deterministicSample(docs, "doc_id", 0.5)
       .queryExecution.executedPlan.toString
