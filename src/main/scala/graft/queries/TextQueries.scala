@@ -105,6 +105,19 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** N-gram decontamination ([[graft.text.Boilerplate.ngramContamination]]):
+    * corpus docs (sources != src0) counted by how many of their distinct
+    * 5-gram spans also occur in the src0 "eval set" — catches the copied
+    * paragraph the whole-document fingerprint (tx_contamination) misses. */
+  def txNgramContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.text.Boilerplate.ngramContamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus report: the mixture dashboard a curation run
     * ends with — doc counts, token totals, mean doc length, distinct
     * content ratio. One scan, one tiny aggregate. */
@@ -222,6 +235,7 @@ object TextQueries extends QueryPack {
     "tx_token_count" -> (txTokenCount _),
     "tx_fingerprint" -> (txFingerprint _),
     "tx_contamination" -> (txContamination _),
+    "tx_ngram_contamination" -> (txNgramContamination _),
     "tx_corpus_stats" -> (txCorpusStats _),
     "tx_tfidf_top_terms" -> (txTfidfTopTerms _))
 
@@ -376,6 +390,20 @@ object TextQueries extends QueryPack {
       SELECT doc_id, source, fp FROM fp
       WHERE source <> 'src0'
         AND fp IN (SELECT fp FROM fp WHERE source = 'src0')
+      ORDER BY doc_id""",
+    "tx_ngram_contamination" -> """
+      WITH sp AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                                     FOR i IN range(1, len(toks) - 3)])) AS span
+        FROM (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 5)
+      SELECT doc_id, COUNT(*) AS n_overlapping_ngrams
+      FROM sp
+      WHERE source <> 'src0'
+        AND span IN (SELECT span FROM sp WHERE source = 'src0')
+      GROUP BY doc_id
       ORDER BY doc_id""",
     "tx_corpus_stats" -> """
       SELECT source,

@@ -35,6 +35,25 @@ object Boilerplate {
       explode(array_distinct(TextFunctions.tokenShingles(col(textCol), n)))
         .as("span"))
 
+  /** N-gram decontamination: for each corpus document, the number of
+    * its distinct n-gram spans that occur anywhere in `evalSet` — the
+    * partial-overlap form of train/eval leakage detection (a
+    * whole-document fingerprint misses one copied paragraph; shared
+    * n-grams don't). Eval sets are small by nature: their distinct
+    * span set broadcasts, the corpus shingles ONCE and streams through
+    * a left-semi join — corpus rows never shuffle. Documents with zero
+    * overlap are absent from the output (the common use is "flag and
+    * drop"; anti-join the ids against the corpus to apply). */
+  def ngramContamination(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val evalSpans = docSpans(evalSet, idCol, textCol, n)
+      .select(col("span")).distinct()
+    docSpans(corpus, idCol, textCol, n)
+      .join(broadcast(evalSpans), Seq("span"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlapping_ngrams"))
+  }
+
   /** Spans appearing in at least `minDocs` distinct documents, with
     * their document frequency. Plain `count` is exact document
     * frequency because [[docSpans]] already de-duplicated spans within

@@ -34,6 +34,25 @@ class BoilerplateSpec extends AnyFunSuite with SparkSpec {
     assert(freq("a b c d e") == 2L) // 2 docs, not 3 occurrences
   }
 
+  test("ngramContamination counts distinct eval-set spans per corpus doc") {
+    import spark.implicits._
+    val eval = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val hits = Boilerplate.ngramContamination(docs, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1-3 contain both eval spans "a b c d e" and "b c d e f";
+    // repeats inside a doc count once (distinct spans), clean/short docs absent
+    assert(hits == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("ngramContamination: within-doc span repeats count once") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val hits = Boilerplate.ngramContamination(corpus, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L))
+  }
+
   test("boilerplateRatio: contaminated docs score high, clean docs zero, short docs absent") {
     val ratio = Boilerplate.boilerplateRatio(docs, "doc_id", "text", n = 5, minDocs = 3L)
       .collect()
