@@ -20,7 +20,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object AtomicSwap {
 
-  private def checked(ok: Boolean, what: String, path: Path): Unit =
+  /** Raise when a Hadoop FS mutation reports failure by boolean — the
+    * one checked-rename helper every swap site shares. */
+  private[graft] def checked(ok: Boolean, what: String, path: Path): Unit =
     if (!ok) throw new java.io.IOException(s"$what failed for $path")
 
   /** Restore `target` from `backup` if a previous [[publish]] was cut

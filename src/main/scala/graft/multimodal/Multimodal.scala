@@ -134,8 +134,11 @@ object DecodeStub {
     * (RIFF····WAVE), AIFF (FORM), AU (.snd). Checked BEFORE asking
     * AudioSystem: the provider lookup throws internally on every
     * non-audio payload, and at corpus scale that is an exception per
-    * row for data that was never audio. A deployment adding codec
-    * providers extends this probe alongside them. */
+    * row for data that was never audio. When a deployment drops in
+    * codec provider jars (mp3/ogg SPIs), [[extraAudioReaders]] detects
+    * them and probe misses fall through to AudioSystem anyway — the
+    * short-circuit only applies when the JDK readers are all there is,
+    * where a probe miss is definitive. */
   private def looksLikeAudio(p: Array[Byte]): Boolean =
     p.length >= 12 && (
       (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
@@ -143,10 +146,24 @@ object DecodeStub {
       (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
       (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
 
+  /** True when AudioFileReader providers beyond the JDK's built-ins
+    * (`com.sun.media.sound.*`) are on the classpath — the drop-in-codec
+    * deployment path. Computed once per JVM (executors each evaluate it
+    * on first decode). */
+  private lazy val extraAudioReaders: Boolean = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var extra = false
+    while (!extra && it.hasNext)
+      extra = !it.next().getClass.getName.startsWith("com.sun.media.sound.")
+    extra
+  }
+
   def decodeAudio(payload: Array[Byte]): (Int, Int, Long, Double, Array[Float]) = {
     require(payload.nonEmpty, "empty payload")
     import javax.sound.sampled.{AudioFormat, AudioSystem}
-    if (!looksLikeAudio(payload)) return audioFallback(payload)
+    if (!looksLikeAudio(payload) && !extraAudioReaders)
+      return audioFallback(payload)
     try {
       val raw = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))

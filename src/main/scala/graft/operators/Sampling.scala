@@ -19,6 +19,16 @@ object Sampling {
 
   val Buckets = 1000000L
 
+  /** A working-column name absent from `taken` — internal columns must
+    * never collide with (and silently drop) a user column of the same
+    * name when the operator cleans up after itself. */
+  private def freshName(base: String, taken: Set[String]): String = {
+    var name = base
+    var i = 0
+    while (taken(name)) { i += 1; name = s"${base}_$i" }
+    name
+  }
+
   /** Uniform bucket in [0, Buckets) from the md5 of the key — the first
     * 15 hex digits (60 bits, < 2^63) as an integer, mod Buckets. */
   def hashBucket(key: Column): Column =
@@ -63,12 +73,15 @@ object Sampling {
   def stratifiedQuota(df: DataFrame, strataCol: String, keyCol: String,
       n: Int): DataFrame = {
     require(n > 0)
+    val taken = df.columns.toSet
+    val bucket = freshName("__bucket", taken)
+    val rank = freshName("__rank", taken)
     graft.plans.TopK.perKey(
-        df.withColumn("__bucket", hashBucket(col(keyCol))),
+        df.withColumn(bucket, hashBucket(col(keyCol))),
         Seq(strataCol),
-        Seq(graft.plans.TopK.asc("__bucket"), graft.plans.TopK.asc(keyCol)),
-        n)
-      .drop("__bucket", "rank")
+        Seq(graft.plans.TopK.asc(bucket), graft.plans.TopK.asc(keyCol)),
+        n, rankName = rank)
+      .drop(bucket, rank)
   }
 
   /** Exact global sample of min(`n`, |df|) rows by the md5 key hash.
@@ -78,10 +91,11 @@ object Sampling {
     * for corpus-scale quotas use [[stratifiedQuota]] and shard). */
   def exactSample(df: DataFrame, keyCol: String, n: Int): DataFrame = {
     require(n > 0)
-    df.withColumn("__bucket", hashBucket(col(keyCol)))
-      .orderBy(col("__bucket"), col(keyCol))
+    val bucket = freshName("__bucket", df.columns.toSet)
+    df.withColumn(bucket, hashBucket(col(keyCol)))
+      .orderBy(col(bucket), col(keyCol))
       .limit(n)
-      .drop("__bucket")
+      .drop(bucket)
   }
 
   /** Deterministic train/validation/test assignment: each row gets the
@@ -126,14 +140,17 @@ object Sampling {
       weightCol: Column, budget: Long): DataFrame = {
     require(budget > 0)
     import org.apache.spark.sql.expressions.Window
+    val taken = df.columns.toSet
+    val wc = freshName("__w", taken)
+    val cum = freshName("__cum", taken)
     val w = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__w", weightCol.cast(LongType))
-      .withColumn("__cum", sum(col("__w")).over(w))
+    df.withColumn(wc, weightCol.cast(LongType))
+      .withColumn(cum, sum(col(wc)).over(w))
       .withColumn("batch_id",
-        expr(s"(__cum - __w) div ${budget}L")) // integer div — no FP floor
-      .drop("__cum")
-      .withColumnRenamed("__w", "n_tokens")
+        expr(s"(`$cum` - `$wc`) div ${budget}L")) // integer div — no FP floor
+      .drop(cum)
+      .withColumnRenamed(wc, "n_tokens")
   }
 
   /** Downsample every source to ≈`budget` units of `weightCol` (token

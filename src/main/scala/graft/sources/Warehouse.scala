@@ -88,19 +88,20 @@ object Warehouse {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__compact")
     val backup = new Path(path + "__compact_old")
-    def checked(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(s"compact: $what failed on $path")
+    import graft.core.AtomicSwap
     if (!fs.exists(dir) && fs.exists(tmp))
       // crashed between the two renames: the rewrite (complete by
       // construction — the live dir is only moved aside after the write
       // returns) becomes the live dir; the backup, if also present, is
       // the OLDER un-compacted copy and is retired below
-      checked(fs.rename(tmp, dir), "heal: publish rewrite")
+      AtomicSwap.checked(fs.rename(tmp, dir), "compact heal: publish rewrite", dir)
     else
       // only the moved-aside original remains — restore it
-      graft.core.AtomicSwap.heal(fs, dir, backup)
-    if (fs.exists(backup)) checked(fs.delete(backup, true), "retire backup")
-    if (fs.exists(tmp)) checked(fs.delete(tmp, true), "discard stale rewrite")
+      AtomicSwap.heal(fs, dir, backup)
+    if (fs.exists(backup))
+      AtomicSwap.checked(fs.delete(backup, true), "compact: retire backup", backup)
+    if (fs.exists(tmp))
+      AtomicSwap.checked(fs.delete(tmp, true), "compact: discard stale rewrite", tmp)
     val files = fs.listFiles(dir, true)
     var nBefore = 0L
     var totalBytes = 0L

@@ -99,6 +99,32 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       again.select("doc_id", "split")).isEmpty)
   }
 
+  test("working columns never clobber user columns of the same name") {
+    // a corpus that already carries rank/__bucket/__w/__cum columns —
+    // the operators' internals must pick fresh names, not drop them
+    val loaded = docs.withColumn("rank", lit(7))
+      .withColumn("__bucket", lit(8L))
+      .withColumn("__w", lit(9L))
+      .withColumn("__cum", lit(10L))
+    val quota = Sampling.stratifiedQuota(loaded, "source", "doc_id", 5)
+    assert(quota.columns.count(_ == "rank") == 1)
+    assert(quota.columns.count(_ == "__bucket") == 1)
+    assert(quota.select("rank", "__bucket").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((7, 8L)))
+    val exact = Sampling.exactSample(loaded, "doc_id", 5)
+    assert(exact.columns.count(_ == "__bucket") == 1)
+    assert(exact.select("__bucket").distinct().head().getLong(0) == 8L)
+    // selection is unchanged by the presence of the extra columns
+    assert(exact.select("doc_id").exceptAll(
+      Sampling.exactSample(docs, "doc_id", 5).select("doc_id")).isEmpty)
+    val packed = Sampling.packSequences(loaded, "source", "doc_id",
+      graft.text.TextFunctions.tokenCount(col("text")), 100L)
+    assert(packed.columns.count(_ == "__w") == 1)
+    assert(packed.columns.count(_ == "__cum") == 1)
+    assert(packed.select("__w", "__cum").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9L, 10L)))
+  }
+
   test("sampling is a pure filter: no shuffle") {
     val plan = Sampling.deterministicSample(docs, "doc_id", 0.5)
       .queryExecution.executedPlan.toString
