@@ -542,4 +542,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"), col("jaccard"))
   }
+
+  /** Cross-source duplicate-overlap matrix: for every source pair, how
+    * many distinct content fingerprints appear in BOTH — plus each
+    * side's distinct total and the Jaccard overlap — the corpus-
+    * composition diagnostic run before mixing sources into a training
+    * set (two near-identical crawls must not be weighted as if
+    * independent). `fpCol` is any content key: the min-shingle
+    * fingerprint, a SimHash, or an exact content hash; NULL
+    * fingerprints (docs too short to fingerprint) are excluded.
+    *
+    * Scale: one distinct-project (shuffle on (source, fp)), one
+    * self-equi-join on fp over DISTINCT fingerprints only — corpus rows
+    * never join — and a map-side-combined pair aggregation. Sources are
+    * a config-sized set, so per-source totals broadcast and the matrix
+    * itself is tiny (S² upper bound). */
+  def sourceOverlapMatrix(df: DataFrame, sourceCol: String,
+      fpCol: String): DataFrame = {
+    val fp = df.select(col(sourceCol).as("source"), col(fpCol).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
+    val totals = fp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(totals.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .withColumn("jaccard", col("n_shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
 }

@@ -60,12 +60,23 @@ object SimilarityQueries extends QueryPack {
     Similarity.labelCentroids(table(s, dir, "embeddings"), "embedding", "label")
       .orderBy(col("label"), col("pos"))
 
+  /** SemDeDup-style semantic dedup ([[Similarity.semDeDup]]): within
+    * each label cell, cosine-≥0.40 groups keep only the member least
+    * similar to the cell centroid (diversity-maximizing survivor). The
+    * centroid_cos column itself is part of the oracle compare — the
+    * integer-sum construction makes even that double engine-exact. */
+  def simSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDeDup(table(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", eps = 0.40)
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, QueryFn] = Map(
     "sim_centroids" -> (simCentroids _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_bucketed" -> (simTopkBucketed _),
     "sim_neardup_pairs" -> (simNearDupPairs _),
-    "sim_dedup_apply" -> (simDedupApply _))
+    "sim_dedup_apply" -> (simDedupApply _),
+    "sim_semdedup" -> (simSemDedup _))
 
   /** Integer-quantized corpus CTE shared by the oracles: q = floor(x·10⁴)
     * components, nsq = exact squared norm. */
@@ -139,5 +150,50 @@ object SimilarityQueries extends QueryPack {
         WHERE ${cosSql("a.q", "b.q", "a.nsq", "b.nsq")} >= 0.40)
       SELECT vec_id, label FROM embeddings
       WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+      ORDER BY vec_id""",
+    // centroid direction == integer component-sum direction (cosine is
+    // scale-invariant), so centroid_cos stays integer until one final
+    // divide — mirrors Similarity.centroidCosine exactly
+    "sim_semdedup" -> s"""
+      WITH RECURSIVE prep AS ($prepSql), nrm AS ($normSql),
+      lblpos AS (
+        SELECT label,
+               unnest([{'pos': i - 1, 'qc': q[i]}
+                       FOR i IN range(1, len(q) + 1)],
+                      recursive := true)
+        FROM prep),
+      lbl AS (
+        SELECT label, pos, CAST(SUM(qc) AS BIGINT) AS s
+        FROM lblpos GROUP BY label, pos),
+      lblarr AS (
+        SELECT label, list(s ORDER BY pos) AS sv,
+               CAST(SUM(s * s) AS BIGINT) AS csq
+        FROM lbl GROUP BY label),
+      scored AS (
+        SELECT n.vec_id, n.label,
+               ${cosSql("n.q", "l.sv", "n.nsq", "l.csq")} AS centroid_cos
+        FROM nrm n JOIN lblarr l ON n.label = l.label),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nrm a JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.q", "b.q", "a.nsq", "b.nsq")} >= 0.40),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS vec_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src),
+      winners AS (
+        SELECT s.vec_id
+        FROM scored s JOIN comp c ON s.vec_id = c.vec_id
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+          ORDER BY s.centroid_cos, s.vec_id) = 1)
+      SELECT vec_id, label, centroid_cos FROM scored
+      WHERE vec_id NOT IN (SELECT vec_id FROM comp)
+         OR vec_id IN (SELECT vec_id FROM winners)
       ORDER BY vec_id""")
 }

@@ -222,7 +222,19 @@ object TextQueries extends QueryPack {
           .as("chunk_tokens"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Cross-source overlap matrix ([[graft.dedup.Dedup.sourceOverlapMatrix]]):
+    * distinct content fingerprints shared per source pair, with each
+    * side's total and the Jaccard overlap — how much of any two crawls
+    * is the same content before they're mixed into a training set. */
+  def txSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.sourceOverlapMatrix(
+        table(s, dir, "documents").withColumn("fp",
+          TextFunctions.minShingleFingerprint(col("text"), 5)),
+        "source", "fp")
+      .orderBy(col("source_a"), col("source_b"))
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_source_overlap" -> (txSourceOverlap _),
     "tx_chunk_windows" -> (txChunkWindows _),
     "tx_boilerplate_ngrams" -> (txBoilerplateNgrams _),
     "tx_boilerplate_ratio" -> (txBoilerplateRatio _),
@@ -374,6 +386,29 @@ object TextQueries extends QueryPack {
              CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 100.0
                / CAST(length(text) AS DOUBLE) AS tokens_per_100_chars
       FROM documents ORDER BY doc_id""",
+    "tx_source_overlap" -> """
+      WITH f AS (
+        SELECT DISTINCT source,
+               list_min([md5(array_to_string(toks[i:i+4], ' '))
+                         FOR i IN range(1, len(toks) - 3)]) AS fp
+        FROM (SELECT source, string_split_regex(text, '\s+') AS toks
+              FROM documents)),
+      fp AS (SELECT source, fp FROM f WHERE fp IS NOT NULL),
+      counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM fp GROUP BY source),
+      shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT s.source_a, s.source_b, s.n_shared, ca.n AS n_a, cb.n AS n_b,
+             CAST(s.n_shared AS DOUBLE)
+               / CAST(ca.n + cb.n - s.n_shared AS DOUBLE) AS jaccard
+      FROM shared s
+      JOIN counts ca ON ca.source = s.source_a
+      JOIN counts cb ON cb.source = s.source_b
+      ORDER BY source_a, source_b""",
     "tx_fingerprint" -> """
       SELECT doc_id,
              list_min([md5(array_to_string(toks[i:i+4], ' '))

@@ -337,6 +337,67 @@ object Similarity {
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"), col("cosine"))
   }
 
+  /** Cosine of every vector to its group's centroid, engine-exact.
+    * The centroid DIRECTION equals the direction of the per-component
+    * integer-sum vector (mean = sum/n, and cosine is scale-invariant),
+    * so cos(x, centroid) = dotQ(q, S) / (√nsq · √ΣS²) runs entirely on
+    * exact integer sums with the usual one-divide finish — the column
+    * hash-compares across engines like every cosine here. The label-sum
+    * table aggregates map-side to labels × dims rows, re-packs to one
+    * array per label, and BROADCASTS back; the corpus itself never
+    * shuffles. Exact while |Σ_j q_j·S_j| < 2⁶³ — with 4-decimal
+    * quantization of unit-range components that holds past 10⁹ vectors
+    * per label. */
+  def centroidCosine(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val p = df.select(col(idCol), col(labelCol).as("label"),
+        quantize(col(vecCol)).as("__q"))
+      .withColumn("__nsq", normSqQ(col("__q")))
+    val sums = p
+      .select(col("label"), posexplode(col("__q")).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x("s")).as("__sv"))
+      .withColumn("__csq", normSqQ(col("__sv")))
+    p.join(broadcast(sums), Seq("label"))
+      .withColumn("centroid_cos", cosineFromParts(
+        dotQ(col("__q"), col("__sv")), col("__nsq"), col("__csq")))
+      .select(col(idCol), col("label"), col("centroid_cos"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): within each embedding cluster (`labelCol` — a
+    * k-means cell or LSH bucket), pairs at cosine ≥ `eps` are semantic
+    * duplicates, and each transitive duplicate group keeps exactly ONE
+    * member — the one LEAST similar to the cluster centroid, the
+    * paper's diversity-maximizing survivor rule (keep the extreme
+    * member, drop the typical ones).
+    *
+    * Pure composition of existing scale paths: within-cluster blocked
+    * pairs (never all-pairs), large/small-star connected components,
+    * and the bounded-heap per-component arg-min — no new shuffle
+    * shapes, so the 100 TB story is the same as the text-corpus dedup.
+    * Returns survivors as (id, label, centroid_cos). */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, eps: Double): DataFrame = {
+    import graft.plans.TopK
+    val scored = centroidCosine(df, idCol, vecCol, labelCol)
+    val pairs = blockedNearDupPairs(df, idCol, vecCol, labelCol, eps)
+    val comp = graft.dedup.Dedup.connectedComponents(pairs, idCol)
+    // duplicate-group membership is a small fraction of the corpus
+    // (same broadcast rationale as Dedup.removeNearDuplicatesBest;
+    // SafeBroadcastRule vetoes the hint if it ever isn't)
+    val winners = TopK.perKey(scored.join(comp, Seq(idCol)),
+        Seq("cluster_id"),
+        Seq(TopK.asc("centroid_cos"), TopK.asc(idCol)), 1)
+      .drop("rank", "cluster_id")
+    val loners = scored.join(broadcast(comp.select(col(idCol))),
+      Seq(idCol), "left_anti")
+    loners.unionByName(winners)
+  }
+
   /** Int8 storage compression for embedding tables: per-vector
     * symmetric quantization — `scale = max(|x|)/127`, `code_i =
     * round(x_i / scale)` ∈ [−127, 127] — shrinks an array<float> column

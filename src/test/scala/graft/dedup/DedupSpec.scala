@@ -217,4 +217,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 5L, 9L))
   }
+
+  test("source overlap matrix: exact counts on a hand-built corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "b"), ("s2", "c"), ("s2", "d"),
+      ("s3", "x"),         // shares nothing → appears in no pair row
+      ("s1", "b"),         // duplicate (source, fp) must collapse
+      ("s2", null: String) // null fingerprint must drop
+    ).toDF("source", "fp")
+    val m = Dedup.sourceOverlapMatrix(corpus, "source", "fp").collect()
+    val byPair = m.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(byPair.keySet == Set(("s1", "s2")))
+    val (shared, nA, nB, jaccard) = byPair(("s1", "s2"))
+    assert(shared == 2 && nA == 3 && nB == 3)
+    assert(math.abs(jaccard - 0.5) < 1e-15) // 2 / (3 + 3 - 2)
+  }
 }

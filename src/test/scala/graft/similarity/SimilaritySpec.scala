@@ -154,6 +154,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .exceptAll(again.select("vec_id", "cluster")).isEmpty)
   }
 
+  test("semDeDup: one survivor per duplicate group, least-central wins, loners pass") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Similarity.semDeDup(emb, "vec_id", "embedding", "label", eps = 0.40)
+    val pairs = Similarity.blockedNearDupPairs(emb, "vec_id", "embedding",
+      "label", 0.40)
+    val comp = graft.dedup.Dedup.connectedComponents(pairs, "vec_id")
+    val scored = Similarity.centroidCosine(emb, "vec_id", "embedding", "label")
+    // cardinality: every non-member survives, every component keeps one
+    val total = emb.count()
+    val members = comp.count()
+    val nClusters = comp.select("cluster_id").distinct().count()
+    assert(members > 0, "fixture must contain semantic duplicates")
+    assert(out.count() == total - members + nClusters)
+    // the survivor of each component is the arg-min centroid cosine
+    // (ties to lowest id) — the window spelling is the independent twin
+    val expected = scored.join(comp, "vec_id")
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(col("centroid_cos"), col("vec_id"))))
+      .filter(col("rn") === 1).select("vec_id")
+    val inClusters = out.join(comp, "vec_id").select("vec_id")
+    assert(inClusters.exceptAll(expected).isEmpty &&
+      expected.exceptAll(inClusters).isEmpty)
+    // centroid cosine is a valid cosine
+    assert(out.filter(abs(col("centroid_cos")) > 1.0 + 1e-9).count() == 0)
+    // a single-member label's vector IS the centroid direction → cos 1
+    val solo = emb.limit(1).withColumn("label", lit(999999))
+    val soloCos = Similarity.centroidCosine(solo, "vec_id", "embedding", "label")
+      .select("centroid_cos").head().getDouble(0)
+    assert(math.abs(soloCos - 1.0) < 1e-12, s"solo cos = $soloCos")
+  }
+
   test("int8 compression: 4x narrower codes, bounded error, high search recall") {
     val compressed = Similarity.compressInt8(emb, "embedding")
     // schema: byte codes + one float scale replace the float array
