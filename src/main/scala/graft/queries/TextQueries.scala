@@ -233,7 +233,47 @@ object TextQueries extends QueryPack {
         "source", "fp")
       .orderBy(col("source_a"), col("source_b"))
 
+  /** Gopher document-quality filter ([[graft.text.Curation]], Rae et
+    * al. 2021 App. A1.1): every heuristic emitted as a column (the
+    * metric VALUES are oracle-pinned, not just the verdict) plus the
+    * composite pass flag. Fixture calibration: the paper's 50-token
+    * minimum splits this corpus near its median; the stop-word minimum
+    * drops to 1 (the synthetic vocabulary carries only "the"). */
+  def txGopherFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Curation
+    table(s, dir, "documents")
+      .select(col("doc_id"), Curation.gopherFeatures(col("text")).as("f"))
+      .select(col("doc_id"), col("f.n_tokens"), col("f.mean_word_len"),
+        col("f.symbol_ratio"), col("f.alpha_word_ratio"),
+        col("f.n_stop_words"), col("f.bullet_ratio"), col("f.ellipsis_ratio"),
+        Curation.gopherPassed(col("f"), minTokens = 50, minStopWords = 1)
+          .cast("int").as("passed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4 line-level cleaning ([[graft.text.Curation]], Raffel et al.
+    * 2020 §2.2). The fixture is single-line punctuation-free word
+    * salad, so the query first segments each doc deterministically —
+    * a sentence break after every "table" token — giving the line
+    * rules real structure; the cleaned text is md5-pinned. */
+  def txC4Clean(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Curation
+    val docs = table(s, dir, "documents")
+      .withColumn("t2", regexp_replace(col("text"), "table", "table.\n"))
+    docs.filter(!Curation.c4DocDrop(col("t2")))
+      .select(col("doc_id"),
+        size(split(col("t2"), "\n", -1)).cast("long").as("n_lines"),
+        Curation.c4CleanedText(col("t2"), minWords = 3).as("clean"))
+      .filter(col("clean") =!= "")
+      .select(col("doc_id"), col("n_lines"),
+        size(split(col("clean"), "\n", -1)).cast("long").as("n_lines_kept"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_gopher_filter" -> (txGopherFilter _),
+    "tx_c4_clean" -> (txC4Clean _),
     "tx_source_overlap" -> (txSourceOverlap _),
     "tx_chunk_windows" -> (txChunkWindows _),
     "tx_boilerplate_ngrams" -> (txBoilerplateNgrams _),
@@ -386,6 +426,69 @@ object TextQueries extends QueryPack {
              CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 100.0
                / CAST(length(text) AS DOUBLE) AS tokens_per_100_chars
       FROM documents ORDER BY doc_id""",
+    "tx_gopher_filter" -> """
+      WITH t AS (
+        SELECT doc_id,
+               string_split_regex(text, '\s+') AS toks,
+               len(regexp_replace(text, '\s+', '', 'g')) AS nonws,
+               string_split(text, chr(10)) AS lines,
+               len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(nonws AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(n_sym AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS symbol_ratio,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS alpha_word_ratio,
+               CAST(len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with']))
+                 AS BIGINT) AS n_stop_words,
+               CASE WHEN len(lines) > 0 THEN
+                 CAST(len(list_filter(lines, x ->
+                   starts_with(trim(x), '-') OR starts_with(trim(x), '*')))
+                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END AS bullet_ratio,
+               CASE WHEN len(lines) > 0 THEN
+                 CAST(len(list_filter(lines, x -> ends_with(trim(x), '...')))
+                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END AS ellipsis_ratio
+        FROM t)
+      SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_ratio,
+             n_stop_words, bullet_ratio, ellipsis_ratio,
+             CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+                        AND mean_word_len >= 3 AND mean_word_len <= 10
+                        AND symbol_ratio < 0.1
+                        AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+                        AND alpha_word_ratio > 0.8
+                        AND n_stop_words >= 1
+                   THEN 1 ELSE 0 END AS INT) AS passed
+      FROM m ORDER BY doc_id""",
+    "tx_c4_clean" -> """
+      WITH d AS (
+        SELECT doc_id,
+               regexp_replace(text, 'table', 'table.' || chr(10), 'g') AS t2
+        FROM documents),
+      f AS (
+        SELECT doc_id, string_split(t2, chr(10)) AS lines FROM d
+        WHERE NOT (contains(lower(t2), 'lorem ipsum') OR contains(t2, '{'))),
+      k AS (
+        SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+               list_filter(lines, x ->
+                 (ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR
+                  ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+                 AND len(string_split_regex(trim(x), '\s+')) >= 3
+                 AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+        FROM f)
+      SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+             md5(array_to_string(kept, chr(10))) AS clean_md5
+      FROM k WHERE len(kept) > 0 ORDER BY doc_id""",
     "tx_source_overlap" -> """
       WITH f AS (
         SELECT DISTINCT source,

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Corpus-curation quality filters from the public training-data
+  * literature, as pure `Column` expressions (no UDFs — everything stays
+  * in whole-stage codegen, and every metric is engine-portable so the
+  * DuckDB oracle pins the exact values, not just row counts):
+  *
+  *  - [[gopherFeatures]]/[[gopherPassed]] — the Gopher repetition-free
+  *    document heuristics (Rae et al. 2021, arXiv:2112.11446 App. A1.1):
+  *    token-count bounds, mean word length in [3,10], symbol-to-word
+  *    ratio, bullet/ellipsis line ratios, alphabetic-word ratio,
+  *    stop-word presence.
+  *  - [[c4CleanedText]]/[[c4DocDrop]] — C4's line-level cleaning
+  *    (Raffel et al. 2020, arXiv:1910.10683 §2.2): keep lines that end
+  *    in terminal punctuation, have ≥ `minWords` words, and don't
+  *    mention javascript; drop documents with "lorem ipsum" or code
+  *    braces wholesale.
+  *
+  * All ratios are one int/int IEEE divide over exact integer counts —
+  * bit-identical in any engine. ASCII character classes on purpose
+  * (unicode classes differ between regex engines).
+  *
+  * Scale: map-side only — no shuffle, no state; filters compose with
+  * the samplers and dedup (filter first: it's the cheapest volume
+  * reducer in the pipeline).
+  */
+object Curation {
+
+  /** Gopher stop-word set (the paper's 8-word "contains at least two"
+    * rule). */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher quality metrics as one struct projection:
+    * n_tokens, mean_word_len (non-whitespace chars / tokens — exactly
+    * the mean token length, computed without a per-token pass),
+    * symbol_ratio ('#' or '…'-as-"..." occurrences per token),
+    * alpha_word_ratio (tokens containing a letter), n_stop_words
+    * (distinct members of [[gopherStopWords]] present), bullet_ratio /
+    * ellipsis_ratio (of lines). */
+  def gopherFeatures(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val nTok = size(toks)
+    val nonWs = length(regexp_replace(text, "\\s+", ""))
+    val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(gopherStopWords.map(lit): _*)))
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*")))
+    val nEllipsis = size(filter(lines, l => trim(l).endsWith("...")))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
+        .otherwise(lit(0.0))
+    struct(
+      nTok.cast(LongType).as("n_tokens"),
+      ratio(nonWs, nTok).as("mean_word_len"),
+      ratio(nSym, nTok).as("symbol_ratio"),
+      ratio(nAlpha, nTok).as("alpha_word_ratio"),
+      nStop.cast(LongType).as("n_stop_words"),
+      ratio(nBullet, nLines).as("bullet_ratio"),
+      ratio(nEllipsis, nLines).as("ellipsis_ratio"))
+  }
+
+  /** The Gopher document-level pass rule over [[gopherFeatures]]
+    * (`f` = that struct column). Bounds are the paper's, with the
+    * token-count window and stop-word minimum parameterized (the paper
+    * uses [50, 100k] and ≥ 2; short-doc or domain corpora tune them). */
+  def gopherPassed(f: Column, minTokens: Long = 50L,
+      maxTokens: Long = 100000L, minStopWords: Long = 2L): Column =
+    f("n_tokens").between(minTokens, maxTokens) &&
+      f("mean_word_len") >= 3.0 && f("mean_word_len") <= 10.0 &&
+      f("symbol_ratio") < 0.1 &&
+      f("bullet_ratio") < 0.9 && f("ellipsis_ratio") < 0.3 &&
+      f("alpha_word_ratio") > 0.8 &&
+      f("n_stop_words") >= minStopWords
+
+  /** C4 line filter: keep lines that (trimmed) end in `.` `!` `?` or
+    * `"`, contain at least `minWords` whitespace-separated words, and
+    * don't mention "javascript"; re-join survivors with newlines.
+    * Returns the cleaned text ("" when nothing survives — callers drop
+    * those rows). */
+  def c4CleanedText(text: Column, minWords: Int = 3): Column = {
+    val kept = filter(split(text, "\n", -1), l => {
+      val t = trim(l)
+      (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+        t.endsWith("\"")) &&
+        size(split(t, "\\s+")) >= minWords &&
+        !lower(t).contains("javascript")
+    })
+    concat_ws("\n", kept)
+  }
+
+  /** C4 document-level drop: pages containing "lorem ipsum" (template
+    * placeholder) or `{` (source code) are removed wholesale. */
+  def c4DocDrop(text: Column): Column =
+    lower(text).contains("lorem ipsum") || text.contains("{")
+}
