@@ -543,6 +543,39 @@ object Dedup {
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"), col("jaccard"))
   }
 
+  /** Corpus-global exact line dedup — the C4/CCNet span-dedup shape at
+    * line granularity: every distinct line keeps its FIRST occurrence
+    * (lowest (doc id, line index) corpus-wide) and every later
+    * occurrence is removed; each doc is reassembled in original line
+    * order (possibly to the empty string when nothing survives). The
+    * canonical cross-page boilerplate-line removal for web corpora.
+    *
+    * Scale: explode → ONE shuffle grouping lines by content (the
+    * min(struct) is a partial aggregate, so a boilerplate line shared
+    * by 10⁷ pages streams through map-side combine instead of
+    * buffering one task — deliberately NOT a window, same hub argument
+    * as [[connectedComponents]]) → an equi-join of lines to their
+    * group minimum on the same key (exchange reuse; popular-line skew
+    * rides AQE skew splitting) → one reassembly shuffle on the doc id.
+    * Rebuilt docs are bounded by the original row size. */
+  def dedupLinesGlobal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val outCols = df.columns.toSeq
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__idx", "__line")))
+    val firsts = lines.groupBy(col("__line"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__first"))
+    val kept = lines.join(firsts, Seq("__line"))
+      .filter(col("__first") === struct(col("__id"), col("__idx")))
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__idx"), col("__line")))),
+          x => x("__line"))).as("__clean"))
+    df.join(rebuilt, col(idCol) === col("__id"), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .select(outCols.map(col): _*)
+  }
+
   /** Cross-source duplicate-overlap matrix: for every source pair, how
     * many distinct content fingerprints appear in BOTH — plus each
     * side's distinct total and the Jaccard overlap — the corpus-

@@ -195,7 +195,22 @@ object DedupQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-global line dedup ([[Dedup.dedupLinesGlobal]]): the doc is
+    * segmented deterministically (a break after every "table" token —
+    * the fixture is single-line), every repeated line keeps only its
+    * first corpus-wide occurrence, and the rewritten text is
+    * md5-pinned per doc. */
+  def d10LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .withColumn("text", regexp_replace(col("text"), "table", "table.\n"))
+      .select(col("doc_id"), col("text"))
+    Dedup.dedupLinesGlobal(docs, "doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "d10_line_dedup" -> (d10LineDedup _),
     "d9_best_survivor" -> (d9BestSurvivor _),
     "sample_weighted" -> (sampleWeighted _),
     "pack_sequences" -> (packSequences _),
@@ -236,6 +251,29 @@ object DedupQueries extends QueryPack {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "d10_line_dedup" -> """
+      WITH d AS (
+        SELECT doc_id,
+               regexp_replace(text, 'table', 'table.' || chr(10), 'g') AS t2
+        FROM documents),
+      ld AS (SELECT doc_id, string_split(t2, chr(10)) AS lines FROM d),
+      l AS (
+        SELECT doc_id,
+               unnest([{'idx': i - 1, 'line': lines[i]}
+                       FOR i IN range(1, len(lines) + 1)],
+                      recursive := true)
+        FROM ld),
+      kept AS (
+        SELECT doc_id, idx, line FROM l
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY line
+          ORDER BY doc_id, idx) = 1),
+      rebuilt AS (
+        SELECT doc_id,
+               array_to_string(list(line ORDER BY idx), chr(10)) AS clean
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, md5(COALESCE(r.clean, '')) AS clean_md5
+      FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id""",
     "sample_weighted" -> s"""
       SELECT source, COUNT(*) AS kept_docs,
              CAST(SUM(n_chars) AS BIGINT) AS kept_chars

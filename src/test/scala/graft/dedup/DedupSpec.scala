@@ -218,6 +218,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(2L, 5L, 9L))
   }
 
+  test("global line dedup: first corpus-wide occurrence wins, order kept") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a\nb\nc"),
+      (2L, "b\nd"),    // 'b' first seen in doc 1 → removed here
+      (3L, "a\nb"),    // everything already seen → rewritten to ""
+      (4L, "e\ne\nc")  // within-doc repeat also collapses; 'c' is doc 1's
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesGlobal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a\nb\nc", 2L -> "d", 3L -> "", 4L -> "e"))
+    // result is partitioning-independent (first = lowest (id, idx), not
+    // whichever task saw it first)
+    val again = Dedup.dedupLinesGlobal(corpus.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("source overlap matrix: exact counts on a hand-built corpus") {
     import spark.implicits._
     val corpus = Seq(
