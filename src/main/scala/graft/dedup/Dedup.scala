@@ -516,11 +516,21 @@ object Dedup {
     * rows outside every cluster pass through untouched via a left-anti
     * on the (small, broadcast) membership list. */
   def removeNearDuplicatesBest(df: DataFrame, pairs: DataFrame,
-      idCol: String, scoreCol: String): DataFrame = {
+      idCol: String, scoreCol: String): DataFrame =
+    removeNearDuplicatesBy(df, pairs, idCol,
+      Seq(graft.plans.TopK.desc(scoreCol)))
+
+  /** General survivor-selection tail shared by every "keep one per
+    * duplicate component" policy: cluster membership from
+    * [[connectedComponents]], the per-cluster winner by `order` (id
+    * ascending appended as the deterministic tie-break) through the
+    * bounded-heap top-1, non-members pass via broadcast anti-join. */
+  def removeNearDuplicatesBy(df: DataFrame, pairs: DataFrame,
+      idCol: String, order: Seq[graft.plans.TopK.Sort]): DataFrame = {
     import graft.plans.TopK
     val comp = connectedComponents(pairs, idCol)
     val winners = TopK.perKey(df.join(comp, Seq(idCol)), Seq("cluster_id"),
-        Seq(TopK.desc(scoreCol), TopK.asc(idCol)), 1)
+        order :+ TopK.asc(idCol), 1)
       .drop("rank", "cluster_id")
     val loners = df.join(broadcast(comp.select(col(idCol))),
       Seq(idCol), "left_anti")

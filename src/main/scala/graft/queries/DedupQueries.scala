@@ -202,7 +202,7 @@ object DedupQueries extends QueryPack {
     * md5-pinned per doc. */
   def d10LineDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-      .withColumn("text", regexp_replace(col("text"), "table", "table.\n"))
+      .withColumn("text", segmentLines(col("text")))
       .select(col("doc_id"), col("text"))
     Dedup.dedupLinesGlobal(docs, "doc_id", "text")
       .select(col("doc_id"), md5(col("text")).as("clean_md5"))
@@ -251,10 +251,9 @@ object DedupQueries extends QueryPack {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
-    "d10_line_dedup" -> """
+    "d10_line_dedup" -> s"""
       WITH d AS (
-        SELECT doc_id,
-               regexp_replace(text, 'table', 'table.' || chr(10), 'g') AS t2
+        SELECT doc_id, $segmentLinesSql AS t2
         FROM documents),
       ld AS (SELECT doc_id, string_split(t2, chr(10)) AS lines FROM d),
       l AS (

@@ -166,8 +166,10 @@ object SimilarityQueries extends QueryPack {
         SELECT label, pos, CAST(SUM(qc) AS BIGINT) AS s
         FROM lblpos GROUP BY label, pos),
       lblarr AS (
+        -- HUGEINT products: the engine runs this sum in DECIMAL(38,0)
+        -- because BIGINT s*s overflows once labels reach ~10^5 vectors
         SELECT label, list(s ORDER BY pos) AS sv,
-               CAST(SUM(s * s) AS BIGINT) AS csq
+               SUM(CAST(s AS HUGEINT) * s) AS csq
         FROM lbl GROUP BY label),
       scored AS (
         SELECT n.vec_id, n.label,

@@ -259,7 +259,7 @@ object TextQueries extends QueryPack {
   def txC4Clean(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Curation
     val docs = table(s, dir, "documents")
-      .withColumn("t2", regexp_replace(col("text"), "table", "table.\n"))
+      .withColumn("t2", segmentLines(col("text")))
     docs.filter(!Curation.c4DocDrop(col("t2")))
       .select(col("doc_id"),
         size(split(col("t2"), "\n", -1)).cast("long").as("n_lines"),
@@ -315,6 +315,14 @@ object TextQueries extends QueryPack {
                                  FOR i IN range(1, len(toks) - 3)])) AS span
     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
     WHERE len(toks) >= 5"""
+
+  /** SQL twin of `TextFunctions.minShingleFingerprint(text, 5)` over a
+    * `toks` column — ONE definition for every fingerprint-based oracle
+    * (tx_fingerprint / tx_contamination / tx_source_overlap), so the
+    * contract pinning the Spark fingerprint can't silently diverge
+    * between them. */
+  private val fpSql = """list_min([md5(array_to_string(toks[i:i+4], ' '))
+                         FOR i IN range(1, len(toks) - 3)])"""
 
   val oracles: Map[String, String] = Map(
     "tx_chunk_windows" -> """
@@ -470,10 +478,9 @@ object TextQueries extends QueryPack {
                         AND n_stop_words >= 1
                    THEN 1 ELSE 0 END AS INT) AS passed
       FROM m ORDER BY doc_id""",
-    "tx_c4_clean" -> """
+    "tx_c4_clean" -> s"""
       WITH d AS (
-        SELECT doc_id,
-               regexp_replace(text, 'table', 'table.' || chr(10), 'g') AS t2
+        SELECT doc_id, $segmentLinesSql AS t2
         FROM documents),
       f AS (
         SELECT doc_id, string_split(t2, chr(10)) AS lines FROM d
@@ -483,18 +490,16 @@ object TextQueries extends QueryPack {
                list_filter(lines, x ->
                  (ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR
                   ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
-                 AND len(string_split_regex(trim(x), '\s+')) >= 3
+                 AND len(string_split_regex(trim(x), '\\s+')) >= 3
                  AND NOT contains(lower(trim(x)), 'javascript')) AS kept
         FROM f)
       SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_lines_kept,
              md5(array_to_string(kept, chr(10))) AS clean_md5
       FROM k WHERE len(kept) > 0 ORDER BY doc_id""",
-    "tx_source_overlap" -> """
+    "tx_source_overlap" -> s"""
       WITH f AS (
-        SELECT DISTINCT source,
-               list_min([md5(array_to_string(toks[i:i+4], ' '))
-                         FOR i IN range(1, len(toks) - 3)]) AS fp
-        FROM (SELECT source, string_split_regex(text, '\s+') AS toks
+        SELECT DISTINCT source, $fpSql AS fp
+        FROM (SELECT source, string_split_regex(text, '\\s+') AS toks
               FROM documents)),
       fp AS (SELECT source, fp FROM f WHERE fp IS NOT NULL),
       counts AS (
@@ -512,18 +517,14 @@ object TextQueries extends QueryPack {
       JOIN counts ca ON ca.source = s.source_a
       JOIN counts cb ON cb.source = s.source_b
       ORDER BY source_a, source_b""",
-    "tx_fingerprint" -> """
-      SELECT doc_id,
-             list_min([md5(array_to_string(toks[i:i+4], ' '))
-                       FOR i IN range(1, len(toks) - 3)]) AS fingerprint
-      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+    "tx_fingerprint" -> s"""
+      SELECT doc_id, $fpSql AS fingerprint
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
       ORDER BY doc_id""",
-    "tx_contamination" -> """
+    "tx_contamination" -> s"""
       WITH fp AS (
-        SELECT doc_id, source,
-               list_min([md5(array_to_string(toks[i:i+4], ' '))
-                         FOR i IN range(1, len(toks) - 3)]) AS fp
-        FROM (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+        SELECT doc_id, source, $fpSql AS fp
+        FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks
               FROM documents))
       SELECT doc_id, source, fp FROM fp
       WHERE source <> 'src0'

@@ -66,6 +66,18 @@ package object queries {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Deterministic fixture segmentation shared by the line-granular
+    * queries (d10_line_dedup, tx_c4_clean): the documents fixture is
+    * single-line word salad, so a sentence break is inserted after
+    * every "table" token. Spark side and oracle side MUST split
+    * identically — one definition, two renderings. */
+  def segmentLines(text: Column): Column =
+    regexp_replace(text, "table", "table.\n")
+
+  /** SQL twin of [[segmentLines]]. */
+  val segmentLinesSql: String =
+    "regexp_replace(text, 'table', 'table.' || chr(10), 'g')"
+
   /** Order-independent, engine-exact sum of a double measure (see above). */
   def decSum(c: Column): Column =
     sum(c.cast(DecimalType(18, 6))).cast(DoubleType)

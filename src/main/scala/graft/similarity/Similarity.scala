@@ -345,11 +345,21 @@ object Similarity {
     * hash-compares across engines like every cosine here. The label-sum
     * table aggregates map-side to labels × dims rows, re-packs to one
     * array per label, and BROADCASTS back; the corpus itself never
-    * shuffles. Exact while |Σ_j q_j·S_j| < 2⁶³ — with 4-decimal
-    * quantization of unit-range components that holds past 10⁹ vectors
-    * per label. */
+    * shuffles. The sum-vector aggregates (Σ q_j·S_j and Σ S_j²) run in
+    * DECIMAL(38,0): S_j grows with the label population, so Σ S_j²
+    * would overflow a 64-bit long near 10⁵–10⁶ vectors per label —
+    * decimal keeps both exact past 10⁹ unit-range vectors per label
+    * (|S_j| ≤ 10¹³ ⇒ Σ S_j² ≤ 6.4·10²⁷ ≪ 10³⁸), and under ANSI mode
+    * anything beyond raises instead of wrapping. Per-item Σ q² still
+    * rides the native long path (bounded by dims · 10⁸). */
   def centroidCosine(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // exact wide dot product: per-term casts BEFORE the multiply (a
+    // long·long product would overflow first), decimal accumulation
+    def decDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast(dec) * y.cast(dec)),
+        lit(0L).cast(dec), (acc, v) => acc + v)
     val p = df.select(col(idCol), col(labelCol).as("label"),
         quantize(col(vecCol)).as("__q"))
       .withColumn("__nsq", normSqQ(col("__q")))
@@ -360,10 +370,10 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x("s")).as("__sv"))
-      .withColumn("__csq", normSqQ(col("__sv")))
+      .withColumn("__csq", decDot(col("__sv"), col("__sv")))
     p.join(broadcast(sums), Seq("label"))
       .withColumn("centroid_cos", cosineFromParts(
-        dotQ(col("__q"), col("__sv")), col("__nsq"), col("__csq")))
+        decDot(col("__q"), col("__sv")), col("__nsq"), col("__csq")))
       .select(col(idCol), col("label"), col("centroid_cos"))
   }
 
@@ -382,20 +392,10 @@ object Similarity {
     * Returns survivors as (id, label, centroid_cos). */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, eps: Double): DataFrame = {
-    import graft.plans.TopK
     val scored = centroidCosine(df, idCol, vecCol, labelCol)
     val pairs = blockedNearDupPairs(df, idCol, vecCol, labelCol, eps)
-    val comp = graft.dedup.Dedup.connectedComponents(pairs, idCol)
-    // duplicate-group membership is a small fraction of the corpus
-    // (same broadcast rationale as Dedup.removeNearDuplicatesBest;
-    // SafeBroadcastRule vetoes the hint if it ever isn't)
-    val winners = TopK.perKey(scored.join(comp, Seq(idCol)),
-        Seq("cluster_id"),
-        Seq(TopK.asc("centroid_cos"), TopK.asc(idCol)), 1)
-      .drop("rank", "cluster_id")
-    val loners = scored.join(broadcast(comp.select(col(idCol))),
-      Seq(idCol), "left_anti")
-    loners.unionByName(winners)
+    graft.dedup.Dedup.removeNearDuplicatesBy(scored, pairs, idCol,
+      Seq(graft.plans.TopK.asc("centroid_cos")))
   }
 
   /** Int8 storage compression for embedding tables: per-vector

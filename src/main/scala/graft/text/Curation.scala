@@ -74,12 +74,16 @@ object Curation {
     * uses [50, 100k] and ≥ 2; short-doc or domain corpora tune them). */
   def gopherPassed(f: Column, minTokens: Long = 50L,
       maxTokens: Long = 100000L, minStopWords: Long = 2L): Column =
-    f("n_tokens").between(minTokens, maxTokens) &&
-      f("mean_word_len") >= 3.0 && f("mean_word_len") <= 10.0 &&
-      f("symbol_ratio") < 0.1 &&
-      f("bullet_ratio") < 0.9 && f("ellipsis_ratio") < 0.3 &&
-      f("alpha_word_ratio") > 0.8 &&
-      f("n_stop_words") >= minStopWords
+    // coalesce: NULL text must FAIL the filter (and match the oracle's
+    // CASE ... ELSE 0), not propagate NULL through the conjunction
+    coalesce(
+      f("n_tokens").between(minTokens, maxTokens) &&
+        f("mean_word_len") >= 3.0 && f("mean_word_len") <= 10.0 &&
+        f("symbol_ratio") < 0.1 &&
+        f("bullet_ratio") < 0.9 && f("ellipsis_ratio") < 0.3 &&
+        f("alpha_word_ratio") > 0.8 &&
+        f("n_stop_words") >= minStopWords,
+      lit(false))
 
   /** C4 line filter: keep lines that (trimmed) end in `.` `!` `?` or
     * `"`, contain at least `minWords` whitespace-separated words, and

@@ -22,7 +22,7 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(f.getAs[Double]("alpha_word_ratio") == 1.0)
     assert(f.getAs[Double]("symbol_ratio") == 0.0)
 
-    // symbols: one '#' and one '...' over 4 tokens; '....' counts once
+    // symbols: one '#' and one '...' over 3 tokens; '....' counts once
     val sym = features("x # y....")
     assert(sym.getAs[Double]("symbol_ratio") == 2.0 / 3.0)
 
