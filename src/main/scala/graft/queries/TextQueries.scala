@@ -271,7 +271,37 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** The end-to-end curation funnel — the composed pipeline a training
+    * corpus actually runs, with per-stage survivor counts: Gopher
+    * quality gate → C4 line cleaning → exact dedup on the CLEANED text
+    * → deterministic 50% sample. Each stage is the library operator
+    * (same parameters as its standalone query); the oracle recomputes
+    * the whole funnel independently, pinning the composition, not just
+    * the parts. Every stage is a filter/map over the previous (filters
+    * first — cheapest volume reduction ahead of the dedup shuffle). */
+  def txCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Curation
+    val docs = table(s, dir, "documents")
+    val gopher = docs.filter(Curation.gopherPassed(
+      Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
+    val c4 = gopher.withColumn("t2", segmentLines(col("text")))
+      .filter(!Curation.c4DocDrop(col("t2")))
+      .withColumn("clean", Curation.c4CleanedText(col("t2"), minWords = 3))
+      .filter(col("clean") =!= "")
+    val deduped = graft.dedup.Dedup.exactByContent(c4, "doc_id", "clean")
+    val sampled = graft.operators.Sampling
+      .deterministicSample(deduped, "doc_id", 0.5)
+    val stages = Seq("total" -> docs, "gopher" -> gopher, "c4" -> c4,
+      "exact_dedup" -> deduped, "sampled" -> sampled)
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).cast("int").as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    }.reduce(_ unionByName _).orderBy(col("stage_idx"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_curation_funnel" -> (txCurationFunnel _),
     "tx_gopher_filter" -> (txGopherFilter _),
     "tx_c4_clean" -> (txC4Clean _),
     "tx_source_overlap" -> (txSourceOverlap _),
@@ -323,6 +353,57 @@ object TextQueries extends QueryPack {
     * between them. */
   private val fpSql = """list_min([md5(array_to_string(toks[i:i+4], ' '))
                          FOR i IN range(1, len(toks) - 3)])"""
+
+  // Gopher-filter oracle fragments, shared by tx_gopher_filter and the
+  // curation funnel (plain strings so '\s' survives; injected into
+  // s-interpolated oracles as arguments, which are never escape-processed)
+  private val gopherPrepSql = """
+        SELECT doc_id,
+               string_split_regex(text, '\s+') AS toks,
+               len(regexp_replace(text, '\s+', '', 'g')) AS nonws,
+               string_split(text, chr(10)) AS lines,
+               len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+        FROM documents"""
+  private val gopherMetricsSql = """
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(nonws AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(n_sym AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS symbol_ratio,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS alpha_word_ratio,
+               CAST(len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with']))
+                 AS BIGINT) AS n_stop_words,
+               CASE WHEN len(lines) > 0 THEN
+                 CAST(len(list_filter(lines, x ->
+                   starts_with(trim(x), '-') OR starts_with(trim(x), '*')))
+                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END AS bullet_ratio,
+               CASE WHEN len(lines) > 0 THEN
+                 CAST(len(list_filter(lines, x -> ends_with(trim(x), '...')))
+                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END AS ellipsis_ratio
+        FROM t"""
+  private val gopherPassSql = """n_tokens BETWEEN 50 AND 100000
+                        AND mean_word_len >= 3 AND mean_word_len <= 10
+                        AND symbol_ratio < 0.1
+                        AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+                        AND alpha_word_ratio > 0.8
+                        AND n_stop_words >= 1"""
+
+  // C4 kept-lines fragment over a `lines` column — shared by
+  // tx_c4_clean and the curation funnel
+  private val c4KeptSql = """list_filter(lines, x ->
+                 (ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR
+                  ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+                 AND len(string_split_regex(trim(x), '\s+')) >= 3
+                 AND NOT contains(lower(trim(x)), 'javascript'))"""
 
   val oracles: Map[String, String] = Map(
     "tx_chunk_windows" -> """
@@ -434,50 +515,44 @@ object TextQueries extends QueryPack {
              CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) * 100.0
                / CAST(length(text) AS DOUBLE) AS tokens_per_100_chars
       FROM documents ORDER BY doc_id""",
-    "tx_gopher_filter" -> """
-      WITH t AS (
-        SELECT doc_id,
-               string_split_regex(text, '\s+') AS toks,
-               len(regexp_replace(text, '\s+', '', 'g')) AS nonws,
-               string_split(text, chr(10)) AS lines,
-               len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
-        FROM documents),
-      m AS (
-        SELECT doc_id,
-               CAST(len(toks) AS BIGINT) AS n_tokens,
-               CASE WHEN len(toks) > 0 THEN
-                 CAST(nonws AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-                 ELSE 0.0 END AS mean_word_len,
-               CASE WHEN len(toks) > 0 THEN
-                 CAST(n_sym AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-                 ELSE 0.0 END AS symbol_ratio,
-               CASE WHEN len(toks) > 0 THEN
-                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
-                      AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-                 ELSE 0.0 END AS alpha_word_ratio,
-               CAST(len(list_intersect(list_distinct(toks),
-                 ['the','be','to','of','and','that','have','with']))
-                 AS BIGINT) AS n_stop_words,
-               CASE WHEN len(lines) > 0 THEN
-                 CAST(len(list_filter(lines, x ->
-                   starts_with(trim(x), '-') OR starts_with(trim(x), '*')))
-                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
-                 ELSE 0.0 END AS bullet_ratio,
-               CASE WHEN len(lines) > 0 THEN
-                 CAST(len(list_filter(lines, x -> ends_with(trim(x), '...')))
-                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
-                 ELSE 0.0 END AS ellipsis_ratio
-        FROM t)
+    "tx_gopher_filter" -> s"""
+      WITH t AS ($gopherPrepSql),
+      m AS ($gopherMetricsSql)
       SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_ratio,
              n_stop_words, bullet_ratio, ellipsis_ratio,
-             CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
-                        AND mean_word_len >= 3 AND mean_word_len <= 10
-                        AND symbol_ratio < 0.1
-                        AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
-                        AND alpha_word_ratio > 0.8
-                        AND n_stop_words >= 1
+             CAST(CASE WHEN $gopherPassSql
                    THEN 1 ELSE 0 END AS INT) AS passed
       FROM m ORDER BY doc_id""",
+    "tx_curation_funnel" -> s"""
+      WITH t AS ($gopherPrepSql),
+      m AS ($gopherMetricsSql),
+      g AS (SELECT doc_id FROM m WHERE $gopherPassSql),
+      seg AS (
+        SELECT d.doc_id, $segmentLinesSql AS t2
+        FROM documents d JOIN g ON d.doc_id = g.doc_id),
+      f AS (
+        SELECT doc_id, string_split(t2, chr(10)) AS lines FROM seg
+        WHERE NOT (contains(lower(t2), 'lorem ipsum') OR contains(t2, '{'))),
+      c AS (
+        SELECT doc_id, array_to_string($c4KeptSql, chr(10)) AS clean
+        FROM f),
+      c2 AS (SELECT doc_id, clean FROM c WHERE clean <> ''),
+      ded AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY clean ORDER BY doc_id) AS rn
+          FROM c2) WHERE rn = 1),
+      samp AS (
+        SELECT doc_id FROM ded
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000 < 500000)
+      SELECT CAST(0 AS INT) AS stage_idx, 'total' AS stage,
+             CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'gopher', CAST((SELECT COUNT(*) FROM g) AS BIGINT)
+      UNION ALL SELECT 2, 'c4', CAST((SELECT COUNT(*) FROM c2) AS BIGINT)
+      UNION ALL SELECT 3, 'exact_dedup', CAST((SELECT COUNT(*) FROM ded) AS BIGINT)
+      UNION ALL SELECT 4, 'sampled', CAST((SELECT COUNT(*) FROM samp) AS BIGINT)
+      ORDER BY stage_idx""",
     "tx_c4_clean" -> s"""
       WITH d AS (
         SELECT doc_id, $segmentLinesSql AS t2
@@ -487,11 +562,7 @@ object TextQueries extends QueryPack {
         WHERE NOT (contains(lower(t2), 'lorem ipsum') OR contains(t2, '{'))),
       k AS (
         SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
-               list_filter(lines, x ->
-                 (ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR
-                  ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
-                 AND len(string_split_regex(trim(x), '\\s+')) >= 3
-                 AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+               $c4KeptSql AS kept
         FROM f)
       SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_lines_kept,
              md5(array_to_string(kept, chr(10))) AS clean_md5
