@@ -172,4 +172,38 @@ object Sampling {
     }.toMap
     stratifiedMix(df, sourceCol, keyCol, rates)
   }
+
+  /** Temperature-flattened source mixing (the multinomial-sampling
+    * rebalance of XLM-R, arXiv:1911.02116 §3.1, and mT5): resample so
+    * source mass follows pᵢ^α instead of pᵢ — α < 1 upweights rare
+    * sources against dominant crawls. Keep rates are normalized so the
+    * RAREST source survives whole: rateᵢ = (c_min / cᵢ)^(1−α), giving
+    * expected kept counts ∝ cᵢ^α. The default α = 0.5 evaluates as
+    * `sqrt(c_min / cᵢ)` — one exact long→double divide and an
+    * IEEE-correctly-rounded sqrt, bit-identical in any engine (which is
+    * what lets an independent SQL oracle recompute the rates); other α
+    * go through `pow`, whose last-ulp rounding is libm-specific —
+    * reproducible within the JVM, not pinned cross-engine.
+    *
+    * Scale: counts are one tiny per-source aggregate (S rows to the
+    * driver — sources are a config-sized set); the data pass is the
+    * same pure hash filter as every sampler here. */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (counts.isEmpty) df // empty input: nothing to rebalance
+    else {
+      val cMin = counts.map(_._2).min
+      val rates = counts.map { case (src, c) =>
+        val ratio = cMin.toDouble / c
+        src -> (if (alpha == 0.5) math.sqrt(ratio)
+                else math.pow(ratio, 1 - alpha))
+      }.toMap
+      stratifiedMix(df, sourceCol, keyCol, rates)
+    }
+  }
 }

@@ -154,6 +154,18 @@ object DedupQueries extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** Temperature-flattened mixture
+    * ([[graft.operators.Sampling.temperatureMix]], α = 0.5): kept
+    * counts per source ∝ √cᵢ — rare sources upweighted relative to
+    * dominant ones, rates derived from the data. The oracle recomputes
+    * the rates independently (exact divide + IEEE sqrt). */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMix(
+        table(s, dir, "documents"), "source", "doc_id", alpha = 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"))
+      .orderBy(col("source"))
+
   /** Quality-weighted importance sampling: keep probability = the doc's
     * size-based quality weight (min(1, n_chars/400)) — longer docs kept
     * more often, decided by the same engine-reproducible key hash as
@@ -219,6 +231,7 @@ object DedupQueries extends QueryPack {
     "sample_exact_n" -> (sampleExactN _),
     "sample_splits" -> (sampleSplits _),
     "mix_sources" -> (mixSources _),
+    "mix_temperature" -> (mixTemperature _),
     "mix_token_budget" -> (mixTokenBudget _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
@@ -328,6 +341,18 @@ object DedupQueries extends QueryPack {
                     WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000
                     ELSE -1 END
       GROUP BY source ORDER BY source""",
+    "mix_temperature" -> s"""
+      WITH cnt AS (
+        SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+      rates AS (
+        SELECT source,
+               sqrt(CAST((SELECT MIN(c) FROM cnt) AS DOUBLE) /
+                    CAST(c AS DOUBLE)) AS rate
+        FROM cnt)
+      SELECT d.source, COUNT(*) AS kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE $bucketSql < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
+      GROUP BY d.source ORDER BY d.source""",
     "mix_token_budget" -> s"""
       WITH tot AS (
         SELECT source,

@@ -206,6 +206,15 @@ object TextQueries extends QueryPack {
         n = 5, minDocs = 3L)
       .orderBy(col("doc_id"))
 
+  /** Duplicated-span coverage ([[graft.text.Boilerplate.dupSpanCoverage]]):
+    * per document, how many token positions sit inside a 5-gram that
+    * also occurs in another document — the Lee et al. 2021
+    * exact-substring-dedup signal. Integer counts, one final divide. */
+  def txDupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.text.Boilerplate
+      .dupSpanCoverage(table(s, dir, "documents"), "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+
   /** Context-window chunking: 32-token windows stepping by 24 (8-token
     * overlap) — the training-data chunker. Chunks are reported as
     * (doc, idx, md5, token count) so the result stays scalar-typed;
@@ -306,6 +315,7 @@ object TextQueries extends QueryPack {
     "tx_c4_clean" -> (txC4Clean _),
     "tx_source_overlap" -> (txSourceOverlap _),
     "tx_chunk_windows" -> (txChunkWindows _),
+    "tx_dup_spans" -> (txDupSpans _),
     "tx_boilerplate_ngrams" -> (txBoilerplateNgrams _),
     "tx_boilerplate_ratio" -> (txBoilerplateRatio _),
     "tx_normalize" -> (txNormalize _),
@@ -421,6 +431,36 @@ object TextQueries extends QueryPack {
              CAST(LEAST(32, n - idx * 24) AS INT) AS chunk_tokens
       FROM chunks
       ORDER BY doc_id, chunk_idx""",
+    "tx_dup_spans" -> s"""
+      WITH pos AS (
+        SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        'span': array_to_string(toks[i:i+4], ' ')}
+                       FOR i IN range(1, len(toks) - 3)],
+                      recursive := true)
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 5),
+      dup AS (
+        SELECT span FROM pos
+        GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+      dp AS (
+        SELECT doc_id, pos,
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM pos WHERE span IN (SELECT span FROM dup)),
+      cov AS (
+        SELECT doc_id,
+               SUM(LEAST(5, COALESCE(nxt - pos, 5))) AS covered
+        FROM dp GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+             CASE WHEN len(string_split_regex(d.text, '\\s+')) > 0
+                  THEN CAST(COALESCE(c.covered, 0) AS DOUBLE) /
+                       len(string_split_regex(d.text, '\\s+'))
+                  ELSE 0.0 END AS dup_span_ratio
+      FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id""",
     "tx_boilerplate_ngrams" -> s"""
       WITH sp AS ($docSpansSql)
       SELECT span, COUNT(*) AS doc_freq

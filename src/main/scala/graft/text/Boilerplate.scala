@@ -65,6 +65,85 @@ object Boilerplate {
       .agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
 
+  /** One row per (document, shingle START POSITION): `(doc_id, pos,
+    * span)` — the NON-distinct positional twin of [[docSpans]], for
+    * operators that need to know WHERE a span sits, not just that it
+    * occurs. `pos` is the 0-based token index of the span's first
+    * token. Map-only. */
+  def positionedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(
+        // short docs yield an empty span list, not sequence(0, -1)
+        // garbage — same guard as TextFunctions.tokenShinglesReference
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "span")))
+  }
+
+  /** Duplicated-span coverage (the exact-substring-dedup signal of Lee
+    * et al. 2021, arXiv:2107.06499 — there computed over a suffix
+    * array; here over fixed n-token shingles, which blocked/banded
+    * systems can actually run at corpus scale): for every document, the
+    * number of token positions covered by at least one n-gram that also
+    * occurs in ANOTHER document, and that count as a fraction of the
+    * document's tokens. High-coverage docs are near-copies that
+    * doc-level fingerprints miss when a few tokens differ.
+    *
+    * Semantics: a span at token position p covers positions
+    * [p, p+n-1]; covered = |union of intervals of cross-doc-duplicated
+    * spans|. The union is one ordered per-document window pass:
+    * consecutive duplicated positions p, p' overlap iff p' − p < n, so
+    * each contributes min(n, p' − p) and the last contributes n —
+    * interval union without exploding n rows per span.
+    *
+    * Scale design — two span shuffles, ZERO hub buffering:
+    *  - the duplicated-span set comes from [[docSpans]] (within-doc
+    *    `array_distinct` map-side) via `groupBy(span)` — partial
+    *    aggregation streams, so a 10⁷-doc boilerplate span reaches the
+    *    reducer as one row per upstream partition, never one task's
+    *    buffer (the de-skew rule connectedComponents follows; a
+    *    `Window.partitionBy(span)` single-shuffle spelling would
+    *    materialize every hub occurrence in one task);
+    *  - the positional side semi-joins that set on `span` (AQE splits
+    *    popular-span skew); the interval-union window partitions by
+    *    doc — bounded by document length;
+    *  - the final left join on the doc key restores zero-duplication
+    *    documents (covered = 0). Integer counts end-to-end; the ratio
+    *    is one bigint/bigint IEEE divide, engine-exact for the oracle.
+    */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // spans occurring in ≥ 2 distinct documents; docSpans is already
+    // distinct within a doc, so min≠max over doc_id means cross-doc
+    val dupSpans = docSpans(docs, idCol, textCol, n)
+      .groupBy(col("span"))
+      .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select(col("span"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = positionedSpans(docs, idCol, textCol, n)
+      .join(dupSpans, Seq("span"), "left_semi")
+      .withColumn("__nxt", lead(col("pos"), 1).over(wDoc))
+      .withColumn("__cov",
+        when(col("__nxt").isNull, lit(n.toLong))
+          .otherwise(least(lit(n.toLong), col("__nxt") - col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__cov")).as("covered_tokens"))
+    val nTok = TextFunctions.tokenCount(col(textCol)).cast("long")
+    docs.select(col(idCol).as("doc_id"), nTok.as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+      .withColumn("dup_span_ratio",
+        when(col("n_tokens") > 0,
+          col("covered_tokens").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Per-document boilerplate ratio: the fraction of a document's
     * distinct spans that are corpus-frequent. Documents shorter than
     * the shingle size have no spans and are absent from the output

@@ -159,6 +159,33 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(all.count() == docs.count())
   }
 
+  test("temperature mix: rarest source whole, rates = sqrt(cmin/c), empty ok") {
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cMin = counts.values.min
+    val mixed = Sampling.temperatureMix(docs, "source", "doc_id", alpha = 0.5)
+    // the formula is pinned: identical to stratifiedMix at hand-derived rates
+    val expected = Sampling.stratifiedMix(docs, "source", "doc_id",
+      counts.map { case (s, c) => s -> math.sqrt(cMin.toDouble / c) })
+    assert(mixed.select("doc_id").exceptAll(expected.select("doc_id")).isEmpty &&
+      expected.select("doc_id").exceptAll(mixed.select("doc_id")).isEmpty)
+    // every rarest source survives whole (rate exactly 1.0)
+    val kept = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.filter(_._2 == cMin).keys.foreach { s =>
+      assert(kept.get(s).contains(counts(s)), s"rarest source $s not whole")
+    }
+    // flattening: dominant sources keep a SMALLER fraction than rare ones
+    val fracs = counts.map { case (s, c) =>
+      c -> kept.getOrElse(s, 0L).toDouble / c }
+    val (big, bigFrac) = fracs.maxBy(_._1)
+    val (small, smallFrac) = fracs.minBy(_._1)
+    if (big > small) assert(bigFrac <= smallFrac + 1e-9,
+      s"dominant $big frac $bigFrac > rare $small frac $smallFrac")
+    // empty input passes through
+    assert(Sampling.temperatureMix(docs.limit(0), "source", "doc_id").count() == 0)
+  }
+
   test("weighted sample: weight 1 keeps all, weight 0 none, deterministic between") {
     assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() ==
       docs.count())

@@ -34,6 +34,29 @@ class BoilerplateSpec extends AnyFunSuite with SparkSpec {
     assert(freq("a b c d e") == 2L) // 2 docs, not 3 occurrences
   }
 
+  test("dupSpanCoverage: interval union of cross-doc duplicated spans") {
+    val cov = Boilerplate.dupSpanCoverage(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1/2: spans at pos 0,1 both duplicated → union = min(5,1) + 5 = 6
+    // doc 3: same two dup spans, 11 tokens → covered 6 of 11
+    // doc 4: unique spans → 0; doc 5: too short for any span → 0
+    assert(cov == Map(
+      1L -> ((6L, 6L)), 2L -> ((6L, 6L)), 3L -> ((11L, 6L)),
+      4L -> ((6L, 0L)), 5L -> ((2L, 0L))))
+  }
+
+  test("dupSpanCoverage: within-doc repeats of a shared span union correctly") {
+    import spark.implicits._
+    val rep = Seq(
+      // "a b c d e" at pos 0 and pos 10 — disjoint intervals, 5 + 5
+      (1L, "a b c d e x1 x2 x3 x4 x5 a b c d e"),
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val cov = Boilerplate.dupSpanCoverage(rep, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cov == Map(1L -> ((15L, 10L)), 2L -> ((5L, 5L))))
+  }
+
   test("ngramContamination counts distinct eval-set spans per corpus doc") {
     import spark.implicits._
     val eval = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
