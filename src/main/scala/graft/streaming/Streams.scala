@@ -191,6 +191,98 @@ object Streams {
           errorMessage = if (dropped > 0) Some(s"deduped: $dropped") else None))
       }
 
+  /** Streaming curation funnel — the streaming twin of the batch
+    * `tx_curation_funnel` composition, same filters in the same order:
+    *
+    *  1. Gopher document-quality gate
+    *     ([[graft.text.Curation.gopherPassed]]);
+    *  2. C4 cleaning ([[graft.text.Curation.c4CleanedText]]): the
+    *     doc-drop rule, line-level cleaning, and empty-after-cleaning
+    *     drops;
+    *  3. exact dedup ON THE CLEANED TEXT — first-wins (lowest id)
+    *     within the batch, then an anti-join against the persisted
+    *     fingerprint index (one md5 per survivor — the incremental
+    *     state design of [[nearDupDedupSink]], minus signatures).
+    *
+    * Survivors land in `corpusPath/batch=<id>` with their cleaned
+    * text; their fingerprints append to `indexPath/batch=<id>`. Both
+    * are written with overwrite so a replayed batchId REPLACES its
+    * output (idempotent), both are compactable by
+    * [[compactBatchOutput]], and checkpoint loss is detected — not
+    * silently destructive — by the same restart guard as the near-dup
+    * sink. Empty micro-batches skip the write (no directory mint).
+    *
+    * Per-stage drop counts ride the LoadResult errorMessage as
+    * `gopher=<n>;c4=<n>;dup=<n>`; every count is one micro-batch-sized
+    * action, never history-sized. */
+  def curationFunnelSink(stream: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String, idCol: String, textCol: String,
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minStopWords: Long = 2L, minWords: Int = 3,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.text.Curation
+        val t0 = System.nanoTime()
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val indexFs = new Path(indexPath).getFileSystem(conf)
+        val committed = indexFs
+          .globStatus(new Path(indexPath, "batch=*/_SUCCESS"))
+        val hasIndex = committed != null && committed.nonEmpty
+        // batchIds restart at 0 when the CHECKPOINT is lost; overwriting
+        // batch=0 would destroy the oldest survivors and their dedup
+        // state (same failure mode and guard as nearDupDedupSink)
+        if (batchId == 0 && hasIndex &&
+            committed.exists(s => s.getPath.getParent.getName != "batch=0"))
+          throw new IllegalStateException(
+            s"curationFunnelSink: batchId restarted at 0 but $indexPath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or start a fresh corpus/index path.")
+        val total = batch.count()
+        if (total > 0) {
+          val gophered = batch.filter(Curation.gopherPassed(
+              Curation.gopherFeatures(col(textCol)),
+              minTokens, maxTokens, minStopWords))
+            .localCheckpoint()
+          val gN = gophered.count()
+          val cleaned = gophered
+            .filter(!Curation.c4DocDrop(col(textCol)))
+            .withColumn(textCol, Curation.c4CleanedText(col(textCol), minWords))
+            .filter(length(col(textCol)) > 0)
+            .localCheckpoint()
+          val cN = cleaned.count()
+          val fp = cleaned.withColumn("__fp", md5(col(textCol)))
+          // first-wins within the batch: lowest id per cleaned content
+          val firsts = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+          val inBatch = fp.join(firsts, Seq("__fp", idCol), "left_semi")
+          val indexed =
+            if (hasIndex) spark.read.parquet(indexPath).select(col("fp").as("__fp"))
+            else fp.select(col("__fp")).limit(0)
+          val kept = inBatch.join(indexed, Seq("__fp"), "left_anti")
+            .localCheckpoint()
+          val keptN = kept.count()
+          kept.drop("__fp")
+            .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          kept.select(col(idCol), col("__fp").as("fp"))
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          onLoad(LoadResult(success = true, rowsLoaded = keptN,
+            tableName = corpusPath,
+            durationSeconds = (System.nanoTime() - t0) / 1e9,
+            errorMessage =
+              if (keptN < total)
+                Some(s"gopher=${total - gN};c4=${gN - cN};dup=${cN - keptN}")
+              else None))
+        } else {
+          onLoad(LoadResult(success = true, rowsLoaded = 0L,
+            tableName = corpusPath,
+            durationSeconds = (System.nanoTime() - t0) / 1e9))
+        }
+      }
+
   /** C5: poll-interval suppression → micro-batch trigger. */
   def trigger(checkIntervalSeconds: Long): Trigger =
     Trigger.ProcessingTime(checkIntervalSeconds * 1000)

@@ -631,6 +631,61 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("curation funnel sink: gate, clean, and dedup-on-cleaned across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-csink").toString
+    val goodLine = "the cat and the dog run fast together now then."
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val q = Streams.curationFunnelSink(stream, s"$dir/corpus", s"$dir/index",
+      s"$dir/ckpt", "doc_id", "text", minTokens = 5L,
+      trig = Streams.trigger(1),
+      onLoad = r => loads.synchronized { loads += r }).start()
+    try {
+      // batch 1: doc 1 kept (junk second line cleaned away); doc 2 fails
+      // the Gopher gate (too short); doc 3 passes Gopher but C4-drops
+      // (brace); doc 4's CLEANED text duplicates doc 1's → in-batch dup
+      input.addData(
+        (1L, goodLine + "\nbuy now click here"),
+        (2L, "tiny doc."),
+        (3L, goodLine + " more words here {"),
+        (4L, goodLine + "\ncompletely different junk tail"))
+      q.processAllAvailable()
+      // batch 2: doc 5's cleaned text duplicates the INDEXED doc 1;
+      // doc 6 is fresh and survives
+      input.addData(
+        (5L, goodLine + "\nanother junk line"),
+        (6L, "that fox and the bird have come with them here too."))
+      q.processAllAvailable()
+
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(corpus.keySet == Set(1L, 6L), corpus)
+      // the PERSISTED text is the cleaned one — junk line gone
+      assert(corpus(1L) == goodLine)
+      val index = spark.read.parquet(s"$dir/index")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(index == Set(1L, 6L))
+      // stage accounting: batch 1 = gopher 1, c4 1, dup 1, kept 1;
+      // batch 2 = dup 1, kept 1
+      val nonEmpty = loads.filter(r => r.rowsLoaded > 0 || r.errorMessage.nonEmpty)
+      assert(nonEmpty.map(_.rowsLoaded).sum == 2L, nonEmpty)
+      val stages = nonEmpty.flatMap(_.errorMessage).map { m =>
+        m.split(";").map { kv =>
+          val Array(k, v) = kv.split("="); k -> v.toLong
+        }.toMap
+      }
+      assert(stages.map(_("gopher")).sum == 1L, stages)
+      assert(stages.map(_("c4")).sum == 1L, stages)
+      assert(stages.map(_("dup")).sum == 2L, stages)
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup sink: index accumulates across batches") {
     val spark2 = spark
     import spark2.implicits._
