@@ -206,6 +206,38 @@ object TextQueries extends QueryPack {
         n = 5, minDocs = 3L)
       .orderBy(col("doc_id"))
 
+  /** Gopher repetition metrics ([[graft.text.Curation.repetitionFeatures]],
+    * App. A1.2 line/paragraph half) + pass flag. The fixture is
+    * single-line, so the text is re-segmented deterministically and
+    * each doc's FIRST line is appended once more — every doc then
+    * carries a real within-doc duplicate line for the metrics to
+    * measure. Map-side projection; integer counts, final divides. */
+  def txGopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Curation
+    val seg = segmentLines(col("text"))
+    val t2 = concat(seg, lit("\n"), substring_index(seg, "\n", 1))
+    table(s, dir, "documents")
+      .select(col("doc_id"), Curation.repetitionFeatures(t2).as("f"))
+      .select(col("doc_id"),
+        col("f.dup_line_frac").as("dup_line_frac"),
+        col("f.dup_line_char_frac").as("dup_line_char_frac"),
+        col("f.dup_para_frac").as("dup_para_frac"),
+        col("f.dup_para_char_frac").as("dup_para_char_frac"),
+        Curation.repetitionPassed(col("f")).as("rep_passed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top n-gram character fraction
+    * ([[graft.text.Curation.topNgramCharFrac]], the n-gram half of
+    * Gopher A1.2): per (doc, n ∈ {2,3,4}) the most frequent gram and
+    * the character share of its occurrences — deterministic tie-break
+    * pinned by the oracle's identical ORDER BY. */
+  def txTopNgram(s: SparkSession, dir: String): DataFrame =
+    graft.text.Curation
+      .topNgramCharFrac(table(s, dir, "documents"), "doc_id", "text",
+        ns = Seq(2, 3, 4))
+      .orderBy(col("doc_id"), col("n"))
+
   /** Duplicated-span coverage ([[graft.text.Boilerplate.dupSpanCoverage]]):
     * per document, how many token positions sit inside a 5-gram that
     * also occurs in another document — the Lee et al. 2021
@@ -316,6 +348,8 @@ object TextQueries extends QueryPack {
     "tx_source_overlap" -> (txSourceOverlap _),
     "tx_chunk_windows" -> (txChunkWindows _),
     "tx_dup_spans" -> (txDupSpans _),
+    "tx_gopher_repetition" -> (txGopherRepetition _),
+    "tx_top_ngram" -> (txTopNgram _),
     "tx_boilerplate_ngrams" -> (txBoilerplateNgrams _),
     "tx_boilerplate_ratio" -> (txBoilerplateRatio _),
     "tx_normalize" -> (txNormalize _),
@@ -431,6 +465,88 @@ object TextQueries extends QueryPack {
              CAST(LEAST(32, n - idx * 24) AS INT) AS chunk_tokens
       FROM chunks
       ORDER BY doc_id, chunk_idx""",
+    "tx_gopher_repetition" -> s"""
+      WITH d AS (
+        SELECT doc_id, $segmentLinesSql AS seg FROM documents),
+      t AS (
+        SELECT doc_id,
+               seg || chr(10) || split_part(seg, chr(10), 1) AS t2
+        FROM d),
+      lc AS (
+        SELECT doc_id, line, COUNT(*) AS c, len(line) AS ln
+        FROM (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line FROM t)
+        GROUP BY doc_id, line),
+      ls AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_units,
+               CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS n_dup,
+               CAST(SUM(c * ln) AS BIGINT) AS chars,
+               CAST(COALESCE(SUM(c * ln) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_chars
+        FROM lc GROUP BY doc_id),
+      pc AS (
+        SELECT doc_id, para, COUNT(*) AS c, len(para) AS ln
+        FROM (SELECT doc_id,
+                     unnest(string_split(t2, chr(10) || chr(10))) AS para
+              FROM t)
+        GROUP BY doc_id, para),
+      ps AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_units,
+               CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS n_dup,
+               CAST(SUM(c * ln) AS BIGINT) AS chars,
+               CAST(COALESCE(SUM(c * ln) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_chars
+        FROM pc GROUP BY doc_id),
+      m AS (
+        SELECT ls.doc_id,
+               CASE WHEN ls.n_units > 0
+                    THEN CAST(ls.n_dup AS DOUBLE) / ls.n_units
+                    ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN ls.chars > 0
+                    THEN CAST(ls.dup_chars AS DOUBLE) / ls.chars
+                    ELSE 0.0 END AS dup_line_char_frac,
+               CASE WHEN ps.n_units > 0
+                    THEN CAST(ps.n_dup AS DOUBLE) / ps.n_units
+                    ELSE 0.0 END AS dup_para_frac,
+               CASE WHEN ps.chars > 0
+                    THEN CAST(ps.dup_chars AS DOUBLE) / ps.chars
+                    ELSE 0.0 END AS dup_para_char_frac
+        FROM ls JOIN ps ON ls.doc_id = ps.doc_id)
+      SELECT doc_id, dup_line_frac, dup_line_char_frac,
+             dup_para_frac, dup_para_char_frac,
+             (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30 AND
+              dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20)
+               AS rep_passed
+      FROM m ORDER BY doc_id""",
+    "tx_top_ngram" -> s"""
+      WITH toks AS (
+        SELECT doc_id, text, string_split_regex(text, '\\s+') AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, len(text) AS chars, 2 AS n,
+               unnest([array_to_string(tk[i:i+1], ' ')
+                       FOR i IN range(1, len(tk))]) AS gram
+        FROM toks WHERE len(tk) >= 2
+        UNION ALL
+        SELECT doc_id, len(text), 3,
+               unnest([array_to_string(tk[i:i+2], ' ')
+                       FOR i IN range(1, len(tk) - 1)])
+        FROM toks WHERE len(tk) >= 3
+        UNION ALL
+        SELECT doc_id, len(text), 4,
+               unnest([array_to_string(tk[i:i+3], ' ')
+                       FOR i IN range(1, len(tk) - 2)])
+        FROM toks WHERE len(tk) >= 4),
+      c AS (
+        SELECT doc_id, chars, n, gram, COUNT(*) AS occurrences
+        FROM g GROUP BY ALL),
+      t AS (
+        SELECT * FROM c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, n
+          ORDER BY occurrences DESC, len(gram) DESC, gram ASC) = 1)
+      SELECT doc_id, n, gram AS top_gram,
+             CAST(occurrences AS BIGINT) AS occurrences,
+             CAST(occurrences * len(gram) AS DOUBLE) / chars AS char_frac
+      FROM t ORDER BY doc_id, n""",
     "tx_dup_spans" -> s"""
       WITH pos AS (
         SELECT doc_id,

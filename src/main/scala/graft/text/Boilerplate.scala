@@ -71,18 +71,10 @@ object Boilerplate {
     * occurs. `pos` is the 0-based token index of the span's first
     * token. Map-only. */
   def positionedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+      n: Int = 5): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      posexplode(
-        // short docs yield an empty span list, not sequence(0, -1)
-        // garbage — same guard as TextFunctions.tokenShinglesReference
-        when(size(toks) >= n,
-          transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>")))
+      posexplode(TextFunctions.tokenShinglesAll(col(textCol), n))
         .as(Seq("pos", "span")))
-  }
 
   /** Duplicated-span coverage (the exact-substring-dedup signal of Lee
     * et al. 2021, arXiv:2107.06499 — there computed over a suffix

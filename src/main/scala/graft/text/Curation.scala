@@ -85,6 +85,68 @@ object Curation {
         f("n_stop_words") >= minStopWords,
       lit(false))
 
+  /** Duplication stats over an array of text units (lines or
+    * paragraphs): `(n_units, n_dup_units, unit_chars, dup_unit_chars)`
+    * where a unit OCCURRENCE is "duplicated" iff its value appears ≥ 2
+    * times in the array. Detection is sorted-neighbor: after
+    * `array_sort`, an occurrence is duplicated exactly when it equals
+    * its predecessor or successor — O(L log L) per document, map-side,
+    * no quadratic within-doc self-compare and no shuffle. `get` (not
+    * `element_at`) for the neighbors: 0-based and NULL out of bounds,
+    * so the edges need no special-casing even under ANSI mode. */
+  def dupUnitStats(units: Column): Column = {
+    val s = array_sort(units)
+    val dupFlags = transform(s, (x, i) =>
+      (x <=> get(s, i - 1)) || (x <=> get(s, i + 1)))
+    val dupChars = zip_with(s, dupFlags, (x, f) =>
+      when(f, length(x)).otherwise(lit(0)))
+    def sumInts(arr: Column): Column =
+      aggregate(arr, lit(0), (acc, e) => acc + e)
+    struct(
+      size(units).cast(LongType).as("n_units"),
+      size(filter(dupFlags, f => f)).cast(LongType).as("n_dup_units"),
+      sumInts(transform(units, u => length(u))).cast(LongType)
+        .as("unit_chars"),
+      sumInts(dupChars).cast(LongType).as("dup_unit_chars"))
+  }
+
+  /** The Gopher repetition metrics (Rae et al. 2021 App. A1.2, first
+    * half): duplicate line / paragraph fraction, and the fraction of
+    * CHARACTERS sitting in duplicated lines / paragraphs. Lines split
+    * on `\n`, paragraphs on `\n\n` (the paper's units). All four
+    * ratios are one bigint/bigint IEEE divide over exact counts —
+    * engine-portable, zero-guarded. One projection, map-side; the
+    * n-gram half of A1.2 is [[topNgramCharFrac]] (it needs a
+    * corpus-side aggregate) and the existing per-doc
+    * `TextFunctions.repetitionScore`. */
+  def repetitionFeatures(text: Column): Column = {
+    val lines = dupUnitStats(split(text, "\n", -1))
+    val paras = dupUnitStats(split(text, "\n\n", -1))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
+        .otherwise(lit(0.0))
+    struct(
+      ratio(lines("n_dup_units"), lines("n_units")).as("dup_line_frac"),
+      ratio(lines("dup_unit_chars"), lines("unit_chars"))
+        .as("dup_line_char_frac"),
+      ratio(paras("n_dup_units"), paras("n_units")).as("dup_para_frac"),
+      ratio(paras("dup_unit_chars"), paras("unit_chars"))
+        .as("dup_para_char_frac"))
+  }
+
+  /** The document-level pass rule over [[repetitionFeatures]] (`f` =
+    * that struct): the paper drops documents whose duplicate
+    * line/paragraph fraction exceeds 0.30 or whose duplicate
+    * line/paragraph CHARACTER fraction exceeds 0.20. */
+  def repetitionPassed(f: Column,
+      maxDupFrac: Double = 0.30, maxDupCharFrac: Double = 0.20): Column =
+    coalesce(
+      f("dup_line_frac") <= maxDupFrac &&
+        f("dup_para_frac") <= maxDupFrac &&
+        f("dup_line_char_frac") <= maxDupCharFrac &&
+        f("dup_para_char_frac") <= maxDupCharFrac,
+      lit(false))
+
   /** C4 line filter: keep lines that (trimmed) end in `.` `!` `?` or
     * `"`, contain at least `minWords` whitespace-separated words, and
     * don't mention "javascript"; re-join survivors with newlines.
@@ -105,4 +167,42 @@ object Curation {
     * placeholder) or `{` (source code) are removed wholesale. */
   def c4DocDrop(text: Column): Column =
     lower(text).contains("lorem ipsum") || text.contains("{")
+
+  /** The n-gram half of Gopher A1.2: for each document and each n in
+    * `ns`, the most frequent n-token gram, its occurrence count, and
+    * the fraction of the document's characters its occurrences span
+    * (count × gram length / doc length — the public implementations'
+    * convention; overlapping occurrences are not collapsed). Ties
+    * break deterministically — higher count, then longer gram, then
+    * lexicographically smallest — so any engine derives the same row.
+    * Documents shorter than n tokens have no (doc, n) row.
+    *
+    * Scale: shingling is map-side ([[TextFunctions.tokenShinglesAll]]
+    * — occurrences, not the distinct set); ONE shuffle on
+    * (doc, n, gram) for the counts with map-side combine; the
+    * per-(doc, n) argmax rides the bounded-heap top-1 operator — no
+    * per-doc sort, no window materialization, and a boilerplate-heavy
+    * doc's gram list is bounded by its own length, never the corpus. */
+  def topNgramCharFrac(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, ns: Seq[Int] = Seq(2, 3, 4)): org.apache.spark.sql.DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n list: $ns")
+    import graft.plans.TopK
+    val perN = ns.map { n =>
+      docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).as("__chars"),
+        lit(n).as("n"),
+        explode(TextFunctions.tokenShinglesAll(col(textCol), n)).as("gram"))
+    }
+    val counted = perN.reduce(_ unionByName _)
+      .groupBy(col("doc_id"), col("__chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("occurrences"))
+      .withColumn("__glen", length(col("gram")))
+    TopK.perKey(counted, Seq("doc_id", "n"),
+        Seq(TopK.desc("occurrences"), TopK.desc("__glen"), TopK.asc("gram")),
+        1, rankName = "__rank")
+      .select(col("doc_id"), col("n"), col("gram").as("top_gram"),
+        col("occurrences"),
+        ((col("occurrences") * col("__glen")).cast(DoubleType) /
+          col("__chars")).as("char_frac"))
+  }
 }

@@ -22,6 +22,20 @@ object TextFunctions {
   def tokenShingles(text: Column, n: Int): Column =
     graft.functions.NativeText.tokenShingles(text, n)
 
+  /** NON-distinct sliding n-token shingles — ALL occurrences in
+    * document order, for operators that count or locate occurrences
+    * ([[tokenShingles]] deduplicates, which is right for set
+    * similarity but destroys frequencies/positions). */
+  def tokenShinglesAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(0, x) with x<0 DESCENDS in Spark — short docs
+    // must yield an empty shingle list
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
   /** Pure-Column reference formulation of [[tokenShingles]] (kept for
     * parity tests; semantically identical, interpreted HOFs). */
   def tokenShinglesReference(text: Column, n: Int): Column = {

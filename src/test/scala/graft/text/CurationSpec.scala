@@ -50,6 +50,68 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(!passed("- the alpha\n- the beta"))      // bullet ratio
   }
 
+  private def repFeatures(text: String) = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(Curation.repetitionFeatures(col("text")).as("f"))
+      .select("f.*").head()
+  }
+
+  test("repetition features: duplicate line/paragraph fractions by hand") {
+    // lines: [aa., b., aa., c] — "aa." twice → 2/4 occurrences,
+    // chars 3+3 of 3+2+3+1 = 6/9
+    val f = repFeatures("aa.\nb.\naa.\nc")
+    assert(f.getAs[Double]("dup_line_frac") == 0.5)
+    assert(f.getAs[Double]("dup_line_char_frac") == 6.0 / 9.0)
+    // one paragraph (no \n\n) → nothing duplicated at para granularity
+    assert(f.getAs[Double]("dup_para_frac") == 0.0)
+    assert(f.getAs[Double]("dup_para_char_frac") == 0.0)
+
+    // paragraphs: [x, y, x] → 2/3; chars 2 of 3
+    val p = repFeatures("x\n\ny\n\nx")
+    assert(p.getAs[Double]("dup_para_frac") == 2.0 / 3.0)
+    assert(p.getAs[Double]("dup_para_char_frac") == 2.0 / 3.0)
+
+    // all distinct → zero everywhere; empty text → guards, not NULL/NaN
+    val d = repFeatures("a\nb\nc")
+    assert(d.getAs[Double]("dup_line_frac") == 0.0)
+    val e = repFeatures("")
+    assert(e.getAs[Double]("dup_line_char_frac") == 0.0)
+    assert(e.getAs[Double]("dup_para_char_frac") == 0.0)
+  }
+
+  test("repetition pass rule: each threshold fires independently") {
+    import spark.implicits._
+    val docs = Seq(
+      ("clean", "a.\nb.\nc.\nd.\ne.\nf.\ng.\nh.\ni.\nj."),     // no dups
+      ("lines", "a.\na.\nb.\nc."),                              // 2/4 > 0.30
+      ("paras", "xx\n\nxx\n\nyy")                               // 2/3 > 0.30
+    ).toDF("id", "text")
+    val out = docs.select(col("id"),
+        Curation.repetitionPassed(
+          Curation.repetitionFeatures(col("text"))).as("p"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("clean" -> true, "lines" -> false, "paras" -> false))
+  }
+
+  test("top n-gram char fraction: counts, ties, and short-doc absence") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a c"), (2L, "x y")).toDF("doc_id", "text")
+    val rows = Curation.topNgramCharFrac(docs, "doc_id", "text", Seq(2, 3, 4))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1 (11 chars): 2-grams [a b, b a, a b, b a, a c] — "a b"/"b a"
+    // tie at 2, lexical asc → "a b"; 3-grams "a b a" ×2; 4-grams all
+    // unique, len-tie → lexical asc "a b a b"
+    assert(rows((1L, 2)) == (("a b", 2L, 6.0 / 11.0)))
+    assert(rows((1L, 3)) == (("a b a", 2L, 10.0 / 11.0)))
+    assert(rows((1L, 4)) == (("a b a b", 1L, 7.0 / 11.0)))
+    // doc 2 has 2 tokens: a (2, n) row only for n = 2
+    assert(rows((2L, 2)) == (("x y", 1L, 1.0)))
+    assert(!rows.contains((2L, 3)) && !rows.contains((2L, 4)))
+  }
+
   test("c4 line cleaning keeps exactly the compliant lines, in order") {
     import spark.implicits._
     val text = Seq(
