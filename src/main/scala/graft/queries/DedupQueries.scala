@@ -251,9 +251,6 @@ object DedupQueries extends QueryPack {
     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
     WHERE len(toks) >= 5"""
 
-  private val bucketSql =
-    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
-
   // md5-SimHash oracle: 60 per-bit ±1 vote sums, then bit assembly —
   // generated, not hand-written, so Spark and DuckDB share the construction
   private val simhashVoteCols = (0 until 60).map(b =>

@@ -322,23 +322,45 @@ object TextQueries extends QueryPack {
     * first — cheapest volume reduction ahead of the dedup shuffle). */
   def txCurationFunnel(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Curation
+    import graft.operators.Sampling
+    // stage-survival FLAGS, map-side, instead of one filtered frame per
+    // stage: a per-stage `df.agg(count)` union re-scans the source once
+    // per stage (5× read amplification at corpus scale). Here the
+    // total/gopher/c4 counts are one conditional-sum aggregate over a
+    // single scan; the dedup branch filters to c4 survivors FIRST (its
+    // shuffle sees minimum volume) and yields dedup+sample counts in
+    // one aggregate. The five rows explode from the joined 1×1 results.
     val docs = table(s, dir, "documents")
-    val gopher = docs.filter(Curation.gopherPassed(
-      Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
-    val c4 = gopher.withColumn("t2", segmentLines(col("text")))
-      .filter(!Curation.c4DocDrop(col("t2")))
-      .withColumn("clean", Curation.c4CleanedText(col("t2"), minWords = 3))
-      .filter(col("clean") =!= "")
-    val deduped = graft.dedup.Dedup.exactByContent(c4, "doc_id", "clean")
-    val sampled = graft.operators.Sampling
-      .deterministicSample(deduped, "doc_id", 0.5)
-    val stages = Seq("total" -> docs, "gopher" -> gopher, "c4" -> c4,
-      "exact_dedup" -> deduped, "sampled" -> sampled)
-    stages.zipWithIndex.map { case ((name, df), i) =>
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(i).cast("int").as("stage_idx"), lit(name).as("stage"),
-          col("n_docs"))
-    }.reduce(_ unionByName _).orderBy(col("stage_idx"))
+    val flagged = docs
+      .withColumn("__s1", Curation.gopherPassed(
+        Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
+      .withColumn("__t2", segmentLines(col("text")))
+      .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords = 3))
+      .withColumn("__s2",
+        col("__s1") && !Curation.c4DocDrop(col("__t2")) && col("clean") =!= "")
+    val head = flagged.agg(
+      count(lit(1)).as("total"),
+      sum(col("__s1").cast("long")).as("gopher"),
+      sum(col("__s2").cast("long")).as("c4"))
+    // the window partitions by md5(clean) over s2 survivors only — the
+    // failed-rows empty-clean hub never reaches the exchange
+    val deduped = graft.dedup.Dedup.exactByContent(
+      flagged.filter(col("__s2")), "doc_id", "clean")
+    val tail = deduped.agg(
+      count(lit(1)).as("exact_dedup"),
+      // same predicate as Sampling.deterministicSample(_, "doc_id", 0.5)
+      sum((Sampling.hashBucket(col("doc_id")) <
+        (0.5 * Sampling.Buckets).toLong).cast("long")).as("sampled"))
+    def stageRow(i: Int, name: String) =
+      struct(lit(i).cast("int").as("stage_idx"), lit(name).as("stage"),
+        col(name).as("n_docs"))
+    head.crossJoin(tail)
+      .select(explode(array(stageRow(0, "total"), stageRow(1, "gopher"),
+        stageRow(2, "c4"), stageRow(3, "exact_dedup"),
+        stageRow(4, "sampled"))).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage_idx"))
   }
 
   val queries: Map[String, QueryFn] = Map(
@@ -479,9 +501,9 @@ object TextQueries extends QueryPack {
       ls AS (
         SELECT doc_id,
                CAST(SUM(c) AS BIGINT) AS n_units,
-               CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS n_dup,
+               CAST(SUM(c - 1) AS BIGINT) AS n_dup,
                CAST(SUM(c * ln) AS BIGINT) AS chars,
-               CAST(COALESCE(SUM(c * ln) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_chars
+               CAST(SUM((c - 1) * ln) AS BIGINT) AS dup_chars
         FROM lc GROUP BY doc_id),
       pc AS (
         SELECT doc_id, para, COUNT(*) AS c, len(para) AS ln
@@ -492,9 +514,9 @@ object TextQueries extends QueryPack {
       ps AS (
         SELECT doc_id,
                CAST(SUM(c) AS BIGINT) AS n_units,
-               CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS n_dup,
+               CAST(SUM(c - 1) AS BIGINT) AS n_dup,
                CAST(SUM(c * ln) AS BIGINT) AS chars,
-               CAST(COALESCE(SUM(c * ln) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_chars
+               CAST(SUM((c - 1) * ln) AS BIGINT) AS dup_chars
         FROM pc GROUP BY doc_id),
       m AS (
         SELECT ls.doc_id,
@@ -700,8 +722,7 @@ object TextQueries extends QueryPack {
           FROM c2) WHERE rn = 1),
       samp AS (
         SELECT doc_id FROM ded
-        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                   AS BIGINT) % 1000000 < 500000)
+        WHERE $bucketSql < 500000)
       SELECT CAST(0 AS INT) AS stage_idx, 'total' AS stage,
              CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
       UNION ALL SELECT 1, 'gopher', CAST((SELECT COUNT(*) FROM g) AS BIGINT)

@@ -78,6 +78,13 @@ package object queries {
   val segmentLinesSql: String =
     "regexp_replace(text, 'table', 'table.' || chr(10), 'g')"
 
+  /** SQL twin of `Sampling.hashBucket(col("doc_id"))` — ONE definition
+    * for every sampler oracle (the sample_ and mix_ queries, the
+    * funnel's sampling stage), so a bucket-scheme change can't silently
+    * diverge one of them from the engine. */
+  val bucketSql: String =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+
   /** Order-independent, engine-exact sum of a double measure (see above). */
   def decSum(c: Column): Column =
     sum(c.cast(DecimalType(18, 6))).cast(DoubleType)

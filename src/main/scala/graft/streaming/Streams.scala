@@ -260,7 +260,16 @@ object Streams {
           val firsts = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
           val inBatch = fp.join(firsts, Seq("__fp", idCol), "left_semi")
           val indexed =
-            if (hasIndex) spark.read.parquet(indexPath).select(col("fp").as("__fp"))
+            if (hasIndex)
+              spark.read.parquet(indexPath)
+                // a REPLAYED batch (crash after the index write, before
+                // the checkpoint commit) must not dedup against its OWN
+                // committed fingerprints — that would empty the batch
+                // and the overwrite below would erase its survivors
+                // permanently. The batch=<id> partition column scopes
+                // the exclusion to exactly this batch's prior attempt.
+                .filter(col("batch") =!= batchId)
+                .select(col("fp").as("__fp"))
             else fp.select(col("__fp")).limit(0)
           val kept = inBatch.join(indexed, Seq("__fp"), "left_anti")
             .localCheckpoint()

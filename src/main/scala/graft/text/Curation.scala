@@ -87,33 +87,30 @@ object Curation {
 
   /** Duplication stats over an array of text units (lines or
     * paragraphs): `(n_units, n_dup_units, unit_chars, dup_unit_chars)`
-    * where a unit OCCURRENCE is "duplicated" iff its value appears ≥ 2
-    * times in the array. Detection is sorted-neighbor: after
-    * `array_sort`, an occurrence is duplicated exactly when it equals
-    * its predecessor or successor — O(L log L) per document, map-side,
-    * no quadratic within-doc self-compare and no shuffle. `get` (not
-    * `element_at`) for the neighbors: 0-based and NULL out of bounds,
-    * so the edges need no special-casing even under ANSI mode. */
+    * where a "duplicate" is every occurrence AFTER the first of a
+    * repeated value — the counting rule of the public Gopher
+    * reproductions, which makes the whole computation set-algebra:
+    * duplicates = all occurrences − distinct values, duplicate chars =
+    * all chars − first-occurrence chars. One `array_distinct` and two
+    * length sums per document — O(L), map-side, no sort, no shuffle,
+    * and nothing re-evaluated inside a HOF lambda. */
   def dupUnitStats(units: Column): Column = {
-    val s = array_sort(units)
-    val dupFlags = transform(s, (x, i) =>
-      (x <=> get(s, i - 1)) || (x <=> get(s, i + 1)))
-    val dupChars = zip_with(s, dupFlags, (x, f) =>
-      when(f, length(x)).otherwise(lit(0)))
-    def sumInts(arr: Column): Column =
-      aggregate(arr, lit(0), (acc, e) => acc + e)
+    val firsts = array_distinct(units)
+    def sumLens(arr: Column): Column =
+      aggregate(transform(arr, u => length(u)), lit(0), (acc, e) => acc + e)
     struct(
       size(units).cast(LongType).as("n_units"),
-      size(filter(dupFlags, f => f)).cast(LongType).as("n_dup_units"),
-      sumInts(transform(units, u => length(u))).cast(LongType)
-        .as("unit_chars"),
-      sumInts(dupChars).cast(LongType).as("dup_unit_chars"))
+      (size(units) - size(firsts)).cast(LongType).as("n_dup_units"),
+      sumLens(units).cast(LongType).as("unit_chars"),
+      (sumLens(units) - sumLens(firsts)).cast(LongType)
+        .as("dup_unit_chars"))
   }
 
   /** The Gopher repetition metrics (Rae et al. 2021 App. A1.2, first
     * half): duplicate line / paragraph fraction, and the fraction of
-    * CHARACTERS sitting in duplicated lines / paragraphs. Lines split
-    * on `\n`, paragraphs on `\n\n` (the paper's units). All four
+    * CHARACTERS sitting in duplicated lines / paragraphs — "duplicate"
+    * counted as occurrences after the first ([[dupUnitStats]]). Lines
+    * split on `\n`, paragraphs on `\n\n` (the paper's units). All four
     * ratios are one bigint/bigint IEEE divide over exact counts —
     * engine-portable, zero-guarded. One projection, map-side; the
     * n-gram half of A1.2 is [[topNgramCharFrac]] (it needs a

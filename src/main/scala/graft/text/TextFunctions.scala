@@ -38,17 +38,8 @@ object TextFunctions {
 
   /** Pure-Column reference formulation of [[tokenShingles]] (kept for
     * parity tests; semantically identical, interpreted HOFs). */
-  def tokenShinglesReference(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // guard: sequence(0, x) with x<0 DESCENDS in Spark — short docs must
-    // yield an empty shingle set, not [0,-1]-indexed garbage
-    when(size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def tokenShinglesReference(text: Column, n: Int): Column =
+    array_distinct(tokenShinglesAll(text, n))
 
   /** Exact Jaccard similarity of two pre-distinct string arrays.
     * Ratio of two ints → one IEEE division, deterministic across

@@ -16,15 +16,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   /** Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast by
     * construction — the only legitimate uses:
-    *  - c2/d1/v_rowlevel: 1-row aggregate frames (scalar subquery
-    *    cross-join) — the broadcast side is a single row at any scale;
+    *  - c2/d1/v_rowlevel/tx_curation_funnel: 1-row aggregate frames
+    *    (scalar subquery cross-join) — the broadcast side is a single
+    *    row at any scale;
     *  - sim_topk_brute: the QUERY set broadcast against the corpus scan
     *    is the definition of brute-force ANN; the corpus side streams,
     *    the broadcast side is the user's bounded query batch.
     * Anything NOT in this list planning a BNLJ is a regression. */
   private val boundedBnlj = Set(
     "c2_dedup_events", "d1_exact_dedup", "v_rowlevel_events",
-    "sim_topk_brute")
+    "sim_topk_brute", "tx_curation_funnel")
 
   test("no query plans a CartesianProduct; BNLJ only where provably bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -686,6 +686,41 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("curation funnel sink: replayed batch keeps its survivors (no self-dedup)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-creplay").toString
+    val goodLine = "the cat and the dog run fast together now then."
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def sink() = Streams.curationFunnelSink(stream, s"$dir/corpus",
+      s"$dir/index", s"$dir/ckpt", "doc_id", "text", minTokens = 5L,
+      trig = Streams.trigger(1))
+    val q = sink().start()
+    try {
+      input.addData((1L, goodLine))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$dir/corpus").count() == 1L)
+    // crash window: batch 0's corpus+index writes committed, but the
+    // streaming checkpoint commit didn't happen → restart REPLAYS 0
+    val commit = new java.io.File(s"$dir/ckpt/commits/0")
+    assert(commit.exists() && commit.delete())
+    // the checkpoint FS is checksummed: the stale .crc would make the
+    // replay's commit rename look like concurrent modification
+    new java.io.File(s"$dir/ckpt/commits/.0.crc").delete()
+    val q2 = sink().start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the replay must not dedup the batch against its own fingerprints:
+    // doc 1 survives the rewrite, and its fingerprint stays indexed
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.read.parquet(s"$dir/index")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("streaming near-dup dedup sink: index accumulates across batches") {
     val spark2 = spark
     import spark2.implicits._

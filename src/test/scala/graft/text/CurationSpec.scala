@@ -58,19 +58,19 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("repetition features: duplicate line/paragraph fractions by hand") {
-    // lines: [aa., b., aa., c] — "aa." twice → 2/4 occurrences,
-    // chars 3+3 of 3+2+3+1 = 6/9
+    // lines: [aa., b., aa., c] — the SECOND "aa." is the duplicate
+    // (occurrences after the first) → 1/4; chars 3 of 3+2+3+1 = 3/9
     val f = repFeatures("aa.\nb.\naa.\nc")
-    assert(f.getAs[Double]("dup_line_frac") == 0.5)
-    assert(f.getAs[Double]("dup_line_char_frac") == 6.0 / 9.0)
+    assert(f.getAs[Double]("dup_line_frac") == 0.25)
+    assert(f.getAs[Double]("dup_line_char_frac") == 3.0 / 9.0)
     // one paragraph (no \n\n) → nothing duplicated at para granularity
     assert(f.getAs[Double]("dup_para_frac") == 0.0)
     assert(f.getAs[Double]("dup_para_char_frac") == 0.0)
 
-    // paragraphs: [x, y, x] → 2/3; chars 2 of 3
+    // paragraphs: [x, y, x] → second x duplicated → 1/3; chars 1 of 3
     val p = repFeatures("x\n\ny\n\nx")
-    assert(p.getAs[Double]("dup_para_frac") == 2.0 / 3.0)
-    assert(p.getAs[Double]("dup_para_char_frac") == 2.0 / 3.0)
+    assert(p.getAs[Double]("dup_para_frac") == 1.0 / 3.0)
+    assert(p.getAs[Double]("dup_para_char_frac") == 1.0 / 3.0)
 
     // all distinct → zero everywhere; empty text → guards, not NULL/NaN
     val d = repFeatures("a\nb\nc")
@@ -82,16 +82,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
 
   test("repetition pass rule: each threshold fires independently") {
     import spark.implicits._
+    val big = "B" * 50
     val docs = Seq(
-      ("clean", "a.\nb.\nc.\nd.\ne.\nf.\ng.\nh.\ni.\nj."),     // no dups
-      ("lines", "a.\na.\nb.\nc."),                              // 2/4 > 0.30
-      ("paras", "xx\n\nxx\n\nyy")                               // 2/3 > 0.30
+      // no dups at all
+      ("clean", "a.\nb.\nc.\nd.\ne.\nf.\ng.\nh.\ni.\nj."),
+      // 2 extra of 5 lines = 0.40 > 0.30
+      ("lines", "a.\na.\na.\nb.\nc."),
+      // 2 extra of 4 paragraphs = 0.50 > 0.30
+      ("paras", "xx\n\nxx\n\nxx\n\nyy"),
+      // line FRACTION passes (1/10 = 0.10) but duplicated CHARS fail:
+      // 50 of 108 = 0.46 > 0.20
+      ("linechars", (Seq(big, big) ++ ('a' to 'h').map(_.toString))
+        .mkString("\n"))
     ).toDF("id", "text")
     val out = docs.select(col("id"),
         Curation.repetitionPassed(
           Curation.repetitionFeatures(col("text"))).as("p"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(out == Map("clean" -> true, "lines" -> false, "paras" -> false))
+    assert(out == Map("clean" -> true, "lines" -> false,
+      "paras" -> false, "linechars" -> false))
   }
 
   test("top n-gram char fraction: counts, ties, and short-doc absence") {
