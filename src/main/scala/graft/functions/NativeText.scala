@@ -154,6 +154,52 @@ object NativeTextImpl {
     }
     new GenericArrayData(out)
   }
+
+  /** Most frequent n-token shingle of a document with its occurrence
+    * count, as `(gram, cnt)` — or null when the doc has fewer than n
+    * tokens. One tokenize + one hash-map pass per row; ties break
+    * higher count → longer gram (chars) → binary-smallest gram, the
+    * same total order as `ORDER BY cnt DESC, len DESC, gram ASC` in
+    * the SQL oracle (UTF8String comparison IS the binary order both
+    * engines sort strings by). */
+  def topNgram(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(s)
+    if (toks.length < n) return null
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](
+      (toks.length - n + 1) * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val g = UTF8String.fromString(sb.toString)
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1)) else c(0) += 1
+      i += 1
+    }
+    var best: UTF8String = null
+    var bestCnt = 0
+    var bestLen = -1
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val c = e.getValue()(0)
+      val len = g.numChars()
+      if (c > bestCnt ||
+          (c == bestCnt && (len > bestLen ||
+            (len == bestLen && g.compareTo(best) < 0)))) {
+        best = g; bestCnt = c; bestLen = len
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestCnt.toLong))
+  }
 }
 
 /** string → long SimHash, codegen'd as one static call. */
@@ -241,6 +287,35 @@ case class ChunkTokensExpr(child: Expression, size: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** string → struct(gram, cnt): the document's most frequent n-token
+  * shingle (null when shorter than n tokens), one compiled hash-map
+  * pass per row — the per-row mode never touches a shuffle. */
+case class TopNgramExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_top_ngram"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.topNgram(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.NativeTextImpl.topNgram($c, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramExpr =
+    copy(child = newChild)
+}
+
 object NativeText {
   /** Column wrappers. */
   def simhash64(text: Column): Column =
@@ -251,4 +326,6 @@ object NativeText {
     GraftShims.column(TokenShinglesExpr(GraftShims.expression(text), n))
   def chunkTokens(text: Column, size: Int, stride: Int): Column =
     GraftShims.column(ChunkTokensExpr(GraftShims.expression(text), size, stride))
+  def topNgram(text: Column, n: Int): Column =
+    GraftShims.column(TopNgramExpr(GraftShims.expression(text), n))
 }

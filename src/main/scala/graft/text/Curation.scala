@@ -171,35 +171,32 @@ object Curation {
     * (count × gram length / doc length — the public implementations'
     * convention; overlapping occurrences are not collapsed). Ties
     * break deterministically — higher count, then longer gram, then
-    * lexicographically smallest — so any engine derives the same row.
-    * Documents shorter than n tokens have no (doc, n) row.
+    * binary-smallest — so any engine derives the same row. Documents
+    * shorter than n tokens have no (doc, n) row.
     *
-    * Scale: shingling is map-side ([[TextFunctions.tokenShinglesAll]]
-    * — occurrences, not the distinct set); ONE shuffle on
-    * (doc, n, gram) for the counts with map-side combine; the
-    * per-(doc, n) argmax rides the bounded-heap top-1 operator — no
-    * per-doc sort, no window materialization, and a boilerplate-heavy
-    * doc's gram list is bounded by its own length, never the corpus. */
+    * Scale: the mode of a per-row array is a PER-ROW problem — ZERO
+    * shuffle, ONE scan. Each n's mode is one compiled hash-map pass
+    * per row (the native [[graft.functions.TopNgramExpr]]; the Column
+    * HOF spelling — sort + `aggregate` run-length fold — is ~8×
+    * slower interpreted, and an explode + (doc, n, gram) count
+    * shuffle moves every gram occurrence across the cluster to answer
+    * a question each row answers locally). All n explode from the
+    * same projection. */
   def topNgramCharFrac(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, ns: Seq[Int] = Seq(2, 3, 4)): org.apache.spark.sql.DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n list: $ns")
-    import graft.plans.TopK
     val perN = ns.map { n =>
-      docs.select(col(idCol).as("doc_id"),
-        length(col(textCol)).as("__chars"),
-        lit(n).as("n"),
-        explode(TextFunctions.tokenShinglesAll(col(textCol), n)).as("gram"))
+      struct(lit(n).as("n"),
+        graft.functions.NativeText.topNgram(col(textCol), n).as("top"))
     }
-    val counted = perN.reduce(_ unionByName _)
-      .groupBy(col("doc_id"), col("__chars"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("occurrences"))
-      .withColumn("__glen", length(col("gram")))
-    TopK.perKey(counted, Seq("doc_id", "n"),
-        Seq(TopK.desc("occurrences"), TopK.desc("__glen"), TopK.asc("gram")),
-        1, rankName = "__rank")
-      .select(col("doc_id"), col("n"), col("gram").as("top_gram"),
-        col("occurrences"),
-        ((col("occurrences") * col("__glen")).cast(DoubleType) /
-          col("__chars")).as("char_frac"))
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).as("__chars"),
+        explode(array(perN: _*)).as("__e"))
+      .filter(col("__e")("top").isNotNull)
+      .select(col("doc_id"), col("__e")("n").as("n"),
+        col("__e")("top")("gram").as("top_gram"),
+        col("__e")("top")("cnt").as("occurrences"),
+        ((col("__e")("top")("cnt") * length(col("__e")("top")("gram")))
+          .cast(DoubleType) / col("__chars")).as("char_frac"))
   }
 }
