@@ -34,36 +34,61 @@ package object queries {
 
   /** Load one testdata table (TESTDATA.md layout: `dir/name.parquet`).
     *
-    * `events.parquet` is written with NANOSECOND timestamps, which Spark's
-    * parquet reader rejects outright; we read them as raw longs
-    * (`nanosAsLong`) and rebuild a microsecond timestamp. Result columns
-    * holding timestamps are always formatted to second precision (fmtTs),
-    * so the dropped sub-microsecond digits never reach a compared value —
-    * but equality/boundary semantics finer than 1µs must not be used in
-    * oracle-checked queries. */
+    * `events.parquet` has been generated with several timestamp flavors
+    * across driver rounds — INT64 NANOSECONDS (which Spark's parquet
+    * reader rejects without `nanosAsLong`), and plain microsecond
+    * timestamps (read as TIMESTAMP_NTZ under Spark 4's NTZ inference).
+    * We adapt to whatever is on disk and normalize `ts` to the session
+    * TIMESTAMP type, interpreting naive wall-clock values as UTC (the
+    * session zone) — the same instants the nanos path produced, so
+    * every downstream query and oracle is flavor-independent. Result
+    * columns holding timestamps are always formatted to second
+    * precision (fmtTs); equality/boundary semantics finer than 1µs must
+    * not be used in oracle-checked queries. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize an events frame's `ts` to the session TIMESTAMP type
+    * whatever flavor the file carried (see [[table]]). Works on batch
+    * and streaming frames alike — the dispatch is on the SCHEMA, and
+    * the rewrite is a plain column expression. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // raw nanos → rebuild a microsecond timestamp
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // naive wall-clock → UTC instant
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
   /** Events newer than `wm` (UTC "yyyy-MM-dd HH:mm:ss"), with the
-    * watermark predicate applied in the RAW nanosecond-long domain
-    * BEFORE the timestamp rebuild — so it pushes down to the parquet
-    * scan (`PushedFilters: GreaterThan(ts, …)`) and row groups outside
-    * the watermark are skipped via column statistics. Filtering the
-    * derived timestamp instead would evaluate the conversion on every
-    * row of a 100 TB table. */
+    * watermark predicate applied in the COLUMN'S NATIVE on-disk domain
+    * (raw nanosecond long, or NTZ/LTZ timestamp) BEFORE any conversion —
+    * so it pushes down to the parquet scan (`PushedFilters:
+    * GreaterThan(ts, …)`) and row groups outside the watermark are
+    * skipped via column statistics. Filtering a derived/cast timestamp
+    * instead would evaluate the conversion on every row of a 100 TB
+    * table and defeat pushdown. */
   def eventsAfter(spark: SparkSession, dir: String, wm: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanos = java.time.LocalDateTime
-      .parse(wm.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC)
-      .toEpochMilli * 1000000L
-    spark.read.parquet(s"$dir/events.parquet")
-      .filter(col("ts") > lit(nanos))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val nanos = java.time.LocalDateTime
+          .parse(wm.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+          .toEpochMilli * 1000000L
+        raw.filter(col("ts") > lit(nanos))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.filter(col("ts") > to_timestamp_ntz(lit(wm)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        raw.filter(col("ts") > to_timestamp(lit(wm)))
+    }
   }
 
   /** Deterministic fixture segmentation shared by the line-granular

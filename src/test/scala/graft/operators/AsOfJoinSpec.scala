@@ -69,10 +69,8 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("one shuffle on the key; no range-join explosion") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val left = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"), col("user_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"))
+    val left = graft.queries.table(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
     val right = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
     val plan = AsOfJoin.asOf(left, right, "user_id", "ts", "o_orderdate",

@@ -836,14 +836,11 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     val streamDir = Files.createTempDirectory("graft-file-src")
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val batchDf = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    val streamDf = spark.readStream
+    val batchDf = graft.queries.normalizeEventTs(
+      spark.read.parquet(s"$sf/events.parquet"))
+    val streamDf = graft.queries.normalizeEventTs(spark.readStream
       .schema(spark.read.parquet(s"$sf/events.parquet").schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+      .parquet(streamDir.toString))
 
     def kpi(df: org.apache.spark.sql.DataFrame) =
       Windows.tumbling(df, "ts", "1 hour", Seq.empty,
