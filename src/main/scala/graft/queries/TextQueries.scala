@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.TextFunctions
+import graft.text.{Dsir, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -363,7 +363,32 @@ object TextQueries extends QueryPack {
       .orderBy(col("stage_idx"))
   }
 
+  /** DSIR importance weights (integer-exact rendering — see
+    * [[graft.text.Dsir]]): target distribution = the `lang = 'en'`
+    * subset, raw = the whole corpus; 4096 hashed bigram buckets. The
+    * oracle replays hashing, smoothing, fixed-point division and sums
+    * exactly, pinning the full selection pipeline. */
+  def txDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dsir.quantizedWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 4096)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Importance RESAMPLING step: the 25 most target-like documents by
+    * quantized DSIR score (doc id breaks ties), as a global
+    * TakeOrdered — no full sort. */
+  def txDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dsir.selectTop(
+        Dsir.quantizedWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 4096), 25)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_dsir_weights" -> (txDsirWeights _),
+    "tx_dsir_select" -> (txDsirSelect _),
     "tx_curation_funnel" -> (txCurationFunnel _),
     "tx_gopher_filter" -> (txGopherFilter _),
     "tx_c4_clean" -> (txC4Clean _),
@@ -471,7 +496,44 @@ object TextQueries extends QueryPack {
                  AND len(string_split_regex(trim(x), '\s+')) >= 3
                  AND NOT contains(lower(trim(x)), 'javascript'))"""
 
+  // DSIR twin: hashed bigram buckets (the repo-wide md5 bucket scheme),
+  // Laplace-smoothed target/raw counts, fixed-point integer weights —
+  // every step integer-exact so DuckDB replays it bit-for-bit
+  private val dsirScoreSql: String = {
+    val buckets = """
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 4096
+               AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       FOR i IN range(1, len(toks))]) AS gram
+        FROM (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 2)"""
+    s"""
+      WITH b AS ($buckets),
+      nt AS (SELECT bucket, COUNT(*) AS nt FROM b
+             WHERE lang = 'en' GROUP BY bucket),
+      nr AS (SELECT bucket, COUNT(*) AS nr FROM b GROUP BY bucket),
+      w AS (
+        SELECT b.doc_id,
+               (1000000 * (COALESCE(nt.nt, 0) + 1)) // (nr.nr + 1) AS w
+        FROM b LEFT JOIN nt USING (bucket) JOIN nr USING (bucket)),
+      sc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(w) AS BIGINT) AS dsir_score,
+               CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_score
+        FROM w GROUP BY doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "tx_dsir_weights" -> s"""$dsirScoreSql
+      SELECT * FROM sc ORDER BY doc_id""",
+    "tx_dsir_select" -> s"""$dsirScoreSql
+      SELECT * FROM
+        (SELECT * FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 25)
+      ORDER BY doc_id""",
     "tx_chunk_windows" -> """
       WITH chunks AS (
         SELECT doc_id, len(toks) AS n,
