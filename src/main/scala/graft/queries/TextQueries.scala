@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{Dsir, TextFunctions}
+import graft.text.{Dsir, LmScore, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -386,7 +386,21 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style LM quality scoring + head/middle/tail band split
+    * (integer-exact rendering — see [[graft.text.LmScore]]): reference
+    * model = hashed bigram LM trained on the `lang = 'en'` subset,
+    * scored over the whole corpus, banded by exact NTILE(3) through
+    * the distributed rank. */
+  def txLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    LmScore.withQualityBands(
+        LmScore.quantizedScores(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_lm_score" -> (txLmScore _),
     "tx_dsir_weights" -> (txDsirWeights _),
     "tx_dsir_select" -> (txDsirSelect _),
     "tx_curation_funnel" -> (txCurationFunnel _),
@@ -527,7 +541,43 @@ object TextQueries extends QueryPack {
         FROM w GROUP BY doc_id)"""
   }
 
+  // LmScore twin: hashed bigram LM with add-one smoothing trained on
+  // the lang='en' subset; fixed-point token probabilities summed per
+  // doc; NTILE(3) bands (DuckDB's NTILE fill matches Keys.ntileExpr —
+  // the same contract w_ntile_spend pins)
+  private val lmScoreSql: String = """
+      WITH bg AS (
+        SELECT doc_id, lang,
+               unnest([{
+                 'bu': CAST(concat('0x', substr(md5(toks[i]), 1, 15))
+                         AS BIGINT) % 1024,
+                 'bv': CAST(concat('0x', substr(md5(toks[i+1]), 1, 15))
+                         AS BIGINT) % 1024}
+                 FOR i IN range(1, len(toks))], recursive := true)
+        FROM (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 2),
+      c2 AS (SELECT bu, bv, COUNT(*) AS c2 FROM bg
+             WHERE lang = 'en' GROUP BY bu, bv),
+      c1 AS (SELECT bu, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY bu),
+      w AS (
+        SELECT bg.doc_id,
+               (1000000 * (COALESCE(c2.c2, 0) + 1))
+                 // (COALESCE(c1.c1, 0) + 1024) AS w
+        FROM bg LEFT JOIN c2 USING (bu, bv) LEFT JOIN c1 USING (bu)),
+      sc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(w) AS BIGINT) AS lm_score,
+               CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_prob_q
+        FROM w GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, lm_score, mean_prob_q,
+             CASE NTILE(3) OVER (ORDER BY mean_prob_q DESC, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS quality_band
+      FROM sc ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "tx_lm_score" -> lmScoreSql,
     "tx_dsir_weights" -> s"""$dsirScoreSql
       SELECT * FROM sc ORDER BY doc_id""",
     "tx_dsir_select" -> s"""$dsirScoreSql
