@@ -1,0 +1,173 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
+
+/** Product quantization for nearest-neighbor search (Jégou, Douze,
+  * Schmid 2011, "Product Quantization for Nearest Neighbor Search",
+  * IEEE TPAMI 33(1)) — the storage tier below [[Similarity.compressInt8]]:
+  * a d-dim float vector (4d bytes) becomes `m` sub-codes of
+  * log2(ksub) bits (m bytes here), a 32× reduction at d=64, m=8 —
+  * the difference between an embedding index that fits executor
+  * memory at 100 TB corpus scale and one that doesn't.
+  *
+  * Encode: split each vector into m contiguous subvectors of d/m
+  * dims; per subspace, a KMeans codebook of `ksub` centroids (fit on
+  * a bounded deterministic sample, like [[Similarity.kmeansIndex]]);
+  * a vector's code is its per-subspace nearest-centroid ids.
+  *
+  * Search (ADC — asymmetric distance computation): the QUERY stays
+  * exact; per query one m×ksub table of partial squared L2 distances
+  * to every subspace centroid is computed ON THE BROADCAST-SMALL
+  * QUERY SIDE; a corpus row's approximate distance is then m table
+  * LOOKUPS summed — no per-row float vector math at all. Candidates
+  * come from the IVF coarse quantizer (equi join on the cell id,
+  * nProbe fan-out on the query side only), i.e. the paper's IVFADC
+  * layout over [[Similarity.kmeansIndex]] cells. For unit-norm
+  * embeddings squared L2 is 2−2·cosine, so ADC ranking is cosine
+  * ranking.
+  *
+  * This is approximate twice over (coarse cells + PQ distances) and
+  * KMeans codebooks are not SQL-expressible — verified by PqSpec
+  * recall bounds against [[Similarity.bruteForceTopK]], the
+  * [[Similarity.compressInt8]] pattern, not an oracle row.
+  */
+object Pq {
+
+  /** `m` codebooks, each `ksub` centroids of d/m dims, fit
+    * independently per subspace on a deterministic bounded sample.
+    * Driver-side size: m·ksub·(d/m) = ksub·d doubles — tiny. */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int = 16, seed: Long = 42L,
+      maxTrainRows: Option[Long] = None): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = vecDim(df, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val base = maxTrainRows match {
+      case Some(n) =>
+        val total = df.count()
+        if (total <= n) df
+        else graft.operators.Sampling.deterministicSample(
+          df, idCol, n.toDouble / total)
+      case None => df
+    }
+    // one cached pass feeds all m fits; each fit sees only its slice
+    val slices = base.select((0 until m).map(j =>
+      array_to_vector(slice(col(vecCol), j * sub + 1, sub)
+        .cast(ArrayType(DoubleType))).as(s"__s$j")): _*)
+      .localCheckpoint()
+    (0 until m).map { j =>
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(20)
+        .setFeaturesCol(s"__s$j").setPredictionCol("__c")
+        .fit(slices)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
+  /** Nearest-centroid code of one subvector — reuses the IVF probe
+    * expression (sorted struct array, deterministic ties by id). */
+  private def code(sub: Column, codebook: Seq[Seq[Double]]): Column =
+    element_at(Similarity.nearestCentroids(sub, codebook, 1), 1)
+
+  /** Add `vecCol_pq`: array<tinyint> of length m. Map-only; the
+    * codebooks ride into the plan as literals. Keep or drop the float
+    * column per storage tier policy (the point of PQ is dropping it). */
+  def encode(df: DataFrame, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(codebooks.head.size <= 128, "code must fit a signed byte")
+    val sub = codebooks.head.head.size
+    df.withColumn(vecCol + "_pq",
+      array(codebooks.zipWithIndex.map { case (cb, j) =>
+        code(slice(col(vecCol), j * sub + 1, sub), cb).cast(ByteType)
+      }: _*))
+  }
+
+  /** The per-query ADC lookup table, flattened row-major to one
+    * array<double> of m·ksub partial squared distances:
+    * `table[j·ksub + c] = ‖q_j − centroid_{j,c}‖²`. Built on the
+    * query side only. */
+  private def adcTable(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val sub = codebooks.head.head.size
+    flatten(array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val s = slice(vec, j * sub + 1, sub)
+      array(cb.map { cent =>
+        aggregate(
+          zip_with(s, array(cent.map(lit): _*),
+            (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+          lit(0.0d), (acc, v) => acc + v)
+      }: _*)
+    }: _*))
+  }
+
+  /** IVFADC top-k: `indexed` is a [[Similarity.kmeansIndex]]-clustered
+    * corpus run through [[encode]] (only `cluster` + the code column
+    * are read — the float vectors can be cold storage). Queries probe
+    * their `nProbe` nearest coarse cells; candidate distance is m
+    * table lookups. Output: (query_id, rank, neighbor_id, adc_dist),
+    * rank 1 = nearest. */
+  def topK(indexed: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, coarse: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int): DataFrame = {
+    import graft.plans.TopK
+    val ksub = codebooks.head.size
+    val m = codebooks.size
+    val c = indexed.select(col(idCol).as("neighbor_id"),
+      col("cluster").as("__bkt"), col(vecCol + "_pq").as("__codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        adcTable(col(vecCol), codebooks).as("__table"),
+        explode(Similarity.nearestCentroids(col(vecCol), coarse, nProbe))
+          .as("__qbkt"))
+    val dist = (0 until m).map(j =>
+        element_at(col("__table"),
+          lit(j * ksub + 1) + col("__codes").getItem(j).cast("int")))
+      .reduce(_ + _)
+    val cands = c.join(broadcast(q),
+        col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", dist)
+    TopK.perKey(cands, Seq("query_id"),
+        Seq(TopK.asc("adc_dist"), TopK.asc("neighbor_id")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** ADC shortlist + exact re-rank — the production IVFADC pipeline:
+    * PQ codes prune the corpus to a `shortlist` per query (cheap
+    * lookups, no float math), then ONLY those rows' float vectors are
+    * fetched and re-ranked by exact cosine. The shortlist id set is
+    * broadcast-small (queries × shortlist), so the float fetch is a
+    * broadcast hash join against the corpus — one scan, no shuffle of
+    * the corpus; at deployment scale it is a point-lookup against the
+    * hot-tier store while the PQ index is what lives in memory.
+    * Output matches [[Similarity.bruteForceTopK]]'s shape:
+    * (query_id, rank, neighbor_id, cosine). */
+  def topKRefined(indexed: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, coarse: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int,
+      shortlist: Int = 0): DataFrame = {
+    import graft.plans.TopK
+    import Similarity.{cosineFromParts, dotQ, normSqQ, quantize}
+    val r = if (shortlist > 0) shortlist else 4 * k
+    val cands = topK(indexed, queries, idCol, vecCol, coarse, codebooks,
+        r, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = indexed.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("__q"))
+      .withColumn("__nsq", normSqQ(col("__q")))
+      .join(broadcast(cands), Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("__qq"))
+      .withColumn("__qnsq", normSqQ(col("__qq")))
+    val exact = c.join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        cosineFromParts(dotQ(col("__q"), col("__qq")),
+          col("__nsq"), col("__qnsq")))
+    TopK.perKey(exact, Seq("query_id"),
+        Seq(TopK.desc("cosine"), TopK.asc("neighbor_id")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+}

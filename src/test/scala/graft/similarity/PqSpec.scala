@@ -1,0 +1,90 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  // 16 subspaces of 4 dims, 32 centroids each: 16 bytes/vector (16×
+  // smaller than 256 bytes of floats) — the setting that hits ≥0.9
+  // refined recall on this synthetic corpus (measured; see git log)
+  private val M = 16
+  private val KSUB = 32
+
+  private lazy val codebooks =
+    Pq.train(emb, "vec_id", "embedding", M, KSUB, maxTrainRows = Some(400L))
+  private lazy val (clustered, coarse) =
+    Similarity.kmeansIndex(emb, "vec_id", "embedding", k = 10)
+  private lazy val indexed = Pq.encode(clustered, "embedding", codebooks)
+
+  test("codebooks: m books of ksub centroids of d/m dims; deterministic") {
+    assert(codebooks.size == M)
+    assert(codebooks.forall(cb => cb.size == KSUB && cb.forall(_.size == 64 / M)))
+    val again =
+      Pq.train(emb, "vec_id", "embedding", M, KSUB, maxTrainRows = Some(400L))
+    assert(again == codebooks, "PQ training is not deterministic")
+  }
+
+  private def recallOf(df: org.apache.spark.sql.DataFrame,
+      brute: Map[Long, Set[Long]]): Double = {
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    brute.map { case (qid, b) =>
+      (b intersect got.getOrElse(qid, Set.empty)).size
+    }.sum.toDouble / brute.map(_._2.size).sum
+  }
+
+  private lazy val q20 = emb.filter(col("vec_id") < 20)
+  private lazy val brute10 =
+    Similarity.bruteForceTopK(emb, q20, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("codes: length m, byte range [0, ksub); 16x smaller than floats") {
+    val codes = indexed.select(col("embedding_pq")).collect()
+      .map(_.getSeq[Byte](0))
+    assert(codes.forall(c => c.length == M && c.forall(b => b >= 0 && b < KSUB)))
+    // m bytes per vector vs 4·d for floats
+    assert(4 * 64 / M == 16)
+  }
+
+  test("IVFADC recall@10; refined re-rank lifts it; probes are monotone") {
+    val adcFull = recallOf(Pq.topK(indexed, q20, "vec_id", "embedding",
+      coarse, codebooks, k = 10, nProbe = 10), brute10)
+    val adcOne = recallOf(Pq.topK(indexed, q20, "vec_id", "embedding",
+      coarse, codebooks, k = 10, nProbe = 1), brute10)
+    val refined = recallOf(Pq.topKRefined(indexed, q20, "vec_id", "embedding",
+      coarse, codebooks, k = 10, nProbe = 10, shortlist = 80), brute10)
+    assert(adcFull >= 0.3, s"full-probe ADC recall@10 = $adcFull < 0.3")
+    assert(adcFull >= adcOne, s"full-probe $adcFull < single-probe $adcOne")
+    assert(refined >= 0.9, s"refined recall@10 = $refined < 0.9")
+    assert(refined >= adcFull, s"re-rank lowered recall: $refined < $adcFull")
+  }
+
+  test("full shortlist + full probe degrades to EXACT brute force") {
+    // with every cell probed and the shortlist covering the corpus,
+    // the ADC stage prunes nothing and exact re-rank must reproduce
+    // bruteForceTopK bit-for-bit (same quantized-dot cosine, same ties)
+    val q = emb.filter(col("vec_id") < 5)
+    val viaPq = Pq.topKRefined(indexed, q, "vec_id", "embedding", coarse,
+        codebooks, k = 5, nProbe = 10, shortlist = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaBrute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaPq == viaBrute)
+  }
+
+  test("search plan: broadcast equi join on the coarse cell, no BNLJ") {
+    val q = emb.filter(col("vec_id") < 5)
+    val plan = Pq.topK(indexed, q, "vec_id", "embedding", coarse, codebooks,
+      k = 3, nProbe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+}
