@@ -122,6 +122,31 @@ object NativeTextImpl {
     new GenericArrayData(arr)
   }
 
+  /** NON-distinct twin of [[shingles]]: every occurrence in document
+    * order (frequencies/positions preserved). Same single tokenize +
+    * StringBuilder pass — the Column HOF spelling re-runs `split(text)`
+    * inside every lambda element (no cross-lambda subexpression
+    * elimination), i.e. O(tokens²) per document. */
+  def shinglesAll(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Context-window chunks (see TextFunctions.chunkTokens): size-token
     * windows whose starts step by stride, short tail kept, none for
     * whitespace-only/empty docs. One tokenize + one StringBuilder pass
@@ -265,6 +290,29 @@ case class TokenShinglesExpr(child: Expression, n: Int)
 }
 
 /** string → array<string> context-window chunks, codegen'd. */
+/** string → array<string> of ALL n-token shingles in order, codegen'd
+  * (the non-distinct twin of [[TokenShinglesExpr]]). */
+case class TokenShinglesAllExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_shingles_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.shinglesAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextImpl.shinglesAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShinglesAllExpr =
+    copy(child = newChild)
+}
+
 case class ChunkTokensExpr(child: Expression, size: Int, stride: Int)
     extends UnaryExpression {
   require(size >= 1 && stride >= 1,
@@ -324,6 +372,8 @@ object NativeText {
     GraftShims.column(SimHashMd5Expr(GraftShims.expression(text)))
   def tokenShingles(text: Column, n: Int): Column =
     GraftShims.column(TokenShinglesExpr(GraftShims.expression(text), n))
+  def tokenShinglesAll(text: Column, n: Int): Column =
+    GraftShims.column(TokenShinglesAllExpr(GraftShims.expression(text), n))
   def chunkTokens(text: Column, size: Int, stride: Int): Column =
     GraftShims.column(ChunkTokensExpr(GraftShims.expression(text), size, stride))
   def topNgram(text: Column, n: Int): Column =

@@ -116,16 +116,23 @@ object Pq {
     val m = codebooks.size
     val c = indexed.select(col(idCol).as("neighbor_id"),
       col("cluster").as("__bkt"), col(vecCol + "_pq").as("__codes"))
-    val q = queries.select(col(idCol).as("query_id"),
-        adcTable(col(vecCol), codebooks).as("__table"),
-        explode(Similarity.nearestCentroids(col(vecCol), coarse, nProbe))
-          .as("__qbkt"))
+    // two slim broadcast sides instead of one wide one: the probe side
+    // carries only (query_id, cell) — exploding AFTER projecting the
+    // ADC table would duplicate every query's m·ksub-double table
+    // nProbe times in the broadcast — and the table side carries each
+    // query's table exactly once, attached to candidates by query id
+    val qProbe = queries.select(col(idCol).as("query_id"),
+      explode(Similarity.nearestCentroids(col(vecCol), coarse, nProbe))
+        .as("__qbkt"))
+    val qTable = queries.select(col(idCol).as("query_id"),
+      adcTable(col(vecCol), codebooks).as("__table"))
     val dist = (0 until m).map(j =>
         element_at(col("__table"),
           lit(j * ksub + 1) + col("__codes").getItem(j).cast("int")))
       .reduce(_ + _)
-    val cands = c.join(broadcast(q),
+    val cands = c.join(broadcast(qProbe),
         col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qTable), Seq("query_id"))
       .withColumn("adc_dist", dist)
     TopK.perKey(cands, Seq("query_id"),
         Seq(TopK.asc("adc_dist"), TopK.asc("neighbor_id")), k)
@@ -152,10 +159,14 @@ object Pq {
     val cands = topK(indexed, queries, idCol, vecCol, coarse, codebooks,
         r, nProbe)
       .select(col("query_id"), col("neighbor_id"))
-    val c = indexed.select(col(idCol).as("neighbor_id"),
-        quantize(col(vecCol)).as("__q"))
-      .withColumn("__nsq", normSqQ(col("__q")))
+    // join FIRST, quantize after: a projection above the scan would
+    // make every corpus row pay the O(d) quantize + norm loop before
+    // the join discards all but queries×shortlist of them
+    val c = indexed.select(col(idCol).as("neighbor_id"), col(vecCol))
       .join(broadcast(cands), Seq("neighbor_id"))
+      .withColumn("__q", quantize(col(vecCol)))
+      .withColumn("__nsq", normSqQ(col("__q")))
+      .drop(vecCol)
     val q = queries.select(col(idCol).as("query_id"),
         quantize(col(vecCol)).as("__qq"))
       .withColumn("__qnsq", normSqQ(col("__qq")))

@@ -56,14 +56,27 @@ object Dsir {
       lit(buckets.toLong))
 
   /** One row per (document, bigram occurrence): `(doc_id, bucket)`.
-    * Map-only: explode of the native shingle expression + the bucket
-    * projection. Documents shorter than 2 tokens contribute no rows
-    * (and are absent from every downstream weight frame). */
+    * Map-only. The token array is MATERIALIZED once per row before the
+    * shingle transform — `tokenShinglesAll`'s one-expression spelling
+    * re-evaluates `split(text)` inside every lambda element (Catalyst
+    * does not subexpression-eliminate across lambda bodies), turning a
+    * T-token document into O(T²) tokenizer work; measured 4.5 s → sub-
+    * second on the sf0.1 corpus. The hashed gram string is identical
+    * (`concat_ws(" ", tok_i, tok_i+1)` == the 2-shingle), so oracle
+    * parity is untouched. Documents shorter than 2 tokens contribute
+    * no rows (and are absent from every downstream weight frame). */
   def docFeatures(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
+      buckets: Int): DataFrame = {
+    val t = col("__toks")
     docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokenShinglesAll(col(textCol), 2)).as("gram"))
-      .select(col("doc_id"), featureBucket(col("gram"), buckets).as("bucket"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(t) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(t) - 2),
+          i => featureBucket(
+            concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)),
+            buckets))).as("bucket"))
+  }
 
   /** Bucket occurrence counts over a corpus: ≤ `buckets` rows, however
     * large the corpus — the broadcastable sufficient statistic. */
@@ -72,55 +85,85 @@ object Dsir {
     docFeatures(docs, idCol, textCol, buckets)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
 
-  /** Per-document log importance weight under target vs raw hashed
-    * bigram distributions (Laplace-smoothed, the paper's estimator).
-    * Output: (doc_id, n_bigrams, dsir_logweight). Higher = more
-    * target-like. Double `ln`/sum — see the class doc for why this is
-    * test-verified rather than oracle-checked. */
-  def importanceWeights(corpus: DataFrame, target: DataFrame,
-      idCol: String, textCol: String, buckets: Int = 4096): DataFrame = {
+  /** Per-document bucket multiset `(doc_id, bucket, __c)` — the ONE
+    * corpus shingle pass every weight variant consumes. Both the raw
+    * dictionary (a further groupBy(bucket) of this) and the scoring
+    * join hang off the same (doc_id, bucket) exchange, so Catalyst's
+    * ReuseExchange materializes the scan + md5 + shuffle ONCE and the
+    * dictionary branch reads the shuffle files — scanning the corpus
+    * separately per branch would triple the dominant cost (text I/O +
+    * hashing) at 100 TB. */
+  def docBucketCounts(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docFeatures(docs, idCol, textCol, buckets)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("__c"))
+
+  private def weighted(corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int): DataFrame = {
+    val perDoc = docBucketCounts(corpus, idCol, textCol, buckets)
     val tgt = bucketCounts(target, idCol, textCol, buckets)
       .withColumnRenamed("n", "__nt")
-    val raw = bucketCounts(corpus, idCol, textCol, buckets)
-      .withColumnRenamed("n", "__nr")
-    // corpus-total bigram counts: one tiny agg over the ≤B-row
-    // dictionaries (already computed), not another corpus scan
-    val nT = tgt.agg(coalesce(sum(col("__nt")), lit(0L))).head().getLong(0)
-    val nR = raw.agg(coalesce(sum(col("__nr")), lit(0L))).head().getLong(0)
-    val logRatio =
-      log((coalesce(col("__nt"), lit(0L)) + 1).cast(DoubleType) /
-          (nT + buckets).toDouble) -
-      log((coalesce(col("__nr"), lit(0L)) + 1).cast(DoubleType) /
-          (nR + buckets).toDouble)
-    docFeatures(corpus, idCol, textCol, buckets)
+    val raw = perDoc.groupBy(col("bucket"))
+      .agg(sum(col("__c")).as("__nr")) // derived — reuses perDoc's exchange
+    perDoc
       .join(broadcast(tgt), Seq("bucket"), "left")
       .join(broadcast(raw), Seq("bucket"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(logRatio).as("dsir_logweight"))
   }
 
   /** Integer-exact fixed-point twin (see class doc): per-document
     * `dsir_score` = Σ over bigram occurrences of
     * (1e6·(n_t(bucket)+1)) div (n_r(bucket)+1), plus the bigram count
     * and the mean score (one bigint/bigint IEEE division — the same
-    * single-division exactness contract as the TF-IDF score). */
+    * single-division exactness contract as the TF-IDF score).
+    * Occurrences of one bucket share a weight, so the sum is
+    * Σ_buckets c·W — computed over the pre-aggregated per-doc counts,
+    * one corpus scan total. */
   def quantizedWeights(corpus: DataFrame, target: DataFrame,
-      idCol: String, textCol: String, buckets: Int = 4096): DataFrame = {
-    val tgt = bucketCounts(target, idCol, textCol, buckets)
-      .withColumnRenamed("n", "__nt")
-    val raw = bucketCounts(corpus, idCol, textCol, buckets)
-      .withColumnRenamed("n", "__nr")
-    docFeatures(corpus, idCol, textCol, buckets)
-      .join(broadcast(tgt), Seq("bucket"), "left")
-      .join(broadcast(raw), Seq("bucket"), "left")
+      idCol: String, textCol: String, buckets: Int = 4096): DataFrame =
+    weighted(corpus, target, idCol, textCol, buckets)
       .withColumn("__w",
         expr("(1000000L * (coalesce(__nt, 0L) + 1L)) div (coalesce(__nr, 0L) + 1L)"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("__w")).as("dsir_score"))
+      .agg(sum(col("__c")).as("n_bigrams"),
+        sum(col("__c") * col("__w")).as("dsir_score"))
       .withColumn("mean_score",
         col("dsir_score").cast(DoubleType) / col("n_bigrams"))
+
+  /** Per-document log importance weight under target vs raw hashed
+    * bigram distributions (Laplace-smoothed, the paper's estimator).
+    * Output: (doc_id, n_bigrams, dsir_logweight). Higher = more
+    * target-like. Double `ln`/sum — see the class doc for why this is
+    * test-verified rather than oracle-checked.
+    *
+    * The smoothing denominators need the corpus-total bigram counts as
+    * SCALARS, so the two ≤B-row dictionaries are collected once and
+    * re-parallelized (breaking lineage — re-deriving the totals inside
+    * the plan trips Spark's self-join dedup into AMBIGUOUS_REFERENCE,
+    * and a separate .agg action would re-run the scan): one target
+    * scan + two corpus scans total. The oracle-gated
+    * [[quantizedWeights]] needs no totals and keeps the single-scan
+    * exchange-reuse shape. */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tgtRows = bucketCounts(target, idCol, textCol, buckets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val rawRows = bucketCounts(corpus, idCol, textCol, buckets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val nT = tgtRows.map(_._2).sum
+    val nR = rawRows.map(_._2).sum
+    val logRatio =
+      log((coalesce(col("__nt"), lit(0L)) + 1).cast(DoubleType) /
+          (nT + buckets).toDouble) -
+      log((coalesce(col("__nr"), lit(0L)) + 1).cast(DoubleType) /
+          (nR + buckets).toDouble)
+    docBucketCounts(corpus, idCol, textCol, buckets)
+      .join(broadcast(tgtRows.toDF("bucket", "__nt")), Seq("bucket"), "left")
+      .join(broadcast(rawRows.toDF("bucket", "__nr")), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_bigrams"),
+        sum(col("__c") * logRatio).as("dsir_logweight"))
   }
 
   /** Select the `n` most target-like documents by quantized score

@@ -25,8 +25,17 @@ object TextFunctions {
   /** NON-distinct sliding n-token shingles — ALL occurrences in
     * document order, for operators that count or locate occurrences
     * ([[tokenShingles]] deduplicates, which is right for set
-    * similarity but destroys frequencies/positions). */
-  def tokenShinglesAll(text: Column, n: Int): Column = {
+    * similarity but destroys frequencies/positions). Native expression
+    * ([[graft.functions.TokenShinglesAllExpr]]): one tokenize per row —
+    * the Column HOF spelling re-evaluates `split(text)` inside every
+    * lambda element (O(tokens²) per document; it survives as
+    * [[tokenShinglesAllReference]] for parity tests). */
+  def tokenShinglesAll(text: Column, n: Int): Column =
+    graft.functions.NativeText.tokenShinglesAll(text, n)
+
+  /** Pure-Column reference formulation of [[tokenShinglesAll]] (kept
+    * for parity tests; semantically identical, interpreted HOFs). */
+  def tokenShinglesAllReference(text: Column, n: Int): Column = {
     val toks = tokens(text)
     // guard: sequence(0, x) with x<0 DESCENDS in Spark — short docs
     // must yield an empty shingle list
@@ -39,7 +48,7 @@ object TextFunctions {
   /** Pure-Column reference formulation of [[tokenShingles]] (kept for
     * parity tests; semantically identical, interpreted HOFs). */
   def tokenShinglesReference(text: Column, n: Int): Column =
-    array_distinct(tokenShinglesAll(text, n))
+    array_distinct(tokenShinglesAllReference(text, n))
 
   /** Exact Jaccard similarity of two pre-distinct string arrays.
     * Ratio of two ints → one IEEE division, deterministic across

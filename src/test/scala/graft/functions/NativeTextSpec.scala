@@ -25,6 +25,22 @@ class NativeTextSpec extends AnyFunSuite with SparkSpec {
     assert(cmp.filter(not(col("native") <=> col("ref"))).count() == 0)
   }
 
+  test("native ALL-shingles ≡ Column-reference (occurrences and order)") {
+    for (n <- Seq(2, 5)) {
+      val cmp = docs.select(
+        TextFunctions.tokenShinglesAll(col("text"), n).as("native"),
+        TextFunctions.tokenShinglesAllReference(col("text"), n).as("ref"))
+      assert(cmp.filter(not(col("native") <=> col("ref"))).count() == 0, s"n=$n")
+    }
+    // short/empty edges mirror the reference's guard
+    import spark.implicits._
+    val edge = Seq("one two three", "one", "", "a a").toDF("text")
+      .select(TextFunctions.tokenShinglesAll(col("text"), 2).as("sh")).collect()
+    assert(edge(0).getSeq[String](0) == Seq("one two", "two three"))
+    assert(edge(1).getSeq[String](0).isEmpty)
+    assert(edge(3).getSeq[String](0) == Seq("a a"))
+  }
+
   test("edge cases: short docs, empty-ish strings, nulls") {
     import spark.implicits._
     val df = Seq("one two three", "one", "", "a a a a a a").toDF("text")
