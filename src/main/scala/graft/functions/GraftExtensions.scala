@@ -45,6 +45,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TokenShinglesExpr].getName, "graft_shingles"),
       (args: Seq[Expression]) =>
         TokenShinglesExpr(args(0), intArg(args(1), "graft_shingles"))),
+    ("graft_shingles_all",
+      new ExpressionInfo(classOf[TokenShinglesAllExpr].getName,
+        "graft_shingles_all"),
+      (args: Seq[Expression]) =>
+        TokenShinglesAllExpr(args(0), intArg(args(1), "graft_shingles_all"))),
     ("graft_dotq",
       new ExpressionInfo(classOf[DotQExpr].getName, "graft_dotq"),
       (args: Seq[Expression]) => DotQExpr(args(0), args(1))),

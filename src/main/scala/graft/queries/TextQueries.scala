@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.text.{Dsir, LmScore, TextFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.text.{Dsir, LmScore, TextFunctions, UrlOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -399,7 +399,58 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic dirty-URL synthesis over the documents fixture (the
+    * corpus has no URL column): exercises every normalization branch —
+    * mixed-case scheme/host, trailing slash, #fragment — keyed by
+    * doc_id so the oracle rebuilds it bit-for-bit. */
+  private def dirtyUrl: Column =
+    concat(
+      when(col("doc_id") % 2 === 0, lit("HtTpS")).otherwise(lit("http")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, upper(col("source")))
+        .otherwise(col("source")),
+      lit(".Example.COM/"), col("lang"), lit("/Item/"),
+      (col("doc_id") % 7).cast(StringType),
+      when(col("doc_id") % 3 === 1, lit("/"))
+        .when(col("doc_id") % 3 === 2,
+          concat(lit("#sec"), col("doc_id").cast(StringType)))
+        .otherwise(lit("")))
+
+  /** URL canonicalization + domain extraction ([[graft.text.UrlOps]]):
+    * lowercased scheme/host, case-preserved path, fragment and
+    * trailing slashes stripped. */
+  def txUrlNormalize(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("url", dirtyUrl)
+      .select(col("doc_id"),
+        UrlOps.normalizeUrl(col("url")).as("url_norm"),
+        UrlOps.domainOf(col("url")).as("domain"))
+      .orderBy(col("doc_id"))
+
+  /** Exact-URL dedup, first-crawled (min doc id) survivor — through
+    * the bounded-heap top-k, not a per-URL sort. */
+  def txUrlDedup(s: SparkSession, dir: String): DataFrame =
+    UrlOps.dedupByUrl(
+        table(s, dir, "documents").withColumn("url", dirtyUrl)
+          .select(col("doc_id"), col("url")),
+        "doc_id", "url")
+      .select(col("url_norm"), col("doc_id"))
+      .orderBy(col("url_norm"))
+
+  /** Per-domain cap (RefinedWeb §3.1): at most 5 documents per domain,
+    * smallest ids surviving, rank included. */
+  def txDomainCaps(s: SparkSession, dir: String): DataFrame =
+    UrlOps.capPerDomain(
+        table(s, dir, "documents").withColumn("url", dirtyUrl)
+          .select(col("doc_id"), col("url")),
+        "doc_id", "url", cap = 5)
+      .select(col("domain"), col("domain_rank"), col("doc_id"))
+      .orderBy(col("domain"), col("domain_rank"))
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_url_normalize" -> (txUrlNormalize _),
+    "tx_url_dedup" -> (txUrlDedup _),
+    "tx_domain_caps" -> (txDomainCaps _),
     "tx_lm_score" -> (txLmScore _),
     "tx_dsir_weights" -> (txDsirWeights _),
     "tx_dsir_select" -> (txDsirSelect _),
@@ -576,7 +627,53 @@ object TextQueries extends QueryPack {
                ELSE 'tail' END AS quality_band
       FROM sc ORDER BY doc_id"""
 
+  // UrlOps twin: the same dirty-URL synthesis and the normalization
+  // contract (lower scheme+host, keep path case, strip #fragment and
+  // trailing '/' runs) in DuckDB's RE2 — patterns restricted to the
+  // Java/RE2 common subset
+  private val urlSynthSql = """
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HtTpS' ELSE 'http' END
+              || '://'
+              || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+              || '.Example.COM/' || lang || '/Item/'
+              || CAST(doc_id % 7 AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 1 THEN '/'
+                      WHEN doc_id % 3 = 2 THEN '#sec' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END) AS url
+      FROM documents"""
+
+  private val urlNormSql = """
+      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        || '://'
+        || lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+        || rtrim(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '/')"""
+
+  private val urlDomainSql = """
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"""
+
   val oracles: Map[String, String] = Map(
+    "tx_url_normalize" -> s"""
+      WITH u AS ($urlSynthSql)
+      SELECT doc_id, $urlNormSql AS url_norm, $urlDomainSql AS domain
+      FROM u ORDER BY doc_id""",
+    "tx_url_dedup" -> s"""
+      WITH u AS ($urlSynthSql),
+      n AS (SELECT doc_id, $urlNormSql AS url_norm FROM u)
+      SELECT url_norm, doc_id FROM n
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+      ORDER BY url_norm""",
+    "tx_domain_caps" -> s"""
+      WITH u AS ($urlSynthSql),
+      d AS (SELECT doc_id, $urlDomainSql AS domain FROM u),
+      r AS (SELECT domain, doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id)
+                AS INT) AS domain_rank
+            FROM d)
+      SELECT domain, domain_rank, doc_id FROM r
+      WHERE domain_rank <= 5
+      ORDER BY domain, domain_rank""",
     "tx_lm_score" -> lmScoreSql,
     "tx_dsir_weights" -> s"""$dsirScoreSql
       SELECT * FROM sc ORDER BY doc_id""",

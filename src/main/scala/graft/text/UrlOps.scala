@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level corpus curation (the RefinedWeb/CCNet web-pipeline stages
+  * that run BEFORE content dedup — Penedo et al. 2023, arXiv:2306.01116
+  * §3.1: URL filtering, exact-URL dedup, per-domain caps): normalize
+  * crawl URLs to a canonical form, extract the registrable host,
+  * drop blocklisted domains, keep one document per URL, and bound any
+  * single domain's share of the corpus.
+  *
+  * Normalization contract (deterministic, replayable in ANSI SQL so
+  * the oracle can pin it): lowercase the scheme and host, keep the
+  * path/query case-sensitive (RFC 3986 — host is case-insensitive,
+  * path is not), drop the #fragment, strip trailing '/' runs.
+  *
+  * Scale design: normalization/domain are per-row expressions
+  * (map-only, codegen); the blocklist broadcasts (it is a curated
+  * list, not data-sized); URL dedup and domain caps rank through the
+  * bounded-heap top-k operator — one shuffle on the url/domain key
+  * with k rows of reducer state per key, never a per-key sort. A
+  * boilerplate-heavy domain with 10⁸ pages costs its cap, not its
+  * page count. */
+object UrlOps {
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  // path + query (everything between host and fragment)
+  private val restRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+
+  /** Canonical URL per the contract above. Rows that do not look like
+    * scheme://host URLs normalize to lowercase-trimmed themselves (a
+    * conservative fallback; filter them upstream if they are noise). */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = regexp_extract(url, schemeRe, 1)
+    val host = regexp_extract(url, hostRe, 1)
+    val rest = regexp_extract(url, restRe, 1)
+    when(scheme =!= "",
+      concat(lower(scheme), lit("://"), lower(host), rtrim(rest, "/")))
+      .otherwise(lower(trim(url)))
+  }
+
+  /** Lowercased host ('' when the value is not a scheme://host URL). */
+  def domainOf(url: Column): Column =
+    lower(regexp_extract(url, hostRe, 1))
+
+  /** Drop rows whose domain is on the blocklist. The blocklist is a
+    * curated artifact (thousands of rows, not corpus-sized) — broadcast
+    * left-anti, corpus never shuffles. */
+  def filterBlocked(df: DataFrame, urlCol: String,
+      blocked: DataFrame): DataFrame =
+    df.withColumn("__dom", domainOf(col(urlCol)))
+      .join(broadcast(blocked.select(lower(col(blocked.columns.head))
+        .as("__dom"))), Seq("__dom"), "left_anti")
+      .drop("__dom")
+
+  /** Exact-URL dedup: one survivor per normalized URL — the smallest
+    * id (first-crawled under monotone ids), the RefinedWeb choice.
+    * Bounded-heap k=1 per URL: one shuffle, one row of state per
+    * distinct URL. Output keeps (normalized url, survivor row). */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    import graft.plans.TopK
+    TopK.perKey(df.withColumn("__url_norm", normalizeUrl(col(urlCol))),
+        Seq("__url_norm"), Seq(TopK.asc(idCol)), k = 1)
+      .drop("rank")
+      .withColumnRenamed("__url_norm", "url_norm")
+  }
+
+  /** Per-domain document cap: at most `cap` rows per domain, smallest
+    * ids surviving (deterministic). `domain_rank` (1-based) rides
+    * along. */
+  def capPerDomain(df: DataFrame, idCol: String, urlCol: String,
+      cap: Int): DataFrame = {
+    import graft.plans.TopK
+    TopK.perKey(df.withColumn("domain", domainOf(col(urlCol))),
+        Seq("domain"), Seq(TopK.asc(idCol)), k = cap)
+      .withColumnRenamed("rank", "domain_rank")
+  }
+}

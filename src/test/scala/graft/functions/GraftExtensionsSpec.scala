@@ -11,12 +11,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       """SELECT graft_simhash64('the quick brown fox') AS h,
         |       graft_shingles('a b c d', 2) AS sh,
         |       graft_dotq(array(1L, 2L), array(3L, 4L)) AS d,
-        |       graft_chunks('a b c d e', 2, 2) AS ch
+        |       graft_chunks('a b c d e', 2, 2) AS ch,
+        |       graft_shingles_all('a b a b', 2) AS sha
         |""".stripMargin).head()
     assert(row.getLong(0) != 0L)
     assert(row.getSeq[String](1) == Seq("a b", "b c", "c d"))
     assert(row.getLong(2) == 11L)
     assert(row.getSeq[String](3) == Seq("a b", "c d", "e"))
+    assert(row.getSeq[String](4) == Seq("a b", "b a", "a b"))
   }
 
   test("SQL results match the Column API") {
