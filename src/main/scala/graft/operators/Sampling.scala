@@ -125,6 +125,30 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Deterministic global shuffle + sharding — the training-data WRITE
+    * layout (shards that downstream loaders stream independently, rows
+    * within a shard in pseudorandom order so a sequential reader sees
+    * an unbiased mixture): `shard` = key-hash mod `nShards`,
+    * `shard_pos` = the row's rank within its shard ordered by a SECOND
+    * independent hash (salted md5 — ordering by the assignment hash
+    * would sort each shard by its own residue class, not shuffle it),
+    * key as the final tiebreak. Reproducible on any engine/cluster
+    * layout; nothing wall-clock, nothing partition-dependent.
+    *
+    * Scale: one shuffle on `shard`; the rank window is PARTITIONED by
+    * shard and shards are hash-balanced by construction (~N/nShards
+    * rows each) — pick nShards so a shard fits a task (the usual
+    * 100 TB layout is 10⁴–10⁶ shards), never 1. */
+  def shardAndShuffle(df: DataFrame, keyCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val order = hashBucket(concat(lit("shuffle:"), col(keyCol).cast(StringType)))
+    val w = Window.partitionBy(col("shard")).orderBy(order, col(keyCol))
+    df.withColumn("shard", (hashBucket(col(keyCol)) % nShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   /** Greedy contiguous sequence packing: within each `groupCol` stream,
     * rows ordered by `keyCol` accumulate `weightCol` (token counts) and
     * `batch_id = floor(start_offset / budget)` — every batch holds

@@ -101,6 +101,15 @@ object DedupQueries extends QueryPack {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic shard + in-shard shuffle — the training-data write
+    * layout ([[graft.operators.Sampling.shardAndShuffle]]): 8 shards,
+    * pseudorandom within-shard order via an independent salted hash. */
+  def sampleShards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shardAndShuffle(
+        table(s, dir, "documents"), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy(col("shard"), col("shard_pos"))
+
   /** Training-mixture downsample: per-source keep rates over the
     * document corpus, reproducible row-for-row. */
   def mixSources(s: SparkSession, dir: String): DataFrame =
@@ -227,6 +236,7 @@ object DedupQueries extends QueryPack {
     "sample_weighted" -> (sampleWeighted _),
     "pack_sequences" -> (packSequences _),
     "sample_docs" -> (sampleDocs _),
+    "sample_shards" -> (sampleShards _),
     "sample_stratified" -> (sampleStratified _),
     "sample_exact_n" -> (sampleExactN _),
     "sample_splits" -> (sampleSplits _),
@@ -310,6 +320,17 @@ object DedupQueries extends QueryPack {
       SELECT doc_id, source FROM documents
       WHERE $bucketSql < 200000
       ORDER BY doc_id""",
+    "sample_shards" -> s"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(($bucketSql) % 8 AS INT) AS shard,
+               CAST(concat('0x', substr(md5('shuffle:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS ob
+        FROM documents)
+      SELECT doc_id, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard
+               ORDER BY ob, doc_id) AS BIGINT) AS shard_pos
+      FROM b ORDER BY shard, shard_pos""",
     "sample_stratified" -> s"""
       SELECT doc_id, source FROM (
         SELECT doc_id, source,

@@ -228,4 +228,33 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .count()
     assert(disorder == 0L)
   }
+
+  test("shardAndShuffle: balanced shards, contiguous ranks, layout-independent") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.shardAndShuffle(docs, "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every doc exactly once; shards cover [0, 8)
+    assert(rows.length == docs.count())
+    assert(rows.map(_._2).toSet.subsetOf((0 until 8).toSet))
+    // shard_pos is exactly 1..n within each shard (a rank, no gaps)
+    rows.groupBy(_._2).values.foreach { sh =>
+      assert(sh.map(_._3).sorted.toSeq == (1L to sh.length).toSeq)
+    }
+    // hash-balanced: no shard more than 2x the mean
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.max <= 2 * (rows.length / 8), sizes.toSeq.sorted)
+    // within-shard order is NOT id order (it is a shuffle): at least
+    // one shard has an inversion
+    val inverted = rows.groupBy(_._2).values.exists { sh =>
+      val byPos = sh.sortBy(_._3).map(_._1).toSeq
+      byPos != byPos.sorted
+    }
+    assert(inverted, "within-shard order degenerated to id order")
+    // deterministic under a different input layout
+    val again = Sampling.shardAndShuffle(docs.repartition(13), "doc_id", 8)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == rows.toSet)
+  }
 }
