@@ -125,6 +125,55 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Data-constrained mixing allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models", arXiv:2305.16264 —
+    * repeating data beyond ~4 epochs stops helping): split a token
+    * `budget` across sources proportionally to their token counts,
+    * capping every source at `maxEpochs` repetitions, with EXACTLY ONE
+    * proportional redistribution of the capped sources' leftover to
+    * the uncapped ones (the documented contract — integer floor
+    * arithmetic end-to-end, so an ANSI oracle replays it bit-for-bit;
+    * iterating to the true water-filling fixpoint would be
+    * SQL-inexpressible).
+    *
+    * Input: one row per source `(source, tokens, weight)` — corpus
+    * METADATA, S rows for S sources; `weight` is the desired mixture
+    * proportion (integer, e.g. 1 for uniform — INDEPENDENT of tokens;
+    * a tokens-proportional weight degenerates to all-or-none capping,
+    * since every source then caps at the same budget/total ratio).
+    * The computation is driver-side over those S rows (the same
+    * bounded-driver pattern as watermarks and centroid lists); the
+    * expensive part — deriving per-source token counts — is the
+    * caller's one aggregate scan, and APPLYING the allocation is a
+    * [[stratifiedMix]]/epoch-concat over rates = allocated/tokens.
+    * Output: (source, tokens, allocated, epochs). */
+  def dataConstrainedAllocation(perSource: DataFrame, budget: Long,
+      maxEpochs: Int): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1)
+    val spark = perSource.sparkSession
+    import spark.implicits._
+    val src = perSource.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val wTotal = src.map(_._3).sum
+    val a1 = src.map { case (s, t, w) =>
+      val prop = if (wTotal > 0) budget * w / wTotal else 0L
+      (s, t, w, math.min(prop, t * maxEpochs))
+    }
+    val leftover = budget - a1.map(_._4).sum
+    val uncappedWeight = a1.collect {
+      case (_, t, w, a) if a < t * maxEpochs => w
+    }.sum
+    a1.map { case (s, t, w, a) =>
+      val cap = t * maxEpochs
+      val extra =
+        if (a < cap && uncappedWeight > 0 && leftover > 0)
+          math.min(cap - a, leftover * w / uncappedWeight)
+        else 0L
+      val alloc = a + extra
+      (s, t, alloc, if (t > 0) alloc.toDouble / t else 0.0)
+    }.toSeq.toDF("source", "tokens", "allocated", "epochs")
+  }
+
   /** Deterministic global shuffle + sharding — the training-data WRITE
     * layout (shards that downstream loaders stream independently, rows
     * within a shard in pseudorandom order so a sequential reader sees

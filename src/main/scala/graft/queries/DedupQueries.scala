@@ -101,6 +101,23 @@ object DedupQueries extends QueryPack {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Data-constrained mixing allocation
+    * ([[graft.operators.Sampling.dataConstrainedAllocation]]): a
+    * 52k-token budget split across the 20 sources, ≤2 epochs each,
+    * one proportional redistribution round. */
+  def mixEpochBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    // uniform mixture weights; budget past some sources' 2-epoch cap,
+    // so the capped sources' surplus redistributes to the others
+    val perSource = table(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(TextFunctions.tokens(col("text")))).as("tokens"),
+        lit(1L).as("weight"))
+    graft.operators.Sampling.dataConstrainedAllocation(
+        perSource, budget = 52000L, maxEpochs = 2)
+      .orderBy(col("source"))
+  }
+
   /** Deterministic shard + in-shard shuffle — the training-data write
     * layout ([[graft.operators.Sampling.shardAndShuffle]]): 8 shards,
     * pseudorandom within-shard order via an independent salted hash. */
@@ -237,6 +254,7 @@ object DedupQueries extends QueryPack {
     "pack_sequences" -> (packSequences _),
     "sample_docs" -> (sampleDocs _),
     "sample_shards" -> (sampleShards _),
+    "mix_epoch_budget" -> (mixEpochBudget _),
     "sample_stratified" -> (sampleStratified _),
     "sample_exact_n" -> (sampleExactN _),
     "sample_splits" -> (sampleSplits _),
@@ -320,6 +338,35 @@ object DedupQueries extends QueryPack {
       SELECT doc_id, source FROM documents
       WHERE $bucketSql < 200000
       ORDER BY doc_id""",
+    "mix_epoch_budget" -> """
+      WITH t AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                 AS tokens,
+               CAST(1 AS BIGINT) AS weight
+        FROM documents GROUP BY source),
+      wt AS (SELECT CAST(SUM(weight) AS BIGINT) AS wtot FROM t),
+      a1 AS (
+        SELECT source, tokens, weight,
+               LEAST((52000 * weight) // (SELECT wtot FROM wt),
+                     tokens * 2) AS alloc1
+        FROM t),
+      lo AS (SELECT 52000 - CAST(SUM(alloc1) AS BIGINT) AS leftover FROM a1),
+      un AS (SELECT CAST(COALESCE(SUM(CASE WHEN alloc1 < tokens * 2
+               THEN weight END), 0) AS BIGINT) AS uw FROM a1),
+      f AS (
+        SELECT source, tokens,
+               alloc1 + CASE WHEN alloc1 < tokens * 2
+                   AND (SELECT uw FROM un) > 0
+                   AND (SELECT leftover FROM lo) > 0
+                 THEN LEAST(tokens * 2 - alloc1,
+                   ((SELECT leftover FROM lo) * weight)
+                     // (SELECT uw FROM un))
+                 ELSE 0 END AS allocated
+        FROM a1)
+      SELECT source, tokens, CAST(allocated AS BIGINT) AS allocated,
+             CAST(allocated AS DOUBLE) / tokens AS epochs
+      FROM f ORDER BY source""",
     "sample_shards" -> s"""
       WITH b AS (
         SELECT doc_id,

@@ -257,4 +257,29 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(again == rows.toSet)
   }
+
+  test("dataConstrainedAllocation: caps, one redistribution round, hand-checked") {
+    val s2 = spark
+    import s2.implicits._
+    // A: small source with a big mixture weight -> caps at 2 epochs;
+    // B/C: uncapped, share A's surplus by weight
+    val perSource = Seq(
+      ("A", 100L, 6L), ("B", 1000L, 3L), ("C", 1000L, 1L))
+      .toDF("source", "tokens", "weight")
+    val out = Sampling.dataConstrainedAllocation(perSource,
+        budget = 2000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // wtot=10: prop A=1200 cap 200 -> 200; B=600; C=200. leftover=1000,
+    // uncapped weight=4: B += min(2000-600, 1000*3/4=750)=750 -> 1350;
+    // C += min(1800, 250)=250 -> 450
+    assert(out("A") == ((100L, 200L, 2.0)), out)
+    assert(out("B") == ((1000L, 1350L, 1.35)), out)
+    assert(out("C") == ((1000L, 450L, 0.45)), out)
+    // budget under every cap: pure proportional split, no extras
+    val flat = Sampling.dataConstrainedAllocation(perSource,
+        budget = 300L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(flat == Map("A" -> 180L, "B" -> 90L, "C" -> 30L), flat)
+  }
 }
