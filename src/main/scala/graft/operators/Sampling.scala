@@ -29,11 +29,16 @@ object Sampling {
     name
   }
 
-  /** Uniform bucket in [0, Buckets) from the md5 of the key — the first
-    * 15 hex digits (60 bits, < 2^63) as an integer, mod Buckets. */
-  def hashBucket(key: Column): Column =
+  /** Full 60-bit md5 value (first 15 hex digits, < 2^63) — for
+    * operators that need more resolution than [[hashBucket]]'s 10^6
+    * buckets (e.g. shard counts near or above 10^6, or fine-grained
+    * orderings). */
+  def hash60(key: Column): Column =
     conv(substring(md5(key.cast(StringType)), 1, 15), 16, 10)
-      .cast(LongType) % Buckets
+      .cast(LongType)
+
+  /** Uniform bucket in [0, Buckets) from the md5 of the key. */
+  def hashBucket(key: Column): Column = hash60(key) % Buckets
 
   /** Keep a deterministic `fraction` of rows by key hash. */
   def deterministicSample(df: DataFrame, keyCol: String,
@@ -154,20 +159,25 @@ object Sampling {
     import spark.implicits._
     val src = perSource.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val wTotal = src.map(_._3).sum
+    // BigInt for the proportional terms: budget·w at trillion-token
+    // budgets with large weights overflows Long silently (a negative
+    // allocation fed into sampler rates); every final value is ≤
+    // budget, so the narrowing back to Long is safe
+    val wTotal = src.map(x => BigInt(x._3)).sum
     val a1 = src.map { case (s, t, w) =>
-      val prop = if (wTotal > 0) budget * w / wTotal else 0L
+      val prop =
+        if (wTotal > 0) (BigInt(budget) * w / wTotal).toLong else 0L
       (s, t, w, math.min(prop, t * maxEpochs))
     }
     val leftover = budget - a1.map(_._4).sum
     val uncappedWeight = a1.collect {
-      case (_, t, w, a) if a < t * maxEpochs => w
+      case (_, t, w, a) if a < t * maxEpochs => BigInt(w)
     }.sum
     a1.map { case (s, t, w, a) =>
       val cap = t * maxEpochs
       val extra =
         if (a < cap && uncappedWeight > 0 && leftover > 0)
-          math.min(cap - a, leftover * w / uncappedWeight)
+          math.min(cap - a, (BigInt(leftover) * w / uncappedWeight).toLong)
         else 0L
       val alloc = a + extra
       (s, t, alloc, if (t > 0) alloc.toDouble / t else 0.0)
@@ -181,8 +191,14 @@ object Sampling {
     * `shard_pos` = the row's rank within its shard ordered by a SECOND
     * independent hash (salted md5 — ordering by the assignment hash
     * would sort each shard by its own residue class, not shuffle it),
-    * key as the final tiebreak. Reproducible on any engine/cluster
-    * layout; nothing wall-clock, nothing partition-dependent.
+    * key as the final tiebreak. Both hashes use the FULL 60-bit value
+    * ([[hash60]]) — quantizing through [[hashBucket]]'s 10^6 buckets
+    * would skew shard sizes up to 2× (or empty shards entirely) once
+    * nShards approaches the bucket count, and would degrade in-shard
+    * order into id-sorted runs within huge shards. Reproducible on any
+    * engine/cluster layout PROVIDED `keyCol` is unique (it is the
+    * document id); rows sharing a key would tie on every sort column
+    * and rank by arrival order.
     *
     * Scale: one shuffle on `shard`; the rank window is PARTITIONED by
     * shard and shards are hash-balanced by construction (~N/nShards
@@ -192,9 +208,9 @@ object Sampling {
       nShards: Int): DataFrame = {
     require(nShards >= 1)
     import org.apache.spark.sql.expressions.Window
-    val order = hashBucket(concat(lit("shuffle:"), col(keyCol).cast(StringType)))
+    val order = hash60(concat(lit("shuffle:"), col(keyCol).cast(StringType)))
     val w = Window.partitionBy(col("shard")).orderBy(order, col(keyCol))
-    df.withColumn("shard", (hashBucket(col(keyCol)) % nShards).cast("int"))
+    df.withColumn("shard", (hash60(col(keyCol)) % nShards).cast("int"))
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 

@@ -370,9 +370,10 @@ object DedupQueries extends QueryPack {
     "sample_shards" -> s"""
       WITH b AS (
         SELECT doc_id,
-               CAST(($bucketSql) % 8 AS INT) AS shard,
+               CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
                CAST(concat('0x', substr(md5('shuffle:' ||
-                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS ob
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS ob
         FROM documents)
       SELECT doc_id, shard,
              CAST(ROW_NUMBER() OVER (PARTITION BY shard

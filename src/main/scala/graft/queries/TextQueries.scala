@@ -650,8 +650,11 @@ object TextQueries extends QueryPack {
         || rtrim(regexp_extract(url,
              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '/')"""
 
+  // domainOf twin: authority minus userinfo/port/trailing dots
   private val urlDomainSql = """
-      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"""
+      lower(rtrim(regexp_replace(regexp_replace(
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        '^.*@', ''), ':[0-9]*$', ''), '.'))"""
 
   val oracles: Map[String, String] = Map(
     "tx_url_normalize" -> s"""

@@ -29,50 +29,84 @@ object UrlOps {
   // path + query (everything between host and fragment)
   private val restRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 
+  /** A working-column name absent from `taken` — the same invariant as
+    * `Sampling.freshName`: internal columns must never collide with
+    * (and silently drop) a user column of the same name. */
+  private def freshName(base: String, taken: Set[String]): String = {
+    var name = base
+    var i = 0
+    while (taken(name)) { i += 1; name = s"${base}_$i" }
+    name
+  }
+
+  private def requireAbsent(df: DataFrame, out: String*): Unit =
+    out.foreach(c => require(!df.columns.contains(c),
+      s"output column '$c' already exists on the input — rename it first"))
+
   /** Canonical URL per the contract above. Rows that do not look like
-    * scheme://host URLs normalize to lowercase-trimmed themselves (a
-    * conservative fallback; filter them upstream if they are noise). */
+    * scheme://host URLs pass through trimmed but CASE-PRESERVED — for
+    * dedup the conservative fallback is the one that cannot merge
+    * distinct keys (schemeless crawl rows differing only in path case
+    * must stay distinct); filter such rows upstream if they are
+    * noise. */
   def normalizeUrl(url: Column): Column = {
     val scheme = regexp_extract(url, schemeRe, 1)
     val host = regexp_extract(url, hostRe, 1)
     val rest = regexp_extract(url, restRe, 1)
     when(scheme =!= "",
       concat(lower(scheme), lit("://"), lower(host), rtrim(rest, "/")))
-      .otherwise(lower(trim(url)))
+      .otherwise(trim(url))
   }
 
-  /** Lowercased host ('' when the value is not a scheme://host URL). */
-  def domainOf(url: Column): Column =
-    lower(regexp_extract(url, hostRe, 1))
+  /** Registrable host for blocklists/caps: the authority lowercased,
+    * with userinfo (`user@`), port (`:8080`) and trailing dots
+    * stripped — spellings of one host must land on ONE key or an
+    * exact-match blocklist is trivially bypassed and a domain cap
+    * fragments. ('' when the value is not a scheme://host URL.)
+    * [[normalizeUrl]] deliberately keeps the full authority: `:8080`
+    * is a different origin for URL identity, but the same DOMAIN for
+    * rate/blocking purposes. */
+  def domainOf(url: Column): Column = {
+    val auth = regexp_extract(url, hostRe, 1)
+    lower(rtrim(
+      regexp_replace(regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""),
+      "."))
+  }
 
   /** Drop rows whose domain is on the blocklist. The blocklist is a
     * curated artifact (thousands of rows, not corpus-sized) — broadcast
     * left-anti, corpus never shuffles. */
   def filterBlocked(df: DataFrame, urlCol: String,
-      blocked: DataFrame): DataFrame =
-    df.withColumn("__dom", domainOf(col(urlCol)))
+      blocked: DataFrame): DataFrame = {
+    val dom = freshName("__dom", df.columns.toSet)
+    df.withColumn(dom, domainOf(col(urlCol)))
       .join(broadcast(blocked.select(lower(col(blocked.columns.head))
-        .as("__dom"))), Seq("__dom"), "left_anti")
-      .drop("__dom")
+        .as(dom))), Seq(dom), "left_anti")
+      .drop(dom)
+  }
 
   /** Exact-URL dedup: one survivor per normalized URL — the smallest
     * id (first-crawled under monotone ids), the RefinedWeb choice.
     * Bounded-heap k=1 per URL: one shuffle, one row of state per
-    * distinct URL. Output keeps (normalized url, survivor row). */
+    * distinct URL. Output keeps (normalized `url_norm`, survivor
+    * row); fails loudly if the input already has a `url_norm`/`rank`
+    * column rather than silently clobbering it. */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     import graft.plans.TopK
-    TopK.perKey(df.withColumn("__url_norm", normalizeUrl(col(urlCol))),
-        Seq("__url_norm"), Seq(TopK.asc(idCol)), k = 1)
+    requireAbsent(df, "url_norm", "rank")
+    TopK.perKey(df.withColumn("url_norm", normalizeUrl(col(urlCol))),
+        Seq("url_norm"), Seq(TopK.asc(idCol)), k = 1)
       .drop("rank")
-      .withColumnRenamed("__url_norm", "url_norm")
   }
 
   /** Per-domain document cap: at most `cap` rows per domain, smallest
     * ids surviving (deterministic). `domain_rank` (1-based) rides
-    * along. */
+    * along. Fails loudly on `domain`/`domain_rank`/`rank` input
+    * collisions. */
   def capPerDomain(df: DataFrame, idCol: String, urlCol: String,
       cap: Int): DataFrame = {
     import graft.plans.TopK
+    requireAbsent(df, "domain", "domain_rank", "rank")
     TopK.perKey(df.withColumn("domain", domainOf(col(urlCol))),
         Seq("domain"), Seq(TopK.asc(idCol)), k = cap)
       .withColumnRenamed("rank", "domain_rank")

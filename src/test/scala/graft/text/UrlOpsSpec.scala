@@ -27,19 +27,44 @@ class UrlOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == "http://example.com/a/b")
     assert(out(4L) == "https://example.com/x")
     assert(out(5L) == "http://example.com")
-    assert(out(6L) == "not a url at all") // conservative fallback
+    // case-preserving fallback: schemeless rows with case-distinct
+    // paths must NOT merge under dedup
+    assert(out(6L) == "not a url AT ALL")
   }
 
-  test("domainOf: lowercased host, '' for non-URLs; query strings stay out of the host") {
+  test("domainOf: one key per host spelling — port/userinfo/trailing dots stripped") {
     val out = urls(
       1L -> "https://A.B.c/d?q=1",
       2L -> "http://Host.Tld?q=/slashed",
-      3L -> "garbage")
+      3L -> "garbage",
+      4L -> "http://spam.example:8080/x",
+      5L -> "http://user:pw@spam.example/y",
+      6L -> "http://spam.example./z")
       .select(col("id"), UrlOps.domainOf(col("url")).as("d"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "a.b.c")
     assert(out(2L) == "host.tld")
     assert(out(3L) == "")
+    assert(out(4L) == "spam.example")
+    assert(out(5L) == "spam.example")
+    assert(out(6L) == "spam.example")
+  }
+
+  test("output-column collisions fail loudly; internal names stay fresh") {
+    val s2 = spark
+    import s2.implicits._
+    val withClash = Seq((1L, "http://a.example/x", "boom"))
+      .toDF("id", "url", "url_norm")
+    intercept[IllegalArgumentException] {
+      UrlOps.dedupByUrl(withClash, "id", "url")
+    }
+    // a pre-existing __dom column survives filterBlocked untouched
+    val withDom = Seq((1L, "http://ok.example/x", "keep"))
+      .toDF("id", "url", "__dom")
+    val out = UrlOps.filterBlocked(withDom, "url",
+      Seq("spam.example").toDF("domain"))
+    assert(out.columns.contains("__dom") &&
+      out.select("__dom").head().getString(0) == "keep")
   }
 
   test("filterBlocked drops blocklisted domains via broadcast anti join") {
