@@ -289,7 +289,6 @@ case class TokenShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** string → array<string> context-window chunks, codegen'd. */
 /** string → array<string> of ALL n-token shingles in order, codegen'd
   * (the non-distinct twin of [[TokenShinglesExpr]]). */
 case class TokenShinglesAllExpr(child: Expression, n: Int)
@@ -313,6 +312,7 @@ case class TokenShinglesAllExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** string → array<string> context-window chunks, codegen'd. */
 case class ChunkTokensExpr(child: Expression, size: Int, stride: Int)
     extends UnaryExpression {
   require(size >= 1 && stride >= 1,

@@ -157,8 +157,21 @@ object Sampling {
     require(budget >= 0 && maxEpochs >= 1)
     val spark = perSource.sparkSession
     import spark.implicits._
-    val src = perSource.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // resolve by NAME with explicit widening casts — positional access
+    // would misbind a reordered frame, and an Int-typed tokens/weight
+    // column would ClassCastException at getLong
+    val src = perSource
+      .select(col("source").cast("string").as("source"),
+        col("tokens").cast("long").as("tokens"),
+        col("weight").cast("long").as("weight"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("weight")))
+    // nonnegative inputs are part of the contract: BigInt '/' truncates
+    // toward zero while the oracle's '//' floors — they agree only for
+    // nonnegative operands
+    require(src.forall(x => x._2 >= 0 && x._3 >= 0),
+      "tokens and weight must be nonnegative")
     // BigInt for the proportional terms: budget·w at trillion-token
     // budgets with large weights overflows Long silently (a negative
     // allocation fed into sampler rates); every final value is ≤

@@ -401,8 +401,9 @@ object TextQueries extends QueryPack {
 
   /** Deterministic dirty-URL synthesis over the documents fixture (the
     * corpus has no URL column): exercises every normalization branch —
-    * mixed-case scheme/host, trailing slash, #fragment — keyed by
-    * doc_id so the oracle rebuilds it bit-for-bit. */
+    * mixed-case scheme/host, trailing path slash, query-final slash
+    * (preserved), #fragment — keyed by doc_id so the oracle rebuilds
+    * it bit-for-bit. */
   private def dirtyUrl: Column =
     concat(
       when(col("doc_id") % 2 === 0, lit("HtTpS")).otherwise(lit("http")),
@@ -412,8 +413,12 @@ object TextQueries extends QueryPack {
       lit(".Example.COM/"), col("lang"), lit("/Item/"),
       (col("doc_id") % 7).cast(StringType),
       when(col("doc_id") % 3 === 1, lit("/"))
-        .when(col("doc_id") % 3 === 2,
-          concat(lit("#sec"), col("doc_id").cast(StringType)))
+        .otherwise(lit("")),
+      // query-final '/' must SURVIVE normalization ('?next=/' is a
+      // distinct URL from '?next=') — only path slashes strip
+      when(col("doc_id") % 5 === 4, lit("?next=/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 2,
+        concat(lit("#sec"), col("doc_id").cast(StringType)))
         .otherwise(lit("")))
 
   /** URL canonicalization + domain extraction ([[graft.text.UrlOps]]):
@@ -638,8 +643,9 @@ object TextQueries extends QueryPack {
               || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
               || '.Example.COM/' || lang || '/Item/'
               || CAST(doc_id % 7 AS VARCHAR)
-              || CASE WHEN doc_id % 3 = 1 THEN '/'
-                      WHEN doc_id % 3 = 2 THEN '#sec' || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END
+              || CASE WHEN doc_id % 5 = 4 THEN '?next=/' ELSE '' END
+              || CASE WHEN doc_id % 3 = 2 THEN '#sec' || CAST(doc_id AS VARCHAR)
                       ELSE '' END) AS url
       FROM documents"""
 
@@ -648,7 +654,9 @@ object TextQueries extends QueryPack {
         || '://'
         || lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
         || rtrim(regexp_extract(url,
-             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '/')"""
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/')
+        || regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*(\?[^#]*)', 1)"""
 
   // domainOf twin: authority minus userinfo/port/trailing dots
   private val urlDomainSql = """

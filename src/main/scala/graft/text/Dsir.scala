@@ -50,10 +50,11 @@ object Dsir {
 
   /** Hashed feature id of one n-gram: the md5-twin bucket scheme every
     * oracle-checked hash in this repo uses (DuckDB replays it exactly;
-    * xxhash64 would be engine-internal). 60 bits → pmod buckets. */
+    * xxhash64 would be engine-internal) — delegated to the one central
+    * spelling, [[graft.operators.Sampling.hash60]], so the 60-bit
+    * scheme cannot drift between operators. */
   def featureBucket(gram: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(gram), 1, 15), 16, 10).cast(LongType),
-      lit(buckets.toLong))
+    pmod(graft.operators.Sampling.hash60(gram), lit(buckets.toLong))
 
   /** One row per (document, bigram occurrence): `(doc_id, bucket)`.
     * Map-only. The token array is MATERIALIZED once per row before the

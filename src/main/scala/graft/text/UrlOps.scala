@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * Normalization contract (deterministic, replayable in ANSI SQL so
   * the oracle can pin it): lowercase the scheme and host, keep the
   * path/query case-sensitive (RFC 3986 — host is case-insensitive,
-  * path is not), drop the #fragment, strip trailing '/' runs.
+  * path is not), drop the #fragment, strip trailing '/' runs from the
+  * PATH only (a query string is preserved byte-for-byte — '?next=/'
+  * and '?next=' are distinct URLs).
   *
   * Scale design: normalization/domain are per-row expressions
   * (map-only, codegen); the blocklist broadcasts (it is a curated
@@ -26,8 +28,12 @@ object UrlOps {
 
   private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
-  // path + query (everything between host and fragment)
-  private val restRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+  // path only (host..'?'/'#') — trailing-slash stripping must not
+  // reach into a query string ('?next=/' is a distinct URL from
+  // '?next=')
+  private val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  // query incl. its '?' (path..'#'); '' when absent
+  private val queryRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*(\\?[^#]*)"
 
   /** A working-column name absent from `taken` — the same invariant as
     * `Sampling.freshName`: internal columns must never collide with
@@ -52,9 +58,11 @@ object UrlOps {
   def normalizeUrl(url: Column): Column = {
     val scheme = regexp_extract(url, schemeRe, 1)
     val host = regexp_extract(url, hostRe, 1)
-    val rest = regexp_extract(url, restRe, 1)
+    val path = regexp_extract(url, pathRe, 1)
+    val query = regexp_extract(url, queryRe, 1)
     when(scheme =!= "",
-      concat(lower(scheme), lit("://"), lower(host), rtrim(rest, "/")))
+      concat(lower(scheme), lit("://"), lower(host),
+        rtrim(path, "/"), query))
       .otherwise(trim(url))
   }
 

@@ -19,7 +19,9 @@ class UrlOpsSpec extends AnyFunSuite with SparkSpec {
       3L -> "http://example.com/a/b///",
       4L -> "https://example.com/x#frag/with/slash",
       5L -> "http://EXAMPLE.com",
-      6L -> "not a url AT ALL")
+      6L -> "not a url AT ALL",
+      7L -> "http://example.com/a/?next=/",
+      8L -> "http://Host.Tld?q=/slashed#frag")
       .select(col("id"), UrlOps.normalizeUrl(col("url")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "https://www.example.com/Path/To/Item")
@@ -27,6 +29,10 @@ class UrlOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == "http://example.com/a/b")
     assert(out(4L) == "https://example.com/x")
     assert(out(5L) == "http://example.com")
+    // trailing slashes strip from the PATH only: a query-final '/'
+    // is part of the query value and must survive byte-for-byte
+    assert(out(7L) == "http://example.com/a?next=/")
+    assert(out(8L) == "http://host.tld?q=/slashed")
     // case-preserving fallback: schemeless rows with case-distinct
     // paths must NOT merge under dedup
     assert(out(6L) == "not a url AT ALL")
