@@ -17,8 +17,16 @@ class BatchMetricsListener extends QueryExecutionListener {
 
   override def onSuccess(funcName: String, qe: QueryExecution,
       durationNs: Long): Unit = {
-    val rows = Option(qe.executedPlan.metrics.get("numOutputRows"))
-      .flatten.map(_.value).getOrElse(-1L)
+    // Delivery is ASYNC (ExecutionListenerBus): by the time this runs,
+    // the world the plan referenced may be gone (e.g. a temp dir the
+    // caller swapped away), and on a shared session the event may
+    // belong to a query this listener's owner never ran. A listener
+    // must never throw into the bus — that line in the log is exactly
+    // the diagnostic noise a regression hunt greps for.
+    val rows =
+      try Option(qe.executedPlan.metrics.get("numOutputRows"))
+        .flatten.map(_.value).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     metrics.put(s"$funcName#${metrics.size}",
       ActionMetrics(rows, durationNs, failed = false))
   }

@@ -371,6 +371,64 @@ class PipelineRunnerSpec extends AnyFunSuite with SparkSpec {
       "ERROR" -> "CRITICAL", "WARN" -> "warning"), levels)
   }
 
+  test("AlertSinks.routed delivers per channel kind: file, webhook, log fallback") {
+    import com.sun.net.httpserver.HttpServer
+    val tmp = java.nio.file.Files.createTempDirectory("graft-alerts")
+    val alertFile = tmp.resolve("sub/alerts.jsonl").toString
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/hook", ex => {
+      received.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    // a second endpoint that always fails: delivery must log-and-continue
+    server.createContext("/broken", ex => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val logLines = Seq.newBuilder[String]
+      val log = new PipelineLogger("graft.test.alertsinks",
+        Some(l => logLines += l))
+      val fallbackHits = Seq.newBuilder[(Alert, Seq[AlertChannel])]
+      val sink = AlertSinks.routed(
+        Map("file" -> AlertSinks.file, "webhook" -> AlertSinks.webhook),
+        (a, chs) => fallbackHits += ((a, chs)), log)
+      val a1 = Alert("pipeline_failure", "critical", "t1", "task t1 failed")
+      val a2 = Alert("quality", "warning", "t2", "task t2 warned")
+      val channels = Seq(
+        AlertChannel("file", alertFile),
+        AlertChannel("webhook", s"http://127.0.0.1:$port/hook"),
+        AlertChannel("webhook", s"http://127.0.0.1:$port/broken"),
+        AlertChannel("email", "data-team@example.com"))
+      sink(a1, channels)
+      sink(a2, channels)
+      // file channel: one parseable JSON line per alert, channel stamped
+      val fileLines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(alertFile))
+      assert(fileLines.size == 2)
+      assert(fileLines.get(0).contains("\"rule\":\"pipeline_failure\"") &&
+        fileLines.get(0).contains("\"channel_kind\":\"file\""))
+      assert(fileLines.get(1).contains("\"rule\":\"quality\""))
+      // webhook channel: both alerts POSTed to the healthy endpoint
+      val posts = received.toArray(Array.empty[String]).toSeq
+      assert(posts.size == 2 &&
+        posts.exists(_.contains("\"task_id\":\"t1\"")) &&
+        posts.exists(_.contains("\"task_id\":\"t2\"")), posts)
+      // broken endpoint: swallowed into the log, run uninterrupted
+      val failures = logLines.result()
+        .filter(_.contains("alert delivery failed"))
+      assert(failures.size == 2 && failures.forall(_.contains("/broken")))
+      // unmatched kind (email) falls back once per alert with ONLY the
+      // unmatched channels
+      assert(fallbackHits.result().map { case (a, chs) =>
+        (a.rule, chs.map(_.kind)) } ==
+        Seq(("pipeline_failure", Seq("email")), ("quality", Seq("email"))))
+    } finally server.stop(0)
+  }
+
   test("enable_metrics gates the run-summary metrics log line") {
     def specWith(flag: String) = PipelineSpec.fromYaml(
       s"""name: met
