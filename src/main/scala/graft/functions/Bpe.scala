@@ -1,0 +1,255 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenization, tokenizer-exact (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units",
+  * arXiv:1508.07909): a word's symbols start as its codepoints plus an
+  * explicit end-of-word marker `</w>`, and the committed merge list is
+  * replayed in rank order — at each step the lowest-ranked applicable
+  * pair merges across the word, all occurrences left-to-right.
+  *
+  * This replaces the heuristic subword ESTIMATE
+  * ([[graft.text.TextFunctions.subwordCount]], which survives as the
+  * no-artifact fallback) everywhere a count feeds a budget: token
+  * budgets, sequence packing, and data-constrained allocation now mean
+  * exactly what a trainer consuming the same artifact would measure.
+  * The reference pipeline has no tokenizer at all (its text handling
+  * stops at extraction, `src/ingestion/extractors.py:100-117`); this is
+  * part of the training-data extension surface.
+  *
+  * Artifact: `merges.txt` (rank-ordered `left right` lines under a
+  * `#version` header) + `vocab.txt` (one symbol per line), the format
+  * every public BPE distribution uses. The committed default under
+  * `src/main/resources/graft/bpe/` was trained by `tools/train_bpe.py`
+  * (deterministic tie-breaks) on the sf0.01 documents corpus with 40
+  * merges — few enough that words still split into subwords.
+  *
+  * Scale design: the artifact is a driver-bounded object (merge lists
+  * ship at 10⁴–10⁵ lines; GPT-2's is 50k) loaded ONCE per executor from
+  * the classpath/filesystem and shared across all tasks via the
+  * process-wide registry — it rides the closure as a short string key,
+  * never as data. Tokenization is per-row work inside whole-stage
+  * codegen, with a per-word memo (natural-language corpora repeat
+  * words endlessly; the memo is capped and cleared at 2²⁰ entries so a
+  * pathological corpus of unique words cannot grow it unboundedly).
+  */
+object Bpe {
+
+  /** A loaded tokenizer: merge ranks + vocabulary. */
+  final class Artifact(val key: String, val merges: Array[(String, String)],
+      val vocab: Array[String]) {
+    private[functions] val ranks = {
+      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+      merges.zipWithIndex.foreach { case ((l, r), i) =>
+        m.put(l + " " + r, i)
+      }
+      m
+    }
+    private[functions] val vocabSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](vocab.length * 2)
+      vocab.foreach(s.add)
+      s
+    }
+    private[functions] val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  }
+
+  val EndOfWord = "</w>"
+  private val MemoCap = 1 << 20
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Artifact]()
+
+  /** Load (and cache process-wide) the artifact named by `key`:
+    * `"default"` → the committed classpath fixture; `"file:<dir>"` →
+    * `<dir>/merges.txt` + `<dir>/vocab.txt` on the local filesystem
+    * (a path every executor can read — distribute via `--files` or a
+    * shared mount on a real cluster). */
+  def artifact(key: String): Artifact =
+    registry.computeIfAbsent(key, k => load(k))
+
+  private def load(key: String): Artifact = {
+    def readLines(open: => java.io.InputStream): Array[String] = {
+      val in = open
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+      finally in.close()
+    }
+    val (mergeLines, vocabLines) = key match {
+      case "default" =>
+        def res(name: String) = {
+          val s = getClass.getResourceAsStream(s"/graft/bpe/$name")
+          require(s != null, s"missing classpath resource graft/bpe/$name")
+          s
+        }
+        (readLines(res("merges.txt")), readLines(res("vocab.txt")))
+      case k if k.startsWith("file:") =>
+        val dir = k.stripPrefix("file:")
+        (readLines(new java.io.FileInputStream(s"$dir/merges.txt")),
+          readLines(new java.io.FileInputStream(s"$dir/vocab.txt")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown BPE artifact key '$other' (use \"default\" or \"file:<dir>\")")
+    }
+    val merges = mergeLines.iterator
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1, s"malformed merge line: '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }.toArray
+    new Artifact(key, merges, vocabLines.filter(_.nonEmpty))
+  }
+
+  /** Encode ONE word (no whitespace) to its BPE symbols. Exposed for
+    * tests and for hosts that need token strings rather than counts. */
+  def encodeWord(word: String, art: Artifact): Array[String] = {
+    val cached = art.memo.get(word)
+    if (cached != null) return cached
+    // initial symbols: codepoints (matches the oracle's per-character
+    // split — NOT UTF-16 chars, which would diverge on non-BMP input)
+    var syms = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b += EndOfWord
+      b.result()
+    }
+    var done = false
+    while (!done && syms.length > 1) {
+      // lowest-ranked pair present anywhere in the word
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = art.ranks.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (l, r) = art.merges(bestRank)
+        val merged = l + r
+        // merge ALL occurrences, left-to-right non-overlapping
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += merged; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    if (art.memo.size() >= MemoCap) art.memo.clear()
+    art.memo.put(word, syms)
+    syms
+  }
+}
+
+/** Static entry points referenced from generated code (same pattern as
+  * [[NativeTextImpl]]: a static call keeps the expression inside
+  * whole-stage codegen, no UDF/serialization boundary). */
+object BpeImpl {
+
+  /** Total BPE tokens in a text: Σ over whitespace words (empty
+    * fragments from leading/trailing space skipped, matching the
+    * oracle's `w <> ''` filter). */
+  def count(text: UTF8String, key: String): Int = {
+    val art = Bpe.artifact(key)
+    val words = NativeTextImpl.tokenize(text)
+    var n = 0
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) n += Bpe.encodeWord(words(i), art).length
+      i += 1
+    }
+    n
+  }
+
+  /** All BPE tokens of a text in order, as array<string>. */
+  def tokens(text: UTF8String, key: String): GenericArrayData = {
+    val art = Bpe.artifact(key)
+    val words = NativeTextImpl.tokenize(text)
+    val out = Array.newBuilder[Any]
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val syms = Bpe.encodeWord(words(i), art)
+        var j = 0
+        while (j < syms.length) {
+          out += UTF8String.fromString(syms(j)); j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+}
+
+/** string → int: exact BPE token count, codegen'd. */
+case class BpeCountExpr(child: Expression, artifactKey: String)
+    extends UnaryExpression {
+  // fail at plan time, not mid-job on every task
+  Bpe.artifact(artifactKey)
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_bpe_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeImpl.count(input.asInstanceOf[UTF8String], artifactKey)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyLit = ctx.addReferenceObj("bpeKey", artifactKey, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.count($c, $keyLit)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** string → array<string>: the BPE token sequence, codegen'd. */
+case class BpeTokensExpr(child: Expression, artifactKey: String)
+    extends UnaryExpression {
+  Bpe.artifact(artifactKey)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_bpe_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeImpl.tokens(input.asInstanceOf[UTF8String], artifactKey)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyLit = ctx.addReferenceObj("bpeKey", artifactKey, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.tokens($c, $keyLit)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
+    copy(child = newChild)
+}
+
+object NativeBpe {
+  /** Column wrappers. */
+  def bpeTokenCount(text: Column, artifactKey: String = "default"): Column =
+    GraftShims.column(BpeCountExpr(GraftShims.expression(text), artifactKey))
+  def bpeTokens(text: Column, artifactKey: String = "default"): Column =
+    GraftShims.column(BpeTokensExpr(GraftShims.expression(text), artifactKey))
+}

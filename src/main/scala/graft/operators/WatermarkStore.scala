@@ -33,7 +33,14 @@ class WatermarkStore(spark: SparkSession, path: String) {
     // heal OUTSIDE the read's defensive catch: a failed heal rename is
     // an FS error that must surface, not be masked as "no watermarks"
     graft.core.AtomicSwap.heal(fs, target, backup)
-    try {
+    // probe BEFORE reading: a first-run store legitimately doesn't
+    // exist, and an expected PATH_NOT_FOUND analysis failure would be
+    // cached on the QueryExecution and rethrown later by Spark's own
+    // session-lifetime ObservationManager listener — an ERROR stack in
+    // the logs for a non-error. The catch below stays as the net for
+    // racing writers/corrupt stores.
+    if (!fs.exists(target)) empty
+    else try {
       val df = spark.read.parquet(path)
       if (df.columns.length == 3) df else empty
     } catch { case _: Exception => empty }

@@ -103,18 +103,21 @@ object DedupQueries extends QueryPack {
 
   /** Data-constrained mixing allocation
     * ([[graft.operators.Sampling.dataConstrainedAllocation]]): a
-    * 52k-token budget split across the 20 sources, ≤2 epochs each,
-    * one proportional redistribution round. */
+    * 160k-token budget split across the 20 sources, ≤2 epochs each,
+    * one proportional redistribution round. Token counts are
+    * tokenizer-exact (BPE) — the budget is in trainer tokens. */
   def mixEpochBudget(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions
     // uniform mixture weights; budget past some sources' 2-epoch cap,
     // so the capped sources' surplus redistributes to the others
+    // (sf0.01 BPE totals: 3.6k-4.9k/source → caps 7.2k-9.8k; an 8k
+    // uniform share caps three sources)
     val perSource = table(s, dir, "documents")
       .groupBy(col("source"))
-      .agg(sum(size(TextFunctions.tokens(col("text")))).as("tokens"),
-        lit(1L).as("weight"))
+      .agg(sum(TextFunctions.bpeTokenCount(col("text")).cast("long"))
+        .as("tokens"), lit(1L).as("weight"))
     graft.operators.Sampling.dataConstrainedAllocation(
-        perSource, budget = 52000L, maxEpochs = 2)
+        perSource, budget = 160000L, maxEpochs = 2)
       .orderBy(col("source"))
   }
 
@@ -172,7 +175,7 @@ object DedupQueries extends QueryPack {
   def mixTokenBudget(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions
     val docs = table(s, dir, "documents")
-    val w = TextFunctions.tokenCount(col("text"))
+    val w = TextFunctions.bpeTokenCount(col("text"))
     graft.operators.Sampling.tokenBudgetMix(docs, "source", "doc_id", w, 500L)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("kept_docs"),
@@ -209,12 +212,14 @@ object DedupQueries extends QueryPack {
   /** Sequence packing: per-source contiguous batches of ≈2048 tokens in
     * doc_id order (deterministic layout — any engine derives the same
     * batches). Reported per batch; the per-doc assignment is the
-    * operator output. */
+    * operator output. Tokens are TOKENIZER-EXACT
+    * ([[graft.text.TextFunctions.bpeTokenCount]]): a 2048-token batch
+    * means 2048 tokens to the trainer consuming the same artifact. */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions
     val docs = table(s, dir, "documents")
     graft.operators.Sampling.packSequences(docs, "source", "doc_id",
-        TextFunctions.tokenCount(col("text")), 2048L)
+        TextFunctions.bpeTokenCount(col("text")), 2048L)
       .groupBy(col("source"), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
       .orderBy(col("source"), col("batch_id"))
@@ -318,11 +323,12 @@ object DedupQueries extends QueryPack {
       WHERE $bucketSql <
         CAST(FLOOR(LEAST(1.0, n_chars / 400.0) * 1000000) AS BIGINT)
       GROUP BY source ORDER BY source""",
-    "pack_sequences" -> """
-      WITH toks AS (
-        SELECT source, doc_id,
-               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
-        FROM documents),
+    "pack_sequences" -> s"""
+      ${BpeOracleSql.prelude},
+      toks AS (
+        SELECT d.source, d.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens
+        FROM documents d JOIN bpe_docs b ON d.doc_id = b.doc_id),
       cum AS (
         SELECT source, doc_id, n_tokens,
                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -338,20 +344,21 @@ object DedupQueries extends QueryPack {
       SELECT doc_id, source FROM documents
       WHERE $bucketSql < 200000
       ORDER BY doc_id""",
-    "mix_epoch_budget" -> """
-      WITH t AS (
-        SELECT source,
-               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
-                 AS tokens,
+    "mix_epoch_budget" -> s"""
+      ${BpeOracleSql.prelude},
+      t AS (
+        SELECT d.source,
+               CAST(SUM(b.n_tokens) AS BIGINT) AS tokens,
                CAST(1 AS BIGINT) AS weight
-        FROM documents GROUP BY source),
+        FROM documents d JOIN bpe_docs b ON d.doc_id = b.doc_id
+        GROUP BY d.source),
       wt AS (SELECT CAST(SUM(weight) AS BIGINT) AS wtot FROM t),
       a1 AS (
         SELECT source, tokens, weight,
-               LEAST((52000 * weight) // (SELECT wtot FROM wt),
+               LEAST((160000 * weight) // (SELECT wtot FROM wt),
                      tokens * 2) AS alloc1
         FROM t),
-      lo AS (SELECT 52000 - CAST(SUM(alloc1) AS BIGINT) AS leftover FROM a1),
+      lo AS (SELECT 160000 - CAST(SUM(alloc1) AS BIGINT) AS leftover FROM a1),
       un AS (SELECT CAST(COALESCE(SUM(CASE WHEN alloc1 < tokens * 2
                THEN weight END), 0) AS BIGINT) AS uw FROM a1),
       f AS (
@@ -420,19 +427,22 @@ object DedupQueries extends QueryPack {
       WHERE $bucketSql < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
       GROUP BY d.source ORDER BY d.source""",
     "mix_token_budget" -> s"""
-      WITH tot AS (
-        SELECT source,
-               CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total
-        FROM documents GROUP BY source),
+      ${BpeOracleSql.prelude},
+      dt AS (
+        SELECT d.source, d.doc_id, b.n_tokens
+        FROM documents d JOIN bpe_docs b ON d.doc_id = b.doc_id),
+      tot AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total
+        FROM dt GROUP BY source),
       rates AS (
         SELECT source,
                LEAST(1.0, CAST(500 AS DOUBLE) / CAST(GREATEST(total, 1) AS DOUBLE)) AS rate
         FROM tot)
-      SELECT d.source, COUNT(*) AS kept_docs,
-             CAST(SUM(len(string_split_regex(d.text, '\\s+'))) AS BIGINT) AS kept_tokens
-      FROM documents d JOIN rates r ON d.source = r.source
+      SELECT dt.source, COUNT(*) AS kept_docs,
+             CAST(SUM(dt.n_tokens) AS BIGINT) AS kept_tokens
+      FROM dt JOIN rates r ON dt.source = r.source
       WHERE $bucketSql < FLOOR(r.rate * 1000000)
-      GROUP BY d.source ORDER BY d.source""",
+      GROUP BY dt.source ORDER BY dt.source""",
     "d1_exact_dedup" -> """
       SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
              (SELECT COUNT(DISTINCT text) FROM documents) AS distinct_texts,

@@ -79,6 +79,19 @@ object TextQueries extends QueryPack {
           length(col("text")).cast(DoubleType)).as("tokens_per_100_chars"))
       .orderBy(col("doc_id"))
 
+  /** Tokenizer-EXACT token accounting ([[graft.functions.Bpe]]): per
+    * doc, the committed BPE artifact's token count AND an md5 pin of
+    * the full token sequence — the oracle replays the merge loop
+    * independently in a recursive CTE ([[BpeOracleSql]]), so a single
+    * mis-merged word anywhere in the corpus fails the row. */
+  def txBpeTokens(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_tokens"),
+        md5(concat_ws(" ", TextFunctions.bpeTokens(col("text"))))
+          .as("toks_md5"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprint: minimum MD5 over 5-token shingles
     * (winnowing-lite, engine-portable because MD5 is standard). */
   def txFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -453,6 +466,7 @@ object TextQueries extends QueryPack {
       .orderBy(col("domain"), col("domain_rank"))
 
   val queries: Map[String, QueryFn] = Map(
+    "tx_bpe_tokens" -> (txBpeTokens _),
     "tx_url_normalize" -> (txUrlNormalize _),
     "tx_url_dedup" -> (txUrlDedup _),
     "tx_domain_caps" -> (txDomainCaps _),
@@ -665,6 +679,10 @@ object TextQueries extends QueryPack {
         '^.*@', ''), ':[0-9]*$', ''), '.'))"""
 
   val oracles: Map[String, String] = Map(
+    "tx_bpe_tokens" -> s"""
+      ${BpeOracleSql.prelude}
+      SELECT doc_id, n_tokens, md5(seq) AS toks_md5
+      FROM bpe_docs ORDER BY doc_id""",
     "tx_url_normalize" -> s"""
       WITH u AS ($urlSynthSql)
       SELECT doc_id, $urlNormSql AS url_norm, $urlDomainSql AS domain

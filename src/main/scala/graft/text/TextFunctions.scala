@@ -71,9 +71,23 @@ object TextFunctions {
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
   /** BPE-ish subword unit count: alpha runs, digit runs, single other
-    * non-space chars — a cheap proxy for tokenizer load. */
+    * non-space chars — a cheap proxy for tokenizer load. The HEURISTIC
+    * fallback for when no tokenizer artifact exists; budget-bearing
+    * operators should prefer [[bpeTokenCount]] (tokenizer-exact). */
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tokenizer-EXACT token count: replay the committed BPE merge list
+    * ([[graft.functions.Bpe]]) — the number a trainer consuming the
+    * same artifact would see, so token budgets/packing mean what they
+    * say. Native expression, stays in whole-stage codegen. */
+  def bpeTokenCount(text: Column, artifact: String = "default"): Column =
+    graft.functions.NativeBpe.bpeTokenCount(text, artifact)
+
+  /** The exact BPE token sequence (array<string>) — subword symbols
+    * with `</w>` end-of-word markers, in document order. */
+  def bpeTokens(text: Column, artifact: String = "default"): Column =
+    graft.functions.NativeBpe.bpeTokens(text, artifact)
 
   /** Quality features (C4/Gopher-style heuristics over the reference's
     * length/pattern rule vocabulary): emitted as a struct so one
