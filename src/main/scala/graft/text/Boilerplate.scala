@@ -136,6 +136,75 @@ object Boilerplate {
           .otherwise(lit(0.0)))
   }
 
+  /** Exact-substring span REMOVAL — the rewrite companion to
+    * [[dupSpanCoverage]] (Lee et al. 2021, arXiv:2107.06499 §4: keep
+    * one occurrence of every corpus-duplicated substring, delete the
+    * rest). Granularity is the same fixed n-token shingle as the
+    * coverage measure: for every span occurring in ≥ 2 distinct
+    * documents, the corpus-FIRST occurrence (lowest (doc id, token
+    * position)) survives; every token position covered by any LATER
+    * occurrence is deleted, and each document is reassembled from its
+    * surviving tokens joined by single spaces (the same
+    * whitespace-normalizing rewrite contract as
+    * [[graft.dedup.Dedup.dedupLinesGlobal]], which is this operator at
+    * line granularity). Within-doc-only repetition is untouched — that
+    * signal belongs to the Gopher repetition filters.
+    *
+    * Scale design — no range join, no hub buffering:
+    *  - span duplication + the corpus-first occurrence come from ONE
+    *    `groupBy(span)` over positioned spans (min/max doc id and a
+    *    min(struct(doc, pos)) are all partial aggregates — a 10⁷-doc
+    *    boilerplate span streams map-side, never one task's buffer);
+    *  - later occurrences re-join that (filtered, small) aggregate on
+    *    `span` (AQE splits popular-span skew);
+    *  - "is token t inside a deleted interval [p, p+n−1]?" is NOT a
+    *    range join: deletion starts and tokens interleave in one
+    *    per-document window ordered by position (spans first at a tie),
+    *    where a running max of interval ends marks coverage — bounded
+    *    by document length, the [[dupSpanCoverage]] argument;
+    *  - reassembly is one shuffle on the doc id, output bounded by the
+    *    original row size. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val outCols = docs.columns.toSeq
+    val pos = positionedSpans(docs, idCol, textCol, n)
+    // cross-doc-duplicated spans with their corpus-first occurrence;
+    // min/max over NON-distinct occurrences still detect ≥2 docs
+    val spanAgg = pos.groupBy(col("span"))
+      .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"),
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select(col("span"), col("__first"))
+    val removals = pos.join(spanAgg, Seq("span"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(n - 1)).as("__end"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    // interleave deletion starts (k=0, carrying their interval end)
+    // with tokens (k=1); a token survives iff no preceding interval
+    // in its doc reaches it
+    val spanRows = removals.select(col("doc_id"), col("pos"),
+      lit(null).cast("string").as("tok"), col("__end"), lit(0).as("__k"))
+    val tokRows = toks.select(col("doc_id"), col("pos"), col("tok"),
+      lit(null).cast("integer").as("__end"), lit(1).as("__k"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = spanRows.union(tokRows)
+      .withColumn("__cov", max(col("__end")).over(w))
+      .filter(col("__k") === 1 &&
+        (col("__cov").isNull || col("__cov") < col("pos")))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok"))).as("__clean"))
+      .select(col("doc_id").as("__rid"), col("__clean"))
+    docs.join(rebuilt, col(idCol) === col("__rid"), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .select(outCols.map(col): _*)
+  }
+
   /** Per-document boilerplate ratio: the fraction of a document's
     * distinct spans that are corpus-frequent. Documents shorter than
     * the shingle size have no spans and are absent from the output

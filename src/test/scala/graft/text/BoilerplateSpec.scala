@@ -76,6 +76,52 @@ class BoilerplateSpec extends AnyFunSuite with SparkSpec {
     assert(hits == Map(1L -> 1L))
   }
 
+  test("removeDupSpans: corpus-first occurrence survives, later ones deleted") {
+    val out = Boilerplate.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "a b c d e f",      // first occurrence of both spans: intact
+      2L -> "",                 // exact copy: fully deleted
+      3L -> "x y z w v",        // shared prefix [0,5] deleted, tail kept
+      4L -> "p q r s t u",      // unique spans: untouched
+      5L -> "short doc"))       // shorter than the shingle: untouched
+  }
+
+  test("removeDupSpans: within-doc repeat of a cross-doc span is also deleted") {
+    import spark.implicits._
+    val rep = Seq(
+      (1L, "a b c d e x1 x2 x3 x4 x5 a b c d e"),
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeDupSpans(rep, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b c d e x1 x2 x3 x4 x5", 2L -> ""))
+  }
+
+  test("removeDupSpans: corpus order is (doc id, position), not position alone") {
+    import spark.implicits._
+    val shifted = Seq(
+      (1L, "z1 z2 a b c d e"), // span at pos 2 of the LOWER doc id wins
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeDupSpans(shifted, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "z1 z2 a b c d e", 2L -> ""))
+  }
+
+  test("removeDupSpans preserves schema and non-text columns") {
+    import spark.implicits._
+    val extra = Seq(
+      (1L, "a b c d e", "src1"),
+      (2L, "a b c d e", "src2")
+    ).toDF("doc_id", "text", "source")
+    val out = Boilerplate.removeDupSpans(extra, "doc_id", "text", n = 5)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows == Map(1L -> (("a b c d e", "src1")), 2L -> (("", "src2"))))
+  }
+
   test("boilerplateRatio: contaminated docs score high, clean docs zero, short docs absent") {
     val ratio = Boilerplate.boilerplateRatio(docs, "doc_id", "text", n = 5, minDocs = 3L)
       .collect()
