@@ -70,7 +70,28 @@ object SimilarityQueries extends QueryPack {
         "vec_id", "embedding", "label", eps = 0.40)
       .orderBy(col("vec_id"))
 
+  /** IVFADC top-k ([[graft.similarity.Pq.topK]]) over the COMMITTED
+    * integer fixture ([[graft.similarity.PqFixture]]): coarse cells and
+    * PQ codes assigned by exact integer nearest-centroid, ADC distance
+    * = m integer table lookups — the whole pipeline (encode, probe,
+    * lookup, rank) is oracle-pinned, including the adc_dist column
+    * (exact-integer-valued doubles). KMeans-trained float codebooks
+    * remain the production path, verified by PqSpec recall bounds. */
+  def simPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{Pq, PqFixture}
+    val prep = table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val indexed = Pq.encode(
+      prep.withColumn("cluster", element_at(
+        Similarity.nearestCentroids(col("q"), PqFixture.coarse, 1), 1)),
+      "q", PqFixture.codebooks)
+    Pq.topK(indexed, prep.filter(col("vec_id") < nQueries), "vec_id", "q",
+        PqFixture.coarse, PqFixture.codebooks, k, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "sim_pq_adc" -> (simPqAdc _),
     "sim_centroids" -> (simCentroids _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_bucketed" -> (simTopkBucketed _),
@@ -95,7 +116,62 @@ object SimilarityQueries extends QueryPack {
     s"""CAST((SELECT SUM(a * b) FROM (SELECT unnest($qa) AS a, unnest($qb) AS b)) AS DOUBLE)
         / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"""
 
+  // the committed PQ fixture rendered as DuckDB VALUES rows — built
+  // from the SAME PqFixture constants the Spark query uses, so the two
+  // sides cannot drift
+  private val coarseValuesSql = graft.similarity.PqFixture.coarseL.zipWithIndex
+    .map { case (v, i) => s"($i, ${v.mkString("[", ",", "]")})" }
+    .mkString(", ")
+  private val cbValuesSql = graft.similarity.PqFixture.codebooksL.zipWithIndex
+    .flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, c) =>
+        s"($j, $c, ${v.mkString("[", ",", "]")})" } }
+    .mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "sim_pq_adc" -> s"""
+      WITH prep AS ($prepSql),
+      cents AS (SELECT * FROM (VALUES $coarseValuesSql) AS t(cid, cv)),
+      cb AS (SELECT * FROM (VALUES $cbValuesSql) AS t(j, c, v)),
+      cdist AS (
+        SELECT p.vec_id, c.cid,
+               (SELECT SUM((a - b) * (a - b))
+                FROM (SELECT unnest(p.q) AS a, unnest(c.cv) AS b)) AS d
+        FROM prep p CROSS JOIN cents c),
+      cell AS (
+        SELECT vec_id, cid AS cluster FROM cdist
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) = 1),
+      subd AS (
+        SELECT p.vec_id, b.j, b.c,
+               (SELECT SUM((a - bb) * (a - bb))
+                FROM (SELECT unnest(p.q[b.j * 16 + 1 : b.j * 16 + 16]) AS a,
+                             unnest(b.v) AS bb)) AS d
+        FROM prep p CROSS JOIN cb b),
+      codes AS (
+        SELECT vec_id, j, c FROM subd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                   ORDER BY d, c) = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS cluster FROM cdist
+        WHERE vec_id < $nQueries
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) <= 2),
+      adc AS (
+        SELECT pr.query_id, ce.vec_id AS neighbor_id,
+               CAST(SUM(sd.d) AS BIGINT) AS di
+        FROM probes pr
+        JOIN cell ce ON ce.cluster = pr.cluster
+                    AND ce.vec_id <> pr.query_id
+        JOIN codes co ON co.vec_id = ce.vec_id
+        JOIN subd sd ON sd.vec_id = pr.query_id
+                    AND sd.j = co.j AND sd.c = co.c
+        GROUP BY pr.query_id, ce.vec_id)
+      SELECT query_id, rank, neighbor_id, CAST(di AS DOUBLE) AS adc_dist
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY di, neighbor_id) AS rank
+            FROM adc)
+      WHERE rank <= $k ORDER BY query_id, rank""",
     "sim_centroids" -> """
       WITH q AS (
         SELECT label,

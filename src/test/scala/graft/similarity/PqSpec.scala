@@ -79,6 +79,20 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(viaPq == viaBrute)
   }
 
+  test("committed PqFixture: integer-valued, oracle-contract shapes") {
+    // the sim_pq_adc oracle hard-codes 10 coarse cells, m=4 subspaces
+    // of 16 dims, ksub=8 — a regenerated fixture that drifts from
+    // those shapes would silently break the SQL twin
+    assert(PqFixture.coarseL.size == 10 &&
+      PqFixture.coarseL.forall(_.size == 64))
+    assert(PqFixture.codebooksL.size == PqFixture.m &&
+      PqFixture.m == 4 && PqFixture.ksub == 8)
+    assert(PqFixture.codebooksL.forall(b =>
+      b.size == PqFixture.ksub && b.forall(_.size == 16)))
+    // doubles must round-trip the longs exactly (integer ADC contract)
+    assert(PqFixture.coarse.flatten.forall(d => d == d.toLong.toDouble))
+  }
+
   test("search plan: broadcast equi join on the coarse cell, no BNLJ") {
     val q = emb.filter(col("vec_id") < 5)
     val plan = Pq.topK(indexed, q, "vec_id", "embedding", coarse, codebooks,
