@@ -39,6 +39,9 @@ case class MediaFeatures(doc_id: Long, width: Int, height: Int,
 case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
     frames: Long, duration_s: Double, rms: Double, embedding: Array[Float])
 
+case class VideoMeta(doc_id: Long, container: String, width: Int,
+    height: Int, duration_s: Double, n_tracks: Int)
+
 /** Decoder: REAL in-JDK image decode via `javax.imageio` (PNG / BMP /
   * GIF / JPEG — the formats the JDK ships readers for, no new
   * dependency), with the deterministic byte-derived fake as the
@@ -250,6 +253,181 @@ object DecodeStub {
     (sampleRate, channels, n.toLong, rms, emb)
   }
 
+  // ——— video container probes: METADATA TIER ONLY ———
+  // Parse MP4/ISO-BMFF box headers and Matroska/WebM EBML elements for
+  // (container, dimensions, duration, track count) WITHOUT decoding a
+  // single frame — the JDK ships no video codecs, but container
+  // structure is plain big-endian arithmetic, so video payloads get
+  // first-class metadata while frame decode stays a deployment drop-in.
+
+  /** Big-endian unsigned read of `n` ≤ 8 bytes. */
+  private def be(p: Array[Byte], o: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v = (v << 8) | (p(o + i) & 0xFFL); i += 1 }
+    v
+  }
+  private def fourcc(p: Array[Byte], o: Int): String =
+    new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Container metadata probe: (container, width, height, duration_s,
+    * n_tracks). MP4 and Matroska/WebM parse for real; anything else —
+    * or a corrupt header — takes the deterministic byte-derived
+    * fallback. Bounds-checked throughout: a crafted size field can
+    * only stop the walk, never read past the payload or allocate. */
+  def probeVideo(payload: Array[Byte]): (String, Int, Int, Double, Int) = {
+    require(payload.nonEmpty, "empty payload")
+    try {
+      if (payload.length >= 16 && fourcc(payload, 4) == "ftyp")
+        probeMp4(payload).getOrElse(videoFallback(payload))
+      else if (payload.length >= 8 && be(payload, 0, 4) == 0x1A45DFA3L)
+        probeMatroska(payload).getOrElse(videoFallback(payload))
+      else videoFallback(payload)
+    } catch {
+      case scala.util.control.NonFatal(_) => videoFallback(payload)
+    }
+  }
+
+  /** ISO BMFF walk (ISO/IEC 14496-12): moov→mvhd gives
+    * duration/timescale; each trak→tkhd carries 16.16 fixed-point
+    * presentation dimensions (zero for audio tracks — the first
+    * nonzero pair wins). 64-bit largesize and size==0 ("to end of
+    * file") both honored. */
+  private def probeMp4(p: Array[Byte]): Option[(String, Int, Int, Double, Int)] = {
+    val brand = fourcc(p, 8).trim
+    var durS = 0.0
+    var w = 0; var h = 0; var tracks = 0
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var o = from
+      var ok = depth < 8
+      while (ok && o + 8 <= to) {
+        var size = be(p, o.toInt, 4)
+        val typ = fourcc(p, o.toInt + 4)
+        var hdr = 8L
+        if (size == 1 && o + 16 <= to) { size = be(p, o.toInt + 8, 8); hdr = 16 }
+        else if (size == 0) size = to - o
+        if (size < hdr || size > to - o) ok = false
+        else {
+          val cFrom = o + hdr
+          val cTo = o + size
+          typ match {
+            case "moov" => walk(cFrom, cTo, depth + 1)
+            case "trak" => tracks += 1; walk(cFrom, cTo, depth + 1)
+            case "mvhd" if cTo - cFrom >= 20 =>
+              val v = p(cFrom.toInt) & 0xFF
+              if (v == 1 && cTo - cFrom >= 32) {
+                val ts = be(p, cFrom.toInt + 20, 4)
+                if (ts > 0) durS = be(p, cFrom.toInt + 24, 8).toDouble / ts
+              } else if (v == 0) {
+                val ts = be(p, cFrom.toInt + 12, 4)
+                if (ts > 0) durS = be(p, cFrom.toInt + 16, 4).toDouble / ts
+              }
+            case "tkhd" if w == 0 =>
+              val v = p(cFrom.toInt) & 0xFF
+              val wOff = cFrom + 4 + (if (v == 1) 32 else 20) + 52
+              if (wOff + 8 <= cTo) {
+                val tw = (be(p, wOff.toInt, 4) >> 16).toInt
+                val th = (be(p, wOff.toInt + 4, 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              }
+            case _ => ()
+          }
+          o = cTo
+        }
+      }
+    }
+    walk(0, p.length.toLong, 0)
+    if (durS > 0 || w > 0 || tracks > 0) Some((s"mp4/$brand", w, h, durS, tracks))
+    else None
+  }
+
+  /** EBML walk (RFC 8794 / Matroska): Segment→Info carries
+    * TimestampScale (ns per unit, default 10⁶) and a float Duration in
+    * those units; Segment→Tracks→TrackEntry→Video carries
+    * PixelWidth/PixelHeight. The EBML header's DocType distinguishes
+    * webm from matroska. Unknown-size elements (all VINT data bits
+    * set — live streams) extend to the parent's end. */
+  private def probeMatroska(p: Array[Byte]): Option[(String, Int, Int, Double, Int)] = {
+    var docType = "matroska"
+    var tsScale = 1000000L
+    var durUnits = 0.0
+    var w = 0; var h = 0; var tracks = 0
+    def readId(o: Int): (Long, Int) = {
+      val b0 = p(o) & 0xFF
+      val len = if ((b0 & 0x80) != 0) 1 else if ((b0 & 0x40) != 0) 2
+        else if ((b0 & 0x20) != 0) 3 else if ((b0 & 0x10) != 0) 4 else -1
+      if (len < 0 || o + len > p.length) (-1L, -1) else (be(p, o, len), len)
+    }
+    def readSize(o: Int): (Long, Int) = {
+      val b0 = p(o) & 0xFF
+      var len = 1; var mask = 0x80
+      while (len <= 8 && (b0 & mask) == 0) { len += 1; mask >>= 1 }
+      if (len > 8 || o + len > p.length) (-1L, -1)
+      else {
+        var v = (b0 & (mask - 1)).toLong
+        var i = 1
+        while (i < len) { v = (v << 8) | (p(o + i) & 0xFFL); i += 1 }
+        (if (v == (1L << (7 * len)) - 1) -2L else v, len) // -2 = unknown
+      }
+    }
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var o = from
+      var ok = depth < 8
+      while (ok && o < to) {
+        val (id, il) = readId(o)
+        if (il < 0) ok = false
+        else {
+          val (sz0, sl) = readSize(o + il)
+          if (sl < 0) ok = false
+          else {
+            val cFrom = o + il + sl
+            val sz = if (sz0 == -2L) (to - cFrom).toLong else sz0
+            if (sz < 0 || cFrom + sz > to) ok = false
+            else {
+              val cTo = (cFrom + sz).toInt
+              id match {
+                case 0x1A45DFA3L | 0x18538067L | 0x1549A966L |
+                     0x1654AE6BL | 0xE0L =>
+                  walk(cFrom, cTo, depth + 1) // hdr/Segment/Info/Tracks/Video
+                case 0xAEL =>
+                  tracks += 1; walk(cFrom, cTo, depth + 1) // TrackEntry
+                case 0x4282L => // DocType
+                  docType = new String(p, cFrom, sz.toInt,
+                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                    .takeWhile(_ != 0)
+                case 0x2AD7B1L if sz >= 1 && sz <= 8 =>
+                  tsScale = be(p, cFrom, sz.toInt) // TimestampScale
+                case 0x4489L => // Duration (float32/float64)
+                  if (sz == 4) durUnits =
+                    java.lang.Float.intBitsToFloat(be(p, cFrom, 4).toInt).toDouble
+                  else if (sz == 8) durUnits =
+                    java.lang.Double.longBitsToDouble(be(p, cFrom, 8))
+                case 0xB0L if w == 0 && sz >= 1 && sz <= 8 =>
+                  w = be(p, cFrom, sz.toInt).toInt // PixelWidth
+                case 0xBAL if h == 0 && sz >= 1 && sz <= 8 =>
+                  h = be(p, cFrom, sz.toInt).toInt // PixelHeight
+                case _ => ()
+              }
+              o = cTo
+            }
+          }
+        }
+      }
+    }
+    walk(0, p.length, 0)
+    if (w > 0 || tracks > 0 || durUnits > 0)
+      Some((docType, w, h, durUnits * tsScale / 1e9, tracks))
+    else None
+  }
+
+  /** Fallback video "probe" for unrecognized containers — pure
+    * function of the bytes, same contract as the image/audio
+    * fallbacks. */
+  private def videoFallback(payload: Array[Byte]): (String, Int, Int, Double, Int) = {
+    val w = 16 * (1 + ((payload(0) & 0xFF) % 120))                   // 16…1920
+    val h = 16 * (1 + ((payload(payload.length - 1) & 0xFF) % 68))   // 16…1088
+    ("unknown", w, h, payload.length / 1024.0, 0)
+  }
+
   /** Fallback "decode" for unrecognized formats: dimensions from
     * leading bytes, per-byte mean, an 8-dim embedding from
     * evenly-spaced taps. Pure function of bytes. */
@@ -326,6 +504,25 @@ object Multimodal {
           val (rate, ch, frames, rms, emb) = DecodeStub.decodeAudio(r.payload)
           AudioFeatures(r.doc_id, rate, ch, frames,
             frames.toDouble / rate, rms, emb)
+        }
+      }
+    }
+  }
+
+  /** Video twin at the METADATA tier ([[DecodeStub.probeVideo]]): MP4
+    * and Matroska/WebM container headers parse for real (dimensions,
+    * duration, track count — no frame ever decodes; the JDK ships no
+    * video codecs and none are needed for this tier); unrecognized
+    * payloads take the deterministic fallback. Same batched streaming
+    * partition contract as [[extractFeatures]]. */
+  def probeVideoMeta(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (c, w, h, d, t) = DecodeStub.probeVideo(r.payload)
+          VideoMeta(r.doc_id, c, w, h, d, t)
         }
       }
     }

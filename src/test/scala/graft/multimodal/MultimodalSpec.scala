@@ -171,6 +171,90 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ——— crafted container fixtures for the video metadata probe ———
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+    b.putInt(8 + payload.length)
+    b.put(typ.getBytes("ISO-8859-1"))
+    b.put(payload)
+    b.array
+  }
+
+  private def mp4Fixture: Array[Byte] = {
+    val ftyp = mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++ new Array[Byte](8))
+    // mvhd v0: version+flags, creation, modification, timescale=1000,
+    // duration=5000 → 5.0 s
+    val mvhd = mp4Box("mvhd", java.nio.ByteBuffer.allocate(24)
+      .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(5000)
+      .putInt(0).array)
+    // tkhd v0: 4 vf + 20 ids/duration + 52 layer/matrix + 16.16 w/h
+    def tkhd(w: Int, h: Int) = mp4Box("tkhd", java.nio.ByteBuffer.allocate(84)
+      .position(76).asInstanceOf[java.nio.ByteBuffer]
+      .putInt(w << 16).putInt(h << 16).array)
+    val vtrak = mp4Box("trak", tkhd(640, 360))
+    val atrak = mp4Box("trak", tkhd(0, 0)) // audio: zero dimensions
+    ftyp ++ mp4Box("moov", mvhd ++ vtrak ++ atrak)
+  }
+
+  private def ebml(id: Array[Int], payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 127)
+    id.map(_.toByte) ++ Array((0x80 | payload.length).toByte) ++ payload
+  }
+
+  private def webmFixture: Array[Byte] = {
+    val header = ebml(Array(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(Array(0x42, 0x82), "webm".getBytes("ISO-8859-1")))
+    val info = ebml(Array(0x15, 0x49, 0xA9, 0x66),
+      ebml(Array(0x2A, 0xD7, 0xB1), Array(0x0F, 0x42, 0x40).map(_.toByte)) ++ // 10⁶ ns
+      ebml(Array(0x44, 0x89), java.nio.ByteBuffer.allocate(4)
+        .putFloat(2500.0f).array)) // 2500 units × 10⁶ ns = 2.5 s
+    val video = ebml(Array(0xE0),
+      ebml(Array(0xB0), Array(0x05, 0x00).map(_.toByte)) ++  // 1280
+      ebml(Array(0xBA), Array(0x02, 0xD0).map(_.toByte)))    // 720
+    val tracks = ebml(Array(0x16, 0x54, 0xAE, 0x6B), ebml(Array(0xAE), video))
+    header ++ ebml(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+  }
+
+  test("MP4 probe: brand, 16.16 dimensions, mvhd duration, track count") {
+    val (c, w, h, d, t) = DecodeStub.probeVideo(mp4Fixture)
+    assert(c == "mp4/isom" && w == 640 && h == 360 && t == 2)
+    assert(math.abs(d - 5.0) < 1e-12)
+  }
+
+  test("WebM probe: DocType, pixel dims, scaled float duration") {
+    val (c, w, h, d, t) = DecodeStub.probeVideo(webmFixture)
+    assert(c == "webm" && w == 1280 && h == 720 && t == 1)
+    assert(math.abs(d - 2.5) < 1e-12)
+  }
+
+  test("video probe: corrupt/truncated/garbage headers all take the fallback") {
+    // truncated mp4: moov claims bytes past the payload end
+    val truncated = mp4Fixture.take(40)
+    val (c1, w1, h1, _, _) = DecodeStub.probeVideo(truncated)
+    assert(c1 == "unknown" && w1 >= 16 && h1 >= 16)
+    // garbage bytes: deterministic fallback, twice the same
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(DecodeStub.probeVideo(junk) == DecodeStub.probeVideo(junk))
+    // EBML magic followed by nonsense must not throw
+    val badEbml = Array(0x1A, 0x45, 0xDF, 0xA3, 0xFF, 0x00).map(_.toByte)
+    DecodeStub.probeVideo(badEbml)
+  }
+
+  test("probeVideoMeta: partition transform matches direct probe") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, mp4Fixture, "video", "mp4"),
+      MediaRecord(2L, webmFixture, "video", "webm"),
+      MediaRecord(3L, Array.tabulate[Byte](32)(i => (i * 11).toByte), "video", "raw"))
+    val out = Multimodal.probeVideoMeta(recs.toDS(), batchSize = 2)
+      .collect().map(v => v.doc_id -> v).toMap
+    assert(out(1L) == VideoMeta(1L, "mp4/isom", 640, 360, 5.0, 2))
+    assert(out(2L) == VideoMeta(2L, "webm", 1280, 720, 2.5, 1))
+    val (c, w, h, d, t) = DecodeStub.probeVideo(recs(2).payload)
+    assert(out(3L) == VideoMeta(3L, c, w, h, d, t))
+  }
+
   test("frame sampling: n frames per doc, stable hashes, no shuffle") {
     val out = Multimodal.sampleFrames(docs, "text", n = 4, frameLen = 32)
     val n = docs.count()
