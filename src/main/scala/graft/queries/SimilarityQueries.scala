@@ -81,12 +81,12 @@ object SimilarityQueries extends QueryPack {
     import graft.similarity.{Pq, PqFixture}
     val prep = table(s, dir, "embeddings")
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
-    val indexed = Pq.encode(
+    val indexed = Pq.encodeQ(
       prep.withColumn("cluster", element_at(
-        Similarity.nearestCentroids(col("q"), PqFixture.coarse, 1), 1)),
-      "q", PqFixture.codebooks)
-    Pq.topK(indexed, prep.filter(col("vec_id") < nQueries), "vec_id", "q",
-        PqFixture.coarse, PqFixture.codebooks, k, nProbe = 2)
+        Similarity.nearestCentroidsQ(col("q"), PqFixture.coarseL, 1), 1)),
+      "q", PqFixture.codebooksL)
+    Pq.topKQ(indexed, prep.filter(col("vec_id") < nQueries), "vec_id", "q",
+        PqFixture.coarseL, PqFixture.codebooksL, k, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
 

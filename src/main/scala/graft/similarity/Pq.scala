@@ -102,6 +102,72 @@ object Pq {
     }: _*))
   }
 
+  /** Integer-exact twin of [[encode]] for QUANTIZED (array<long>)
+    * vectors over integer codebooks — per-subspace assignment through
+    * the native compiled dot product ([[Similarity.nearestCentroidsQ]])
+    * instead of interpreted HOF folds; at corpus scale encode runs once
+    * per row so the interpreter tax is O(rows·m·ksub·dsub). Same output
+    * contract as [[encode]]. */
+  def encodeQ(df: DataFrame, vecCol: String,
+      codebooks: Seq[Seq[Seq[Long]]]): DataFrame = {
+    require(codebooks.head.size <= 128, "code must fit a signed byte")
+    val sub = codebooks.head.head.size
+    df.withColumn(vecCol + "_pq",
+      array(codebooks.zipWithIndex.map { case (cb, j) =>
+        element_at(Similarity.nearestCentroidsQ(
+          slice(col(vecCol), j * sub + 1, sub), cb, 1), 1).cast(ByteType)
+      }: _*))
+  }
+
+  /** Integer ADC lookup table (query side, broadcast-small):
+    * `table[j·ksub + c] = ‖q_j − centroid_{j,c}‖²` as exact-integer-
+    * valued doubles via ‖q_j‖² − 2⟨q_j,c⟩ + ‖c‖² — native dot products,
+    * no per-dim lambda. */
+  private def adcTableQ(vec: Column, codebooks: Seq[Seq[Seq[Long]]]): Column = {
+    import graft.functions.NativeVec.dotQ
+    val sub = codebooks.head.head.size
+    flatten(array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val s = slice(vec, j * sub + 1, sub)
+      val nq = dotQ(s, s)
+      array(cb.map { cent =>
+        (nq - lit(2L) * dotQ(s, array(cent.map(lit): _*)) +
+          lit(cent.map(x => x * x).sum)).cast(DoubleType)
+      }: _*)
+    }: _*))
+  }
+
+  /** IVFADC top-k over QUANTIZED vectors and integer coarse/PQ
+    * codebooks (the [[PqFixture]] path): identical plan shape to
+    * [[topK]] — two slim broadcast sides, m table lookups per
+    * candidate, bounded-heap rank — with every per-row expression
+    * compiled (dotQ) and every distance an exact integer, which is
+    * what lets the sim_pq_adc oracle hash-pin the distances. */
+  def topKQ(indexed: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, coarse: Seq[Seq[Long]],
+      codebooks: Seq[Seq[Seq[Long]]], k: Int, nProbe: Int): DataFrame = {
+    import graft.plans.TopK
+    val ksub = codebooks.head.size
+    val m = codebooks.size
+    val c = indexed.select(col(idCol).as("neighbor_id"),
+      col("cluster").as("__bkt"), col(vecCol + "_pq").as("__codes"))
+    val qProbe = queries.select(col(idCol).as("query_id"),
+      explode(Similarity.nearestCentroidsQ(col(vecCol), coarse, nProbe))
+        .as("__qbkt"))
+    val qTable = queries.select(col(idCol).as("query_id"),
+      adcTableQ(col(vecCol), codebooks).as("__table"))
+    val dist = (0 until m).map(j =>
+        element_at(col("__table"),
+          lit(j * ksub + 1) + col("__codes").getItem(j).cast("int")))
+      .reduce(_ + _)
+    val cands = c.join(broadcast(qProbe),
+        col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qTable), Seq("query_id"))
+      .withColumn("adc_dist", dist)
+    TopK.perKey(cands, Seq("query_id"),
+        Seq(TopK.asc("adc_dist"), TopK.asc("neighbor_id")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+  }
+
   /** IVFADC top-k: `indexed` is a [[Similarity.kmeansIndex]]-clustered
     * corpus run through [[encode]] (only `cluster` + the code column
     * are read — the float vectors can be cold storage). Queries probe

@@ -204,6 +204,26 @@ object Similarity {
     * against the LITERAL centroid list, so this is a projection — meant
     * for the (small, broadcast) query side of [[kmeansTopKMultiProbe]].
     */
+  /** Integer twin of [[nearestCentroids]] for QUANTIZED vectors over
+    * integer centroids: per-centroid distance through the native
+    * [[graft.functions.NativeVec.dotQ]] (one compiled loop) instead of
+    * an interpreted `aggregate(zip_with(...))` fold — at corpus scale
+    * the assignment runs once per row, so interpreter overhead
+    * multiplies by O(rows·k·d). Exact long arithmetic end to end
+    * (d = ‖c‖² − 2⟨x,c⟩ ranks identically to ‖x−c‖²), deterministic
+    * ties by centroid id — the [[graft.similarity.PqFixture]] oracle
+    * contract. */
+  def nearestCentroidsQ(vecQ: Column, centroids: Seq[Seq[Long]],
+      nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= centroids.size)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val dot = graft.functions.NativeVec.dotQ(vecQ, array(c.map(lit): _*))
+      struct((lit(c.map(x => x * x).sum) - lit(2L) * dot).as("d"),
+        lit(i).as("id"))
+    }
+    slice(array_sort(array(scored: _*)), 1, nProbe).getField("id")
+  }
+
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]],
       nProbe: Int): Column = {
     require(nProbe >= 1 && nProbe <= centroids.size)

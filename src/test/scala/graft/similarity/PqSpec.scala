@@ -79,6 +79,29 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(viaPq == viaBrute)
   }
 
+  test("integer fast path (encodeQ/topKQ) == generic path on the fixture") {
+    // both spellings are exact integer arithmetic over the committed
+    // fixture, so their outputs must be IDENTICAL — the compiled-dotQ
+    // path is a pure performance rewrite
+    val prep = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("q"))
+    val clustered = prep.withColumn("cluster", element_at(
+      Similarity.nearestCentroidsQ(col("q"), PqFixture.coarseL, 1), 1))
+    val viaQ = Pq.topKQ(Pq.encodeQ(clustered, "q", PqFixture.codebooksL),
+        prep.filter(col("vec_id") < 5), "vec_id", "q",
+        PqFixture.coarseL, PqFixture.codebooksL, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val clusteredD = prep.withColumn("cluster", element_at(
+      Similarity.nearestCentroids(col("q"), PqFixture.coarse, 1), 1))
+    val viaD = Pq.topK(Pq.encode(clusteredD, "q", PqFixture.codebooks),
+        prep.filter(col("vec_id") < 5), "vec_id", "q",
+        PqFixture.coarse, PqFixture.codebooks, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaQ == viaD && viaQ.nonEmpty)
+  }
+
   test("committed PqFixture: integer-valued, oracle-contract shapes") {
     // the sim_pq_adc oracle hard-codes 10 coarse cells, m=4 subspaces
     // of 16 dims, ksub=8 — a regenerated fixture that drifts from
