@@ -42,6 +42,9 @@ case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
 case class VideoMeta(doc_id: Long, container: String, width: Int,
     height: Int, duration_s: Double, n_tracks: Int)
 
+case class AudioMeta(doc_id: Long, format: String, sample_rate: Int,
+    channels: Int, duration_s: Double, bitrate_kbps: Int)
+
 /** Decoder: REAL in-JDK image decode via `javax.imageio` (PNG / BMP /
   * GIF / JPEG — the formats the JDK ships readers for, no new
   * dependency), with the deterministic byte-derived fake as the
@@ -426,6 +429,171 @@ object DecodeStub {
     val w = 16 * (1 + ((payload(0) & 0xFF) % 120))                   // 16…1920
     val h = 16 * (1 + ((payload(payload.length - 1) & 0xFF) % 68))   // 16…1088
     ("unknown", w, h, payload.length / 1024.0, 0)
+  }
+
+  // ——— compressed-audio container probes: METADATA TIER ONLY ———
+  // MP3 frame headers (+Xing/Info VBR tag), FLAC STREAMINFO, and
+  // Ogg (Vorbis/Opus) identification headers are plain integer
+  // arithmetic over a few header bytes — no codec needed for
+  // (format, rate, channels, duration, bitrate). The PCM formats
+  // (WAV/AIFF/AU) already decode for real via decodeAudio; this tier
+  // makes the COMPRESSED formats first-class metadata the same way
+  // probeVideo did for MP4/Matroska.
+
+  /** Little-endian unsigned read of `n` ≤ 8 bytes. */
+  private def leu(p: Array[Byte], o: Int, n: Int): Long = {
+    var v = 0L; var i = n - 1
+    while (i >= 0) { v = (v << 8) | (p(o + i) & 0xFFL); i -= 1 }
+    v
+  }
+
+  /** Compressed-audio metadata probe: (format, sample_rate, channels,
+    * duration_s, bitrate_kbps). MP3 / FLAC / Ogg-Vorbis / Ogg-Opus
+    * parse for real; anything else — including the PCM formats, which
+    * have a richer REAL decode path — takes the deterministic
+    * byte-derived fallback. Bounds-checked: crafted length fields can
+    * only stop the parse. */
+  def probeAudio(payload: Array[Byte]): (String, Int, Int, Double, Int) = {
+    require(payload.nonEmpty, "empty payload")
+    try {
+      val p = payload
+      if (p.length >= 42 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' &&
+          p(3) == 'C')
+        probeFlac(p).getOrElse(audioMetaFallback(p))
+      else if (p.length >= 28 && p(0) == 'O' && p(1) == 'g' &&
+          p(2) == 'g' && p(3) == 'S')
+        probeOgg(p).getOrElse(audioMetaFallback(p))
+      else probeMp3(p).getOrElse(audioMetaFallback(p))
+    } catch {
+      case scala.util.control.NonFatal(_) => audioMetaFallback(payload)
+    }
+  }
+
+  // MPEG audio tables (ISO/IEC 11172-3): bitrate kbps by
+  // (version, layer, index); sample rate by (version, index).
+  private val mp3BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320, -1)
+  private val mp3BitrateV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56,
+    64, 80, 96, 112, 128, 144, 160, -1)
+  private val mp3RateV1 = Array(44100, 48000, 32000, -1)
+
+  /** MPEG-1/2/2.5 Layer III: skip an ID3v2 tag (syncsafe size), sync
+    * on the first valid frame header, read version / bitrate / rate /
+    * channel mode; a Xing/Info tag (at the version-and-mode-dependent
+    * side-info offset) gives the exact VBR frame count, else duration
+    * is the CBR estimate audioBytes·8 / bitrate. Sync search is
+    * bounded to the first 64 KiB past the tag — a text payload that
+    * merely contains 0xFF bytes cannot cost a full scan. */
+  private def probeMp3(p: Array[Byte]): Option[(String, Int, Int, Double, Int)] = {
+    var o = 0
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val sz = ((p(6) & 0x7FL) << 21) | ((p(7) & 0x7FL) << 14) |
+        ((p(8) & 0x7FL) << 7) | (p(9) & 0x7FL)
+      o = (10L + sz).min(p.length.toLong).toInt
+    }
+    val limit = math.min(p.length - 4, o + 65536)
+    var found = -1
+    while (found < 0 && o < limit) {
+      if ((p(o) & 0xFF) == 0xFF && (p(o + 1) & 0xE0) == 0xE0) found = o
+      else o += 1
+    }
+    if (found < 0) return None
+    val h1 = p(found + 1) & 0xFF
+    val h2 = p(found + 2) & 0xFF
+    val h3 = p(found + 3) & 0xFF
+    val verBits = (h1 >> 3) & 0x3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layerBits = (h1 >> 1) & 0x3 // 1=Layer III
+    if (verBits == 1 || layerBits != 1) return None
+    val v1 = verBits == 3
+    val bitrate = (if (v1) mp3BitrateV1L3 else mp3BitrateV2L3)((h2 >> 4) & 0xF)
+    val rateBase = mp3RateV1((h2 >> 2) & 0x3)
+    if (bitrate <= 0 || rateBase <= 0) return None
+    val rate = verBits match {
+      case 3 => rateBase; case 2 => rateBase / 2; case _ => rateBase / 4
+    }
+    val mono = ((h3 >> 6) & 0x3) == 3
+    val channels = if (mono) 1 else 2
+    val spf = if (v1) 1152 else 576
+    // Xing/Info VBR tag sits after the side info block
+    val sideInfo = (v1, mono) match {
+      case (true, false) => 32; case (true, true) => 17
+      case (false, false) => 17; case (false, true) => 9
+    }
+    val x = found + 4 + sideInfo
+    val xingFrames =
+      if (x + 12 <= p.length &&
+          ((p(x) == 'X' && p(x + 1) == 'i' && p(x + 2) == 'n' && p(x + 3) == 'g') ||
+           (p(x) == 'I' && p(x + 1) == 'n' && p(x + 2) == 'f' && p(x + 3) == 'o')) &&
+          (be(p, x + 4, 4) & 0x1L) != 0)
+        be(p, x + 8, 4)
+      else 0L
+    val duration =
+      if (xingFrames > 0) xingFrames.toDouble * spf / rate
+      else (p.length - found).toDouble * 8 / (bitrate * 1000)
+    Some(("mp3", rate, channels, duration, bitrate))
+  }
+
+  /** FLAC STREAMINFO (the mandatory first metadata block): 20-bit
+    * sample rate, 3-bit channels−1, 36-bit total samples starting at
+    * byte 18 of the stream. Container-level bitrate = size·8/duration. */
+  private def probeFlac(p: Array[Byte]): Option[(String, Int, Int, Double, Int)] = {
+    if ((p(4) & 0x7F) != 0 || be(p, 5, 3) < 34) return None
+    val rate = ((be(p, 18, 2) << 4) | ((p(20) & 0xF0L) >> 4)).toInt
+    val channels = (((p(20) >> 1) & 0x7) + 1).toInt
+    val totalSamples = ((p(21) & 0x0FL) << 32) | be(p, 22, 4)
+    if (rate <= 0) return None
+    val duration = totalSamples.toDouble / rate
+    val kbps =
+      if (duration > 0) math.round(p.length * 8 / duration / 1000).toInt
+      else 0
+    Some(("flac", rate, channels, duration, kbps))
+  }
+
+  /** Ogg: the first page's payload is the codec id header —
+    * `vorbis` (channels, LE32 rate) or `OpusHead` (channels,
+    * LE16 pre-skip; output rate fixed at 48 kHz). Duration comes from
+    * the LAST page's granule position (PCM sample count), found by a
+    * bounded backward scan for the `OggS` capture pattern. */
+  private def probeOgg(p: Array[Byte]): Option[(String, Int, Int, Double, Int)] = {
+    val nSegs = p(26) & 0xFF
+    val off = 27 + nSegs
+    if (off + 19 > p.length) return None
+    var last = p.length - 28
+    while (last > 0 && !(p(last) == 'O' && p(last + 1) == 'g' &&
+        p(last + 2) == 'g' && p(last + 3) == 'S')) last -= 1
+    val granule = if (last >= 0) leu(p, last + 6, 8) else 0L
+    if (p(off) == 1 && p(off + 1) == 'v' && p(off + 2) == 'o' &&
+        p(off + 3) == 'r' && p(off + 4) == 'b' && p(off + 5) == 'i' &&
+        p(off + 6) == 's') {
+      val channels = p(off + 11) & 0xFF
+      val rate = leu(p, off + 12, 4).toInt
+      if (rate <= 0 || channels <= 0) return None
+      val duration = if (granule > 0) granule.toDouble / rate else 0.0
+      val kbps = if (duration > 0)
+        math.round(p.length * 8 / duration / 1000).toInt else 0
+      Some(("ogg-vorbis", rate, channels, duration, kbps))
+    } else if (off + 19 <= p.length && p(off) == 'O' && p(off + 1) == 'p' &&
+        p(off + 2) == 'u' && p(off + 3) == 's' && p(off + 4) == 'H' &&
+        p(off + 5) == 'e' && p(off + 6) == 'a' && p(off + 7) == 'd') {
+      val channels = p(off + 9) & 0xFF
+      val preSkip = leu(p, off + 10, 2)
+      if (channels <= 0) return None
+      val duration =
+        if (granule > preSkip) (granule - preSkip).toDouble / 48000 else 0.0
+      val kbps = if (duration > 0)
+        math.round(p.length * 8 / duration / 1000).toInt else 0
+      Some(("ogg-opus", 48000, channels, duration, kbps))
+    } else None
+  }
+
+  /** Fallback audio-metadata "probe" for unrecognized formats — the
+    * same byte-derived scheme as [[decodeAudio]]'s fallback (rate and
+    * channels from edge bytes, one "frame" per byte), expressible in
+    * ANSI SQL so the query over a text corpus is oracle-checked. */
+  private def audioMetaFallback(p: Array[Byte]): (String, Int, Int, Double, Int) = {
+    val rate = 8000 + ((p(0) & 0xFF) % 8) * 1000
+    val channels = 1 + ((p(p.length - 1) & 0xFF) % 2)
+    ("unknown", rate, channels, p.length.toDouble / rate, 0)
   }
 
   /** Fallback "decode" for unrecognized formats: dimensions from

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{Dsir, LmScore, TextFunctions, UrlOps}
+import graft.text.{Dsir, LmScore, QualityClassifier, QualityModelFixture, TextFunctions, UrlOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -481,7 +481,49 @@ object TextQueries extends QueryPack {
       .select(col("domain"), col("domain_rank"), col("doc_id"))
       .orderBy(col("domain"), col("domain_rank"))
 
+  /** Model-based quality scoring ([[graft.text.QualityClassifier]],
+    * the DCLM/fastText-style gate) over the COMMITTED quantized model
+    * ([[graft.text.QualityModelFixture]]): per doc, integer feature
+    * score, margin, and pass flag — the corpus-scale pass (one shingle
+    * scan, broadcast weight join, one (doc, score) shuffle), exact
+    * integer arithmetic end to end so the whole pipeline is
+    * oracle-pinned. Float training remains the library path
+    * (QualityClassifierSpec). */
+  def txClfScore(s: SparkSession, dir: String): DataFrame =
+    QualityClassifier.scoreQuantized(table(s, dir, "documents"),
+        "doc_id", "text", QualityModelFixture.weightsQ,
+        QualityModelFixture.biasQ, QualityModelFixture.buckets)
+      .orderBy(col("doc_id"))
+
+  /** Classifier-vs-rule confusion matrix: the committed model's pass
+    * flag against the stopword lang-id label it was distilled from —
+    * the fidelity diagnostic a curation pipeline runs before swapping
+    * a rule gate for a model gate. One corpus pass plus a 4-cell
+    * conditional aggregate; accuracy is one integer/integer IEEE
+    * division. */
+  def txClfEval(s: SparkSession, dir: String): DataFrame = {
+    val scored = QualityClassifier.scoreQuantized(
+      table(s, dir, "documents"), "doc_id", "text",
+      QualityModelFixture.weightsQ, QualityModelFixture.biasQ,
+      QualityModelFixture.buckets)
+    val labels = table(s, dir, "documents").select(col("doc_id"),
+      (TextFunctions.langId(col("text")) === "en").cast("int").as("label"))
+    scored.join(labels, Seq("doc_id"))
+      .agg(
+        sum(col("clf_pass") * col("label")).cast(LongType).as("tp"),
+        sum(col("clf_pass") * (lit(1) - col("label"))).cast(LongType).as("fp"),
+        sum((lit(1) - col("clf_pass")) * col("label")).cast(LongType).as("fn"),
+        sum((lit(1) - col("clf_pass")) * (lit(1) - col("label")))
+          .cast(LongType).as("tn"))
+      .withColumn("n_docs", col("tp") + col("fp") + col("fn") + col("tn"))
+      .withColumn("accuracy",
+        (col("tp") + col("tn")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_clf_score" -> (txClfScore _),
+    "tx_clf_eval" -> (txClfEval _),
     "tx_bpe_tokens" -> (txBpeTokens _),
     "tx_url_normalize" -> (txUrlNormalize _),
     "tx_url_dedup" -> (txUrlDedup _),
@@ -695,7 +737,62 @@ object TextQueries extends QueryPack {
         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
         '^.*@', ''), ':[0-9]*$', ''), '.'))"""
 
+  // Quality-classifier twin: hashed bigram buckets (the repo-wide md5
+  // scheme, same CTE shape as the DSIR twin), committed quantized
+  // weights rendered as VALUES from the SAME QualityModelFixture
+  // constants the Spark query reads — the two sides cannot drift.
+  private val clfValuesSql = QualityModelFixture.weightsQ
+    .map { case (b, w) => s"($b, $w)" }.mkString(", ")
+  private val clfScoreSql = s"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                 % ${QualityModelFixture.buckets} AS bucket
+        FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(toks[i:i+1], ' ')
+                         FOR i IN range(1, len(toks))]) AS gram
+          FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 2)),
+      c AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      w AS (SELECT * FROM (VALUES $clfValuesSql) AS t(bucket, wq)),
+      sc AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c * COALESCE(w.wq, 0)) AS BIGINT) AS clf_score
+        FROM c LEFT JOIN w USING (bucket) GROUP BY doc_id),
+      clf AS (
+        SELECT doc_id, n_bigrams, clf_score,
+               CAST(clf_score + ${QualityModelFixture.biasQ} * n_bigrams
+                 AS BIGINT) AS clf_margin,
+               CAST(CASE WHEN clf_score
+                     + ${QualityModelFixture.biasQ} * n_bigrams >= 0
+                    THEN 1 ELSE 0 END AS INT) AS clf_pass
+        FROM sc)"""
+
   val oracles: Map[String, String] = Map(
+    "tx_clf_score" -> s"""$clfScoreSql
+      SELECT * FROM clf ORDER BY doc_id""",
+    "tx_clf_eval" -> s"""$clfScoreSql,
+      lang AS (
+        SELECT doc_id, ${langCase._1}
+        FROM (SELECT doc_id, list_distinct(string_split_regex(text, '\\s+'))
+                AS toks FROM documents)),
+      lab AS (
+        SELECT doc_id,
+               CASE WHEN ${langCase._3} > 0
+                     AND (${langCase._2}) = 'en' THEN 1 ELSE 0 END AS label
+        FROM lang),
+      j AS (SELECT clf.clf_pass AS p, lab.label AS y
+            FROM clf JOIN lab USING (doc_id))
+      SELECT CAST(SUM(p * y) AS BIGINT) AS tp,
+             CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+             CAST(SUM((1 - p) * y) AS BIGINT) AS fn,
+             CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(p * y) + SUM((1 - p) * (1 - y)) AS DOUBLE)
+               / COUNT(*) AS accuracy
+      FROM j""",
     "tx_bpe_tokens" -> s"""
       ${BpeOracleSql.prelude}
       SELECT doc_id, n_tokens, md5(seq) AS toks_md5
