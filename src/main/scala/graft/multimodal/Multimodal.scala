@@ -558,7 +558,10 @@ object DecodeStub {
     val nSegs = p(26) & 0xFF
     val off = 27 + nSegs
     if (off + 19 > p.length) return None
-    var last = p.length - 28
+    // granule needs 14 bytes past the capture pattern, not a whole
+    // 27-byte page header — a minimal trailing page (nSegs = 0) sits
+    // exactly 27 from the end
+    var last = p.length - 14
     while (last > 0 && !(p(last) == 'O' && p(last + 1) == 'g' &&
         p(last + 2) == 'g' && p(last + 3) == 'S')) last -= 1
     val granule = if (last >= 0) leu(p, last + 6, 8) else 0L
@@ -691,6 +694,25 @@ object Multimodal {
         batch.iterator.map { r =>
           val (c, w, h, d, t) = DecodeStub.probeVideo(r.payload)
           VideoMeta(r.doc_id, c, w, h, d, t)
+        }
+      }
+    }
+  }
+
+  /** Compressed-audio twin at the METADATA tier
+    * ([[DecodeStub.probeAudio]]): MP3 frame headers (+Xing VBR tag),
+    * FLAC STREAMINFO and Ogg Vorbis/Opus id headers parse for real —
+    * format, rate, channels, duration, bitrate without any codec;
+    * unrecognized payloads take the deterministic fallback. Same
+    * batched streaming partition contract as [[extractFeatures]]. */
+  def probeAudioMeta(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (f, rate, ch, dur, kbps) = DecodeStub.probeAudio(r.payload)
+          AudioMeta(r.doc_id, f, rate, ch, dur, kbps)
         }
       }
     }

@@ -67,13 +67,43 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Compressed-audio metadata probe over the same payloads. The text
+    * corpus takes the deterministic fallback (designed ANSI-SQL-
+    * expressible, like the audio-features fallback) so the partition
+    * transform is oracle-checked end to end; the REAL MP3/FLAC/Ogg
+    * header parses are pinned by MultimodalSpec on crafted fixtures. */
+  def mmAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.withPayload(table(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("payload"),
+        col("meta.modality").as("modality"), col("meta.format").as("format"))
+      .as[MediaRecord]
+    Multimodal.probeAudioMeta(media, batchSize = 64)
+      .toDF()
+      .select(col("doc_id"), col("format"), col("sample_rate"),
+        col("channels"), round(col("duration_s"), 6).as("duration_s"),
+        col("bitrate_kbps"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "mm_audio_meta" -> (mmAudioMeta _),
     "mm_payload_meta" -> (mmPayloadMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_audio_features" -> (mmAudioFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_meta" -> """
+      SELECT doc_id, 'unknown' AS format,
+             8000 + (ascii(substr(text, 1, 1)) % 8) * 1000 AS sample_rate,
+             1 + ascii(substr(text, length(text), 1)) % 2 AS channels,
+             round(CAST(length(text) AS DOUBLE) /
+                   (8000 + (ascii(substr(text, 1, 1)) % 8) * 1000), 6)
+               AS duration_s,
+             0 AS bitrate_kbps
+      FROM documents
+      ORDER BY doc_id""",
     "mm_payload_meta" -> """
       SELECT doc_id, 'text' AS modality,
              CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,

@@ -255,6 +255,129 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == VideoMeta(3L, c, w, h, d, t))
   }
 
+  // ——— compressed-audio metadata fixtures ———
+
+  /** MPEG-1 Layer III, 128 kbps, 44.1 kHz, stereo: ID3v2 (empty) +
+    * frame header + 32-byte side info + optional Xing frame count. */
+  private def mp3Fixture(xingFrames: Option[Int], pad: Int): Array[Byte] = {
+    val id3 = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0, 0, 0, 0, 0)
+    val hdr = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte)
+    val side = new Array[Byte](32)
+    val xing = xingFrames.map { n =>
+      "Xing".getBytes("ISO-8859-1") ++
+        java.nio.ByteBuffer.allocate(8).putInt(1).putInt(n).array
+    }.getOrElse(Array.emptyByteArray)
+    id3 ++ hdr ++ side ++ xing ++ new Array[Byte](pad)
+  }
+
+  /** FLAC: fLaC + STREAMINFO (44.1 kHz, 2 ch, 16 bps, 441000 samples
+    * = 10.0 s). */
+  private def flacFixture(pad: Int): Array[Byte] =
+    "fLaC".getBytes("ISO-8859-1") ++
+      Array(0x00, 0x00, 0x00, 0x22).map(_.toByte) ++      // type 0, len 34
+      new Array[Byte](10) ++                               // blocksizes/framesizes
+      Array(0x0A, 0xC4, 0x42, 0xF0).map(_.toByte) ++       // rate/ch/bps
+      Array(0x00, 0x06, 0xBA, 0xA8).map(_.toByte) ++       // total samples
+      new Array[Byte](16 + pad)                            // md5 + audio
+
+  private def oggPage(headerType: Int, granule: Long,
+      payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(27 + (if (payload.isEmpty) 0 else 1) +
+      payload.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("OggS".getBytes("ISO-8859-1")).put(0.toByte)
+      .put(headerType.toByte).putLong(granule)
+      .putInt(7).putInt(0).putInt(0)
+    if (payload.isEmpty) b.put(0.toByte)
+    else b.put(1.toByte).put(payload.length.toByte).put(payload)
+    b.array
+  }
+
+  /** Ogg Vorbis id header page (44.1 kHz stereo) + bare closing page
+    * carrying the final granule (441000 samples = 10.0 s). */
+  private def oggVorbisFixture: Array[Byte] = {
+    val id = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).put("vorbis".getBytes("ISO-8859-1"))
+      .putInt(0).put(2.toByte).putInt(44100).array
+    oggPage(2, 0L, id) ++ oggPage(4, 441000L, Array.emptyByteArray)
+  }
+
+  /** Ogg Opus head page (2 ch, 312-sample pre-skip) + closing page at
+    * 48 kHz granule 96312 → (96312 − 312)/48000 = 2.0 s. */
+  private def oggOpusFixture: Array[Byte] = {
+    val id = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("OpusHead".getBytes("ISO-8859-1"))
+      .put(1.toByte).put(2.toByte).putShort(312.toShort)
+      .putInt(48000).put(0.toByte).putShort(0.toShort).put(0.toByte).array
+    oggPage(2, 0L, id) ++ oggPage(4, 96312L, Array.emptyByteArray)
+  }
+
+  test("MP3 probe: Xing frame count gives exact VBR duration") {
+    val p = mp3Fixture(Some(100), pad = 200)
+    val (f, rate, ch, d, kbps) = DecodeStub.probeAudio(p)
+    assert(f == "mp3" && rate == 44100 && ch == 2 && kbps == 128)
+    assert(math.abs(d - 100.0 * 1152 / 44100) < 1e-12)
+  }
+
+  test("MP3 probe: no Xing tag falls back to the CBR estimate") {
+    val p = mp3Fixture(None, pad = 400)
+    val (f, rate, ch, d, kbps) = DecodeStub.probeAudio(p)
+    assert(f == "mp3" && rate == 44100 && ch == 2 && kbps == 128)
+    // audio bytes = payload minus the 10-byte ID3 tag
+    assert(math.abs(d - (p.length - 10) * 8.0 / 128000) < 1e-12)
+  }
+
+  test("FLAC probe: STREAMINFO rate/channels/total-samples") {
+    val p = flacFixture(pad = 1000)
+    val (f, rate, ch, d, kbps) = DecodeStub.probeAudio(p)
+    assert(f == "flac" && rate == 44100 && ch == 2)
+    assert(math.abs(d - 10.0) < 1e-12)
+    assert(kbps == math.round(p.length * 8 / 10.0 / 1000).toInt)
+  }
+
+  test("Ogg probes: vorbis and opus id headers + last-page granule") {
+    val (fv, rv, cv, dv, _) = DecodeStub.probeAudio(oggVorbisFixture)
+    assert(fv == "ogg-vorbis" && rv == 44100 && cv == 2)
+    assert(math.abs(dv - 10.0) < 1e-12)
+    val (fo, ro, co, dop, _) = DecodeStub.probeAudio(oggOpusFixture)
+    assert(fo == "ogg-opus" && ro == 48000 && co == 2)
+    assert(math.abs(dop - 2.0) < 1e-12)
+  }
+
+  test("audio probe: garbage/truncated payloads take the deterministic fallback") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val (f1, r1, c1, d1, k1) = DecodeStub.probeAudio(junk)
+    assert(f1 == "unknown" && k1 == 0)
+    assert(r1 == 8000 + ((junk(0) & 0xFF) % 8) * 1000)
+    assert(c1 == 1 + ((junk(63) & 0xFF) % 2))
+    assert(math.abs(d1 - 64.0 / r1) < 1e-12)
+    // truncated FLAC magic, bad Ogg page, sync byte with bad layer —
+    // none may throw
+    DecodeStub.probeAudio("fLaC".getBytes("ISO-8859-1") ++ new Array[Byte](40))
+    DecodeStub.probeAudio("OggS".getBytes("ISO-8859-1") ++ new Array[Byte](30))
+    DecodeStub.probeAudio(Array(0xFF, 0xE6, 0x90, 0x00).map(_.toByte) ++
+      new Array[Byte](16))
+  }
+
+  test("probeAudioMeta: partition transform matches direct probe") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, mp3Fixture(Some(100), 200), "audio", "mp3"),
+      MediaRecord(2L, flacFixture(500), "audio", "flac"),
+      MediaRecord(3L, oggOpusFixture, "audio", "ogg"),
+      MediaRecord(4L, Array.tabulate[Byte](32)(i => (i * 11).toByte), "audio", "raw"))
+    val out = Multimodal.probeAudioMeta(recs.toDS(), batchSize = 2)
+      .collect().map(v => v.doc_id -> v).toMap
+    for (r <- recs) {
+      val (f, rate, ch, d, kbps) = DecodeStub.probeAudio(r.payload)
+      assert(out(r.doc_id) == AudioMeta(r.doc_id, f, rate, ch, d, kbps))
+    }
+    assert(out(1L).format == "mp3" && out(2L).format == "flac" &&
+      out(3L).format == "ogg-opus" && out(4L).format == "unknown")
+  }
+
   test("frame sampling: n frames per doc, stable hashes, no shuffle") {
     val out = Multimodal.sampleFrames(docs, "text", n = 4, frameLen = 32)
     val n = docs.count()
