@@ -521,7 +521,18 @@ object TextQueries extends QueryPack {
           col("n_docs").cast(DoubleType))
   }
 
+  /** N-gram-profile language ID ([[graft.text.LangProfile]], Cavnar &
+    * Trenkle 1994) against committed UDHR-derived trigram profiles —
+    * the character-level upgrade of the stopword vote: per-doc top-K
+    * trigram ranking on the bounded-heap operator, out-of-place
+    * distance to each profile, deterministic arg-min. */
+  def txLangProfile(s: SparkSession, dir: String): DataFrame =
+    graft.text.LangProfile.langIdProfile(
+        table(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_lang_profile" -> (txLangProfile _),
     "tx_clf_score" -> (txClfScore _),
     "tx_clf_eval" -> (txClfEval _),
     "tx_bpe_tokens" -> (txBpeTokens _),
@@ -770,7 +781,46 @@ object TextQueries extends QueryPack {
                     THEN 1 ELSE 0 END AS INT) AS clf_pass
         FROM sc)"""
 
+  // Cavnar-Trenkle twin: the committed (lang, gram, rank) profiles
+  // render as VALUES from the same LangProfile constants the Spark
+  // query reads; ranking tie-breaks (count desc, gram asc; distance
+  // asc, lang asc) are pinned on both sides.
+  private val langProfValuesSql = graft.text.LangProfile.profiles
+    .map { case (l, g, r) => s"('$l', '${g.replace("'", "''")}', $r)" }
+    .mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "tx_lang_profile" -> s"""
+      WITH t AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', '_', 'g') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest([substr(t, CAST(i AS INT), 3)
+                               FOR i IN range(1, length(t) - 1)]) AS gram
+        FROM t WHERE length(t) >= 3),
+      c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, gram,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, gram) AS BIGINT) AS rank
+        FROM c
+        QUALIFY rank <= ${graft.text.LangProfile.topK}),
+      prof AS (SELECT * FROM (VALUES $langProfValuesSql)
+               AS p(lang, gram, prank)),
+      langs AS (SELECT DISTINCT lang FROM prof),
+      d AS (
+        SELECT top.doc_id, l.lang,
+               CAST(SUM(COALESCE(ABS(top.rank - CAST(p.prank AS BIGINT)),
+                 ${graft.text.LangProfile.missingPenalty})) AS BIGINT)
+                 AS oop_distance
+        FROM top CROSS JOIN langs l
+        LEFT JOIN prof p ON p.lang = l.lang AND p.gram = top.gram
+        GROUP BY 1, 2)
+      SELECT doc_id, lang AS predicted_lang, oop_distance
+      FROM d
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY oop_distance, lang) = 1
+      ORDER BY doc_id""",
     "tx_clf_score" -> s"""$clfScoreSql
       SELECT * FROM clf ORDER BY doc_id""",
     "tx_clf_eval" -> s"""$clfScoreSql,

@@ -1,0 +1,77 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LangProfileSpec extends AnyFunSuite with SparkSpec {
+
+  test("trigrams + profileOf: hand-checked normalization, ranking, ties") {
+    assert(LangProfile.trigrams("ab") == Seq.empty)
+    assert(LangProfile.trigrams("a b") == Seq("a_b"))
+    // "aaab": aaa, aab — counts 1,1 → tie broken by gram asc
+    assert(LangProfile.profileOf("aaab") == Seq(("aaa", 1), ("aab", 2)))
+    // repeated gram outranks lexicographically-smaller singleton
+    val p = LangProfile.profileOf("xyzxyz")
+    // grams: xyz,yzx,zxy,xyz → xyz count 2 first, then yzx, zxy
+    assert(p == Seq(("xyz", 1), ("yzx", 2), ("zxy", 3)))
+  }
+
+  test("committed profiles: 4 languages, ranks 1..K, deterministic") {
+    val langs = LangProfile.profiles.map(_._1).distinct
+    assert(langs == Seq("en", "de", "fr", "es"))
+    for (l <- langs) {
+      val ranks = LangProfile.profiles.filter(_._1 == l).map(_._3)
+      assert(ranks == (1 to ranks.max))
+      assert(ranks.size <= LangProfile.topK)
+    }
+  }
+
+  test("each UDHR sample classifies as its own language") {
+    val s = spark
+    import s.implicits._
+    val docs = LangProfile.samples.zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, text, lang) }
+      .toDF("doc_id", "text", "lang")
+    val out = LangProfile.langIdProfile(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(r.getAs[String]("predicted_lang") ==
+      r.getAs[String]("lang"), r.toString))
+  }
+
+  test("unseen sentences classify correctly; sub-trigram docs are absent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "The weather in the mountains was beautiful this morning and the children were happy.", "en"),
+      (2L, "Die Kinder spielen gern im Garten und die Sonne scheint über der Stadt.", "de"),
+      (3L, "Les enfants jouent dans le jardin et le soleil brille sur la ville.", "fr"),
+      (4L, "Los niños juegan en el jardín y el sol brilla sobre la ciudad.", "es"),
+      (5L, "ab", "none")).toDF("doc_id", "text", "lang")
+    val out = LangProfile.langIdProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("predicted_lang"), r.getAs[Long]("oop_distance"))).toMap
+    assert(!out.contains(5L))
+    assert(out(1L)._1 == "en", out(1L).toString)
+    assert(out(2L)._1 == "de", out(2L).toString)
+    assert(out(3L)._1 == "fr", out(3L).toString)
+    assert(out(4L)._1 == "es", out(4L).toString)
+    // distance is bounded by K · missingPenalty
+    out.values.foreach { case (_, d) =>
+      assert(d >= 0 && d <= LangProfile.topK * LangProfile.missingPenalty)
+    }
+  }
+
+  test("plan: heap-ranked, no unpartitioned window, broadcast profiles") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "some text for planning purposes only")).toDF("doc_id", "text")
+    val plan = LangProfile.langIdProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(1500))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+}
