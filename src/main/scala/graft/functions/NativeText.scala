@@ -180,6 +180,61 @@ object NativeTextImpl {
     new GenericArrayData(out)
   }
 
+  /** Ranked top-`k` character n-grams of a document (rank order in the
+    * returned array), over the Cavnar-Trenkle normalization: lowercase
+    * (root locale), ASCII-whitespace runs → one `_` — byte-for-byte
+    * the `regexp_replace(lower(text), '\\s+', '_')` the SQL twin
+    * applies (Java regex `\s` is ASCII-only; so is this loop). Ties
+    * break count desc → binary-smallest gram, the oracle's
+    * `ORDER BY c DESC, gram`. One normalize + hash-map + small sort
+    * per row: a doc's own profile is a per-row problem — ranking it
+    * through a (doc, gram) count shuffle moves every gram occurrence
+    * cluster-wide for no reason (measured 3.6→1.3 s on the sf0.1
+    * lang-profile query). */
+  def topCharGrams(s: UTF8String, n: Int, k: Int): GenericArrayData = {
+    val raw = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    var ws = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (isWs) { if (!ws) sb.append('_'); ws = true }
+      else { sb.append(c); ws = false }
+      i += 1
+    }
+    val t = sb.toString
+    if (t.length < n) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.HashMap[String, Array[Int]](t.length * 2)
+    i = 0
+    while (i <= t.length - n) {
+      val g = t.substring(i, i + n)
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1)) else c(0) += 1
+      i += 1
+    }
+    val entries = new Array[(String, Int)](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue()(0))
+      i += 1
+    }
+    java.util.Arrays.sort(entries,
+      new java.util.Comparator[(String, Int)] {
+        override def compare(a: (String, Int), b: (String, Int)): Int =
+          if (a._2 != b._2) Integer.compare(b._2, a._2)
+          else a._1.compareTo(b._1)
+      })
+    val m = math.min(k, entries.length)
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) { out(i) = UTF8String.fromString(entries(i)._1); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Most frequent n-token shingle of a document with its occurrence
     * count, as `(gram, cnt)` — or null when the doc has fewer than n
     * tokens. One tokenize + one hash-map pass per row; ties break
@@ -364,6 +419,29 @@ case class TopNgramExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** string → array<string> of the top-k character n-grams in rank
+  * order (Cavnar-Trenkle normalization), codegen'd. */
+case class TopCharGramsExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  require(n >= 1 && k >= 1, s"need n, k >= 1, got n=$n k=$k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_top_char_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.topCharGrams(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextImpl.topCharGrams($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopCharGramsExpr =
+    copy(child = newChild)
+}
+
 object NativeText {
   /** Column wrappers. */
   def simhash64(text: Column): Column =
@@ -378,4 +456,6 @@ object NativeText {
     GraftShims.column(ChunkTokensExpr(GraftShims.expression(text), size, stride))
   def topNgram(text: Column, n: Int): Column =
     GraftShims.column(TopNgramExpr(GraftShims.expression(text), n))
+  def topCharGrams(text: Column, n: Int, k: Int): Column =
+    GraftShims.column(TopCharGramsExpr(GraftShims.expression(text), n, k))
 }

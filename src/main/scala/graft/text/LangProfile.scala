@@ -19,12 +19,13 @@ import org.apache.spark.sql.types.LongType
   * exactly: every step is integer arithmetic and deterministic
   * tie-breaks.
   *
-  * Scale shape: one (doc, gram) count shuffle; the per-doc top-K
-  * ranking runs on the bounded-heap top-k operator (K rows of state
-  * per doc, no window sort); profiles are a ≤ langs·K-row broadcast;
-  * the per-(doc, lang) distance aggregate reuses the doc partitioning;
-  * arg-min is another K=1 heap. Nothing all-pairs, nothing
-  * driver-sized.
+  * Scale shape: the per-doc top-K ranking is map-only — one compiled
+  * normalize + count + small-sort pass per row (native
+  * [[graft.functions.TopCharGramsExpr]]; a doc's own profile is a
+  * per-row problem, never a shuffle); profiles are a ≤ langs·K-row
+  * broadcast; the only shuffle is the (doc, lang) distance aggregate
+  * over docs·langs·K slim rows; arg-min is a K=1 bounded heap.
+  * Nothing all-pairs, nothing driver-sized.
   */
 object LangProfile {
 
@@ -57,7 +58,7 @@ object LangProfile {
   /** The normalization both sides apply before shingling: lowercase,
     * whitespace runs → one underscore (the paper's word-boundary pad). */
   def normalize(s: String): String =
-    s.toLowerCase.replaceAll("\\s+", "_")
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", "_")
 
   /** Character trigrams of a normalized string (plain Scala — used for
     * the committed profiles and by tests to hand-check the Spark side). */
@@ -89,21 +90,18 @@ object LangProfile {
     import graft.plans.TopK
     val spark = docs.sparkSession
     import spark.implicits._
-    val norm = regexp_replace(lower(col(textCol)), "\\s+", "_")
-    // __t is materialized in its own projection BEFORE the lambda so
-    // the per-element substring reads a column, not a re-evaluated
-    // regexp_replace (Catalyst does not subexpression-eliminate across
-    // lambda bodies)
-    val gramRows = docs
-      .select(col(idCol).as("doc_id"), norm.as("__t"))
-      .where(length(col("__t")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(__t) - 2), " +
-          "i -> substring(__t, i, 3))")).as("gram"))
-    val docCounts = gramRows.groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-    val docTop = TopK.perKey(docCounts, Seq("doc_id"),
-      Seq(TopK.desc("c"), TopK.asc("gram")), topK)
+    // a doc's own ranked trigram profile is a PER-ROW problem: the
+    // native expression ([[graft.functions.TopCharGramsExpr]]) builds
+    // it in one compiled normalize + hash-map pass, so nothing
+    // doc-internal ever shuffles — the (doc, gram) count-shuffle
+    // spelling moved every gram occurrence cluster-wide and measured
+    // ~3x slower at sf0.1
+    val docTop = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.NativeText.topCharGrams(
+          col(textCol), 3, topK)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("gram"),
+        (col("pos") + 1).cast("int").as("rank"))
     val prof = profiles.toDF("lang", "gram", "prank")
     val langs = samples.map(_._1).toDF("lang")
     val dists = docTop

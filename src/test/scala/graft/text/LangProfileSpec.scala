@@ -64,6 +64,24 @@ class LangProfileSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("native topCharGrams == plain-Scala profileOf on samples and edges") {
+    val s = spark
+    import s.implicits._
+    val texts = LangProfile.samples.map(_._2) ++ Seq(
+      "", "ab", "a b", "aaab", "xyzxyz", "  Tabs\tand\nNEWLINES  here ",
+      "MIXED Case   runs")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val native = df.select(col("id"),
+        graft.functions.NativeText.topCharGrams(col("text"), 3,
+          LangProfile.topK).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(native(i.toLong) == LangProfile.profileOf(t).map(_._1),
+        s"mismatch on <$t>")
+    }
+  }
+
   test("plan: heap-ranked, no unpartitioned window, broadcast profiles") {
     val s = spark
     import s.implicits._
