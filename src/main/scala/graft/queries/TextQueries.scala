@@ -531,7 +531,25 @@ object TextQueries extends QueryPack {
         table(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Corpus token heavy hitters through the Misra-Gries sketch
+    * aggregate ([[graft.functions.HeavyHittersAgg]]): bounded k-entry
+    * state map-side, k-entry partials on the shuffle — the one-pass
+    * answer where exact GROUP BY would shuffle a row per distinct
+    * item. k=64 exceeds this corpus' 31-token vocabulary, so no
+    * counter ever evicts and the sketch is provably exact — the
+    * regime the DuckDB GROUP-BY oracle pins end to end; the
+    * approximate regime is guarantee-tested in NativeAggSpec. */
+  def txHeavyTokens(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(explode(split(col("text"), "\\s+", -1)).as("token"))
+      .agg(graft.functions.NativeAgg.heavyHitters(col("token"), 64).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("e.item").as("token"), col("e.cnt").as("cnt"))
+      .orderBy(col("rank"))
+
   val queries: Map[String, QueryFn] = Map(
+    "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
     "tx_clf_score" -> (txClfScore _),
     "tx_clf_eval" -> (txClfEval _),
@@ -790,6 +808,17 @@ object TextQueries extends QueryPack {
     .mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "tx_heavy_tokens" -> """
+      WITH t AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents),
+      c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM t GROUP BY token)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT)
+               AS rank, token, cnt
+      FROM c
+      QUALIFY rank <= 64
+      ORDER BY rank""",
     "tx_lang_profile" -> s"""
       WITH t AS (
         SELECT doc_id, regexp_replace(lower(text), '\\s+', '_', 'g') AS t
