@@ -181,8 +181,12 @@ object Similarity {
       path: String): Unit = {
     val spark = clustered.sparkSession
     import spark.implicits._
-    clustered.write.mode("overwrite")
-      .partitionBy("cluster").parquet(s"$path/corpus")
+    // batch=-1 marks the initial build; streaming ingest
+    // ([[graft.streaming.Streams.ivfIngestSink]]) appends sibling
+    // batch=<id> directories — partition discovery needs one uniform
+    // directory depth across the base corpus and every appended batch
+    clustered.withColumn("batch", lit(-1L)).write.mode("overwrite")
+      .partitionBy("batch", "cluster").parquet(s"$path/corpus")
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

@@ -743,6 +743,42 @@ object Streams {
         } finally cached.unpersist()
       }
 
+  /** Streaming IVF index ingest: append new embedding vectors to a
+    * persisted [[graft.similarity.Similarity.saveIndex]] index as they
+    * arrive. The expensive global step (KMeans training) ran once at
+    * index build; each micro-batch only ASSIGNS its vectors to the
+    * frozen centroids — a map-only projection against the
+    * driver-small centroid list — and appends them under
+    * `corpus/batch=<id>/cluster=<c>/`, so a replayed batch overwrites
+    * exactly its own directory (the repo-wide idempotent batch=id
+    * layout) and [[graft.similarity.Similarity.loadIndex]] keeps
+    * reading the union. Per-batch cost ∝ batch size; the existing
+    * corpus is never rescanned or rewritten. Centroid drift is handled
+    * the way production ANN systems do: serve on frozen centroids,
+    * rebuild the index out of band when recall decays. */
+  def ivfIngestSink(stream: DataFrame, indexPath: String,
+      checkpoint: String, idCol: String, vecCol: String,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = stream.sparkSession
+    val (_, centroids) =
+      graft.similarity.Similarity.loadIndex(spark, indexPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        val assigned = batch.select(col(idCol), col(vecCol),
+          element_at(graft.similarity.Similarity.nearestCentroids(
+            col(vecCol), centroids, 1), 1).as("cluster"))
+        assigned.write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$indexPath/corpus/batch=$batchId")
+        onLoad(LoadResult(success = true,
+          rowsLoaded = batch.count(), tableName = s"$indexPath/corpus",
+          durationSeconds = (System.nanoTime() - t0) / 1e9))
+      }
+  }
+
   /** E6: per-query input-row metrics via a listener (the reference's
     * extraction stats under lock, `extractors.py:318-336`). */
   class MetricsListener extends StreamingQueryListener {

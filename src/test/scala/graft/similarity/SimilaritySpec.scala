@@ -123,8 +123,10 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     Similarity.saveIndex(clustered, centroids, dir)
     val (loaded, loadedCents) = Similarity.loadIndex(spark, dir)
     assert(loadedCents == centroids)
-    // cluster partitioning materialized as directories (probe pruning)
-    val parts = new java.io.File(s"$dir/corpus").listFiles()
+    // cluster partitioning materialized as directories (probe pruning);
+    // the initial build owns batch=-1 so streaming ingest can append
+    // sibling batch=<id> directories at the same depth
+    val parts = new java.io.File(s"$dir/corpus/batch=-1").listFiles()
       .map(_.getName).filter(_.startsWith("cluster=")).toSet
     assert(parts.nonEmpty)
     val q = emb.filter(col("vec_id") < 10)

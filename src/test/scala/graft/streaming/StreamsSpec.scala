@@ -967,4 +967,66 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       spark2.streams.removeListener(listener)
     }
   }
+
+  test("IVF ingest sink: streamed vectors join the index; search == one-shot build") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Similarity
+    val dir = Files.createTempDirectory("ivfingest").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val late = emb.filter(col("vec_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val (clustered, cents) = Similarity.kmeansIndex(base, "vec_id",
+      "embedding", k = 4)
+    Similarity.saveIndex(clustered, cents, s"$dir/idx")
+
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfIngestSink(
+        input.toDS().toDF("vec_id", "embedding"),
+        s"$dir/idx", s"$dir/ckpt", "vec_id", "embedding",
+        Streams.trigger(1),
+        onLoad = r => loads.synchronized { loads += r })
+      .start()
+    try {
+      val (a, b) = late.splitAt(late.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(loads.size == 2 && loads.forall(_.success))
+    assert(loads.map(_.rowsLoaded).sum == late.length)
+
+    val (corpus, loadedCents) = Similarity.loadIndex(spark, s"$dir/idx")
+    assert(loadedCents == cents)
+    assert(corpus.count() == emb.count())
+    // streamed rows carry the same assignment the batch path computes
+    // (assignment is a pure function of the frozen centroids), so a
+    // multiprobe search over the grown index answers EXACTLY like an
+    // index holding all vectors from the start
+    val queries = emb.filter(col("vec_id") < 5)
+    val viaIngest = Similarity.kmeansTopKMultiProbe(
+        corpus.select(col("vec_id"), col("embedding"), col("cluster")),
+        queries, "vec_id", "embedding", cents, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oneShot = Similarity.kmeansTopKMultiProbe(
+        clustered.select(col("vec_id"), col("embedding"), col("cluster"))
+          .unionByName(corpus.filter(col("batch") =!= -1L)
+            .select(col("vec_id"), col("embedding"), col("cluster"))),
+        queries, "vec_id", "embedding", cents, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIngest == oneShot && viaIngest.nonEmpty)
+
+    // replaying a batch overwrites exactly its own directory: rows never
+    // double-count
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/idx/corpus"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    assert(batchDirs.toSeq == Seq("batch=-1", "batch=0", "batch=1"))
+  }
 }
