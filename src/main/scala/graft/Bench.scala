@@ -82,6 +82,18 @@ object Bench {
       // d6/d7 take at bench scale, and the forced-distributed call
       // compiles the groupBy-min + re-join star-round codegen so a gate
       // overflow would not pay first-compile cost inside a timed query
+      // round-5 shapes: the MG sketch aggregate, the per-row trigram
+      // profile + distance pipeline, and the quantized classifier
+      // scoring join each compile novel codegen classes — run each on
+      // the 25-row stand-in so the first timed query doesn't pay it
+      tinyDocs.select(explode(split(col("text"), "\\s+", -1)).as("token"))
+        .agg(graft.functions.NativeAgg.heavyHitters(col("token"), 8))
+        .write.format("noop").mode("overwrite").save()
+      graft.text.LangProfile.langIdProfile(tinyDocs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      graft.text.QualityClassifier.scoreQuantized(tinyDocs, "doc_id",
+          "text", Seq((1, 5L), (2, -3L)), 1L, 64)
+        .write.format("noop").mode("overwrite").save()
       val tinyPairs = n.limit(8)
         .select(col("n_nationkey").cast("long").as("id_a"),
           (col("n_nationkey").cast("long") + 8L).as("id_b"))

