@@ -56,7 +56,22 @@ object GraftExtensions {
     ("graft_chunks",
       new ExpressionInfo(classOf[ChunkTokensExpr].getName, "graft_chunks"),
       (args: Seq[Expression]) => ChunkTokensExpr(args(0),
-        intArg(args(1), "graft_chunks"), intArg(args(2), "graft_chunks"))))
+        intArg(args(1), "graft_chunks"), intArg(args(2), "graft_chunks"))),
+    ("graft_top_ngram",
+      new ExpressionInfo(classOf[TopNgramExpr].getName, "graft_top_ngram"),
+      (args: Seq[Expression]) =>
+        TopNgramExpr(args(0), intArg(args(1), "graft_top_ngram"))),
+    ("graft_top_char_grams",
+      new ExpressionInfo(classOf[TopCharGramsExpr].getName,
+        "graft_top_char_grams"),
+      (args: Seq[Expression]) => TopCharGramsExpr(args(0),
+        intArg(args(1), "graft_top_char_grams"),
+        intArg(args(2), "graft_top_char_grams"))),
+    ("graft_heavy_hitters",
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName,
+        "graft_heavy_hitters"),
+      (args: Seq[Expression]) => HeavyHittersAgg(args(0),
+        intArg(args(1), "graft_heavy_hitters")).toAggregateExpression()))
 
   /** Register on an already-built session. */
   def install(spark: SparkSession): Unit = {

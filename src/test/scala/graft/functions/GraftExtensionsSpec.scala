@@ -19,6 +19,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getLong(2) == 11L)
     assert(row.getSeq[String](3) == Seq("a b", "c d", "e"))
     assert(row.getSeq[String](4) == Seq("a b", "b a", "a b"))
+    val row2 = spark.sql(
+      """SELECT graft_top_ngram('a b a b c', 2) AS tg,
+        |       graft_top_char_grams('xyzxyz', 3, 2) AS tc
+        |""".stripMargin).head()
+    assert(row2.getStruct(0).getString(0) == "a b" &&
+      row2.getStruct(0).getLong(1) == 2L)
+    assert(row2.getSeq[String](1) == Seq("xyz", "yzx"))
+    val hh = spark.sql(
+      """SELECT graft_heavy_hitters(t, 4) AS hh
+        |FROM (SELECT explode(array('a', 'b', 'a')) AS t)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh == Seq(("a", 2L), ("b", 1L)))
   }
 
   test("SQL results match the Column API") {
