@@ -392,6 +392,51 @@ object TextQueries extends QueryPack {
       .orderBy(col("stage_idx"))
   }
 
+  /** Model-gated curation funnel: the DCLM-style composition — Gopher
+    * rule gate → C4 line cleaning → the COMMITTED quality model scoring
+    * the CLEANED text → exact dedup on surviving cleaned text. Same
+    * one-scan flag discipline as [[txCurationFunnel]] for the map-side
+    * stages; the model stage is the classifier's one bounded-broadcast
+    * scoring pass over c4 survivors only (filters first — the scoring
+    * shuffle sees minimum volume). Cleaned docs with fewer than two
+    * tokens have no features and fail the gate (absent from scoring —
+    * the shared convention, replayed by the oracle). */
+  def txFunnelModel(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Curation
+    val flagged = table(s, dir, "documents")
+      .withColumn("__s1", Curation.gopherPassed(
+        Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
+      .withColumn("__t2", segmentLines(col("text")))
+      .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords = 3))
+      .withColumn("__s2",
+        col("__s1") && !Curation.c4DocDrop(col("__t2")) && col("clean") =!= "")
+    val head = flagged.agg(
+      count(lit(1)).as("total"),
+      sum(col("__s1").cast("long")).as("gopher"),
+      sum(col("__s2").cast("long")).as("c4"))
+    val survivors = flagged.filter(col("__s2"))
+      .select(col("doc_id"), col("clean"))
+    val kept = survivors.join(
+      QualityClassifier.scoreQuantized(survivors, "doc_id", "clean",
+          QualityModelFixture.weightsQ, QualityModelFixture.biasQ,
+          QualityModelFixture.buckets)
+        .filter(col("clf_pass") === 1).select(col("doc_id")),
+      Seq("doc_id"))
+    val modelCount = kept.agg(count(lit(1)).as("model"))
+    val tail = graft.dedup.Dedup.exactByContent(kept, "doc_id", "clean")
+      .agg(count(lit(1)).as("exact_dedup"))
+    def stageRow(i: Int, name: String) =
+      struct(lit(i).cast("int").as("stage_idx"), lit(name).as("stage"),
+        col(name).as("n_docs"))
+    head.crossJoin(modelCount).crossJoin(tail)
+      .select(explode(array(stageRow(0, "total"), stageRow(1, "gopher"),
+        stageRow(2, "c4"), stageRow(3, "model"),
+        stageRow(4, "exact_dedup"))).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage_idx"))
+  }
+
   /** DSIR importance weights (integer-exact rendering — see
     * [[graft.text.Dsir]]): target distribution = the `lang = 'en'`
     * subset, raw = the whole corpus; 4096 hashed bigram buckets. The
@@ -549,6 +594,7 @@ object TextQueries extends QueryPack {
       .orderBy(col("rank"))
 
   val queries: Map[String, QueryFn] = Map(
+    "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
     "tx_clf_score" -> (txClfScore _),
@@ -808,6 +854,53 @@ object TextQueries extends QueryPack {
     .mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "tx_funnel_model" -> s"""
+      WITH t AS ($gopherPrepSql),
+      m AS ($gopherMetricsSql),
+      g AS (SELECT doc_id FROM m WHERE $gopherPassSql),
+      seg AS (
+        SELECT d.doc_id, $segmentLinesSql AS t2
+        FROM documents d JOIN g ON d.doc_id = g.doc_id),
+      f AS (
+        SELECT doc_id, string_split(t2, chr(10)) AS lines FROM seg
+        WHERE NOT (contains(lower(t2), 'lorem ipsum') OR contains(t2, '{'))),
+      c AS (
+        SELECT doc_id, array_to_string($c4KeptSql, chr(10)) AS clean
+        FROM f),
+      c2 AS (SELECT doc_id, clean FROM c WHERE clean <> ''),
+      b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                 % ${QualityModelFixture.buckets} AS bucket
+        FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(toks[i:i+1], ' ')
+                         FOR i IN range(1, len(toks))]) AS gram
+          FROM (SELECT doc_id, string_split_regex(clean, '\\s+') AS toks
+                FROM c2)
+          WHERE len(toks) >= 2)),
+      cc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      w AS (SELECT * FROM (VALUES $clfValuesSql) AS t(bucket, wq)),
+      sc AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * COALESCE(w.wq, 0)) AS BIGINT) AS s
+        FROM cc LEFT JOIN w USING (bucket) GROUP BY doc_id),
+      keep AS (SELECT doc_id FROM sc
+               WHERE s + ${QualityModelFixture.biasQ} * n >= 0),
+      ded AS (
+        SELECT doc_id FROM (
+          SELECT c2.doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY clean
+                                    ORDER BY c2.doc_id) AS rn
+          FROM c2 JOIN keep ON c2.doc_id = keep.doc_id) WHERE rn = 1)
+      SELECT CAST(0 AS INT) AS stage_idx, 'total' AS stage,
+             CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'gopher', CAST((SELECT COUNT(*) FROM g) AS BIGINT)
+      UNION ALL SELECT 2, 'c4', CAST((SELECT COUNT(*) FROM c2) AS BIGINT)
+      UNION ALL SELECT 3, 'model', CAST((SELECT COUNT(*) FROM keep) AS BIGINT)
+      UNION ALL SELECT 4, 'exact_dedup',
+        CAST((SELECT COUNT(*) FROM ded) AS BIGINT)
+      ORDER BY stage_idx""",
     "tx_heavy_tokens" -> """
       WITH t AS (
         SELECT unnest(string_split_regex(text, '\s+')) AS token
