@@ -67,6 +67,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => TopCharGramsExpr(args(0),
         intArg(args(1), "graft_top_char_grams"),
         intArg(args(2), "graft_top_char_grams"))),
+    ("graft_deflate_len",
+      new ExpressionInfo(classOf[DeflateLenExpr].getName,
+        "graft_deflate_len"),
+      (args: Seq[Expression]) => DeflateLenExpr(args.head)),
     ("graft_heavy_hitters",
       new ExpressionInfo(classOf[HeavyHittersAgg].getName,
         "graft_heavy_hitters"),

@@ -60,6 +60,19 @@ object TextFunctions {
   /** Token count, whitespace semantics. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Compression-ratio quality signal (the RedPajama-v2 / CCNet
+    * screen): deflate-compressed bytes ÷ raw bytes. Repetitive or
+    * templated text compresses far below natural prose (ratio ≪ the
+    * ~0.4–0.6 of clean English), so curation pipelines drop the low
+    * tail. One compiled zlib pass per row
+    * ([[graft.functions.DeflateLenExpr]]); deterministic per JDK but
+    * not ANSI-replayable, so this signal is test-verified, not
+    * oracle-gated. Empty text reports 1.0 (incompressible). */
+  def compressionRatio(text: Column): Column =
+    when(octet_length(text) === 0, lit(1.0))
+      .otherwise(graft.functions.NativeText.deflateLen(text)
+        .cast(org.apache.spark.sql.types.DoubleType) / octet_length(text))
+
   /** Dedup-grade normalization: lowercase, strip non-alphanumerics to
     * spaces, collapse runs of whitespace, trim. Run BEFORE hashing so
     * "Hello,  World!" and "hello world" collapse to one exact-dup

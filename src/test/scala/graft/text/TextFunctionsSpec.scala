@@ -155,4 +155,25 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getSeq[String](0) == r.getSeq[String](1), s"input ${t.map(_.toInt)}")
     }
   }
+
+  test("compressionRatio: repetitive text compresses far below prose; deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val prose = "The quarterly report shows diversified revenue growth " +
+      "across regions, with notable variance in seasonal demand patterns."
+    val repetitive = Seq.fill(40)("spam spam spam").mkString(" ")
+    val df = Seq((1L, prose), (2L, repetitive), (3L, "")).toDF("id", "text")
+      .select(col("id"),
+        graft.text.TextFunctions.compressionRatio(col("text")).as("r"),
+        graft.functions.NativeText.deflateLen(col("text")).as("dl"))
+    val out = df.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getLong(2))).toMap
+    assert(out(1L)._1 > 0.4 && out(1L)._1 <= 1.2, out(1L).toString)
+    assert(out(2L)._1 < 0.15, s"repetitive ratio ${out(2L)}")
+    assert(out(2L)._1 < out(1L)._1 / 3)
+    assert(out(3L)._1 == 1.0)
+    // deterministic across evaluations (same native zlib, same level)
+    val again = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again(1L) == out(1L)._2 && again(2L) == out(2L)._2)
+  }
 }
