@@ -219,6 +219,7 @@ object Streams {
       indexPath: String, checkpoint: String, idCol: String, textCol: String,
       minTokens: Long = 50L, maxTokens: Long = 100000L,
       minStopWords: Long = 2L, minWords: Int = 3,
+      modelGate: Option[(Seq[(Int, Long)], Long, Int)] = None,
       trig: Trigger = Trigger.AvailableNow(),
       onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
@@ -255,7 +256,23 @@ object Streams {
             .filter(length(col(textCol)) > 0)
             .localCheckpoint()
           val cN = cleaned.count()
-          val fp = cleaned.withColumn("__fp", md5(col(textCol)))
+          // optional model gate (the tx_funnel_model composition,
+          // streaming): quantized-classifier scoring of the CLEANED
+          // text — one bounded-broadcast pass over this micro-batch's
+          // c4 survivors; sub-2-token docs are absent from scoring and
+          // fail the gate (the shared convention)
+          val gated = modelGate match {
+            case Some((wq, biasQ, buckets)) =>
+              cleaned.join(
+                graft.text.QualityClassifier.scoreQuantized(
+                    cleaned.select(col(idCol), col(textCol)),
+                    idCol, textCol, wq, biasQ, buckets)
+                  .filter(col("clf_pass") === 1).select(col(idCol)),
+                Seq(idCol), "left_semi").localCheckpoint()
+            case None => cleaned
+          }
+          val mN = gated.count()
+          val fp = gated.withColumn("__fp", md5(col(textCol)))
           // first-wins within the batch: lowest id per cleaned content
           val firsts = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
           val inBatch = fp.join(firsts, Seq("__fp", idCol), "left_semi")
@@ -283,7 +300,9 @@ object Streams {
             durationSeconds = (System.nanoTime() - t0) / 1e9,
             errorMessage =
               if (keptN < total)
-                Some(s"gopher=${total - gN};c4=${gN - cN};dup=${cN - keptN}")
+                Some(s"gopher=${total - gN};c4=${gN - cN}" +
+                  (if (modelGate.isDefined) s";model=${cN - mN}" else "") +
+                  s";dup=${mN - keptN}")
               else None))
         } else {
           onLoad(LoadResult(success = true, rowsLoaded = 0L,

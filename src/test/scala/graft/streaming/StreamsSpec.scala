@@ -686,6 +686,53 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("curation funnel sink: optional model gate filters on cleaned text") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-csink-model").toString
+    val goodLine = "the cat and the dog run fast together now then."
+    val badLine = "the spam and more spam mail spam arrives quickly today."
+    // weights: heavy negative on every bigram of the BAD line, zero
+    // elsewhere; bias ≥ 0 so everything else passes — computed through
+    // the SAME featureBucket spelling the classifier uses
+    val buckets = 4096
+    def bucketsOf(text: String) = graft.text.Dsir.docFeatures(
+        Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text", buckets)
+      .select("bucket").distinct().collect().map(_.getLong(0).toInt)
+    val badBuckets = bucketsOf(badLine)
+    // fixture precondition: no hash collision between the two lines'
+    // bigram buckets (deterministic md5 — holds for these strings)
+    assert(bucketsOf(goodLine).toSet.intersect(badBuckets.toSet).isEmpty)
+    val wq = badBuckets.sorted.map(b => (b, -1000000L)).toSeq
+    val input = MemoryStream[(Long, String)]
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val q = Streams.curationFunnelSink(
+      input.toDF().toDF("doc_id", "text"), s"$dir/corpus", s"$dir/index",
+      s"$dir/ckpt", "doc_id", "text", minTokens = 5L,
+      modelGate = Some((wq, 1000L, buckets)),
+      trig = Streams.trigger(1),
+      onLoad = r => loads.synchronized { loads += r }).start()
+    try {
+      input.addData(
+        (1L, goodLine + "\nbuy now click here"),
+        (2L, badLine + "\nsome junk tail"))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpus == Set(1L), corpus)
+      val stages = loads.filter(_.errorMessage.nonEmpty)
+        .flatMap(_.errorMessage).map { m =>
+          m.split(";").map { kv =>
+            val Array(k, v) = kv.split("="); k -> v.toLong
+          }.toMap
+        }
+      assert(stages.nonEmpty && stages.head("model") == 1L, stages)
+      assert(stages.head("dup") == 0L, stages)
+    } finally q.stop()
+  }
+
   test("curation funnel sink: replayed batch keeps its survivors (no self-dedup)") {
     val spark2 = spark
     import spark2.implicits._
