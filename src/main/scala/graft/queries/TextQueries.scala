@@ -437,6 +437,49 @@ object TextQueries extends QueryPack {
       .orderBy(col("stage_idx"))
   }
 
+  /** Deterministic conversation synthesis over `documents` (both
+    * engines build the IDENTICAL JSON string by concatenation — the
+    * word-salad corpus contains no JSON metachars, so no escaping
+    * divergence is possible): turns = user(first 8 tokens) /
+    * assistant(next 8) / user("again <id>"); every 7th doc breaks
+    * alternation (its middle turn is also `user`) so the validator has
+    * real negatives. */
+  private def synthConvCol = {
+    val toks = split(col("text"), "\\s+")
+    concat(
+      lit("""[{"role":"user","content":""""),
+      concat_ws(" ", slice(toks, 1, 8)),
+      lit(""""},{"role":""""),
+      when(col("doc_id") % 7 === 0, lit("user")).otherwise(lit("assistant")),
+      lit("""","content":""""),
+      concat_ws(" ", slice(toks, 9, 8)),
+      lit(""""},{"role":"user","content":"again """),
+      col("doc_id").cast("string"),
+      lit(""""}]"""))
+  }
+
+  /** Conversation parsing ([[graft.text.Sft.parseTurns]]): serialized
+    * chat JSON → typed turn rows through `from_json` + `posexplode` —
+    * map-only, no UDF; the oracle re-parses the same synthesized JSON
+    * with DuckDB's JSON functions, pinning the parse itself. */
+  def txSftTurns(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sft.parseTurns(
+        table(s, dir, "documents").withColumn("conv", synthConvCol),
+        "doc_id", "conv")
+      .select(col("doc_id"), col("turn_idx"), col("role"),
+        md5(col("content")).as("content_md5"),
+        size(split(col("content"), "\\s+")).cast(LongType).as("n_tokens"))
+      .orderBy(col("doc_id"), col("turn_idx"))
+
+  /** Per-conversation protocol validation + per-role token accounting
+    * ([[graft.text.Sft.conversationStats]]): alternation/role checks
+    * and the assistant-token counts SFT budgets run on. */
+  def txSftStats(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sft.conversationStats(graft.text.Sft.parseTurns(
+        table(s, dir, "documents").withColumn("conv", synthConvCol),
+        "doc_id", "conv"))
+      .orderBy(col("doc_id"))
+
   /** DSIR importance weights (integer-exact rendering — see
     * [[graft.text.Dsir]]): target distribution = the `lang = 'en'`
     * subset, raw = the whole corpus; 4096 hashed bigram buckets. The
@@ -594,6 +637,8 @@ object TextQueries extends QueryPack {
       .orderBy(col("rank"))
 
   val queries: Map[String, QueryFn] = Map(
+    "sft_turns" -> (txSftTurns _),
+    "sft_stats" -> (txSftStats _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
@@ -853,7 +898,58 @@ object TextQueries extends QueryPack {
     .map { case (l, g, r) => s"('$l', '${g.replace("'", "''")}', $r)" }
     .mkString(", ")
 
+  // the SAME conversation-synthesis template as synthConvCol, by
+  // string concatenation over the same token slices
+  private val sftConvSql = """
+      SELECT doc_id,
+             '[{"role":"user","content":"' || array_to_string(toks[1:8], ' ')
+             || '"},{"role":"'
+             || CASE WHEN doc_id % 7 = 0 THEN 'user' ELSE 'assistant' END
+             || '","content":"' || array_to_string(toks[9:16], ' ')
+             || '"},{"role":"user","content":"again '
+             || CAST(doc_id AS VARCHAR) || '"}]' AS conv
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+            FROM documents)"""
+  private val sftTurnsSql = """
+      SELECT doc_id, CAST(i AS INT) AS turn_idx,
+             json_extract_string(conv, '$[' || i || '].role') AS role,
+             json_extract_string(conv, '$[' || i || '].content') AS content
+      FROM conv, (SELECT unnest([0, 1, 2]) AS i)"""
+
   val oracles: Map[String, String] = Map(
+    "sft_turns" -> s"""
+      WITH conv AS ($sftConvSql),
+      turns AS ($sftTurnsSql)
+      SELECT doc_id, turn_idx, role, md5(content) AS content_md5,
+             CAST(len(string_split_regex(content, '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM turns ORDER BY doc_id, turn_idx""",
+    "sft_stats" -> s"""
+      WITH conv AS ($sftConvSql),
+      turns AS ($sftTurnsSql),
+      t AS (
+        SELECT doc_id, turn_idx, role,
+               CAST(len(string_split_regex(content, '\\s+')) AS BIGINT)
+                 AS tk,
+               LAG(role) OVER (PARTITION BY doc_id ORDER BY turn_idx)
+                 AS prev
+        FROM turns)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_user,
+             CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_assistant,
+             CAST(SUM(tk) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN role = 'assistant' THEN tk ELSE 0 END)
+               AS BIGINT) AS assistant_tokens,
+             CAST(CASE WHEN
+                 MIN(CASE WHEN turn_idx = 0 THEN role END) = 'user'
+                 AND SUM(CASE WHEN role = prev THEN 1 ELSE 0 END) = 0
+                 AND SUM(CASE WHEN role IN ('user', 'assistant')
+                         THEN 1 ELSE 0 END) = COUNT(*)
+               THEN 1 ELSE 0 END AS INT) AS valid
+      FROM t GROUP BY doc_id ORDER BY doc_id""",
     "tx_funnel_model" -> s"""
       WITH t AS ($gopherPrepSql),
       m AS ($gopherMetricsSql),

@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SFT / conversation-data preparation: the post-pretraining slice of a
+  * training-data pipeline — parse serialized chat transcripts into
+  * typed turns, validate the role protocol, and account tokens per
+  * role (assistant tokens are the ones a supervised-fine-tuning loss
+  * actually trains on, so budget math runs on THEM, not raw length).
+  * The reference has no conversation layer (its JSON handling is the
+  * props-extraction path, `src/ingestion/extractors.py`); this extends
+  * the LLM-pipeline surface the same way the curation operators do.
+  *
+  * Scale shape: parsing is `from_json` + `posexplode` — map-only,
+  * codegen'd, no UDF. Per-conversation validation/stats run one
+  * turn-ordered window and one aggregate on the SAME doc_id shuffle
+  * (the window's partition key), so a conversation costs its turn
+  * count, never a second exchange. Packing composes with
+  * [[graft.operators.Sampling.packSequences]] over the per-doc
+  * assistant-token counts. */
+object Sft {
+
+  /** The wire schema of one serialized conversation: an ordered JSON
+    * array of {role, content} turns (the ChatML/ShareGPT common core). */
+  val turnSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType))))
+
+  /** Conversations → one row per turn: (doc_id, turn_idx, role,
+    * content). Malformed JSON yields a NULL parse and contributes no
+    * turns (posexplode of NULL drops the row) — corrupt transcripts
+    * are absent, not job-killing. */
+  def parseTurns(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(from_json(col(jsonCol), turnSchema)).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos").cast(IntegerType).as("turn_idx"),
+        col("t.role").as("role"), col("t.content").as("content"))
+
+  /** Whitespace token count of a turn (the repo's base tokenizer;
+    * swap in [[TextFunctions.bpeTokenCount]] for tokenizer-exact
+    * budgets). */
+  private def turnTokens(content: Column): Column =
+    size(split(content, "\\s+")).cast(LongType)
+
+  /** Per-conversation protocol validation + token accounting:
+    * `valid` requires every role ∈ {user, assistant}, the first turn
+    * from the user, and strict alternation (no two consecutive turns
+    * by the same role) — the contract SFT trainers assume before
+    * masking. One lag window + one aggregate on the doc_id shuffle. */
+  def conversationStats(turns: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("turn_idx"))
+    turns
+      .withColumn("__prev", lag(col("role"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_turns"),
+        sum((col("role") === "user").cast(LongType)).as("n_user"),
+        sum((col("role") === "assistant").cast(LongType)).as("n_assistant"),
+        sum(turnTokens(col("content"))).as("total_tokens"),
+        sum(when(col("role") === "assistant", turnTokens(col("content")))
+          .otherwise(lit(0L))).as("assistant_tokens"),
+        min(when(col("turn_idx") === 0, col("role"))).as("__first"),
+        // a first turn has no predecessor (NULL comparison): coalesce so
+        // a single-turn conversation is alternation-valid, not NULL
+        (coalesce(sum((col("role") === col("__prev")).cast(LongType)),
+          lit(0L)) === 0).as("__alt"),
+        (sum(col("role").isin("user", "assistant").cast(LongType)) ===
+          count(lit(1))).as("__roles"))
+      .withColumn("valid",
+        (col("__first") === "user" && col("__alt") && col("__roles"))
+          .cast(IntegerType))
+      .drop("__first", "__alt", "__roles")
+  }
+}
