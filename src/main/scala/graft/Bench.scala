@@ -103,14 +103,35 @@ object Bench {
           smallEdgeThreshold = 0L)
         .write.format("noop").mode("overwrite").save()
     }
+    // per-query physical-work attribution: task-metric sums between
+    // query boundaries (bus drained before each read so attribution
+    // does not race async delivery). Shuffle bytes are THE scale
+    // signal — a query whose time looks fine but whose shuffle volume
+    // grows superlinearly is the one that dies at 100 TB first.
+    object work extends org.apache.spark.scheduler.SparkListener {
+      val shuffleW = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+      def reset(): Unit = shuffleW.set(0L)
+    }
+    spark.sparkContext.addSparkListener(work)
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def runSuite(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        org.apache.spark.sql.GraftShims.drainListenerBus(spark)
+        work.reset()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.GraftShims.drainListenerBus(spark)
+        shuffleMb(name) = work.shuffleW.get / 1048576.0
+        name -> t
       }
     // Round 4 committed a snapshot from one noisy host window (160 s where
     // a controlled re-run measures 95 s) and the next round nearly chased
@@ -159,8 +180,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // physical-work maps reflect the LAST executed suite run — the
+    // volumes are deterministic per query (unlike wall-clock), so
+    // which run supplied them is immaterial
+    val smb = results.map { case (k, _) =>
+      "\"" + k + f"""":${shuffleMb.getOrElse(k, 0.0)}%.1f""" }
+      .mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"outliers":$outliers,"runs":${attempts.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$smb,"outliers":$outliers,"runs":${attempts.size},"sf":"$sfDir"}"""
     // The full per-query line is ~2.3 KB for 90 queries, but the round
     // driver keeps only the LAST 2000 chars of output — the line's head
     // (and the total) was being truncated every round. Three sinks so

@@ -20,6 +20,14 @@ object GraftShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Drain the async listener bus (private[spark]): lets a measurement
+    * harness read listener-accumulated task metrics AFTER all events
+    * for the just-finished job have been delivered — without this the
+    * per-query attribution races the delivery thread. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   /** Register a native function on an existing session (the config-time
     * path is `spark.sql.extensions`; this is the runtime equivalent). */
   def registerFunction(spark: SparkSession, name: String,
