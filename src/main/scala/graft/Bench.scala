@@ -142,8 +142,8 @@ object Bench {
     // "outliers" field naming queries >3x their previous committed time
     // so a genuinely-regressed query is flagged in the round record.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    val prevTimes: Map[String, Double] = {
-      val qre = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+    val qre = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+    def prevMap(section: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(outFile)), "UTF-8")
@@ -152,7 +152,7 @@ object Bench {
         // would re-run 3x every time and flag everything
         if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
         else {
-          val body = txt.indexOf("\"queries\":{") match {
+          val body = txt.indexOf("\"" + section + "\":{") match {
             case -1 => ""
             case i  => txt.substring(i, txt.indexOf('}', i) max i)
           }
@@ -160,7 +160,8 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Exception => Map.empty }
-    }
+    val prevTimes = prevMap("queries")
+    val prevShuffle = prevMap("shuffle_mb")
     val prevTotal = prevTimes.values.sum
     var attempts = List(runSuite())
     while (attempts.size < 3 && prevTimes.nonEmpty && {
@@ -186,8 +187,20 @@ object Bench {
     val smb = results.map { case (k, _) =>
       "\"" + k + f"""":${shuffleMb.getOrElse(k, 0.0)}%.1f""" }
       .mkString("{", ",", "}")
+    // shuffle volume is DETERMINISTIC per query (a pure function of the
+    // plan + data), so unlike wall-clock a tight threshold applies: any
+    // >1.3x-and->1MB growth vs the committed snapshot is a plan
+    // regression (lost broadcast, lost exchange reuse, lost partial
+    // aggregation), not noise
+    val shuffleOutliers = results.collect {
+      case (name, _) if prevShuffle.get(name).exists(p =>
+          shuffleMb.getOrElse(name, 0.0) > p * 1.3 &&
+          shuffleMb.getOrElse(name, 0.0) > p + 1.0) =>
+        "\"" + name +
+          f"""":[${prevShuffle(name)}%.1f,${shuffleMb(name)}%.1f]"""
+    }.mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$smb,"outliers":$outliers,"runs":${attempts.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$smb,"outliers":$outliers,"shuffle_outliers":$shuffleOutliers,"runs":${attempts.size},"sf":"$sfDir"}"""
     // The full per-query line is ~2.3 KB for 90 queries, but the round
     // driver keeps only the LAST 2000 chars of output — the line's head
     // (and the total) was being truncated every round. Three sinks so
