@@ -192,6 +192,37 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Compact a streamed-into index ([[graft.streaming.Streams
+    * .ivfIngestSink]] accumulates one directory per micro-batch; a
+    * long-running ingest degrades reads with thousands of small
+    * files): fold every batch directory back into the `batch=-1` base
+    * through the repo-wide crash-safe swap — a complete replacement is
+    * written beside the live corpus and atomically renamed in, so an
+    * interruption at any point leaves a full copy readable. Run while
+    * the ingest query is STOPPED (a batch landing between the read and
+    * the publish would be folded-or-lost nondeterministically — the
+    * same contract as table compaction everywhere else). Returns the
+    * number of batch directories folded. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import graft.core.AtomicSwap
+    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(s"$path/corpus.compact.bak")
+    AtomicSwap.heal(fs, corpus, backup)
+    val batches = fs.listStatus(corpus).map(_.getPath.getName)
+      .count(_.startsWith("batch="))
+    if (batches <= 1) return 0
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/corpus.compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(s"$path/corpus")
+      .withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch", "cluster")
+      .parquet(tmp.toString)
+    AtomicSwap.publish(fs, corpus, tmp, backup)
+    batches
+  }
+
   /** Load a persisted IVF index in [[kmeansIndex]]'s return shape. */
   def loadIndex(spark: SparkSession, path: String)
       : (DataFrame, Seq[Seq[Double]]) = {

@@ -787,6 +787,23 @@ object Streams {
       .trigger(trig)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
+        // same checkpoint-loss guard as the other accumulate-by-batch
+        // sinks: batchIds restart at 0 when the checkpoint is lost, and
+        // blindly overwriting batch=0 would replace the oldest ingested
+        // vectors with unrelated data (the base build is batch=-1 and
+        // doesn't trip this)
+        val fs = new Path(indexPath).getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val committed = fs.globStatus(
+          new Path(indexPath, "corpus/batch=*/_SUCCESS"))
+        if (batchId == 0 && committed != null && committed.exists { s =>
+            val b = s.getPath.getParent.getName
+            b != "batch=0" && b != "batch=-1"
+          })
+          throw new IllegalStateException(
+            s"ivfIngestSink: batchId restarted at 0 but $indexPath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or compact the index and start a fresh checkpoint.")
         val assigned = batch.select(col(idCol), col(vecCol),
           element_at(graft.similarity.Similarity.nearestCentroids(
             col(vecCol), centroids, 1), 1).as("cluster"))

@@ -378,6 +378,38 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       out(3L).format == "ogg-opus" && out(4L).format == "unknown")
   }
 
+  test("probe fuzz: random bytes, truncations, and magic-prefixed garbage never throw") {
+    val rnd = new scala.util.Random(1234)
+    val magics = Seq(
+      "OggS", "fLaC", "ID3", "RIFF", "FORM", ".snd", "ftyp", "OpusHead")
+    val fixtures = Seq(mp4Fixture, webmFixture, mp3Fixture(Some(10), 50),
+      flacFixture(100), oggVorbisFixture, oggOpusFixture)
+    val payloads =
+      // pure random
+      (1 to 60).map(_ => Array.fill(1 + rnd.nextInt(200))(rnd.nextInt.toByte)) ++
+      // random with a real magic spliced at the front
+      (1 to 40).map { _ =>
+        val m = magics(rnd.nextInt(magics.size)).getBytes("ISO-8859-1")
+        m ++ Array.fill(rnd.nextInt(64))(rnd.nextInt.toByte)
+      } ++
+      // every truncation point of every valid fixture
+      fixtures.flatMap(f => (1 until f.length by 7).map(f.take))
+    payloads.foreach { p =>
+      val a1 = DecodeStub.probeAudio(p)
+      val v1 = DecodeStub.probeVideo(p)
+      val d1 = DecodeStub.decode(p)
+      val au1 = DecodeStub.decodeAudio(p)
+      // deterministic: identical on re-evaluation
+      assert(DecodeStub.probeAudio(p) == a1)
+      assert(DecodeStub.probeVideo(p) == v1)
+      assert(DecodeStub.decode(p)._1 == d1._1)
+      assert(DecodeStub.decodeAudio(p)._1 == au1._1)
+      // sane ranges whatever the bytes
+      assert(a1._2 >= 0 && a1._3 >= 0 && !a1._4.isNaN && a1._4 >= 0)
+      assert(v1._2 >= 0 && v1._3 >= 0 && v1._4 >= 0)
+    }
+  }
+
   test("frame sampling: n frames per doc, stable hashes, no shuffle") {
     val out = Multimodal.sampleFrames(docs, "text", n = 4, frameLen = 32)
     val n = docs.count()

@@ -1075,5 +1075,68 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         new org.apache.hadoop.fs.Path(s"$dir/idx/corpus"))
       .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
     assert(batchDirs.toSeq == Seq("batch=-1", "batch=0", "batch=1"))
+
+    // compaction folds the batch dirs into one base; the index answers
+    // identically and the swap leaves no temp debris
+    val folded = Similarity.compactIndex(spark, s"$dir/idx")
+    assert(folded == 3)
+    val after = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/idx/corpus"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(after.toSeq == Seq("batch=-1"), after.toSeq)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/idx/corpus.compact.tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/idx/corpus.compact.bak")))
+    val (corpus2, cents2) = Similarity.loadIndex(spark, s"$dir/idx")
+    assert(cents2 == cents && corpus2.count() == emb.count())
+    val viaCompacted = Similarity.kmeansTopKMultiProbe(
+        corpus2.select(col("vec_id"), col("embedding"), col("cluster")),
+        queries, "vec_id", "embedding", cents, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaCompacted == viaIngest)
+    // a second compaction is a no-op
+    assert(Similarity.compactIndex(spark, s"$dir/idx") == 0)
+  }
+
+  test("IVF ingest sink: checkpoint loss fails loudly instead of overwriting batch 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Similarity
+    val dir = Files.createTempDirectory("ivfguard").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(40).localCheckpoint()
+    val (clustered, cents) = Similarity.kmeansIndex(emb, "vec_id",
+      "embedding", k = 2)
+    Similarity.saveIndex(clustered, cents, s"$dir/idx")
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    def runOnce(ckpt: String): Unit = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.ivfIngestSink(
+          input.toDS().toDF("vec_id", "embedding"),
+          s"$dir/idx", ckpt, "vec_id", "embedding",
+          Streams.trigger(1)).start()
+      try {
+        input.addData(rows.take(5).toSeq); q.processAllAvailable()
+        input.addData(rows.slice(5, 10).toSeq); q.processAllAvailable()
+        assert(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    runOnce(s"$dir/ckpt1") // batches 0 and 1 committed
+    // fresh checkpoint = ids restart at 0 while batch=1 exists → the
+    // first batch must fail loudly, not silently replace batch=0
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfIngestSink(
+        input.toDS().toDF("vec_id", "embedding"),
+        s"$dir/idx", s"$dir/ckpt2", "vec_id", "embedding",
+        Streams.trigger(1)).start()
+    try {
+      input.addData(rows.take(3).toSeq)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(q.exception.exists(
+        _.toString.contains("checkpoint was lost")), q.exception.toString)
+    } finally q.stop()
   }
 }
