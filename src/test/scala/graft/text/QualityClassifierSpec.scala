@@ -113,6 +113,19 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSpec {
       plan.contains("BroadcastExchange"), plan.take(2000))
   }
 
+  test("thresholdForKeepRate: quantile gate keeps ≈ the requested fraction") {
+    val s = spark
+    import s.implicits._
+    // a scored frame with known margins 1..200 (the calibrator only
+    // consumes clf_margin, whatever produced it)
+    val frame = (1L to 200L).map(i => (i, i)).toDF("doc_id", "clf_margin")
+    val thr = thresholdForKeepRate(frame, 0.30)
+    val kept = frame.filter(col("clf_margin") >= thr).count()
+    assert(kept >= 50 && kept <= 70, s"kept $kept of 200 at rate 0.30 (thr=$thr)")
+    val thrAll = thresholdForKeepRate(frame, 1.0)
+    assert(frame.filter(col("clf_margin") >= thrAll).count() == 200)
+  }
+
   test("docs with fewer than two tokens are absent from scoring output") {
     val docs = toDF(Seq((1L, "solo", 0), (2L, "two tokens", 1)))
     val out = scoreQuantized(docs, "doc_id", "text", Seq((0, 1L)), 0L, 32)
