@@ -480,6 +480,16 @@ object TextQueries extends QueryPack {
         "doc_id", "conv"))
       .orderBy(col("doc_id"))
 
+  /** Response-level conversation dedup ([[graft.text.Sft
+    * .dedupByAssistant]]): survivors keyed by the md5 of the ordered
+    * assistant-turn concatenation — transcripts eliciting identical
+    * responses are training duplicates regardless of user phrasing. */
+  def txSftDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sft.dedupByAssistant(graft.text.Sft.parseTurns(
+        table(s, dir, "documents").withColumn("conv", synthConvCol),
+        "doc_id", "conv"))
+      .orderBy(col("doc_id"))
+
   /** DSIR importance weights (integer-exact rendering — see
     * [[graft.text.Dsir]]): target distribution = the `lang = 'en'`
     * subset, raw = the whole corpus; 4096 hashed bigram buckets. The
@@ -639,6 +649,7 @@ object TextQueries extends QueryPack {
   val queries: Map[String, QueryFn] = Map(
     "sft_turns" -> (txSftTurns _),
     "sft_stats" -> (txSftStats _),
+    "sft_dedup" -> (txSftDedup _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
@@ -917,6 +928,17 @@ object TextQueries extends QueryPack {
       FROM conv, (SELECT unnest([0, 1, 2]) AS i)"""
 
   val oracles: Map[String, String] = Map(
+    "sft_dedup" -> s"""
+      WITH conv AS ($sftConvSql),
+      turns AS ($sftTurnsSql),
+      a AS (
+        SELECT doc_id,
+               md5(COALESCE(string_agg(content, chr(10) ORDER BY turn_idx)
+                 FILTER (WHERE role = 'assistant'), '')) AS assistant_md5
+        FROM turns GROUP BY doc_id)
+      SELECT assistant_md5, MIN(doc_id) AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_convs
+      FROM a GROUP BY assistant_md5 ORDER BY doc_id""",
     "sft_turns" -> s"""
       WITH conv AS ($sftConvSql),
       turns AS ($sftTurnsSql)

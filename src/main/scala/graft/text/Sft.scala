@@ -43,6 +43,27 @@ object Sft {
   private def turnTokens(content: Column): Column =
     size(split(content, "\\s+")).cast(LongType)
 
+  /** Exact conversation dedup on ASSISTANT content: two transcripts
+    * that elicit the same responses are training duplicates even when
+    * the user phrasing differs, so the dedup key is the ordered
+    * concatenation of assistant turns only. One (doc, key) aggregate +
+    * the first-wins groupBy — the [[graft.dedup.Dedup]] exact pattern;
+    * near-dup variants compose by feeding the same key column to the
+    * MinHash pipeline. Conversations with NO assistant turns have an
+    * empty key and dedup among themselves (deliberate: all-user
+    * transcripts carry no trainable signal to distinguish). */
+  def dedupByAssistant(turns: DataFrame): DataFrame = {
+    val keys = turns
+      .groupBy(col("doc_id"))
+      .agg(md5(concat_ws("\n",
+        sort_array(collect_list(when(col("role") === "assistant",
+          struct(col("turn_idx"), col("content"))))).getField("content")))
+        .as("assistant_md5"))
+    keys.groupBy(col("assistant_md5"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).cast(LongType).as("n_convs"))
+  }
+
   /** Per-conversation protocol validation + token accounting:
     * `valid` requires every role ∈ {user, assistant}, the first turn
     * from the user, and strict alternation (no two consecutive turns

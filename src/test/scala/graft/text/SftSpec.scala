@@ -65,6 +65,21 @@ class SftSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(2000)}")
   }
 
+  test("dedupByAssistant: same responses collapse whatever the user said") {
+    val turns = Sft.parseTurns(df(
+        1L -> conv("user" -> "how do I sort", "assistant" -> "use quicksort"),
+        2L -> conv("user" -> "sorting help pls", "assistant" -> "use quicksort"),
+        3L -> conv("user" -> "a", "assistant" -> "use quicksort",
+          "user" -> "b", "assistant" -> "with a pivot"),
+        4L -> conv("user" -> "no reply here"),
+        5L -> conv("user" -> "also no reply")), "doc_id", "conv")
+    val out = Sft.dedupByAssistant(turns).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_convs")).toMap
+    // 1 and 2 share the response key (survivor 1, n=2); 3 is distinct;
+    // 4 and 5 both have the empty key and collapse to 4
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("packing composes: assistant-token budget via packSequences") {
     val s = spark
     import s.implicits._
