@@ -119,19 +119,22 @@ object Bench {
     }
     spark.sparkContext.addSparkListener(work)
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      org.apache.spark.sql.GraftShims.drainListenerBus(spark)
+      work.reset()
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftShims.drainListenerBus(spark)
+      shuffleMb(name) = work.shuffleW.get / 1048576.0
+      t
+    }
     def runSuite(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        org.apache.spark.sql.GraftShims.drainListenerBus(spark)
-        work.reset()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val t = (System.nanoTime() - t0) / 1e9
-        org.apache.spark.sql.GraftShims.drainListenerBus(spark)
-        shuffleMb(name) = work.shuffleW.get / 1048576.0
-        name -> t
+        name -> runOne(name, fn)
       }
     // Round 4 committed a snapshot from one noisy host window (160 s where
     // a controlled re-run measures 95 s) and the next round nearly chased
@@ -162,6 +165,15 @@ object Bench {
       } catch { case _: Exception => Map.empty }
     val prevTimes = prevMap("queries")
     val prevShuffle = prevMap("shuffle_mb")
+    // a snapshot that EXISTS but parses to an empty map means the
+    // format drifted out from under the indexOf/regex extractor above —
+    // every guard below (deviation re-run, outlier flags, shuffle
+    // tripwire) would silently disarm. Fail loudly instead of quietly.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outFile)) &&
+        prevTimes.isEmpty)
+      System.err.println(s"[bench] WARNING: $outFile exists but parsed to " +
+        "an empty baseline (format drift or different sf); deviation " +
+        "re-run and outlier flagging are DISABLED for this run")
     val prevTotal = prevTimes.values.sum
     var attempts = List(runSuite())
     while (attempts.size < 3 && prevTimes.nonEmpty && {
@@ -171,11 +183,31 @@ object Bench {
       System.err.println(f"[bench] total ${attempts.head.map(_._2).sum}%.1f s deviates >1.5x from previous committed ${prevTotal}%.1f s; re-running")
       attempts ::= runSuite()
     }
-    val results = attempts.minBy(_.map(_._2).sum)
-    // flag per-query >3x slowdowns vs the previous committed snapshot,
+    val picked = attempts.minBy(_.map(_._2).sum)
+    // per-query >3x slowdown vs the previous committed snapshot,
     // ignoring sub-0.3 s queries where the harness floor dominates
+    def isOutlier(name: String, t: Double): Boolean =
+      prevTimes.get(name).exists(p => p >= 0.1 && t > p * 3 && t > 0.3)
+    // Round 5 committed six per-query times 3-5.5x their true values from
+    // one noisy tail window; the total-level guard above can't catch a
+    // handful of inflated queries inside an otherwise-normal total. Since
+    // wall-clock noise only ever ADDS time, re-measure JUST the flagged
+    // queries (seconds, not minutes) and keep the per-query minimum —
+    // the snapshot then records each query's true cost, and an `outliers`
+    // entry survives only for a regression that reproduces across up to
+    // three independent measurements.
+    val results = picked.map { case (name, first) =>
+      var best = first
+      var tries = 0
+      while (tries < 2 && isOutlier(name, best)) {
+        System.err.println(f"[bench] $name%s $best%.3f s is >3x its committed ${prevTimes(name)}%.3f s; re-measuring")
+        best = math.min(best, runOne(name, SparkEntry.queries(name)))
+        tries += 1
+      }
+      name -> best
+    }
     val outliers = results.collect {
-      case (name, t) if prevTimes.get(name).exists(p => p >= 0.1 && t > p * 3 && t > 0.3) =>
+      case (name, t) if isOutlier(name, t) =>
         "\"" + name + f"""":[${prevTimes(name)}%.3f,$t%.3f]"""
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

@@ -119,10 +119,13 @@ case class HeavyHittersAgg(
       entries(i) = (e.getKey, e.getValue()(0))
       i += 1
     }
+    // tie-break in codepoint (= UTF-8 binary) order, the order the SQL
+    // oracle's ORDER BY item and Spark's UTF8String sort use — Java
+    // String.compareTo (UTF-16 code units) diverges above the BMP
     java.util.Arrays.sort(entries, new java.util.Comparator[(String, Long)] {
       override def compare(a: (String, Long), b: (String, Long)): Int =
         if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
-        else a._1.compareTo(b._1)
+        else NativeTextImpl.cpCompare(a._1, b._1)
     })
     new GenericArrayData(entries.map { case (item, cnt) =>
       new GenericInternalRow(

@@ -207,6 +207,22 @@ object NativeTextImpl {
     total
   }
 
+  /** Codepoint (= UTF-8 binary) string order — the order DuckDB's
+    * binary collation and Spark's own UTF8String comparison sort by.
+    * Java String.compareTo compares UTF-16 code units, which diverges
+    * for supplementary-plane characters tied against U+E000..U+FFFF,
+    * so count-ties broken with compareTo would silently disagree with
+    * the SQL oracle on non-BMP corpora. */
+  def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Ranked top-`k` character n-grams of a document (rank order in the
     * returned array), over the Cavnar-Trenkle normalization: lowercase
     * (root locale), ASCII-whitespace runs → one `_` — byte-for-byte
@@ -253,7 +269,7 @@ object NativeTextImpl {
       new java.util.Comparator[(String, Int)] {
         override def compare(a: (String, Int), b: (String, Int)): Int =
           if (a._2 != b._2) Integer.compare(b._2, a._2)
-          else a._1.compareTo(b._1)
+          else cpCompare(a._1, b._1)
       })
     val m = math.min(k, entries.length)
     val out = new Array[Any](m)

@@ -933,7 +933,7 @@ object TextQueries extends QueryPack {
       turns AS ($sftTurnsSql),
       a AS (
         SELECT doc_id,
-               md5(COALESCE(string_agg(content, chr(10) ORDER BY turn_idx)
+               md5(COALESCE(string_agg(md5(content), '' ORDER BY turn_idx)
                  FILTER (WHERE role = 'assistant'), '')) AS assistant_md5
         FROM turns GROUP BY doc_id)
       SELECT assistant_md5, MIN(doc_id) AS doc_id,

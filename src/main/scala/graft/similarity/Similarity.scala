@@ -202,7 +202,9 @@ object Similarity {
     * the ingest query is STOPPED (a batch landing between the read and
     * the publish would be folded-or-lost nondeterministically — the
     * same contract as table compaction everywhere else). Returns the
-    * number of batch directories folded. */
+    * TOTAL number of `batch=` directories merged into the new base —
+    * including the `batch=-1` base itself — or 0 when there was
+    * nothing to fold. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
     import graft.core.AtomicSwap

@@ -159,6 +159,26 @@ object QualityClassifier {
     (sparse.toSeq, math.round(model.bias * scale))
   }
 
+  /** Margin threshold that keeps ≈`keepRate` of scored documents —
+    * how a curation run actually sets the gate ("keep the top 30% by
+    * classifier margin", the DCLM selection rule) rather than trusting
+    * margin ≥ 0. Accepts any frame with a numeric `clf_margin` column
+    * ([[scoreQuantized]]'s long margins or [[score]]'s double margins);
+    * the result is floored to a long so `clf_margin >= threshold` keeps
+    * at LEAST the requested rate. One sketch aggregate
+    * (`percentile_approx` — mergeable, bounded state at any corpus
+    * size); apply with `clf_margin >= threshold`. */
+  def thresholdForKeepRate(scored: DataFrame, keepRate: Double): Long = {
+    require(keepRate > 0 && keepRate <= 1, s"keepRate in (0,1], got $keepRate")
+    val row = scored.agg(percentile_approx(col("clf_margin"),
+        lit(1.0 - keepRate), lit(10000)).as("thr"))
+      .head()
+    // numeric read by interface, not getLong: the quantized frame's
+    // margin is long, score()'s is double — both are valid inputs
+    if (row.isNullAt(0)) Long.MinValue
+    else math.floor(row.get(0).asInstanceOf[Number].doubleValue()).toLong
+  }
+
   /** Integer-exact scoring over committed quantized weights (the
     * oracle-gated corpus-scale pass): per doc,
     * `clf_score` = Σ_b c_b·W_b (int64), `clf_margin` = clf_score +
@@ -169,19 +189,6 @@ object QualityClassifier {
     * Overflow bound: |clf_score| ≤ n·max|W| and |biasQ·n| ≤ 10⁶·scale·n;
     * a 10⁵-token document with |w| ≤ 10³ stays below 10¹⁴ — int64-safe
     * with 5 decades of headroom. */
-  /** Margin threshold that keeps ≈`keepRate` of scored documents —
-    * how a curation run actually sets the gate ("keep the top 30% by
-    * classifier margin", the DCLM selection rule) rather than trusting
-    * margin ≥ 0. One sketch aggregate over the scored frame
-    * (`percentile_approx` — mergeable, bounded state at any corpus
-    * size); apply with `clf_margin >= threshold`. */
-  def thresholdForKeepRate(scored: DataFrame, keepRate: Double): Long = {
-    require(keepRate > 0 && keepRate <= 1, s"keepRate in (0,1], got $keepRate")
-    scored.agg(percentile_approx(col("clf_margin"),
-        lit(1.0 - keepRate), lit(10000)).as("thr"))
-      .head().getLong(0)
-  }
-
   def scoreQuantized(docs: DataFrame, idCol: String, textCol: String,
       weightsQ: Seq[(Int, Long)], biasQ: Long,
       buckets: Int): DataFrame = {

@@ -51,13 +51,21 @@ object Sft {
     * near-dup variants compose by feeding the same key column to the
     * MinHash pipeline. Conversations with NO assistant turns have an
     * empty key and dedup among themselves (deliberate: all-user
-    * transcripts carry no trainable signal to distinguish). */
+    * transcripts carry no trainable signal to distinguish).
+    *
+    * The key is md5 over the CONCATENATION OF PER-TURN MD5s (each a
+    * fixed 32-hex block), not over delimiter-joined raw contents — a
+    * separator char can appear inside a turn, so joining on it would
+    * collide a one-turn "a\nb" with a two-turn ["a","b"]; fixed-width
+    * blocks make the encoding prefix-free and collision-free. */
   def dedupByAssistant(turns: DataFrame): DataFrame = {
     val keys = turns
       .groupBy(col("doc_id"))
-      .agg(md5(concat_ws("\n",
-        sort_array(collect_list(when(col("role") === "assistant",
-          struct(col("turn_idx"), col("content"))))).getField("content")))
+      .agg(md5(concat_ws("",
+        transform(
+          sort_array(collect_list(when(col("role") === "assistant",
+            struct(col("turn_idx"), col("content"))))).getField("content"),
+          c => md5(c))))
         .as("assistant_md5"))
     keys.groupBy(col("assistant_md5"))
       .agg(min(col("doc_id")).as("doc_id"),
