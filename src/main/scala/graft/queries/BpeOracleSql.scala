@@ -33,14 +33,15 @@ object BpeOracleSql {
       .map { case ((l, r), i) => s"($i, '${esc(l)}', '${esc(r)}')" }
       .mkString(", ")
 
-  /** CTE pack: `bpe_dict(w, toks, n)` — every distinct corpus word with
-    * its space-joined BPE symbols and token count. MUST be spliced
-    * directly after `WITH RECURSIVE`. */
-  lazy val dictCtes: String = s"""
+  /** CTE pack: `bpe_dict(w, toks, n)` — every distinct word of `rel`
+    * (any relation exposing `doc_id, text`) with its space-joined BPE
+    * symbols and token count. MUST be spliced directly after
+    * `WITH RECURSIVE`. */
+  def dictCtesFor(rel: String): String = s"""
     bpe_merges(rank, l, r) AS (SELECT * FROM (VALUES $mergesValues) t),
     bpe_words AS (
       SELECT DISTINCT w FROM (
-        SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM $rel)
       WHERE w <> ''),
     bpe_enc(w, state) AS (
       SELECT w, chr(1) || array_to_string(string_split(w, ''), chr(1))
@@ -66,28 +67,35 @@ object BpeOracleSql {
       WHERE NOT EXISTS (SELECT 1 FROM bpe_merges m
         WHERE contains(e.state, chr(1) || m.l || chr(1) || m.r || chr(1))))"""
 
-  /** CTE pack (depends on [[dictCtes]]): `bpe_docs(doc_id, n_tokens,
-    * seq)` — per-document total BPE tokens and the space-joined token
-    * sequence in word order; wordless docs get (0, ''). */
-  lazy val docCtes: String = """
+  /** CTE pack (depends on [[dictCtesFor]]): `bpe_docs(doc_id, n_tokens,
+    * seq)` — per-row total BPE tokens and the space-joined token
+    * sequence in word order (keyed by `rel`'s doc_id, which must be
+    * unique per row); wordless rows get (0, ''). */
+  def docCtesFor(rel: String): String = s"""
     bpe_doc_words AS (
       SELECT doc_id, i, w FROM (
         SELECT doc_id,
                unnest([{'i': i, 'w': toks[i]}
                        FOR i IN range(1, len(toks) + 1)],
                       recursive := true)
-        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-              FROM documents))
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+              FROM $rel))
       WHERE w <> ''),
     bpe_docs AS (
       SELECT d.doc_id,
              CAST(COALESCE(SUM(x.n), 0) AS INT) AS n_tokens,
              COALESCE(string_agg(x.toks, ' ' ORDER BY dw.i), '') AS seq
-      FROM documents d
+      FROM $rel d
       LEFT JOIN bpe_doc_words dw ON d.doc_id = dw.doc_id
       LEFT JOIN bpe_dict x ON dw.w = x.w
       GROUP BY d.doc_id)"""
 
+  /** Statement head for oracles consuming per-row BPE counts of an
+    * arbitrary `(doc_id, text)` relation — `rel` may be a table name
+    * or a parenthesized subquery (its OWN nested WITH is fine). */
+  def preludeFor(rel: String): String =
+    s"WITH RECURSIVE ${dictCtesFor(rel)}, ${docCtesFor(rel)}"
+
   /** Statement head for oracles consuming per-doc BPE counts. */
-  lazy val prelude: String = s"WITH RECURSIVE $dictCtes, $docCtes"
+  lazy val prelude: String = preludeFor("documents")
 }

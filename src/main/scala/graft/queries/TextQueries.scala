@@ -480,6 +480,28 @@ object TextQueries extends QueryPack {
         "doc_id", "conv"))
       .orderBy(col("doc_id"))
 
+  /** Tokenizer-exact SFT budget packing: per-conversation assistant
+    * BPE tokens ([[graft.text.Sft.conversationStats]]'s default
+    * accounting) feed [[graft.operators.Sampling.packSequences]] —
+    * contiguous ≈256-assistant-token batches per source, the layout an
+    * SFT trainer consumes. The oracle replays the BPE merge loop over
+    * TURN CONTENTS (not raw documents) in a recursive CTE and re-packs
+    * with the same cumulative window — tokenizer-exact counts flowing
+    * through a budget consumer, pinned end to end. */
+  def txSftPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").withColumn("conv", synthConvCol)
+    val stats = graft.text.Sft.conversationStats(
+      graft.text.Sft.parseTurns(docs, "doc_id", "conv"))
+    val withSrc = stats.select(col("doc_id"), col("assistant_tokens"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    graft.operators.Sampling.packSequences(withSrc, "source", "doc_id",
+        col("assistant_tokens"), 256L)
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_convs"),
+        sum(col("n_tokens")).as("batch_tokens"))
+      .orderBy(col("source"), col("batch_id"))
+  }
+
   /** Response-level conversation dedup ([[graft.text.Sft
     * .dedupByAssistant]]): survivors keyed by the md5 of the ordered
     * assistant-turn concatenation — transcripts eliciting identical
@@ -650,6 +672,7 @@ object TextQueries extends QueryPack {
     "sft_turns" -> (txSftTurns _),
     "sft_stats" -> (txSftStats _),
     "sft_dedup" -> (txSftDedup _),
+    "sft_pack_bpe" -> (txSftPackBpe _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
@@ -927,6 +950,15 @@ object TextQueries extends QueryPack {
              json_extract_string(conv, '$[' || i || '].content') AS content
       FROM conv, (SELECT unnest([0, 1, 2]) AS i)"""
 
+  // self-contained (doc_id, text) relation of the synthesized TURN
+  // CONTENTS, keyed doc_id*4+turn_idx (unique: turn_idx < 3) — feeds
+  // BpeOracleSql.preludeFor so the oracle's recursive merge loop runs
+  // over the words conversations actually contain
+  private val sftTurnRelSql = s"""(
+      WITH conv AS ($sftConvSql),
+      turns AS ($sftTurnsSql)
+      SELECT doc_id * 4 + turn_idx AS doc_id, content AS text FROM turns)"""
+
   val oracles: Map[String, String] = Map(
     "sft_dedup" -> s"""
       WITH conv AS ($sftConvSql),
@@ -947,15 +979,16 @@ object TextQueries extends QueryPack {
                AS n_tokens
       FROM turns ORDER BY doc_id, turn_idx""",
     "sft_stats" -> s"""
-      WITH conv AS ($sftConvSql),
+      ${BpeOracleSql.preludeFor(sftTurnRelSql)},
+      conv AS ($sftConvSql),
       turns AS ($sftTurnsSql),
       t AS (
-        SELECT doc_id, turn_idx, role,
-               CAST(len(string_split_regex(content, '\\s+')) AS BIGINT)
-                 AS tk,
-               LAG(role) OVER (PARTITION BY doc_id ORDER BY turn_idx)
-                 AS prev
-        FROM turns)
+        SELECT tu.doc_id, tu.turn_idx, tu.role,
+               CAST(b.n_tokens AS BIGINT) AS tk,
+               LAG(tu.role) OVER (PARTITION BY tu.doc_id
+                 ORDER BY tu.turn_idx) AS prev
+        FROM turns tu
+        JOIN bpe_docs b ON tu.doc_id * 4 + tu.turn_idx = b.doc_id)
       SELECT doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_turns,
              CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
@@ -972,6 +1005,31 @@ object TextQueries extends QueryPack {
                          THEN 1 ELSE 0 END) = COUNT(*)
                THEN 1 ELSE 0 END AS INT) AS valid
       FROM t GROUP BY doc_id ORDER BY doc_id""",
+    "sft_pack_bpe" -> s"""
+      ${BpeOracleSql.preludeFor(sftTurnRelSql)},
+      conv AS ($sftConvSql),
+      turns AS ($sftTurnsSql),
+      at AS (
+        SELECT tu.doc_id,
+               CAST(SUM(CASE WHEN tu.role = 'assistant'
+                 THEN b.n_tokens ELSE 0 END) AS BIGINT) AS atoks
+        FROM turns tu
+        JOIN bpe_docs b ON tu.doc_id * 4 + tu.turn_idx = b.doc_id
+        GROUP BY tu.doc_id),
+      j AS (
+        SELECT d.source, a.doc_id, a.atoks
+        FROM at a JOIN documents d ON a.doc_id = d.doc_id),
+      cum AS (
+        SELECT source, doc_id, atoks,
+               SUM(atoks) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM j)
+      SELECT source, CAST((c - atoks) // 256 AS BIGINT) AS batch_id,
+             COUNT(*) AS n_convs,
+             CAST(SUM(atoks) AS BIGINT) AS batch_tokens
+      FROM cum
+      GROUP BY source, CAST((c - atoks) // 256 AS BIGINT)
+      ORDER BY source, batch_id""",
     "tx_funnel_model" -> s"""
       WITH t AS ($gopherPrepSql),
       m AS ($gopherMetricsSql),

@@ -37,11 +37,17 @@ object Sft {
       .select(col("doc_id"), col("pos").cast(IntegerType).as("turn_idx"),
         col("t.role").as("role"), col("t.content").as("content"))
 
-  /** Whitespace token count of a turn (the repo's base tokenizer;
-    * swap in [[TextFunctions.bpeTokenCount]] for tokenizer-exact
-    * budgets). */
-  private def turnTokens(content: Column): Column =
+  /** Whitespace token count of a turn — the cheap approximate
+    * tokenizer, for callers that opt out of the BPE default. */
+  def whitespaceTokens(content: Column): Column =
     size(split(content, "\\s+")).cast(LongType)
+
+  /** Tokenizer-exact turn count over the committed BPE artifact — the
+    * DEFAULT input to every budget consumer here: an SFT token budget
+    * means tokens as the trainer's tokenizer counts them, not
+    * whitespace words. */
+  def bpeTurnTokens(content: Column): Column =
+    TextFunctions.bpeTokenCount(content).cast(LongType)
 
   /** Exact conversation dedup on ASSISTANT content: two transcripts
     * that elicit the same responses are training duplicates even when
@@ -76,8 +82,17 @@ object Sft {
     * `valid` requires every role ∈ {user, assistant}, the first turn
     * from the user, and strict alternation (no two consecutive turns
     * by the same role) — the contract SFT trainers assume before
-    * masking. One lag window + one aggregate on the doc_id shuffle. */
-  def conversationStats(turns: DataFrame): DataFrame = {
+    * masking. One lag window + one aggregate on the doc_id shuffle.
+    *
+    * Token counts are TOKENIZER-EXACT by default ([[bpeTurnTokens]],
+    * the committed BPE artifact) — `assistant_tokens` is what the
+    * fine-tuning loss actually trains on, so the budget consumers
+    * downstream ([[graft.operators.Sampling.packSequences]],
+    * [[graft.operators.Sampling.tokenBudgetMix]]) receive trainer
+    * tokens; pass [[whitespaceTokens]] to opt into the cheap
+    * approximation. */
+  def conversationStats(turns: DataFrame,
+      turnTokens: Column => Column = bpeTurnTokens): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("turn_idx"))
     turns

@@ -39,7 +39,7 @@ class SftSpec extends AnyFunSuite with SparkSpec {
         4L -> conv("user" -> "a", "system" -> "b"),
         // valid single turn
         5L -> conv("user" -> "one two three")), "doc_id", "conv")
-    val out = Sft.conversationStats(turns).collect()
+    val out = Sft.conversationStats(turns, Sft.whitespaceTokens).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out(1L).getAs[Long]("n_turns") == 3)
     assert(out(1L).getAs[Long]("n_user") == 2)
@@ -51,6 +51,22 @@ class SftSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).getAs[Int]("valid") == 0)
     assert(out(4L).getAs[Int]("valid") == 0)
     assert(out(5L).getAs[Int]("valid") == 1)
+  }
+
+  test("conversationStats defaults to tokenizer-exact BPE counts") {
+    val turns = Sft.parseTurns(df(
+        1L -> conv("user" -> "alpha beta", "assistant" -> "gamma delta epsilon")),
+      "doc_id", "conv")
+    val out = Sft.conversationStats(turns).collect().head
+    def bpe(s: String) = graft.functions.BpeImpl.count(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), "default").toLong
+    assert(out.getAs[Long]("assistant_tokens") == bpe("gamma delta epsilon"))
+    assert(out.getAs[Long]("total_tokens") ==
+      bpe("alpha beta") + bpe("gamma delta epsilon"))
+    // a budget in BPE tokens is NOT a budget in whitespace words: the
+    // artifact splits these words into subwords, so the exact count
+    // strictly exceeds the 3-word whitespace estimate
+    assert(out.getAs[Long]("assistant_tokens") > 3L)
   }
 
   test("stats plan: one doc_id shuffle shared by the window and the aggregate") {
