@@ -276,6 +276,25 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Variable-length exact-substring dedup
+    * ([[graft.text.Boilerplate.removeDupRuns]], Lee et al. 2021 §4):
+    * adjacent duplicated 5-gram positions merge into maximal runs and
+    * only runs of ≥ 8 tokens are deleted — the incidental shared
+    * 5-gram survives, the copied passage goes. Same md5-pinned
+    * reporting as [[txDupSpanRemoval]]; the oracle replays the run
+    * merge with the identical lag + running-sum window. */
+  def txDupRunRemoval(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.text.Boilerplate.removeDupRuns(docs, "doc_id", "text",
+        n = 5, minRun = 8)
+      .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+        graft.text.TextFunctions.tokenCount(
+          when(col("text") === "", lit(null))
+            .otherwise(col("text"))).cast("long").as("kept_tokens"))
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Context-window chunking: 32-token windows stepping by 24 (8-token
     * overlap) — the training-data chunker. Chunks are reported as
     * (doc, idx, md5, token count) so the result stays scalar-typed;
@@ -692,6 +711,7 @@ object TextQueries extends QueryPack {
     "tx_chunk_windows" -> (txChunkWindows _),
     "tx_dup_spans" -> (txDupSpans _),
     "tx_dup_span_removal" -> (txDupSpanRemoval _),
+    "tx_dup_span_removal_runs" -> (txDupRunRemoval _),
     "tx_gopher_repetition" -> (txGopherRepetition _),
     "tx_top_ngram" -> (txTopNgram _),
     "tx_boilerplate_ngrams" -> (txBoilerplateNgrams _),
@@ -1318,6 +1338,64 @@ object TextQueries extends QueryPack {
         WHERE span IN (SELECT span FROM pos
                        GROUP BY span HAVING MIN(doc_id) <> MAX(doc_id))),
       rem AS (SELECT doc_id, pos, pos + 4 AS e FROM occ WHERE rn > 1),
+      tok AS (
+        SELECT doc_id,
+               unnest([{'pos': i - 1, 'tok': toks[i]}
+                       FOR i IN range(1, len(toks) + 1)],
+                      recursive := true)
+        FROM tk),
+      u AS (
+        SELECT doc_id, pos, CAST(NULL AS VARCHAR) AS tok, e, 0 AS k FROM rem
+        UNION ALL
+        SELECT doc_id, pos, tok, CAST(NULL AS BIGINT) AS e, 1 AS k FROM tok),
+      r AS (
+        SELECT doc_id, pos, tok, k,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY pos, k
+                            ROWS UNBOUNDED PRECEDING) AS cov
+        FROM u),
+      reb AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean
+        FROM r WHERE k = 1 AND (cov IS NULL OR cov < pos)
+        GROUP BY doc_id)
+      SELECT d.doc_id, md5(COALESCE(reb.clean, '')) AS clean_md5,
+             CAST(CASE WHEN COALESCE(reb.clean, '') = '' THEN 0
+                       ELSE len(string_split_regex(reb.clean, '\\s+'))
+                  END AS BIGINT) AS kept_tokens
+      FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+      ORDER BY d.doc_id""",
+    "tx_dup_span_removal_runs" -> s"""
+      WITH tk AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        FROM documents),
+      pos AS (
+        SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        'span': array_to_string(toks[i:i+4], ' ')}
+                       FOR i IN range(1, len(toks) - 3)],
+                      recursive := true)
+        FROM tk WHERE len(toks) >= 5),
+      occ AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY span
+                                  ORDER BY doc_id, pos) AS rn
+        FROM pos
+        WHERE span IN (SELECT span FROM pos
+                       GROUP BY span HAVING MIN(doc_id) <> MAX(doc_id))),
+      mk AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+      g AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                      ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS nw
+        FROM mk),
+      r2 AS (
+        SELECT doc_id, pos,
+               SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS run
+        FROM g),
+      rem AS (
+        SELECT doc_id, MIN(pos) AS pos, MAX(pos) + 4 AS e
+        FROM r2 GROUP BY doc_id, run
+        HAVING MAX(pos) + 4 - MIN(pos) + 1 >= 8),
       tok AS (
         SELECT doc_id,
                unnest([{'pos': i - 1, 'tok': toks[i]}

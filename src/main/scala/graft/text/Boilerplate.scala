@@ -166,8 +166,19 @@ object Boilerplate {
     *    original row size. */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val outCols = docs.columns.toSeq
+    val removals = laterOccurrences(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("pos"),
+        (col("pos") + lit(n - 1)).as("__end"))
+    deleteIntervals(docs, idCol, textCol, removals)
+  }
+
+  /** Every (doc, pos) whose n-gram occurs in ≥ 2 distinct documents and
+    * is NOT the span's corpus-first occurrence (lowest (doc id, pos)) —
+    * the positions exact-substring dedup deletes. One `groupBy(span)`
+    * (all partial aggregates; a 10⁷-doc boilerplate span streams
+    * map-side) re-joined by the positional side on `span`. */
+  private def laterOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     val pos = positionedSpans(docs, idCol, textCol, n)
     // cross-doc-duplicated spans with their corpus-first occurrence;
     // min/max over NON-distinct occurrences still detect ≥2 docs
@@ -176,10 +187,22 @@ object Boilerplate {
         min(struct(col("doc_id"), col("pos"))).as("__first"))
       .filter(col("__lo") =!= col("__hi"))
       .select(col("span"), col("__first"))
-    val removals = pos.join(spanAgg, Seq("span"))
+    pos.join(spanAgg, Seq("span"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
-      .select(col("doc_id"), col("pos"),
-        (col("pos") + lit(n - 1)).as("__end"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Delete the token intervals `removals` (`doc_id, pos, __end` —
+    * inclusive token-position ranges) from each document and reassemble
+    * the survivors space-joined. The coverage test is NOT a range join:
+    * interval starts and tokens interleave in one per-document window
+    * ordered by position (intervals first at a tie) where a running max
+    * of interval ends marks covered tokens — bounded by document
+    * length. Reassembly is one shuffle on the doc id. */
+  private def deleteIntervals(docs: DataFrame, idCol: String,
+      textCol: String, removals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val outCols = docs.columns.toSeq
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
     // interleave deletion starts (k=0, carrying their interval end)
@@ -203,6 +226,45 @@ object Boilerplate {
     docs.join(rebuilt, col(idCol) === col("__rid"), "left")
       .withColumn(textCol, coalesce(col("__clean"), lit("")))
       .select(outCols.map(col): _*)
+  }
+
+  /** Variable-length exact-substring dedup — the Lee et al. 2021 §4
+    * semantics proper: only duplicated RUNS of at least `minRun` tokens
+    * are removed (the paper uses 50), short incidental n-gram matches
+    * survive. [[removeDupSpans]] deletes every later-occurrence shingle
+    * regardless of length; here adjacent marked shingles first MERGE
+    * into maximal intervals — consecutive positions p, p' belong to one
+    * run iff p' − p ≤ n (their [p, p+n−1] intervals overlap or touch,
+    * i.e. the deleted text is contiguous) — and only merged intervals
+    * spanning ≥ `minRun` tokens are deleted. A duplicated substring of
+    * ℓ ≥ n tokens marks exactly its ℓ−n+1 consecutive shingle starts,
+    * so the merged interval length IS ℓ: the shingle approximation
+    * recovers exact run lengths for runs ≥ n. Two duplicated substrings
+    * whose regions touch merge into one run and threshold jointly —
+    * the union region is all duplicated content.
+    *
+    * Scale: [[removeDupSpans]]'s plan plus one per-document window
+    * (lag + running sum) and a (doc, run) partial aggregate over the
+    * MARKED positions only — bounded by document length, no new
+    * corpus-scale shuffle. */
+  def removeDupRuns(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minRun: Int = 50): DataFrame = {
+    require(minRun >= n,
+      s"minRun ($minRun) must be >= the shingle size ($n)")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val removals = laterOccurrences(docs, idCol, textCol, n)
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(wOrd) <= n, lit(0L))
+          .otherwise(lit(1L))) // first row: NULL comparison → new run
+      .withColumn("__run", sum(col("__new")).over(wCum))
+      .groupBy(col("doc_id"), col("__run"))
+      .agg(min(col("pos")).as("__s"),
+        (max(col("pos")) + lit(n - 1)).as("__e"))
+      .filter(col("__e") - col("__s") + lit(1) >= minRun)
+      .select(col("doc_id"), col("__s").as("pos"), col("__e").as("__end"))
+    deleteIntervals(docs, idCol, textCol, removals)
   }
 
   /** Per-document boilerplate ratio: the fraction of a document's

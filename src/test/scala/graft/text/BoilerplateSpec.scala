@@ -122,6 +122,68 @@ class BoilerplateSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Map(1L -> (("a b c d e", "src1")), 2L -> (("", "src2"))))
   }
 
+  test("removeDupRuns: only runs >= minRun are deleted; short matches survive") {
+    import spark.implicits._
+    val rep = Seq(
+      // first occurrences of everything: intact
+      (1L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 u1 u2 u3 u4 s1 s2 s3 s4 s5"),
+      // 10-token copied run (>= 8: deleted) + unique middle +
+      // 5-token shared shingle (< 8: SURVIVES, unlike removeDupSpans)
+      (2L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 v1 v2 v3 v4 s1 s2 s3 s4 s5")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeDupRuns(rep, "doc_id", "text", n = 5, minRun = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 u1 u2 u3 u4 s1 s2 s3 s4 s5")
+    assert(out(2L) == "v1 v2 v3 v4 s1 s2 s3 s4 s5")
+    // the span-granularity operator would ALSO delete the short match
+    val spans = Boilerplate.removeDupSpans(rep, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(spans(2L) == "v1 v2 v3 v4")
+  }
+
+  test("removeDupRuns: run length is exact; threshold is inclusive") {
+    import spark.implicits._
+    // an 8-token duplicated run with minRun = 8 deletes (>=, not >);
+    // a 7-token run with minRun = 8 survives
+    val eight = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 z1 z2 z3 z4"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 y1 y2 y3 y4")
+    ).toDF("doc_id", "text")
+    val out8 = Boilerplate.removeDupRuns(eight, "doc_id", "text", n = 5, minRun = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out8(2L) == "y1 y2 y3 y4")
+    val seven = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 z1 z2 z3 z4"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 y1 y2 y3 y4")
+    ).toDF("doc_id", "text")
+    val out7 = Boilerplate.removeDupRuns(seven, "doc_id", "text", n = 5, minRun = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out7(2L) == "a1 a2 a3 a4 a5 a6 a7 y1 y2 y3 y4")
+  }
+
+  test("removeDupRuns: touching duplicated regions merge and threshold jointly") {
+    import spark.implicits._
+    // doc 3 contains two 5-token substrings duplicated from DIFFERENT
+    // docs, adjacent to each other: marked positions 0 and 5 (gap = n)
+    // merge into one 10-token run → deleted even though each piece
+    // alone is < minRun = 8
+    val m = Seq(
+      (1L, "a1 a2 a3 a4 a5 q1 q2 q3 q4 q5 q6"),
+      (2L, "b1 b2 b3 b4 b5 w1 w2 w3 w4 w5 w6"),
+      (3L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5 t1 t2 t3 t4")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeDupRuns(m, "doc_id", "text", n = 5, minRun = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) == "t1 t2 t3 t4")
+    assert(out(1L).startsWith("a1") && out(2L).startsWith("b1"))
+  }
+
+  test("removeDupRuns requires minRun >= n") {
+    intercept[IllegalArgumentException] {
+      Boilerplate.removeDupRuns(docs, "doc_id", "text", n = 5, minRun = 3)
+    }
+  }
+
   test("boilerplateRatio: contaminated docs score high, clean docs zero, short docs absent") {
     val ratio = Boilerplate.boilerplateRatio(docs, "doc_id", "text", n = 5, minDocs = 3L)
       .collect()
