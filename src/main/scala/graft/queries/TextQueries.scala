@@ -456,6 +456,82 @@ object TextQueries extends QueryPack {
       .orderBy(col("stage_idx"))
   }
 
+  /** Deterministic HTML synthesis over `documents` (both engines build
+    * the IDENTICAL markup by concatenation — the word-salad corpus has
+    * no HTML metachars, so no escaping divergence): title + style +
+    * script (with embedded `<`, `{`, quotes — the traps naive
+    * stripping falls into), a comment, h1/p/div blocks from token
+    * slices, an entity, an inline span. */
+  private def synthHtmlCol = {
+    val toks = split(col("text"), "\\s+")
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style type=\"text/css\">p { color: #333; }</style>" +
+        "<script>if (1 < 2) { x = \"y\"; }</script></head><body><!-- id "),
+      id,
+      lit(" --><h1>"), concat_ws(" ", slice(toks, 1, 4)),
+      lit("</h1><p>"), concat_ws(" ", slice(toks, 5, 8)),
+      lit(" &amp; more.</p><div class=\"x\">"),
+      concat_ws(" ", slice(toks, 13, 8)),
+      lit("</div><br/><span>tail "), id,
+      lit("</span></body></html>"))
+  }
+
+  /** HTML → text extraction ([[graft.text.Html.extractText]]): the
+    * pre-curation step raw crawls need — comments/script/style dropped
+    * (including embedded `<` and `{` inside code), block tags →
+    * newlines, inline tags → spaces, entities decoded, lines
+    * whitespace-normalized. The full extracted text is md5-pinned; the
+    * oracle replays the identical regex chain in DuckDB. */
+  def txHtmlExtract(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").withColumn("html", synthHtmlCol)
+      .withColumn("__x", graft.text.Html.extractText(col("html")))
+      .select(col("doc_id"), md5(col("__x")).as("clean_md5"),
+        size(split(col("__x"), "\n", -1)).cast("long").as("n_lines"),
+        length(col("__x")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** The HTML-first curation funnel — raw markup through extraction
+    * into the standard pipeline, with per-stage survivor counts:
+    * extract → Gopher gate (short-doc thresholds for the ~26-token
+    * extracted pages) → C4 line cleaning on the extracted lines →
+    * exact dedup on cleaned text → deterministic 50% sample. Same
+    * one-scan flag discipline as [[txCurationFunnel]]; the oracle
+    * recomputes every stage including the extraction itself. */
+  def txHtmlFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Curation, Html}
+    import graft.operators.Sampling
+    val flagged = table(s, dir, "documents")
+      .withColumn("__x", Html.extractText(synthHtmlCol))
+      .withColumn("__s1", Curation.gopherPassed(
+        Curation.gopherFeatures(col("__x")),
+        minTokens = 20, minStopWords = 1))
+      .withColumn("clean", Curation.c4CleanedText(col("__x"), minWords = 3))
+      .withColumn("__s2",
+        col("__s1") && !Curation.c4DocDrop(col("__x")) && col("clean") =!= "")
+    val head = flagged.agg(
+      count(lit(1)).as("total"),
+      sum(col("__s1").cast("long")).as("gopher"),
+      sum(col("__s2").cast("long")).as("c4"))
+    val deduped = graft.dedup.Dedup.exactByContent(
+      flagged.filter(col("__s2")), "doc_id", "clean")
+    val tail = deduped.agg(
+      count(lit(1)).as("exact_dedup"),
+      sum((Sampling.hashBucket(col("doc_id")) <
+        (0.5 * Sampling.Buckets).toLong).cast("long")).as("sampled"))
+    def stageRow(i: Int, name: String) =
+      struct(lit(i).cast("int").as("stage_idx"), lit(name).as("stage"),
+        col(name).as("n_docs"))
+    head.crossJoin(tail)
+      .select(explode(array(stageRow(0, "total"), stageRow(1, "gopher"),
+        stageRow(2, "c4"), stageRow(3, "exact_dedup"),
+        stageRow(4, "sampled"))).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage_idx"))
+  }
+
   /** Deterministic conversation synthesis over `documents` (both
     * engines build the IDENTICAL JSON string by concatenation — the
     * word-salad corpus contains no JSON metachars, so no escaping
@@ -692,6 +768,8 @@ object TextQueries extends QueryPack {
     "sft_stats" -> (txSftStats _),
     "sft_dedup" -> (txSftDedup _),
     "sft_pack_bpe" -> (txSftPackBpe _),
+    "tx_html_extract" -> (txHtmlExtract _),
+    "tx_html_funnel" -> (txHtmlFunnel _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
@@ -952,6 +1030,51 @@ object TextQueries extends QueryPack {
     .map { case (l, g, r) => s"('$l', '${g.replace("'", "''")}', $r)" }
     .mkString(", ")
 
+  // the SAME HTML-synthesis template as synthHtmlCol, by string
+  // concatenation over the same token slices (plain string — '\s'
+  // must survive; spliced as an interpolation ARGUMENT, never
+  // escape-processed)
+  private val htmlSynthSql = """
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title><style type="text/css">p { color: #333; }</style>' ||
+             '<script>if (1 < 2) { x = "y"; }</script></head><body><!-- id ' ||
+             CAST(doc_id AS VARCHAR) || ' --><h1>' ||
+             COALESCE(array_to_string(toks[1:4], ' '), '') || '</h1><p>' ||
+             COALESCE(array_to_string(toks[5:12], ' '), '') ||
+             ' &amp; more.</p><div class="x">' ||
+             COALESCE(array_to_string(toks[13:20], ' '), '') ||
+             '</div><br/><span>tail ' || CAST(doc_id AS VARCHAR) ||
+             '</span></body></html>' AS html
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+            FROM documents)"""
+
+  // Html.extractText's regex chain verbatim over a `html` column
+  // (DuckDB regexp_replace needs the explicit 'g' — Spark's is global
+  // by default); block-tag list must match Html.BlockTags
+  private val htmlExtractSql = """
+      array_to_string(
+        list_filter(
+          list_transform(
+            string_split(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+                        '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|hr|section|article|header|footer|blockquote|title|head|body|html)\b[^>]*>',
+                    chr(10), 'g'),
+                  '<[^>]*>', ' ', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              chr(10)),
+            l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+          x -> x <> ''),
+        chr(10))"""
+
   // the SAME conversation-synthesis template as synthConvCol, by
   // string concatenation over the same token slices
   private val sftConvSql = """
@@ -1050,6 +1173,77 @@ object TextQueries extends QueryPack {
       FROM cum
       GROUP BY source, CAST((c - atoks) // 256 AS BIGINT)
       ORDER BY source, batch_id""",
+    "tx_html_extract" -> s"""
+      WITH h AS ($htmlSynthSql),
+      xr AS (SELECT doc_id, $htmlExtractSql AS xt FROM h)
+      SELECT doc_id, md5(xt) AS clean_md5,
+             CAST(len(string_split(xt, chr(10))) AS BIGINT) AS n_lines,
+             CAST(length(xt) AS BIGINT) AS n_chars
+      FROM xr ORDER BY doc_id""",
+    "tx_html_funnel" -> s"""
+      WITH h AS ($htmlSynthSql),
+      xr AS (SELECT doc_id, $htmlExtractSql AS xt FROM h),
+      t AS (
+        SELECT doc_id, xt,
+               string_split_regex(xt, '\\s+') AS toks,
+               len(regexp_replace(xt, '\\s+', '', 'g')) AS nonws,
+               string_split(xt, chr(10)) AS lines,
+               len(regexp_extract_all(xt, '#|\\.\\.\\.')) AS n_sym
+        FROM xr),
+      m AS (
+        SELECT doc_id, xt, lines,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(nonws AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(n_sym AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS symbol_ratio,
+               CASE WHEN len(toks) > 0 THEN
+                 CAST(len(list_filter(toks, x2 -> regexp_matches(x2, '[A-Za-z]')))
+                      AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS alpha_word_ratio,
+               CAST(len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with']))
+                 AS BIGINT) AS n_stop_words,
+               CASE WHEN len(lines) > 0 THEN
+                 CAST(len(list_filter(lines, x2 ->
+                   starts_with(trim(x2), '-') OR starts_with(trim(x2), '*')))
+                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END AS bullet_ratio,
+               CASE WHEN len(lines) > 0 THEN
+                 CAST(len(list_filter(lines, x2 -> ends_with(trim(x2), '...')))
+                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END AS ellipsis_ratio
+        FROM t),
+      g AS (
+        SELECT doc_id, xt, lines FROM m
+        WHERE n_tokens BETWEEN 20 AND 100000
+          AND mean_word_len >= 3 AND mean_word_len <= 10
+          AND symbol_ratio < 0.1
+          AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+          AND alpha_word_ratio > 0.8
+          AND n_stop_words >= 1),
+      c AS (
+        SELECT doc_id, array_to_string($c4KeptSql, chr(10)) AS clean
+        FROM g
+        WHERE NOT (contains(lower(xt), 'lorem ipsum') OR contains(xt, '{'))),
+      c2 AS (SELECT doc_id, clean FROM c WHERE clean <> ''),
+      ded AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY clean ORDER BY doc_id) AS rn
+          FROM c2) WHERE rn = 1),
+      samp AS (
+        SELECT doc_id FROM ded
+        WHERE $bucketSql < 500000)
+      SELECT CAST(0 AS INT) AS stage_idx, 'total' AS stage,
+             CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'gopher', CAST((SELECT COUNT(*) FROM g) AS BIGINT)
+      UNION ALL SELECT 2, 'c4', CAST((SELECT COUNT(*) FROM c2) AS BIGINT)
+      UNION ALL SELECT 3, 'exact_dedup', CAST((SELECT COUNT(*) FROM ded) AS BIGINT)
+      UNION ALL SELECT 4, 'sampled', CAST((SELECT COUNT(*) FROM samp) AS BIGINT)
+      ORDER BY stage_idx""",
     "tx_funnel_model" -> s"""
       WITH t AS ($gopherPrepSql),
       m AS ($gopherMetricsSql),

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the step a real pretraining corpus runs
+  * BEFORE any of the text curation here (raw crawls are HTML; Gopher /
+  * C4 / dedup all consume extracted text). The trafilatura-lite core:
+  * drop non-content machinery (comments, script/style subtrees), turn
+  * block-level structure into line breaks, strip remaining tags,
+  * decode the half-dozen entities that dominate real markup, and
+  * normalize each resulting line — producing the newline-segmented
+  * plain text [[Curation.c4CleanedText]] and the Gopher filters
+  * expect. The reference pipeline has no HTML handling (its extractors
+  * stop at JSON/CSV — `src/ingestion/extractors.py`); this extends the
+  * LLM-pipeline surface.
+  *
+  * Built as a chain of Spark's own codegen'd string expressions
+  * (`regexp_replace`/`replace`/HOFs) rather than a custom Expression:
+  * composition of existing operators is the preferred extension level,
+  * the whole chain stays inside whole-stage codegen, and every step is
+  * a regex an independent SQL engine replays verbatim — which is what
+  * lets the DuckDB oracle pin the extraction byte-for-byte. Map-only:
+  * no shuffle, no state.
+  *
+  * Deliberately NOT a browser-grade parser: no nesting awareness
+  * (script/style strip to the first closing tag — the CDATA/escaped
+  * corner cases of real crawls are handled by upstream WARC tooling),
+  * no attribute parsing, entity decode limited to the named five plus
+  * `&#39;`. Every rule is deterministic and engine-portable.
+  */
+object Html {
+
+  /** Tags whose open OR close breaks a text block — their boundaries
+    * become newlines so downstream line-level cleaners see real lines
+    * (inline tags like `<b>`/`<span>` dissolve into spaces instead). */
+  val BlockTags: String =
+    "p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|hr|section|article|" +
+      "header|footer|blockquote|title|head|body|html"
+
+  /** Extracted plain text: non-empty whitespace-normalized lines
+    * joined by `\n` ("" when nothing survives). */
+  def extractText(html: Column): Column = {
+    // order matters: comments first (a commented-out <script> is not a
+    // script), then script/style SUBTREES (their text is code, not
+    // content — and embedded '<' inside them must not leak into tag
+    // stripping), then block boundaries → '\n', then every remaining
+    // tag → ' ' (inline tags must not glue adjacent words together)
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val blocks = regexp_replace(noStyle,
+      s"(?i)</?(?:$BlockTags)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    // named entities, &amp; LAST (else "&amp;lt;" would double-decode)
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    // per-line whitespace normalization, empty lines dropped
+    array_join(
+      filter(
+        transform(split(decoded, "\n", -1),
+          l => trim(regexp_replace(l, "\\s+", " "))),
+        l => l =!= ""),
+      "\n")
+  }
+}
