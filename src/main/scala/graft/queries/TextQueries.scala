@@ -178,11 +178,18 @@ object TextQueries extends QueryPack {
     table(s, dir, "documents")
       .withColumn("dirty", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or "),
-        lit("https://example.org/doc/"), col("doc_id")))
+        lit("https://example.org/doc/"), col("doc_id"),
+        lit(" call +1 (555) 123-4567 or 555-867-5309 from 192.168.1."),
+        (col("doc_id") % 250).cast("string"),
+        lit(" v6 fe80:0db8:85a3:0001:0000:8a2e:0370:7334 ssn 078-05-1120")))
       .select(col("doc_id"),
         TextFunctions.redact(col("dirty")).as("clean"))
       .withColumn("clean_md5", md5(col("clean")))
       .withColumn("has_email", col("clean").rlike("@"))
+      .withColumn("fully_scrubbed",
+        !col("clean").rlike("@|://|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}|" +
+          "([0-9]{1,3}\\.){3}[0-9]{1,3}|([0-9A-Fa-f]{1,4}:){3}|" +
+          "[0-9]{3}-[0-9]{2}-[0-9]{4}"))
       .orderBy(col("doc_id"))
 
   /** Dedup-grade normalization ([[TextFunctions.normalizeText]]):
@@ -1645,16 +1652,33 @@ object TextQueries extends QueryPack {
       WITH dirty AS (
         SELECT doc_id,
                concat(text, ' contact user', doc_id, '@example.com or ',
-                      'https://example.org/doc/', doc_id) AS dirty
+                      'https://example.org/doc/', doc_id,
+                      ' call +1 (555) 123-4567 or 555-867-5309 from 192.168.1.',
+                      CAST(doc_id % 250 AS VARCHAR),
+                      ' v6 fe80:0db8:85a3:0001:0000:8a2e:0370:7334 ssn 078-05-1120') AS dirty
         FROM documents),
       clean AS (
         SELECT doc_id,
                regexp_replace(
-                 regexp_replace(dirty, 'https?://[^\s/$.?#][^\s]*', '<URL>', 'g'),
-                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS clean
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(dirty,
+                             'https?://[^\s/$.?#][^\s]*', '<URL>', 'g'),
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                         '\b([0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b', '<IP>', 'g'),
+                       '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+                   '(\+[0-9]{1,3}[\s-])?\([0-9]{3}\)[\s-]?[0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+                 '(\+[0-9]{1,3}[\s-])?\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS clean
         FROM dirty)
       SELECT doc_id, clean, md5(clean) AS clean_md5,
-             regexp_matches(clean, '@') AS has_email
+             regexp_matches(clean, '@') AS has_email,
+             NOT regexp_matches(clean,
+               '@|://|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}|([0-9]{1,3}\.){3}[0-9]{1,3}|([0-9A-Fa-f]{1,4}:){3}|[0-9]{3}-[0-9]{2}-[0-9]{4}')
+               AS fully_scrubbed
       FROM clean ORDER BY doc_id""",
     "tx_lang_id" -> s"""
       WITH scored AS (

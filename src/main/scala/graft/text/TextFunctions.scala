@@ -140,15 +140,33 @@ object TextFunctions {
     when(bestScore > 0, bestLang).otherwise(lit("unknown"))
   }
 
-  /** PII-style scrubbing for corpus curation: replace email addresses
-    * and URLs with placeholder tokens. Patterns are the engine's declared
-    * EMAIL/URL domain regexes (`core.GDataType`) minus anchors — both
-    * Java regex and RE2 (DuckDB) read them identically, so redaction is
-    * engine-reproducible. One codegen'd projection, no UDF. */
+  /** PII-style scrubbing for corpus curation: replace URLs, email
+    * addresses, IPv6/IPv4 addresses, SSN-shaped ID numbers, and phone
+    * numbers with placeholder tokens — the standard pre-release scrub
+    * set. Patterns are deliberately RE2-safe (no lookarounds, no
+    * backrefs; ASCII classes) so Java regex and DuckDB read them
+    * identically and redaction is engine-reproducible. Order matters
+    * and is part of the contract: URLs first (they embed everything),
+    * then emails, IPs before phones (dotted quads must not half-match
+    * a phone shape), IDs before phones (3-2-4 vs 3-3-4 groups are
+    * disjoint, but the order pins it). The IPv6 pattern is the
+    * ≥4-group colon-hex scrub shape, not an RFC 4291 validator —
+    * scrubbing over-matches by design. One codegen'd projection chain,
+    * no UDF. */
   def redact(text: Column): Column = {
-    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     val urlPat = "https?://[^\\s/$.?#][^\\s]*"
-    regexp_replace(regexp_replace(text, urlPat, "<URL>"), emailPat, "<EMAIL>")
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ipv6Pat = "\\b([0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\\b"
+    val ipv4Pat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val idPat = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    val phoneParen =
+      "(\\+[0-9]{1,3}[\\s-])?\\([0-9]{3}\\)[\\s-]?[0-9]{3}[-.][0-9]{4}"
+    val phoneDash =
+      "(\\+[0-9]{1,3}[\\s-])?\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+    Seq(urlPat -> "<URL>", emailPat -> "<EMAIL>", ipv6Pat -> "<IP>",
+        ipv4Pat -> "<IP>", idPat -> "<ID>",
+        phoneParen -> "<PHONE>", phoneDash -> "<PHONE>")
+      .foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
   }
 
   /** Gopher-style repetition score: fraction of n-gram OCCURRENCES that

@@ -92,6 +92,30 @@ class TextFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2) == "nothing sensitive here")
   }
 
+  test("redact scrubs phones, IPs, and ID numbers; shapes stay disjoint") {
+    import spark.implicits._
+    val df = Seq(
+      "call +1 (555) 123-4567 maybe",
+      "or (555) 123-4567 or 555-867-5309 or 555.867.5309",
+      "host 10.0.0.1 and 255.255.255.0",
+      "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 and fe80:1:2:3",
+      "ssn 078-05-1120 here",
+      // an SSN is 3-2-4, a phone 3-3-4 — each placeholder is its own
+      "id 078-05-1120 phone 555-867-5309",
+      // a dotted quad must become <IP>, never a half-matched <PHONE>
+      "ip 192.168.100.200 stays ip",
+      "clock 12:34:56 is not an ip").toDF("t")
+    val out = df.select(TextFunctions.redact(col("t"))).collect().map(_.getString(0))
+    assert(out(0) == "call <PHONE> maybe")
+    assert(out(1) == "or <PHONE> or <PHONE> or <PHONE>")
+    assert(out(2) == "host <IP> and <IP>")
+    assert(out(3) == "v6 <IP> and <IP>")
+    assert(out(4) == "ssn <ID> here")
+    assert(out(5) == "id <ID> phone <PHONE>")
+    assert(out(6) == "ip <IP> stays ip")
+    assert(out(7) == "clock 12:34:56 is not an ip")
+  }
+
   test("fingerprint is a 32-hex md5, stable") {
     val fp = one(TextFunctions.minShingleFingerprint(col("text"), 3)).getString(0)
     assert(fp.matches("[0-9a-f]{32}"))
