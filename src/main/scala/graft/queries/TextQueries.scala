@@ -1331,11 +1331,16 @@ object TextQueries extends QueryPack {
         SELECT top.doc_id, l.lang,
                CAST(SUM(COALESCE(ABS(top.rank - CAST(p.prank AS BIGINT)),
                  ${graft.text.LangProfile.missingPenalty})) AS BIGINT)
-                 AS oop_distance
+                 AS oop_distance,
+               COUNT(*) AS n
         FROM top CROSS JOIN langs l
         LEFT JOIN prof p ON p.lang = l.lang AND p.gram = top.gram
         GROUP BY 1, 2)
-      SELECT doc_id, lang AS predicted_lang, oop_distance
+      SELECT doc_id,
+             CASE WHEN oop_distance =
+                 n * ${graft.text.LangProfile.missingPenalty}
+               THEN 'unknown' ELSE lang END AS predicted_lang,
+             oop_distance
       FROM d
       QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
         ORDER BY oop_distance, lang) = 1

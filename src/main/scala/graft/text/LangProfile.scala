@@ -30,16 +30,28 @@ import org.apache.spark.sql.types.LongType
 object LangProfile {
 
   /** Profile depth: top-K trigrams per language and per document.
-    * Cavnar-Trenkle used 300 over mixed 1–5-grams; 40 trigrams carry
-    * the same signal at these sample sizes and keep the committed
-    * fixture (and the oracle VALUES list) small. */
-  val topK = 40
+    * Cavnar-Trenkle used 300 over mixed 1–5-grams; 80 trigrams carry
+    * enough of an Article-1 sample (~130 distinct trigrams) that an
+    * unseen same-language sentence reliably overlaps its profile —
+    * at 40, count-1 codepoint-ordered ties made the kept subset
+    * near-arbitrary and short Hebrew/Thai test sentences matched
+    * nothing, collapsing every distance to the max penalty. 28×80
+    * rows keep the committed fixture and the oracle VALUES list
+    * driver-bounded. */
+  val topK = 80
 
   /** Out-of-place penalty for a document trigram absent from a
     * language profile (the paper's "maximum distance"). */
   val missingPenalty: Long = topK.toLong
 
-  /** Public-domain reference text per language: UDHR Article 1. */
+  /** Public-domain reference text per language: UDHR Article 1 — 28
+    * languages across Latin, Cyrillic, Greek, Hebrew, Arabic,
+    * Devanagari, Thai, CJK, and Hangul scripts. Non-Latin scripts are
+    * the point: trigram profiles separate them near-perfectly (scripts
+    * barely share codepoints), and they exercise the full-codepoint
+    * paths (normalization, [[graft.functions.NativeTextImpl
+    * .cpCompare]] tie-breaks) that an ASCII-only fixture never
+    * touches. */
   val samples: Seq[(String, String)] = Seq(
     "en" -> ("All human beings are born free and equal in dignity and " +
       "rights. They are endowed with reason and conscience and should " +
@@ -53,7 +65,80 @@ object LangProfile {
       "fraternité."),
     "es" -> ("Todos los seres humanos nacen libres e iguales en dignidad " +
       "y derechos y, dotados como están de razón y conciencia, deben " +
-      "comportarse fraternalmente los unos con los otros."))
+      "comportarse fraternalmente los unos con los otros."),
+    "pt" -> ("Todos os seres humanos nascem livres e iguais em dignidade " +
+      "e em direitos. Dotados de razão e de consciência, devem agir uns " +
+      "para com os outros em espírito de fraternidade."),
+    "it" -> ("Tutti gli esseri umani nascono liberi ed eguali in dignità " +
+      "e diritti. Essi sono dotati di ragione e di coscienza e devono " +
+      "agire gli uni verso gli altri in spirito di fratellanza."),
+    "nl" -> ("Alle mensen worden vrij en gelijk in waardigheid en rechten " +
+      "geboren. Zij zijn begiftigd met verstand en geweten, en behoren " +
+      "zich jegens elkander in een geest van broederschap te gedragen."),
+    "sv" -> ("Alla människor är födda fria och lika i värde och " +
+      "rättigheter. De har utrustats med förnuft och samvete och bör " +
+      "handla gentemot varandra i en anda av gemenskap."),
+    "da" -> ("Alle mennesker er født frie og lige i værdighed og " +
+      "rettigheder. De er udstyret med fornuft og samvittighed, og de " +
+      "bør handle mod hverandre i en broderskabets ånd."),
+    "no" -> ("Alle mennesker er født frie og med samme menneskeverd og " +
+      "menneskerettigheter. De er utstyrt med fornuft og samvittighet " +
+      "og bør handle mot hverandre i brorskapets ånd."),
+    "fi" -> ("Kaikki ihmiset syntyvät vapaina ja tasavertaisina " +
+      "arvoltaan ja oikeuksiltaan. Heille on annettu järki ja omatunto, " +
+      "ja heidän on toimittava toisiaan kohtaan veljeyden hengessä."),
+    "pl" -> ("Wszyscy ludzie rodzą się wolni i równi pod względem swej " +
+      "godności i swych praw. Są oni obdarzeni rozumem i sumieniem i " +
+      "powinni postępować wobec innych w duchu braterstwa."),
+    "cs" -> ("Všichni lidé rodí se svobodní a sobě rovní co do " +
+      "důstojnosti a práv. Jsou nadáni rozumem a svědomím a mají spolu " +
+      "jednat v duchu bratrství."),
+    "hu" -> ("Minden emberi lény szabadon születik és egyenlő méltósága " +
+      "és joga van. Az emberek, ésszel és lelkiismerettel bírván, " +
+      "egymással szemben testvéri szellemben kell hogy viseltessenek."),
+    "ro" -> ("Toate ființele umane se nasc libere și egale în demnitate " +
+      "și în drepturi. Ele sunt înzestrate cu rațiune și conștiință și " +
+      "trebuie să se comporte unele față de altele în spiritul " +
+      "fraternității."),
+    "tr" -> ("Bütün insanlar hür, haysiyet ve haklar bakımından eşit " +
+      "doğarlar. Akıl ve vicdana sahiptirler ve birbirlerine karşı " +
+      "kardeşlik zihniyeti ile hareket etmelidirler."),
+    "id" -> ("Semua orang dilahirkan merdeka dan mempunyai martabat dan " +
+      "hak-hak yang sama. Mereka dikaruniai akal dan hati nurani dan " +
+      "hendaknya bergaul satu sama lain dalam semangat persaudaraan."),
+    "vi" -> ("Tất cả mọi người sinh ra đều được tự do và bình đẳng về " +
+      "nhân phẩm và quyền lợi. Mọi con người đều được tạo hóa ban cho " +
+      "lý trí và lương tâm và cần phải đối xử với nhau trong tình anh " +
+      "em."),
+    "ru" -> ("Все люди рождаются свободными и равными в своем " +
+      "достоинстве и правах. Они наделены разумом и совестью и должны " +
+      "поступать в отношении друг друга в духе братства."),
+    "uk" -> ("Всі люди народжуються вільними і рівними у своїй гідності " +
+      "та правах. Вони наділені розумом і совістю і повинні діяти у " +
+      "відношенні один до одного в дусі братерства."),
+    "bg" -> ("Всички хора се раждат свободни и равни по достойнство и " +
+      "права. Те са надарени с разум и съвест и следва да се отнасят " +
+      "помежду си в дух на братство."),
+    "el" -> ("Όλοι οι άνθρωποι γεννιούνται ελεύθεροι και ίσοι στην " +
+      "αξιοπρέπεια και τα δικαιώματα. Είναι προικισμένοι με λογική και " +
+      "συνείδηση, και οφείλουν να συμπεριφέρονται μεταξύ τους με πνεύμα " +
+      "αδελφοσύνης."),
+    "he" -> ("כל בני האדם נולדו בני חורין ושווים בערכם ובזכויותיהם. " +
+      "כולם חוננו בתבונה ובמצפון, לפיכך חובה עליהם לנהוג איש ברעהו " +
+      "ברוח של אחווה."),
+    "ar" -> ("يولد جميع الناس أحرارا متساوين في الكرامة والحقوق. وقد " +
+      "وهبوا عقلا وضميرا وعليهم أن يعامل بعضهم بعضا بروح الإخاء."),
+    "hi" -> ("सभी मनुष्यों को गौरव और अधिकारों के मामले में जन्मजात स्वतन्त्रता और " +
+      "समानता प्राप्त है। उन्हें बुद्धि और अन्तरात्मा की देन प्राप्त है और परस्पर उन्हें " +
+      "भाईचारे के भाव से बर्ताव करना चाहिए।"),
+    "th" -> ("มนุษย์ทั้งปวงเกิดมามีอิสระและเสมอภาคกันในศักดิ์ศรีและสิทธิ " +
+      "ต่างในตนมีเหตุผลและมโนธรรม และควรปฏิบัติต่อกันด้วยจิตวิญญาณแห่งภราดรภาพ"),
+    "ja" -> ("すべての人間は、生まれながらにして自由であり、かつ、尊厳と権利とについて" +
+      "平等である。人間は、理性と良心とを授けられており、互いに同胞の精神をもって" +
+      "行動しなければならない。"),
+    "ko" -> ("모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 동등하다. " +
+      "인간은 천부적으로 이성과 양심을 부여받았으며 서로 형제애의 정신으로 " +
+      "행동하여야 한다."))
 
   /** The normalization both sides apply before shingling: lowercase,
     * whitespace runs → one underscore (the paper's word-boundary pad). */
@@ -68,11 +153,18 @@ object LangProfile {
     else (0 to n.length - 3).map(i => n.substring(i, i + 3))
   }
 
-  /** Ranked profile of a text: top-K trigrams by (count desc, gram asc),
-    * rank 1-based — the deterministic tie-break the oracle replays. */
+  /** Ranked profile of a text: top-K trigrams by (count desc, gram asc
+    * in codepoint order), rank 1-based — the deterministic tie-break
+    * the oracle replays and the native doc-side expression
+    * ([[graft.functions.NativeTextImpl.topCharGrams]]) applies; the
+    * shared codepoint comparator keeps the two rankings identical on
+    * every script, including outside the BMP. */
   def profileOf(text: String): Seq[(String, Int)] =
     trigrams(text).groupBy(identity).view.mapValues(_.size).toSeq
-      .sortBy { case (g, c) => (-c, g) }
+      .sortWith { case ((g1, c1), (g2, c2)) =>
+        if (c1 != c2) c1 > c2
+        else graft.functions.NativeTextImpl.cpCompare(g1, g2) < 0
+      }
       .take(topK).zipWithIndex.map { case ((g, _), i) => (g, i + 1) }
 
   /** The committed (lang, gram, rank) rows. */
@@ -84,7 +176,11 @@ object LangProfile {
   /** Per-document language prediction: (doc_id, predicted_lang,
     * oop_distance). Documents whose normalized text is shorter than 3
     * chars have no trigrams and are absent (the corpus-pass convention
-    * shared with the hashed-feature operators). */
+    * shared with the hashed-feature operators). A document sharing NO
+    * trigram with ANY profile ties every language at n·penalty — an
+    * alphabetical-first "prediction" there would be noise, so those
+    * predict `"unknown"` (the thresholding every deployed C-T system
+    * applies; the oracle replays the same rule). */
   def langIdProfile(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     import graft.plans.TopK
@@ -110,12 +206,18 @@ object LangProfile {
       .withColumn("lang", explode(array(samples.map(s => lit(s._1)): _*)))
       .join(broadcast(prof), Seq("lang", "gram"), "left")
       .groupBy(col("doc_id"), col("lang"))
+      // each (doc, lang) group holds exactly the doc's gram count of
+      // rows, so the count rides the same aggregate — distance ==
+      // n·penalty at the arg-min means zero overlap with EVERY profile
       .agg(sum(coalesce(
         abs(col("rank").cast(LongType) - col("prank").cast(LongType)),
-        lit(missingPenalty))).as("oop_distance"))
+        lit(missingPenalty))).as("oop_distance"),
+        count(lit(1)).as("__n"))
     TopK.perKey(dists, Seq("doc_id"),
         Seq(TopK.asc("oop_distance"), TopK.asc("lang")), 1)
-      .select(col("doc_id"), col("lang").as("predicted_lang"),
+      .select(col("doc_id"),
+        when(col("oop_distance") === col("__n") * missingPenalty,
+          lit("unknown")).otherwise(col("lang")).as("predicted_lang"),
         col("oop_distance"))
   }
 }

@@ -17,14 +17,23 @@ class LangProfileSpec extends AnyFunSuite with SparkSpec {
     assert(p == Seq(("xyz", 1), ("yzx", 2), ("zxy", 3)))
   }
 
-  test("committed profiles: 4 languages, ranks 1..K, deterministic") {
+  test("committed profiles: 28 languages incl. non-Latin scripts, ranks 1..K") {
     val langs = LangProfile.profiles.map(_._1).distinct
-    assert(langs == Seq("en", "de", "fr", "es"))
+    assert(langs.size == 28)
+    assert(langs == LangProfile.samples.map(_._1))
+    // the non-Latin block is present — these exercise codepaths an
+    // ASCII fixture never touches
+    assert(Seq("ru", "uk", "bg", "el", "he", "ar", "hi", "th", "ja", "ko")
+      .forall(langs.contains))
     for (l <- langs) {
       val ranks = LangProfile.profiles.filter(_._1 == l).map(_._3)
       assert(ranks == (1 to ranks.max))
       assert(ranks.size <= LangProfile.topK)
     }
+    // profiles of distinct languages are distinct gram sets
+    val sets = langs.map(l =>
+      LangProfile.profiles.filter(_._1 == l).map(_._2).toSet)
+    assert(sets.distinct.size == langs.size)
   }
 
   test("each UDHR sample classifies as its own language") {
@@ -36,9 +45,50 @@ class LangProfileSpec extends AnyFunSuite with SparkSpec {
     val out = LangProfile.langIdProfile(docs, "doc_id", "text")
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .collect()
-    assert(out.length == 4)
+    assert(out.length == LangProfile.samples.size)
     out.foreach(r => assert(r.getAs[String]("predicted_lang") ==
       r.getAs[String]("lang"), r.toString))
+  }
+
+  test("unseen non-Latin sentences classify to the right script/language") {
+    val s = spark
+    import s.implicits._
+    // unseen sentences drawing on each language's ordinary function
+    // words — what profile overlap actually keys on (a one-sentence
+    // reference profile cannot cover arbitrary open-class vocabulary;
+    // Cavnar-Trenkle built 300-gram profiles from whole documents)
+    val docs = Seq(
+      (1L, "Люди рождаются свободными и поступают в духе братства каждое утро.", "ru"),
+      (2L, "Οι άνθρωποι γεννιούνται ελεύθεροι και οφείλουν να συμπεριφέρονται με πνεύμα αδελφοσύνης.", "el"),
+      (3L, "בני האדם נוהגים ברוח של אחווה ובתבונה ובמצפון בכל בוקר.", "he"),
+      (4L, "人間は理性と良心とをもって、互いに自由について行動しなければならない。", "ja"),
+      (5L, "모든 인간은 이성과 양심의 정신으로 자유롭게 행동하여야 한다.", "ko"),
+      (6L, "มนุษย์มีเหตุผลและมโนธรรมและควรปฏิบัติต่อกันในศักดิ์ศรีและสิทธิ", "th")
+    ).toDF("doc_id", "text", "lang")
+    val out = LangProfile.langIdProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("predicted_lang"))
+      .toMap
+    // within Cyrillic a short sentence can land on a sibling (ru/uk/bg
+    // share most frequent trigrams) — require the family; every other
+    // script must be exact
+    val cyrillic = Set("ru", "uk", "bg")
+    docs.collect().foreach { r =>
+      val got = out(r.getLong(0))
+      val want = r.getString(2)
+      if (cyrillic(want))
+        assert(cyrillic(got), s"doc ${r.getLong(0)}: got $got, want Cyrillic")
+      else assert(got == want,
+        s"doc ${r.getLong(0)}: got $got, want $want")
+    }
+  }
+
+  test("zero profile overlap predicts unknown, not the alphabetically-first lang") {
+    val s = spark
+    import s.implicits._
+    // Armenian script — no committed profile shares a single trigram
+    val docs = Seq((1L, "Բոլոր մարդիկ ծնվում են ազատ ու հավասար")).toDF("doc_id", "text")
+    val out = LangProfile.langIdProfile(docs, "doc_id", "text").collect().head
+    assert(out.getAs[String]("predicted_lang") == "unknown")
   }
 
   test("unseen sentences classify correctly; sub-trigram docs are absent") {
