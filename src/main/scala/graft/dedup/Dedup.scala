@@ -243,7 +243,7 @@ object Dedup {
     * explode into `nChunks` chunks of `chunkBits` bits, equi-join on
     * (chunk index, chunk value) — pigeonhole-complete whenever
     * maxHamming < nChunks — then verify with bit_count(xor). */
-  private def hammingPairs(sigs: DataFrame, chunkBits: Int, nChunks: Int,
+  private[graft] def hammingPairs(sigs: DataFrame, chunkBits: Int, nChunks: Int,
       maxHamming: Int): DataFrame = {
     require(maxHamming < nChunks,
       s"pigeonhole blocking needs maxHamming ($maxHamming) < nChunks ($nChunks)")

@@ -45,6 +45,8 @@ case class VideoMeta(doc_id: Long, container: String, width: Int,
 case class AudioMeta(doc_id: Long, format: String, sample_rate: Int,
     channels: Int, duration_s: Double, bitrate_kbps: Int)
 
+case class PerceptualHash(doc_id: Long, ahash: Long, dhash: Long)
+
 /** Decoder: REAL in-JDK image decode via `javax.imageio` (PNG / BMP /
   * GIF / JPEG — the formats the JDK ships readers for, no new
   * dependency), with the deterministic byte-derived fake as the
@@ -599,6 +601,113 @@ object DecodeStub {
     ("unknown", rate, channels, p.length.toDouble / rate, 0)
   }
 
+  /** Perceptual near-dup hashes: aHash (mean-threshold bits over an
+    * 8×8 luminance grid) and dHash (horizontal-gradient bits over a
+    * 9×8 grid) — the standard image near-duplicate signatures
+    * (Krawetz's average/difference hash). Real images decode through
+    * the same guarded ImageIO path as [[decode]] and box-average the
+    * actual raster into the grids; non-image payloads take grids of
+    * evenly-spaced byte taps (the [[fallback]] convention) —
+    * deterministic and integer-exact, so the SQL oracle replays them.
+    * Both hashes pack row-major, MSB-first, as unsigned 64-bit longs.
+    * Thresholds are integer-exact (`g·64 > Σg` instead of a float
+    * mean), so any engine derives identical bits. */
+  def perceptualHash(payload: Array[Byte]): (Long, Long) = {
+    require(payload.nonEmpty, "empty payload")
+    val (ga, gd): (Array[Int], Array[Int]) =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        if (iis == null) fallbackGrids(payload)
+        else try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) fallbackGrids(payload)
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              if (w <= 0 || h <= 0 || w.toLong * h > maxDecodePixels)
+                fallbackGrids(payload)
+              else {
+                val img = reader.read(0)
+                (lumaGrid(img, 8, 8), lumaGrid(img, 9, 8))
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => fallbackGrids(payload)
+      }
+    (ahashOf(ga), dhashOf(gd))
+  }
+
+  private def fallbackGrids(p: Array[Byte]): (Array[Int], Array[Int]) =
+    (fallbackTaps(p, 64), fallbackTaps(p, 72))
+
+  /** Evenly-spaced byte taps — the same index formula as the fallback
+    * embedding, so the oracle's `(k·(len−1))//(n−1)` replays it. */
+  private def fallbackTaps(p: Array[Byte], n: Int): Array[Int] =
+    Array.tabulate(n)(k =>
+      p((k.toLong * (p.length - 1) / (n - 1)).toInt) & 0xFF)
+
+  /** Box-averaged luminance grid (gh rows × gw cols, row-major):
+    * integer mean of BT.601 gray over each box; boxes clamp to ≥ 1
+    * pixel so any image ≥ 1×1 fills every cell. */
+  private def lumaGrid(img: java.awt.image.BufferedImage,
+      gw: Int, gh: Int): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    def gray(argb: Int): Int = {
+      val r = (argb >> 16) & 0xFF; val g = (argb >> 8) & 0xFF
+      val b = argb & 0xFF
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    Array.tabulate(gh * gw) { i =>
+      val r = i / gw; val c = i % gw
+      val x0 = c * w / gw; val x1 = math.max(x0 + 1, (c + 1) * w / gw)
+      val y0 = r * h / gh; val y1 = math.max(y0 + 1, (r + 1) * h / gh)
+      var s = 0L; var cnt = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { s += gray(px(y * w + x)); cnt += 1; x += 1 }
+        y += 1
+      }
+      (s / cnt).toInt
+    }
+  }
+
+  /** Row-major MSB-first 64-bit packing: byte j carries bits 8j..8j+7
+    * with in-byte weight `1 << (7−c)` — exactly the hex-byte layout
+    * the oracle renders. */
+  private def packBits(bits: Array[Boolean]): Long = {
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var b = 0
+      var c = 0
+      while (c < 8) { if (bits(j * 8 + c)) b |= 1 << (7 - c); c += 1 }
+      hash = (hash << 8) | b
+      j += 1
+    }
+    hash
+  }
+
+  private[multimodal] def ahashOf(g: Array[Int]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < g.length) { sum += g(i); i += 1 }
+    packBits(Array.tabulate(64)(i => g(i).toLong * 64 > sum))
+  }
+
+  // canonical dHash bit: set when luminance INCREASES left → right
+  private[multimodal] def dhashOf(g: Array[Int]): Long =
+    packBits(Array.tabulate(64)(i =>
+      g(i / 8 * 9 + i % 8) < g(i / 8 * 9 + i % 8 + 1)))
+
   /** Fallback "decode" for unrecognized formats: dimensions from
     * leading bytes, per-byte mean, an 8-dim embedding from
     * evenly-spaced taps. Pure function of bytes. */
@@ -717,6 +826,35 @@ object Multimodal {
       }
     }
   }
+
+  /** Perceptual aHash/dHash per record ([[DecodeStub.perceptualHash]]):
+    * real rasters box-average into the hash grids, non-images take the
+    * deterministic byte-tap grids. Same batched streaming partition
+    * contract as [[extractFeatures]]. */
+  def perceptualHashes(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[PerceptualHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (a, d) = DecodeStub.perceptualHash(r.payload)
+          PerceptualHash(r.doc_id, a, d)
+        }
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs at dHash hamming ≤ `maxHamming` (< 4):
+    * the SimHash pigeonhole machinery over the perceptual hash — 4
+    * 16-bit chunks equi-join (pigeonhole-complete for maxHamming ≤ 3),
+    * `bit_count(xor)` verify. Candidate pairs only, never the n²
+    * cross product — the [[graft.dedup.Dedup]] scale argument applies
+    * unchanged to image corpora. */
+  def imageNearDuplicates(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 3): DataFrame =
+    graft.dedup.Dedup.hammingPairs(
+      hashes.select(col(idCol).as("__id"), col(hashCol).as("__sim")),
+      chunkBits = 16, nChunks = 4, maxHamming = maxHamming)
 
   /** Deterministic "frame sampling": `n` evenly-spaced fixed-width
     * windows per payload — the shape of video frame-grab / audio

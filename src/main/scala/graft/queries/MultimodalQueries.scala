@@ -86,14 +86,105 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual aHash/dHash over the same payloads
+    * ([[graft.multimodal.Multimodal.perceptualHashes]]). The text
+    * corpus takes the deterministic byte-tap grids, which the oracle
+    * replays bit-for-bit (integer-exact thresholds, hex-byte
+    * rendering); the REAL raster path (box-averaged luminance, small
+    * perturbation robustness) is pinned by MultimodalSpec on
+    * synthesized PNGs. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.withPayload(table(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("payload"),
+        col("meta.modality").as("modality"), col("meta.format").as("format"))
+      .as[MediaRecord]
+    Multimodal.perceptualHashes(media, batchSize = 64)
+      .toDF()
+      .select(col("doc_id"),
+        format_string("%016x", col("ahash")).as("ahash_hex"),
+        format_string("%016x", col("dhash")).as("dhash_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Image near-dup pairs over dHash
+    * ([[graft.multimodal.Multimodal.imageNearDuplicates]]): pigeonhole
+    * chunk blocking + bit_count(xor) verify at hamming ≤ 3. The corpus
+    * has no byte-identical payloads, so every 50th document is planted
+    * again under doc_id+100000 — the oracle recomputes the hashes and
+    * brute-forces all pairs, pinning that blocking finds exactly the
+    * planted copies and nothing else (nearest non-copy sits at
+    * hamming 14 in this corpus). */
+  def mmImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val media = Multimodal.withPayload(base.union(copies), "text")
+      .select(col("doc_id"), col("payload"),
+        lit("text").as("modality"), lit("utf-8").as("format"))
+      .as[MediaRecord]
+    val hashes = Multimodal.perceptualHashes(media, batchSize = 64).toDF()
+    Multimodal.imageNearDuplicates(hashes, "doc_id", "dhash", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "mm_phash" -> (mmPhash _),
+    "mm_image_neardup" -> (mmImageNeardup _),
     "mm_audio_meta" -> (mmAudioMeta _),
     "mm_payload_meta" -> (mmPayloadMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_audio_features" -> (mmAudioFeatures _))
 
+  // the byte-tap grid + integer-threshold bit packing of
+  // DecodeStub.perceptualHash's fallback path, as reusable CTE text
+  // over a (doc_id, text) relation named `src`
+  private val phashBytesSql = """
+      t AS (
+        SELECT doc_id,
+               [ascii(substr(text, CAST((k*(length(text)-1))//63 + 1 AS INT), 1))
+                FOR k IN range(0, 64)] AS ga,
+               [ascii(substr(text, CAST((k*(length(text)-1))//71 + 1 AS INT), 1))
+                FOR k IN range(0, 72)] AS gd
+        FROM src),
+      s AS (SELECT doc_id, ga, gd, list_sum(ga) AS sm FROM t),
+      byt AS (
+        SELECT doc_id,
+               [list_sum([(CASE WHEN ga[8*j+c+1]*64 > sm THEN 1 ELSE 0 END)
+                          * (1 << (7-c)) FOR c IN range(0, 8)])
+                FOR j IN range(0, 8)] AS ab,
+               [list_sum([(CASE WHEN gd[9*j+c+1] < gd[9*j+c+2] THEN 1 ELSE 0 END)
+                          * (1 << (7-c)) FOR c IN range(0, 8)])
+                FOR j IN range(0, 8)] AS db
+        FROM s)"""
+
   val oracles: Map[String, String] = Map(
+    "mm_phash" -> s"""
+      WITH src AS (SELECT doc_id, text FROM documents),
+      $phashBytesSql
+      SELECT doc_id,
+             array_to_string([printf('%02x', CAST(x AS INT)) FOR x IN ab], '')
+               AS ahash_hex,
+             array_to_string([printf('%02x', CAST(x AS INT)) FOR x IN db], '')
+               AS dhash_hex
+      FROM byt ORDER BY doc_id""",
+    "mm_image_neardup" -> s"""
+      WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+      $phashBytesSql
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(list_sum([bit_count(xor(CAST(a.db[j] AS BIGINT),
+                                          CAST(b.db[j] AS BIGINT)))
+                            FOR j IN range(1, 9)]) AS BIGINT) AS hamming
+      FROM byt a JOIN byt b ON a.doc_id < b.doc_id
+      WHERE list_sum([bit_count(xor(CAST(a.db[j] AS BIGINT),
+                                    CAST(b.db[j] AS BIGINT)))
+                      FOR j IN range(1, 9)]) <= 3
+      ORDER BY id_a, id_b""",
     "mm_audio_meta" -> """
       SELECT doc_id, 'unknown' AS format,
              8000 + (ascii(substr(text, 1, 1)) % 8) * 1000 AS sample_rate,

@@ -65,6 +65,94 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(bm > 0 && bm < 256 && be.length == DecodeStub.embeddingDim)
   }
 
+  private def pngBytes(w: Int, h: Int)(gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("perceptualHash: real rasters — identical, perturbed, and distinct images") {
+    // 64×64 horizontal gradient: dHash = all-ones rows (luminance
+    // strictly increases left to right within every 9-col grid row)
+    val grad = pngBytes(64, 64)((x, _) => x * 4)
+    val (a1, d1) = DecodeStub.perceptualHash(grad)
+    assert(d1 == -1L, f"gradient dhash should be all ones, got $d1%016x")
+    // byte-identical re-encode → identical hashes
+    val (a2, d2) = DecodeStub.perceptualHash(
+      pngBytes(64, 64)((x, _) => x * 4))
+    assert(a1 == a2 && d1 == d2)
+    // small local perturbation (one 8×8 block brightened slightly)
+    // moves the hash a little, not a lot — the robustness that makes
+    // dHash a NEAR-dup signature rather than an exact fingerprint
+    val perturbed = pngBytes(64, 64)((x, y) =>
+      if (x < 8 && y < 8) x * 4 + 40 else x * 4)
+    val (ap, dp) = DecodeStub.perceptualHash(perturbed)
+    assert(hamming(d1, dp) <= 3, s"perturbed dhash hamming ${hamming(d1, dp)}")
+    assert(hamming(a1, ap) <= 6, s"perturbed ahash hamming ${hamming(a1, ap)}")
+    // a vertical gradient is a DIFFERENT image: dhash far away
+    val vert = pngBytes(64, 64)((_, y) => y * 4)
+    val (_, dv) = DecodeStub.perceptualHash(vert)
+    assert(hamming(d1, dv) > 16, s"distinct images too close: ${hamming(d1, dv)}")
+    // checkerboard vs gradient: ahash separates too
+    val checker = pngBytes(64, 64)((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0 else 255)
+    val (ac, _) = DecodeStub.perceptualHash(checker)
+    assert(hamming(a1, ac) > 16)
+  }
+
+  test("perceptualHash: fallback grids are the documented byte taps") {
+    val p = Array.tabulate(257)(i => (i * 7 % 251).toByte)
+    val (a, d) = DecodeStub.perceptualHash(p)
+    def tap(k: Int, n: Int): Int =
+      p((k.toLong * (p.length - 1) / (n - 1)).toInt) & 0xFF
+    val g64 = Array.tabulate(64)(tap(_, 64))
+    val sum = g64.map(_.toLong).sum
+    // recompute through the same packing rules
+    val bitsA = Array.tabulate(64)(i => g64(i).toLong * 64 > sum)
+    val g72 = Array.tabulate(72)(tap(_, 72))
+    val bitsD = Array.tabulate(64)(i => g72(i / 8 * 9 + i % 8) < g72(i / 8 * 9 + i % 8 + 1))
+    def pack(bits: Array[Boolean]): Long = {
+      var hv = 0L
+      for (j <- 0 until 8) {
+        var b = 0
+        for (c <- 0 until 8) if (bits(j * 8 + c)) b |= 1 << (7 - c)
+        hv = (hv << 8) | b
+      }
+      hv
+    }
+    assert(a == pack(bitsA) && d == pack(bitsD))
+    // deterministic across calls
+    assert(DecodeStub.perceptualHash(p) == ((a, d)))
+  }
+
+  test("imageNearDuplicates: blocking finds planted copies, not the rest") {
+    val s2 = spark
+    import s2.implicits._
+    val imgs = Seq(
+      (1L, pngBytes(64, 64)((x, _) => x * 4)),
+      (2L, pngBytes(64, 64)((x, y) => if (x < 8 && y < 8) x * 4 + 40 else x * 4)),
+      (3L, pngBytes(64, 64)((_, y) => y * 4)),
+      (4L, pngBytes(64, 64)((x, _) => x * 4))) // copy of 1
+      .map { case (id, p) => graft.multimodal.MediaRecord(id, p, "image", "png") }
+    val media = s2.createDataset(imgs)
+    val hashes = Multimodal.perceptualHashes(media).toDF()
+    val pairs = Multimodal.imageNearDuplicates(hashes, "doc_id", "dhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1↔4 exact copy (h=0); 1↔2 and 2↔4 perturbed (h ≤ 3); 3 matches nothing
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 4L), (1L, 2L), (2L, 4L)),
+      pairs.toString)
+    assert(pairs.forall(_._3 <= 3))
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 4L))).get._3 == 0L)
+  }
+
   test("extractFeatures: batched mapPartitions matches direct decode") {
     import spark.implicits._
     val media = Multimodal.withPayload(docs.limit(100), "text")
