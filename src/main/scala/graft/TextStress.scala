@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1.0-scale stress harness for the heavy text operators (dev/bench
+  * main, the [[SkewStress]] pattern): the driver testdata stops at
+  * sf0.1 (5k documents), so this synthesizes a deterministic
+  * 50k-document corpus — sf1.0's documents volume — and runs the
+  * suite's heaviest text compositions end to end under a modest heap,
+  * asserting exact invariants so a scale regression fails loudly
+  * rather than just slowly:
+  *
+  *  1. exact-substring RUN removal ([[graft.text.Boilerplate
+  *     .removeDupRuns]]) on a corpus where 1-in-7 documents carries a
+  *     shared 60-token boilerplate prefix — a ~7k-document hot span
+  *     family (every later occurrence must go; every document's unique
+  *     tail must survive);
+  *  2. the model-gated curation funnel (Gopher flags → C4 cleaning →
+  *     committed-classifier scoring → exact dedup) — the
+  *     tx_funnel_model composition at 10× its bench volume;
+  *  3. SFT preparation (parse → BPE-exact conversationStats →
+  *     response-level dedup) — tokenizer-exact accounting for 50k
+  *     conversations (150k turns).
+  *
+  * Prints per-stage seconds + peak JVM heap as one JSON line; numbers
+  * are recorded in SCALE.md. Sizing knob: SPARK_GRAFT_STRESS_TEXT_DOCS.
+  */
+object TextStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STRESS_TEXT_DOCS", "50000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def peakHeapMb(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+        .sum / (1024 * 1024)
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // deterministic 100-token word salad per doc (stopwords included so
+    // the Gopher gate has real positives), a unique end marker per doc,
+    // and a shared 60-token boilerplate prefix on every 7th doc
+    val words = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with", "table", "scan", "row", "filter", "vector", "sort",
+      "query", "fast", "group", "agg", "hash", "merge", "batch",
+      "value", "part", "spark", "line", "window", "key", "slow",
+      "plan", "join", "shuffle", "stage")
+    val vocab = array(words.map(lit): _*)
+    val boiler = Seq.tabulate(60)(k => words(k % words.size)).mkString(" ")
+    val body = concat_ws(" ",
+      transform(sequence(lit(0), lit(98)),
+        i => element_at(vocab,
+          pmod(hash(col("doc_id") * 101 + i), lit(words.size)) + 1)))
+    val docs = spark.range(0, nDocs).select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 7 === 0, lit(boiler + " ")).otherwise(lit("")),
+          body, lit(" endmark"), col("doc_id").cast("string")).as("text"))
+      .localCheckpoint() // synthesis must not re-run per downstream pass
+
+    // ——— 1. variable-length exact-substring dedup at a 7k-doc hot span ———
+    val (runAgg, runSec) = timed {
+      graft.text.Boilerplate.removeDupRuns(docs, "doc_id", "text",
+          n = 5, minRun = 50)
+        .agg(
+          sum(col("text").contains(boiler).cast("long")).as("with_boiler"),
+          sum(col("text").endsWith(concat(lit("endmark"),
+            col("doc_id").cast("string"))).cast("long")).as("markers"),
+          count(lit(1)).as("n")).head()
+    }
+    require(runAgg.getLong(0) == 1L,
+      s"boilerplate must survive exactly once, got ${runAgg.getLong(0)}")
+    require(runAgg.getLong(1) == nDocs && runAgg.getLong(2) == nDocs,
+      s"every doc must keep its unique tail: $runAgg")
+
+    // ——— 2. model-gated curation funnel at 10× bench volume ———
+    import graft.text.{Curation, QualityClassifier, QualityModelFixture}
+    val (funnel, funnelSec) = timed {
+      val flagged = docs
+        .withColumn("__s1", Curation.gopherPassed(
+          Curation.gopherFeatures(col("text")),
+          minTokens = 50, minStopWords = 1))
+        .withColumn("clean", Curation.c4CleanedText(
+          concat(col("text"), lit(".")), minWords = 3))
+        .withColumn("__s2", col("__s1") && col("clean") =!= "")
+      val survivors = flagged.filter(col("__s2"))
+        .select(col("doc_id"), col("clean"))
+      val kept = survivors.join(
+        QualityClassifier.scoreQuantized(survivors, "doc_id", "clean",
+            QualityModelFixture.weightsQ, QualityModelFixture.biasQ,
+            QualityModelFixture.buckets)
+          .filter(col("clf_pass") === 1).select(col("doc_id")),
+        Seq("doc_id"))
+      val deduped = graft.dedup.Dedup.exactByContent(kept, "doc_id", "clean")
+      (flagged.agg(count(lit(1)), sum(col("__s2").cast("long"))).head(),
+        deduped.count())
+    }
+    require(funnel._1.getLong(0) == nDocs, "funnel must see every doc")
+    require(funnel._2 > 0L && funnel._2 <= funnel._1.getLong(1),
+      s"dedup count out of range: $funnel")
+
+    // ——— 3. SFT prep with tokenizer-exact accounting, 150k turns ———
+    val toks = split(col("text"), "\\s+")
+    val conv = concat(
+      lit("""[{"role":"user","content":""""),
+      concat_ws(" ", slice(toks, 1, 8)),
+      lit(""""},{"role":"assistant","content":""""),
+      concat_ws(" ", slice(toks, 9, 8)),
+      lit(""""},{"role":"user","content":"again """),
+      col("doc_id").cast("string"), lit(""""}]"""))
+    val (sft, sftSec) = timed {
+      val turns = graft.text.Sft.parseTurns(
+        docs.withColumn("conv", conv), "doc_id", "conv")
+      val stats = graft.text.Sft.conversationStats(turns)
+      val dd = graft.text.Sft.dedupByAssistant(turns)
+      (stats.agg(count(lit(1)),
+          sum(col("assistant_tokens")).cast("long")).head(),
+        dd.count())
+    }
+    require(sft._1.getLong(0) == nDocs, "stats must cover every conversation")
+    require(sft._1.getLong(1) > 0L, "assistant tokens must be counted")
+    require(sft._2 > 0L && sft._2 <= nDocs, s"sft dedup out of range: $sft")
+
+    println(f"""{"metric":"text_stress","docs":$nDocs,"dup_runs_sec":$runSec%.1f,"funnel_model_sec":$funnelSec%.1f,"sft_sec":$sftSec%.1f,"peak_heap_mb":${peakHeapMb()}}""")
+    spark.stop()
+  }
+}
