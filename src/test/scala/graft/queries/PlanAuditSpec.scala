@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * Anything NOT in this list planning a BNLJ is a regression. */
   private val boundedBnlj = Set(
     "c2_dedup_events", "d1_exact_dedup", "v_rowlevel_events",
-    "sim_topk_brute", "tx_curation_funnel", "tx_funnel_model")
+    "sim_topk_brute", "tx_curation_funnel", "tx_funnel_model",
+    "tx_html_funnel")
 
   test("no query plans a CartesianProduct; BNLJ only where provably bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
