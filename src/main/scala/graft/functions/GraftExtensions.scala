@@ -71,6 +71,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DeflateLenExpr].getName,
         "graft_deflate_len"),
       (args: Seq[Expression]) => DeflateLenExpr(args.head)),
+    ("graft_lang_id",
+      new ExpressionInfo(classOf[LangIdProfileExpr].getName,
+        "graft_lang_id"),
+      (args: Seq[Expression]) => LangIdProfileExpr(args.head)),
     ("graft_heavy_hitters",
       new ExpressionInfo(classOf[HeavyHittersAgg].getName,
         "graft_heavy_hitters"),

@@ -180,8 +180,31 @@ object LangProfile {
     * trigram with ANY profile ties every language at n·penalty — an
     * alphabetical-first "prediction" there would be noise, so those
     * predict `"unknown"` (the thresholding every deployed C-T system
-    * applies; the oracle replays the same rule). */
+    * applies; the oracle replays the same rule).
+    *
+    * ZERO-shuffle: the whole classification — doc ranking, all
+    * |langs| out-of-place distances, arg-min, unknown rule — is ONE
+    * compiled call per row ([[graft.functions.LangIdProfileExpr]];
+    * the profiles are class constants). The relational spelling
+    * ([[langIdProfileReference]]) shuffled docs·langs·K slim rows —
+    * tolerable at 4 languages, a 14× shuffle-volume regression by the
+    * bench's own tripwire once the fixture grew to 28 — and survives
+    * as the parity reference the spec pins the expression against. */
   def langIdProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.NativeLang.langIdProfile(col(textCol)).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col("doc_id"),
+        col("__r.predicted_lang").as("predicted_lang"),
+        col("__r.oop_distance").as("oop_distance"))
+
+  /** The relational formulation (explode langs × doc grams → broadcast
+    * profile join → distance aggregate → K=1 heap) — identical output
+    * to [[langIdProfile]] by LangProfileSpec's parity pin; kept as the
+    * independently-constructed reference, the
+    * [[graft.dedup.Dedup.simhashMd5SignaturesReference]] pattern. */
+  def langIdProfileReference(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     import graft.plans.TopK
     val spark = docs.sparkSession

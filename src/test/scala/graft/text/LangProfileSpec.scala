@@ -132,11 +132,39 @@ class LangProfileSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("plan: heap-ranked, no unpartitioned window, broadcast profiles") {
+  test("native expression == relational reference on samples + corpus slice") {
     val s = spark
     import s.implicits._
-    val docs = Seq((1L, "some text for planning purposes only")).toDF("doc_id", "text")
-    val plan = LangProfile.langIdProfile(docs, "doc_id", "text")
+    // ids must be globally unique: the reference path aggregates by
+    // doc_id, so a collision would merge two documents' grams
+    val fromSamples = LangProfile.samples.zipWithIndex
+      .map { case ((_, text), i) => (100000L + i, text) }
+    val edges = Seq((200900L, ""), (200901L, "ab"), (200902L, "a b c"),
+      (200903L, "Բոլոր մարդիկ ծնվում են ազատ"))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val docs = (fromSamples ++ edges ++ corpus).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val native = rows(LangProfile.langIdProfile(docs, "doc_id", "text"))
+    val ref = rows(LangProfile.langIdProfileReference(docs, "doc_id", "text"))
+    assert(native == ref,
+      s"native/reference diverge: ${(native diff ref) ++ (ref diff native)}")
+  }
+
+  test("plan: native path is map-only; reference keeps heap + broadcast") {
+    // parquet-backed input: a literal local table would constant-fold
+    // the whole classification at plan time
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the production path classifies in one compiled projection — no
+    // exchange anywhere in the plan
+    val nativePlan = LangProfile.langIdProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!nativePlan.contains("Exchange"), nativePlan.take(1500))
+    assert(nativePlan.contains("graft_lang_id"), nativePlan.take(1500))
+    val plan = LangProfile.langIdProfileReference(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan.take(1500))
     assert(plan.contains("BroadcastExchange") ||
