@@ -129,9 +129,36 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Image dedup APPLIED: the [[mmImageNeardup]] pair set feeds the
+    * text-dedup transitive machinery
+    * ([[graft.dedup.Dedup.removeNearDuplicatesTransitive]]) — cluster
+    * by hamming-≤3 dHash pairs, keep each cluster's lowest id. The
+    * oracle recomputes hashes, brute-forces pairs, and closes them
+    * with the d7 recursive-CTE pattern — the full image-dedup pipeline
+    * pinned end to end: 510 inputs → 500 survivors (every planted copy
+    * drops, nothing else). */
+  def mmImageDedupApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val all = base.union(copies)
+    val media = Multimodal.withPayload(all, "text")
+      .select(col("doc_id"), col("payload"),
+        lit("text").as("modality"), lit("utf-8").as("format"))
+      .as[MediaRecord]
+    val hashes = Multimodal.perceptualHashes(media, batchSize = 64).toDF()
+    val pairs = Multimodal.imageNearDuplicates(hashes, "doc_id", "dhash",
+      maxHamming = 3)
+    graft.dedup.Dedup.removeNearDuplicatesTransitive(all, pairs, "doc_id")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "mm_phash" -> (mmPhash _),
     "mm_image_neardup" -> (mmImageNeardup _),
+    "mm_image_dedup_apply" -> (mmImageDedupApply _),
     "mm_audio_meta" -> (mmAudioMeta _),
     "mm_payload_meta" -> (mmPayloadMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -185,6 +212,31 @@ object MultimodalQueries extends QueryPack {
                                     CAST(b.db[j] AS BIGINT)))
                       FOR j IN range(1, 9)]) <= 3
       ORDER BY id_a, id_b""",
+    "mm_image_dedup_apply" -> s"""
+      WITH RECURSIVE src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+      $phashBytesSql,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM byt a JOIN byt b ON a.doc_id < b.doc_id
+        WHERE list_sum([bit_count(xor(CAST(a.db[j] AS BIGINT),
+                                      CAST(b.db[j] AS BIGINT)))
+                        FOR j IN range(1, 9)]) <= 3),
+      edges AS (
+        SELECT id_a AS esrc, id_b AS edst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(rsrc, rdst) AS (
+        SELECT DISTINCT esrc, esrc FROM edges
+        UNION
+        SELECT r.rsrc, e.edst FROM reach r JOIN edges e ON r.rdst = e.esrc),
+      comp AS (
+        SELECT rsrc AS doc_id, MIN(rdst) AS cluster_id
+        FROM reach GROUP BY rsrc)
+      SELECT doc_id FROM src
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+      ORDER BY doc_id""",
     "mm_audio_meta" -> """
       SELECT doc_id, 'unknown' AS format,
              8000 + (ascii(substr(text, 1, 1)) % 8) * 1000 AS sample_rate,

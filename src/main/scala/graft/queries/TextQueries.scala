@@ -604,6 +604,45 @@ object TextQueries extends QueryPack {
       .orderBy(col("source"), col("batch_id"))
   }
 
+  /** The end-to-end SFT preparation funnel with per-stage survivor
+    * counts: parse → protocol-validity gate (user-first, alternating,
+    * known roles — [[graft.text.Sft.conversationStats]]) →
+    * response-level dedup on VALID conversations → packing the
+    * survivors into ≈256-assistant-BPE-token batches per source. Each
+    * stage is the library operator with its standalone query's
+    * parameters; the oracle recomputes the whole funnel — validity,
+    * dedup keys, BPE counts, batch arithmetic — pinning the
+    * composition, not just the parts. */
+  def txSftFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sft
+    val docs = table(s, dir, "documents").withColumn("conv", synthConvCol)
+    val turns = Sft.parseTurns(docs, "doc_id", "conv")
+    val stats = Sft.conversationStats(turns)
+    val valid = stats.filter(col("valid") === 1)
+      .select(col("doc_id"), col("assistant_tokens"))
+    val validTurns = turns.join(valid.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val survivors = Sft.dedupByAssistant(validTurns).select(col("doc_id"))
+    val packed = graft.operators.Sampling.packSequences(
+      survivors.join(valid, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+      "source", "doc_id", col("assistant_tokens"), 256L)
+    val head = docs.agg(count(lit(1)).as("total"))
+    val vCount = valid.agg(count(lit(1)).as("valid"))
+    val dCount = survivors.agg(count(lit(1)).as("response_dedup"))
+    val bCount = packed.select(col("source"), col("batch_id")).distinct()
+      .agg(count(lit(1)).as("batches"))
+    def stageRow(i: Int, name: String) =
+      struct(lit(i).cast("int").as("stage_idx"), lit(name).as("stage"),
+        col(name).as("n_docs"))
+    head.crossJoin(vCount).crossJoin(dCount).crossJoin(bCount)
+      .select(explode(array(stageRow(0, "total"), stageRow(1, "valid"),
+        stageRow(2, "response_dedup"), stageRow(3, "batches"))).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage_idx"))
+  }
+
   /** Response-level conversation dedup ([[graft.text.Sft
     * .dedupByAssistant]]): survivors keyed by the md5 of the ordered
     * assistant-turn concatenation — transcripts eliciting identical
@@ -775,6 +814,7 @@ object TextQueries extends QueryPack {
     "sft_stats" -> (txSftStats _),
     "sft_dedup" -> (txSftDedup _),
     "sft_pack_bpe" -> (txSftPackBpe _),
+    "sft_funnel" -> (txSftFunnel _),
     "tx_html_extract" -> (txHtmlExtract _),
     "tx_html_funnel" -> (txHtmlFunnel _),
     "tx_funnel_model" -> (txFunnelModel _),
@@ -1180,6 +1220,57 @@ object TextQueries extends QueryPack {
       FROM cum
       GROUP BY source, CAST((c - atoks) // 256 AS BIGINT)
       ORDER BY source, batch_id""",
+    "sft_funnel" -> s"""
+      ${BpeOracleSql.preludeFor(sftTurnRelSql)},
+      conv AS ($sftConvSql),
+      turns AS ($sftTurnsSql),
+      v AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 MIN(CASE WHEN turn_idx = 0 THEN role END) AS fst,
+                 SUM(CASE WHEN role = prev THEN 1 ELSE 0 END) AS dups,
+                 SUM(CASE WHEN role IN ('user', 'assistant')
+                     THEN 1 ELSE 0 END) AS okroles,
+                 COUNT(*) AS n
+          FROM (SELECT doc_id, turn_idx, role,
+                       LAG(role) OVER (PARTITION BY doc_id
+                         ORDER BY turn_idx) AS prev
+                FROM turns)
+          GROUP BY doc_id)
+        WHERE fst = 'user' AND dups = 0 AND okroles = n),
+      a AS (
+        SELECT doc_id,
+               md5(COALESCE(string_agg(md5(content), '' ORDER BY turn_idx)
+                 FILTER (WHERE role = 'assistant'), '')) AS k
+        FROM turns WHERE doc_id IN (SELECT doc_id FROM v)
+        GROUP BY doc_id),
+      surv AS (SELECT MIN(doc_id) AS doc_id FROM a GROUP BY k),
+      at AS (
+        SELECT tu.doc_id,
+               CAST(SUM(CASE WHEN tu.role = 'assistant'
+                 THEN b.n_tokens ELSE 0 END) AS BIGINT) AS atoks
+        FROM turns tu
+        JOIN bpe_docs b ON tu.doc_id * 4 + tu.turn_idx = b.doc_id
+        WHERE tu.doc_id IN (SELECT doc_id FROM surv)
+        GROUP BY tu.doc_id),
+      j AS (
+        SELECT d.source, a2.doc_id, a2.atoks
+        FROM at a2 JOIN documents d ON a2.doc_id = d.doc_id),
+      cum AS (
+        SELECT source, doc_id, atoks,
+               SUM(atoks) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM j),
+      b2 AS (
+        SELECT DISTINCT source, CAST((c - atoks) // 256 AS BIGINT) AS bid
+        FROM cum)
+      SELECT CAST(0 AS INT) AS stage_idx, 'total' AS stage,
+             CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'valid', CAST((SELECT COUNT(*) FROM v) AS BIGINT)
+      UNION ALL SELECT 2, 'response_dedup',
+                CAST((SELECT COUNT(*) FROM surv) AS BIGINT)
+      UNION ALL SELECT 3, 'batches', CAST((SELECT COUNT(*) FROM b2) AS BIGINT)
+      ORDER BY stage_idx""",
     "tx_html_extract" -> s"""
       WITH h AS ($htmlSynthSql),
       xr AS (SELECT doc_id, $htmlExtractSql AS xt FROM h)
