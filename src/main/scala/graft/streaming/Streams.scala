@@ -220,6 +220,7 @@ object Streams {
       minTokens: Long = 50L, maxTokens: Long = 100000L,
       minStopWords: Long = 2L, minWords: Int = 3,
       modelGate: Option[(Seq[(Int, Long)], Long, Int)] = None,
+      htmlExtract: Boolean = false,
       trig: Trigger = Trigger.AvailableNow(),
       onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
@@ -245,7 +246,20 @@ object Streams {
             "Restore it, or start a fresh corpus/index path.")
         val total = batch.count()
         if (total > 0) {
-          val gophered = batch.filter(Curation.gopherPassed(
+          // optional stage 0 (raw-crawl inputs): HTML → text extraction
+          // ([[graft.text.Html.extractText]] — map-only) BEFORE any
+          // quality gate; pages whose markup extracts to nothing drop
+          // here, and every later stage sees plain newline-segmented
+          // text exactly like the batch tx_html_funnel composition
+          val src =
+            if (htmlExtract)
+              batch.withColumn(textCol,
+                  graft.text.Html.extractText(col(textCol)))
+                .filter(col(textCol) =!= "")
+                .localCheckpoint()
+            else batch
+          val hN = if (htmlExtract) src.count() else total
+          val gophered = src.filter(Curation.gopherPassed(
               Curation.gopherFeatures(col(textCol)),
               minTokens, maxTokens, minStopWords))
             .localCheckpoint()
@@ -300,7 +314,8 @@ object Streams {
             durationSeconds = (System.nanoTime() - t0) / 1e9,
             errorMessage =
               if (keptN < total)
-                Some(s"gopher=${total - gN};c4=${gN - cN}" +
+                Some((if (htmlExtract) s"html=${total - hN};" else "") +
+                  s"gopher=${hN - gN};c4=${gN - cN}" +
                   (if (modelGate.isDefined) s";model=${cN - mN}" else "") +
                   s";dup=${mN - keptN}")
               else None))

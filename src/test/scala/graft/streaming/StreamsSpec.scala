@@ -686,6 +686,47 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("curation funnel sink: htmlExtract stage turns raw markup into funnel input") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-csink-html").toString
+    val goodLine = "the cat and the dog run fast together now then."
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val q = Streams.curationFunnelSink(stream, s"$dir/corpus", s"$dir/index",
+      s"$dir/ckpt", "doc_id", "text", minTokens = 5L, minStopWords = 1L,
+      htmlExtract = true, trig = Streams.trigger(1),
+      onLoad = r => loads.synchronized { loads += r }).start()
+    try {
+      input.addData(
+        // kept: block markup → the good line; script with a BRACE is
+        // stripped BEFORE the C4 doc-drop rule can fire on it
+        (1L, s"<html><body><script>if(1<2){x=0}</script><p>$goodLine</p></body></html>"),
+        // markup-only page: extraction is empty → drops at the html stage
+        (2L, "<html><head><style>p{}</style></head><body><div></div></body></html>"),
+        // extraction fine, then the Gopher gate drops it (too short)
+        (3L, "<p>tiny doc.</p>"))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(corpus.keySet == Set(1L), corpus)
+      // the persisted text is the EXTRACTED + cleaned one — no markup
+      assert(corpus(1L) == goodLine)
+      val stages = loads.filter(_.errorMessage.nonEmpty)
+        .flatMap(_.errorMessage).map { m =>
+          m.split(";").map { kv =>
+            val Array(k, v) = kv.split("="); k -> v.toLong
+          }.toMap
+        }
+      assert(stages.map(_("html")).sum == 1L, stages)
+      assert(stages.map(_("gopher")).sum == 1L, stages)
+    } finally q.stop()
+  }
+
   test("curation funnel sink: optional model gate filters on cleaned text") {
     val spark2 = spark
     import spark2.implicits._
