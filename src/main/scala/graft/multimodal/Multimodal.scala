@@ -47,6 +47,8 @@ case class AudioMeta(doc_id: Long, format: String, sample_rate: Int,
 
 case class PerceptualHash(doc_id: Long, ahash: Long, dhash: Long)
 
+case class AudioHash(doc_id: Long, chash: Long)
+
 /** Decoder: REAL in-JDK image decode via `javax.imageio` (PNG / BMP /
   * GIF / JPEG — the formats the JDK ships readers for, no new
   * dependency), with the deterministic byte-derived fake as the
@@ -256,6 +258,97 @@ object DecodeStub {
       (math.sqrt(s.toDouble / (until - from)) / 255.0).toFloat
     }
     (sampleRate, channels, n.toLong, rms, emb)
+  }
+
+  /** Segment count for the audio perceptual hash: 65 energy windows →
+    * 64 contour bits. */
+  val AudioHashSegs = 65
+
+  /** Audio perceptual near-dup hash — the energy-CONTOUR signature
+    * (chromaprint-lite): the signal splits into [[AudioHashSegs]]
+    * time windows and bit i records whether mean energy RISES from
+    * window i to window i+1 — robust to volume scaling (a gain change
+    * multiplies every window alike, the comparisons don't move) and to
+    * re-encoding noise, which is what makes it a near-dup key rather
+    * than a checksum. Real WAV/AIFF/AU payloads hash their decoded PCM
+    * ([[decodeAudio]]'s streaming loop at hash granularity); anything
+    * else takes the byte²-energy fallback — integer-exact
+    * cross-multiplied comparisons, so the SQL oracle replays it
+    * bit-for-bit. Packs MSB-first like the image hashes; pairs come
+    * from the same pigeonhole chunk blocking. */
+  def audioPerceptualHash(payload: Array[Byte]): Long = {
+    require(payload.nonEmpty, "empty payload")
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (!looksLikeAudio(payload) && !extraAudioReaders)
+      return audioHashFallback(payload)
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = raw.getFormat
+        val declaredFrames = raw.getFrameLength
+        if (declaredFrames <= 0 || f.getChannels <= 0 || f.getSampleRate <= 0)
+          return audioHashFallback(payload)
+        val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+          f.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, raw)
+        try {
+          val channels = f.getChannels
+          val segs = new Array[Double](AudioHashSegs)
+          val segN = new Array[Long](AudioHashSegs)
+          var n = 0L
+          val totalSamples = declaredFrames * channels.toLong
+          val buf = new Array[Byte](65536 - 65536 % (channels * 2))
+          var read = pcm.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s = ((buf(i) & 0xFF) | (buf(i + 1) << 8)).toShort
+              val v = s / 32768.0
+              val seg = math.min(AudioHashSegs - 1,
+                (n * AudioHashSegs / math.max(1L, totalSamples)).toInt)
+              segs(seg) += v * v
+              segN(seg) += 1
+              n += 1
+              i += 2
+            }
+            read = pcm.read(buf)
+          }
+          if (n == 0) return audioHashFallback(payload)
+          packBits(Array.tabulate(64) { i =>
+            // mean-energy rise, cross-multiplied (empty windows = 0)
+            segs(i + 1) * segN(i) > segs(i) * segN(i + 1)
+          })
+        } finally pcm.close()
+      } finally raw.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => audioHashFallback(payload)
+    }
+  }
+
+  /** Fallback contour hash over raw bytes: byte²-energy per slice
+    * (`[k·n/65, max(from+1, (k+1)·n/65))` — the [[audioFallback]]
+    * envelope convention), comparisons via exact integer
+    * cross-multiplication promoted through BigInt so multi-GB payloads
+    * can't silently overflow where the oracle's HUGEINT wouldn't. */
+  private def audioHashFallback(p: Array[Byte]): Long = {
+    val n = p.length
+    val e = new Array[Long](AudioHashSegs)
+    val len = new Array[Long](AudioHashSegs)
+    var k = 0
+    while (k < AudioHashSegs) {
+      val from = (k.toLong * n / AudioHashSegs).toInt
+      val until = math.max(from + 1, ((k + 1).toLong * n / AudioHashSegs).toInt)
+      var s = 0L
+      var j = from
+      while (j < until) { val b = p(j) & 0xFF; s += b.toLong * b; j += 1 }
+      e(k) = s
+      len(k) = until - from
+      k += 1
+    }
+    packBits(Array.tabulate(64)(i =>
+      BigInt(e(i + 1)) * len(i) > BigInt(e(i)) * len(i + 1)))
   }
 
   // ——— video container probes: METADATA TIER ONLY ———
@@ -855,6 +948,31 @@ object Multimodal {
     graft.dedup.Dedup.hammingPairs(
       hashes.select(col(idCol).as("__id"), col(hashCol).as("__sim")),
       chunkBits = 16, nChunks = 4, maxHamming = maxHamming)
+
+  /** Audio energy-contour hash per record
+    * ([[DecodeStub.audioPerceptualHash]]): real WAV/AIFF/AU payloads
+    * hash their decoded PCM, anything else the deterministic
+    * byte²-energy fallback. Same batched streaming partition contract
+    * as [[extractFeatures]]. */
+  def audioPerceptualHashes(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          AudioHash(r.doc_id, DecodeStub.audioPerceptualHash(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Audio near-duplicate pairs at contour-hash hamming ≤ `maxHamming`
+    * (< 4) — [[imageNearDuplicates]]'s pigeonhole blocking applied to
+    * the audio signature; the 64-bit hash shape is identical, so the
+    * same 4×16-bit chunk join bounds candidates. */
+  def audioNearDuplicates(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 3): DataFrame =
+    imageNearDuplicates(hashes, idCol, hashCol, maxHamming)
 
   /** Deterministic "frame sampling": `n` evenly-spaced fixed-width
     * windows per payload — the shape of video frame-grab / audio

@@ -155,7 +155,45 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio energy-contour hash over the same payloads
+    * ([[graft.multimodal.Multimodal.audioPerceptualHashes]]): the text
+    * corpus takes the byte²-energy fallback, which the oracle replays
+    * bit-for-bit (integer cross-multiplied comparisons, hex-byte
+    * rendering); the REAL PCM path (volume invariance, noise
+    * robustness) is pinned by MultimodalSpec on synthesized WAVs. */
+  def mmAudioPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.withPayload(table(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("payload"),
+        col("meta.modality").as("modality"), col("meta.format").as("format"))
+      .as[MediaRecord]
+    Multimodal.audioPerceptualHashes(media, batchSize = 64)
+      .toDF()
+      .select(col("doc_id"),
+        format_string("%016x", col("chash")).as("chash_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Audio near-dup pairs over the contour hash — [[mmImageNeardup]]'s
+    * planted-copy protocol on the audio signature: blocking + verify
+    * must find exactly the byte-identical copies. */
+  def mmAudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val media = Multimodal.withPayload(base.union(copies), "text")
+      .select(col("doc_id"), col("payload"),
+        lit("text").as("modality"), lit("utf-8").as("format"))
+      .as[MediaRecord]
+    val hashes = Multimodal.audioPerceptualHashes(media, batchSize = 64).toDF()
+    Multimodal.audioNearDuplicates(hashes, "doc_id", "chash", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "mm_audio_phash" -> (mmAudioPhash _),
+    "mm_audio_neardup" -> (mmAudioNeardup _),
     "mm_phash" -> (mmPhash _),
     "mm_image_neardup" -> (mmImageNeardup _),
     "mm_image_dedup_apply" -> (mmImageDedupApply _),
@@ -187,7 +225,54 @@ object MultimodalQueries extends QueryPack {
                 FOR j IN range(0, 8)] AS db
         FROM s)"""
 
+  // byte²-energy contour bytes of DecodeStub.audioPerceptualHash's
+  // fallback path over a (doc_id, text) relation named `src`: 65
+  // slices [k·n/65, max(from+1, (k+1)·n/65)), bit i = mean energy
+  // rises i → i+1 via integer cross-multiplication
+  private val audioHashBytesSql = """
+      t AS (SELECT doc_id, text, length(text) AS n FROM src),
+      sg AS (
+        SELECT doc_id,
+               [CAST(list_sum([ascii(substr(text, CAST(j AS INT), 1))
+                               * ascii(substr(text, CAST(j AS INT), 1))
+                               FOR j IN range((k*n)//65 + 1,
+                                 GREATEST((k*n)//65 + 2, ((k+1)*n)//65 + 1))])
+                     AS BIGINT) FOR k IN range(0, 65)] AS e,
+               [GREATEST(1, ((k+1)*n)//65 - (k*n)//65)
+                FOR k IN range(0, 65)] AS ln
+        FROM t),
+      byt AS (
+        SELECT doc_id,
+               [list_sum([(CASE WHEN e[8*j+c+2] * ln[8*j+c+1]
+                                   > e[8*j+c+1] * ln[8*j+c+2]
+                           THEN 1 ELSE 0 END) * (1 << (7-c))
+                          FOR c IN range(0, 8)])
+                FOR j IN range(0, 8)] AS cb
+        FROM sg)"""
+
   val oracles: Map[String, String] = Map(
+    "mm_audio_phash" -> s"""
+      WITH src AS (SELECT doc_id, text FROM documents),
+      $audioHashBytesSql
+      SELECT doc_id,
+             array_to_string([printf('%02x', CAST(x AS INT)) FOR x IN cb], '')
+               AS chash_hex
+      FROM byt ORDER BY doc_id""",
+    "mm_audio_neardup" -> s"""
+      WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+      $audioHashBytesSql
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(list_sum([bit_count(xor(CAST(a.cb[j] AS BIGINT),
+                                          CAST(b.cb[j] AS BIGINT)))
+                            FOR j IN range(1, 9)]) AS BIGINT) AS hamming
+      FROM byt a JOIN byt b ON a.doc_id < b.doc_id
+      WHERE list_sum([bit_count(xor(CAST(a.cb[j] AS BIGINT),
+                                    CAST(b.cb[j] AS BIGINT)))
+                      FOR j IN range(1, 9)]) <= 3
+      ORDER BY id_a, id_b""",
     "mm_phash" -> s"""
       WITH src AS (SELECT doc_id, text FROM documents),
       $phashBytesSql

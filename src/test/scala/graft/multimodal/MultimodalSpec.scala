@@ -193,6 +193,59 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     bos.toByteArray
   }
 
+  test("audioPerceptualHash: volume-invariant on real PCM; contour separates signals") {
+    val n = 16000
+    def ramp(gain: Double) = wavBytes(16000f, 1, n)((f, _) =>
+      gain * (f / n.toDouble) * math.sin(2 * math.Pi * 440 * f / 16000.0))
+    val h1 = DecodeStub.audioPerceptualHash(ramp(0.9))
+    // a pure gain change scales every window alike: the contour —
+    // hence the hash — must be IDENTICAL
+    val h2 = DecodeStub.audioPerceptualHash(ramp(0.45))
+    assert(h1 == h2, f"gain changed the contour: $h1%016x vs $h2%016x")
+    // rising energy → overwhelmingly-set contour (late windows' ramp
+    // increment is ~1/64 and partial sine cycles can locally beat it)
+    assert(java.lang.Long.bitCount(h1) >= 56,
+      f"rising ramp contour too flat: $h1%016x")
+    // the reversed ramp is a different signal: far away
+    val down = wavBytes(16000f, 1, n)((f, _) =>
+      (1.0 - f / n.toDouble) * math.sin(2 * math.Pi * 440 * f / 16000.0))
+    val h3 = DecodeStub.audioPerceptualHash(down)
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 16)
+    // mild additive noise moves the contour a little, not a lot
+    val rnd = new scala.util.Random(7)
+    val noisy = wavBytes(16000f, 1, n)((f, _) =>
+      0.9 * (f / n.toDouble) * math.sin(2 * math.Pi * 440 * f / 16000.0) +
+        0.01 * rnd.nextGaussian())
+    val h4 = DecodeStub.audioPerceptualHash(noisy)
+    assert(java.lang.Long.bitCount(h1 ^ h4) <= 3,
+      s"noise moved ${java.lang.Long.bitCount(h1 ^ h4)} bits")
+  }
+
+  test("audioPerceptualHash: fallback is the documented byte-energy contour") {
+    val p = Array.tabulate(400)(i => ((i * 13) % 251).toByte)
+    val h = DecodeStub.audioPerceptualHash(p)
+    val segs = 65
+    val n = p.length
+    val e = Array.tabulate(segs) { k =>
+      val from = k * n / segs
+      val until = math.max(from + 1, (k + 1) * n / segs)
+      (from until until).map(j => { val b = p(j) & 0xFF; b.toLong * b }).sum
+    }
+    val len = Array.tabulate(segs) { k =>
+      math.max(1, (k + 1) * n / segs - k * n / segs).toLong
+    }
+    val bits = Array.tabulate(64)(i =>
+      BigInt(e(i + 1)) * len(i) > BigInt(e(i)) * len(i + 1))
+    var exp = 0L
+    for (j <- 0 until 8) {
+      var b = 0
+      for (c <- 0 until 8) if (bits(j * 8 + c)) b |= 1 << (7 - c)
+      exp = (exp << 8) | b
+    }
+    assert(h == exp)
+    assert(DecodeStub.audioPerceptualHash(p) == h) // deterministic
+  }
+
   test("real WAV payloads decode to true rate/frames/rms; envelope tracks energy") {
     // 0.5-amplitude sine, 8 kHz mono, exactly 1 s → rms = 0.5/√2
     val n = 8000
