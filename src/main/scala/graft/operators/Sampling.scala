@@ -255,6 +255,42 @@ object Sampling {
       .withColumnRenamed(wc, "n_tokens")
   }
 
+  /** Materialized packing — what a trainer actually loads: on top of
+    * [[packSequences]]' batch assignment, each (group, batch) row
+    * carries the md5 of its documents' concatenation (in key order,
+    * U+001E-record-separator-joined — the pin that any engine reassembles the
+    * identical byte stream) and the comma-joined per-document TOKEN
+    * OFFSETS into the packed sequence (where each document's tokens
+    * start — the boundaries an attention mask or document-causal mask
+    * needs).
+    *
+    * Scale: [[packSequences]]' one group shuffle plus one
+    * (group, batch) window for the batch-local running offset and the
+    * final per-batch aggregate — a batch is ≈`budget` tokens by
+    * construction, so collect_list state is bounded by the budget,
+    * never by the corpus. */
+  def materializePacked(df: DataFrame, groupCol: String, keyCol: String,
+      textCol: String, weightCol: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = packSequences(df, groupCol, keyCol, weightCol, budget)
+    val wB = Window.partitionBy(col(groupCol), col("batch_id"))
+      .orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed
+      .withColumn("__off", sum(col("n_tokens")).over(wB) - col("n_tokens"))
+      .groupBy(col(groupCol), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("batch_tokens"),
+        md5(concat_ws("\u001e",
+          transform(array_sort(collect_list(struct(col(keyCol),
+            col(textCol).as("__t")))), x => x("__t")))).as("packed_md5"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col(keyCol),
+            col("__off").as("__o")))),
+            x => x("__o").cast(StringType))).as("offsets"))
+  }
+
   /** Downsample every source to ≈`budget` units of `weightCol` (token
     * counts, bytes, …): per-source rate = min(1, budget / total), then
     * the deterministic hash mix. The totals aggregate is one tiny

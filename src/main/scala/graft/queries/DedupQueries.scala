@@ -225,6 +225,21 @@ object DedupQueries extends QueryPack {
       .orderBy(col("source"), col("batch_id"))
   }
 
+  /** Materialized packing ([[graft.operators.Sampling
+    * .materializePacked]]): the trainer-facing layout — per
+    * (source, batch), the md5 of the RS-joined document concatenation
+    * and the comma-joined per-document token offsets (BPE-exact), on
+    * the same 2048-token batches as [[packSequences]]. The oracle
+    * reassembles the byte stream and the offset arithmetic
+    * independently. */
+  def packMaterialize(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    graft.operators.Sampling.materializePacked(
+        table(s, dir, "documents"), "source", "doc_id", "text",
+        TextFunctions.bpeTokenCount(col("text")), 2048L)
+      .orderBy(col("source"), col("batch_id"))
+  }
+
   /** Quality-aware dedup: per duplicate component keep the LONGEST doc
     * (n_chars; lowest id on ties) — "keep the best copy" instead of
     * d7's lowest-id rule. Survivor selection = bounded-heap top-1 per
@@ -257,6 +272,7 @@ object DedupQueries extends QueryPack {
     "d9_best_survivor" -> (d9BestSurvivor _),
     "sample_weighted" -> (sampleWeighted _),
     "pack_sequences" -> (packSequences _),
+    "pack_materialize" -> (packMaterialize _),
     "sample_docs" -> (sampleDocs _),
     "sample_shards" -> (sampleShards _),
     "mix_epoch_budget" -> (mixEpochBudget _),
@@ -344,6 +360,36 @@ object DedupQueries extends QueryPack {
       SELECT doc_id, source FROM documents
       WHERE $bucketSql < 200000
       ORDER BY doc_id""",
+    "pack_materialize" -> s"""
+      ${BpeOracleSql.prelude},
+      toks AS (
+        SELECT d.source, d.doc_id, d.text,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens
+        FROM documents d JOIN bpe_docs b ON d.doc_id = b.doc_id),
+      cum AS (
+        SELECT source, doc_id, text, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM toks),
+      bat AS (
+        SELECT source, doc_id, text, n_tokens,
+               CAST((c - n_tokens) // 2048 AS BIGINT) AS batch_id
+        FROM cum),
+      off AS (
+        SELECT source, batch_id, doc_id, text, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source, batch_id
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS BIGINT) AS o
+        FROM bat)
+      SELECT source, batch_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+             md5(string_agg(text, chr(30) ORDER BY doc_id)) AS packed_md5,
+             string_agg(CAST(o AS VARCHAR), ',' ORDER BY doc_id) AS offsets
+      FROM off
+      GROUP BY source, batch_id
+      ORDER BY source, batch_id""",
     "mix_epoch_budget" -> s"""
       ${BpeOracleSql.prelude},
       t AS (

@@ -229,6 +229,36 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(disorder == 0L)
   }
 
+  test("materializePacked: hand-checked offsets and byte-stream pin") {
+    val s = spark
+    import s.implicits._
+    // one stream, budget 10: docs of 4, 5, 3, 9 tokens →
+    // batch 0 = [a (off 0), b (off 4)] (cum 9), batch 0 closes at 9;
+    // c starts at cum 9 → floor(9/10) = 0 → batch 0 too (off 9);
+    // d starts at cum 12 → batch 1 (off 0)
+    val docs = Seq(
+      (1L, "s", "w1 w2 w3 w4", 4L),
+      (2L, "s", "x1 x2 x3 x4 x5", 5L),
+      (3L, "s", "y1 y2 y3", 3L),
+      (4L, "s", "z1 z2 z3 z4 z5 z6 z7 z8 z9", 9L)
+    ).toDF("doc_id", "source", "text", "w")
+    val out = Sampling.materializePacked(docs, "source", "doc_id",
+        "text", col("w"), budget = 10L)
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("batch_tokens"),
+          r.getAs[String]("offsets"), r.getAs[String]("packed_md5")))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._1 == 3L && out(0L)._2 == 12L)
+    assert(out(0L)._3 == "0,4,9")
+    assert(out(1L)._1 == 1L && out(1L)._2 == 9L && out(1L)._3 == "0")
+    // the packed stream is the RS-joined doc texts in key order
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L)._4 ==
+      md5hex("w1 w2 w3 w4x1 x2 x3 x4 x5y1 y2 y3"))
+    assert(out(1L)._4 == md5hex("z1 z2 z3 z4 z5 z6 z7 z8 z9"))
+  }
+
   test("shardAndShuffle: balanced shards, contiguous ranks, layout-independent") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = Sampling.shardAndShuffle(docs, "doc_id", nShards = 8)
