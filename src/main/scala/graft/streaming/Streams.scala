@@ -191,6 +191,92 @@ object Streams {
           errorMessage = if (dropped > 0) Some(s"deduped: $dropped") else None))
       }
 
+  /** Streaming perceptual-hash dedup — the MEDIA twin of
+    * [[nearDupDedupSink]]: each micro-batch's records hash to their
+    * dHash ([[graft.multimodal.DecodeStub.perceptualHash]] — real
+    * rasters through ImageIO, other payloads the deterministic
+    * byte-tap fallback), then near-duplicates at hamming ≤ `maxHamming`
+    * drop, both within the batch (lowest id survives, the text sink's
+    * greedy rule) and against the PERSISTED hash index. Pair
+    * generation is the 4×16-bit pigeonhole chunk join over new ∪
+    * indexed hashes — the indexed side is the 16-byte-per-record hash
+    * table, never the media bytes, the same slim-index contract as the
+    * text sink's signature index. Kept records land
+    * `corpusPath/batch=<id>`, their hashes append
+    * `indexPath/batch=<id>`; idempotent overwrite per batch, the
+    * shared checkpoint-loss restart guard, compactable by
+    * [[compactBatchOutput]]. Record ids must be globally unique across
+    * the stream's lifetime (the sink contract shared with
+    * [[nearDupDedupSink]]). */
+  def phashDedupSink(stream: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String, idCol: String,
+      payloadCol: String, maxHamming: Int = 3,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.multimodal.{MediaRecord, Multimodal}
+        val t0 = System.nanoTime()
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val conf = spark.sparkContext.hadoopConfiguration
+        val indexFs = new Path(indexPath).getFileSystem(conf)
+        val committed = indexFs
+          .globStatus(new Path(indexPath, "batch=*/_SUCCESS"))
+        val hasIndex = committed != null && committed.nonEmpty
+        if (batchId == 0 && hasIndex &&
+            committed.exists(s => s.getPath.getParent.getName != "batch=0"))
+          throw new IllegalStateException(
+            s"phashDedupSink: batchId restarted at 0 but $indexPath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or start a fresh corpus/index path.")
+        val media = batch.select(col(idCol).cast("long").as("doc_id"),
+            col(payloadCol).as("payload"),
+            lit("media").as("modality"), lit("bin").as("format"))
+          .as[MediaRecord]
+        val newHashes = Multimodal.perceptualHashes(media).toDF()
+          .select(col("doc_id").as(idCol), col("dhash"))
+          .localCheckpoint()
+        val indexHashes =
+          if (hasIndex)
+            spark.read.parquet(indexPath).select(col(idCol), col("dhash"))
+          else newHashes.limit(0)
+        val pairs = Multimodal.imageNearDuplicates(
+          newHashes.unionByName(indexHashes), idCol, "dhash", maxHamming)
+        // canonical id_a < id_b, every pair involves ≥ 1 new record
+        // (indexed-indexed pairs were resolved when those batches
+        // landed — both survivors of DIFFERENT clusters can still sit
+        // within maxHamming of each other, so filter indexed-indexed
+        // pairs out rather than assuming they can't occur)
+        val oldIds = indexHashes.select(col(idCol))
+        val newPairs = pairs.join(
+          oldIds.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_anti")
+          .unionByName(pairs
+            .join(oldIds.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
+            .join(oldIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_anti"))
+          .distinct()
+        val dropA = newPairs
+          .join(oldIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
+          .select(col("id_a").as(idCol))
+        val dropB = newPairs
+          .join(oldIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_anti")
+          .select(col("id_b").as(idCol))
+        val drops = dropA.unionByName(dropB).distinct().localCheckpoint()
+        val kept = batch.join(broadcast(drops), Seq(idCol), "left_anti")
+          .localCheckpoint()
+        val keptN = kept.count()
+        val dropped = batch.count() - keptN
+        kept.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+        newHashes.join(broadcast(drops), Seq(idCol), "left_anti")
+          .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+        onLoad(LoadResult(success = true, rowsLoaded = keptN,
+          tableName = corpusPath,
+          durationSeconds = (System.nanoTime() - t0) / 1e9,
+          errorMessage = if (dropped > 0) Some(s"deduped: $dropped") else None))
+      }
+
   /** Streaming curation funnel — the streaming twin of the batch
     * `tx_curation_funnel` composition, same filters in the same order:
     *

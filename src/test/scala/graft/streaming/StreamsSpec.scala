@@ -686,6 +686,67 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  private def pngGradient(perturb: Boolean = false, vertical: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val base = if (vertical) y * 4 else x * 4
+      val g = (if (perturb && x < 8 && y < 8) base + 40 else base) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("phash dedup sink: in-batch and vs-index image near-dups drop") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-phsink").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDF().toDF("doc_id", "payload")
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val q = Streams.phashDedupSink(stream, s"$dir/corpus", s"$dir/index",
+      s"$dir/ckpt", "doc_id", "payload", maxHamming = 3,
+      trig = Streams.trigger(1),
+      onLoad = r => loads.synchronized { loads += r }).start()
+    try {
+      // batch 1: gradient (1), its perturbation (2: in-batch near-dup
+      // of 1 → drops), a genuinely different vertical gradient (3)
+      input.addData(
+        (1L, pngGradient()),
+        (2L, pngGradient(perturb = true)),
+        (3L, pngGradient(vertical = true)))
+      q.processAllAvailable()
+      // batch 2: byte-identical copy of 1 (4 → drops vs the index),
+      // and 5 = a fresh checkerboard that matches nothing
+      val checker = {
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 64; x <- 0 until 64) {
+          val g = if ((x / 8 + y / 8) % 2 == 0) 0 else 255
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      input.addData((4L, pngGradient()), (5L, checker))
+      q.processAllAvailable()
+
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpus == Set(1L, 3L, 5L), corpus)
+      // the index holds exactly the survivors' hashes
+      val index = spark.read.parquet(s"$dir/index")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(index == Set(1L, 3L, 5L), index)
+      assert(loads.map(_.rowsLoaded).sum == 3L, loads)
+    } finally q.stop()
+  }
+
   test("curation funnel sink: htmlExtract stage turns raw markup into funnel input") {
     val spark2 = spark
     import spark2.implicits._
