@@ -974,6 +974,50 @@ object Multimodal {
       hashCol: String, maxHamming: Int = 3): DataFrame =
     imageNearDuplicates(hashes, idCol, hashCol, maxHamming)
 
+  /** Interleaved multimodal documents (the MMC4/OBELICS layout:
+    * running text with inline image references, consumed by
+    * interleaved image-text training): split each document into an
+    * ORDERED sequence of segments at `<img:ID>` markers — one row per
+    * segment, `(doc_id, seg_idx, kind ∈ text|image, media_id,
+    * content)`. Text segments carry their trimmed text; image segments
+    * carry the referenced media id for [[attachMedia]] to resolve.
+    * Pure map-side column ops (regex + split + posexplode) — codegen,
+    * no UDF, no shuffle — and every step engine-portable, so the SQL
+    * oracle replays the segmentation byte-for-byte. */
+  def interleaveSegments(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sep = "\u001f"
+    val markerFull = "^<img:\\d+>$"
+    val marked = regexp_replace(col(textCol),
+      "(<img:\\d+>)", sep + "$1" + sep)
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(
+          filter(transform(split(marked, sep, -1), s => trim(s)),
+            s => s =!= "")).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx").cast(IntegerType).as("seg_idx"),
+        when(col("seg").rlike(markerFull), lit("image"))
+          .otherwise(lit("text")).as("kind"),
+        when(col("seg").rlike(markerFull),
+          regexp_extract(col("seg"), "^<img:(\\d+)>$", 1).cast(LongType))
+          .as("media_id"),
+        when(!col("seg").rlike(markerFull), col("seg")).as("content"))
+  }
+
+  /** Resolve image segments against a media table `(media_id, …)`:
+    * LEFT join so a dangling reference keeps its segment row with NULL
+    * media columns and a `resolved` flag — dropped or quarantined by
+    * the caller's policy, never silently vanished. One key join; text
+    * segments pass through untouched. */
+  def attachMedia(segments: DataFrame, media: DataFrame,
+      mediaIdCol: String): DataFrame = {
+    val m = media.withColumnRenamed(mediaIdCol, "media_id")
+    segments.join(m, Seq("media_id"), "left")
+      .withColumn("resolved",
+        (col("kind") === "text") ||
+          m.columns.filter(_ != "media_id").headOption
+            .map(c => col(c).isNotNull).getOrElse(lit(true)))
+  }
+
   /** Deterministic "frame sampling": `n` evenly-spaced fixed-width
     * windows per payload — the shape of video frame-grab / audio
     * chunking, expressed as pure column ops (codegen, no UDF). One

@@ -191,7 +191,41 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Interleaved image-text documents
+    * ([[graft.multimodal.Multimodal.interleaveSegments]] +
+    * [[graft.multimodal.Multimodal.attachMedia]], the MMC4/OBELICS
+    * layout): text with two inline `<img:ID>` references per document
+    * splits into ordered segments; image segments resolve against a
+    * media table (documents stand in, keyed by md5), with every 100th
+    * document carrying one DANGLING reference to pin the
+    * unresolved-flag path. The oracle replays the regex segmentation,
+    * classification, and resolution byte-for-byte. */
+  def mmInterleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val itext = concat(
+      concat_ws(" ", slice(toks, 1, 8)),
+      lit(" <img:"), ((col("doc_id") + 7) % 500).cast("string"), lit("> "),
+      concat_ws(" ", slice(toks, 9, 8)),
+      lit(" <img:"),
+      when(col("doc_id") % 100 === 0, lit(999999L))
+        .otherwise((col("doc_id") + 13) % 500).cast("string"), lit("> "),
+      concat_ws(" ", slice(toks, 17, 8)))
+    val media = docs.select(col("doc_id").as("media_id"),
+      md5(col("text")).as("media_md5"))
+    val segs = Multimodal.interleaveSegments(
+      docs.withColumn("itext", itext), "doc_id", "itext")
+    Multimodal.attachMedia(segs, media, "media_id")
+      .select(col("doc_id"), col("seg_idx"), col("kind"),
+        coalesce(col("media_id"), lit(-1L)).as("media_id"),
+        md5(coalesce(col("content"), lit(""))).as("content_md5"),
+        col("resolved").cast("int").as("resolved"),
+        coalesce(col("media_md5"), lit("")).as("media_md5"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "mm_interleave" -> (mmInterleave _),
     "mm_audio_phash" -> (mmAudioPhash _),
     "mm_audio_neardup" -> (mmAudioNeardup _),
     "mm_phash" -> (mmPhash _),
@@ -251,6 +285,50 @@ object MultimodalQueries extends QueryPack {
         FROM sg)"""
 
   val oracles: Map[String, String] = Map(
+    "mm_interleave" -> """
+      WITH it AS (
+        SELECT doc_id,
+               COALESCE(array_to_string(toks[1:8], ' '), '') || ' <img:' ||
+               CAST((doc_id + 7) % 500 AS VARCHAR) || '> ' ||
+               COALESCE(array_to_string(toks[9:16], ' '), '') || ' <img:' ||
+               CAST(CASE WHEN doc_id % 100 = 0 THEN 999999
+                         ELSE (doc_id + 13) % 500 END AS VARCHAR) || '> ' ||
+               COALESCE(array_to_string(toks[17:24], ' '), '') AS itext
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+              FROM documents)),
+      seg0 AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(
+                 regexp_replace(itext, '(<img:[0-9]+>)',
+                   chr(31) || '\1' || chr(31), 'g'),
+                 chr(31)), x -> trim(x)), x -> x <> '') AS segs
+        FROM it),
+      seg AS (
+        SELECT doc_id,
+               unnest([{'seg_idx': i - 1, 'seg': segs[i]}
+                       FOR i IN range(1, len(segs) + 1)],
+                      recursive := true)
+        FROM seg0),
+      cls AS (
+        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+               CASE WHEN regexp_matches(seg, '^<img:[0-9]+>$')
+                    THEN 'image' ELSE 'text' END AS kind,
+               CASE WHEN regexp_matches(seg, '^<img:[0-9]+>$')
+                    THEN CAST(regexp_extract(seg, '^<img:([0-9]+)>$', 1)
+                              AS BIGINT) END AS media_id,
+               CASE WHEN NOT regexp_matches(seg, '^<img:[0-9]+>$')
+                    THEN seg END AS content
+        FROM seg),
+      med AS (SELECT doc_id AS media_id, md5(text) AS media_md5
+              FROM documents)
+      SELECT c.doc_id, c.seg_idx, c.kind,
+             COALESCE(c.media_id, -1) AS media_id,
+             md5(COALESCE(c.content, '')) AS content_md5,
+             CAST(CASE WHEN c.kind = 'text' OR m.media_md5 IS NOT NULL
+                  THEN 1 ELSE 0 END AS INT) AS resolved,
+             COALESCE(m.media_md5, '') AS media_md5
+      FROM cls c LEFT JOIN med m ON c.media_id = m.media_id
+      ORDER BY doc_id, seg_idx""",
     "mm_audio_phash" -> s"""
       WITH src AS (SELECT doc_id, text FROM documents),
       $audioHashBytesSql

@@ -153,6 +153,56 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == ((1L, 4L))).get._3 == 0L)
   }
 
+  test("interleaveSegments: ordered segments, adjacent/edge markers, no-marker docs") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "intro text <img:10> middle part <img:11> outro"),
+      (2L, "<img:20><img:21> after two"),      // adjacent markers, start
+      (3L, "plain text only no markers here"),
+      (4L, "ends with image <img:30>"),
+      (5L, "")).toDF("doc_id", "text")
+    val segs = Multimodal.interleaveSegments(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        Option(r.getString(4)).getOrElse("")))
+      .sortBy(x => (x._1, x._2))
+    assert(segs.filter(_._1 == 1L).map(x => (x._3, x._4, x._5)).toSeq == Seq(
+      ("text", -1L, "intro text"), ("image", 10L, ""),
+      ("text", -1L, "middle part"), ("image", 11L, ""),
+      ("text", -1L, "outro")))
+    assert(segs.filter(_._1 == 2L).map(x => (x._3, x._4, x._5)).toSeq == Seq(
+      ("image", 20L, ""), ("image", 21L, ""), ("text", -1L, "after two")))
+    assert(segs.filter(_._1 == 3L).map(x => (x._3, x._5)).toSeq ==
+      Seq(("text", "plain text only no markers here")))
+    assert(segs.filter(_._1 == 4L).map(x => (x._3, x._4)).toSeq ==
+      Seq(("text", -1L), ("image", 30L)))
+    assert(!segs.exists(_._1 == 5L)) // empty doc → no segments
+    // seg_idx is contiguous from 0 per doc
+    segs.groupBy(_._1).foreach { case (_, ss) =>
+      assert(ss.map(_._2).toSeq == ss.indices.toSeq)
+    }
+  }
+
+  test("attachMedia: resolved flag marks dangling references, text passes through") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "a b <img:10> c <img:99> d")).toDF("doc_id", "text")
+    val media = Seq((10L, "h10")).toDF("media_id", "media_md5")
+    val out = Multimodal.attachMedia(
+        Multimodal.interleaveSegments(docs, "doc_id", "text"),
+        media, "media_id")
+      .collect()
+      .map(r => (r.getAs[String]("kind"),
+        if (r.isNullAt(r.fieldIndex("media_id"))) -1L
+        else r.getAs[Long]("media_id"),
+        r.getAs[Boolean]("resolved")))
+      .toSet
+    assert(out == Set(
+      ("text", -1L, true), ("image", 10L, true), ("image", 99L, false)))
+  }
+
   test("extractFeatures: batched mapPartitions matches direct decode") {
     import spark.implicits._
     val media = Multimodal.withPayload(docs.limit(100), "text")
