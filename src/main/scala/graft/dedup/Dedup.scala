@@ -66,6 +66,66 @@ object Dedup {
     * PROJECTION (native [[graft.functions.MinHashSigExpr]], all k lanes
     * in one compiled loop) — no explode, no shuffle, map-only scan.
     * Docs with fewer tokens than the shingle size have no signature. */
+  /** Candidate probability of the banded-LSH S-curve: with `bands`
+    * bands of `rows` rows each, a pair at Jaccard `s` collides in at
+    * least one band with P = 1 − (1 − s^rows)^bands. The tuning math
+    * behind [[lshParams]], exposed so operators (and tests) can read
+    * the recall/candidate-volume trade-off a parameter choice implies. */
+  def lshCandidateProbability(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Choose (bands, rowsPerBand) by the textbook rule (Leskovec et al.,
+    * MMDS §3.4.3): among the factorizations b·r = `numHashes`, pick
+    * the one whose S-curve inflection (1/b)^(1/r) sits closest to the
+    * Jaccard `threshold` — the balanced choice that splits false
+    * positives and false negatives around the threshold. Driver math
+    * over ≤ numHashes factor pairs, no data touched. At (64, 0.8) this
+    * resolves to (8, 8); note the standalone dedup queries run the
+    * deliberately RECALL-BIASED (16, 4) instead — capture ≈ 0.9998 at
+    * s = 0.8 with [[verifyJaccard]] absorbing the extra candidates —
+    * which is what [[lshParamsForRecall]] derives. */
+  def lshParams(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 2, s"need >= 2 hashes, got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold in (0,1), got $threshold")
+    val options = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map { b =>
+        val r = numHashes / b
+        (b, r, math.pow(1.0 / b, 1.0 / r))
+      }
+    // distance asc, then bands DESC (recall-favoring tie-break)
+    val (b, r, _) = options.minBy { case (bb, _, inflection) =>
+      (math.abs(inflection - threshold), -bb)
+    }
+    (b, r)
+  }
+
+  /** The production tuning rule: the FEWEST bands (fewest candidate
+    * pairs — band count is the candidate-volume knob) whose S-curve
+    * still captures a pair AT the threshold with probability ≥
+    * `minRecall`. (64, 0.8, 0.999) resolves to (16, 4) — the banding
+    * the standalone queries use. Throws when no factorization reaches
+    * the recall (raise numHashes). */
+  def lshParamsForRecall(numHashes: Int, threshold: Double,
+      minRecall: Double = 0.999): (Int, Int) = {
+    require(numHashes >= 2, s"need >= 2 hashes, got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold in (0,1), got $threshold")
+    require(minRecall > 0 && minRecall < 1,
+      s"minRecall in (0,1), got $minRecall")
+    (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .collectFirst {
+        case b if lshCandidateProbability(threshold, b, numHashes / b)
+            >= minRecall =>
+          (b, numHashes / b)
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no banding of $numHashes hashes reaches recall $minRecall at " +
+        s"threshold $threshold — increase numHashes"))
+  }
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64): DataFrame =
     df.select(col(idCol),

@@ -253,4 +253,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(shared == 2 && nA == 3 && nB == 3)
     assert(math.abs(jaccard - 0.5) < 1e-15) // 2 / (3 + 3 - 2)
   }
+
+  test("lshParams: balanced inflection rule; recall rule recovers production banding") {
+    // textbook rule: inflection (1/8)^(1/8) ≈ 0.771, nearest to 0.8
+    assert(Dedup.lshParams(64, 0.8) == ((8, 8)))
+    // lower thresholds want MORE bands (catch weaker similarity)
+    val (bLow, rLow) = Dedup.lshParams(64, 0.4)
+    val (bHigh, rHigh) = Dedup.lshParams(64, 0.95)
+    assert(bLow > 8 && bHigh < 8, s"($bLow,$rLow) / ($bHigh,$rHigh)")
+    assert(bLow * rLow == 64 && bHigh * rHigh == 64)
+    // the production rule: fewest bands with ≥ 99.9% capture AT the
+    // threshold — exactly the (16, 4) the standalone queries run
+    assert(Dedup.lshParamsForRecall(64, 0.8, 0.999) == ((16, 4)))
+    val (b, r) = Dedup.lshParamsForRecall(64, 0.8, 0.999)
+    assert(Dedup.lshCandidateProbability(0.8, b, r) >= 0.999)
+    assert(Dedup.lshCandidateProbability(0.3, b, r) < 0.15)
+    // probability is monotone in s
+    val ps = (1 to 9).map(i => Dedup.lshCandidateProbability(i / 10.0, b, r))
+    assert(ps.zip(ps.tail).forall { case (a, c) => a <= c })
+    // unreachable recall fails loudly, not silently weak
+    intercept[IllegalArgumentException] {
+      Dedup.lshParamsForRecall(4, 0.1, 0.9999)
+    }
+  }
 }
