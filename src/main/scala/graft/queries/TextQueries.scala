@@ -131,6 +131,22 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Term-blocklist gate ([[graft.text.Curation.blocklistHits]], the
+    * C4 "bad words" step): whole-token case-insensitive hits against a
+    * config-sized list, pass = zero hits. The oracle replays the token
+    * filter; CurationSpec pins the literal spelling == the broadcast
+    * join spelling for large lists. */
+  def txBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Curation
+    val terms = Seq("slow", "Lorem", "ipsum")
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        Curation.blocklistHits(col("text"), terms).as("n_hits"),
+        Curation.blocklistPassed(col("text"), terms).cast(IntegerType)
+          .as("passed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus report: the mixture dashboard a curation run
     * ends with — doc counts, token totals, mean doc length, distinct
     * content ratio. One scan, one tiny aggregate. */
@@ -817,6 +833,7 @@ object TextQueries extends QueryPack {
     "sft_funnel" -> (txSftFunnel _),
     "tx_html_extract" -> (txHtmlExtract _),
     "tx_html_funnel" -> (txHtmlFunnel _),
+    "tx_blocklist" -> (txBlocklist _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
@@ -1271,6 +1288,15 @@ object TextQueries extends QueryPack {
                 CAST((SELECT COUNT(*) FROM surv) AS BIGINT)
       UNION ALL SELECT 3, 'batches', CAST((SELECT COUNT(*) FROM b2) AS BIGINT)
       ORDER BY stage_idx""",
+    "tx_blocklist" -> """
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               t -> list_contains(['slow', 'lorem', 'ipsum'], lower(t))))
+               AS BIGINT) AS n_hits,
+             CAST(CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+               t -> list_contains(['slow', 'lorem', 'ipsum'], lower(t)))) = 0
+               THEN 1 ELSE 0 END AS INT) AS passed
+      FROM documents ORDER BY doc_id""",
     "tx_html_extract" -> s"""
       WITH h AS ($htmlSynthSql),
       xr AS (SELECT doc_id, $htmlExtractSql AS xt FROM h)

@@ -144,6 +144,48 @@ object Curation {
         f("dup_para_char_frac") <= maxDupCharFrac,
       lit(false))
 
+  /** Term-blocklist hit count — the C4 "bad words" gate (Raffel et al.
+    * 2020 §2.2 removed any page containing a listed word): TOKEN
+    * occurrences whose lowercase form is in `terms`. Whole-token
+    * matching on purpose — substring matching is the classic
+    * false-positive factory ("class", "assassin"). One codegen'd
+    * filter over the token array against the literal term list; fine
+    * for config-sized lists (C4's is ~400 terms), use
+    * [[blocklistHitsJoin]] when the list outgrows a plan literal. */
+  def blocklistHits(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "empty blocklist")
+    val lowered = array(terms.map(t => lit(t.toLowerCase(
+      java.util.Locale.ROOT))): _*)
+    size(filter(TextFunctions.tokens(text),
+      t => array_contains(lowered, lower(t)))).cast(LongType)
+  }
+
+  /** Blocklist pass rule: at most `maxHits` listed tokens (C4's rule
+    * is 0 — any hit drops the page). */
+  def blocklistPassed(text: Column, terms: Seq[String],
+      maxHits: Long = 0L): Column =
+    blocklistHits(text, terms) <= maxHits
+
+  /** The large-list spelling: explode tokens, broadcast-semi-join the
+    * term table, count per doc — the shape for blocklists too big to
+    * ride the plan as a literal (10⁵+ terms). Returns
+    * `(doc_id, n_hits)`; docs with zero hits are ABSENT (anti-join the
+    * ids to apply the C4 drop). One corpus scan, terms broadcast,
+    * corpus rows never shuffle. */
+  def blocklistHitsJoin(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      terms: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = terms.select(lower(col(terms.columns.head)).as("__term"))
+      .distinct()
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col("doc_id"), lower(col("__tok")).as("__term"))
+      .join(org.apache.spark.sql.functions.broadcast(t), Seq("__term"),
+        "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** C4 line filter: keep lines that (trimmed) end in `.` `!` `?` or
     * `"`, contain at least `minWords` whitespace-separated words, and
     * don't mention "javascript"; re-join survivors with newlines.

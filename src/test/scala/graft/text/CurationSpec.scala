@@ -153,4 +153,28 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0).take(4) -> r.getBoolean(1)).toMap
     assert(res == Map("Fine" -> false, "Has " -> true, "func" -> true))
   }
+
+  test("blocklist: whole-token case-insensitive hits; spellings agree") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the Spam and more SPAM arrives"),     // 2 hits, case-folded
+      (2L, "spammy classify assassin"),           // substrings must NOT hit
+      (3L, "clean text entirely"),
+      (4L, "spam")).toDF("doc_id", "text")
+    val terms = Seq("spam", "JUNK")
+    val hits = docs.select(col("doc_id"),
+        Curation.blocklistHits(col("text"), terms).as("h"),
+        Curation.blocklistPassed(col("text"), terms).as("p"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(hits == Map(1L -> ((2L, false)), 2L -> ((0L, true)),
+      3L -> ((0L, true)), 4L -> ((1L, false))))
+    // the broadcast-join spelling for big lists: identical counts,
+    // zero-hit docs absent
+    val joined = Curation.blocklistHitsJoin(docs, "doc_id", "text",
+        terms.toDF("term"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(joined == Map(1L -> 2L, 4L -> 1L))
+  }
 }
