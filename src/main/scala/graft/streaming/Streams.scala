@@ -191,6 +191,88 @@ object Streams {
           errorMessage = if (dropped > 0) Some(s"deduped: $dropped") else None))
       }
 
+  /** Streaming SFT preparation — the streaming twin of the batch
+    * `sft_funnel` composition: each micro-batch of serialized
+    * conversations parses to turns ([[graft.text.Sft.parseTurns]]),
+    * the protocol-validity gate drops malformed transcripts
+    * (user-first, alternating, known roles — BPE-exact token
+    * accounting rides along), and RESPONSE-LEVEL dedup
+    * ([[graft.text.Sft.dedupByAssistant]]'s key) drops transcripts
+    * whose ordered assistant content already landed — first within the
+    * batch (lowest id), then against the persisted key index. Kept
+    * conversations (with their assistant-token counts) land
+    * `corpusPath/batch=<id>`; their keys append `indexPath/batch=<id>`.
+    * Same idempotent overwrite, restart guard, and compaction contract
+    * as the sibling sinks; per-stage drops ride the LoadResult as
+    * `invalid=<n>;dup=<n>`. */
+  def sftPrepSink(stream: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String, idCol: String, convCol: String,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.text.Sft
+        val t0 = System.nanoTime()
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val indexFs = new Path(indexPath).getFileSystem(conf)
+        val committed = indexFs
+          .globStatus(new Path(indexPath, "batch=*/_SUCCESS"))
+        val hasIndex = committed != null && committed.nonEmpty
+        if (batchId == 0 && hasIndex &&
+            committed.exists(s => s.getPath.getParent.getName != "batch=0"))
+          throw new IllegalStateException(
+            s"sftPrepSink: batchId restarted at 0 but $indexPath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or start a fresh corpus/index path.")
+        val total = batch.count()
+        if (total > 0) {
+          val turns = Sft.parseTurns(batch.select(col(idCol), col(convCol)),
+            idCol, convCol).localCheckpoint()
+          val stats = Sft.conversationStats(turns)
+          val valid = stats.filter(col("valid") === 1)
+            .select(col("doc_id"), col("assistant_tokens"))
+            .localCheckpoint()
+          val vN = valid.count()
+          val validTurns = turns.join(valid.select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          // response keys of the batch's VALID transcripts; in-batch
+          // first-wins, then anti-join the persisted key index (its
+          // own prior attempt excluded — the replay rule the funnel
+          // sink documents)
+          val keys = Sft.dedupByAssistant(validTurns)
+            .select(col("doc_id"), col("assistant_md5"))
+          val indexed =
+            if (hasIndex)
+              spark.read.parquet(indexPath)
+                .filter(col("batch") =!= batchId)
+                .select(col("assistant_md5"))
+            else keys.select(col("assistant_md5")).limit(0)
+          val kept = keys.join(indexed, Seq("assistant_md5"), "left_anti")
+            .join(valid, Seq("doc_id"))
+            .join(batch.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
+            .localCheckpoint()
+          val keptN = kept.count()
+          kept.drop("assistant_md5")
+            .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          kept.select(col("doc_id"), col("assistant_md5"))
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          onLoad(LoadResult(success = true, rowsLoaded = keptN,
+            tableName = corpusPath,
+            durationSeconds = (System.nanoTime() - t0) / 1e9,
+            errorMessage =
+              if (keptN < total)
+                Some(s"invalid=${total - vN};dup=${vN - keptN}")
+              else None))
+        } else {
+          onLoad(LoadResult(success = true, rowsLoaded = 0L,
+            tableName = corpusPath,
+            durationSeconds = (System.nanoTime() - t0) / 1e9))
+        }
+      }
+
   /** Streaming perceptual-hash dedup — the MEDIA twin of
     * [[nearDupDedupSink]]: each micro-batch's records hash to their
     * dHash ([[graft.multimodal.DecodeStub.perceptualHash]] — real

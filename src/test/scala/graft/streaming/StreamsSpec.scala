@@ -699,6 +699,55 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     bos.toByteArray
   }
 
+  test("sft prep sink: validity gate + response dedup across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def conv(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("[", ",", "]")
+    val dir = Files.createTempDirectory("graft-sftsink").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "conv")
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val q = Streams.sftPrepSink(stream, s"$dir/corpus", s"$dir/index",
+      s"$dir/ckpt", "doc_id", "conv", trig = Streams.trigger(1),
+      onLoad = r => loads.synchronized { loads += r }).start()
+    try {
+      // batch 1: 1 valid; 2 invalid (assistant-first); 3 repeats 1's
+      // RESPONSE with different user phrasing → in-batch dup
+      input.addData(
+        (1L, conv("user" -> "how do I sort", "assistant" -> "use quicksort")),
+        (2L, conv("assistant" -> "hello", "user" -> "hi")),
+        (3L, conv("user" -> "sorting help pls", "assistant" -> "use quicksort")))
+      q.processAllAvailable()
+      // batch 2: 4 repeats the INDEXED response → dup vs index; 5 fresh
+      input.addData(
+        (4L, conv("user" -> "again", "assistant" -> "use quicksort")),
+        (5L, conv("user" -> "what about heaps", "assistant" -> "use heapsort")))
+      q.processAllAvailable()
+
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id", "assistant_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(corpus.keySet == Set(1L, 5L), corpus)
+      // BPE-exact accounting rode along with the kept rows
+      assert(corpus.values.forall(_ > 0L), corpus)
+      val index = spark.read.parquet(s"$dir/index")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(index == Set(1L, 5L))
+      val stages = loads.filter(_.errorMessage.nonEmpty)
+        .flatMap(_.errorMessage).map { m =>
+          m.split(";").map { kv =>
+            val Array(k, v) = kv.split("="); k -> v.toLong
+          }.toMap
+        }
+      assert(stages.map(_("invalid")).sum == 1L, stages)
+      assert(stages.map(_("dup")).sum == 2L, stages)
+    } finally q.stop()
+  }
+
   test("phash dedup sink: in-batch and vs-index image near-dups drop") {
     val spark2 = spark
     import spark2.implicits._
