@@ -555,6 +555,102 @@ object TextQueries extends QueryPack {
       .orderBy(col("stage_idx"))
   }
 
+  /** The COMPLETE pretraining-data pipeline, end to end, with
+    * per-stage survivor counts — the flagship composition a corpus
+    * team would actually run, every stage the library operator with
+    * its standalone query's parameters:
+    *
+    * blocklist gate → Gopher quality gate → C4 line cleaning →
+    * committed-model quality gate → exact dedup on cleaned text →
+    * MinHash near-dedup (5-gram Jaccard ≥ 0.8, transitive, lowest id
+    * survives) → decontamination against the src0 "eval set"
+    * (whole-document fingerprints) → deterministic 50% sample →
+    * BPE-exact 2048-token sequence packing.
+    *
+    * Filters run cheapest-first so every shuffle (scoring, dedup
+    * pairs, packing) sees minimum volume; the oracle recomputes ALL
+    * nine stages independently — including the MinHash pair closure
+    * and the BPE merge loop over the surviving cleaned text — pinning
+    * the full composition. The near-dedup stage drops ZERO docs on
+    * this fixture and the oracle agrees exactly: C4 cleaning collapses
+    * the fixture's near-duplicates into byte-identical cleaned text,
+    * so the exact stage catches them first — the stage here pins the
+    * no-false-positive side; the positive regime is d2/d5's. */
+  def txPretrainPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Curation, QualityClassifier, QualityModelFixture, TextFunctions}
+    import graft.operators.Sampling
+    val docs = table(s, dir, "documents")
+    // frequency-threshold spelling of the gate (maxHits = 2 over a
+    // common term) so the blocklist stage actually gates the fixture
+    // WITHOUT re-removing the planted duplicates — the whole-token
+    // rare-term spelling ("dup") took out exactly the duplicate family
+    // and left the dedup stages nothing to do
+    val terms = Seq("slow")
+    val flagged = docs
+      .withColumn("__s1",
+        Curation.blocklistPassed(col("text"), terms, maxHits = 2L))
+      .withColumn("__s2", col("__s1") && Curation.gopherPassed(
+        Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
+      .withColumn("__t2", segmentLines(col("text")))
+      .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords = 3))
+      .withColumn("__s3",
+        col("__s2") && !Curation.c4DocDrop(col("__t2")) && col("clean") =!= "")
+    val head = flagged.agg(
+      count(lit(1)).as("total"),
+      sum(col("__s1").cast("long")).as("blocklist"),
+      sum(col("__s2").cast("long")).as("gopher"),
+      sum(col("__s3").cast("long")).as("c4"))
+    // localCheckpoint at the stage boundaries every later count
+    // re-reads: without them Catalyst re-derives the whole
+    // gopher/c4/score/dedup chain once per downstream aggregate
+    // (measured 6.9 s -> ~2 s at sf0.1)
+    val survivors = flagged.filter(col("__s3"))
+      .select(col("doc_id"), col("source"), col("clean"))
+      .localCheckpoint()
+    val modelKept = survivors.join(
+      QualityClassifier.scoreQuantized(survivors, "doc_id", "clean",
+          QualityModelFixture.weightsQ, QualityModelFixture.biasQ,
+          QualityModelFixture.buckets)
+        .filter(col("clf_pass") === 1).select(col("doc_id")),
+      Seq("doc_id"))
+    val mCount = modelKept.agg(count(lit(1)).as("model"))
+    val exact = graft.dedup.Dedup.exactByContent(modelKept, "doc_id", "clean")
+      .localCheckpoint()
+    val eCount = exact.agg(count(lit(1)).as("exact_dedup"))
+    val pairs = graft.dedup.Dedup.minhashNearDuplicates(exact, "doc_id",
+      "clean", shingleSize = 5, threshold = 0.8)
+    val near = graft.dedup.Dedup.removeNearDuplicatesTransitive(
+      exact, pairs, "doc_id").localCheckpoint()
+    val nCount = near.agg(count(lit(1)).as("near_dedup"))
+    val evalFps = docs.filter(col("source") === "src0")
+      .select(TextFunctions.minShingleFingerprint(col("text"), 5).as("__fp"))
+      .filter(col("__fp").isNotNull).distinct()
+    val decon = near
+      .withColumn("__fp", TextFunctions.minShingleFingerprint(col("clean"), 5))
+      .join(broadcast(evalFps), Seq("__fp"), "left_anti")
+    val dCount = decon.agg(count(lit(1)).as("decontaminated"))
+    val sampled = Sampling.deterministicSample(decon, "doc_id", 0.5)
+    val sCount = sampled.agg(count(lit(1)).as("sampled"))
+    val bCount = Sampling.packSequences(sampled, "source", "doc_id",
+        TextFunctions.bpeTokenCount(col("clean")), 2048L)
+      .select(col("source"), col("batch_id")).distinct()
+      .agg(count(lit(1)).as("batches"))
+    def stageRow(i: Int, name: String) =
+      struct(lit(i).cast("int").as("stage_idx"), lit(name).as("stage"),
+        col(name).as("n_docs"))
+    head.crossJoin(mCount).crossJoin(eCount).crossJoin(nCount)
+      .crossJoin(dCount).crossJoin(sCount).crossJoin(bCount)
+      .select(explode(array(
+        stageRow(0, "total"), stageRow(1, "blocklist"),
+        stageRow(2, "gopher"), stageRow(3, "c4"), stageRow(4, "model"),
+        stageRow(5, "exact_dedup"), stageRow(6, "near_dedup"),
+        stageRow(7, "decontaminated"), stageRow(8, "sampled"),
+        stageRow(9, "batches"))).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.n_docs").as("n_docs"))
+      .orderBy(col("stage_idx"))
+  }
+
   /** Deterministic conversation synthesis over `documents` (both
     * engines build the IDENTICAL JSON string by concatenation — the
     * word-salad corpus contains no JSON metachars, so no escaping
@@ -834,6 +930,7 @@ object TextQueries extends QueryPack {
     "tx_html_extract" -> (txHtmlExtract _),
     "tx_html_funnel" -> (txHtmlFunnel _),
     "tx_blocklist" -> (txBlocklist _),
+    "tx_pretrain_pipeline" -> (txPretrainPipeline _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
@@ -1166,7 +1263,136 @@ object TextQueries extends QueryPack {
       turns AS ($sftTurnsSql)
       SELECT doc_id * 4 + turn_idx AS doc_id, content AS text FROM turns)"""
 
+  // the FULL pretraining pipeline as one reusable CTE pack ending at
+  // samp2(doc_id, source, clean) — spliced twice into the flagship
+  // oracle: once at top level for the stage counts, once inside the
+  // self-contained relation the BPE prelude tokenizes (the dict CTEs
+  // must see exactly the sampled survivors' cleaned text)
+  private lazy val pretrainCtes: String = s"""
+      bl AS (
+        SELECT doc_id FROM documents
+        WHERE len(list_filter(string_split_regex(text, '\\s+'),
+          x2 -> list_contains(['slow'], lower(x2)))) <= 2),
+      t AS ($gopherPrepSql),
+      m AS ($gopherMetricsSql),
+      g AS (SELECT m.doc_id FROM m JOIN bl ON m.doc_id = bl.doc_id
+            WHERE $gopherPassSql),
+      seg AS (
+        SELECT d.doc_id, d.source, $segmentLinesSql AS t2
+        FROM documents d JOIN g ON d.doc_id = g.doc_id),
+      f AS (
+        SELECT doc_id, source, string_split(t2, chr(10)) AS lines FROM seg
+        WHERE NOT (contains(lower(t2), 'lorem ipsum') OR contains(t2, '{'))),
+      c AS (
+        SELECT doc_id, source, array_to_string($c4KeptSql, chr(10)) AS clean
+        FROM f),
+      c2 AS (SELECT doc_id, source, clean FROM c WHERE clean <> ''),
+      bkt AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                 % ${graft.text.QualityModelFixture.buckets} AS bucket
+        FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(toks2[i:i+1], ' ')
+                         FOR i IN range(1, len(toks2))]) AS gram
+          FROM (SELECT doc_id, string_split_regex(clean, '\\s+') AS toks2
+                FROM c2)
+          WHERE len(toks2) >= 2)),
+      cc2 AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bkt GROUP BY 1, 2),
+      w AS (SELECT * FROM (VALUES $clfValuesSql) AS t(bucket, wq)),
+      sc AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c * COALESCE(w.wq, 0)) AS BIGINT) AS clf_score
+        FROM cc2 LEFT JOIN w USING (bucket) GROUP BY doc_id),
+      mk AS (
+        SELECT c2.doc_id, c2.source, c2.clean
+        FROM c2 JOIN sc ON c2.doc_id = sc.doc_id
+        WHERE sc.clf_score
+          + ${graft.text.QualityModelFixture.biasQ} * sc.n_bigrams >= 0),
+      ex AS (
+        SELECT doc_id, source, clean FROM (
+          SELECT doc_id, source, clean,
+                 ROW_NUMBER() OVER (PARTITION BY clean ORDER BY doc_id) AS rn
+          FROM mk) WHERE rn = 1),
+      sets AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(ctoks[i:i+4], ' ')
+                              FOR i IN range(1, len(ctoks) - 3)]) AS sh
+        FROM (SELECT doc_id, string_split_regex(clean, '\\s+') AS ctoks
+              FROM ex)
+        WHERE len(ctoks) >= 5),
+      prs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                >= 0.8),
+      edg AS (
+        SELECT id_a AS esrc, id_b AS edst FROM prs
+        UNION SELECT id_b, id_a FROM prs),
+      rch(rsrc, rdst) AS (
+        SELECT DISTINCT esrc, esrc FROM edg
+        UNION
+        SELECT r.rsrc, e2.edst FROM rch r JOIN edg e2 ON r.rdst = e2.esrc),
+      cmp AS (SELECT rsrc AS doc_id, MIN(rdst) AS cluster_id
+              FROM rch GROUP BY rsrc),
+      nd AS (
+        SELECT ex.doc_id, ex.source, ex.clean FROM ex
+        WHERE ex.doc_id NOT IN
+          (SELECT doc_id FROM cmp WHERE doc_id <> cluster_id)),
+      efp AS (
+        SELECT DISTINCT fp FROM (
+          SELECT $fpSql AS fp
+          FROM (SELECT string_split_regex(text, '\\s+') AS toks
+                FROM documents WHERE source = 'src0'))
+        WHERE fp IS NOT NULL),
+      ndf AS (
+        SELECT doc_id, source, clean, $fpSql AS fp
+        FROM (SELECT doc_id, source, clean,
+                     string_split_regex(clean, '\\s+') AS toks FROM nd)),
+      dec AS (
+        SELECT doc_id, source, clean FROM ndf
+        WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM efp)),
+      samp2 AS (
+        SELECT doc_id, source, clean FROM dec
+        WHERE $bucketSql < 500000)"""
+
   val oracles: Map[String, String] = Map(
+    "tx_pretrain_pipeline" -> {
+      val rel =
+        s"(WITH RECURSIVE $pretrainCtes SELECT doc_id, clean AS text FROM samp2)"
+      s"""
+      WITH RECURSIVE ${BpeOracleSql.dictCtesFor(rel)},
+      ${BpeOracleSql.docCtesFor(rel)},
+      $pretrainCtes,
+      pk AS (
+        SELECT s2.source, s2.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens
+        FROM samp2 s2 JOIN bpe_docs b ON s2.doc_id = b.doc_id),
+      pc AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM pk),
+      b2 AS (
+        SELECT DISTINCT source, CAST((c - n_tokens) // 2048 AS BIGINT) AS bid
+        FROM pc)
+      SELECT CAST(0 AS INT) AS stage_idx, 'total' AS stage,
+             CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'blocklist', CAST((SELECT COUNT(*) FROM bl) AS BIGINT)
+      UNION ALL SELECT 2, 'gopher', CAST((SELECT COUNT(*) FROM g) AS BIGINT)
+      UNION ALL SELECT 3, 'c4', CAST((SELECT COUNT(*) FROM c2) AS BIGINT)
+      UNION ALL SELECT 4, 'model', CAST((SELECT COUNT(*) FROM mk) AS BIGINT)
+      UNION ALL SELECT 5, 'exact_dedup',
+                CAST((SELECT COUNT(*) FROM ex) AS BIGINT)
+      UNION ALL SELECT 6, 'near_dedup',
+                CAST((SELECT COUNT(*) FROM nd) AS BIGINT)
+      UNION ALL SELECT 7, 'decontaminated',
+                CAST((SELECT COUNT(*) FROM dec) AS BIGINT)
+      UNION ALL SELECT 8, 'sampled',
+                CAST((SELECT COUNT(*) FROM samp2) AS BIGINT)
+      UNION ALL SELECT 9, 'batches', CAST((SELECT COUNT(*) FROM b2) AS BIGINT)
+      ORDER BY stage_idx"""
+    },
     "sft_dedup" -> s"""
       WITH conv AS ($sftConvSql),
       turns AS ($sftTurnsSql),

@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   private val boundedBnlj = Set(
     "c2_dedup_events", "d1_exact_dedup", "v_rowlevel_events",
     "sim_topk_brute", "tx_curation_funnel", "tx_funnel_model",
-    "tx_html_funnel", "sft_funnel")
+    "tx_html_funnel", "sft_funnel", "tx_pretrain_pipeline")
 
   test("no query plans a CartesianProduct; BNLJ only where provably bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
