@@ -112,6 +112,48 @@ object TextStress {
     require(funnel._2 > 0L && funnel._2 <= funnel._1.getLong(1),
       s"dedup count out of range: $funnel")
 
+    // ——— 2b. the FLAGSHIP pipeline at sf1.0 volume ———
+    // the tx_pretrain_pipeline composition (blocklist → Gopher → C4 →
+    // model gate → exact dedup → MinHash near-dedup → 50% sample →
+    // BPE packing; decontamination skipped — the synthetic corpus has
+    // no eval split) over the same 50k docs
+    val (pipe, pipeSec) = timed {
+      import graft.operators.Sampling
+      import graft.text.TextFunctions
+      val flagged = docs
+        .withColumn("__s1",
+          Curation.blocklistPassed(col("text"), Seq("slow"), maxHits = 8L))
+        .withColumn("__s2", col("__s1") && Curation.gopherPassed(
+          Curation.gopherFeatures(col("text")),
+          minTokens = 50, minStopWords = 1))
+        .withColumn("clean", Curation.c4CleanedText(
+          concat(col("text"), lit(".")), minWords = 3))
+        .withColumn("__s3", col("__s2") && col("clean") =!= "")
+      val survivors = flagged.filter(col("__s3"))
+        .select(col("doc_id"), col("clean")).localCheckpoint()
+      val modelKept = survivors.join(
+        QualityClassifier.scoreQuantized(survivors, "doc_id", "clean",
+            QualityModelFixture.weightsQ, QualityModelFixture.biasQ,
+            QualityModelFixture.buckets)
+          .filter(col("clf_pass") === 1).select(col("doc_id")),
+        Seq("doc_id"))
+      val exact = graft.dedup.Dedup.exactByContent(modelKept, "doc_id", "clean")
+        .localCheckpoint()
+      val pairs = graft.dedup.Dedup.minhashNearDuplicates(exact, "doc_id",
+        "clean", shingleSize = 5, threshold = 0.8)
+      val near = graft.dedup.Dedup.removeNearDuplicatesTransitive(
+        exact, pairs, "doc_id").localCheckpoint()
+      val sampled = Sampling.deterministicSample(near, "doc_id", 0.5)
+        .withColumn("source", lit("s"))
+      val batches = Sampling.packSequences(sampled, "source", "doc_id",
+          TextFunctions.bpeTokenCount(col("clean")), 2048L)
+        .select(col("source"), col("batch_id")).distinct().count()
+      (flagged.count(), near.count(), batches)
+    }
+    require(pipe._1 == nDocs && pipe._2 > 0L && pipe._2 <= nDocs,
+      s"pipeline counts out of range: $pipe")
+    require(pipe._3 > 0L, s"no batches packed: $pipe")
+
     // ——— 3. SFT prep with tokenizer-exact accounting, 150k turns ———
     val toks = split(col("text"), "\\s+")
     val conv = concat(
@@ -134,7 +176,7 @@ object TextStress {
     require(sft._1.getLong(1) > 0L, "assistant tokens must be counted")
     require(sft._2 > 0L && sft._2 <= nDocs, s"sft dedup out of range: $sft")
 
-    println(f"""{"metric":"text_stress","docs":$nDocs,"dup_runs_sec":$runSec%.1f,"funnel_model_sec":$funnelSec%.1f,"sft_sec":$sftSec%.1f,"peak_heap_mb":${peakHeapMb()}}""")
+    println(f"""{"metric":"text_stress","docs":$nDocs,"dup_runs_sec":$runSec%.1f,"funnel_model_sec":$funnelSec%.1f,"pretrain_pipeline_sec":$pipeSec%.1f,"sft_sec":$sftSec%.1f,"peak_heap_mb":${peakHeapMb()}}""")
     spark.stop()
   }
 }
