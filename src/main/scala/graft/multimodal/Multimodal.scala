@@ -1010,12 +1010,15 @@ object Multimodal {
     * segments pass through untouched. */
   def attachMedia(segments: DataFrame, media: DataFrame,
       mediaIdCol: String): DataFrame = {
+    // explicit presence marker: inferring a match from "some payload
+    // column is non-null" breaks on a key-only media table (no column
+    // left to test) and on genuinely-null payload columns
     val m = media.withColumnRenamed(mediaIdCol, "media_id")
+      .withColumn("__present", lit(true))
     segments.join(m, Seq("media_id"), "left")
       .withColumn("resolved",
-        (col("kind") === "text") ||
-          m.columns.filter(_ != "media_id").headOption
-            .map(c => col(c).isNotNull).getOrElse(lit(true)))
+        (col("kind") === "text") || col("__present").isNotNull)
+      .drop("__present")
   }
 
   /** Deterministic "frame sampling": `n` evenly-spaced fixed-width
