@@ -259,6 +259,42 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L)._4 == md5hex("z1 z2 z3 z4 z5 z6 z7 z8 z9"))
   }
 
+  test("materializePacked invariants on random weights: offsets tile each batch") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"src${i % 3}", s"doc body $i", 1L + rnd.nextInt(40)))
+      .toDF("doc_id", "source", "text", "w")
+    val out = Sampling.materializePacked(docs, "source", "doc_id",
+        "text", col("w"), budget = 64L)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val offs = r.getAs[String]("offsets").split(",").map(_.toLong)
+      val nDocs = r.getAs[Long]("n_docs")
+      val total = r.getAs[Long]("batch_tokens")
+      assert(offs.length == nDocs)
+      assert(offs.head == 0L)
+      // strictly increasing (weights are >= 1) and bounded by total
+      assert(offs.zip(offs.tail).forall { case (a, b) => a < b }, offs.toSeq)
+      assert(offs.last < total)
+    }
+    // per (source, batch): union of docs matches packSequences exactly
+    val direct = Sampling.packSequences(docs, "source", "doc_id",
+        col("w"), 64L)
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    out.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Long]("batch_id"))
+      assert(direct(k) ==
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("batch_tokens"))), k)
+    }
+  }
+
   test("shardAndShuffle: balanced shards, contiguous ranks, layout-independent") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = Sampling.shardAndShuffle(docs, "doc_id", nShards = 8)

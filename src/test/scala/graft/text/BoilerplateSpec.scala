@@ -178,6 +178,40 @@ class BoilerplateSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L).startsWith("a1") && out(2L).startsWith("b1"))
   }
 
+  test("removeDupRuns invariants on 100 random docs with planted duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val block = (1 to 12).map(i => s"blk$i").mkString(" ") // 12-token run
+    val docs = (1 to 100).map { i =>
+      val body = (1 to 30).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val withBlock =
+        if (i % 4 == 0) block +: body.map(w => s"$w$i") // unique-ify body
+        else body.map(w => s"$w$i")
+      (i.toLong, withBlock.mkString(" "))
+    }.toDF("doc_id", "text")
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Boilerplate.removeDupRuns(docs, "doc_id", "text",
+        n = 5, minRun = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == orig.keySet)
+    out.foreach { case (id, cleaned) =>
+      val kept = cleaned.split("\\s+").filter(_.nonEmpty)
+      val source = orig(id).split("\\s+")
+      // every doc's output is a SUBSEQUENCE of its input tokens
+      var j = 0
+      kept.foreach { t =>
+        while (j < source.length && source(j) != t) j += 1
+        assert(j < source.length, s"doc $id: '$t' not in order in source")
+        j += 1
+      }
+    }
+    // the planted block survives in exactly the first carrier
+    val carriers = orig.keys.filter(_ % 4 == 0).toSeq.sorted
+    val surviving = out.filter(_._2.contains(block)).keys.toSeq
+    assert(surviving == Seq(carriers.head), s"block survivors: $surviving")
+  }
+
   test("removeDupRuns requires minRun >= n") {
     intercept[IllegalArgumentException] {
       Boilerplate.removeDupRuns(docs, "doc_id", "text", n = 5, minRun = 3)

@@ -51,6 +51,36 @@ class HtmlSpec extends AnyFunSuite with SparkSpec {
     assert(extract("") == "")
   }
 
+  test("extraction is idempotent on 200 generated documents") {
+    val s = spark
+    import s.implicits._
+    // pseudo-random HTML-ish docs: tags, comments, scripts, odd
+    // whitespace, plus &amp; (which decodes to a bare '&' — stable
+    // under a second pass). Angle-bracket ENTITIES are deliberately
+    // excluded: decoding &lt;b&gt; yields live markup, so re-running
+    // extraction re-parses it — double-decode is inherent to
+    // decode-then-reparse, not a bug to pin idempotence against.
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "x", "&amp;",
+      "  spaced  out  ")
+    val frags = Seq("<p>", "</p>", "<div class='c'>", "</div>", "<br/>",
+      "<script>var x = \"</p>\";</script>", "<!-- note -->",
+      "<style>.a { b: c; }</style>", "<span>", "</span>", "<h2>", "</h2>")
+    val docs = (1 to 200).map { i =>
+      (i.toLong, (1 to 12).map(_ =>
+        if (rnd.nextBoolean()) frags(rnd.nextInt(frags.size))
+        else words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("id", "html")
+    val once = docs.select(col("id"), Html.extractText(col("html")).as("x"))
+    val twice = once.select(col("id"), Html.extractText(col("x")).as("y"),
+        col("x"))
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not a fixpoint:\n<${r.getString(2)}>\n<${r.getString(1)}>")
+    }
+  }
+
   test("attributes and self-closing block tags handled") {
     assert(extract("""<div class="x" id='y'>inside</div>""") == "inside")
     assert(extract("""<hr class="sep"/><p>after</p>""") == "after")
