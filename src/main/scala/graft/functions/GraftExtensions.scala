@@ -71,6 +71,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DeflateLenExpr].getName,
         "graft_deflate_len"),
       (args: Seq[Expression]) => DeflateLenExpr(args.head)),
+    ("graft_bpe_count",
+      new ExpressionInfo(classOf[BpeCountExpr].getName, "graft_bpe_count"),
+      (args: Seq[Expression]) => BpeCountExpr(args.head, "default")),
+    ("graft_bpe_tokens",
+      new ExpressionInfo(classOf[BpeTokensExpr].getName, "graft_bpe_tokens"),
+      (args: Seq[Expression]) => BpeTokensExpr(args.head, "default")),
     ("graft_lang_id",
       new ExpressionInfo(classOf[LangIdProfileExpr].getName,
         "graft_lang_id"),

@@ -34,6 +34,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(hh == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("BPE and lang-id functions callable from SQL") {
+    GraftExtensions.install(spark)
+    val row = spark.sql(
+      """SELECT graft_bpe_count('fast table scan') AS n,
+        |       graft_bpe_tokens('fast') AS toks,
+        |       graft_lang_id('the quick brown fox and the lazy dog of that era have been here') AS l
+        |""".stripMargin).head()
+    assert(row.getInt(0) > 0)
+    assert(row.getSeq[String](1).nonEmpty &&
+      row.getSeq[String](1).last == graft.functions.Bpe.EndOfWord)
+    assert(row.getStruct(2).getString(0) == "en")
+  }
+
   test("SQL results match the Column API") {
     GraftExtensions.install(spark)
     import spark.implicits._
