@@ -560,7 +560,8 @@ object TextQueries extends QueryPack {
     * team would actually run, every stage the library operator with
     * its standalone query's parameters:
     *
-    * blocklist gate → Gopher quality gate → C4 line cleaning →
+    * blocklist gate → language gate (stopword vote == en) → Gopher
+    * quality gate → C4 line cleaning →
     * committed-model quality gate → exact dedup on cleaned text →
     * MinHash near-dedup (5-gram Jaccard ≥ 0.8, transitive, lowest id
     * survives) → decontamination against the src0 "eval set"
@@ -589,7 +590,9 @@ object TextQueries extends QueryPack {
     val flagged = docs
       .withColumn("__s1",
         Curation.blocklistPassed(col("text"), terms, maxHits = 2L))
-      .withColumn("__s2", col("__s1") && Curation.gopherPassed(
+      .withColumn("__sL",
+        col("__s1") && (TextFunctions.langId(col("text")) === "en"))
+      .withColumn("__s2", col("__sL") && Curation.gopherPassed(
         Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
       .withColumn("__t2", segmentLines(col("text")))
       .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords = 3))
@@ -598,6 +601,7 @@ object TextQueries extends QueryPack {
     val head = flagged.agg(
       count(lit(1)).as("total"),
       sum(col("__s1").cast("long")).as("blocklist"),
+      sum(col("__sL").cast("long")).as("lang"),
       sum(col("__s2").cast("long")).as("gopher"),
       sum(col("__s3").cast("long")).as("c4"))
     // localCheckpoint at the stage boundaries every later count
@@ -642,10 +646,10 @@ object TextQueries extends QueryPack {
       .crossJoin(dCount).crossJoin(sCount).crossJoin(bCount)
       .select(explode(array(
         stageRow(0, "total"), stageRow(1, "blocklist"),
-        stageRow(2, "gopher"), stageRow(3, "c4"), stageRow(4, "model"),
-        stageRow(5, "exact_dedup"), stageRow(6, "near_dedup"),
-        stageRow(7, "decontaminated"), stageRow(8, "sampled"),
-        stageRow(9, "batches"))).as("s"))
+        stageRow(2, "lang"), stageRow(3, "gopher"), stageRow(4, "c4"),
+        stageRow(5, "model"), stageRow(6, "exact_dedup"),
+        stageRow(7, "near_dedup"), stageRow(8, "decontaminated"),
+        stageRow(9, "sampled"), stageRow(10, "batches"))).as("s"))
       .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
         col("s.n_docs").as("n_docs"))
       .orderBy(col("stage_idx"))
@@ -1273,9 +1277,17 @@ object TextQueries extends QueryPack {
         SELECT doc_id FROM documents
         WHERE len(list_filter(string_split_regex(text, '\\s+'),
           x2 -> list_contains(['slow'], lower(x2)))) <= 2),
+      lsc AS (
+        SELECT doc_id, ${langCase._1}
+        FROM (SELECT doc_id,
+                     list_distinct(string_split_regex(text, '\\s+')) AS toks
+              FROM documents)),
+      lng AS (
+        SELECT lsc.doc_id FROM lsc JOIN bl ON lsc.doc_id = bl.doc_id
+        WHERE ${langCase._3} > 0 AND ${langCase._2} = 'en'),
       t AS ($gopherPrepSql),
       m AS ($gopherMetricsSql),
-      g AS (SELECT m.doc_id FROM m JOIN bl ON m.doc_id = bl.doc_id
+      g AS (SELECT m.doc_id FROM m JOIN lng ON m.doc_id = lng.doc_id
             WHERE $gopherPassSql),
       seg AS (
         SELECT d.doc_id, d.source, $segmentLinesSql AS t2
@@ -1379,18 +1391,19 @@ object TextQueries extends QueryPack {
       SELECT CAST(0 AS INT) AS stage_idx, 'total' AS stage,
              CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
       UNION ALL SELECT 1, 'blocklist', CAST((SELECT COUNT(*) FROM bl) AS BIGINT)
-      UNION ALL SELECT 2, 'gopher', CAST((SELECT COUNT(*) FROM g) AS BIGINT)
-      UNION ALL SELECT 3, 'c4', CAST((SELECT COUNT(*) FROM c2) AS BIGINT)
-      UNION ALL SELECT 4, 'model', CAST((SELECT COUNT(*) FROM mk) AS BIGINT)
-      UNION ALL SELECT 5, 'exact_dedup',
+      UNION ALL SELECT 2, 'lang', CAST((SELECT COUNT(*) FROM lng) AS BIGINT)
+      UNION ALL SELECT 3, 'gopher', CAST((SELECT COUNT(*) FROM g) AS BIGINT)
+      UNION ALL SELECT 4, 'c4', CAST((SELECT COUNT(*) FROM c2) AS BIGINT)
+      UNION ALL SELECT 5, 'model', CAST((SELECT COUNT(*) FROM mk) AS BIGINT)
+      UNION ALL SELECT 6, 'exact_dedup',
                 CAST((SELECT COUNT(*) FROM ex) AS BIGINT)
-      UNION ALL SELECT 6, 'near_dedup',
+      UNION ALL SELECT 7, 'near_dedup',
                 CAST((SELECT COUNT(*) FROM nd) AS BIGINT)
-      UNION ALL SELECT 7, 'decontaminated',
+      UNION ALL SELECT 8, 'decontaminated',
                 CAST((SELECT COUNT(*) FROM dec) AS BIGINT)
-      UNION ALL SELECT 8, 'sampled',
+      UNION ALL SELECT 9, 'sampled',
                 CAST((SELECT COUNT(*) FROM samp2) AS BIGINT)
-      UNION ALL SELECT 9, 'batches', CAST((SELECT COUNT(*) FROM b2) AS BIGINT)
+      UNION ALL SELECT 10, 'batches', CAST((SELECT COUNT(*) FROM b2) AS BIGINT)
       ORDER BY stage_idx"""
     },
     "sft_dedup" -> s"""
