@@ -303,8 +303,19 @@ object Dedup {
     * explode into `nChunks` chunks of `chunkBits` bits, equi-join on
     * (chunk index, chunk value) — pigeonhole-complete whenever
     * maxHamming < nChunks — then verify with bit_count(xor). */
+  /** `maxChunkGroup` is the hamming twin of [[lshCandidatePairs]]'
+    * `maxBandGroup`: a corpus of byte-identical media (blank
+    * thumbnails, silence clips) puts every record in the same
+    * (chunk, value) bucket and the self-join emits O(n²) pairs per
+    * bucket. Over-cap groups switch to the STAR topology — every
+    * member pairs with the group's minimum id, O(n). Identical hashes
+    * share ALL chunks (hamming 0), so the representative catches every
+    * mass-duplicate; the same precisely-stated recall trade as the
+    * band cap applies to near-but-not-identical pairs whose only
+    * shared bucket was capped. 0 (default) = exhaustive — what the
+    * oracle-checked queries use. */
   private[graft] def hammingPairs(sigs: DataFrame, chunkBits: Int, nChunks: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxChunkGroup: Int = 0): DataFrame = {
     require(maxHamming < nChunks,
       s"pigeonhole blocking needs maxHamming ($maxHamming) < nChunks ($nChunks)")
     val mask = (1L << chunkBits) - 1
@@ -314,14 +325,40 @@ object Dedup {
         .as(Seq("__chunk", "__cv")))
     // shuffle_hash on the self-join → one shared Exchange (signatures
     // computed once); a self-side broadcast double-scans the corpus
-    chunked.as("l").hint("shuffle_hash").join(chunked.as("r"),
-        col("l.__chunk") === col("r.__chunk") && col("l.__cv") === col("r.__cv") &&
-        col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).cast(LongType)
-          .as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    def selfPairs(c: DataFrame): DataFrame =
+      c.as("l").hint("shuffle_hash").join(c.as("r"),
+          col("l.__chunk") === col("r.__chunk") && col("l.__cv") === col("r.__cv") &&
+          col("l.__id") < col("r.__id"))
+        .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+          bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).cast(LongType)
+            .as("hamming"))
+    val pairs =
+      if (maxChunkGroup <= 0) selfPairs(chunked)
+      else {
+        // one window pass sizes each (chunk, value) group — the same
+        // shuffle key as the join, so no extra exchange shape
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__chunk"), col("__cv"))
+        val sized = chunked
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__rep", min(col("__id")).over(w))
+        val small = sized.filter(col("__n") <= maxChunkGroup)
+          .select(col("__id"), col("__sim"), col("__chunk"), col("__cv"))
+        // each over-cap member joins its ONE representative row —
+        // O(group) pairs, never the group clique
+        val reps = sized.filter(col("__n") > maxChunkGroup &&
+            col("__id") === col("__rep"))
+          .select(col("__chunk"), col("__cv"),
+            col("__id").as("id_a"), col("__sim").as("__sim_a"))
+        val bigStar = sized.filter(col("__n") > maxChunkGroup &&
+            col("__id") =!= col("__rep"))
+          .join(reps, Seq("__chunk", "__cv"))
+          .select(col("id_a"), col("__id").as("id_b"),
+            bit_count(col("__sim_a").bitwiseXOR(col("__sim")))
+              .cast(LongType).as("hamming"))
+        selfPairs(small).unionByName(bigStar)
+      }
+    pairs.distinct().filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash near-dup pairs at hamming distance ≤ `maxHamming` (< 16):

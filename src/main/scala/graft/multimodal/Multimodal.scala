@@ -944,10 +944,12 @@ object Multimodal {
     * cross product — the [[graft.dedup.Dedup]] scale argument applies
     * unchanged to image corpora. */
   def imageNearDuplicates(hashes: DataFrame, idCol: String,
-      hashCol: String, maxHamming: Int = 3): DataFrame =
+      hashCol: String, maxHamming: Int = 3,
+      maxChunkGroup: Int = 0): DataFrame =
     graft.dedup.Dedup.hammingPairs(
       hashes.select(col(idCol).as("__id"), col(hashCol).as("__sim")),
-      chunkBits = 16, nChunks = 4, maxHamming = maxHamming)
+      chunkBits = 16, nChunks = 4, maxHamming = maxHamming,
+      maxChunkGroup = maxChunkGroup)
 
   /** Audio energy-contour hash per record
     * ([[DecodeStub.audioPerceptualHash]]): real WAV/AIFF/AU payloads
@@ -971,8 +973,9 @@ object Multimodal {
     * the audio signature; the 64-bit hash shape is identical, so the
     * same 4×16-bit chunk join bounds candidates. */
   def audioNearDuplicates(hashes: DataFrame, idCol: String,
-      hashCol: String, maxHamming: Int = 3): DataFrame =
-    imageNearDuplicates(hashes, idCol, hashCol, maxHamming)
+      hashCol: String, maxHamming: Int = 3,
+      maxChunkGroup: Int = 0): DataFrame =
+    imageNearDuplicates(hashes, idCol, hashCol, maxHamming, maxChunkGroup)
 
   /** Interleaved multimodal documents (the MMC4/OBELICS layout:
     * running text with inline image references, consumed by

@@ -203,6 +203,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       ("text", -1L, true), ("image", 10L, true), ("image", 99L, false)))
   }
 
+  test("imageNearDuplicates star-cap: mass-identical hashes go O(n), not O(n^2)") {
+    val s2 = spark
+    import s2.implicits._
+    // 200 byte-identical hashes (a blank-thumbnail corpus) + 2 distinct
+    val hashes = ((1L to 200L).map(i => (i, 0x0123456789abcdefL)) ++
+      Seq((900L, -1L), (901L, 0x0f0f0f0f0f0f0f0fL))).toDF("doc_id", "dhash")
+    val capped = Multimodal.imageNearDuplicates(hashes, "doc_id", "dhash",
+      maxHamming = 3, maxChunkGroup = 50).collect()
+    // star topology: every identical member pairs with the minimum id
+    // ONLY — 199 pairs, not 199·200/2
+    assert(capped.length == 199, capped.length)
+    assert(capped.forall(r => r.getLong(0) == 1L && r.getLong(2) == 0L))
+    // under-cap corpora are byte-identical to the exhaustive path
+    val smallHashes = ((1L to 20L).map(i => (i, 7L)) ++
+      Seq((50L, 15L))).toDF("doc_id", "dhash") // 15 is hamming 1 from 7
+    val exhaustive = Multimodal.imageNearDuplicates(smallHashes, "doc_id",
+      "dhash", 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedSmall = Multimodal.imageNearDuplicates(smallHashes, "doc_id",
+      "dhash", 3, maxChunkGroup = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaustive == cappedSmall)
+    // the near-pair to the representative still surfaces under the cap
+    val withNear = Multimodal.imageNearDuplicates(smallHashes, "doc_id",
+      "dhash", 3, maxChunkGroup = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(withNear.contains((1L, 50L, 1L)), withNear)
+    assert(withNear.count(p => p._2 != 50L) == 19) // star over the clique
+  }
+
   test("extractFeatures: batched mapPartitions matches direct decode") {
     import spark.implicits._
     val media = Multimodal.withPayload(docs.limit(100), "text")
