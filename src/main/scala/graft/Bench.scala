@@ -118,8 +118,10 @@ object Bench {
       def reset(): Unit = shuffleW.set(0L)
     }
     spark.sparkContext.addSparkListener(work)
-    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (wall seconds, shuffle MB) measured from the SAME execution — a
+    // kept minimum time must carry its own run's shuffle stats, never
+    // pair a time from one run with volume from another
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       org.apache.spark.sql.GraftShims.drainListenerBus(spark)
       work.reset()
       val t0 = System.nanoTime()
@@ -129,10 +131,9 @@ object Bench {
       }
       val t = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.GraftShims.drainListenerBus(spark)
-      shuffleMb(name) = work.shuffleW.get / 1048576.0
-      t
+      (t, work.shuffleW.get / 1048576.0)
     }
-    def runSuite(): Seq[(String, Double)] =
+    def runSuite(): Seq[(String, (Double, Double))] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> runOne(name, fn)
       }
@@ -177,13 +178,13 @@ object Bench {
     val prevTotal = prevTimes.values.sum
     var attempts = List(runSuite())
     while (attempts.size < 3 && prevTimes.nonEmpty && {
-        val t = attempts.head.map(_._2).sum
+        val t = attempts.head.map(_._2._1).sum
         t > prevTotal * 1.5 || t < prevTotal / 1.5
       }) {
-      System.err.println(f"[bench] total ${attempts.head.map(_._2).sum}%.1f s deviates >1.5x from previous committed ${prevTotal}%.1f s; re-running")
+      System.err.println(f"[bench] total ${attempts.head.map(_._2._1).sum}%.1f s deviates >1.5x from previous committed ${prevTotal}%.1f s; re-running")
       attempts ::= runSuite()
     }
-    val picked = attempts.minBy(_.map(_._2).sum)
+    val picked = attempts.minBy(_.map(_._2._1).sum)
     // per-query >3x slowdown vs the previous committed snapshot,
     // ignoring sub-0.3 s queries where the harness floor dominates
     def isOutlier(name: String, t: Double): Boolean =
@@ -199,25 +200,25 @@ object Bench {
     val results = picked.map { case (name, first) =>
       var best = first
       var tries = 0
-      while (tries < 2 && isOutlier(name, best)) {
-        System.err.println(f"[bench] $name%s $best%.3f s is >3x its committed ${prevTimes(name)}%.3f s; re-measuring")
-        best = math.min(best, runOne(name, SparkEntry.queries(name)))
+      while (tries < 2 && isOutlier(name, best._1)) {
+        System.err.println(f"[bench] $name%s ${best._1}%.3f s is >3x its committed ${prevTimes(name)}%.3f s; re-measuring")
+        val r = runOne(name, SparkEntry.queries(name))
+        if (r._1 < best._1) best = r // keep time AND shuffle from one run
         tries += 1
       }
       name -> best
     }
     val outliers = results.collect {
-      case (name, t) if isOutlier(name, t) =>
+      case (name, (t, _)) if isOutlier(name, t) =>
         "\"" + name + f"""":[${prevTimes(name)}%.3f,$t%.3f]"""
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, (t, _)) => "\"" + k + f"""":$t%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // physical-work maps reflect the LAST executed suite run — the
-    // volumes are deterministic per query (unlike wall-clock), so
-    // which run supplied them is immaterial
-    val smb = results.map { case (k, _) =>
-      "\"" + k + f"""":${shuffleMb.getOrElse(k, 0.0)}%.1f""" }
+    val total = results.map(_._2._1).sum
+    // each row's shuffle MB comes from the SAME execution whose time the
+    // snapshot records — rows are internally consistent by construction
+    val smb = results.map { case (k, (_, s)) =>
+      "\"" + k + f"""":$s%.1f""" }
       .mkString("{", ",", "}")
     // shuffle volume is DETERMINISTIC per query (a pure function of the
     // plan + data), so unlike wall-clock a tight threshold applies: any
@@ -225,11 +226,9 @@ object Bench {
     // regression (lost broadcast, lost exchange reuse, lost partial
     // aggregation), not noise
     val shuffleOutliers = results.collect {
-      case (name, _) if prevShuffle.get(name).exists(p =>
-          shuffleMb.getOrElse(name, 0.0) > p * 1.3 &&
-          shuffleMb.getOrElse(name, 0.0) > p + 1.0) =>
-        "\"" + name +
-          f"""":[${prevShuffle(name)}%.1f,${shuffleMb(name)}%.1f]"""
+      case (name, (_, s)) if prevShuffle.get(name).exists(p =>
+          s > p * 1.3 && s > p + 1.0) =>
+        "\"" + name + f"""":[${prevShuffle(name)}%.1f,$s%.1f]"""
     }.mkString("{", ",", "}")
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$smb,"outliers":$outliers,"shuffle_outliers":$shuffleOutliers,"runs":${attempts.size},"sf":"$sfDir"}"""
@@ -260,8 +259,8 @@ object Bench {
         false
       }
     println(full)
-    val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val slowest = results.sortBy(-_._2._1).take(10)
+      .map { case (k, (t, _)) => "\"" + k + f"""":$t%.3f""" }
       .mkString("{", ",", "}")
     val filePtr = if (wrote) outFile else ""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"$filePtr","slowest":$slowest,"sf":"$sfDir"}""")

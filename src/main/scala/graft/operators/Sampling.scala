@@ -264,6 +264,15 @@ object Sampling {
     * start — the boundaries an attention mask or document-causal mask
     * needs).
     *
+    * Contract: a NULL `textCol` is treated as the empty string (it
+    * still occupies its `weightCol` tokens in `n_docs`/`batch_tokens`/
+    * `offsets` — coalescing keeps the md5 aligned with those counts,
+    * where `concat_ws`'s silent null-skip would desynchronize them);
+    * texts must not contain U+001E, the record separator of the md5
+    * framing — a text containing it is indistinguishable from two
+    * shorter documents (the same reserved-byte rule as the SFT
+    * response-dedup key).
+    *
     * Scale: [[packSequences]]' one group shuffle plus one
     * (group, batch) window for the batch-local running offset and the
     * final per-batch aggregate — a batch is ≈`budget` tokens by
@@ -284,7 +293,8 @@ object Sampling {
         sum(col("n_tokens")).as("batch_tokens"),
         md5(concat_ws("\u001e",
           transform(array_sort(collect_list(struct(col(keyCol),
-            col(textCol).as("__t")))), x => x("__t")))).as("packed_md5"),
+            coalesce(col(textCol), lit("")).as("__t")))),
+            x => x("__t")))).as("packed_md5"),
         concat_ws(",",
           transform(array_sort(collect_list(struct(col(keyCol),
             col("__off").as("__o")))),

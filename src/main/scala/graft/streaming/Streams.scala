@@ -131,9 +131,16 @@ object Streams {
         val newSigs = Dedup
           .minhashSignatures(batch, idCol, textCol, shingleSize)
           .localCheckpoint()
+        // exclude this batch's OWN prior attempt so a crash-replay is
+        // equivalent to a fresh run (prior-attempt survivors must not
+        // masquerade as foreign indexed records — same rule as the
+        // sibling sinks; the signatures are deterministic so this only
+        // changes which greedy direction a replay takes, never the set)
         val indexSigs =
           if (hasIndex)
-            spark.read.parquet(indexPath).select(col(idCol), col("sig"))
+            spark.read.parquet(indexPath)
+              .filter(col("batch") =!= batchId)
+              .select(col(idCol), col("sig"))
           else newSigs.limit(0)
         val cands = Dedup.incrementalCandidatePairs(newSigs, indexSigs,
           idCol, bands).localCheckpoint()
@@ -152,6 +159,7 @@ object Streams {
               .unionByName(cands.select(col("id_b").as(idCol)))
               .distinct().limit(100001).collect()
             val old = spark.read.parquet(corpusPath)
+              .filter(col("batch") =!= batchId) // replay: own prior attempt is not "old"
               .select(batch.columns.map(col): _*)
             if (candIdProbe.isEmpty) batch
             else if (candIdProbe.length <= 100000)
@@ -321,9 +329,18 @@ object Streams {
         val newHashes = Multimodal.perceptualHashes(media).toDF()
           .select(col("doc_id").as(idCol), col("dhash"))
           .localCheckpoint()
+        // exclude this batch's OWN prior attempt (crash-replay): unlike
+        // the text sink's minhash — a pure content hash — the perceptual
+        // hash can drift across JVM/ImageIO versions between attempts,
+        // and a prior-attempt hash treated as a FOREIGN indexed record
+        // would make the replay drop the wrong side of a pair. Filtering
+        // batch=<id> makes replay equivalent to a fresh run regardless
+        // of recomputation drift (same rule as sftPrepSink).
         val indexHashes =
           if (hasIndex)
-            spark.read.parquet(indexPath).select(col(idCol), col("dhash"))
+            spark.read.parquet(indexPath)
+              .filter(col("batch") =!= batchId)
+              .select(col(idCol), col("dhash"))
           else newHashes.limit(0)
         val pairs = Multimodal.imageNearDuplicates(
           newHashes.unionByName(indexHashes), idCol, "dhash", maxHamming)

@@ -255,7 +255,7 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out(0L)._4 ==
-      md5hex("w1 w2 w3 w4x1 x2 x3 x4 x5y1 y2 y3"))
+      md5hex("w1 w2 w3 w4\u001ex1 x2 x3 x4 x5\u001ey1 y2 y3"))
     assert(out(1L)._4 == md5hex("z1 z2 z3 z4 z5 z6 z7 z8 z9"))
   }
 
