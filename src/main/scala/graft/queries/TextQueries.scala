@@ -131,6 +131,28 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-match decontamination APPLIED
+    * ([[graft.text.Boilerplate.ngramDecontaminate]], the GPT-3 8-gram
+    * convention): every corpus doc (sources != src0) with its keep
+    * verdict against the src0 "eval set" — kept = 1 iff the doc shares
+    * NO verbatim 8-gram with src0. The stricter sibling of
+    * tx_contamination (whole-doc fingerprints) and tx_ngram_contamination
+    * (overlap counts, detect-only): this is the drop rule a flagship
+    * pipeline actually applies. */
+  def txDecontaminateNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val kept = graft.text.Boilerplate.ngramDecontaminate(
+        corpus, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text", n = 8)
+      .select(col("doc_id"), lit(1).as("kept"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("kept"), lit(0)).cast(IntegerType).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Term-blocklist gate ([[graft.text.Curation.blocklistHits]], the
     * C4 "bad words" step): whole-token case-insensitive hits against a
     * config-sized list, pass = zero hits. The oracle replays the token
@@ -565,12 +587,14 @@ object TextQueries extends QueryPack {
     * committed-model quality gate → exact dedup on cleaned text →
     * MinHash near-dedup (5-gram Jaccard ≥ 0.8, transitive, lowest id
     * survives) → decontamination against the src0 "eval set"
-    * (whole-document fingerprints) → deterministic 50% sample →
-    * BPE-exact 2048-token sequence packing.
+    * (whole-document fingerprints) → NEAR-MATCH decontamination
+    * (any shared 8-gram with the eval set, the GPT-3 convention —
+    * [[graft.text.Boilerplate.ngramDecontaminate]]) → deterministic
+    * 50% sample → BPE-exact 2048-token sequence packing.
     *
     * Filters run cheapest-first so every shuffle (scoring, dedup
     * pairs, packing) sees minimum volume; the oracle recomputes ALL
-    * nine stages independently — including the MinHash pair closure
+    * stages independently — including the MinHash pair closure
     * and the BPE merge loop over the surviving cleaned text — pinning
     * the full composition. The near-dedup stage drops ZERO docs on
     * this fixture and the oracle agrees exactly: C4 cleaning collapses
@@ -582,11 +606,14 @@ object TextQueries extends QueryPack {
     import graft.operators.Sampling
     val docs = table(s, dir, "documents")
     // frequency-threshold spelling of the gate (maxHits = 2 over a
-    // common term) so the blocklist stage actually gates the fixture
-    // WITHOUT re-removing the planted duplicates — the whole-token
-    // rare-term spelling ("dup") took out exactly the duplicate family
-    // and left the dedup stages nothing to do
-    val terms = Seq("slow")
+    // multi-term list) so the blocklist stage actually gates the
+    // fixture WITHOUT re-removing the planted duplicates — the
+    // whole-token rare-term spelling ("dup") took out exactly the
+    // duplicate family and left the dedup stages nothing to do. The
+    // list matches tx_blocklist's production-shaped terms: hit counts
+    // ACCUMULATE across terms, exercising the maxHits path for real
+    // (lorem/ipsum docs spend their 2-hit allowance on one phrase).
+    val terms = Seq("slow", "Lorem", "ipsum")
     val flagged = docs
       .withColumn("__s1",
         Curation.blocklistPassed(col("text"), terms, maxHits = 2L))
@@ -632,8 +659,17 @@ object TextQueries extends QueryPack {
     val decon = near
       .withColumn("__fp", TextFunctions.minShingleFingerprint(col("clean"), 5))
       .join(broadcast(evalFps), Seq("__fp"), "left_anti")
+      .drop("__fp")
     val dCount = decon.agg(count(lit(1)).as("decontaminated"))
-    val sampled = Sampling.deterministicSample(decon, "doc_id", 0.5)
+    // near-match pass AFTER the exact-fingerprint one: the exact stage
+    // is a 16-byte-per-doc broadcast anti-join (cheap, catches verbatim
+    // copies); only its survivors pay the 8-gram shingle explode
+    val deconNear = graft.text.Boilerplate.ngramDecontaminate(
+        decon, "doc_id", "clean",
+        docs.filter(col("source") === "src0"), "text", n = 8)
+      .localCheckpoint()
+    val dnCount = deconNear.agg(count(lit(1)).as("decon_near"))
+    val sampled = Sampling.deterministicSample(deconNear, "doc_id", 0.5)
     val sCount = sampled.agg(count(lit(1)).as("sampled"))
     val bCount = Sampling.packSequences(sampled, "source", "doc_id",
         TextFunctions.bpeTokenCount(col("clean")), 2048L)
@@ -643,13 +679,14 @@ object TextQueries extends QueryPack {
       struct(lit(i).cast("int").as("stage_idx"), lit(name).as("stage"),
         col(name).as("n_docs"))
     head.crossJoin(mCount).crossJoin(eCount).crossJoin(nCount)
-      .crossJoin(dCount).crossJoin(sCount).crossJoin(bCount)
+      .crossJoin(dCount).crossJoin(dnCount).crossJoin(sCount).crossJoin(bCount)
       .select(explode(array(
         stageRow(0, "total"), stageRow(1, "blocklist"),
         stageRow(2, "lang"), stageRow(3, "gopher"), stageRow(4, "c4"),
         stageRow(5, "model"), stageRow(6, "exact_dedup"),
         stageRow(7, "near_dedup"), stageRow(8, "decontaminated"),
-        stageRow(9, "sampled"), stageRow(10, "batches"))).as("s"))
+        stageRow(9, "decon_near"),
+        stageRow(10, "sampled"), stageRow(11, "batches"))).as("s"))
       .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
         col("s.n_docs").as("n_docs"))
       .orderBy(col("stage_idx"))
@@ -969,6 +1006,7 @@ object TextQueries extends QueryPack {
     "tx_fingerprint" -> (txFingerprint _),
     "tx_contamination" -> (txContamination _),
     "tx_ngram_contamination" -> (txNgramContamination _),
+    "tx_decontaminate_near" -> (txDecontaminateNear _),
     "tx_corpus_stats" -> (txCorpusStats _),
     "tx_tfidf_top_terms" -> (txTfidfTopTerms _))
 
@@ -1276,7 +1314,7 @@ object TextQueries extends QueryPack {
       bl AS (
         SELECT doc_id FROM documents
         WHERE len(list_filter(string_split_regex(text, '\\s+'),
-          x2 -> list_contains(['slow'], lower(x2)))) <= 2),
+          x2 -> list_contains(['slow', 'lorem', 'ipsum'], lower(x2)))) <= 2),
       lsc AS (
         SELECT doc_id, ${langCase._1}
         FROM (SELECT doc_id,
@@ -1365,8 +1403,27 @@ object TextQueries extends QueryPack {
       dec AS (
         SELECT doc_id, source, clean FROM ndf
         WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM efp)),
-      samp2 AS (
+      esp AS (
+        SELECT DISTINCT span FROM (
+          SELECT unnest(list_distinct([array_to_string(etoks[i:i+7], ' ')
+                                       FOR i IN range(1, len(etoks) - 6)])) AS span
+          FROM (SELECT string_split_regex(text, '\\s+') AS etoks
+                FROM documents WHERE source = 'src0')
+          WHERE len(etoks) >= 8)),
+      dn AS (
         SELECT doc_id, source, clean FROM dec
+        WHERE doc_id NOT IN (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(dtoks[i:i+7], ' ')
+                                         FOR i IN range(1, len(dtoks) - 6)]))
+                     AS span
+            FROM (SELECT doc_id, string_split_regex(clean, '\\s+') AS dtoks
+                  FROM dec)
+            WHERE len(dtoks) >= 8)
+          WHERE span IN (SELECT span FROM esp))),
+      samp2 AS (
+        SELECT doc_id, source, clean FROM dn
         WHERE $bucketSql < 500000)"""
 
   val oracles: Map[String, String] = Map(
@@ -1401,9 +1458,11 @@ object TextQueries extends QueryPack {
                 CAST((SELECT COUNT(*) FROM nd) AS BIGINT)
       UNION ALL SELECT 8, 'decontaminated',
                 CAST((SELECT COUNT(*) FROM dec) AS BIGINT)
-      UNION ALL SELECT 9, 'sampled',
+      UNION ALL SELECT 9, 'decon_near',
+                CAST((SELECT COUNT(*) FROM dn) AS BIGINT)
+      UNION ALL SELECT 10, 'sampled',
                 CAST((SELECT COUNT(*) FROM samp2) AS BIGINT)
-      UNION ALL SELECT 10, 'batches', CAST((SELECT COUNT(*) FROM b2) AS BIGINT)
+      UNION ALL SELECT 11, 'batches', CAST((SELECT COUNT(*) FROM b2) AS BIGINT)
       ORDER BY stage_idx"""
     },
     "sft_dedup" -> s"""
@@ -2193,6 +2252,23 @@ object TextQueries extends QueryPack {
         AND span IN (SELECT span FROM sp WHERE source = 'src0')
       GROUP BY doc_id
       ORDER BY doc_id""",
+    "tx_decontaminate_near" -> """
+      WITH sp AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                                     FOR i IN range(1, len(toks) - 6)])) AS span
+        FROM (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 8),
+      leaked AS (
+        SELECT DISTINCT doc_id FROM sp
+        WHERE source <> 'src0'
+          AND span IN (SELECT span FROM sp WHERE source = 'src0'))
+      SELECT d.doc_id, d.source,
+             CAST(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+      FROM documents d LEFT JOIN leaked l ON d.doc_id = l.doc_id
+      WHERE d.source <> 'src0'
+      ORDER BY d.doc_id""",
     "tx_corpus_stats" -> """
       SELECT source,
              COUNT(*) AS n_docs,

@@ -54,6 +54,37 @@ object Boilerplate {
       .agg(count(lit(1)).as("n_overlapping_ngrams"))
   }
 
+  /** Near-match decontamination — the APPLY form of
+    * [[ngramContamination]], at the GPT-3 convention (Brown et al.
+    * 2020, arXiv:2005.14165 App. C: a training document is
+    * contaminated if it shares ANY verbatim n-gram with the eval set;
+    * n = 8 there for typical eval lengths — 13 in later work): drop
+    * every corpus document with at least one n-gram in common with
+    * `evalSet`. This catches the near-verbatim leak a whole-document
+    * fingerprint misses — one edited token breaks the doc-level
+    * fingerprint with probability ~n/len (whenever it lands inside the
+    * minimal shingle) while the other shared 8-grams survive intact.
+    *
+    * Scale: the eval side reduces to its DISTINCT span set and
+    * broadcasts (eval sets are benchmark-sized by nature); the corpus
+    * shingles once map-side, streams through the broadcast semi-join,
+    * and only the matched doc ids — a contamination-sized set —
+    * shuffle for the distinct before the final broadcast anti-join.
+    * Corpus rows never shuffle. Documents with fewer than `n` tokens
+    * have no n-gram and are kept (both engines agree: no span, no
+    * collision). */
+  def ngramDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      evalSet: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
+    val evalSpans = evalSet
+      .select(explode(array_distinct(
+        TextFunctions.tokenShingles(col(evalTextCol), n))).as("span"))
+      .distinct()
+    val leaked = docSpans(corpus, idCol, textCol, n)
+      .join(broadcast(evalSpans), Seq("span"), "left_semi")
+      .select(col("doc_id").as(idCol)).distinct()
+    corpus.join(broadcast(leaked), Seq(idCol), "left_anti")
+  }
+
   /** Spans appearing in at least `minDocs` distinct documents, with
     * their document frequency. Plain `count` is exact document
     * frequency because [[docSpans]] already de-duplicated spans within

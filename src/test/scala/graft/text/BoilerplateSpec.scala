@@ -76,6 +76,52 @@ class BoilerplateSpec extends AnyFunSuite with SparkSpec {
     assert(hits == Map(1L -> 1L))
   }
 
+  test("ngramDecontaminate: any shared 8-gram drops; 7-token overlap and short docs survive") {
+    import spark.implicits._
+    val e = (1 to 12).map(i => s"e$i")
+    val eval = Seq((100L, e.mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, ("x1 x2 " + e.take(8).mkString(" ") + " y1")), // embeds e1..e8
+      (2L, (e.take(7).mkString(" ") + " z1 z2 z3 z4 z5")), // only 7 consecutive
+      (3L, "tiny doc")                                      // shorter than n
+    ).toDF("doc_id", "text")
+    val kept = Boilerplate.ngramDecontaminate(corpus, "doc_id", "text",
+        eval, "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("ngramDecontaminate catches a near-verbatim leak the whole-doc fingerprint misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the flagship's EXACT stage keys on minShingleFingerprint: edit one
+    // token inside the minimal 5-shingle and the doc-level fingerprint
+    // changes (the leak sails through the exact stage) while long runs
+    // of verbatim 8-grams survive — the case the near stage exists for
+    val evalTokens = (0 until 20).map(i => s"w$i")
+    val evalText = evalTokens.mkString(" ")
+    def fp(text: String): String =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.minShingleFingerprint(col("text"), 5).as("fp"))
+        .head.getString(0)
+    val evalFp = fp(evalText)
+    val p = (0 until 20).find { i =>
+      fp(evalTokens.updated(i, "EDITED").mkString(" ")) != evalFp
+    }.get
+    val leakText = evalTokens.updated(p, "EDITED").mkString(" ")
+    // exact-fingerprint decontamination would KEEP this near-copy…
+    assert(fp(leakText) != evalFp)
+    val corpus = Seq(
+      (1L, leakText),
+      (2L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10")).toDF("doc_id", "text")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val kept = Boilerplate.ngramDecontaminate(corpus, "doc_id", "text",
+        eval, "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    // …the 8-gram rule drops it; the unrelated doc survives
+    assert(kept == Set(2L))
+  }
+
   test("removeDupSpans: corpus-first occurrence survives, later ones deleted") {
     val out = Boilerplate.removeDupSpans(docs, "doc_id", "text", n = 5)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
