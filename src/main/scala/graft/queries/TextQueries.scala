@@ -842,6 +842,20 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Order-5 stupid-backoff LM scoring
+    * ([[graft.text.LmScore.quantizedScores5]] — CCNet's actual filter
+    * is a 5-gram LM; the bigram tx_lm_score is the broadcast-bounded
+    * floor): same reference corpus (lang = 'en'), same integer-exact
+    * fixed point, backoff chain pinned by the oracle through all five
+    * orders including the 0.4^d multipliers. */
+  def txLmScore5(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    LmScore.withQualityBands(
+        LmScore.quantizedScores5(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic dirty-URL synthesis over the documents fixture (the
     * corpus has no URL column): exercises every normalization branch —
     * mixed-case scheme/host, trailing path slash, query-final slash
@@ -982,6 +996,7 @@ object TextQueries extends QueryPack {
     "tx_url_dedup" -> (txUrlDedup _),
     "tx_domain_caps" -> (txDomainCaps _),
     "tx_lm_score" -> (txLmScore _),
+    "tx_lm_score5" -> (txLmScore5 _),
     "tx_dsir_weights" -> (txDsirWeights _),
     "tx_dsir_select" -> (txDsirSelect _),
     "tx_curation_funnel" -> (txCurationFunnel _),
@@ -1159,6 +1174,71 @@ object TextQueries extends QueryPack {
                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                ELSE 'tail' END AS quality_band
       FROM sc ORDER BY doc_id"""
+
+  // LmScore.quantizedScores5 twin: per-order 1..5 raw window counts
+  // from the lang='en' reference, then the stupid-backoff CASE chain
+  // with the exact integer multipliers 10^6·0.4^d (1000000, 400000,
+  // 160000, 64000, 25600) and integer division at every level
+  private val lmScore5Sql: String = {
+    // order-k window struct over the bucketed token list
+    def win(k: Int) = {
+      val fields = (1 to k)
+        .map(j => s"'b$j': bs[i${if (j > 1) s"+${j - 1}" else ""}]")
+        .mkString(", ")
+      s"unnest([{$fields} FOR i IN range(1, len(bs) - ${k - 2})], recursive := true)"
+    }
+    def cnt(k: Int) = {
+      val cols = (1 to k).map(j => s"b$j").mkString(", ")
+      s"""c$k AS (
+        SELECT $cols, COUNT(*) AS c FROM (
+          SELECT ${win(k)}
+          FROM bt WHERE lang = 'en' AND len(bs) >= $k)
+        GROUP BY $cols)"""
+    }
+    s"""
+      WITH bt AS (
+        SELECT doc_id, lang,
+               [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1024
+                FOR t IN string_split_regex(text, '\\s+')] AS bs
+        FROM documents),
+      g5 AS (
+        SELECT doc_id, ${win(5)}
+        FROM bt WHERE len(bs) >= 5),
+      ${cnt(5)}, ${cnt(4)}, ${cnt(3)}, ${cnt(2)}, ${cnt(1)},
+      t1 AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t FROM c1),
+      w AS (
+        SELECT g.doc_id,
+               CASE WHEN COALESCE(x5.c, 0) > 0 THEN (1000000 * x5.c) // k4.c
+                    WHEN COALESCE(n4.c, 0) > 0 THEN (400000 * n4.c) // k3.c
+                    WHEN COALESCE(n3.c, 0) > 0 THEN (160000 * n3.c) // k2.c
+                    WHEN COALESCE(n2.c, 0) > 0 THEN (64000 * n2.c) // k1.c
+                    ELSE (25600 * (COALESCE(n1.c, 0) + 1))
+                         // ((SELECT t FROM t1) + 1024)
+               END AS w
+        FROM g5 g
+        LEFT JOIN c5 x5 ON g.b1 = x5.b1 AND g.b2 = x5.b2 AND g.b3 = x5.b3
+                       AND g.b4 = x5.b4 AND g.b5 = x5.b5
+        LEFT JOIN c4 k4 ON g.b1 = k4.b1 AND g.b2 = k4.b2 AND g.b3 = k4.b3
+                       AND g.b4 = k4.b4
+        LEFT JOIN c4 n4 ON g.b2 = n4.b1 AND g.b3 = n4.b2 AND g.b4 = n4.b3
+                       AND g.b5 = n4.b4
+        LEFT JOIN c3 k3 ON g.b2 = k3.b1 AND g.b3 = k3.b2 AND g.b4 = k3.b3
+        LEFT JOIN c3 n3 ON g.b3 = n3.b1 AND g.b4 = n3.b2 AND g.b5 = n3.b3
+        LEFT JOIN c2 k2 ON g.b3 = k2.b1 AND g.b4 = k2.b2
+        LEFT JOIN c2 n2 ON g.b4 = n2.b1 AND g.b5 = n2.b2
+        LEFT JOIN c1 k1 ON g.b4 = k1.b1
+        LEFT JOIN c1 n1 ON g.b5 = n1.b1),
+      sc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(SUM(w) AS BIGINT) AS lm_score,
+               CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_prob_q
+        FROM w GROUP BY doc_id)
+      SELECT doc_id, n_ngrams, lm_score, mean_prob_q,
+             CASE NTILE(3) OVER (ORDER BY mean_prob_q DESC, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS quality_band
+      FROM sc ORDER BY doc_id"""
+  }
 
   // UrlOps twin: the same dirty-URL synthesis and the normalization
   // contract (lower scheme+host, keep path case, strip #fragment and
@@ -1807,6 +1887,7 @@ object TextQueries extends QueryPack {
       WHERE domain_rank <= 5
       ORDER BY domain, domain_rank""",
     "tx_lm_score" -> lmScoreSql,
+    "tx_lm_score5" -> lmScore5Sql,
     "tx_dsir_weights" -> s"""$dsirScoreSql
       SELECT * FROM sc ORDER BY doc_id""",
     "tx_dsir_select" -> s"""$dsirScoreSql

@@ -114,6 +114,113 @@ object LmScore {
         (-avg(col("__logp"))).as("cross_entropy"))
       .withColumn("perplexity", exp(col("cross_entropy")))
 
+  /** One row per k-token window of the text: `(doc_id, g1..gk)` hashed
+    * token ids, the order-k generalization of [[bigramBuckets]].
+    * Documents shorter than k yield nothing. Map-only. */
+  def ngramWindows(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, k: Int): DataFrame = {
+    require(k >= 1)
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__t")) - k),
+          i => struct((1 to k).map(j =>
+            tokenBucket(element_at(col("__t"), i + j), buckets)
+              .as(s"g$j")): _*)))
+          .as("__w"))
+      .select(col("doc_id") +: (1 to k).map(j => col(s"__w.g$j").as(s"g$j")): _*)
+  }
+
+  /** Order-5 training pass: raw occurrence counts of every 1..5-gram
+    * in the reference corpus — the sufficient statistic of stupid
+    * backoff (Brants et al. 2007, "Large Language Models in Machine
+    * Translation", EMNLP §4: raw counts, no discounting). Returns
+    * count frames keyed g1..gk with a `c` column, order 1 first.
+    *
+    * Size: order-k counts are bounded by the reference corpus's token
+    * count, not by B^k — CCNet-style scoring trains on a curated
+    * reference (Wikipedia), which is sample-sized relative to the
+    * corpus being scored, so the tables broadcast; if a caller trains
+    * on something crawl-sized, SafeBroadcastRule strips the hint and
+    * the joins degrade to shuffle joins instead of OOMing the driver. */
+  def train5(corpus: DataFrame, idCol: String, textCol: String,
+      buckets: Int): Seq[DataFrame] =
+    (1 to 5).map { k =>
+      ngramWindows(corpus, idCol, textCol, buckets, k)
+        .groupBy((1 to k).map(j => col(s"g$j")): _*)
+        .agg(count(lit(1)).as("c"))
+    }
+
+  /** Integer-exact 5-gram stupid-backoff scores: `(doc_id, n_ngrams,
+    * lm_score, mean_prob_q)` over every full-context position (docs
+    * under 5 tokens are absent, like [[quantizedScores]]' under-2s).
+    *
+    * Per position with window (b1..b5), current token b5:
+    * take the LONGEST order whose n-gram was seen in training and
+    * charge S = 0.4^backoffs · count(gram)/count(context), rendered in
+    * fixed point with EXACT integer multipliers (10^6·0.4^d is integer
+    * for d ≤ 4: 1000000, 400000, 160000, 64000, 25600):
+    *
+    *   W = (1000000·c5(b1..b5)) div c4(b1..b4)        if c5 > 0
+    *     | (400000·c4(b2..b5))  div c3(b2..b4)        elif c4 > 0
+    *     | (160000·c3(b3..b5))  div c2(b3,b4)         elif c3 > 0
+    *     | (64000·c2(b4,b5))    div c1(b4)            elif c2 > 0
+    *     | (25600·(c1(b5)+1))   div (T1+B)            otherwise
+    *
+    * A seen gram's context count is never zero (the context window
+    * exists wherever the gram window does), so every division is
+    * well-defined; the unigram floor is add-one smoothed over the
+    * bucket space so unseen tokens score nonzero. `lm_score` = Σ W —
+    * higher = more reference-like; stupid backoff is a score, not a
+    * normalized probability (the published trade for O(1) scoring at
+    * web scale). Integer div end-to-end: a SQL oracle replays it
+    * bit-for-bit.
+    *
+    * Why order 5 matters (the case bigrams miss): text stitched from
+    * individually-plausible bigrams ("the cat sat on the park") scores
+    * exactly like genuine text under [[quantizedScores]] but backs off
+    * at order 5 and pays 0.4^d per unseen context — LmScoreSpec plants
+    * exactly that. Scale: one corpus explode, nine BROADCAST joins
+    * (model tables are reference-corpus-sized), one (doc) aggregate. */
+  def quantizedScores5(corpus: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    val counts = train5(train, idCol, textCol, buckets)
+    val t1 = counts.head.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    // one count frame per (order, role): renamed to the window
+    // positions it matches, so every join is a plain usingColumns
+    // broadcast hash join
+    def renamed(k: Int, firstPos: Int, as: String): DataFrame =
+      counts(k - 1).toDF(
+        ((0 until k).map(j => s"b${firstPos + j}") :+ as): _*)
+    val scored = ngramWindows(corpus, idCol, textCol, buckets, 5)
+      .toDF("doc_id", "b1", "b2", "b3", "b4", "b5")
+      .join(broadcast(renamed(5, 1, "c5")), Seq("b1", "b2", "b3", "b4", "b5"), "left")
+      .join(broadcast(renamed(4, 1, "ctx4")), Seq("b1", "b2", "b3", "b4"), "left")
+      .join(broadcast(renamed(4, 2, "num4")), Seq("b2", "b3", "b4", "b5"), "left")
+      .join(broadcast(renamed(3, 2, "ctx3")), Seq("b2", "b3", "b4"), "left")
+      .join(broadcast(renamed(3, 3, "num3")), Seq("b3", "b4", "b5"), "left")
+      .join(broadcast(renamed(2, 3, "ctx2")), Seq("b3", "b4"), "left")
+      .join(broadcast(renamed(2, 4, "num2")), Seq("b4", "b5"), "left")
+      .join(broadcast(renamed(1, 4, "ctx1")), Seq("b4"), "left")
+      .join(broadcast(renamed(1, 5, "num1")), Seq("b5"), "left")
+      .withColumn("__w",
+        when(coalesce(col("c5"), lit(0L)) > 0,
+          expr("(1000000L * c5) div ctx4"))
+        .when(coalesce(col("num4"), lit(0L)) > 0,
+          expr("(400000L * num4) div ctx3"))
+        .when(coalesce(col("num3"), lit(0L)) > 0,
+          expr("(160000L * num3) div ctx2"))
+        .when(coalesce(col("num2"), lit(0L)) > 0,
+          expr("(64000L * num2) div ctx1"))
+        .otherwise(
+          expr(s"(25600L * (coalesce(num1, 0L) + 1L)) div (${t1}L + ${buckets}L)")))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("__w")).as("lm_score"))
+      .withColumn("mean_prob_q",
+        col("lm_score").cast(DoubleType) / col("n_ngrams"))
+  }
+
   /** CCNet's head/middle/tail split over quantized scores: exact
     * SQL-standard NTILE(3) ordered by (mean_prob_q DESC, doc id),
     * computed from the distributed rank + closed-form tile fill — the

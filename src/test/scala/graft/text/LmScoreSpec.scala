@@ -62,6 +62,65 @@ class LmScoreSpec extends AnyFunSuite with SparkSpec {
     assert(ok.isEmpty, "smoothed conditional distribution does not normalize")
   }
 
+  test("quantizedScores5: hand computation through every backoff level") {
+    // reference: one sentence, so every order-5 window of it is seen
+    val ref = docsDf(Seq(1L -> "a b c d e f"))
+    // corpus doc 10 = exact copy prefix "a b c d e": full 5-gram hit
+    //   W = 1e6·c5(a b c d e) div c4(a b c d) = 1e6·1 div 1 = 1000000
+    // corpus doc 11 = "x b c d e": 5-gram unseen, 4-gram (b c d e) seen
+    //   W = 4e5·c4(b c d e) div c3(b c d) = 400000·1 div 1 = 400000
+    // corpus doc 12 = "x y c d e": back off to 3-gram (c d e)
+    //   W = 160000·1 div c2(c d)=1 = 160000
+    // corpus doc 13 = "x y z d e": 2-gram (d e)
+    //   W = 64000·1 div c1(d)=1 = 64000
+    // corpus doc 14 = "x y z w e": unigram floor, c1(e)=1, T1=6
+    //   W = 25600·(1+1) div (6+1024) = 51200 div 1030 = 49
+    val corpus = docsDf(Seq(
+      10L -> "a b c d e", 11L -> "x b c d e", 12L -> "x y c d e",
+      13L -> "x y z d e", 14L -> "x y z w e"))
+    val r = LmScore.quantizedScores5(corpus, ref, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      10L -> ((1L, 1000000L)), 11L -> ((1L, 400000L)),
+      12L -> ((1L, 160000L)), 13L -> ((1L, 64000L)), 14L -> ((1L, 49L))), r)
+  }
+
+  test("5-gram diverges on bigram-plausible stitched text; bigram model can't tell") {
+    // every BIGRAM of the stitched doc is seen in the reference, with
+    // identical counts/contexts to the genuine doc — the bigram scorer
+    // gives both the same score; order-5 backs off on the stitch seam
+    val ref = docsDf(Seq(
+      1L -> "the cat sat on the mat today",
+      2L -> "the dog ran on the park today"))
+    val genuine = "the cat sat on the mat today"
+    val stitched = "the cat sat on the park today" // seam: …on the park…
+    val corpus = docsDf(Seq(10L -> genuine, 11L -> stitched))
+    val q2 = LmScore.quantizedScores(corpus, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // mat/park are interchangeable at order 2: same score
+    assert(q2(10L) == q2(11L), q2)
+    val q5 = LmScore.quantizedScores5(corpus, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q5(10L) > q5(11L), q5) // order 5 pays 0.4^d at the seam
+  }
+
+  test("5-gram vs bigram rank sanity: garbled ranks last under both") {
+    val corpus = docsDf(Seq(
+      10L -> "the cat sat on the mat today",  // verbatim reference
+      11L -> "the cat sat on the park today", // near-reference stitch
+      12L -> "zz qq ww rr vv uu tt")) // garbage
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy(col("mean_prob_q").desc, col("doc_id"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val ref = docsDf(Seq(
+      1L -> "the cat sat on the mat today",
+      2L -> "the dog ran on the park today"))
+    val r2 = ranks(LmScore.quantizedScores(corpus, ref, "doc_id", "text"))
+    val r5 = ranks(LmScore.quantizedScores5(corpus, ref, "doc_id", "text"))
+    assert(r2.last == 12L && r5.last == 12L, (r2, r5))
+    assert(r5 == Seq(10L, 11L, 12L), r5) // order 5 separates the stitch
+  }
+
   test("quality bands: exact thirds, ordered head > middle > tail") {
     val corpus = docsDf((1L to 9L).map(i =>
       // doc i repeats seen bigram "the cat" i times then pads with
