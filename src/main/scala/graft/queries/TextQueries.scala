@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{Dsir, LmScore, QualityClassifier, QualityModelFixture, TextFunctions, UrlOps}
+import graft.text.{Curation, Dsir, LmScore, QualityClassifier, QualityModelFixture, TextFunctions, UrlOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -959,6 +959,62 @@ object TextQueries extends QueryPack {
         table(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** The committed multilingual route table — 6 of the 28 profile
+    * languages spanning Latin, Cyrillic, and unspaced CJK, each with
+    * its own stopword/blocklist rules (terms drawn from the committed
+    * profile samples so the fixture exercises every gate both ways).
+    * The ja route is the per-script case whole-token machinery can't
+    * serve: minTokens drops to 1 (no whitespace) and the substring
+    * matching rule carries the gates. */
+  private val multilingualRoutes = Seq(
+    Curation.LangRoute("en", Seq("and", "equal"), Seq("free"),
+      minTokens = 5, minStopWords = 2),
+    Curation.LangRoute("de", Seq("und", "gleich"), Seq("frei"),
+      minTokens = 5, minStopWords = 2),
+    Curation.LangRoute("fr", Seq("et", "conscience"), Seq("libres"),
+      minTokens = 5, minStopWords = 2),
+    Curation.LangRoute("es", Seq("como", "conciencia"), Seq("libres"),
+      minTokens = 5, minStopWords = 2),
+    Curation.LangRoute("ru", Seq("и", "должны"), Seq("свободными"),
+      minTokens = 5, minStopWords = 2),
+    Curation.LangRoute("ja", Seq("の", "尊厳"), Seq("自由"),
+      minTokens = 1, minStopWords = 2))
+
+  /** Deterministic multilingual synthesis: doc_id % 6 picks the target
+    * language, and the text is an 80-char sliding window (start =
+    * doc_id % 40) of that language's committed profile sample — both
+    * engines rebuild the identical string from the same constants, and
+    * the windows are genuinely language-typical text, so the profile
+    * detector has a real signal. */
+  private def synthMultilingual: Column = {
+    val langs = multilingualRoutes.map(_.lang)
+    val samples = graft.text.LangProfile.samples.toMap
+    val idx = (col("doc_id") % langs.size).cast(IntegerType)
+    val start = (col("doc_id") % 40 + 1).cast(IntegerType)
+    langs.zipWithIndex.foldRight(lit("")) { case ((l, i), acc) =>
+      when(idx === i, lit(samples(l)).substr(start, lit(80))).otherwise(acc)
+    }
+  }
+
+  /** Per-language curation routing
+    * ([[graft.text.Curation.multilingualFunnel]]): synthesized
+    * multilingual docs are language-identified by the ZERO-SHUFFLE
+    * profile expression and routed to their language's rule table —
+    * the multilingual form of the flagship's en-only lang gate (which
+    * DROPS non-en; this keeps and gates them). Output: per-language
+    * funnel counts (routed → blocklist pass → quality pass). The
+    * oracle replays the synthesis, the 28-language trigram detection,
+    * and every per-route CASE from the same committed constants. */
+  def txMultilingualFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").withColumn("synth", synthMultilingual)
+    val detected = docs.select(col("doc_id"), col("synth"),
+      coalesce(graft.functions.NativeLang.langIdProfile(col("synth"))
+        .getField("predicted_lang"), lit("unknown")).as("lang_pred"))
+    Curation.multilingualFunnel(detected, "doc_id", "synth", "lang_pred",
+        multilingualRoutes)
+      .orderBy(col("route_lang"))
+  }
+
   /** Corpus token heavy hitters through the Misra-Gries sketch
     * aggregate ([[graft.functions.HeavyHittersAgg]]): bounded k-entry
     * state map-side, k-entry partials on the shuffle — the one-pass
@@ -989,6 +1045,7 @@ object TextQueries extends QueryPack {
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
+    "tx_multilingual_funnel" -> (txMultilingualFunnel _),
     "tx_clf_score" -> (txClfScore _),
     "tx_clf_eval" -> (txClfEval _),
     "tx_bpe_tokens" -> (txBpeTokens _),
@@ -1174,6 +1231,93 @@ object TextQueries extends QueryPack {
                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                ELSE 'tail' END AS quality_band
       FROM sc ORDER BY doc_id"""
+
+  // Curation.multilingualFunnel twin, generated from the SAME committed
+  // constants: synthesis (per-language 80-char sample windows), the
+  // 28-language trigram detection (the tx_lang_profile machinery over
+  // the synth relation), and the per-route CASE chains
+  private lazy val multilingualFunnelSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val langs = multilingualRoutes.map(_.lang)
+    val samples = graft.text.LangProfile.samples.toMap
+    val synthCase = langs.zipWithIndex.map { case (l, i) =>
+      s"WHEN $i THEN substr('${esc(samples(l))}', CAST(doc_id % 40 + 1 AS INT), 80)"
+    }.mkString("\n           ")
+    def termList(ts: Seq[String]) =
+      ts.map(t => s"'${esc(t)}'").mkString("[", ", ", "]")
+    def hits(ts: Seq[String]) =
+      s"len(list_filter(${termList(ts)}, t2 -> contains(synth, t2)))"
+    val routeCase = multilingualRoutes.map(r =>
+      s"WHEN '${r.lang}' THEN '${r.lang}'").mkString(" ")
+    val blCase = multilingualRoutes.map { r =>
+      s"WHEN '${r.lang}' THEN CASE WHEN ${hits(r.blocklist)} <= ${r.maxHits} THEN 1 ELSE 0 END"
+    }.mkString("\n             ")
+    val qCase = multilingualRoutes.map { r =>
+      s"WHEN '${r.lang}' THEN CASE WHEN " +
+        s"len(string_split_regex(synth, '\\s+')) >= ${r.minTokens} AND " +
+        s"${hits(r.stopWords)} >= ${r.minStopWords} THEN 1 ELSE 0 END"
+    }.mkString("\n             ")
+    s"""
+      WITH synth AS (
+        SELECT doc_id,
+         CASE CAST(doc_id % ${langs.size} AS INT)
+           $synthCase
+           ELSE '' END AS synth
+        FROM documents),
+      t AS (
+        SELECT doc_id, synth,
+               regexp_replace(lower(synth), '\\s+', '_', 'g') AS t
+        FROM synth),
+      g AS (
+        SELECT doc_id, unnest([substr(t, CAST(i AS INT), 3)
+                               FOR i IN range(1, length(t) - 1)]) AS gram
+        FROM t WHERE length(t) >= 3),
+      c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, gram,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, gram) AS BIGINT) AS rank
+        FROM c
+        QUALIFY rank <= ${graft.text.LangProfile.topK}),
+      prof AS (SELECT * FROM (VALUES $langProfValuesSql)
+               AS p(lang, gram, prank)),
+      langs AS (SELECT DISTINCT lang FROM prof),
+      d AS (
+        SELECT top.doc_id, l.lang,
+               CAST(SUM(COALESCE(ABS(top.rank - CAST(p.prank AS BIGINT)),
+                 ${graft.text.LangProfile.missingPenalty})) AS BIGINT)
+                 AS oop_distance,
+               COUNT(*) AS n
+        FROM top CROSS JOIN langs l
+        LEFT JOIN prof p ON p.lang = l.lang AND p.gram = top.gram
+        GROUP BY 1, 2),
+      det AS (
+        SELECT doc_id,
+               CASE WHEN oop_distance =
+                   n * ${graft.text.LangProfile.missingPenalty}
+                 THEN 'unknown' ELSE lang END AS plang
+        FROM d
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY oop_distance, lang) = 1),
+      rt AS (
+        SELECT s.doc_id, s.synth, COALESCE(det.plang, 'unknown') AS lang
+        FROM synth s LEFT JOIN det USING (doc_id)),
+      fl AS (
+        SELECT doc_id,
+          CASE lang $routeCase ELSE 'other' END AS route_lang,
+          CASE lang
+             $blCase
+             ELSE 0 END AS bl,
+          CASE lang
+             $qCase
+             ELSE 0 END AS q
+        FROM rt)
+      SELECT route_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_routed,
+             CAST(SUM(bl) AS BIGINT) AS n_blocklist,
+             CAST(SUM(bl * q) AS BIGINT) AS n_quality
+      FROM fl GROUP BY route_lang ORDER BY route_lang"""
+  }
 
   // LmScore.quantizedScores5 twin: per-order 1..5 raw window counts
   // from the lang='en' reference, then the stupid-backoff CASE chain
@@ -1888,6 +2032,7 @@ object TextQueries extends QueryPack {
       ORDER BY domain, domain_rank""",
     "tx_lm_score" -> lmScoreSql,
     "tx_lm_score5" -> lmScore5Sql,
+    "tx_multilingual_funnel" -> multilingualFunnelSql,
     "tx_dsir_weights" -> s"""$dsirScoreSql
       SELECT * FROM sc ORDER BY doc_id""",
     "tx_dsir_select" -> s"""$dsirScoreSql

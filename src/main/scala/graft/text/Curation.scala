@@ -166,6 +166,73 @@ object Curation {
       maxHits: Long = 0L): Column =
     blocklistHits(text, terms) <= maxHits
 
+  /** One language's curation rule table: the per-language analog of
+    * the Gopher stopword minimum and the C4 blocklist, with the term
+    * matching rule changed to SUBSTRING containment — whole-token
+    * matching is meaningless for unspaced scripts (ja/th/zh tokenize
+    * to one giant "token" under \\s+), and a routed pipeline must gate
+    * every script with the same machinery. `minTokens` is the one
+    * whitespace-based bound, so unspaced routes set it to 1. */
+  case class LangRoute(lang: String, stopWords: Seq[String],
+      blocklist: Seq[String], maxHits: Long = 0L, minTokens: Long = 1L,
+      minStopWords: Long = 1L)
+
+  /** Number of `terms` CONTAINED in the text (substring, case-exact —
+    * the cross-script matching rule of [[LangRoute]]). Codegen'd
+    * literal-array filter, map-only. */
+  def containsCount(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "empty term list")
+    size(filter(array(terms.map(lit): _*), t => text.contains(t)))
+      .cast(LongType)
+  }
+
+  /** Per-language routed curation — what the English-only lang GATE
+    * becomes in a multilingual pipeline: instead of dropping non-en
+    * documents, each document is routed by `langCol` (typically the
+    * zero-shuffle profile detector's prediction,
+    * [[graft.functions.NativeLang.langIdProfile]]) to ITS language's
+    * rule table and gated there. Returns one row per document:
+    * `(doc_id, route_lang, blocklist_pass, quality_pass)` where
+    * route_lang is the matched route's language or `"other"`
+    * (no committed rules — such docs fail both gates; a production
+    * deployment adds routes rather than silently passing unknown
+    * scripts). Pure projection: the per-route rule dispatch is one
+    * codegen'd CASE chain over `langCol` — the fan-out stays map-side,
+    * no shuffle, no per-language job. */
+  def routedCurationFlags(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      routes: Seq[LangRoute]): org.apache.spark.sql.DataFrame = {
+    require(routes.nonEmpty, "no routes")
+    val lang = col(langCol)
+    val text = col(textCol)
+    def dispatch(f: LangRoute => Column, other: Column): Column =
+      routes.foldRight(other) { (r, acc) =>
+        when(lang === r.lang, f(r)).otherwise(acc)
+      }
+    docs.select(col(idCol).as("doc_id"),
+      dispatch(r => lit(r.lang), lit("other")).as("route_lang"),
+      dispatch(r => containsCount(text, r.blocklist) <= r.maxHits,
+        lit(false)).as("blocklist_pass"),
+      dispatch(r =>
+          size(TextFunctions.tokens(text)).cast(LongType) >= r.minTokens &&
+          containsCount(text, r.stopWords) >= r.minStopWords,
+        lit(false)).as("quality_pass"))
+  }
+
+  /** Per-language funnel counts over [[routedCurationFlags]]:
+    * `(route_lang, n_routed, n_blocklist, n_quality)` with the stages
+    * cumulative (quality counted among blocklist survivors). One tiny
+    * aggregate — output is languages-sized. */
+  def multilingualFunnel(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      routes: Seq[LangRoute]): org.apache.spark.sql.DataFrame =
+    routedCurationFlags(docs, idCol, textCol, langCol, routes)
+      .groupBy(col("route_lang"))
+      .agg(count(lit(1)).as("n_routed"),
+        sum(col("blocklist_pass").cast(LongType)).as("n_blocklist"),
+        sum((col("blocklist_pass") && col("quality_pass"))
+          .cast(LongType)).as("n_quality"))
+
   /** The large-list spelling: explode tokens, broadcast-semi-join the
     * term table, count per doc — the shape for blocklists too big to
     * ride the plan as a literal (10⁵+ terms). Returns

@@ -177,4 +177,45 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(joined == Map(1L -> 2L, 4L -> 1L))
   }
+
+  test("routedCurationFlags: per-language dispatch, substring gates, other bucket") {
+    val s = spark
+    import s.implicits._
+    val routes = Seq(
+      Curation.LangRoute("en", Seq("the", "and"), Seq("bad"),
+        minTokens = 3, minStopWords = 2),
+      // unspaced route: minTokens 1, substring matching carries the gates
+      Curation.LangRoute("ja", Seq("の", "は"), Seq("禁"),
+        minTokens = 1, minStopWords = 2))
+    val docs = Seq(
+      (1L, "en", "the cat and the dog"),   // passes both en gates
+      (2L, "en", "the bad cat and dog"),   // blocklist hit
+      (3L, "en", "the cat runs"),          // only 1 stopword -> quality fail
+      (4L, "en", "the and"),               // 2 tokens < minTokens
+      (5L, "ja", "これは猫の話"),            // unspaced: 1 token, both stops
+      (6L, "ja", "これは禁の話"),            // blocklisted char
+      (7L, "xx", "the cat and the dog")    // unrouted language
+    ).toDF("doc_id", "lang", "text")
+    val flags = Curation.routedCurationFlags(docs, "doc_id", "text",
+        "lang", routes)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(flags == Map(
+      1L -> (("en", true, true)),
+      2L -> (("en", false, true)),
+      3L -> (("en", true, false)),
+      4L -> (("en", true, false)),
+      5L -> (("ja", true, true)),
+      6L -> (("ja", false, true)),
+      7L -> (("other", false, false))), flags)
+    val funnel = Curation.multilingualFunnel(docs, "doc_id", "text",
+        "lang", routes)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // stages cumulative: quality counted among blocklist survivors
+    assert(funnel == Map(
+      "en" -> ((4L, 3L, 1L)),
+      "ja" -> ((2L, 1L, 1L)),
+      "other" -> ((1L, 0L, 0L))), funnel)
+  }
 }
