@@ -49,6 +49,8 @@ case class PerceptualHash(doc_id: Long, ahash: Long, dhash: Long)
 
 case class AudioHash(doc_id: Long, chash: Long)
 
+case class VideoHash(doc_id: Long, vhash: Long)
+
 /** Decoder: REAL in-JDK image decode via `javax.imageio` (PNG / BMP /
   * GIF / JPEG — the formats the JDK ships readers for, no new
   * dependency), with the deterministic byte-derived fake as the
@@ -383,6 +385,92 @@ object DecodeStub {
     } catch {
       case scala.util.control.NonFatal(_) => videoFallback(payload)
     }
+  }
+
+  /** Segment count for the video content hash: 65 payload windows →
+    * 64 contour bits (the [[AudioHashSegs]] convention). */
+  val VideoHashSegs = 65
+
+  /** Video content-level near-dup hash — chunked payload hash windows
+    * over the container's MEDIA DATA range: the byte-mean contour of
+    * [[VideoHashSegs]] equal windows, bit i set when the mean RISES
+    * from window i to i+1 (cross-multiplied, integer-exact — and mean
+    * comparisons make the signature invariant under a uniform byte
+    * shift, the same robustness argument as the audio energy contour).
+    *
+    * The hashed range is what makes this CONTENT-level rather than a
+    * file checksum: for MP4/ISO-BMFF it is the first top-level `mdat`
+    * box's payload — two files with identical media data but edited
+    * metadata atoms (title, timestamps, brand) hash IDENTICALLY and
+    * dedup as the near-copies they are; for Matroska/WebM everything
+    * from the first Cluster (0x1A45DFA3-headed files, cluster id
+    * 0x1F43B675); unrecognized payloads hash their full byte range —
+    * the deterministic fallback path the SQL oracle replays
+    * bit-for-bit. Frame DECODE stays a deployment drop-in (the JDK
+    * ships no video codecs); a decoder upgrade swaps the window source
+    * from payload bytes to keyframe rasters without touching the
+    * blocking machinery. Packs MSB-first like every sibling hash;
+    * pairs come from the same pigeonhole chunk blocking. */
+  def videoPerceptualHash(payload: Array[Byte]): Long = {
+    require(payload.nonEmpty, "empty payload")
+    val (from, until) =
+      try videoContentRange(payload)
+      catch { case scala.util.control.NonFatal(_) => (0, payload.length) }
+    byteContour(payload, from, until)
+  }
+
+  /** The media-data byte range [[videoPerceptualHash]] hashes. Bounds-
+    * checked like [[probeVideo]]'s walks: a crafted size field can only
+    * fall back to the whole payload, never read out of bounds. */
+  private def videoContentRange(p: Array[Byte]): (Int, Int) = {
+    if (p.length >= 16 && fourcc(p, 4) == "ftyp") {
+      // top-level box walk only — mdat is a top-level box by spec
+      var o = 0L
+      val to = p.length.toLong
+      while (o + 8 <= to) {
+        var size = be(p, o.toInt, 4)
+        val typ = fourcc(p, o.toInt + 4)
+        var hdr = 8L
+        if (size == 1 && o + 16 <= to) { size = be(p, o.toInt + 8, 8); hdr = 16 }
+        else if (size == 0) size = to - o
+        if (size < hdr || size > to - o) return (0, p.length)
+        if (typ == "mdat" && size > hdr)
+          return ((o + hdr).toInt, (o + size).toInt)
+        o += size
+      }
+      (0, p.length)
+    } else if (p.length >= 8 && be(p, 0, 4) == 0x1A45DFA3L) {
+      var i = 0
+      while (i <= p.length - 4) {
+        if ((p(i) & 0xFF) == 0x1F && (p(i + 1) & 0xFF) == 0x43 &&
+            (p(i + 2) & 0xFF) == 0xB6 && (p(i + 3) & 0xFF) == 0x75)
+          return (i, p.length)
+        i += 1
+      }
+      (0, p.length)
+    } else (0, p.length)
+  }
+
+  /** Byte-mean contour over [from, until) — the window index formula
+    * of [[audioHashFallback]], sums of raw byte values (means compare
+    * via cross-multiplication; BigInt guards the product range). */
+  private def byteContour(p: Array[Byte], from: Int, until: Int): Long = {
+    val n = math.max(1, until - from)
+    val s = new Array[Long](VideoHashSegs)
+    val len = new Array[Long](VideoHashSegs)
+    var k = 0
+    while (k < VideoHashSegs) {
+      val a = (k.toLong * n / VideoHashSegs).toInt
+      val b = math.max(a + 1, ((k + 1).toLong * n / VideoHashSegs).toInt)
+      var sum = 0L
+      var j = a
+      while (j < b) { sum += p(from + j) & 0xFF; j += 1 }
+      s(k) = sum
+      len(k) = b - a
+      k += 1
+    }
+    packBits(Array.tabulate(64)(i =>
+      BigInt(s(i + 1)) * len(i) > BigInt(s(i)) * len(i + 1)))
   }
 
   /** ISO BMFF walk (ISO/IEC 14496-12): moov→mvhd gives
@@ -973,6 +1061,31 @@ object Multimodal {
     * the audio signature; the 64-bit hash shape is identical, so the
     * same 4×16-bit chunk join bounds candidates. */
   def audioNearDuplicates(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 3,
+      maxChunkGroup: Int = 0): DataFrame =
+    imageNearDuplicates(hashes, idCol, hashCol, maxHamming, maxChunkGroup)
+
+  /** Video content hash per record ([[DecodeStub.videoPerceptualHash]]):
+    * MP4 payloads hash their mdat media data, Matroska from the first
+    * Cluster, anything else the whole-payload contour fallback. Same
+    * batched streaming partition contract as [[extractFeatures]]. */
+  def videoPerceptualHashes(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          VideoHash(r.doc_id, DecodeStub.videoPerceptualHash(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Video near-duplicate pairs at contour-hash hamming ≤ `maxHamming`
+    * (< 4) — the same 4×16-bit pigeonhole chunk blocking as
+    * [[imageNearDuplicates]]; the 64-bit hash shape is shared across
+    * all three media signatures by design. */
+  def videoNearDuplicates(hashes: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int = 3,
       maxChunkGroup: Int = 0): DataFrame =
     imageNearDuplicates(hashes, idCol, hashCol, maxHamming, maxChunkGroup)

@@ -191,6 +191,44 @@ object MultimodalQueries extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Video content-hash over the same payloads
+    * ([[graft.multimodal.Multimodal.videoPerceptualHashes]]): the text
+    * corpus carries no container magic, so every row takes the
+    * whole-payload byte-mean contour fallback — integer cross-
+    * multiplied comparisons the oracle replays bit-for-bit; the REAL
+    * mdat/Cluster media-data carving is pinned by MultimodalSpec on
+    * crafted MP4/Matroska containers. */
+  def mmVideoPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.withPayload(table(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("payload"),
+        col("meta.modality").as("modality"), col("meta.format").as("format"))
+      .as[MediaRecord]
+    Multimodal.videoPerceptualHashes(media, batchSize = 64)
+      .toDF()
+      .select(col("doc_id"),
+        format_string("%016x", col("vhash")).as("vhash_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Video near-dup pairs over the content hash — [[mmImageNeardup]]'s
+    * planted-copy protocol on the video signature: pigeonhole blocking
+    * + bit_count verify must find exactly the byte-identical copies
+    * (the oracle brute-forces all pairs from recomputed hashes). */
+  def mmVideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val media = Multimodal.withPayload(base.union(copies), "text")
+      .select(col("doc_id"), col("payload"),
+        lit("text").as("modality"), lit("utf-8").as("format"))
+      .as[MediaRecord]
+    val hashes = Multimodal.videoPerceptualHashes(media, batchSize = 64).toDF()
+    Multimodal.videoNearDuplicates(hashes, "doc_id", "vhash", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Interleaved image-text documents
     * ([[graft.multimodal.Multimodal.interleaveSegments]] +
     * [[graft.multimodal.Multimodal.attachMedia]], the MMC4/OBELICS
@@ -228,6 +266,8 @@ object MultimodalQueries extends QueryPack {
     "mm_interleave" -> (mmInterleave _),
     "mm_audio_phash" -> (mmAudioPhash _),
     "mm_audio_neardup" -> (mmAudioNeardup _),
+    "mm_video_phash" -> (mmVideoPhash _),
+    "mm_video_neardup" -> (mmVideoNeardup _),
     "mm_phash" -> (mmPhash _),
     "mm_image_neardup" -> (mmImageNeardup _),
     "mm_image_dedup_apply" -> (mmImageDedupApply _),
@@ -284,7 +324,53 @@ object MultimodalQueries extends QueryPack {
                 FOR j IN range(0, 8)] AS cb
         FROM sg)"""
 
+  // byte-mean contour bytes of DecodeStub.videoPerceptualHash's
+  // whole-payload fallback path over a (doc_id, text) relation named
+  // `src`: same 65-slice window formula as the audio contour, plain
+  // byte sums (means, not energies), cross-multiplied comparisons
+  private val videoHashBytesSql = """
+      t AS (SELECT doc_id, text, length(text) AS n FROM src),
+      sg AS (
+        SELECT doc_id,
+               [CAST(list_sum([ascii(substr(text, CAST(j AS INT), 1))
+                               FOR j IN range((k*n)//65 + 1,
+                                 GREATEST((k*n)//65 + 2, ((k+1)*n)//65 + 1))])
+                     AS BIGINT) FOR k IN range(0, 65)] AS e,
+               [GREATEST(1, ((k+1)*n)//65 - (k*n)//65)
+                FOR k IN range(0, 65)] AS ln
+        FROM t),
+      byt AS (
+        SELECT doc_id,
+               [list_sum([(CASE WHEN e[8*j+c+2] * ln[8*j+c+1]
+                                   > e[8*j+c+1] * ln[8*j+c+2]
+                           THEN 1 ELSE 0 END) * (1 << (7-c))
+                          FOR c IN range(0, 8)])
+                FOR j IN range(0, 8)] AS vb
+        FROM sg)"""
+
   val oracles: Map[String, String] = Map(
+    "mm_video_phash" -> s"""
+      WITH src AS (SELECT doc_id, text FROM documents),
+      $videoHashBytesSql
+      SELECT doc_id,
+             array_to_string([printf('%02x', CAST(x AS INT)) FOR x IN vb], '')
+               AS vhash_hex
+      FROM byt ORDER BY doc_id""",
+    "mm_video_neardup" -> s"""
+      WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+      $videoHashBytesSql
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(list_sum([bit_count(xor(CAST(a.vb[j] AS BIGINT),
+                                          CAST(b.vb[j] AS BIGINT)))
+                            FOR j IN range(1, 9)]) AS BIGINT) AS hamming
+      FROM byt a JOIN byt b ON a.doc_id < b.doc_id
+      WHERE list_sum([bit_count(xor(CAST(a.vb[j] AS BIGINT),
+                                    CAST(b.vb[j] AS BIGINT)))
+                      FOR j IN range(1, 9)]) <= 3
+      ORDER BY id_a, id_b""",
     "mm_interleave" -> """
       WITH it AS (
         SELECT doc_id,

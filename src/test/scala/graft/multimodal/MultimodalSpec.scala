@@ -475,6 +475,85 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == VideoMeta(3L, c, w, h, d, t))
   }
 
+  test("videoPerceptualHash: MP4 hashes the mdat media data, not the metadata") {
+    val rnd = new scala.util.Random(7)
+    val media = Array.fill[Byte](4096)(rnd.nextInt().toByte)
+    val a = {
+      val ftyp = mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++ new Array[Byte](8))
+      val mvhd = mp4Box("mvhd", java.nio.ByteBuffer.allocate(24)
+        .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(5000).putInt(0).array)
+      ftyp ++ mp4Box("moov", mvhd) ++ mp4Box("mdat", media)
+    }
+    // "re-muxed" twin: different brand, moov replaced by a free box of
+    // different length — identical media data
+    val b = {
+      val ftyp = mp4Box("ftyp", "mp42".getBytes("ISO-8859-1") ++ new Array[Byte](8))
+      val free = mp4Box("free", Array.fill[Byte](99)(0x55))
+      ftyp ++ free ++ mp4Box("mdat", media)
+    }
+    assert(DecodeStub.videoPerceptualHash(a) == DecodeStub.videoPerceptualHash(b))
+    // different media data → different signature
+    val other = Array.fill[Byte](4096)(rnd.nextInt().toByte)
+    val c = {
+      val ftyp = mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++ new Array[Byte](8))
+      ftyp ++ mp4Box("mdat", other)
+    }
+    assert(DecodeStub.videoPerceptualHash(a) != DecodeStub.videoPerceptualHash(c))
+  }
+
+  test("videoPerceptualHash: Matroska hashes from the first Cluster") {
+    val rnd = new scala.util.Random(11)
+    val media = Array.fill[Byte](100)(rnd.nextInt().toByte)
+    val cluster = ebml(Array(0x1F, 0x43, 0xB6, 0x75), media)
+    val a = webmFixture ++ cluster
+    // different metadata ahead of the cluster (extra EBML void-ish
+    // element in the header), identical cluster bytes
+    val header2 = ebml(Array(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(Array(0x42, 0x82), "matroska".getBytes("ISO-8859-1")))
+    val b = header2 ++ cluster
+    assert(DecodeStub.videoPerceptualHash(a) == DecodeStub.videoPerceptualHash(b))
+    val cluster2 = ebml(Array(0x1F, 0x43, 0xB6, 0x75),
+      Array.fill[Byte](100)(rnd.nextInt().toByte))
+    assert(DecodeStub.videoPerceptualHash(a) !=
+      DecodeStub.videoPerceptualHash(webmFixture ++ cluster2))
+  }
+
+  test("videoPerceptualHash fallback: uniform byte shift invariance + fuzz") {
+    // mean contour: adding a constant to every byte moves every window
+    // mean alike — no comparison flips
+    val p = Array.tabulate[Byte](997)(i => (i * 31 % 200).toByte)
+    val shifted = p.map(b => (b + 10).toByte)
+    assert(DecodeStub.videoPerceptualHash(p) ==
+      DecodeStub.videoPerceptualHash(shifted))
+    // fuzz: every size from 1 up, deterministic, never throws —
+    // including crafted size fields that walk past the payload
+    val rnd = new scala.util.Random(13)
+    (1 to 300).foreach { n =>
+      val q = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      assert(DecodeStub.videoPerceptualHash(q) ==
+        DecodeStub.videoPerceptualHash(q.clone))
+    }
+    val evil = "____ftyp".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](24)(0x7F.toByte) // ftyp magic, nonsense sizes
+    DecodeStub.videoPerceptualHash(evil)
+    val badEbml = Array(0x1A, 0x45, 0xDF, 0xA3, 0x1F, 0x43).map(_.toByte)
+    DecodeStub.videoPerceptualHash(badEbml)
+  }
+
+  test("videoPerceptualHashes: partition transform matches direct hash") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, mp4Fixture ++ mp4Box("mdat",
+        Array.tabulate[Byte](256)(i => (i * 7).toByte)), "video", "mp4"),
+      MediaRecord(2L, webmFixture, "video", "webm"),
+      MediaRecord(3L, Array.tabulate[Byte](32)(i => (i * 11).toByte), "video", "raw"))
+    val out = Multimodal.videoPerceptualHashes(recs.toDS(), batchSize = 2)
+      .collect().map(v => v.doc_id -> v.vhash).toMap
+    recs.foreach { r =>
+      assert(out(r.doc_id) == DecodeStub.videoPerceptualHash(r.payload))
+    }
+  }
+
   // ——— compressed-audio metadata fixtures ———
 
   /** MPEG-1 Layer III, 128 kbps, 44.1 kHz, stereo: ID3v2 (empty) +
