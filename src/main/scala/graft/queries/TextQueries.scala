@@ -1478,13 +1478,11 @@ object TextQueries extends QueryPack {
 
   // Html.extractText's regex chain verbatim over a `html` column
   // (DuckDB regexp_replace needs the explicit 'g' — Spark's is global
-  // by default); block-tag list must match Html.BlockTags
-  private val htmlExtractSql = """
-      array_to_string(
-        list_filter(
-          list_transform(
-            string_split(
-              replace(replace(replace(replace(replace(replace(
+  // by default); block-tag list must match Html.BlockTags and the
+  // entity chain is GENERATED from Html.Entities so the two engines
+  // cannot drift
+  private val htmlExtractSql: String = {
+    val tagStripped = """
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
@@ -1494,13 +1492,22 @@ object TextQueries extends QueryPack {
                       '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
                     '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|hr|section|article|header|footer|blockquote|title|head|body|html)\b[^>]*>',
                     chr(10), 'g'),
-                  '<[^>]*>', ' ', 'g'),
-                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                  '<[^>]*>', ' ', 'g')"""
+    def sq(s: String) = s.replace("'", "''")
+    val decoded = graft.text.Html.Entities.foldLeft(tagStripped) {
+      case (inner, (from, to)) =>
+        s"replace($inner, '${sq(from)}', '${sq(to)}')"
+    }
+    s"""
+      array_to_string(
+        list_filter(
+          list_transform(
+            string_split($decoded,
               chr(10)),
-            l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+            l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
           x -> x <> ''),
         chr(10))"""
+  }
 
   // the SAME conversation-synthesis template as synthConvCol, by
   // string concatenation over the same token slices

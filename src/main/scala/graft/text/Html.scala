@@ -23,13 +23,49 @@ import org.apache.spark.sql.functions._
   * lets the DuckDB oracle pin the extraction byte-for-byte. Map-only:
   * no shuffle, no state.
   *
-  * Deliberately NOT a browser-grade parser: no nesting awareness
-  * (script/style strip to the first closing tag — the CDATA/escaped
-  * corner cases of real crawls are handled by upstream WARC tooling),
-  * no attribute parsing, entity decode limited to the named five plus
-  * `&#39;`. Every rule is deterministic and engine-portable.
+  * Deliberately NOT a browser-grade parser — the contract, pinned by
+  * HtmlSpec's guard tests:
+  *  - script/style strip to the FIRST closing tag: a `</script>`
+  *    INSIDE a JS string ends the strip there, and the fragment
+  *    between it and the real closing tag surfaces as text — a
+  *    BOUNDED leak (the fragment itself), never an unbounded
+  *    deletion of following content;
+  *  - a script/style block that never closes does not strip at all:
+  *    its code surfaces as text (tags removed) rather than deleting
+  *    the rest of the document — fail-open by design, the
+  *    quality gates downstream are what drop code-shaped text;
+  *  - an unclosed tag at end-of-input (`<div class="x` with no `>`)
+  *    survives literally — the tag regexes all require the closing
+  *    `>`, so a truncated crawl can not swallow trailing text.
+  *  The CDATA/escaped corner cases of real crawls are handled by
+  *  upstream WARC tooling. No attribute parsing; entity decode covers
+  *  [[Entities]] (the named HTML5 core that dominates real markup +
+  *  the common numeric forms). Every rule is deterministic and
+  *  engine-portable.
   */
 object Html {
+
+  /** Entity decode table, applied IN ORDER. Order is part of the
+    * contract: every `&`-PRODUCING decode (`&#38;`, `&amp;`) comes
+    * last, else `&amp;lt;` would double-decode to `<` instead of the
+    * literal `&lt;` the author wrote. One-to-one string replaces only,
+    * so any SQL engine replays the chain verbatim (the DuckDB twin is
+    * generated from this table). */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&#34;" -> "\"", "&#60;" -> "<", "&#62;" -> ">", "&#160;" -> " ",
+    "&hellip;" -> "…", "&mdash;" -> "—", "&ndash;" -> "–",
+    "&lsquo;" -> "‘", "&rsquo;" -> "’",
+    "&ldquo;" -> "“", "&rdquo;" -> "”",
+    "&laquo;" -> "«", "&raquo;" -> "»",
+    "&middot;" -> "·", "&bull;" -> "•",
+    "&copy;" -> "©", "&reg;" -> "®", "&trade;" -> "™",
+    "&deg;" -> "°", "&times;" -> "×", "&divide;" -> "÷",
+    "&sect;" -> "§", "&para;" -> "¶",
+    "&euro;" -> "€", "&pound;" -> "£",
+    "&yen;" -> "¥", "&cent;" -> "¢",
+    "&#38;" -> "&", "&amp;" -> "&")
 
   /** Tags whose open OR close breaks a text block — their boundaries
     * become newlines so downstream line-level cleaners see real lines
@@ -54,12 +90,10 @@ object Html {
     val blocks = regexp_replace(noStyle,
       s"(?i)</?(?:$BlockTags)\\b[^>]*>", "\n")
     val noTags = regexp_replace(blocks, "<[^>]*>", " ")
-    // named entities, &amp; LAST (else "&amp;lt;" would double-decode)
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) =>
-        replace(c, lit(from), lit(to))
-      }
+    // entity decode — [[Entities]] order (the &-producing pair LAST)
+    val decoded = Entities.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
     // per-line whitespace normalization, empty lines dropped
     array_join(
       filter(

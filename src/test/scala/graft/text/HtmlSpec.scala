@@ -85,4 +85,44 @@ class HtmlSpec extends AnyFunSuite with SparkSpec {
     assert(extract("""<div class="x" id='y'>inside</div>""") == "inside")
     assert(extract("""<hr class="sep"/><p>after</p>""") == "after")
   }
+
+  test("guard: </script> inside a JS string leaks ONLY the bounded fragment") {
+    // the strip ends at the FIRST closing tag (documented contract):
+    // the fragment between it and the real close surfaces as text, the
+    // trailing real </script> tag strips as a plain tag — and content
+    // AFTER the script block is fully preserved, never swallowed
+    val html =
+      """<p>before</p><script>var a = "</script>"; run(a);</script><p>after</p>"""
+    assert(extract(html) == "before\n\"; run(a);\nafter")
+  }
+
+  test("guard: unclosed script/style fails OPEN — code surfaces, nothing is swallowed") {
+    // no closing tag anywhere: the subtree regex cannot match, so the
+    // code text survives (minus tags) instead of deleting the rest of
+    // the document; downstream quality gates are what drop code-shaped
+    // text
+    assert(extract("<p>keep</p><script>var x = 1; f(x);") ==
+      "keep\nvar x = 1; f(x);")
+    assert(extract("<style>p { color: red; }\n<p>tail text</p>") ==
+      "p { color: red; }\ntail text")
+  }
+
+  test("guard: unclosed tag at end-of-input survives literally") {
+    // every tag regex requires the closing '>': a truncated crawl can
+    // not swallow trailing text into a half-open tag
+    assert(extract("""<p>ok</p><div class="x""") == "ok\n<div class=\"x")
+    assert(extract("<p>ok</p><scr") == "ok\n<scr")
+  }
+
+  test("HTML5 named core + numeric entities decode; &-producing forms stay last") {
+    assert(extract("<p>c &copy; 2024 &mdash; 5&deg; &euro;9 &hellip;</p>") ==
+      "c © 2024 — 5° €9 …")
+    assert(extract("<p>&ldquo;q&rdquo; &lsquo;s&rsquo; &laquo;fr&raquo;</p>") ==
+      "“q” ‘s’ «fr»")
+    assert(extract("<p>&#34;x&#34; &#60;y&#62; a&#160;b</p>") ==
+      "\"x\" <y> a b")
+    // numeric ampersand: same no-double-decode rule as &amp;
+    assert(extract("<p>&#38;lt;</p>") == "&lt;")
+    assert(extract("<p>&amp;copy;</p>") == "&copy;")
+  }
 }
