@@ -692,6 +692,49 @@ object TextQueries extends QueryPack {
       .orderBy(col("stage_idx"))
   }
 
+  /** THE STREAMING FLAGSHIP as an oracle row
+    * ([[graft.streaming.Streams.pretrainPipelineSink]]): the fixture
+    * splits into THREE doc_id-ordered micro-batches, streams through
+    * the real checkpointed composition — every gate, both dedup stages
+    * against their persisted indexes, both decontamination passes, the
+    * sample, and offset-carried packing — and the accumulated stage
+    * counts are read back. The oracle is VERBATIM the batch flagship's
+    * (`tx_pretrain_pipeline`): pinning both queries to one independent
+    * recomputation IS the streamed == batch equivalence claim. The
+    * driver-side split materialization is batch-fixture plumbing (the
+    * MemoryStream feed), not an operator pattern — the sink itself
+    * only ever sees micro-batches. */
+  def txPretrainStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val splits = Seq(
+        docs.filter(col("doc_id") <= maxId / 3),
+        docs.filter(col("doc_id") > maxId / 3 &&
+          col("doc_id") <= 2 * maxId / 3),
+        docs.filter(col("doc_id") > 2 * maxId / 3))
+      .map(_.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_stream_flagship").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.Streams.pretrainPipelineSink(
+        input.toDF().toDF("doc_id", "source", "text"),
+        s"$work/state", s"$work/cp", "doc_id", "source", "text",
+        evalDocs = docs.filter(col("source") === "src0"),
+        evalTextCol = "text",
+        blocklistTerms = Seq("slow", "Lorem", "ipsum"),
+        segment = segmentLines,
+        trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    try splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    graft.streaming.Streams.pretrainPipelineStages(s, s"$work/state")
+  }
+
   /** Deterministic conversation synthesis over `documents` (both
     * engines build the IDENTICAL JSON string by concatenation — the
     * word-salad corpus contains no JSON metachars, so no escaping
@@ -1042,6 +1085,7 @@ object TextQueries extends QueryPack {
     "tx_html_funnel" -> (txHtmlFunnel _),
     "tx_blocklist" -> (txBlocklist _),
     "tx_pretrain_pipeline" -> (txPretrainPipeline _),
+    "tx_pretrain_stream" -> (txPretrainStream _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
@@ -1657,8 +1701,11 @@ object TextQueries extends QueryPack {
         SELECT doc_id, source, clean FROM dn
         WHERE $bucketSql < 500000)"""
 
-  val oracles: Map[String, String] = Map(
-    "tx_pretrain_pipeline" -> {
+  // the full-flagship stage recomputation — shared verbatim by the
+  // batch query (tx_pretrain_pipeline) and the STREAMING composition
+  // (tx_pretrain_stream): one oracle string for both IS the
+  // streamed == batch equivalence claim, independently recomputed
+  private lazy val pretrainOracleSql: String = {
       val rel =
         s"(WITH RECURSIVE $pretrainCtes SELECT doc_id, clean AS text FROM samp2)"
       s"""
@@ -1695,7 +1742,11 @@ object TextQueries extends QueryPack {
                 CAST((SELECT COUNT(*) FROM samp2) AS BIGINT)
       UNION ALL SELECT 11, 'batches', CAST((SELECT COUNT(*) FROM b2) AS BIGINT)
       ORDER BY stage_idx"""
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "tx_pretrain_pipeline" -> pretrainOracleSql,
+    "tx_pretrain_stream" -> pretrainOracleSql,
     "sft_dedup" -> s"""
       WITH conv AS ($sftConvSql),
       turns AS ($sftTurnsSql),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.core.LoadResult
 import graft.operators.Merge
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -510,6 +510,278 @@ object Streams {
             durationSeconds = (System.nanoTime() - t0) / 1e9))
         }
       }
+
+  /** THE streaming flagship — the end-to-end streaming form of the
+    * batch `tx_pretrain_pipeline` composition
+    * ([[graft.queries.TextQueries.txPretrainPipeline]]), every stage
+    * the same library operator with the same parameters, run
+    * incrementally per micro-batch under ONE checkpoint:
+    *
+    *  1. optional HTML→text extraction ([[graft.text.Html.extractText]]);
+    *  2. blocklist gate (frequency-threshold,
+    *     [[graft.text.Curation.blocklistPassed]]);
+    *  3. language gate (stopword vote == `lang`);
+    *  4. Gopher quality gate; 5. C4 segmentation + line cleaning;
+    *  6. committed-model quality gate (quantized classifier);
+    *  7. EXACT dedup on cleaned text — first-wins in batch, then
+    *     anti-join the persisted fingerprint index (`fpIndex/`);
+    *  8. MinHash NEAR-dedup — in-batch pairs plus incremental
+    *     candidates against the persisted signature index (`sigIndex/`),
+    *     Jaccard-verified against the near-stage survivor corpus
+    *     (`dedupCorpus/`), greedy lowest-id/old-wins drops (the
+    *     [[nearDupDedupSink]] rule — equal to the batch transitive
+    *     closure whenever pairs don't chain across survivors, and in
+    *     particular on any corpus where C4 cleaning collapses near-dups
+    *     into exact dups first);
+    *  9. decontamination against the static `evalDocs` set — exact
+    *     whole-doc fingerprints, then near-match shared-`deconN`-grams
+    *     ([[graft.text.Boilerplate.ngramDecontaminate]]);
+    *  10. deterministic hash sample;
+    *  11. BPE-exact sequence packing with CARRIED per-source token
+    *     offsets (`offsets/`): pack ids continue across micro-batches,
+    *     so batches fed in key order produce the identical (source,
+    *     pack_batch) layout as one batch run — StreamsSpec pins
+    *     streamed-in-3 == batch flagship on the same fixture, and the
+    *     tx_pretrain_stream oracle row replays the full composition.
+    *
+    * State is ALL parquet under `workDir` (fingerprints, signatures,
+    * survivor texts, per-source offsets, per-batch stage counts), one
+    * `batch=<id>` overwrite-partition per micro-batch — the idempotent
+    * replay, own-batch-exclusion, and checkpoint-loss-guard contracts
+    * of every sibling sink. Per-batch cost ∝ the increment (plus the
+    * candidate-pruned corpus read the near stage shares with
+    * [[nearDupDedupSink]]); nothing history-sized is ever recomputed. */
+  def pretrainPipelineSink(stream: DataFrame, workDir: String,
+      checkpoint: String, idCol: String, sourceCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String,
+      blocklistTerms: Seq[String], maxHits: Long = 2L,
+      lang: String = "en", minTokens: Long = 50L, minStopWords: Long = 1L,
+      minWords: Int = 3,
+      modelWeights: Seq[(Int, Long)] = graft.text.QualityModelFixture.weightsQ,
+      modelBias: Long = graft.text.QualityModelFixture.biasQ,
+      modelBuckets: Int = graft.text.QualityModelFixture.buckets,
+      segment: Column => Column = identity,
+      shingleSize: Int = 5, threshold: Double = 0.8, bands: Int = 16,
+      deconN: Int = 8, sampleFraction: Double = 0.5, packBudget: Long = 2048L,
+      htmlExtract: Boolean = false,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.dedup.Dedup
+        import graft.text.{Boilerplate, Curation, QualityClassifier, TextFunctions}
+        val t0 = System.nanoTime()
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fpPath = s"$workDir/fpIndex"
+        val sigPath = s"$workDir/sigIndex"
+        val dcPath = s"$workDir/dedupCorpus"
+        val offPath = s"$workDir/offsets"
+        val fpFs = new Path(fpPath).getFileSystem(conf)
+        val committed = fpFs.globStatus(new Path(fpPath, "batch=*/_SUCCESS"))
+        val hasState = committed != null && committed.nonEmpty
+        if (batchId == 0 && hasState &&
+            committed.exists(s => s.getPath.getParent.getName != "batch=0"))
+          throw new IllegalStateException(
+            s"pretrainPipelineSink: batchId restarted at 0 but $fpPath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or start a fresh workDir.")
+        // one committed-batch probe per state directory: fpIndex commits
+        // LAST in the write order below, so its presence implies every
+        // earlier directory's batch committed too — but each read still
+        // tolerates an absent sibling (first batch, or crash mid-write)
+        def stateRead(path: String, cols: Seq[String]): Option[DataFrame] = {
+          val fs = new Path(path).getFileSystem(conf)
+          val ok = fs.globStatus(new Path(path, "batch=*/_SUCCESS"))
+          if (ok == null || ok.isEmpty) None
+          else Some(spark.read.parquet(path)
+            .filter(col("batch") =!= batchId) // own prior attempt ≠ state
+            .select(cols.map(col): _*))
+        }
+        val total = batch.count()
+        if (total > 0) {
+          // ——— map-side gates (stages 1–5), one scan computes all flags
+          val src =
+            if (htmlExtract)
+              batch.withColumn(textCol, graft.text.Html.extractText(col(textCol)))
+                .filter(col(textCol) =!= "").localCheckpoint()
+            else batch
+          val hN = if (htmlExtract) src.count() else total
+          val flagged = src
+            .withColumn("__s1",
+              Curation.blocklistPassed(col(textCol), blocklistTerms, maxHits))
+            .withColumn("__sL",
+              col("__s1") && (TextFunctions.langId(col(textCol)) === lang))
+            .withColumn("__s2", col("__sL") && Curation.gopherPassed(
+              Curation.gopherFeatures(col(textCol)),
+              minTokens = minTokens, minStopWords = minStopWords))
+            .withColumn("__t2", segment(col(textCol)))
+            .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords))
+            .withColumn("__s3",
+              col("__s2") && !Curation.c4DocDrop(col("__t2")) && col("clean") =!= "")
+          val head = flagged.agg(
+            sum(col("__s1").cast("long")).as("bl"),
+            sum(col("__sL").cast("long")).as("lng"),
+            sum(col("__s2").cast("long")).as("gph"),
+            sum(col("__s3").cast("long")).as("c4")).head()
+          val survivors = flagged.filter(col("__s3"))
+            .select(col(idCol), col(sourceCol), col("clean"))
+            .localCheckpoint()
+          // ——— 6. model gate
+          val modelKept = survivors.join(
+            QualityClassifier.scoreQuantized(
+                survivors.select(col(idCol), col("clean")), idCol, "clean",
+                modelWeights, modelBias, modelBuckets)
+              .filter(col("clf_pass") === 1).select(col(idCol)),
+            Seq(idCol), "left_semi").localCheckpoint()
+          val mN = modelKept.count()
+          // ——— 7. exact dedup: in-batch first-wins, then the fp index
+          val fp = modelKept.withColumn("__fp", md5(col("clean")))
+          val firsts = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+          val inBatch = fp.join(firsts, Seq("__fp", idCol), "left_semi")
+          val fpIndexed = stateRead(fpPath, Seq("fp"))
+            .map(_.withColumnRenamed("fp", "__fp"))
+            .getOrElse(fp.select(col("__fp")).limit(0))
+          val exactKept = inBatch.join(fpIndexed, Seq("__fp"), "left_anti")
+            .localCheckpoint()
+          val eN = exactKept.count()
+          // ——— 8. near-dedup vs the persisted signature index
+          val newSigs = Dedup.minhashSignatures(
+            exactKept.select(col(idCol), col("clean")), idCol, "clean",
+            shingleSize).localCheckpoint()
+          val indexSigs = stateRead(sigPath, Seq(idCol, "sig"))
+            .getOrElse(newSigs.select(col(idCol), col("sig")).limit(0))
+          val cands = Dedup.incrementalCandidatePairs(newSigs, indexSigs,
+            idCol, bands).localCheckpoint()
+          // candidate-id pushdown into the survivor-corpus read — the
+          // capped-literal pattern of [[nearDupDedupSink]]
+          val oldCorpus = {
+            val base = stateRead(dcPath, Seq(idCol, "clean"))
+            base match {
+              case None => exactKept.select(col(idCol), col("clean")).limit(0)
+              case Some(old) =>
+                val probe = cands.select(col("id_a").as(idCol))
+                  .unionByName(cands.select(col("id_b").as(idCol)))
+                  .distinct().limit(100001).collect()
+                if (probe.isEmpty) old.limit(0)
+                else if (probe.length <= 100000)
+                  old.filter(col(idCol).isInCollection(probe.map(_.get(0)).toSeq))
+                else old
+            }
+          }
+          val verifyCorpus = exactKept.select(col(idCol), col("clean"))
+            .unionByName(oldCorpus)
+          val pairs = Dedup.verifyJaccard(verifyCorpus, cands, idCol, "clean",
+            shingleSize, threshold)
+          val oldIds = indexSigs.select(col(idCol))
+          val dropA = pairs
+            .join(oldIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
+            .select(col("id_a").as(idCol))
+          val dropB = pairs
+            .join(oldIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_anti")
+            .select(col("id_b").as(idCol))
+          val drops = dropA.unionByName(dropB).distinct().localCheckpoint()
+          val nearKept = exactKept.join(broadcast(drops), Seq(idCol), "left_anti")
+            .localCheckpoint()
+          val nN = nearKept.count()
+          // ——— 9. decontamination: exact fingerprints, then near n-grams
+          val evalFps = evalDocs
+            .select(TextFunctions.minShingleFingerprint(col(evalTextCol),
+              shingleSize).as("__efp"))
+            .filter(col("__efp").isNotNull).distinct()
+          val decon = nearKept
+            .withColumn("__dfp",
+              TextFunctions.minShingleFingerprint(col("clean"), shingleSize))
+            .join(broadcast(evalFps.withColumnRenamed("__efp", "__dfp")),
+              Seq("__dfp"), "left_anti")
+            .drop("__dfp")
+          val dN = decon.count()
+          val deconNear = Boilerplate.ngramDecontaminate(decon, idCol, "clean",
+            evalDocs, evalTextCol, deconN).localCheckpoint()
+          val dnN = deconNear.count()
+          // ——— 10. deterministic sample; 11. packing with carried offsets
+          val sampled = graft.operators.Sampling.deterministicSample(
+            deconNear, idCol, sampleFraction)
+          val sN = sampled.count()
+          val withTok = sampled.withColumn("n_tokens",
+            TextFunctions.bpeTokenCount(col("clean")))
+          val baseOffsets = stateRead(offPath, Seq(sourceCol, "tokens"))
+            .map(_.groupBy(col(sourceCol)).agg(sum(col("tokens")).as("__base")))
+            .getOrElse(withTok.select(col(sourceCol), lit(0L).as("__base")).limit(0))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(sourceCol)).orderBy(col(idCol))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          val packed = withTok
+            .join(broadcast(baseOffsets), Seq(sourceCol), "left")
+            .withColumn("__base", coalesce(col("__base"), lit(0L)))
+            .withColumn("__cum", sum(col("n_tokens")).over(w))
+            .withColumn("pack_batch",
+              expr(s"(__base + __cum - n_tokens) div ${packBudget}L"))
+            .select(col(idCol), col(sourceCol), col("clean"), col("n_tokens"),
+              col("pack_batch"))
+            .localCheckpoint()
+          // ——— state + output writes; fpIndex LAST (the state probe key)
+          packed.write.mode("overwrite").parquet(s"$workDir/corpus/batch=$batchId")
+          packed.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("tokens"))
+            .write.mode("overwrite").parquet(s"$offPath/batch=$batchId")
+          nearKept.select(col(idCol), col("clean"))
+            .write.mode("overwrite").parquet(s"$dcPath/batch=$batchId")
+          newSigs.join(broadcast(drops), Seq(idCol), "left_anti")
+            .select(col(idCol), col("sig"))
+            .write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
+          val stages = Seq(
+            (0, "total", total), (1, "blocklist", head.getLong(0)),
+            (2, "lang", head.getLong(1)), (3, "gopher", head.getLong(2)),
+            (4, "c4", head.getLong(3)), (5, "model", mN),
+            (6, "exact_dedup", eN), (7, "near_dedup", nN),
+            (8, "decontaminated", dN), (9, "decon_near", dnN),
+            (10, "sampled", sN))
+          import spark.implicits._
+          stages.toDF("stage_idx", "stage", "n_docs")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$workDir/stats/batch=$batchId")
+          exactKept.select(col("__fp").as("fp"))
+            .write.mode("overwrite").parquet(s"$fpPath/batch=$batchId")
+          onLoad(LoadResult(success = true, rowsLoaded = sN,
+            tableName = s"$workDir/corpus",
+            durationSeconds = (System.nanoTime() - t0) / 1e9,
+            errorMessage = if (sN < total)
+              Some(s"gates=${total - mN};dup=${mN - nN};decon=${nN - dnN};" +
+                s"sample=${dnN - sN}")
+            else None))
+        } else {
+          // no directory mint for empty micro-batches (the sibling-sink
+          // convention) — sums and carried offsets are unaffected
+          onLoad(LoadResult(success = true, rowsLoaded = 0L,
+            tableName = s"$workDir/corpus",
+            durationSeconds = (System.nanoTime() - t0) / 1e9))
+        }
+      }
+
+  /** The finished-run view of a [[pretrainPipelineSink]] work
+    * directory: per-batch stage counts summed across micro-batches,
+    * plus the final `batches` stage (distinct (source, pack_batch) —
+    * computed here, not per batch, because carried offsets let one
+    * pack batch span micro-batches). Same 12-stage layout as the batch
+    * flagship, so streamed == batch is one DataFrame comparison. */
+  def pretrainPipelineStages(spark: SparkSession, workDir: String,
+      sourceCol: String = "source"): DataFrame = {
+    val stats = spark.read.parquet(s"$workDir/stats")
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select(col("stage_idx").cast("int").as("stage_idx"), col("stage"),
+        col("n_docs"))
+    val batches = spark.read.parquet(s"$workDir/corpus")
+      .select(col(sourceCol), col("pack_batch"))
+      .distinct()
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit(11).cast("int").as("stage_idx"), lit("batches").as("stage"),
+        col("n_docs"))
+    stats.unionByName(batches).orderBy(col("stage_idx"))
+  }
 
   /** C5: poll-interval suppression → micro-batch trigger. */
   def trigger(checkIntervalSeconds: Long): Trigger =

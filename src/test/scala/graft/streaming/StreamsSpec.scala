@@ -1290,4 +1290,83 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         _.toString.contains("checkpoint was lost")), q.exception.toString)
     } finally q.stop()
   }
+
+  test("streaming flagship: 3 micro-batches == batch flagship, stage- and doc-exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{Curation, QualityClassifier, QualityModelFixture, TextFunctions}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+    // ——— streamed: the real checkpointed sink, fixture in 3 id-ordered
+    // micro-batches
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val parts = Seq(
+        docs.filter(col("doc_id") <= maxId / 3),
+        docs.filter(col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3),
+        docs.filter(col("doc_id") > 2 * maxId / 3))
+      .map(_.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+    assert(parts.forall(_.nonEmpty) && parts.map(_.size).sum == 500)
+    val work = Files.createTempDirectory("flagship_stream").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.pretrainPipelineSink(
+        input.toDF().toDF("doc_id", "source", "text"),
+        s"$work/state", s"$work/cp", "doc_id", "source", "text",
+        evalDocs = docs.filter(col("source") === "src0"), evalTextCol = "text",
+        blocklistTerms = Seq("slow", "Lorem", "ipsum"),
+        segment = graft.queries.segmentLines,
+        trig = Streams.trigger(1)).start()
+    try {
+      parts.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    // ——— stage counts match the committed batch flagship exactly
+    val batchStages = graft.queries.TextQueries.txPretrainPipeline(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val streamedStages = Streams.pretrainPipelineStages(spark, s"$work/state")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamedStages == batchStages,
+      s"streamed=$streamedStages\nbatch=$batchStages")
+    // ——— doc-level: the streamed corpus is exactly the batch
+    // pipeline's sampled survivors with the batch pack assignment
+    // (the chain recomposed here from the same library operators)
+    val terms = Seq("slow", "Lorem", "ipsum")
+    val fl = docs
+      .withColumn("__s1", Curation.blocklistPassed(col("text"), terms, maxHits = 2L))
+      .withColumn("__sL", col("__s1") && (TextFunctions.langId(col("text")) === "en"))
+      .withColumn("__s2", col("__sL") && Curation.gopherPassed(
+        Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
+      .withColumn("__t2", graft.queries.segmentLines(col("text")))
+      .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords = 3))
+      .filter(col("__s2") && !Curation.c4DocDrop(col("__t2")) && col("clean") =!= "")
+      .select(col("doc_id"), col("source"), col("clean")).localCheckpoint()
+    val mk = fl.join(QualityClassifier.scoreQuantized(
+        fl.select(col("doc_id"), col("clean")), "doc_id", "clean",
+        QualityModelFixture.weightsQ, QualityModelFixture.biasQ,
+        QualityModelFixture.buckets)
+      .filter(col("clf_pass") === 1).select(col("doc_id")), Seq("doc_id"))
+    val ex = graft.dedup.Dedup.exactByContent(mk, "doc_id", "clean").localCheckpoint()
+    val prs = graft.dedup.Dedup.minhashNearDuplicates(ex, "doc_id", "clean")
+    val nd = graft.dedup.Dedup.removeNearDuplicatesTransitive(ex, prs, "doc_id")
+    val efp = docs.filter(col("source") === "src0")
+      .select(TextFunctions.minShingleFingerprint(col("text"), 5).as("__fp"))
+      .filter(col("__fp").isNotNull).distinct()
+    val dec = nd
+      .withColumn("__fp", TextFunctions.minShingleFingerprint(col("clean"), 5))
+      .join(broadcast(efp), Seq("__fp"), "left_anti").drop("__fp")
+    val dn = graft.text.Boilerplate.ngramDecontaminate(dec, "doc_id", "clean",
+      docs.filter(col("source") === "src0"), "text", 8)
+    val samp = graft.operators.Sampling.deterministicSample(dn, "doc_id", 0.5)
+    val packedBatch = graft.operators.Sampling.packSequences(samp, "source",
+        "doc_id", TextFunctions.bpeTokenCount(col("clean")), 2048L)
+      .select(col("doc_id"), col("batch_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamedCorpus = spark.read.parquet(s"$work/state/corpus")
+      .select(col("doc_id"), col("pack_batch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamedCorpus == packedBatch)
+    assert(streamedCorpus.nonEmpty)
+  }
 }
