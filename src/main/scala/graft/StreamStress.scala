@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming-sink stress harness (dev/bench main, the [[TextStress]]
+  * pattern): the round-6 sinks are correctness-tested but were never
+  * stress-measured; this synthesizes the SAME deterministic 50k-doc
+  * corpus as [[TextStress]] (sf1.0 documents volume), splits it into
+  * 10 id-ordered micro-batches of 5k, and drives three sinks through
+  * real checkpointed Structured Streaming runs:
+  *
+  *  1. [[graft.streaming.Streams.sftPrepSink]] — 50k serialized
+  *     conversations (150k turns), per-batch validity gate + BPE
+  *     accounting + response dedup vs the growing key index;
+  *  2. [[graft.streaming.Streams.phashDedupSink]] — 50k binary
+  *     payloads where every 25th doc of batches 2..10 plants a
+  *     byte-identical copy of the doc ONE BATCH EARLIER (cross-batch
+  *     duplicates, so the persisted hash index does real work every
+  *     batch);
+  *  3. [[graft.streaming.Streams.pretrainPipelineSink]] — the round-7
+  *     end-to-end streaming flagship over the same corpus, with a
+  *     97-doc eval slice so both decontamination passes fire.
+  *
+  * Records PER-BATCH wall seconds (from the sinks' own LoadResult
+  * callbacks), final state-directory sizes (bytes + files), and peak
+  * JVM heap, asserting the cross-batch invariants (expected dedup
+  * counts, planted copies all dropped, stage counts monotone) so a
+  * scale regression fails loudly. One JSON line; numbers land in
+  * SCALE.md. Sizing knob: SPARK_GRAFT_STRESS_TEXT_DOCS. */
+object StreamStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STRESS_TEXT_DOCS", "50000").toLong
+    val nBatches = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+
+    def peakHeapMb(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+        .sum / (1024 * 1024)
+    }
+    def dirSize(path: String): (Long, Long) = {
+      def walk(f: java.io.File): (Long, Long) =
+        if (f.isFile) (f.length, 1L)
+        else Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+          .map(walk).foldLeft((0L, 0L)) { case ((b, n), (b2, n2)) =>
+            (b + b2, n + n2)
+          }
+      val root = new java.io.File(path)
+      if (root.exists) walk(root) else (0L, 0L)
+    }
+
+    // the TextStress corpus: 100-token salad, unique end marker, shared
+    // boilerplate prefix on every 7th doc
+    val words = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with", "table", "scan", "row", "filter", "vector", "sort",
+      "query", "fast", "group", "agg", "hash", "merge", "batch",
+      "value", "part", "spark", "line", "window", "key", "slow",
+      "plan", "join", "shuffle", "stage")
+    val vocab = array(words.map(lit): _*)
+    val boiler = Seq.tabulate(60)(k => words(k % words.size)).mkString(" ")
+    val body = concat_ws(" ",
+      transform(sequence(lit(0), lit(98)),
+        i => element_at(vocab,
+          pmod(hash(col("doc_id") * 101 + i), lit(words.size)) + 1)))
+    val docs = spark.range(0, nDocs).select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 7 === 0, lit(boiler + " ")).otherwise(lit("")),
+          body, lit(" endmark"), col("doc_id").cast("string")).as("text"))
+      .localCheckpoint()
+
+    val batchBound = nDocs / nBatches
+    def partsOf[T](rows: Array[T], idOf: T => Long): Seq[Seq[T]] =
+      (0 until nBatches).map(b => rows.filter { r =>
+        val id = idOf(r)
+        id >= b * batchBound &&
+          (id < (b + 1) * batchBound || b == nBatches - 1)
+      }.toSeq)
+    val work = java.nio.file.Files.createTempDirectory("stream_stress").toString
+    val walls = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    def record(sink: String): graft.core.LoadResult => Unit = r =>
+      walls.synchronized {
+        walls(sink) = walls.getOrElse(sink, Vector.empty) :+ r.durationSeconds
+      }
+    def jsonSecs(sink: String): String =
+      walls.getOrElse(sink, Vector.empty)
+        .map(s => f"$s%.2f").mkString("[", ",", "]")
+
+    // ——— 1. sftPrepSink: 50k conversations, 10 micro-batches ———
+    val toksOf = split(col("text"), "\\s+")
+    val convCol = concat(
+      lit("""[{"role":"user","content":""""),
+      concat_ws(" ", slice(toksOf, 1, 8)),
+      lit(""""},{"role":""""),
+      when(col("doc_id") % 7 === 0, lit("user")).otherwise(lit("assistant")),
+      lit("""","content":""""),
+      concat_ws(" ", slice(toksOf, 9, 8)),
+      lit(""""},{"role":"user","content":"again """),
+      col("doc_id").cast("string"), lit(""""}]"""))
+    // global (batch-order-independent) expectation: valid conversations
+    // deduped by assistant key, first-wins == streamed with id-ordered
+    // batches
+    val expSft = {
+      val turns = graft.text.Sft.parseTurns(
+        docs.withColumn("conv", convCol), "doc_id", "conv")
+      val valid = graft.text.Sft.conversationStats(turns)
+        .filter(col("valid") === 1).select(col("doc_id"))
+      graft.text.Sft.dedupByAssistant(
+        turns.join(valid, Seq("doc_id"), "left_semi")).count()
+    }
+    val sftRows = docs.withColumn("conv", convCol)
+      .select(col("doc_id"), col("conv"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    locally {
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.sftPrepSink(input.toDF().toDF("doc_id", "conv"),
+          s"$work/sft/corpus", s"$work/sft/index", s"$work/sft/cp",
+          "doc_id", "conv", trig = Streams.trigger(1),
+          onLoad = record("sft")).start()
+      try {
+        partsOf(sftRows, (r: (Long, String)) => r._1)
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        require(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    val sftKept = spark.read.parquet(s"$work/sft/corpus").count()
+    require(sftKept == expSft,
+      s"sft streamed kept $sftKept != batch expectation $expSft")
+
+    // ——— 2. phashDedupSink: cross-batch planted byte copies ———
+    // source ids sit at %25 == 23, one batch earlier — NEVER themselves
+    // planted, so every planted doc is a true byte copy of a doc whose
+    // own payload landed (and was indexed) in the previous batch
+    val planted = docs.filter(col("doc_id") % 25 === 24 &&
+      col("doc_id") >= batchBound).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val srcId = when(col("doc_id") % 25 === 24 &&
+        col("doc_id") >= batchBound, col("doc_id") - batchBound - 1)
+      .otherwise(col("doc_id"))
+    val payloadRows = docs.select(col("doc_id"), srcId.as("src_id"))
+      .join(docs.select(col("doc_id").as("src_id"),
+        col("text").as("src_text")), Seq("src_id"))
+      .select(col("doc_id"), col("src_text").cast("binary").as("payload"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    locally {
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = Streams.phashDedupSink(input.toDF().toDF("doc_id", "payload"),
+          s"$work/phash/corpus", s"$work/phash/index", s"$work/phash/cp",
+          "doc_id", "payload", maxHamming = 3, trig = Streams.trigger(1),
+          onLoad = record("phash")).start()
+      try {
+        partsOf(payloadRows, (r: (Long, Array[Byte])) => r._1)
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        require(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    val phashKeptIds = spark.read.parquet(s"$work/phash/corpus")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    require(planted.forall(id => !phashKeptIds.contains(id)),
+      "every cross-batch planted copy must drop against the hash index")
+    require(phashKeptIds.size <= nDocs - planted.size &&
+      phashKeptIds.size >= ((nDocs - planted.size) * 9) / 10,
+      s"phash kept ${phashKeptIds.size} outside expected band")
+
+    // ——— 3. streaming flagship at sf1.0 volume ———
+    val evalSlice = docs.filter(col("doc_id") % 101 === 100)
+      .select(col("text")).localCheckpoint()
+    val flagRows = docs
+      .select(col("doc_id"),
+        concat(lit("s"), (col("doc_id") % 4).cast("string")).as("source"),
+        col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    locally {
+      val input = MemoryStream[(Long, String, String)]
+      val q = Streams.pretrainPipelineSink(
+          input.toDF().toDF("doc_id", "source", "text"),
+          s"$work/flag/state", s"$work/flag/cp", "doc_id", "source", "text",
+          evalDocs = evalSlice, evalTextCol = "text",
+          blocklistTerms = Seq("slow"), maxHits = 8L,
+          segment = c => concat(c, lit(".")),
+          trig = Streams.trigger(1), onLoad = record("flagship")).start()
+      try {
+        partsOf(flagRows, (r: (Long, String, String)) => r._1)
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        require(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    val stages = Streams.pretrainPipelineStages(spark, s"$work/flag/state")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    require(stages("total") == nDocs, s"flagship must see every doc: $stages")
+    val order = Seq("total", "blocklist", "lang", "gopher", "c4", "model",
+      "exact_dedup", "near_dedup", "decontaminated", "decon_near", "sampled")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      require(stages(b) <= stages(a), s"stage $b > $a: $stages")
+    }
+    require(stages("sampled") > 0 && stages("batches") > 0,
+      s"flagship produced nothing: $stages")
+
+    val (sftB, sftF) = dirSize(s"$work/sft/index")
+    val (phB, phF) = dirSize(s"$work/phash/index")
+    val (flB, flF) = dirSize(s"$work/flag/state")
+    println(
+      f"""{"metric":"stream_stress","docs":$nDocs,"batches":$nBatches,""" +
+      f""""sft_batch_secs":${jsonSecs("sft")},"sft_kept":$sftKept,""" +
+      f""""sft_index_bytes":$sftB,"sft_index_files":$sftF,""" +
+      f""""phash_batch_secs":${jsonSecs("phash")},"phash_kept":${phashKeptIds.size},""" +
+      f""""phash_index_bytes":$phB,"phash_index_files":$phF,""" +
+      f""""flagship_batch_secs":${jsonSecs("flagship")},""" +
+      f""""flagship_sampled":${stages("sampled")},"flagship_packs":${stages("batches")},""" +
+      f""""flagship_state_bytes":$flB,"flagship_state_files":$flF,""" +
+      f""""peak_heap_mb":${peakHeapMb()}}""")
+    spark.stop()
+  }
+}
