@@ -1291,6 +1291,52 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming flagship refuses to clobber history after checkpoint loss") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("flag-loss").toString
+    // docs that survive every gate: 60 tokens incl. stopwords, end in '.'
+    val mk = (i: Long) => (i, "s",
+      (0 until 56).map(t => s"the of and with w${i}x$t word").take(56)
+        .mkString(" ") + " tail.")
+    val eval = Seq((0L, "unrelated eval text")).toDF("doc_id", "text")
+    def sink(input: MemoryStream[(Long, String, String)]) =
+      Streams.pretrainPipelineSink(
+        input.toDF().toDF("doc_id", "source", "text"),
+        s"$dir/state", s"$dir/ckpt", "doc_id", "source", "text",
+        evalDocs = eval, evalTextCol = "text",
+        blocklistTerms = Seq("zzz"), minTokens = 10L,
+        // neutral model gate (empty weights score 0 ≥ 0) and keep-all
+        // sample: the test pins the GUARD, not the gates
+        modelWeights = Seq.empty, modelBias = 0L,
+        sampleFraction = 1.0,
+        trig = Streams.trigger(1)).start()
+    val input = MemoryStream[(Long, String, String)]
+    val q = sink(input)
+    try {
+      input.addData(mk(1)); q.processAllAvailable()
+      input.addData(mk(2)); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/ckpt"))
+    val input2 = MemoryStream[(Long, String, String)]
+    val q2 = sink(input2)
+    try {
+      input2.addData(mk(3))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("checkpoint was lost") ||
+        Option(ex.getCause).exists(_.getMessage.contains("checkpoint was lost")),
+        ex.getMessage)
+      val corpus = spark.read.parquet(s"$dir/state/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpus == Set(1L, 2L))
+    } finally q2.stop()
+  }
+
   test("streaming flagship: 3 micro-batches == batch flagship, stage- and doc-exact") {
     val spark2 = spark
     import spark2.implicits._
