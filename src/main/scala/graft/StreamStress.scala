@@ -222,6 +222,10 @@ object StreamStress {
       f""""flagship_sampled":${stages("sampled")},"flagship_packs":${stages("batches")},""" +
       f""""flagship_state_bytes":$flB,"flagship_state_files":$flF,""" +
       f""""peak_heap_mb":${peakHeapMb()}}""")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(work))
     spark.stop()
   }
 }

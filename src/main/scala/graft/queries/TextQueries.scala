@@ -732,7 +732,24 @@ object TextQueries extends QueryPack {
       .start()
     try splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
     finally q.stop()
-    graft.streaming.Streams.pretrainPipelineStages(s, s"$work/state")
+    // materialize the 12 stage rows, then DELETE the temp state — this
+    // query runs repeatedly (bench attempts + oracle gate) and leaking
+    // a corpus+checkpoint per invocation would accumulate in /tmp
+    val stageRows = graft.streaming.Streams
+      .pretrainPipelineStages(s, s"$work/state").collect().toSeq
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(work))
+    s.createDataFrame(s.sparkContext.parallelize(stageRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("stage_idx",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("stage",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType, nullable = true))))
+      .orderBy(col("stage_idx"))
   }
 
   /** Deterministic conversation synthesis over `documents` (both

@@ -621,11 +621,15 @@ object Streams {
             .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords))
             .withColumn("__s3",
               col("__s2") && !Curation.c4DocDrop(col("__t2")) && col("clean") =!= "")
+          // coalesce: an all-rows-extracted-to-empty HTML batch leaves
+          // `flagged` with 0 rows while total > 0 — NULL sums here would
+          // NPE deterministically on every checkpoint replay and wedge
+          // the stream forever
           val head = flagged.agg(
-            sum(col("__s1").cast("long")).as("bl"),
-            sum(col("__sL").cast("long")).as("lng"),
-            sum(col("__s2").cast("long")).as("gph"),
-            sum(col("__s3").cast("long")).as("c4")).head()
+            coalesce(sum(col("__s1").cast("long")), lit(0L)).as("bl"),
+            coalesce(sum(col("__sL").cast("long")), lit(0L)).as("lng"),
+            coalesce(sum(col("__s2").cast("long")), lit(0L)).as("gph"),
+            coalesce(sum(col("__s3").cast("long")), lit(0L)).as("c4")).head()
           val survivors = flagged.filter(col("__s3"))
             .select(col(idCol), col(sourceCol), col("clean"))
             .localCheckpoint()
@@ -749,7 +753,8 @@ object Streams {
             tableName = s"$workDir/corpus",
             durationSeconds = (System.nanoTime() - t0) / 1e9,
             errorMessage = if (sN < total)
-              Some(s"gates=${total - mN};dup=${mN - nN};decon=${nN - dnN};" +
+              Some((if (htmlExtract) s"html=${total - hN};" else "") +
+                s"gates=${hN - mN};dup=${mN - nN};decon=${nN - dnN};" +
                 s"sample=${dnN - sN}")
             else None))
         } else {

@@ -178,13 +178,15 @@ object Curation {
       minStopWords: Long = 1L)
 
   /** Number of `terms` CONTAINED in the text (substring, case-exact —
-    * the cross-script matching rule of [[LangRoute]]). Codegen'd
-    * literal-array filter, map-only. */
-  def containsCount(text: Column, terms: Seq[String]): Column = {
-    require(terms.nonEmpty, "empty term list")
-    size(filter(array(terms.map(lit): _*), t => text.contains(t)))
+    * the cross-script matching rule of [[LangRoute]]). An EMPTY term
+    * list counts zero — a route with no blocklist yet (a newly added
+    * language) is a legitimate pass-all state, unlike the C4
+    * [[blocklistHits]] whose callers always gate on a committed list.
+    * Codegen'd literal-array filter, map-only. */
+  def containsCount(text: Column, terms: Seq[String]): Column =
+    if (terms.isEmpty) lit(0L)
+    else size(filter(array(terms.map(lit): _*), t => text.contains(t)))
       .cast(LongType)
-  }
 
   /** Per-language routed curation — what the English-only lang GATE
     * becomes in a multilingual pipeline: instead of dropping non-en

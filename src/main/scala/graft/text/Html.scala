@@ -48,9 +48,14 @@ object Html {
   /** Entity decode table, applied IN ORDER. Order is part of the
     * contract: every `&`-PRODUCING decode (`&#38;`, `&amp;`) comes
     * last, else `&amp;lt;` would double-decode to `<` instead of the
-    * literal `&lt;` the author wrote. One-to-one string replaces only,
-    * so any SQL engine replays the chain verbatim (the DuckDB twin is
-    * generated from this table). */
+    * literal `&lt;` the author wrote — and because there are TWO
+    * `&`-producers, each first decodes to the U+FFFF sentinel (a
+    * Unicode noncharacter, guaranteed absent from interchanged text)
+    * so one producer's output can never feed the other
+    * (`&#38;amp;` must yield the literal `&amp;`, not `&`); the final
+    * row converts the sentinel to `&`. One-to-one string replaces
+    * only, so any SQL engine replays the chain verbatim (the DuckDB
+    * twin is generated from this table). */
   val Entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
@@ -65,7 +70,7 @@ object Html {
     "&sect;" -> "§", "&para;" -> "¶",
     "&euro;" -> "€", "&pound;" -> "£",
     "&yen;" -> "¥", "&cent;" -> "¢",
-    "&#38;" -> "&", "&amp;" -> "&")
+    "&#38;" -> "\uffff", "&amp;" -> "\uffff", "\uffff" -> "&")
 
   /** Tags whose open OR close breaks a text block — their boundaries
     * become newlines so downstream line-level cleaners see real lines

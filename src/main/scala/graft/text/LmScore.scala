@@ -185,7 +185,13 @@ object LmScore {
     * (model tables are reference-corpus-sized), one (doc) aggregate. */
   def quantizedScores5(corpus: DataFrame, train: DataFrame, idCol: String,
       textCol: String, buckets: Int = 1024): DataFrame = {
-    val counts = train5(train, idCol, textCol, buckets)
+    // materialize each count frame ONCE: orders 1..4 are consumed twice
+    // (context + numerator roles) and order 1 a third time for T1 —
+    // without this the differing per-role projections defeat
+    // exchange-reuse canonicalization and the reference corpus would be
+    // re-tokenized and re-aggregated per join (the withQualityBands
+    // localCheckpoint rationale)
+    val counts = train5(train, idCol, textCol, buckets).map(_.localCheckpoint())
     val t1 = counts.head.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
     // one count frame per (order, role): renamed to the window
     // positions it matches, so every join is a plain usingColumns

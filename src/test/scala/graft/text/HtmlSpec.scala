@@ -124,5 +124,10 @@ class HtmlSpec extends AnyFunSuite with SparkSpec {
     // numeric ampersand: same no-double-decode rule as &amp;
     assert(extract("<p>&#38;lt;</p>") == "&lt;")
     assert(extract("<p>&amp;copy;</p>") == "&copy;")
+    // the two &-producers must not feed each other (sentinel pass):
+    // the author's literal "&amp;" / "&#38;" survives either spelling
+    assert(extract("<p>&#38;amp;</p>") == "&amp;")
+    assert(extract("<p>&amp;#38;</p>") == "&#38;")
+    assert(extract("<p>a &#38; b &amp; c</p>") == "a & b & c")
   }
 }
