@@ -601,9 +601,19 @@ object TextQueries extends QueryPack {
     * the fixture's near-duplicates into byte-identical cleaned text,
     * so the exact stage catches them first — the stage here pins the
     * no-false-positive side; the positive regime is d2/d5's. */
-  def txPretrainPipeline(s: SparkSession, dir: String): DataFrame = {
+  private case class PretrainChain(flagged: DataFrame, modelKept: DataFrame,
+      exact: DataFrame, near: DataFrame, decon: DataFrame,
+      deconNear: DataFrame, sampled: DataFrame)
+
+  /** The batch flagship's stage chain — ONE spelling shared by the
+    * stage-count query (tx_pretrain_pipeline) and the per-document
+    * provenance ledger (tx_pretrain_ledger), so the two can never
+    * drift. Frames come back with the measured stage-boundary
+    * `localCheckpoint`s in place (Catalyst would otherwise re-derive
+    * the whole gopher/c4/score/dedup chain once per downstream
+    * aggregate — measured 6.9 s → ~2 s at sf0.1). */
+  private def pretrainChain(s: SparkSession, dir: String): PretrainChain = {
     import graft.text.{Curation, QualityClassifier, QualityModelFixture, TextFunctions}
-    import graft.operators.Sampling
     val docs = table(s, dir, "documents")
     // frequency-threshold spelling of the gate (maxHits = 2 over a
     // multi-term list) so the blocklist stage actually gates the
@@ -625,16 +635,6 @@ object TextQueries extends QueryPack {
       .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords = 3))
       .withColumn("__s3",
         col("__s2") && !Curation.c4DocDrop(col("__t2")) && col("clean") =!= "")
-    val head = flagged.agg(
-      count(lit(1)).as("total"),
-      sum(col("__s1").cast("long")).as("blocklist"),
-      sum(col("__sL").cast("long")).as("lang"),
-      sum(col("__s2").cast("long")).as("gopher"),
-      sum(col("__s3").cast("long")).as("c4"))
-    // localCheckpoint at the stage boundaries every later count
-    // re-reads: without them Catalyst re-derives the whole
-    // gopher/c4/score/dedup chain once per downstream aggregate
-    // (measured 6.9 s -> ~2 s at sf0.1)
     val survivors = flagged.filter(col("__s3"))
       .select(col("doc_id"), col("source"), col("clean"))
       .localCheckpoint()
@@ -644,15 +644,12 @@ object TextQueries extends QueryPack {
           QualityModelFixture.buckets)
         .filter(col("clf_pass") === 1).select(col("doc_id")),
       Seq("doc_id"))
-    val mCount = modelKept.agg(count(lit(1)).as("model"))
     val exact = graft.dedup.Dedup.exactByContent(modelKept, "doc_id", "clean")
       .localCheckpoint()
-    val eCount = exact.agg(count(lit(1)).as("exact_dedup"))
     val pairs = graft.dedup.Dedup.minhashNearDuplicates(exact, "doc_id",
       "clean", shingleSize = 5, threshold = 0.8)
     val near = graft.dedup.Dedup.removeNearDuplicatesTransitive(
       exact, pairs, "doc_id").localCheckpoint()
-    val nCount = near.agg(count(lit(1)).as("near_dedup"))
     val evalFps = docs.filter(col("source") === "src0")
       .select(TextFunctions.minShingleFingerprint(col("text"), 5).as("__fp"))
       .filter(col("__fp").isNotNull).distinct()
@@ -660,7 +657,6 @@ object TextQueries extends QueryPack {
       .withColumn("__fp", TextFunctions.minShingleFingerprint(col("clean"), 5))
       .join(broadcast(evalFps), Seq("__fp"), "left_anti")
       .drop("__fp")
-    val dCount = decon.agg(count(lit(1)).as("decontaminated"))
     // near-match pass AFTER the exact-fingerprint one: the exact stage
     // is a 16-byte-per-doc broadcast anti-join (cheap, catches verbatim
     // copies); only its survivors pay the 8-gram shingle explode
@@ -668,10 +664,28 @@ object TextQueries extends QueryPack {
         decon, "doc_id", "clean",
         docs.filter(col("source") === "src0"), "text", n = 8)
       .localCheckpoint()
-    val dnCount = deconNear.agg(count(lit(1)).as("decon_near"))
-    val sampled = Sampling.deterministicSample(deconNear, "doc_id", 0.5)
-    val sCount = sampled.agg(count(lit(1)).as("sampled"))
-    val bCount = Sampling.packSequences(sampled, "source", "doc_id",
+    val sampled = graft.operators.Sampling.deterministicSample(
+      deconNear, "doc_id", 0.5)
+    PretrainChain(flagged, modelKept, exact, near, decon, deconNear, sampled)
+  }
+
+  def txPretrainPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    import graft.operators.Sampling
+    val c = pretrainChain(s, dir)
+    val head = c.flagged.agg(
+      count(lit(1)).as("total"),
+      sum(col("__s1").cast("long")).as("blocklist"),
+      sum(col("__sL").cast("long")).as("lang"),
+      sum(col("__s2").cast("long")).as("gopher"),
+      sum(col("__s3").cast("long")).as("c4"))
+    val mCount = c.modelKept.agg(count(lit(1)).as("model"))
+    val eCount = c.exact.agg(count(lit(1)).as("exact_dedup"))
+    val nCount = c.near.agg(count(lit(1)).as("near_dedup"))
+    val dCount = c.decon.agg(count(lit(1)).as("decontaminated"))
+    val dnCount = c.deconNear.agg(count(lit(1)).as("decon_near"))
+    val sCount = c.sampled.agg(count(lit(1)).as("sampled"))
+    val bCount = Sampling.packSequences(c.sampled, "source", "doc_id",
         TextFunctions.bpeTokenCount(col("clean")), 2048L)
       .select(col("source"), col("batch_id")).distinct()
       .agg(count(lit(1)).as("batches"))
@@ -690,6 +704,43 @@ object TextQueries extends QueryPack {
       .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
         col("s.n_docs").as("n_docs"))
       .orderBy(col("stage_idx"))
+  }
+
+  /** Per-document curation PROVENANCE — the "why was this document
+    * dropped" ledger a production curation pipeline owes its users
+    * (data audits, filter debugging, takedown verification): each
+    * document's FIRST failed flagship stage, or `kept`. Built from the
+    * SAME [[pretrainChain]] frames as the stage-count query, so ledger
+    * and counts cannot disagree; the oracle pins every individual
+    * routing decision (500 per-doc verdicts), not just the totals.
+    * Scale: one flags scan plus id-projection joins that shrink down
+    * the chain — the ledger costs one extra join pass over 8-byte doc
+    * ids per stage, never a recompute of the stages themselves. */
+  def txPretrainLedger(s: SparkSession, dir: String): DataFrame = {
+    val c = pretrainChain(s, dir)
+    def ids(df: DataFrame, mark: String): DataFrame =
+      df.select(col("doc_id"), lit(1).as(mark))
+    c.flagged
+      .select(col("doc_id"), col("__s1"), col("__sL"), col("__s2"), col("__s3"))
+      .join(ids(c.modelKept, "__m"), Seq("doc_id"), "left")
+      .join(ids(c.exact, "__e"), Seq("doc_id"), "left")
+      .join(ids(c.near, "__n"), Seq("doc_id"), "left")
+      .join(ids(c.decon, "__d"), Seq("doc_id"), "left")
+      .join(ids(c.deconNear, "__dn"), Seq("doc_id"), "left")
+      .join(ids(c.sampled, "__sp"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("__s1"), "blocklist")
+          .when(!col("__sL"), "lang")
+          .when(!col("__s2"), "gopher")
+          .when(!col("__s3"), "c4")
+          .when(col("__m").isNull, "model")
+          .when(col("__e").isNull, "exact_dedup")
+          .when(col("__n").isNull, "near_dedup")
+          .when(col("__d").isNull, "decontaminated")
+          .when(col("__dn").isNull, "decon_near")
+          .when(col("__sp").isNull, "sampled")
+          .otherwise("kept").as("outcome"))
+      .orderBy(col("doc_id"))
   }
 
   /** THE STREAMING FLAGSHIP as an oracle row
@@ -1103,6 +1154,7 @@ object TextQueries extends QueryPack {
     "tx_blocklist" -> (txBlocklist _),
     "tx_pretrain_pipeline" -> (txPretrainPipeline _),
     "tx_pretrain_stream" -> (txPretrainStream _),
+    "tx_pretrain_ledger" -> (txPretrainLedger _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
@@ -1764,6 +1816,25 @@ object TextQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "tx_pretrain_pipeline" -> pretrainOracleSql,
     "tx_pretrain_stream" -> pretrainOracleSql,
+    // the ledger is the same CTE pack read per-document: first stage a
+    // doc is ABSENT from is its outcome
+    "tx_pretrain_ledger" -> s"""
+      WITH RECURSIVE $pretrainCtes
+      SELECT d.doc_id,
+             CASE
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM bl) THEN 'blocklist'
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM lng) THEN 'lang'
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM g) THEN 'gopher'
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM c2) THEN 'c4'
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM mk) THEN 'model'
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM ex) THEN 'exact_dedup'
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM nd) THEN 'near_dedup'
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM dec)
+                 THEN 'decontaminated'
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM dn) THEN 'decon_near'
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM samp2) THEN 'sampled'
+               ELSE 'kept' END AS outcome
+      FROM documents d ORDER BY d.doc_id""",
     "sft_dedup" -> s"""
       WITH conv AS ($sftConvSql),
       turns AS ($sftTurnsSql),

@@ -1337,6 +1337,44 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming flagship htmlExtract: markup-only batches survive (no NPE), drops accounted") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("flag-html").toString
+    val results = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val eval = Seq((0L, "zz")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.pretrainPipelineSink(
+        input.toDF().toDF("doc_id", "source", "text"),
+        s"$dir/state", s"$dir/cp", "doc_id", "source", "text",
+        evalDocs = eval, evalTextCol = "text",
+        blocklistTerms = Seq("zzz"), minTokens = 5L,
+        modelWeights = Seq.empty, modelBias = 0L, sampleFraction = 1.0,
+        htmlExtract = true, trig = Streams.trigger(1),
+        onLoad = r => results.synchronized { results += r }).start()
+    try {
+      // batch 0: every page extracts to EMPTY — the all-markup batch
+      // that used to NULL the gate sums; the stream must keep going
+      input.addData(
+        (1L, "s", "<script>var x = 1;</script><style>p{}</style>"),
+        (2L, "s", "<!-- only a comment -->"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+      // batch 1: real content page passes every gate after extraction
+      input.addData((3L, "s",
+        "<p>the of and with one two three four five six seven eight.</p>"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    val stages = Streams.pretrainPipelineStages(spark, s"$dir/state")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(stages("total") == 3L && stages("sampled") == 1L, stages)
+    // html drops surfaced distinctly from gate drops in the accounting
+    val msgs = results.synchronized(results.flatMap(_.errorMessage).toVector)
+    assert(msgs.exists(_.startsWith("html=2;")), msgs)
+  }
+
   test("streaming flagship: 3 micro-batches == batch flagship, stage- and doc-exact") {
     val spark2 = spark
     import spark2.implicits._
