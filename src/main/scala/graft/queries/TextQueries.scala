@@ -1070,6 +1070,52 @@ object TextQueries extends QueryPack {
         table(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Multilingual pipeline composition — routing as a PIPELINE, not
+    * just a funnel: detect (zero-shuffle profile expression) → route
+    * to per-language rule tables → gate → EXACT dedup on content
+    * (first-wins; the synthesized windows collide across docs, so the
+    * stage does real work) → per-language sequence packing on a
+    * CHARACTER budget (the cross-script-safe unit when no multilingual
+    * tokenizer is committed — whitespace tokens are meaningless for ja
+    * and BPE here is en-trained). Output: per-language
+    * (routed, blocklist, quality, unique, batches). Scale: detection +
+    * gates map-side, one content-hash shuffle for dedup, one
+    * per-language window for packing. */
+  def txMultilingualPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = table(s, dir, "documents").withColumn("synth", synthMultilingual)
+    val detected = docs.select(col("doc_id"), col("synth"),
+        coalesce(graft.functions.NativeLang.langIdProfile(col("synth"))
+          .getField("predicted_lang"), lit("unknown")).as("lang_pred"))
+      .localCheckpoint() // detection reused by flags, kept join, counts
+    val flags = Curation.routedCurationFlags(detected, "doc_id", "synth",
+      "lang_pred", multilingualRoutes)
+    val kept = flags.filter(col("blocklist_pass") && col("quality_pass") &&
+        col("route_lang") =!= "other")
+      .join(detected.select(col("doc_id"), col("synth")), Seq("doc_id"))
+    val unique = graft.dedup.Dedup.exactByContent(kept, "doc_id", "synth")
+      .localCheckpoint()
+    val packed = Sampling.packSequences(unique, "route_lang", "doc_id",
+      length(col("synth")).cast(LongType), 160L)
+    val funnel = flags.groupBy(col("route_lang")).agg(
+      count(lit(1)).as("n_routed"),
+      sum(col("blocklist_pass").cast(LongType)).as("n_blocklist"),
+      sum((col("blocklist_pass") && col("quality_pass")).cast(LongType))
+        .as("n_quality"))
+    val uniqC = unique.groupBy(col("route_lang"))
+      .agg(count(lit(1)).as("n_unique"))
+    val packC = packed.select(col("route_lang"), col("batch_id")).distinct()
+      .groupBy(col("route_lang")).agg(count(lit(1)).as("n_batches"))
+    funnel.filter(col("route_lang") =!= "other")
+      .join(uniqC, Seq("route_lang"), "left")
+      .join(packC, Seq("route_lang"), "left")
+      .select(col("route_lang"), col("n_routed"), col("n_blocklist"),
+        col("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_batches"), lit(0L)).as("n_batches"))
+      .orderBy(col("route_lang"))
+  }
+
   /** The committed multilingual route table — 6 of the 28 profile
     * languages spanning Latin, Cyrillic, and unspaced CJK, each with
     * its own stopword/blocklist rules (terms drawn from the committed
@@ -1159,6 +1205,7 @@ object TextQueries extends QueryPack {
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
     "tx_multilingual_funnel" -> (txMultilingualFunnel _),
+    "tx_multilingual_pipeline" -> (txMultilingualPipeline _),
     "tx_clf_score" -> (txClfScore _),
     "tx_clf_eval" -> (txClfEval _),
     "tx_bpe_tokens" -> (txBpeTokens _),
@@ -1348,8 +1395,9 @@ object TextQueries extends QueryPack {
   // Curation.multilingualFunnel twin, generated from the SAME committed
   // constants: synthesis (per-language 80-char sample windows), the
   // 28-language trigram detection (the tx_lang_profile machinery over
-  // the synth relation), and the per-route CASE chains
-  private lazy val multilingualFunnelSql: String = {
+  // the synth relation), and the per-route CASE chains. The CTE pack
+  // (through `fl`) is shared with the pipeline oracle below.
+  private lazy val multilingualCtes: String = {
     def esc(s: String) = s.replace("'", "''")
     val langs = multilingualRoutes.map(_.lang)
     val samples = graft.text.LangProfile.samples.toMap
@@ -1424,13 +1472,61 @@ object TextQueries extends QueryPack {
           CASE lang
              $qCase
              ELSE 0 END AS q
-        FROM rt)
+        FROM rt)"""
+  }
+
+  private lazy val multilingualFunnelSql: String = s"""
+      $multilingualCtes
       SELECT route_lang,
              CAST(COUNT(*) AS BIGINT) AS n_routed,
              CAST(SUM(bl) AS BIGINT) AS n_blocklist,
              CAST(SUM(bl * q) AS BIGINT) AS n_quality
       FROM fl GROUP BY route_lang ORDER BY route_lang"""
-  }
+
+  // the PIPELINE tail over the same CTE pack: gate survivors → exact
+  // dedup (first-wins by content) → per-language character-budget
+  // packing (length() is characters in both engines; the window SUM is
+  // HUGEINT in DuckDB, hence the CASTs)
+  private lazy val multilingualPipelineSql: String = s"""
+      $multilingualCtes,
+      kept AS (
+        SELECT f.doc_id, f.route_lang, r.synth
+        FROM fl f JOIN rt r ON f.doc_id = r.doc_id
+        WHERE f.bl = 1 AND f.q = 1 AND f.route_lang <> 'other'),
+      uniq AS (
+        SELECT doc_id, route_lang, synth FROM (
+          SELECT doc_id, route_lang, synth,
+                 ROW_NUMBER() OVER (PARTITION BY synth ORDER BY doc_id) AS rn
+          FROM kept) WHERE rn = 1),
+      pk AS (
+        SELECT route_lang, doc_id, length(synth) AS w,
+               SUM(length(synth)) OVER (PARTITION BY route_lang
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM uniq),
+      pb AS (
+        SELECT DISTINCT route_lang,
+               CAST((cum - w) // 160 AS BIGINT) AS bid
+        FROM pk),
+      agg1 AS (
+        SELECT route_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_routed,
+               CAST(SUM(bl) AS BIGINT) AS n_blocklist,
+               CAST(SUM(bl * q) AS BIGINT) AS n_quality
+        FROM fl WHERE route_lang <> 'other' GROUP BY route_lang),
+      agg2 AS (
+        SELECT route_lang, CAST(COUNT(*) AS BIGINT) AS n_unique
+        FROM uniq GROUP BY route_lang),
+      agg3 AS (
+        SELECT route_lang, CAST(COUNT(*) AS BIGINT) AS n_batches
+        FROM pb GROUP BY route_lang)
+      SELECT a1.route_lang, a1.n_routed, a1.n_blocklist, a1.n_quality,
+             COALESCE(a2.n_unique, 0) AS n_unique,
+             COALESCE(a3.n_batches, 0) AS n_batches
+      FROM agg1 a1
+      LEFT JOIN agg2 a2 ON a1.route_lang = a2.route_lang
+      LEFT JOIN agg3 a3 ON a1.route_lang = a3.route_lang
+      ORDER BY a1.route_lang"""
 
   // LmScore.quantizedScores5 twin: per-order 1..5 raw window counts
   // from the lang='en' reference, then the stupid-backoff CASE chain
@@ -2179,6 +2275,7 @@ object TextQueries extends QueryPack {
     "tx_lm_score" -> lmScoreSql,
     "tx_lm_score5" -> lmScore5Sql,
     "tx_multilingual_funnel" -> multilingualFunnelSql,
+    "tx_multilingual_pipeline" -> multilingualPipelineSql,
     "tx_dsir_weights" -> s"""$dsirScoreSql
       SELECT * FROM sc ORDER BY doc_id""",
     "tx_dsir_select" -> s"""$dsirScoreSql
