@@ -803,6 +803,28 @@ object TextQueries extends QueryPack {
       .orderBy(col("stage_idx"))
   }
 
+  /** Preference-pair construction ([[graft.text.Sft.preferencePairs]],
+    * DPO/RLHF reward-data prep): deterministic candidate synthesis —
+    * prompt_id = doc_id % 100 (≈5 candidate responses per prompt),
+    * response = tokens 9..16, score = response character length (a
+    * deterministic quality proxy; production plugs in the model or LM
+    * scorers) — then argmax/argmin pairing with tie-breaks pinned and
+    * zero-margin prompts dropped. The oracle replays the synthesis and
+    * both rankings. */
+  def txSftPrefPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val cand = table(s, dir, "documents")
+      .select((col("doc_id") % 100).as("prompt_id"),
+        concat_ws(" ", slice(toks, 9, 8)).as("response"))
+      .withColumn("score", length(col("response")).cast(LongType))
+    graft.text.Sft.preferencePairs(cand, "prompt_id", "response", "score")
+      .select(col("prompt_id"),
+        md5(col("chosen")).as("chosen_md5"),
+        md5(col("rejected")).as("rejected_md5"),
+        col("chosen_score"), col("rejected_score"), col("margin"))
+      .orderBy(col("prompt_id"))
+  }
+
   /** Deterministic conversation synthesis over `documents` (both
     * engines build the IDENTICAL JSON string by concatenation — the
     * word-salad corpus contains no JSON metachars, so no escaping
@@ -1201,6 +1223,7 @@ object TextQueries extends QueryPack {
     "tx_pretrain_pipeline" -> (txPretrainPipeline _),
     "tx_pretrain_stream" -> (txPretrainStream _),
     "tx_pretrain_ledger" -> (txPretrainLedger _),
+    "sft_pref_pairs" -> (txSftPrefPairs _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_lang_profile" -> (txLangProfile _),
@@ -1931,6 +1954,30 @@ object TextQueries extends QueryPack {
                WHEN d.doc_id NOT IN (SELECT doc_id FROM samp2) THEN 'sampled'
                ELSE 'kept' END AS outcome
       FROM documents d ORDER BY d.doc_id""",
+    "sft_pref_pairs" -> """
+      WITH cand AS (
+        SELECT doc_id % 100 AS prompt_id,
+               COALESCE(array_to_string(toks[9:16], ' '), '') AS response
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+              FROM documents)),
+      sc AS (
+        SELECT prompt_id, response,
+               CAST(length(response) AS BIGINT) AS score
+        FROM cand),
+      ch AS (
+        SELECT prompt_id, response AS chosen, score AS cs FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY prompt_id
+            ORDER BY score DESC, response) AS rn FROM sc) WHERE rn = 1),
+      rj AS (
+        SELECT prompt_id, response AS rejected, score AS rs FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY prompt_id
+            ORDER BY score ASC, response) AS rn FROM sc) WHERE rn = 1)
+      SELECT ch.prompt_id,
+             md5(chosen) AS chosen_md5, md5(rejected) AS rejected_md5,
+             cs AS chosen_score, rs AS rejected_score,
+             CAST(cs - rs AS BIGINT) AS margin
+      FROM ch JOIN rj ON ch.prompt_id = rj.prompt_id
+      WHERE cs > rs ORDER BY ch.prompt_id""",
     "sft_dedup" -> s"""
       WITH conv AS ($sftConvSql),
       turns AS ($sftTurnsSql),

@@ -117,4 +117,38 @@ object Sft {
           .cast(IntegerType))
       .drop("__first", "__alt", "__roles")
   }
+
+  /** Preference-pair construction — DPO/RLHF reward-data preparation:
+    * for each prompt with ≥ 2 scored candidate responses, emit
+    * `(prompt, chosen, chosen_score, rejected, rejected_score,
+    * margin)` where chosen/rejected are the score-argmax/argmin
+    * responses (ties broken by response text ascending, so ANY engine
+    * picks the identical pair); prompts whose best and worst scores
+    * are EQUAL are dropped — there is no learnable margin, and
+    * emitting a tie as a preference would teach noise.
+    *
+    * Scale: two bounded-heap top-1 passes through the custom
+    * [[graft.plans.TopKPerKeyExec]] operator (one shuffle on the
+    * prompt key each, ONE ROW of state per prompt — never a per-prompt
+    * sort, never a collect), then a prompt-keyed join of two
+    * 1-row-per-prompt frames. A 10⁹-response corpus costs two
+    * key-partitioned streaming passes. */
+  def preferencePairs(df: DataFrame, promptCol: String,
+      responseCol: String, scoreCol: String): DataFrame = {
+    import graft.plans.TopK
+    val cand = df.select(col(promptCol), col(responseCol), col(scoreCol))
+    val chosen = TopK.perKey(cand, Seq(promptCol),
+        Seq(TopK.desc(scoreCol), TopK.asc(responseCol)), 1, rankName = "__r")
+      .drop("__r")
+      .withColumnRenamed(responseCol, "chosen")
+      .withColumnRenamed(scoreCol, "chosen_score")
+    val rejected = TopK.perKey(cand, Seq(promptCol),
+        Seq(TopK.asc(scoreCol), TopK.asc(responseCol)), 1, rankName = "__r")
+      .drop("__r")
+      .withColumnRenamed(responseCol, "rejected")
+      .withColumnRenamed(scoreCol, "rejected_score")
+    chosen.join(rejected, Seq(promptCol))
+      .filter(col("chosen_score") > col("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+  }
 }

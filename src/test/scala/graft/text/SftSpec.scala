@@ -112,4 +112,28 @@ class SftSpec extends AnyFunSuite with SparkSpec {
     assert(byBatch.nonEmpty)
     assert(packed.count() == 8)
   }
+
+  test("preferencePairs: argmax/argmin with pinned tie-breaks; zero-margin prompts dropped") {
+    val s = spark
+    import s.implicits._
+    val cand = Seq(
+      // prompt A: clear ranking
+      ("A", "ok answer", 5L), ("A", "best answer", 9L), ("A", "bad", 1L),
+      // prompt B: top score TIED — chosen = lexicographically smaller
+      ("B", "zz response", 7L), ("B", "aa response", 7L), ("B", "meh", 2L),
+      // prompt C: all scores equal -> no learnable margin -> dropped
+      ("C", "x", 3L), ("C", "y", 3L),
+      // prompt D: single candidate -> chosen == rejected -> dropped
+      ("D", "only", 4L)
+    ).toDF("prompt", "response", "score")
+    val out = Sft.preferencePairs(cand, "prompt", "response", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("A") == (("best answer", 9L, "bad", 1L, 8L)))
+    // tie at the top: "aa response" wins (response asc); rejected is
+    // the true minimum
+    assert(out("B") == (("aa response", 7L, "meh", 2L, 5L)))
+  }
 }
