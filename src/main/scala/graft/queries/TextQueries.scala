@@ -1138,6 +1138,32 @@ object TextQueries extends QueryPack {
       .orderBy(col("route_lang"))
   }
 
+  /** Tokenizer FERTILITY by language — the budget-inflation audit a
+    * multilingual pipeline runs before trusting en-trained BPE budgets:
+    * characters per BPE token over the synthesized multilingual corpus,
+    * grouped by the synthesis TARGET language. Latin-script text merges
+    * toward word-level tokens; Cyrillic and CJK fall back toward
+    * character granularity, inflating any token budget computed with
+    * this tokenizer — exactly the correction factor a packing or
+    * mixing stage needs per language. The oracle replays the committed
+    * BPE merge loop over every synthesized window. */
+  def txBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val langs = multilingualRoutes.map(_.lang)
+    val target = langs.zipWithIndex.foldRight(lit("")) { case ((l, i), acc) =>
+      when((col("doc_id") % langs.size).cast(IntegerType) === i, lit(l))
+        .otherwise(acc)
+    }
+    table(s, dir, "documents").withColumn("synth", synthMultilingual)
+      .withColumn("lang", target)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("synth")).cast(LongType)).as("total_chars"),
+        sum(TextFunctions.bpeTokenCount(col("synth"))).as("total_tokens"))
+      .withColumn("chars_per_token",
+        col("total_chars").cast(DoubleType) / col("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** The committed multilingual route table — 6 of the 28 profile
     * languages spanning Latin, Cyrillic, and unspaced CJK, each with
     * its own stopword/blocklist rules (terms drawn from the committed
@@ -1229,6 +1255,7 @@ object TextQueries extends QueryPack {
     "tx_lang_profile" -> (txLangProfile _),
     "tx_multilingual_funnel" -> (txMultilingualFunnel _),
     "tx_multilingual_pipeline" -> (txMultilingualPipeline _),
+    "tx_bpe_fertility" -> (txBpeFertility _),
     "tx_clf_score" -> (txClfScore _),
     "tx_clf_eval" -> (txClfEval _),
     "tx_bpe_tokens" -> (txBpeTokens _),
@@ -1420,6 +1447,31 @@ object TextQueries extends QueryPack {
   // 28-language trigram detection (the tx_lang_profile machinery over
   // the synth relation), and the per-route CASE chains. The CTE pack
   // (through `fl`) is shared with the pipeline oracle below.
+  // the multilingual synthesis as a self-contained SELECT — shared by
+  // the funnel/pipeline CTE pack and the BPE-fertility oracle
+  private lazy val multilingualSynthSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val langs = multilingualRoutes.map(_.lang)
+    val samples = graft.text.LangProfile.samples.toMap
+    val synthCase = langs.zipWithIndex.map { case (l, i) =>
+      s"WHEN $i THEN substr('${esc(samples(l))}', CAST(doc_id % 40 + 1 AS INT), 80)"
+    }.mkString("\n           ")
+    s"""SELECT doc_id,
+         CASE CAST(doc_id % ${langs.size} AS INT)
+           $synthCase
+           ELSE '' END AS synth
+        FROM documents"""
+  }
+
+  // the per-doc TARGET language of the synthesis (doc_id % 6 in route
+  // order) as a SQL CASE — for oracles that group by the synthesized
+  // language rather than the detected one
+  private lazy val multilingualTargetLangSql: String =
+    multilingualRoutes.map(_.lang).zipWithIndex
+      .map { case (l, i) => s"WHEN $i THEN '$l'" }
+      .mkString(s"CASE CAST(doc_id % ${multilingualRoutes.size} AS INT) ",
+        " ", " END")
+
   private lazy val multilingualCtes: String = {
     def esc(s: String) = s.replace("'", "''")
     val langs = multilingualRoutes.map(_.lang)
@@ -2323,6 +2375,23 @@ object TextQueries extends QueryPack {
     "tx_lm_score5" -> lmScore5Sql,
     "tx_multilingual_funnel" -> multilingualFunnelSql,
     "tx_multilingual_pipeline" -> multilingualPipelineSql,
+    "tx_bpe_fertility" -> {
+      val rel = s"(SELECT doc_id, synth AS text FROM ($multilingualSynthSql))"
+      s"""
+      ${BpeOracleSql.preludeFor(rel)},
+      sl AS ($multilingualSynthSql),
+      l AS (
+        SELECT doc_id, synth, $multilingualTargetLangSql AS lang
+        FROM sl)
+      SELECT l.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(l.synth)) AS BIGINT) AS total_chars,
+             CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(length(l.synth)) AS DOUBLE) /
+               CAST(SUM(b.n_tokens) AS DOUBLE) AS chars_per_token
+      FROM l JOIN bpe_docs b ON l.doc_id = b.doc_id
+      GROUP BY l.lang ORDER BY l.lang"""
+    },
     "tx_dsir_weights" -> s"""$dsirScoreSql
       SELECT * FROM sc ORDER BY doc_id""",
     "tx_dsir_select" -> s"""$dsirScoreSql
