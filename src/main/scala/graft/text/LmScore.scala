@@ -114,29 +114,49 @@ object LmScore {
         (-avg(col("__logp"))).as("cross_entropy"))
       .withColumn("perplexity", exp(col("cross_entropy")))
 
+  /** Per-document hashed-token-id ARRAY: `(doc_id, bs)` — the one
+    * md5-bucketing pass every n-gram order derives its windows from
+    * (integer slicing of the array instead of re-hashing the text per
+    * order). Map-only. */
+  def bucketArray(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      transform(TextFunctions.tokens(col(textCol)),
+        t => tokenBucket(t, buckets)).as("bs"))
+
   /** One row per k-token window of the text: `(doc_id, g1..gk)` hashed
-    * token ids, the order-k generalization of [[bigramBuckets]].
-    * Documents shorter than k yield nothing. Map-only. */
-  def ngramWindows(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int, k: Int): DataFrame = {
+    * token ids, the order-k generalization of [[bigramBuckets]] —
+    * windows sliced from a `(doc_id, bs)` [[bucketArray]] frame so
+    * multi-order consumers hash each token ONCE. Documents shorter
+    * than k yield nothing. Map-only. */
+  def ngramWindowsOf(arr: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
-    val toks = TextFunctions.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), toks.as("__t"))
-      .where(size(col("__t")) >= k)
+    arr.where(size(col("bs")) >= k)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("__t")) - k),
+        explode(transform(sequence(lit(0), size(col("bs")) - k),
           i => struct((1 to k).map(j =>
-            tokenBucket(element_at(col("__t"), i + j), buckets)
-              .as(s"g$j")): _*)))
+            element_at(col("bs"), i + j).as(s"g$j")): _*)))
           .as("__w"))
       .select(col("doc_id") +: (1 to k).map(j => col(s"__w.g$j").as(s"g$j")): _*)
   }
+
+  /** [[ngramWindowsOf]] over raw text (hashes inline — single-order
+    * callers). */
+  def ngramWindows(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, k: Int): DataFrame =
+    ngramWindowsOf(bucketArray(docs, idCol, textCol, buckets), k)
 
   /** Order-5 training pass: raw occurrence counts of every 1..5-gram
     * in the reference corpus — the sufficient statistic of stupid
     * backoff (Brants et al. 2007, "Large Language Models in Machine
     * Translation", EMNLP §4: raw counts, no discounting). Returns
-    * count frames keyed g1..gk with a `c` column, order 1 first.
+    * count frames keyed g1..gk with a `c` column, order 1 first. The
+    * reference is tokenized+hashed ONCE (a localCheckpointed
+    * [[bucketArray]], ~8 bytes/token); each order then slices integer
+    * windows from it instead of re-running the per-token md5 chain
+    * five times (bench-scale wall time is join-dominated so this is
+    * not measurable at sf0.1, but at a real reference-corpus scale the
+    * hashing pass is the linear-cost term).
     *
     * Size: order-k counts are bounded by the reference corpus's token
     * count, not by B^k — CCNet-style scoring trains on a curated
@@ -145,12 +165,14 @@ object LmScore {
     * on something crawl-sized, SafeBroadcastRule strips the hint and
     * the joins degrade to shuffle joins instead of OOMing the driver. */
   def train5(corpus: DataFrame, idCol: String, textCol: String,
-      buckets: Int): Seq[DataFrame] =
+      buckets: Int): Seq[DataFrame] = {
+    val arr = bucketArray(corpus, idCol, textCol, buckets).localCheckpoint()
     (1 to 5).map { k =>
-      ngramWindows(corpus, idCol, textCol, buckets, k)
+      ngramWindowsOf(arr, k)
         .groupBy((1 to k).map(j => col(s"g$j")): _*)
         .agg(count(lit(1)).as("c"))
     }
+  }
 
   /** Integer-exact 5-gram stupid-backoff scores: `(doc_id, n_ngrams,
     * lm_score, mean_prob_q)` over every full-context position (docs
