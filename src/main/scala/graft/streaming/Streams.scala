@@ -788,6 +788,93 @@ object Streams {
     stats.unionByName(batches).orderBy(col("stage_idx"))
   }
 
+  /** Streaming multilingual routed curation — the streaming twin of
+    * the tx_multilingual_pipeline composition: each micro-batch is
+    * language-identified by the ZERO-shuffle profile expression
+    * ([[graft.functions.NativeLang.langIdProfile]]), routed through
+    * its language's rule table
+    * ([[graft.text.Curation.routedCurationFlags]] — one codegen'd CASE
+    * chain, map-side), and the gate survivors exact-dedup on content:
+    * first-wins (lowest id) within the batch, then an anti-join
+    * against the persisted fingerprint index — the
+    * [[curationFunnelSink]] state contract (idempotent batch=<id>
+    * overwrite, own-batch replay exclusion, checkpoint-loss guard,
+    * compactable). Survivors land `corpusPath/batch=<id>` with their
+    * `route_lang`; fingerprints append `indexPath/batch=<id>`.
+    * Per-stage drops ride the LoadResult as
+    * `unrouted=<n>;gated=<n>;dup=<n>`. Docs whose detected language
+    * has no committed route drop at routing (a production deployment
+    * adds routes rather than silently passing unknown scripts). */
+  def multilingualCurationSink(stream: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String, idCol: String, textCol: String,
+      routes: Seq[graft.text.Curation.LangRoute],
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.text.Curation
+        val t0 = System.nanoTime()
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val indexFs = new Path(indexPath).getFileSystem(conf)
+        val committed = indexFs
+          .globStatus(new Path(indexPath, "batch=*/_SUCCESS"))
+        val hasIndex = committed != null && committed.nonEmpty
+        if (batchId == 0 && hasIndex &&
+            committed.exists(s => s.getPath.getParent.getName != "batch=0"))
+          throw new IllegalStateException(
+            s"multilingualCurationSink: batchId restarted at 0 but $indexPath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or start a fresh corpus/index path.")
+        val total = batch.count()
+        if (total > 0) {
+          val detected = batch.withColumn("__lang",
+              coalesce(graft.functions.NativeLang.langIdProfile(col(textCol))
+                .getField("predicted_lang"), lit("unknown")))
+            .localCheckpoint()
+          val flags = Curation.routedCurationFlags(detected, idCol, textCol,
+            "__lang", routes)
+          val gated = flags
+            .filter(col("blocklist_pass") && col("quality_pass") &&
+              col("route_lang") =!= "other")
+            .select(col("doc_id").as(idCol), col("route_lang"))
+            .join(detected.drop("__lang"), Seq(idCol))
+            .localCheckpoint()
+          val routedN = flags.filter(col("route_lang") =!= "other").count()
+          val gN = gated.count()
+          val fp = gated.withColumn("__fp", md5(col(textCol)))
+          val firsts = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+          val inBatch = fp.join(firsts, Seq("__fp", idCol), "left_semi")
+          val indexed =
+            if (hasIndex)
+              spark.read.parquet(indexPath)
+                .filter(col("batch") =!= batchId) // own prior attempt
+                .select(col("fp").as("__fp"))
+            else fp.select(col("__fp")).limit(0)
+          val kept = inBatch.join(indexed, Seq("__fp"), "left_anti")
+            .localCheckpoint()
+          val keptN = kept.count()
+          kept.drop("__fp")
+            .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+          kept.select(col(idCol), col("__fp").as("fp"))
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+          onLoad(LoadResult(success = true, rowsLoaded = keptN,
+            tableName = corpusPath,
+            durationSeconds = (System.nanoTime() - t0) / 1e9,
+            errorMessage =
+              if (keptN < total)
+                Some(s"unrouted=${total - routedN};gated=${routedN - gN};" +
+                  s"dup=${gN - keptN}")
+              else None))
+        } else {
+          onLoad(LoadResult(success = true, rowsLoaded = 0L,
+            tableName = corpusPath,
+            durationSeconds = (System.nanoTime() - t0) / 1e9))
+        }
+      }
+
   /** C5: poll-interval suppression → micro-batch trigger. */
   def trigger(checkIntervalSeconds: Long): Trigger =
     Trigger.ProcessingTime(checkIntervalSeconds * 1000)

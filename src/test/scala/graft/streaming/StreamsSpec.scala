@@ -1291,6 +1291,64 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("multilingual curation sink: routing + per-language gates + cross-batch dedup == batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.Curation
+    val samples = graft.text.LangProfile.samples.toMap
+    val langs = Seq("en", "de", "ru")
+    // 60 docs: lang by i%3, an 80-char sample window by i%10 — exactly
+    // TWO docs share each (lang, window) text, and the pairs straddle
+    // the two micro-batches (i and i+30), so the dedup state does
+    // cross-batch work
+    val rows = (0 until 60).map { i =>
+      val lang = langs(i % 3)
+      val start = i % 10
+      (i.toLong, samples(lang).slice(start, start + 80))
+    }
+    val routes = Seq(
+      Curation.LangRoute("en", Seq("and"), Seq("conscience"), minTokens = 5),
+      Curation.LangRoute("de", Seq("und"), Seq("Gewissen"), minTokens = 5),
+      Curation.LangRoute("ru", Seq("и"), Seq("совестью"), minTokens = 5))
+    val dir = Files.createTempDirectory("ml-sink").toString
+    val results = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.multilingualCurationSink(
+        input.toDF().toDF("doc_id", "text"),
+        s"$dir/corpus", s"$dir/index", s"$dir/cp", "doc_id", "text",
+        routes, trig = Streams.trigger(1),
+        onLoad = r => results.synchronized { results += r }).start()
+    try {
+      input.addData(rows.take(30): _*); q.processAllAvailable()
+      input.addData(rows.drop(30): _*); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    // batch expectation from the same operators over the whole fixture
+    val docs = rows.toDF("doc_id", "text")
+    val detected = docs.withColumn("__lang",
+      coalesce(graft.functions.NativeLang.langIdProfile(col("text"))
+        .getField("predicted_lang"), lit("unknown")))
+    val flags = Curation.routedCurationFlags(detected, "doc_id", "text",
+      "__lang", routes)
+    val gatedBatch = flags
+      .filter(col("blocklist_pass") && col("quality_pass") &&
+        col("route_lang") =!= "other")
+      .join(docs, Seq("doc_id"))
+    val expect = graft.dedup.Dedup.exactByContent(gatedBatch, "doc_id", "text")
+      .select(col("doc_id"), col("route_lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamed = spark.read.parquet(s"$dir/corpus")
+      .select(col("doc_id"), col("route_lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == expect)
+    assert(streamed.nonEmpty)
+    // every committed route language present; stage drops accounted
+    assert(streamed.values.toSet == Set("en", "de", "ru"), streamed.values.toSet)
+    val msgs = results.synchronized(results.flatMap(_.errorMessage).toVector)
+    assert(msgs.exists(_.contains("dup=")), msgs)
+  }
+
   test("streaming flagship refuses to clobber history after checkpoint loss") {
     val spark2 = spark
     import spark2.implicits._
