@@ -222,10 +222,7 @@ object StreamStress {
       f""""flagship_sampled":${stages("sampled")},"flagship_packs":${stages("batches")},""" +
       f""""flagship_state_bytes":$flB,"flagship_state_files":$flF,""" +
       f""""peak_heap_mb":${peakHeapMb()}}""")
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
-    rmTree(new java.io.File(work))
+    graft.core.AtomicSwap.deleteRecursively(new java.io.File(work))
     spark.stop()
   }
 }

@@ -42,4 +42,14 @@ object AtomicSwap {
     if (fs.exists(backup))
       checked(fs.delete(backup, true), "retire backup", backup)
   }
+
+  /** Best-effort recursive delete of a LOCAL temp tree (the shared
+    * cleanup for scratch work dirs — bench fixtures, stress runs).
+    * Does not follow symlinks out of the tree (listFiles returns the
+    * link itself; delete removes the link, not its target). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
 }

@@ -781,17 +781,18 @@ object TextQueries extends QueryPack {
         segment = segmentLines,
         trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       .start()
-    try splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
-    finally q.stop()
     // materialize the 12 stage rows, then DELETE the temp state — this
     // query runs repeatedly (bench attempts + oracle gate) and leaking
-    // a corpus+checkpoint per invocation would accumulate in /tmp
-    val stageRows = graft.streaming.Streams
-      .pretrainPipelineStages(s, s"$work/state").collect().toSeq
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
-    rmTree(new java.io.File(work))
+    // a corpus+checkpoint per invocation would accumulate in /tmp. The
+    // cleanup sits in `finally` blocks so a failed streaming run or
+    // stats read cannot leak the tree either.
+    val stageRows =
+      try {
+        try splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        finally q.stop()
+        graft.streaming.Streams
+          .pretrainPipelineStages(s, s"$work/state").collect().toSeq
+      } finally graft.core.AtomicSwap.deleteRecursively(new java.io.File(work))
     s.createDataFrame(s.sparkContext.parallelize(stageRows, 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("stage_idx",
@@ -1442,13 +1443,10 @@ object TextQueries extends QueryPack {
                ELSE 'tail' END AS quality_band
       FROM sc ORDER BY doc_id"""
 
-  // Curation.multilingualFunnel twin, generated from the SAME committed
-  // constants: synthesis (per-language 80-char sample windows), the
-  // 28-language trigram detection (the tx_lang_profile machinery over
-  // the synth relation), and the per-route CASE chains. The CTE pack
-  // (through `fl`) is shared with the pipeline oracle below.
-  // the multilingual synthesis as a self-contained SELECT — shared by
-  // the funnel/pipeline CTE pack and the BPE-fertility oracle
+  // the multilingual synthesis as a self-contained SELECT — ONE
+  // generator shared by the funnel/pipeline CTE pack and the
+  // BPE-fertility oracle, so a synthesis change cannot desynchronize
+  // one oracle from the others
   private lazy val multilingualSynthSql: String = {
     def esc(s: String) = s.replace("'", "''")
     val langs = multilingualRoutes.map(_.lang)
@@ -1472,13 +1470,13 @@ object TextQueries extends QueryPack {
       .mkString(s"CASE CAST(doc_id % ${multilingualRoutes.size} AS INT) ",
         " ", " END")
 
+  // Curation.multilingualFunnel twin, generated from the SAME committed
+  // constants: synthesis (multilingualSynthSql), the 28-language
+  // trigram detection (the tx_lang_profile machinery over the synth
+  // relation), and the per-route CASE chains. The CTE pack (through
+  // `fl`) is shared by the funnel and pipeline oracles.
   private lazy val multilingualCtes: String = {
     def esc(s: String) = s.replace("'", "''")
-    val langs = multilingualRoutes.map(_.lang)
-    val samples = graft.text.LangProfile.samples.toMap
-    val synthCase = langs.zipWithIndex.map { case (l, i) =>
-      s"WHEN $i THEN substr('${esc(samples(l))}', CAST(doc_id % 40 + 1 AS INT), 80)"
-    }.mkString("\n           ")
     def termList(ts: Seq[String]) =
       ts.map(t => s"'${esc(t)}'").mkString("[", ", ", "]")
     def hits(ts: Seq[String]) =
@@ -1494,12 +1492,7 @@ object TextQueries extends QueryPack {
         s"${hits(r.stopWords)} >= ${r.minStopWords} THEN 1 ELSE 0 END"
     }.mkString("\n             ")
     s"""
-      WITH synth AS (
-        SELECT doc_id,
-         CASE CAST(doc_id % ${langs.size} AS INT)
-           $synthCase
-           ELSE '' END AS synth
-        FROM documents),
+      WITH synth AS ($multilingualSynthSql),
       t AS (
         SELECT doc_id, synth,
                regexp_replace(lower(synth), '\\s+', '_', 'g') AS t

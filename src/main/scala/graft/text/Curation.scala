@@ -205,6 +205,15 @@ object Curation {
       idCol: String, textCol: String, langCol: String,
       routes: Seq[LangRoute]): org.apache.spark.sql.DataFrame = {
     require(routes.nonEmpty, "no routes")
+    // an empty BLOCKLIST is pass-all (legitimate for a new language);
+    // an empty STOPWORD set can never satisfy minStopWords >= 1 — that
+    // route would silently discard its whole language at the quality
+    // gate, so fail the plan build instead
+    routes.foreach { r =>
+      require(r.stopWords.nonEmpty || r.minStopWords == 0,
+        s"route '${r.lang}': empty stopWords with minStopWords=" +
+          s"${r.minStopWords} would fail every document")
+    }
     val lang = col(langCol)
     val text = col(textCol)
     def dispatch(f: LangRoute => Column, other: Column): Column =
