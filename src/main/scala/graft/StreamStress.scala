@@ -209,6 +209,47 @@ object StreamStress {
     require(stages("sampled") > 0 && stages("batches") > 0,
       s"flagship produced nothing: $stages")
 
+    // ——— 4. multilingual routed curation at 50k volume ———
+    // genuinely language-typical payloads: 80-char sliding windows of
+    // the committed profile samples across 6 scripts, so the
+    // zero-shuffle detector and the per-language gates do real work;
+    // window collisions give the fingerprint index real duplicates
+    val mlLangs = Seq("en", "de", "fr", "es", "ru", "ja")
+    val mlSamples = graft.text.LangProfile.samples.toMap
+    val mlRoutes = Seq(
+      graft.text.Curation.LangRoute("en", Seq("and"), Seq("conscience"), minTokens = 5),
+      graft.text.Curation.LangRoute("de", Seq("und"), Seq("Gewissen"), minTokens = 5),
+      graft.text.Curation.LangRoute("fr", Seq("et"), Seq("conscience"), minTokens = 5),
+      graft.text.Curation.LangRoute("es", Seq("como"), Seq("conciencia"), minTokens = 5),
+      graft.text.Curation.LangRoute("ru", Seq("и"), Seq("совестью"), minTokens = 5),
+      graft.text.Curation.LangRoute("ja", Seq("の"), Seq("自由"), minTokens = 1))
+    val mlRows = (0L until nDocs).map { i =>
+      val lang = mlLangs((i % 6).toInt)
+      val start = (i % 40).toInt
+      (i, mlSamples(lang).slice(start, start + 80))
+    }.toArray
+    locally {
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.multilingualCurationSink(
+          input.toDF().toDF("doc_id", "text"),
+          s"$work/ml/corpus", s"$work/ml/index", s"$work/ml/cp",
+          "doc_id", "text", mlRoutes, trig = Streams.trigger(1),
+          onLoad = record("ml")).start()
+      try {
+        partsOf(mlRows, (r: (Long, String)) => r._1)
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        require(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    val mlCorpus = spark.read.parquet(s"$work/ml/corpus")
+    val mlKept = mlCorpus.count()
+    val mlLangsKept = mlCorpus.select("route_lang").distinct().count()
+    // only 6 langs × 40 windows of content exist: the fingerprint index
+    // must collapse the 50k stream to at most 240 survivors
+    require(mlKept > 0 && mlKept <= 240L,
+      s"multilingual dedup must cap survivors at distinct windows: $mlKept")
+    require(mlLangsKept >= 5, s"expected >=5 routed languages, got $mlLangsKept")
+
     val (sftB, sftF) = dirSize(s"$work/sft/index")
     val (phB, phF) = dirSize(s"$work/phash/index")
     val (flB, flF) = dirSize(s"$work/flag/state")
@@ -221,6 +262,7 @@ object StreamStress {
       f""""flagship_batch_secs":${jsonSecs("flagship")},""" +
       f""""flagship_sampled":${stages("sampled")},"flagship_packs":${stages("batches")},""" +
       f""""flagship_state_bytes":$flB,"flagship_state_files":$flF,""" +
+      f""""ml_batch_secs":${jsonSecs("ml")},"ml_kept":$mlKept,""" +
       f""""peak_heap_mb":${peakHeapMb()}}""")
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(work))
     spark.stop()
