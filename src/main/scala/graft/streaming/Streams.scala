@@ -875,6 +875,77 @@ object Streams {
         }
       }
 
+  /** Streaming preference-pair state — DPO/RLHF reward-data prep over
+    * a candidate-response stream. The state design exploits that
+    * argmax/argmin are SEMILATTICES: the global best (worst) response
+    * of a prompt is necessarily some micro-batch's best (worst), so
+    * retaining only each batch's per-prompt extremes — two bounded-heap
+    * top-1 passes over the batch, [[graft.text.Sft.preferencePairs]]'
+    * ordering — is lossless for the final pairing. Ingest therefore
+    * NEVER reads state (write-only, per-batch cost ∝ the increment,
+    * no index join at all), replay is idempotent by value (a replayed
+    * batch recomputes the identical extremes; the overwrite changes
+    * nothing), and stale extremes superseded by later batches are
+    * absorbed by the read-time reduce, so no own-batch exclusion is
+    * even needed. [[preferencePairsOf]] folds the accumulated extremes
+    * through the SAME operator to produce the current pairs;
+    * [[compactBatchOutput]] applies (compaction = re-extremes). */
+  def preferencePairSink(stream: DataFrame, statePath: String,
+      checkpoint: String, promptCol: String, responseCol: String,
+      scoreCol: String, trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.plans.TopK
+        val t0 = System.nanoTime()
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val fs = new Path(statePath).getFileSystem(conf)
+        val committed = fs.globStatus(new Path(statePath, "batch=*/_SUCCESS"))
+        val hasState = committed != null && committed.nonEmpty
+        if (batchId == 0 && hasState &&
+            committed.exists(s => s.getPath.getParent.getName != "batch=0"))
+          throw new IllegalStateException(
+            s"preferencePairSink: batchId restarted at 0 but $statePath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or start a fresh state path.")
+        val total = batch.count()
+        if (total > 0) {
+          val cand = batch.select(col(promptCol), col(responseCol),
+            col(scoreCol))
+          val best = TopK.perKey(cand, Seq(promptCol),
+            Seq(TopK.desc(scoreCol), TopK.asc(responseCol)), 1,
+            rankName = "__r").drop("__r")
+          val worst = TopK.perKey(cand, Seq(promptCol),
+            Seq(TopK.asc(scoreCol), TopK.asc(responseCol)), 1,
+            rankName = "__r").drop("__r")
+          val ext = best.unionByName(worst).distinct().localCheckpoint()
+          val n = ext.count()
+          ext.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+          onLoad(LoadResult(success = true, rowsLoaded = n,
+            tableName = statePath,
+            durationSeconds = (System.nanoTime() - t0) / 1e9))
+        } else {
+          onLoad(LoadResult(success = true, rowsLoaded = 0L,
+            tableName = statePath,
+            durationSeconds = (System.nanoTime() - t0) / 1e9))
+        }
+      }
+
+  /** The current preference pairs of a [[preferencePairSink]] state
+    * directory: the accumulated per-batch extremes folded through the
+    * SAME pairing operator — extremes-of-extremes are the global
+    * extremes, so this equals [[graft.text.Sft.preferencePairs]] over
+    * every candidate ever streamed. */
+  def preferencePairsOf(spark: SparkSession, statePath: String,
+      promptCol: String, responseCol: String,
+      scoreCol: String): DataFrame =
+    graft.text.Sft.preferencePairs(
+      spark.read.parquet(statePath)
+        .select(col(promptCol), col(responseCol), col(scoreCol)),
+      promptCol, responseCol, scoreCol)
+
   /** C5: poll-interval suppression → micro-batch trigger. */
   def trigger(checkIntervalSeconds: Long): Trigger =
     Trigger.ProcessingTime(checkIntervalSeconds * 1000)

@@ -1291,6 +1291,48 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("preference-pair sink: streamed extremes fold to the batch pairing exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("pref-sink").toString
+    // the global best for prompt A arrives in batch 3, the global worst
+    // in batch 1; B's extremes are both in batch 2; C stays a tie
+    // (must produce NO pair); D appears in one batch only
+    val batches = Seq(
+      Seq(("A", "mediocre", 5L), ("A", "terrible", 1L), ("C", "x", 3L)),
+      Seq(("B", "good", 8L), ("B", "bad", 2L), ("C", "y", 3L)),
+      Seq(("A", "excellent", 9L), ("D", "lonely", 4L)))
+    val input = MemoryStream[(String, String, Long)]
+    val q = Streams.preferencePairSink(
+        input.toDF().toDF("prompt", "response", "score"),
+        s"$dir/state", s"$dir/cp", "prompt", "response", "score",
+        trig = Streams.trigger(1)).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    val streamed = Streams.preferencePairsOf(spark, s"$dir/state",
+        "prompt", "response", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(3), r.getLong(5)))).toMap
+    // batch expectation over ALL candidates through the same operator
+    val all = batches.flatten.toDF("prompt", "response", "score")
+    val expect = graft.text.Sft.preferencePairs(all, "prompt", "response",
+        "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(3), r.getLong(5)))).toMap
+    assert(streamed == expect, s"streamed=$streamed expect=$expect")
+    assert(streamed == Map(
+      "A" -> (("excellent", "terrible", 8L)),
+      "B" -> (("good", "bad", 6L))))
+    // state is extremes-only: at most 2 rows per (prompt, batch)
+    val state = spark.read.parquet(s"$dir/state")
+      .groupBy(col("prompt"), col("batch")).count()
+      .collect().map(_.getLong(2))
+    assert(state.forall(_ <= 2), state.toSeq)
+  }
+
   test("multilingual curation sink: routing + per-language gates + cross-batch dedup == batch") {
     val spark2 = spark
     import spark2.implicits._
