@@ -250,6 +250,43 @@ object StreamStress {
       s"multilingual dedup must cap survivors at distinct windows: $mlKept")
     require(mlLangsKept >= 5, s"expected >=5 routed languages, got $mlLangsKept")
 
+    // ——— 5. preference-pair sink: 50k candidates over 5k prompts ———
+    // candidates for a prompt straddle every batch (prompt = doc_id %
+    // (nDocs/10)), so the read-time fold genuinely reduces cross-batch
+    // extremes; scores are deterministic per doc
+    val nPrompts = math.max(1L, nDocs / 10)
+    val prefArr = docs.select(col("doc_id"),
+        concat(lit("p"), (col("doc_id") % nPrompts).cast("string")),
+        col("text"), pmod(hash(col("doc_id") * 7919), lit(1000)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    locally {
+      val input = MemoryStream[(Long, String, String, Long)]
+      val q = Streams.preferencePairSink(
+          input.toDF().toDF("doc_id", "prompt", "response", "score")
+            .drop("doc_id"),
+          s"$work/pref/state", s"$work/pref/cp",
+          "prompt", "response", "score", trig = Streams.trigger(1),
+          onLoad = record("pref")).start()
+      try {
+        partsOf(prefArr, (r: (Long, String, String, Long)) => r._1)
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        require(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    val prefStreamed = Streams.preferencePairsOf(spark, s"$work/pref/state",
+      "prompt", "response", "score")
+    val prefN = prefStreamed.count()
+    val prefBatch = graft.text.Sft.preferencePairs(
+      docs.select(
+        concat(lit("p"), (col("doc_id") % nPrompts).cast("string"))
+          .as("prompt"),
+        col("text").as("response"),
+        pmod(hash(col("doc_id") * 7919), lit(1000)).cast("long").as("score")),
+      "prompt", "response", "score").count()
+    require(prefN == prefBatch,
+      s"streamed preference fold $prefN != batch pairing $prefBatch")
+
     val (sftB, sftF) = dirSize(s"$work/sft/index")
     val (phB, phF) = dirSize(s"$work/phash/index")
     val (flB, flF) = dirSize(s"$work/flag/state")
@@ -263,6 +300,7 @@ object StreamStress {
       f""""flagship_sampled":${stages("sampled")},"flagship_packs":${stages("batches")},""" +
       f""""flagship_state_bytes":$flB,"flagship_state_files":$flF,""" +
       f""""ml_batch_secs":${jsonSecs("ml")},"ml_kept":$mlKept,""" +
+      f""""pref_batch_secs":${jsonSecs("pref")},"pref_pairs":$prefN,""" +
       f""""peak_heap_mb":${peakHeapMb()}}""")
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(work))
     spark.stop()

@@ -128,4 +128,44 @@ class PropertySpec extends AnyFunSuite {
       (base.keySet -- over.keySet).foreach(k => assert(merged(k) == base(k)))
     }
   }
+
+  test("video hash: mean-contour invariant under uniform byte shift (fallback path)") {
+    import graft.multimodal.DecodeStub
+    val gen = Gen.zip(
+      Gen.choose(1, 2000).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 199)).map(_.map(_.toByte).toArray)),
+      Gen.choose(1, 55))
+    forSamples(gen, n = 60) { case (payload, shift) =>
+      // avoid container magic so the whole-payload fallback is taken
+      if (payload.length >= 16) payload(4) = 'x'.toByte
+      val shifted = payload.map(b => (b + shift).toByte)
+      assert(DecodeStub.videoPerceptualHash(payload) ==
+        DecodeStub.videoPerceptualHash(shifted),
+        s"shift $shift moved the contour (len ${payload.length})")
+    }
+  }
+
+  test("video hash: MP4 signature depends only on the mdat media data") {
+    import graft.multimodal.DecodeStub
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length)
+      b.put(typ.getBytes("ISO-8859-1")); b.put(payload); b.array
+    }
+    val gen = Gen.zip(
+      Gen.choose(8, 1500).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-128, 127)).map(_.map(_.toByte).toArray)),
+      Gen.choose(0, 200))
+    forSamples(gen, n = 60) { case (media, metaLen) =>
+      val ftypA = box("ftyp", "isom".getBytes("ISO-8859-1") ++ new Array[Byte](8))
+      val ftypB = box("ftyp", "mp42".getBytes("ISO-8859-1") ++ new Array[Byte](8))
+      val a = ftypA ++ box("mdat", media)
+      // arbitrary-length metadata box ahead of the same media data
+      val b = ftypB ++ box("free", Array.fill[Byte](metaLen)(0x5A)) ++
+        box("mdat", media)
+      assert(DecodeStub.videoPerceptualHash(a) ==
+        DecodeStub.videoPerceptualHash(b),
+        s"metadata (len $metaLen) leaked into the content signature")
+    }
+  }
 }
