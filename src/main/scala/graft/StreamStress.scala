@@ -255,9 +255,12 @@ object StreamStress {
     // (nDocs/10)), so the read-time fold genuinely reduces cross-batch
     // extremes; scores are deterministic per doc
     val nPrompts = math.max(1L, nDocs / 10)
-    val prefArr = docs.select(col("doc_id"),
-        concat(lit("p"), (col("doc_id") % nPrompts).cast("string")),
-        col("text"), pmod(hash(col("doc_id") * 7919), lit(1000)).cast("long"))
+    // ONE definition of the synthesized prompt/score columns: the
+    // streamed input and the batch expectation MUST agree or the
+    // equality check below tests nothing
+    val promptCol = concat(lit("p"), (col("doc_id") % nPrompts).cast("string"))
+    val scoreCol = pmod(hash(col("doc_id") * 7919), lit(1000)).cast("long")
+    val prefArr = docs.select(col("doc_id"), promptCol, col("text"), scoreCol)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3)))
     locally {
@@ -278,11 +281,8 @@ object StreamStress {
       "prompt", "response", "score")
     val prefN = prefStreamed.count()
     val prefBatch = graft.text.Sft.preferencePairs(
-      docs.select(
-        concat(lit("p"), (col("doc_id") % nPrompts).cast("string"))
-          .as("prompt"),
-        col("text").as("response"),
-        pmod(hash(col("doc_id") * 7919), lit(1000)).cast("long").as("score")),
+      docs.select(promptCol.as("prompt"), col("text").as("response"),
+        scoreCol.as("score")),
       "prompt", "response", "score").count()
     require(prefN == prefBatch,
       s"streamed preference fold $prefN != batch pairing $prefBatch")

@@ -888,8 +888,15 @@ object Streams {
     * nothing), and stale extremes superseded by later batches are
     * absorbed by the read-time reduce, so no own-batch exclusion is
     * even needed. [[preferencePairsOf]] folds the accumulated extremes
-    * through the SAME operator to produce the current pairs;
-    * [[compactBatchOutput]] applies (compaction = re-extremes). */
+    * through the SAME operator (the orderings are shared constants —
+    * [[graft.text.Sft.chosenOrder]]/[[graft.text.Sft.rejectedOrder]] —
+    * so the losslessness invariant cannot drift) to produce the
+    * current pairs; [[compactBatchOutput]] applies (compaction =
+    * re-extremes). Reader contract, shared with every batch=<id> sink
+    * here: a read that races a crash-REPLAY's overwrite window can
+    * observe the replayed batch's directory mid-rewrite — read from a
+    * quiesced state (or a compacted copy) for point-in-time exactness,
+    * the same bound [[compactBatchOutput]] documents. */
   def preferencePairSink(stream: DataFrame, statePath: String,
       checkpoint: String, promptCol: String, responseCol: String,
       scoreCol: String, trig: Trigger = Trigger.AvailableNow(),
@@ -898,7 +905,6 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trig)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.plans.TopK
         val t0 = System.nanoTime()
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
         val fs = new Path(statePath).getFileSystem(conf)
@@ -910,27 +916,20 @@ object Streams {
             s"preferencePairSink: batchId restarted at 0 but $statePath " +
             "already holds committed batches — the checkpoint was lost. " +
             "Restore it, or start a fresh state path.")
-        val total = batch.count()
-        if (total > 0) {
-          val cand = batch.select(col(promptCol), col(responseCol),
-            col(scoreCol))
-          val best = TopK.perKey(cand, Seq(promptCol),
-            Seq(TopK.desc(scoreCol), TopK.asc(responseCol)), 1,
-            rankName = "__r").drop("__r")
-          val worst = TopK.perKey(cand, Seq(promptCol),
-            Seq(TopK.asc(scoreCol), TopK.asc(responseCol)), 1,
-            rankName = "__r").drop("__r")
-          val ext = best.unionByName(worst).distinct().localCheckpoint()
-          val n = ext.count()
-          ext.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
-          onLoad(LoadResult(success = true, rowsLoaded = n,
-            tableName = statePath,
-            durationSeconds = (System.nanoTime() - t0) / 1e9))
-        } else {
-          onLoad(LoadResult(success = true, rowsLoaded = 0L,
-            tableName = statePath,
-            durationSeconds = (System.nanoTime() - t0) / 1e9))
-        }
+        // ONE scan of the micro-batch source: the extremes pass reads
+        // the cached frame, and the empty gate falls out of its count
+        val cand = batch.select(col(promptCol), col(responseCol),
+          col(scoreCol)).localCheckpoint()
+        val ext = graft.text.Sft.promptExtremes(cand, promptCol,
+          responseCol, scoreCol).localCheckpoint()
+        val n = ext.count()
+        // write even when EMPTY: the first committed directory is what
+        // lets preferencePairsOf infer a schema before any data arrives
+        // (the trendingTopKSink convention)
+        ext.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+        onLoad(LoadResult(success = true, rowsLoaded = n,
+          tableName = statePath,
+          durationSeconds = (System.nanoTime() - t0) / 1e9))
       }
 
   /** The current preference pairs of a [[preferencePairSink]] state

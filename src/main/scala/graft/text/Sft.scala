@@ -133,17 +133,46 @@ object Sft {
     * sort, never a collect), then a prompt-keyed join of two
     * 1-row-per-prompt frames. A 10⁹-response corpus costs two
     * key-partitioned streaming passes. */
+  /** The chosen-side extreme ordering: highest score, ties to the
+    * lexicographically smallest response — ONE definition shared by
+    * [[preferencePairs]] and the streaming
+    * [[graft.streaming.Streams.preferencePairSink]], whose
+    * losslessness argument DEPENDS on both using identical orderings
+    * (a drift here would silently break streamed == batch on ties). */
+  def chosenOrder(responseCol: String, scoreCol: String): Seq[graft.plans.TopK.Sort] =
+    Seq(graft.plans.TopK.desc(scoreCol), graft.plans.TopK.asc(responseCol))
+
+  /** The rejected-side twin of [[chosenOrder]]: lowest score, same
+    * response tie-break. */
+  def rejectedOrder(responseCol: String, scoreCol: String): Seq[graft.plans.TopK.Sort] =
+    Seq(graft.plans.TopK.asc(scoreCol), graft.plans.TopK.asc(responseCol))
+
+  /** Per-prompt extreme candidates — the best and worst response row
+    * of each prompt under the shared orderings (≤ 2 rows per prompt).
+    * The building block both the batch pairing and the streaming
+    * sink's write-only state retain. */
+  def promptExtremes(df: DataFrame, promptCol: String,
+      responseCol: String, scoreCol: String): DataFrame = {
+    import graft.plans.TopK
+    val cand = df.select(col(promptCol), col(responseCol), col(scoreCol))
+    TopK.perKey(cand, Seq(promptCol),
+        chosenOrder(responseCol, scoreCol), 1, rankName = "__r")
+      .unionByName(TopK.perKey(cand, Seq(promptCol),
+        rejectedOrder(responseCol, scoreCol), 1, rankName = "__r"))
+      .drop("__r").distinct()
+  }
+
   def preferencePairs(df: DataFrame, promptCol: String,
       responseCol: String, scoreCol: String): DataFrame = {
     import graft.plans.TopK
     val cand = df.select(col(promptCol), col(responseCol), col(scoreCol))
     val chosen = TopK.perKey(cand, Seq(promptCol),
-        Seq(TopK.desc(scoreCol), TopK.asc(responseCol)), 1, rankName = "__r")
+        chosenOrder(responseCol, scoreCol), 1, rankName = "__r")
       .drop("__r")
       .withColumnRenamed(responseCol, "chosen")
       .withColumnRenamed(scoreCol, "chosen_score")
     val rejected = TopK.perKey(cand, Seq(promptCol),
-        Seq(TopK.asc(scoreCol), TopK.asc(responseCol)), 1, rankName = "__r")
+        rejectedOrder(responseCol, scoreCol), 1, rankName = "__r")
       .drop("__r")
       .withColumnRenamed(responseCol, "rejected")
       .withColumnRenamed(scoreCol, "rejected_score")
