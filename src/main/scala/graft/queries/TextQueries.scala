@@ -153,6 +153,24 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination REPORT
+    * ([[graft.text.Boilerplate.contaminationReport]]): the eval-set
+    * owner's audit — for each src0 doc that leaked into the corpus
+    * (sources != src0), the number of corpus docs sharing a 5-gram
+    * with it and the number of its distinct 5-grams exposed. The
+    * detect/drop siblings answer "is my corpus clean"; this answers
+    * "which of MY benchmark documents are compromised, and how much of
+    * each" — n = 5 to match tx_ngram_contamination's sensitivity. */
+  def txContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.text.Boilerplate.contaminationReport(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+      .withColumnRenamed("eval_id", "eval_doc_id")
+      .orderBy(col("eval_doc_id"))
+  }
+
   /** Term-blocklist gate ([[graft.text.Curation.blocklistHits]], the
     * C4 "bad words" step): whole-token case-insensitive hits against a
     * config-sized list, pass = zero hits. The oracle replays the token
@@ -1290,6 +1308,7 @@ object TextQueries extends QueryPack {
     "tx_contamination" -> (txContamination _),
     "tx_ngram_contamination" -> (txNgramContamination _),
     "tx_decontaminate_near" -> (txDecontaminateNear _),
+    "tx_contamination_report" -> (txContaminationReport _),
     "tx_corpus_stats" -> (txCorpusStats _),
     "tx_tfidf_top_terms" -> (txTfidfTopTerms _))
 
@@ -2847,6 +2866,20 @@ object TextQueries extends QueryPack {
       FROM documents d LEFT JOIN leaked l ON d.doc_id = l.doc_id
       WHERE d.source <> 'src0'
       ORDER BY d.doc_id""",
+    "tx_contamination_report" -> """
+      WITH sp AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                                     FOR i IN range(1, len(toks) - 3)])) AS span
+        FROM (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 5)
+      SELECT e.doc_id AS eval_doc_id,
+             CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_docs,
+             CAST(COUNT(DISTINCT e.span) AS BIGINT) AS n_exposed_ngrams
+      FROM sp e JOIN sp c ON e.span = c.span
+      WHERE e.source = 'src0' AND c.source <> 'src0'
+      GROUP BY e.doc_id ORDER BY eval_doc_id""",
     "tx_corpus_stats" -> """
       SELECT source,
              COUNT(*) AS n_docs,

@@ -85,6 +85,30 @@ object Boilerplate {
     corpus.join(broadcast(leaked), Seq(idCol), "left_anti")
   }
 
+  /** Contamination REPORT — the eval-set owner's view of
+    * [[ngramContamination]]: for each EVAL document that leaked, how
+    * many corpus documents share at least one n-gram with it and how
+    * many of its distinct n-grams are exposed. This is the audit a
+    * benchmark maintainer (or a takedown verifier) runs: "which of MY
+    * documents are in the training corpus, and how much of each".
+    * Eval docs with zero overlap are absent.
+    *
+    * Scale: the eval span set broadcasts (benchmark-sized); corpus
+    * spans stream map-side through the broadcast join and only the
+    * MATCHED rows — a leak-sized set — shuffle into the per-eval-doc
+    * aggregate. The two countDistincts expand a leak-sized frame,
+    * never the corpus. */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val evalSpans = docSpans(evalSet, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "eval_id")
+    docSpans(corpus, idCol, textCol, n)
+      .join(broadcast(evalSpans), Seq("span"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_corpus_docs"),
+        countDistinct(col("span")).as("n_exposed_ngrams"))
+  }
+
   /** Spans appearing in at least `minDocs` distinct documents, with
     * their document frequency. Plain `count` is exact document
     * frequency because [[docSpans]] already de-duplicated spans within

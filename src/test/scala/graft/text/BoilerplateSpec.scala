@@ -122,6 +122,26 @@ class BoilerplateSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("contaminationReport: per-eval-doc exposure counts, clean eval docs absent") {
+    import spark.implicits._
+    val eval = Seq(
+      (100L, "a b c d e f g"),   // spans a..e, b..f, c..g — leaked twice
+      (101L, "p q r s t"),       // one span, leaked once
+      (102L, "u v w x y")        // clean
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f zz"),    // shares a..e and b..f with 100
+      (2L, "x a b c d e x"),     // shares a..e with 100
+      (3L, "p q r s t leak")     // shares p..t with 101
+    ).toDF("doc_id", "text")
+    val rep = Boilerplate.contaminationReport(corpus, eval, "doc_id", "text",
+        n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep == Map(
+      100L -> ((2L, 2L)), // 2 corpus docs, 2 distinct exposed spans
+      101L -> ((1L, 1L))))
+  }
+
   test("removeDupSpans: corpus-first occurrence survives, later ones deleted") {
     val out = Boilerplate.removeDupSpans(docs, "doc_id", "text", n = 5)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
