@@ -301,6 +301,48 @@ object Sampling {
             x => x("__o").cast(StringType))).as("offsets"))
   }
 
+  /** Length-bucketed batch layout — the PADDED-batch twin of
+    * [[packSequences]]: where packing CONCATENATES documents to a token
+    * budget, a padded trainer pays `max_len · batch_size` per batch,
+    * so batches should group SIMILAR-length sequences. Rows are split
+    * into `nBuckets` exact length quantiles (SQL-standard NTILE over
+    * `weightCol` with the doc key as tiebreak, computed through the
+    * distributed rank — no global sort, no unpartitioned window), and
+    * each bucket fills fixed-`batchSize` batches in rank order. The
+    * in-bucket position comes CLOSED-FORM from the global rank and the
+    * NTILE boundary arithmetic — no second window pass at any scale.
+    * Output: the input plus `n_tokens`, `bucket` (1-based),
+    * `batch_id` (0-based within bucket). Aggregate
+    * `max(n_tokens)·count − sum(n_tokens)` per (bucket, batch) for the
+    * padding-waste accounting — the number this layout exists to
+    * minimize. */
+  def lengthBucketedBatches(df: DataFrame, keyCol: String,
+      weightCol: Column, nBuckets: Int, batchSize: Int): DataFrame = {
+    require(nBuckets > 0 && batchSize > 0)
+    import graft.operators.Keys
+    val taken = df.columns.toSet
+    val rn = freshName("__rn", taken)
+    // materialize the weights once: the distributed rank makes three
+    // passes over its input (the withQualityBands rationale)
+    val keyed = df.withColumn("n_tokens", weightCol.cast(LongType))
+      .localCheckpoint()
+    val (ranked, n) = Keys.globalRankWithCount(keyed, "n_tokens", rn,
+      smallBytes = 0L, tieBreakers = Seq(col(keyCol)))
+    val q = n / nBuckets
+    val r = n % nBuckets
+    // NTILE bucket b starts at rank start(b)+1: the first r buckets
+    // hold q+1 rows, the rest q — start(b) in closed form, so the
+    // in-bucket position needs no second window
+    val bucketStart =
+      s"IF(bucket <= $r, (bucket - 1) * ${q + 1}L, " +
+        s"${r * (q + 1)}L + (bucket - 1 - $r) * ${q}L)"
+    ranked
+      .withColumn("bucket", Keys.ntileExpr(n, nBuckets, rn))
+      .withColumn("batch_id",
+        expr(s"($rn - 1 - ($bucketStart)) div ${batchSize}L"))
+      .drop(rn)
+  }
+
   /** Downsample every source to ≈`budget` units of `weightCol` (token
     * counts, bytes, …): per-source rate = min(1, budget / total), then
     * the deterministic hash mix. The totals aggregate is one tiny

@@ -225,6 +225,28 @@ object DedupQueries extends QueryPack {
       .orderBy(col("source"), col("batch_id"))
   }
 
+  /** Length-bucketed batch layout
+    * ([[graft.operators.Sampling.lengthBucketedBatches]]): 4 exact
+    * length quantiles, fixed 50-doc batches within each, and the
+    * PADDING-waste accounting (`max·count − sum`) a padded trainer
+    * pays — the number this layout exists to minimize (similar-length
+    * grouping makes max ≈ mean inside every batch). Bucket membership
+    * and in-bucket position both come from ONE distributed rank with
+    * closed-form NTILE arithmetic — no global sort, no second window;
+    * the oracle replays NTILE + in-bucket ROW_NUMBER. */
+  def packLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.lengthBucketedBatches(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", size(split(col("text"), "\\s+")).cast(org.apache.spark.sql.types.LongType),
+        nBuckets = 4, batchSize = 50)
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("batch_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("padding",
+        col("max_tokens") * col("n_docs") - col("batch_tokens"))
+      .orderBy(col("bucket"), col("batch_id"))
+
   /** Materialized packing ([[graft.operators.Sampling
     * .materializePacked]]): the trainer-facing layout — per
     * (source, batch), the md5 of the RS-joined document concatenation
@@ -272,6 +294,7 @@ object DedupQueries extends QueryPack {
     "d9_best_survivor" -> (d9BestSurvivor _),
     "sample_weighted" -> (sampleWeighted _),
     "pack_sequences" -> (packSequences _),
+    "pack_length_buckets" -> (packLengthBuckets _),
     "pack_materialize" -> (packMaterialize _),
     "sample_docs" -> (sampleDocs _),
     "sample_shards" -> (sampleShards _),
@@ -356,6 +379,30 @@ object DedupQueries extends QueryPack {
       FROM cum
       GROUP BY source, CAST((c - n_tokens) // 2048 AS BIGINT)
       ORDER BY source, batch_id""",
+    "pack_length_buckets" -> """
+      WITH w AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens,
+               NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS bucket
+        FROM w),
+      p AS (
+        SELECT doc_id, n_tokens, bucket,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                 ORDER BY n_tokens, doc_id) AS pos
+        FROM b)
+      SELECT CAST(bucket AS INT) AS bucket,
+             CAST((pos - 1) // 50 AS BIGINT) AS batch_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+             CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+               AS padding
+      FROM p GROUP BY bucket, CAST((pos - 1) // 50 AS BIGINT)
+      ORDER BY bucket, batch_id""",
     "sample_docs" -> s"""
       SELECT doc_id, source FROM documents
       WHERE $bucketSql < 200000

@@ -259,6 +259,34 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L)._4 == md5hex("z1 z2 z3 z4 z5 z6 z7 z8 z9"))
   }
 
+  test("lengthBucketedBatches: exact NTILE buckets, bounded batches, monotone lengths") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (1 to 103).map(i => (i.toLong, 1L + rnd.nextInt(500)))
+      .toDF("doc_id", "w")
+    val out = Sampling.lengthBucketedBatches(docs, "doc_id", col("w"),
+        nBuckets = 4, batchSize = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Int]("bucket"), r.getAs[Long]("batch_id")))
+    assert(out.length == 103)
+    // exact NTILE sizes: 103 = 3×26 + 1×25
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket == Map(1 -> 26, 2 -> 26, 3 -> 26, 4 -> 25), byBucket)
+    // every batch holds at most batchSize rows; ids 0..ceil(n/10)-1
+    out.groupBy(r => (r._3, r._4)).foreach { case ((b, id), rows) =>
+      assert(rows.length <= 10 && id >= 0 && id <= 2, s"($b,$id)=${rows.length}")
+    }
+    // buckets are length-ordered: every token count in bucket k is <=
+    // every count in bucket k+1 (ties split deterministically by id)
+    val maxPerBucket = out.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minPerBucket = out.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    (1 to 3).foreach { b =>
+      assert(maxPerBucket(b) <= minPerBucket(b + 1),
+        s"bucket $b max ${maxPerBucket(b)} > bucket ${b + 1} min ${minPerBucket(b + 1)}")
+    }
+  }
+
   test("materializePacked invariants on random weights: offsets tile each batch") {
     val s = spark
     import s.implicits._
