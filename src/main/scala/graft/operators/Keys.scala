@@ -95,6 +95,17 @@ object Keys {
       "AS INT) + 1")
   }
 
+  /** The INVERSE of [[ntileExpr]]'s fill rule, kept adjacent so the
+    * two cannot drift: the 0-based rank at which 1-based tile
+    * `bucketCol` starts (the first n%tiles tiles hold n/tiles + 1
+    * rows). `rank − 1 − start(bucket)` is a row's 0-based position
+    * WITHIN its tile, with no second window pass. */
+  def ntileStartExpr(n: Long, tiles: Int, bucketCol: String): Column = {
+    val q = n / tiles; val r = n % tiles
+    expr(s"IF($bucketCol <= $r, ($bucketCol - 1) * ${q + 1}L, " +
+      s"${r * (q + 1)}L + ($bucketCol - 1 - $r) * ${q}L)")
+  }
+
   /** PERCENT_RANK for a unique ordering (rank == row number):
     * (rank-1)/(N-1), and 0.0 for the single-row frame. */
   def percentRankExpr(n: Long, rankCol: String): Column =

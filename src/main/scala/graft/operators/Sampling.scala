@@ -319,28 +319,30 @@ object Sampling {
   def lengthBucketedBatches(df: DataFrame, keyCol: String,
       weightCol: Column, nBuckets: Int, batchSize: Int): DataFrame = {
     require(nBuckets > 0 && batchSize > 0)
-    import graft.operators.Keys
-    val taken = df.columns.toSet
-    val rn = freshName("__rn", taken)
+    // output columns must not silently replace caller data — the
+    // freshName rule, enforced loudly for the FIXED output names
+    Seq("n_tokens", "bucket", "batch_id").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it; the operator's " +
+          "output would silently replace it")
+    }
+    val rn = freshName("__rn", df.columns.toSet)
     // materialize the weights once: the distributed rank makes three
     // passes over its input (the withQualityBands rationale)
     val keyed = df.withColumn("n_tokens", weightCol.cast(LongType))
       .localCheckpoint()
     val (ranked, n) = Keys.globalRankWithCount(keyed, "n_tokens", rn,
       smallBytes = 0L, tieBreakers = Seq(col(keyCol)))
-    val q = n / nBuckets
-    val r = n % nBuckets
-    // NTILE bucket b starts at rank start(b)+1: the first r buckets
-    // hold q+1 rows, the rest q — start(b) in closed form, so the
-    // in-bucket position needs no second window
-    val bucketStart =
-      s"IF(bucket <= $r, (bucket - 1) * ${q + 1}L, " +
-        s"${r * (q + 1)}L + (bucket - 1 - $r) * ${q}L)"
+    // in-bucket position = rank − 1 − ntile start (the inverse kept in
+    // lock-step with the assignment, Keys.ntileStartExpr) — no second
+    // window pass at any scale
+    val start = freshName("__start", df.columns.toSet + rn)
     ranked
       .withColumn("bucket", Keys.ntileExpr(n, nBuckets, rn))
+      .withColumn(start, Keys.ntileStartExpr(n, nBuckets, "bucket"))
       .withColumn("batch_id",
-        expr(s"($rn - 1 - ($bucketStart)) div ${batchSize}L"))
-      .drop(rn)
+        expr(s"(`$rn` - 1 - `$start`) div ${batchSize}L"))
+      .drop(rn, start)
   }
 
   /** Downsample every source to ≈`budget` units of `weightCol` (token

@@ -230,14 +230,18 @@ object DedupQueries extends QueryPack {
     * length quantiles, fixed 50-doc batches within each, and the
     * PADDING-waste accounting (`max·count − sum`) a padded trainer
     * pays — the number this layout exists to minimize (similar-length
-    * grouping makes max ≈ mean inside every batch). Bucket membership
-    * and in-bucket position both come from ONE distributed rank with
+    * grouping makes max ≈ mean inside every batch). Lengths are
+    * TOKENIZER-EXACT ([[graft.text.TextFunctions.bpeTokenCount]], the
+    * packSequences convention — padding in trainer tokens, not an
+    * approximation in a different unit). Bucket membership and
+    * in-bucket position both come from ONE distributed rank with
     * closed-form NTILE arithmetic — no global sort, no second window;
-    * the oracle replays NTILE + in-bucket ROW_NUMBER. */
+    * the oracle replays the BPE merge loop, NTILE, and the in-bucket
+    * ROW_NUMBER. */
   def packLengthBuckets(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.lengthBucketedBatches(
         table(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", size(split(col("text"), "\\s+")).cast(org.apache.spark.sql.types.LongType),
+        "doc_id", graft.text.TextFunctions.bpeTokenCount(col("text")),
         nBuckets = 4, batchSize = 50)
       .groupBy(col("bucket"), col("batch_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -379,12 +383,11 @@ object DedupQueries extends QueryPack {
       FROM cum
       GROUP BY source, CAST((c - n_tokens) // 2048 AS BIGINT)
       ORDER BY source, batch_id""",
-    "pack_length_buckets" -> """
-      WITH w AS (
-        SELECT doc_id,
-               CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
-                 AS n_tokens
-        FROM documents),
+    "pack_length_buckets" -> s"""
+      ${BpeOracleSql.prelude},
+      w AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM bpe_docs),
       b AS (
         SELECT doc_id, n_tokens,
                NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS bucket
