@@ -227,17 +227,22 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** The deterministic dirty-text synthesis both redaction queries
+    * share (the raw corpus has no PII): one planted instance of every
+    * scrub shape per doc. */
+  private def redactDirtyCol: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id"), lit("@example.com or "),
+    lit("https://example.org/doc/"), col("doc_id"),
+    lit(" call +1 (555) 123-4567 or 555-867-5309 from 192.168.1."),
+    (col("doc_id") % 250).cast("string"),
+    lit(" v6 fe80:0db8:85a3:0001:0000:8a2e:0370:7334 ssn 078-05-1120"))
+
   /** PII scrubbing over a synthetic-augmented corpus: emails/URLs are
     * planted deterministically (the raw corpus has none), then redacted;
     * output proves the redaction and the md5 of the scrubbed text. */
   def txRedact(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .withColumn("dirty", concat(col("text"),
-        lit(" contact user"), col("doc_id"), lit("@example.com or "),
-        lit("https://example.org/doc/"), col("doc_id"),
-        lit(" call +1 (555) 123-4567 or 555-867-5309 from 192.168.1."),
-        (col("doc_id") % 250).cast("string"),
-        lit(" v6 fe80:0db8:85a3:0001:0000:8a2e:0370:7334 ssn 078-05-1120")))
+      .withColumn("dirty", redactDirtyCol)
       .select(col("doc_id"),
         TextFunctions.redact(col("dirty")).as("clean"))
       .withColumn("clean_md5", md5(col("clean")))
@@ -247,6 +252,34 @@ object TextQueries extends QueryPack {
           "([0-9]{1,3}\\.){3}[0-9]{1,3}|([0-9A-Fa-f]{1,4}:){3}|" +
           "[0-9]{3}-[0-9]{2}-[0-9]{4}"))
       .orderBy(col("doc_id"))
+
+  /** Redaction AUDIT — the release report a scrubbing pass owes its
+    * operator: per placeholder type, how many redactions were made
+    * corpus-wide and how many documents carried at least one.
+    * Counting is placeholder-occurrence arithmetic over the SCRUBBED
+    * text (length difference div token length — no second regex pass),
+    * one aggregate over one projection. */
+  def txRedactAudit(s: SparkSession, dir: String): DataFrame = {
+    val types = TextFunctions.RedactionTokens
+    val cleaned = table(s, dir, "documents")
+      .withColumn("dirty", redactDirtyCol)
+      .select(TextFunctions.redact(col("dirty")).as("clean"))
+    val aggCols = types.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(expr(s"(length(clean) - length(replace(clean, '$t', ''))) " +
+          s"div ${t.length}")).as(s"__c$i"),
+        sum(col("clean").contains(t).cast(LongType)).as(s"__d$i"))
+    }
+    cleaned.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(types.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("pii_type"), col(s"__c$i").as("n_redactions"),
+          col(s"__d$i").as("n_docs"))
+      }: _*)).as("s"))
+      .select(col("s.pii_type").as("pii_type"),
+        col("s.n_redactions").as("n_redactions"),
+        col("s.n_docs").as("n_docs"))
+      .orderBy(col("pii_type"))
+  }
 
   /** Dedup-grade normalization ([[TextFunctions.normalizeText]]):
     * lowercase → strip punctuation → collapse whitespace, plus the
@@ -1299,6 +1332,7 @@ object TextQueries extends QueryPack {
     "tx_boilerplate_ratio" -> (txBoilerplateRatio _),
     "tx_normalize" -> (txNormalize _),
     "tx_redact" -> (txRedact _),
+    "tx_redact_audit" -> (txRedactAudit _),
     "tx_lang_id" -> (txLangId _),
     "tx_quality" -> (txQuality _),
     "tx_token_stats" -> (txTokenStats _),
@@ -1678,6 +1712,53 @@ object TextQueries extends QueryPack {
                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                ELSE 'tail' END AS quality_band
       FROM sc ORDER BY doc_id"""
+  }
+
+  // TextFunctions.redact twin over the shared dirty synthesis — the
+  // CTE pack (dirty → clean) both redaction oracles splice, one
+  // spelling so the scrub chain cannot drift between them (raw string:
+  // the regex backslashes must survive)
+  private val redactCleanCtes: String = """dirty AS (
+        SELECT doc_id,
+               concat(text, ' contact user', doc_id, '@example.com or ',
+                      'https://example.org/doc/', doc_id,
+                      ' call +1 (555) 123-4567 or 555-867-5309 from 192.168.1.',
+                      CAST(doc_id % 250 AS VARCHAR),
+                      ' v6 fe80:0db8:85a3:0001:0000:8a2e:0370:7334 ssn 078-05-1120') AS dirty
+        FROM documents),
+      clean AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(dirty,
+                             'https?://[^\s/$.?#][^\s]*', '<URL>', 'g'),
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                         '\b([0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b', '<IP>', 'g'),
+                       '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+                   '(\+[0-9]{1,3}[\s-])?\([0-9]{3}\)[\s-]?[0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+                 '(\+[0-9]{1,3}[\s-])?\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS clean
+        FROM dirty)"""
+
+  // per-type redaction accounting over the same clean relation,
+  // generated from TextFunctions.RedactionTokens
+  private lazy val redactAuditSql: String = {
+    val rows = graft.text.TextFunctions.RedactionTokens.map { t =>
+      s"""SELECT '$t' AS pii_type,
+             CAST(SUM((length(clean) - length(replace(clean, '$t', '')))
+               // ${t.length}) AS BIGINT) AS n_redactions,
+             CAST(SUM(CASE WHEN contains(clean, '$t') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs
+      FROM clean"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH $redactCleanCtes
+      $rows
+      ORDER BY pii_type"""
   }
 
   // UrlOps twin: the same dirty-URL synthesis and the normalization
@@ -2665,38 +2746,15 @@ object TextQueries extends QueryPack {
       SELECT doc_id, md5(n) AS norm_md5,
              CAST(len(n) AS INT) AS norm_len
       FROM norm ORDER BY doc_id""",
-    "tx_redact" -> """
-      WITH dirty AS (
-        SELECT doc_id,
-               concat(text, ' contact user', doc_id, '@example.com or ',
-                      'https://example.org/doc/', doc_id,
-                      ' call +1 (555) 123-4567 or 555-867-5309 from 192.168.1.',
-                      CAST(doc_id % 250 AS VARCHAR),
-                      ' v6 fe80:0db8:85a3:0001:0000:8a2e:0370:7334 ssn 078-05-1120') AS dirty
-        FROM documents),
-      clean AS (
-        SELECT doc_id,
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(
-                           regexp_replace(dirty,
-                             'https?://[^\s/$.?#][^\s]*', '<URL>', 'g'),
-                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-                         '\b([0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b', '<IP>', 'g'),
-                       '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-                     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
-                   '(\+[0-9]{1,3}[\s-])?\([0-9]{3}\)[\s-]?[0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
-                 '(\+[0-9]{1,3}[\s-])?\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS clean
-        FROM dirty)
+    "tx_redact" -> s"""
+      WITH $redactCleanCtes
       SELECT doc_id, clean, md5(clean) AS clean_md5,
              regexp_matches(clean, '@') AS has_email,
              NOT regexp_matches(clean,
-               '@|://|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}|([0-9]{1,3}\.){3}[0-9]{1,3}|([0-9A-Fa-f]{1,4}:){3}|[0-9]{3}-[0-9]{2}-[0-9]{4}')
+               '@|://|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}|([0-9]{1,3}\\.){3}[0-9]{1,3}|([0-9A-Fa-f]{1,4}:){3}|[0-9]{3}-[0-9]{2}-[0-9]{4}')
                AS fully_scrubbed
       FROM clean ORDER BY doc_id""",
+    "tx_redact_audit" -> redactAuditSql,
     "tx_lang_id" -> s"""
       WITH scored AS (
         SELECT doc_id, lang AS declared_lang,

@@ -153,6 +153,12 @@ object TextFunctions {
     * ≥4-group colon-hex scrub shape, not an RFC 4291 validator —
     * scrubbing over-matches by design. One codegen'd projection chain,
     * no UDF. */
+  /** The distinct placeholder tokens [[redact]] emits — the audit
+    * surface ([[graft.queries.TextQueries.txRedactAudit]]) counts
+    * occurrences of exactly these. */
+  val RedactionTokens: Seq[String] =
+    Seq("<EMAIL>", "<ID>", "<IP>", "<PHONE>", "<URL>")
+
   def redact(text: Column): Column = {
     val urlPat = "https?://[^\\s/$.?#][^\\s]*"
     val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
