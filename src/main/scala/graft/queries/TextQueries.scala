@@ -1041,6 +1041,21 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser-Ney order-5 LM scoring
+    * ([[graft.text.LmScore.quantizedScoresKN]] — the discounted,
+    * continuation-count model CCNet's KenLM filter actually is; the
+    * stupid-backoff tx_lm_score5 is the count-ratio approximation):
+    * same lang = 'en' reference, same fixed point, the whole
+    * interpolation chain (discount 3/4, continuation counts, pure
+    * backoff on unseen contexts) pinned by the oracle. */
+  def txLmScoreKn(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    LmScore.withQualityBands(
+        LmScore.quantizedScoresKN(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic dirty-URL synthesis over the documents fixture (the
     * corpus has no URL column): exercises every normalization branch —
     * mixed-case scheme/host, trailing path slash, query-final slash
@@ -1316,6 +1331,7 @@ object TextQueries extends QueryPack {
     "tx_domain_caps" -> (txDomainCaps _),
     "tx_lm_score" -> (txLmScore _),
     "tx_lm_score5" -> (txLmScore5 _),
+    "tx_lm_score_kn" -> (txLmScoreKn _),
     "tx_dsir_weights" -> (txDsirWeights _),
     "tx_dsir_select" -> (txDsirSelect _),
     "tx_curation_funnel" -> (txCurationFunnel _),
@@ -1653,22 +1669,28 @@ object TextQueries extends QueryPack {
   // from the lang='en' reference, then the stupid-backoff CASE chain
   // with the exact integer multipliers 10^6·0.4^d (1000000, 400000,
   // 160000, 64000, 25600) and integer division at every level
-  private val lmScore5Sql: String = {
-    // order-k window struct over the bucketed token list
-    def win(k: Int) = {
-      val fields = (1 to k)
-        .map(j => s"'b$j': bs[i${if (j > 1) s"+${j - 1}" else ""}]")
-        .mkString(", ")
-      s"unnest([{$fields} FOR i IN range(1, len(bs) - ${k - 2})], recursive := true)"
-    }
-    def cnt(k: Int) = {
-      val cols = (1 to k).map(j => s"b$j").mkString(", ")
-      s"""c$k AS (
+  // order-k window struct over the bucketed token list — shared by the
+  // stupid-backoff and Kneser-Ney oracles (one spelling, no drift)
+  private def lmWin(k: Int): String = {
+    val fields = (1 to k)
+      .map(j => s"'b$j': bs[i${if (j > 1) s"+${j - 1}" else ""}]")
+      .mkString(", ")
+    s"unnest([{$fields} FOR i IN range(1, len(bs) - ${k - 2})], recursive := true)"
+  }
+
+  // order-k training count CTE over the lang='en' reference
+  private def lmCnt(k: Int): String = {
+    val cols = (1 to k).map(j => s"b$j").mkString(", ")
+    s"""c$k AS (
         SELECT $cols, COUNT(*) AS c FROM (
-          SELECT ${win(k)}
+          SELECT ${lmWin(k)}
           FROM bt WHERE lang = 'en' AND len(bs) >= $k)
         GROUP BY $cols)"""
-    }
+  }
+
+  private val lmScore5Sql: String = {
+    def win(k: Int) = lmWin(k)
+    def cnt(k: Int) = lmCnt(k)
     s"""
       WITH bt AS (
         SELECT doc_id, lang,
@@ -1707,6 +1729,110 @@ object TextQueries extends QueryPack {
                CAST(SUM(w) AS BIGINT) AS lm_score,
                CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_prob_q
         FROM w GROUP BY doc_id)
+      SELECT doc_id, n_ngrams, lm_score, mean_prob_q,
+             CASE NTILE(3) OVER (ORDER BY mean_prob_q DESC, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS quality_band
+      FROM sc ORDER BY doc_id"""
+  }
+
+  // LmScore.quantizedScoresKN twin: interpolated Kneser-Ney, order 5.
+  // Continuation/type frames are COUNT(*) over the raw count CTEs'
+  // rows; the interpolation chain is fixed point (Q=10^6, D=3/4 so
+  // 4·c−3 and 3·typ stay integer) with one integer division (//) per
+  // level — the same arithmetic the Spark side renders with `div`, so
+  // the scores replay bit-for-bit. Levels with an unseen context back
+  // off purely (p_k = p_{k-1}).
+  private val lmScoreKnSql: String = {
+    val p0 = 1000000L / 1024
+    s"""
+      WITH bt AS (
+        SELECT doc_id, lang,
+               [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1024
+                FOR t IN string_split_regex(text, '\\s+')] AS bs
+        FROM documents),
+      g5 AS (
+        SELECT doc_id, ${lmWin(5)}
+        FROM bt WHERE len(bs) >= 5),
+      ${lmCnt(5)}, ${lmCnt(4)}, ${lmCnt(3)}, ${lmCnt(2)}, ${lmCnt(1)},
+      t5 AS (SELECT b1, b2, b3, b4, COUNT(*) AS typ FROM c5 GROUP BY 1,2,3,4),
+      q4 AS (SELECT b2, b3, b4, b5, COUNT(*) AS c FROM c5 GROUP BY 1,2,3,4),
+      m4 AS (SELECT b2, b3, b4, COUNT(*) AS c FROM c5 GROUP BY 1,2,3),
+      t4 AS (SELECT b1, b2, b3, COUNT(*) AS typ FROM c4 GROUP BY 1,2,3),
+      q3 AS (SELECT b2, b3, b4, COUNT(*) AS c FROM c4 GROUP BY 1,2,3),
+      m3 AS (SELECT b2, b3, COUNT(*) AS c FROM c4 GROUP BY 1,2),
+      t3 AS (SELECT b1, b2, COUNT(*) AS typ FROM c3 GROUP BY 1,2),
+      q2 AS (SELECT b2, b3, COUNT(*) AS c FROM c3 GROUP BY 1,2),
+      m2 AS (SELECT b2, COUNT(*) AS c FROM c3 GROUP BY 1),
+      t2 AS (SELECT b1, COUNT(*) AS typ FROM c2 GROUP BY 1),
+      q1 AS (SELECT b2, COUNT(*) AS c FROM c2 GROUP BY 1),
+      sCC AS (SELECT COUNT(*) AS v FROM c2),
+      sU AS (SELECT COUNT(*) AS v FROM q1),
+      w0 AS (
+        SELECT g.doc_id,
+               x5.c AS c5n, k4.c AS ctx5, ty5.typ AS typ5,
+               q4.c AS cc4, m4.c AS mid4, t4.typ AS typ4,
+               q3.c AS cc3, m3.c AS mid3, t3.typ AS typ3,
+               q2.c AS cc2, m2.c AS mid2, t2.typ AS typ2,
+               q1.c AS cc1
+        FROM g5 g
+        LEFT JOIN c5 x5 ON g.b1 = x5.b1 AND g.b2 = x5.b2 AND g.b3 = x5.b3
+                       AND g.b4 = x5.b4 AND g.b5 = x5.b5
+        LEFT JOIN c4 k4 ON g.b1 = k4.b1 AND g.b2 = k4.b2 AND g.b3 = k4.b3
+                       AND g.b4 = k4.b4
+        LEFT JOIN t5 ty5 ON g.b1 = ty5.b1 AND g.b2 = ty5.b2
+                        AND g.b3 = ty5.b3 AND g.b4 = ty5.b4
+        LEFT JOIN q4 ON g.b2 = q4.b2 AND g.b3 = q4.b3 AND g.b4 = q4.b4
+                    AND g.b5 = q4.b5
+        LEFT JOIN m4 ON g.b2 = m4.b2 AND g.b3 = m4.b3 AND g.b4 = m4.b4
+        LEFT JOIN t4 ON g.b2 = t4.b1 AND g.b3 = t4.b2 AND g.b4 = t4.b3
+        LEFT JOIN q3 ON g.b3 = q3.b2 AND g.b4 = q3.b3 AND g.b5 = q3.b4
+        LEFT JOIN m3 ON g.b3 = m3.b2 AND g.b4 = m3.b3
+        LEFT JOIN t3 ON g.b3 = t3.b1 AND g.b4 = t3.b2
+        LEFT JOIN q2 ON g.b4 = q2.b2 AND g.b5 = q2.b3
+        LEFT JOIN m2 ON g.b4 = m2.b2
+        LEFT JOIN t2 ON g.b4 = t2.b1
+        LEFT JOIN q1 ON g.b5 = q1.b2),
+      w1 AS (
+        SELECT *, CASE WHEN (SELECT v FROM sCC) > 0 THEN
+            ((CASE WHEN COALESCE(cc1, 0) > 0
+                   THEN (4 * cc1 - 3) * 1000000 ELSE 0 END)
+             + 3 * (SELECT v FROM sU) * $p0) // (4 * (SELECT v FROM sCC))
+          ELSE $p0 END AS p1
+        FROM w0),
+      w2 AS (
+        SELECT *, CASE WHEN COALESCE(mid2, 0) > 0 THEN
+            ((CASE WHEN COALESCE(cc2, 0) > 0
+                   THEN (4 * cc2 - 3) * 1000000 ELSE 0 END)
+             + 3 * COALESCE(typ2, 0) * p1) // (4 * mid2)
+          ELSE p1 END AS p2
+        FROM w1),
+      w3 AS (
+        SELECT *, CASE WHEN COALESCE(mid3, 0) > 0 THEN
+            ((CASE WHEN COALESCE(cc3, 0) > 0
+                   THEN (4 * cc3 - 3) * 1000000 ELSE 0 END)
+             + 3 * COALESCE(typ3, 0) * p2) // (4 * mid3)
+          ELSE p2 END AS p3
+        FROM w2),
+      w4 AS (
+        SELECT *, CASE WHEN COALESCE(mid4, 0) > 0 THEN
+            ((CASE WHEN COALESCE(cc4, 0) > 0
+                   THEN (4 * cc4 - 3) * 1000000 ELSE 0 END)
+             + 3 * COALESCE(typ4, 0) * p3) // (4 * mid4)
+          ELSE p3 END AS p4
+        FROM w3),
+      w5 AS (
+        SELECT doc_id, CASE WHEN COALESCE(ctx5, 0) > 0 THEN
+            ((CASE WHEN COALESCE(c5n, 0) > 0
+                   THEN (4 * c5n - 3) * 1000000 ELSE 0 END)
+             + 3 * COALESCE(typ5, 0) * p4) // (4 * ctx5)
+          ELSE p4 END AS w
+        FROM w4),
+      sc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(SUM(w) AS BIGINT) AS lm_score,
+               CAST(SUM(w) AS DOUBLE) / COUNT(*) AS mean_prob_q
+        FROM w5 GROUP BY doc_id)
       SELECT doc_id, n_ngrams, lm_score, mean_prob_q,
              CASE NTILE(3) OVER (ORDER BY mean_prob_q DESC, doc_id)
                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
@@ -2466,6 +2592,7 @@ object TextQueries extends QueryPack {
       ORDER BY domain, domain_rank""",
     "tx_lm_score" -> lmScoreSql,
     "tx_lm_score5" -> lmScore5Sql,
+    "tx_lm_score_kn" -> lmScoreKnSql,
     "tx_multilingual_funnel" -> multilingualFunnelSql,
     "tx_multilingual_pipeline" -> multilingualPipelineSql,
     "tx_bpe_fertility" -> {

@@ -249,6 +249,149 @@ object LmScore {
         col("lm_score").cast(DoubleType) / col("n_ngrams"))
   }
 
+  /** Interpolated Kneser-Ney, order 5 — the model CCNet actually
+    * filters with (Wenzek et al. 2020 use a KenLM 5-gram KN model;
+    * Kneser & Ney 1995, "Improved backing-off for m-gram language
+    * modeling"; Chen & Goodman 1999 §2.7 interpolated form). The
+    * stupid-backoff twin ([[quantizedScores5]]) charges raw
+    * count ratios; KN instead (a) DISCOUNTS every seen count by D and
+    * hands the freed mass to the lower order, and (b) scores lower
+    * orders by CONTINUATION counts — how many distinct contexts a
+    * token follows — not raw frequency. That is the "Francisco"
+    * effect: a token frequent only inside one collocation has a high
+    * raw count but continuation count 1, and KN correctly scores it
+    * low in novel contexts (LmScoreSpec plants exactly that).
+    *
+    * Estimator, rendered in fixed point (scale Q = 10^6, discount
+    * D = 3/4 so 4·c − 3 and 3·typ stay integer):
+    *
+    *   P_0           = Q div B                            (uniform)
+    *   P_k(w | ctx)  = ( [num_k > 0]·(4·num_k − 3)·Q
+    *                     + 3·typ_k(ctx)·P_{k−1} ) div (4·den_k(ctx))
+    *                   when den_k(ctx) > 0, else P_{k−1}  (pure backoff)
+    *
+    * where at the TOP order (k=5) num/den are raw window counts
+    * c5/c4(ctx) and typ = N1+(ctx·) (distinct continuation types of
+    * the 4-gram context); at every LOWER order k the numerator is the
+    * continuation count N1+(·, w-window) (distinct predecessors of the
+    * k-gram, i.e. row counts of the order-(k+1) frame grouped by its
+    * suffix), the denominator is N1+(·, ctx, ·) (order-(k+1) rows
+    * grouped by the mid positions) and typ is the distinct-successor
+    * count of ctx from the order-k frame. At k=1 the denominator is
+    * the distinct-bigram-type total and typ is the distinct
+    * continuation-unigram total. Every quantity is an integer count
+    * over count-frame ROWS, so the whole chain — including the one
+    * integer division per level — replays bit-for-bit in SQL.
+    *
+    * Doc-stream edge (documented, both engines identical): windows
+    * never cross document boundaries, so a k-gram seen only at a
+    * document head has a raw count but no predecessor; its
+    * continuation count is 0 and the lower-order numerator term
+    * vanishes — the interpolation mass still flows through typ/den.
+    *
+    * Scale: identical shape to [[quantizedScores5]] — the model is
+    * reference-corpus-bounded (count frames ≤ training window count,
+    * derived frames strictly smaller), all nine scoring joins are
+    * broadcast, the corpus is exploded once and aggregated per doc.
+    * Returns `(doc_id, n_ngrams, lm_score, mean_prob_q)` with
+    * lm_score = Σ P_5 fixed-point, docs under 5 tokens absent. */
+  def quantizedScoresKN(corpus: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    val counts = train5(train, idCol, textCol, buckets).map(_.localCheckpoint())
+    val Seq(c1f, c2f, c3f, c4f, c5f) = counts
+    // derived continuation/type frames — COUNT over count-frame rows
+    def rows(df: DataFrame, keep: Seq[String], as: String): DataFrame =
+      df.groupBy(keep.map(col): _*).agg(count(lit(1)).as(as))
+    // per-key frames renamed onto the scoring window positions b1..b5;
+    // frames sharing a key are pre-merged so the hot path pays ONE
+    // broadcast hash join per distinct key, nine in total (the
+    // quantizedScores5 budget)
+    def onto(df: DataFrame, from: Seq[String], to: Seq[String]): DataFrame =
+      df.toDF((to ++ df.columns.drop(from.length)): _*)
+    val g = (1 to 5).map(j => s"g$j")
+    val b = (1 to 5).map(j => s"b$j")
+    // (b1..b5): raw 5-gram count
+    val j5 = onto(c5f, g.take(5), b.take(5)).withColumnRenamed("c", "c5")
+    // (b1..b4): raw 4-gram context count + distinct-successor types
+    val j4ctx = onto(c4f, g.take(4), b.take(4)).withColumnRenamed("c", "ctx5")
+      .join(onto(rows(c5f, g.take(4), "typ5"), g.take(4), b.take(4)),
+        b.take(4), "left")
+    // (b2..b5): continuation count of the 4-gram window
+    val j4cc = onto(rows(c5f, g.slice(1, 5), "cc4"), g.slice(1, 5), b.slice(1, 5))
+    // (b2..b4): level-4 mid denominator + level-4 typ (successors of trigram ctx)
+    val j4mid = onto(rows(c5f, g.slice(1, 4), "mid4"), g.slice(1, 4), b.slice(1, 4))
+      .join(onto(rows(c4f, g.take(3), "typ4"), g.take(3), b.slice(1, 4)),
+        b.slice(1, 4), "full")
+    // (b3..b5): continuation count of the trigram window
+    val j3cc = onto(rows(c4f, g.slice(1, 4), "cc3"), g.slice(1, 4), b.slice(2, 5))
+    // (b3,b4): level-3 mid denominator + typ
+    val j3mid = onto(rows(c4f, g.slice(1, 3), "mid3"), g.slice(1, 3), b.slice(2, 4))
+      .join(onto(rows(c3f, g.take(2), "typ3"), g.take(2), b.slice(2, 4)),
+        b.slice(2, 4), "full")
+    // (b4,b5): continuation count of the bigram window
+    val j2cc = onto(rows(c3f, g.slice(1, 3), "cc2"), g.slice(1, 3), b.slice(3, 5))
+    // (b4): level-2 mid denominator + typ
+    val j2mid = onto(rows(c3f, g.slice(1, 2), "mid2"), g.slice(1, 2), b.slice(3, 4))
+      .join(onto(rows(c2f, g.take(1), "typ2"), g.take(1), b.slice(3, 4)),
+        b.slice(3, 4), "full")
+    // (b5): continuation count of the unigram
+    val j1cc = onto(rows(c2f, g.slice(1, 2), "cc1"), g.slice(1, 2), b.slice(4, 5))
+    // scalars: distinct bigram types (level-1 denominator) and distinct
+    // continuation-unigram types (level-1 typ) — count-frame row counts,
+    // driver-side by construction
+    val ccTot = c2f.count()
+    val uTot = c2f.select(col("g2")).distinct().count()
+    val p0 = 1000000L / buckets
+    // fixed-point chain via successive columns (each level one integer
+    // division; expr-rendered so `div` is the integral operator)
+    val scored = ngramWindows(corpus, idCol, textCol, buckets, 5)
+      .toDF(("doc_id" +: b): _*)
+      .join(broadcast(j5), b.take(5).toSeq, "left")
+      .join(broadcast(j4ctx), b.take(4).toSeq, "left")
+      .join(broadcast(j4cc), b.slice(1, 5).toSeq, "left")
+      .join(broadcast(j4mid), b.slice(1, 4).toSeq, "left")
+      .join(broadcast(j3cc), b.slice(2, 5).toSeq, "left")
+      .join(broadcast(j3mid), b.slice(2, 4).toSeq, "left")
+      .join(broadcast(j2cc), b.slice(3, 5).toSeq, "left")
+      .join(broadcast(j2mid), b.slice(3, 4).toSeq, "left")
+      .join(broadcast(j1cc), b.slice(4, 5).toSeq, "left")
+      .withColumn("__p1",
+        if (ccTot > 0)
+          expr(s"""(
+            (case when coalesce(cc1, 0L) > 0
+                  then (4L * cc1 - 3L) * 1000000L else 0L end)
+            + 3L * ${uTot}L * ${p0}L) div (4L * ${ccTot}L)""")
+        else lit(p0))
+      .withColumn("__p2", expr(s"""
+        case when coalesce(mid2, 0L) > 0 then (
+          (case when coalesce(cc2, 0L) > 0
+                then (4L * cc2 - 3L) * 1000000L else 0L end)
+          + 3L * coalesce(typ2, 0L) * __p1) div (4L * mid2)
+        else __p1 end"""))
+      .withColumn("__p3", expr(s"""
+        case when coalesce(mid3, 0L) > 0 then (
+          (case when coalesce(cc3, 0L) > 0
+                then (4L * cc3 - 3L) * 1000000L else 0L end)
+          + 3L * coalesce(typ3, 0L) * __p2) div (4L * mid3)
+        else __p2 end"""))
+      .withColumn("__p4", expr(s"""
+        case when coalesce(mid4, 0L) > 0 then (
+          (case when coalesce(cc4, 0L) > 0
+                then (4L * cc4 - 3L) * 1000000L else 0L end)
+          + 3L * coalesce(typ4, 0L) * __p3) div (4L * mid4)
+        else __p3 end"""))
+      .withColumn("__w", expr(s"""
+        case when coalesce(ctx5, 0L) > 0 then (
+          (case when coalesce(c5, 0L) > 0
+                then (4L * c5 - 3L) * 1000000L else 0L end)
+          + 3L * coalesce(typ5, 0L) * __p4) div (4L * ctx5)
+        else __p4 end"""))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("__w")).as("lm_score"))
+      .withColumn("mean_prob_q",
+        col("lm_score").cast(DoubleType) / col("n_ngrams"))
+  }
+
   /** CCNet's head/middle/tail split over quantized scores: exact
     * SQL-standard NTILE(3) ordered by (mean_prob_q DESC, doc id),
     * computed from the distributed rank + closed-form tile fill — the

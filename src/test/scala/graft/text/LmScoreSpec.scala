@@ -121,6 +121,116 @@ class LmScoreSpec extends AnyFunSuite with SparkSpec {
     assert(r5 == Seq(10L, 11L, 12L), r5) // order 5 separates the stitch
   }
 
+  // ---- interpolated Kneser-Ney (quantizedScoresKN) ----
+
+  /** Test-side md5-bucket twin of Dsir.featureBucket: first 15 hex
+    * chars of md5 parsed base 16, mod B — independent code path. */
+  private def bucket(tok: String, b: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % b
+  }
+
+  /** Plain-Scala reference implementation of the SAME fixed-point KN
+    * estimator (Q=1e6, D=3/4), computed with Maps and integer / —
+    * an independent derivation the Spark join pyramid must match
+    * exactly. Returns docId -> (n_ngrams, lm_score). */
+  private def knNaive(train: Seq[String], score: Seq[(Long, String)],
+      b: Int): Map[Long, (Long, Long)] = {
+    def toks(s: String): Seq[Long] =
+      s.trim.split("\\s+").toSeq.filter(_.nonEmpty).map(bucket(_, b))
+    def windows(docs: Seq[Seq[Long]], k: Int): Seq[Seq[Long]] =
+      docs.flatMap(d => if (d.length >= k) d.sliding(k).toSeq else Nil)
+    val tdocs = train.map(toks)
+    val c = (1 to 5).map(k =>
+      k -> windows(tdocs, k).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap).toMap
+    def byKey(m: Map[Seq[Long], Long], f: Seq[Long] => Seq[Long]) =
+      m.keys.groupBy(f).view.mapValues(_.size.toLong).toMap
+    val typ5 = byKey(c(5), _.take(4)); val cc4 = byKey(c(5), _.drop(1))
+    val mid4 = byKey(c(5), _.slice(1, 4)); val typ4 = byKey(c(4), _.take(3))
+    val cc3 = byKey(c(4), _.drop(1)); val mid3 = byKey(c(4), _.slice(1, 3))
+    val typ3 = byKey(c(3), _.take(2)); val cc2 = byKey(c(3), _.drop(1))
+    val mid2 = byKey(c(3), _.slice(1, 2)); val typ2 = byKey(c(2), _.take(1))
+    val cc1 = byKey(c(2), _.drop(1))
+    val ccTot = c(2).size.toLong; val uTot = cc1.size.toLong
+    val p0 = 1000000L / b
+    def lvl(num: Long, typ: Long, den: Long, prev: Long): Long =
+      if (den > 0)
+        ((if (num > 0) (4 * num - 3) * 1000000L else 0L) + 3 * typ * prev) /
+          (4 * den)
+      else prev
+    def w(win: Seq[Long]): Long = {
+      val p1 = lvl(cc1.getOrElse(win.slice(4, 5), 0L), uTot, ccTot, p0)
+      val p2 = lvl(cc2.getOrElse(win.slice(3, 5), 0L),
+        typ2.getOrElse(win.slice(3, 4), 0L),
+        mid2.getOrElse(win.slice(3, 4), 0L), p1)
+      val p3 = lvl(cc3.getOrElse(win.slice(2, 5), 0L),
+        typ3.getOrElse(win.slice(2, 4), 0L),
+        mid3.getOrElse(win.slice(2, 4), 0L), p2)
+      val p4 = lvl(cc4.getOrElse(win.slice(1, 5), 0L),
+        typ4.getOrElse(win.slice(1, 4), 0L),
+        mid4.getOrElse(win.slice(1, 4), 0L), p3)
+      lvl(c(5).getOrElse(win, 0L), typ5.getOrElse(win.take(4), 0L),
+        c(4).getOrElse(win.take(4), 0L), p4)
+    }
+    score.map { case (id, text) =>
+      val t = toks(text)
+      val ws = if (t.length >= 5) t.sliding(5).map(w).toSeq else Nil
+      id -> ((ws.length.toLong, ws.sum))
+    }.filter(_._2._1 > 0).toMap
+  }
+
+  test("KN matches the independent plain-Scala fixed-point reference exactly") {
+    val train = Seq(
+      "the cat sat on the mat today",
+      "the dog ran on the park today",
+      "a cat and a dog met on the mat",
+      "the cat sat on the mat again and again")
+    val score = Seq[(Long, String)](
+      10L -> "the cat sat on the mat today",     // verbatim
+      11L -> "the cat sat on the park today",    // stitch seam
+      12L -> "a dog sat on the mat",             // partial contexts
+      13L -> "zz qq ww rr vv uu",                // everything unseen
+      14L -> "on the mat",                       // < 5 tokens: absent
+      15L -> "today the again cat on mat dog a") // shuffled vocab
+    val expected = knNaive(train, score, 1024)
+    val got = LmScore.quantizedScoresKN(
+        docsDf(score), docsDf(train.zipWithIndex.map {
+          case (t, i) => (100L + i) -> t }), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(!got.contains(14L)) // sub-5-token doc absent on both sides
+  }
+
+  test("KN Francisco effect: continuation counts demote one-collocation tokens") {
+    // 'francisco' and 'common' have IDENTICAL raw unigram counts (5),
+    // but francisco only ever follows 'san' (continuation count 1)
+    // while common follows five distinct words (continuation count 5).
+    // In a NOVEL context, stupid backoff ties them; KN ranks common up.
+    val ref = docsDf(Seq(
+      1L -> "go to san francisco now", 2L -> "fly to san francisco again",
+      3L -> "ride to san francisco soon", 4L -> "walk to san francisco next",
+      5L -> "run to san francisco fast",
+      6L -> "a1 common b1", 7L -> "a2 common b2", 8L -> "a3 common b3",
+      9L -> "a4 common b4", 10L -> "a5 common b5"))
+    val corpus = docsDf(Seq(
+      20L -> "q1 q2 q3 q4 francisco",
+      21L -> "q1 q2 q3 q4 common"))
+    // guard: distinct tokens must not collide in 1024 buckets
+    val all = ref.unionByName(corpus)
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+    assert(all.select(LmScore.tokenBucket(col("t"), 1024)).distinct().count()
+      == all.select(col("t")).distinct().count())
+    val sb = LmScore.quantizedScores5(corpus, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sb(20L) == sb(21L), s"stupid backoff should tie: $sb")
+    val kn = LmScore.quantizedScoresKN(corpus, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kn(21L) > kn(20L), s"KN should prefer high-continuation: $kn")
+  }
+
   test("quality bands: exact thirds, ordered head > middle > tail") {
     val corpus = docsDf((1L to 9L).map(i =>
       // doc i repeats seen bigram "the cat" i times then pads with
