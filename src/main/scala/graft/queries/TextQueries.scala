@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.text.{Curation, Dsir, LmScore, QualityClassifier, QualityModelFixture, TextFunctions, UrlOps}
+import graft.text.{Bm25, Curation, Dsir, LmScore, QualityClassifier, QualityModelFixture, TextFunctions, UrlOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1056,6 +1056,20 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Committed BM25 query-term list: one rare term (dup, df ≈ N/20 —
+    * IDF-dominant), two mid-frequency, two near-ubiquitous (batch,
+    * spark — IDF floor) so the fixture exercises the whole IDF range
+    * plus tf saturation and length normalization. */
+  val Bm25Terms: Seq[String] = Seq("dup", "vector", "merge", "spark", "batch")
+
+  /** BM25 top-25 lexical retrieval ([[graft.text.Bm25.quantizedTopK]]
+    * — integer-exact rendering; the log-IDF double surface is the
+    * library path): ranked (score desc, doc_id) over the documents
+    * corpus for the committed term list. */
+  def txBm25TopK(s: SparkSession, dir: String): DataFrame =
+    Bm25.quantizedTopK(table(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, 25)
+
   /** Deterministic dirty-URL synthesis over the documents fixture (the
     * corpus has no URL column): exercises every normalization branch —
     * mixed-case scheme/host, trailing path slash, query-final slash
@@ -1332,6 +1346,7 @@ object TextQueries extends QueryPack {
     "tx_lm_score" -> (txLmScore _),
     "tx_lm_score5" -> (txLmScore5 _),
     "tx_lm_score_kn" -> (txLmScoreKn _),
+    "tx_bm25_topk" -> (txBm25TopK _),
     "tx_dsir_weights" -> (txDsirWeights _),
     "tx_dsir_select" -> (txDsirSelect _),
     "tx_curation_funnel" -> (txCurationFunnel _),
@@ -1838,6 +1853,44 @@ object TextQueries extends QueryPack {
                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                ELSE 'tail' END AS quality_band
       FROM sc ORDER BY doc_id"""
+  }
+
+  // Bm25.quantizedTopK twin: same tokenizer (lowercased whitespace
+  // split), same fixed point — idf₃ at scale 10³ (un-logged odds
+  // ratio), tf_q at scale 10⁶ with floored integer avgdl, W =
+  // (idf₃·tf_q) // 10³, top 25 by (score DESC, doc_id)
+  private lazy val bm25Sql: String = {
+    val termIn = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
+      WITH dl AS (
+        SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS dl,
+               string_split_regex(lower(text), '\\s+') AS t
+        FROM documents),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS l,
+               GREATEST(1, CAST(COALESCE(SUM(dl), 0) AS BIGINT)
+                 // CAST(COUNT(*) AS BIGINT)) AS avgq
+        FROM dl),
+      tf AS (
+        SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dl)
+        WHERE tok IN ($termIn)
+        GROUP BY 1, 2, 3),
+      dfq AS (
+        SELECT tok, (1000 * (2 * (SELECT n FROM s) - 2 * CAST(COUNT(*) AS BIGINT) + 1))
+                 // (2 * CAST(COUNT(*) AS BIGINT) + 1) AS idf3
+        FROM tf GROUP BY tok),
+      w AS (
+        SELECT tf.doc_id,
+               (dfq.idf3 * ((1000000 * 22 * tf.tf * (SELECT avgq FROM s))
+                  // (10 * tf.tf * (SELECT avgq FROM s)
+                      + 3 * (SELECT avgq FROM s) + 9 * tf.dl))) // 1000 AS w
+        FROM tf JOIN dfq ON tf.tok = dfq.tok)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(w) AS BIGINT) AS bm25_q
+      FROM w GROUP BY doc_id
+      ORDER BY bm25_q DESC, doc_id LIMIT 25"""
   }
 
   // TextFunctions.redact twin over the shared dirty synthesis — the
@@ -2593,6 +2646,7 @@ object TextQueries extends QueryPack {
     "tx_lm_score" -> lmScoreSql,
     "tx_lm_score5" -> lmScore5Sql,
     "tx_lm_score_kn" -> lmScoreKnSql,
+    "tx_bm25_topk" -> bm25Sql,
     "tx_multilingual_funnel" -> multilingualFunnelSql,
     "tx_multilingual_pipeline" -> multilingualPipelineSql,
     "tx_bpe_fertility" -> {
