@@ -37,6 +37,63 @@ object Dedup {
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper_id"))
       .filter(col("group_size") > 1)
 
+  /** Cross-snapshot EXACT dedup of an arriving batch against a large
+    * historical index, bloom-prefiltered
+    * ([[graft.functions.NativeBloom]]): returns the new rows whose
+    * content does NOT already exist in the index.
+    *
+    * Why not a plain anti join: that shuffles BOTH sides by content —
+    * at 100 TB the index shuffle is the whole job. Here the index is
+    * never shuffled at all:
+    *
+    *  1. one map-only index pass builds the bloom over
+    *     xxhash64(text) (fixed-size mergeable state, one bitset per
+    *     partition into a single-row aggregate);
+    *  2. the batch probes the broadcast-bound sketch MAP-SIDE — rows
+    *     the bloom rejects are definitely new (no false negatives)
+    *     and exit with zero join cost;
+    *  3. the few bloom-positive hashes (true dups + the fp rate)
+    *     collect to the driver (capped) and prefilter a second
+    *     map-only index pass via an isin literal;
+    *  4. the surviving index slice (small) broadcasts into an exact
+    *     anti join ON TEXT — false positives die here, and hash
+    *     collisions cannot drop a genuinely-new row.
+    *
+    * If the candidate-hash set exceeds `maxCandidates` (a batch that
+    * is mostly duplicates), the method falls back to the plain
+    * shuffle anti join — correct at any volume, just not
+    * index-shuffle-free (the d8 pushdown-with-fallback discipline).
+    * Result is EXACTLY the anti-join semantics either way — the
+    * oracle pins d11 against a plain SQL anti join. */
+  def bloomDedupNewVsIndex(newDf: DataFrame, indexDf: DataFrame,
+      idCol: String, textCol: String, expectedIndexRows: Long,
+      fpp: Double = 0.01, maxCandidates: Int = 100000): DataFrame = {
+    import graft.functions.NativeBloom
+    val bits = NativeBloom.optimalBits(math.max(1L, expectedIndexRows), fpp)
+    val hashes = NativeBloom.optimalHashes(math.max(1L, expectedIndexRows), bits)
+    val bloom = indexDf
+      .select(NativeBloom.bloomBuild(xxhash64(col(textCol)), bits, hashes)
+        .as("b"))
+      .head().getAs[Array[Byte]](0)
+    val probed = newDf.withColumn("__h", xxhash64(col(textCol)))
+      .withColumn("__cand", NativeBloom.bloomContains(col("__h"), bloom))
+    val candHashes = probed.filter(col("__cand"))
+      .select(col("__h")).distinct()
+      .limit(maxCandidates + 1)
+      .collect().map(_.getLong(0))
+    if (candHashes.length > maxCandidates)
+      newDf.join(indexDf.select(col(textCol)).distinct(),
+        Seq(textCol), "left_anti")
+    else if (candHashes.isEmpty) probed.drop("__h", "__cand")
+    else {
+      val indexSlice = indexDf
+        .filter(xxhash64(col(textCol)).isin(candHashes.map(Long.box): _*))
+        .select(col(textCol)).distinct()
+      probed.join(broadcast(indexSlice), Seq(textCol), "left_anti")
+        .drop("__h", "__cand")
+    }
+  }
+
   // ---- MinHash + LSH ----
 
   /** MLlib's MinHash prime (public constant): < 2^31 so a*h+b stays in

@@ -93,6 +93,30 @@ object DedupQueries extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Bloom-prefiltered cross-snapshot exact dedup
+    * ([[Dedup.bloomDedupNewVsIndex]]): even half = historical index,
+    * odd half = arriving batch with planted duplicates (every
+    * id ≡ 5 mod 10 batch doc carries the text of index doc id−1, an
+    * oracle-replayable synthesis since the corpus itself has no exact
+    * cross-half dups). Result = batch rows surviving the dedup —
+    * EXACT anti-join semantics, which is what the oracle pins; the
+    * bloom is the route, not the answer. */
+  def d11BloomIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val index = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val even = index.select(col("doc_id").as("__eid"), col("text").as("__etext"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .join(even, col("doc_id") - 1 === col("__eid"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 5, col("__etext"))
+          .otherwise(col("text")).as("text"))
+    Dedup.bloomDedupNewVsIndex(batch, index, "doc_id", "text",
+        expectedIndexRows = index.count())
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 20% corpus sample by doc-id hash — identical subset
     * on any engine/partitioning ([[graft.operators.Sampling]]). */
   def sampleDocs(s: SparkSession, dir: String): DataFrame =
@@ -316,7 +340,8 @@ object DedupQueries extends QueryPack {
     "d5_dedup_apply" -> (d5DedupApply _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
     "d7_dedup_transitive" -> (d7DedupTransitive _),
-    "d8_incremental_dedup" -> (d8IncrementalDedup _))
+    "d8_incremental_dedup" -> (d8IncrementalDedup _),
+    "d11_bloom_incremental" -> (d11BloomIncremental _))
 
   // tokenize with the same \s+ regex as the engine (TextFunctions.tokens)
   // so multi-space / tab / newline fixtures can't diverge oracle vs engine
@@ -668,5 +693,19 @@ object DedupQueries extends QueryPack {
       WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
-      ORDER BY id_a, id_b""")
+      ORDER BY id_a, id_b""",
+    // the bloom route must produce EXACT anti-join semantics: batch
+    // rows (with the same planted-duplicate synthesis) whose text has
+    // no match in the even-id index
+    "d11_bloom_incremental" -> """
+      WITH ev AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      bt AS (
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % 10 = 5 THEN e.text ELSE b.text END AS text
+        FROM documents b LEFT JOIN ev e ON b.doc_id - 1 = e.doc_id
+        WHERE b.doc_id % 2 = 1)
+      SELECT bt.doc_id FROM bt
+      WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.text = bt.text)
+      ORDER BY bt.doc_id""")
 }
