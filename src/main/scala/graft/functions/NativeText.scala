@@ -323,9 +323,65 @@ object NativeTextImpl {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](best, bestCnt.toLong))
   }
+
+  /** LCS length over two token arrays — the ROUGE-L numerator
+    * (Lin 2004, "ROUGE: A Package for Automatic Evaluation of
+    * Summaries", §3). Classic two-row DP: O(|a|·|b|) time,
+    * O(min(|a|,|b|)) space, one compiled loop per pair. Per-pair cost
+    * is quadratic in response length by nature — callers run it on
+    * CANDIDATE pairs (blocked/LSH'd), never all-pairs. */
+  def lcsLength(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    val (small, large, sn, ln) = if (n <= m) (a, b, n, m) else (b, a, m, n)
+    val st = new Array[UTF8String](sn)
+    var i = 0
+    while (i < sn) { st(i) = small.getUTF8String(i); i += 1 }
+    var prev = new Array[Int](sn + 1)
+    var cur = new Array[Int](sn + 1)
+    var j = 0
+    while (j < ln) {
+      val lt = large.getUTF8String(j)
+      var k = 0
+      while (k < sn) {
+        cur(k + 1) =
+          if (lt == st(k) || (lt != null && lt.equals(st(k)))) prev(k) + 1
+          else math.max(prev(k + 1), cur(k))
+        k += 1
+      }
+      val t = prev; prev = cur; cur = t
+      j += 1
+    }
+    prev(sn).toLong
+  }
 }
 
 /** string → long SimHash, codegen'd as one static call. */
+case class LcsLengthExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> inputs, got ${l.sql}, ${r.sql}")
+    }
+  override def prettyName: String = "graft_lcs_length"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeTextImpl.lcsLength(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeTextImpl.lcsLength($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LcsLengthExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -507,6 +563,9 @@ case class TopCharGramsExpr(child: Expression, n: Int, k: Int)
 
 object NativeText {
   /** Column wrappers. */
+  def lcsLength(a: Column, b: Column): Column =
+    GraftShims.column(
+      LcsLengthExpr(GraftShims.expression(a), GraftShims.expression(b)))
   def simhash64(text: Column): Column =
     GraftShims.column(SimHash64Expr(GraftShims.expression(text)))
   def simhashMd5(text: Column): Column =

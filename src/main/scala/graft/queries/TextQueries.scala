@@ -877,6 +877,31 @@ object TextQueries extends QueryPack {
       .orderBy(col("prompt_id"))
   }
 
+  /** Self-Instruct-style ROUGE-2 near-dup removal over synthesized
+    * instruction responses ([[graft.text.Sft.rouge2Dedup]]):
+    * response = tokens 9..16 of each doc, and every id ≡ 3 mod 10 doc
+    * instead carries the response of doc id−3 with the tail token
+    * swapped for "altered" — a planted near-duplicate (6 of 7 bigrams
+    * shared, ROUGE-2 ≈ 0.86) the word-salad corpus would never
+    * produce naturally. Prefix-block candidates, distinct-bigram
+    * max-recall ≥ 0.6, transitive min-id survivor. */
+  def txSftRougeDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val toks = split(col("text"), "\\s+")
+    val base = docs.select(col("doc_id"),
+      concat_ws(" ", slice(toks, 9, 8)).as("response"))
+    val donors = docs.select((col("doc_id") + 3).as("doc_id"),
+      concat(concat_ws(" ", slice(toks, 9, 7)), lit(" altered")).as("__alt"))
+    val cand = base.join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3 && col("__alt").isNotNull, col("__alt"))
+          .otherwise(col("response")).as("response"))
+    graft.text.Sft.rouge2Dedup(cand, "doc_id", "response",
+        blockTokens = 2, threshold = 0.6)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic conversation synthesis over `documents` (both
     * engines build the IDENTICAL JSON string by concatenation — the
     * word-salad corpus contains no JSON metachars, so no escaping
@@ -1347,6 +1372,7 @@ object TextQueries extends QueryPack {
     "tx_lm_score5" -> (txLmScore5 _),
     "tx_lm_score_kn" -> (txLmScoreKn _),
     "tx_bm25_topk" -> (txBm25TopK _),
+    "sft_rouge_dedup" -> (txSftRougeDedup _),
     "tx_dsir_weights" -> (txDsirWeights _),
     "tx_dsir_select" -> (txDsirSelect _),
     "tx_curation_funnel" -> (txCurationFunnel _),
@@ -1892,6 +1918,51 @@ object TextQueries extends QueryPack {
       FROM w GROUP BY doc_id
       ORDER BY bm25_q DESC, doc_id LIMIT 25"""
   }
+
+  // Sft.rouge2Dedup twin: same response synthesis (planted id≡3 mod 10
+  // near-dups), same prefix-2 blocking, distinct-bigram max-recall,
+  // transitive closure via the d6 recursive-reachability pattern
+  private val sftRougeDedupSql: String = """
+      WITH RECURSIVE base AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        FROM documents),
+      resp AS (
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % 10 = 3 AND d.doc_id IS NOT NULL
+                 THEN concat(array_to_string(d.toks[9:15], ' '), ' altered')
+                 ELSE array_to_string(b.toks[9:16], ' ') END AS response
+        FROM base b LEFT JOIN base d ON d.doc_id = b.doc_id - 3),
+      rt AS (
+        SELECT doc_id, string_split_regex(response, '\s+') AS rtoks
+        FROM resp),
+      sets AS (
+        SELECT doc_id,
+               array_to_string(rtoks[1:2], ' ') AS blk,
+               list_distinct([array_to_string(rtoks[i:i+1], ' ')
+                 FOR i IN range(1, len(rtoks))]) AS bg
+        FROM rt
+        WHERE len(rtoks) >= 2),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE GREATEST(
+                CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(a.bg),
+                CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(b.bg))
+              >= 0.6),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT doc_id FROM resp
+      WHERE doc_id NOT IN
+        (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+      ORDER BY doc_id"""
 
   // TextFunctions.redact twin over the shared dirty synthesis — the
   // CTE pack (dirty → clean) both redaction oracles splice, one
@@ -2647,6 +2718,7 @@ object TextQueries extends QueryPack {
     "tx_lm_score5" -> lmScore5Sql,
     "tx_lm_score_kn" -> lmScoreKnSql,
     "tx_bm25_topk" -> bm25Sql,
+    "sft_rouge_dedup" -> sftRougeDedupSql,
     "tx_multilingual_funnel" -> multilingualFunnelSql,
     "tx_multilingual_pipeline" -> multilingualPipelineSql,
     "tx_bpe_fertility" -> {

@@ -180,4 +180,55 @@ object Sft {
       .filter(col("chosen_score") > col("rejected_score"))
       .withColumn("margin", col("chosen_score") - col("rejected_score"))
   }
+
+  /** Self-Instruct-style ROUGE near-dup PAIRS over instruction
+    * responses (Wang et al. 2022, "Self-Instruct", §3.2 filter ROUGE-L
+    * < 0.7 vs existing instructions — here the batch-corpus spelling):
+    * distinct-bigram ROUGE-2 max-recall within deterministic
+    * first-`blockTokens` prefix blocks.
+    *
+    * Semantics, precisely: rouge2(a,b) = max(|B_a∩B_b|/|B_a|,
+    * |B_a∩B_b|/|B_b|) over DISTINCT bigram sets (official ROUGE clips
+    * multiset counts; the set rendering is the SQL-replayable variant
+    * and coincides whenever no bigram repeats within a response).
+    * Responses with no bigram (< 2 tokens) pair with nothing. Blocking
+    * is the [[graft.dedup.Dedup.blockedJaccardPairs]] contract: only
+    * pairs agreeing on the token prefix are candidates — provable
+    * recall within the block, zero recall outside it, documented
+    * rather than probabilistic. ROUGE-L proper is available as the
+    * native LCS expression ([[graft.functions.NativeText.lcsLength]])
+    * for per-pair rescoring; it is not SQL-expressible, so the
+    * oracle-gated corpus rule is ROUGE-2.
+    *
+    * Scale: one shuffle on the block key; within-block pairing is the
+    * shuffle_hash self-join; everything after is per-pair expression
+    * work. */
+  def rouge2Pairs(df: DataFrame, idCol: String, respCol: String,
+      blockTokens: Int = 2, threshold: Double = 0.6): DataFrame = {
+    val toks = TextFunctions.tokens(col(respCol))
+    val withB = df.select(col(idCol).as("__id"),
+        concat_ws(" ", slice(toks, 1, blockTokens)).as("__blk"),
+        array_distinct(TextFunctions.tokenShingles(col(respCol), 2)).as("__bg"))
+      .where(size(col("__bg")) > 0)
+    withB.as("l").hint("shuffle_hash").join(withB.as("r"),
+        col("l.__blk") === col("r.__blk") && col("l.__id") < col("r.__id"))
+      .withColumn("__ovl",
+        size(array_intersect(col("l.__bg"), col("r.__bg"))).cast(DoubleType))
+      .withColumn("rouge2", greatest(
+        col("__ovl") / size(col("l.__bg")),
+        col("__ovl") / size(col("r.__bg"))))
+      .filter(col("rouge2") >= threshold)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        col("rouge2"))
+  }
+
+  /** Apply [[rouge2Pairs]] with transitive-closure survivor semantics
+    * (minimum id per duplicate component survives — the
+    * order-independent corpus spelling of Self-Instruct's greedy
+    * arrival filter, conservative: it never keeps a response the
+    * greedy filter would drop). Returns surviving rows of `df`. */
+  def rouge2Dedup(df: DataFrame, idCol: String, respCol: String,
+      blockTokens: Int = 2, threshold: Double = 0.6): DataFrame =
+    graft.dedup.Dedup.removeNearDuplicatesTransitive(df,
+      rouge2Pairs(df, idCol, respCol, blockTokens, threshold), idCol)
 }

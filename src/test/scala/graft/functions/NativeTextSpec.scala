@@ -67,4 +67,44 @@ class NativeTextSpec extends AnyFunSuite with SparkSpec {
     // the "*(n)" prefix marks operators fused into WholeStageCodegen
     assert(plan.contains("*(1) Project"), plan.take(500))
   }
+
+  test("lcsLength ≡ brute-force LCS on random token arrays + edges") {
+    val s = spark
+    import s.implicits._
+    // reference: full-table DP, the textbook formulation
+    def bf(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length).toLong
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val cases = Seq(
+      (Seq.empty[String], Seq("a", "b")),            // empty left
+      (Seq("a", "b", "c"), Seq.empty[String]),       // empty right
+      (Seq("x"), Seq("x")),                          // identical singleton
+      (Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d")), // identical
+      (Seq("a", "b", "c"), Seq("c", "b", "a")),      // reversal → 1
+      (Seq("the", "cat", "sat"), Seq("a", "cat", "sat", "down"))
+    ) ++ (1 to 40).map { _ =>
+      (Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(5))),
+       Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(5))))
+    }
+    val got = cases.toDF("a", "b")
+      .select(NativeText.lcsLength(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == cases.map { case (a, b) => bf(a, b) },
+      "LCS mismatch vs brute force")
+    // null input → null output (BinaryExpression default null handling)
+    val n = Seq((Some(Seq("a")), Option.empty[Seq[String]]))
+      .toDF("a", "b").select(NativeText.lcsLength(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+    // codegen path actually exercised over a real scan (a local
+    // relation constant-folds to LocalTableScan with no Project)
+    val plan = docs.select(NativeText.lcsLength(
+        split(col("text"), "\\s+"), slice(split(col("text"), "\\s+"), 1, 5)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+  }
 }

@@ -136,4 +136,66 @@ class SftSpec extends AnyFunSuite with SparkSpec {
     // the true minimum
     assert(out("B") == (("aa response", 7L, "meh", 2L, 5L)))
   }
+
+  test("rouge2Pairs: distinct-bigram max-recall inside prefix blocks only") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      // 1↔2: same 2-token prefix block; bigrams of 1 = {ab,bc,cd,de}
+      // (4), of 2 = {ab,bc,cd,dX} (4), overlap 3 → rouge2 = 0.75
+      1L -> "a b c d e",
+      2L -> "a b c d X",
+      // 3: IDENTICAL text to 4 but different prefix → different block
+      // from 1/2; 3↔4 same block, overlap 4/4 = 1.0
+      3L -> "z w c d e",
+      4L -> "z w c d e",
+      // 5: shares bigrams {c d, d e} with 1 but prefix "q r" → never
+      // a candidate (documented zero recall outside the block)
+      5L -> "q r c d e",
+      // 6: single token → no bigram → pairs with nothing
+      6L -> "solo"
+    ).toDF("id", "response")
+    val pairs = Sft.rouge2Pairs(resp, "id", "response",
+        blockTokens = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 100) / 100)).toSet
+    assert(pairs == Set((1L, 2L, 0.75), (3L, 4L, 1.0)))
+  }
+
+  test("rouge2Pairs: max-recall is asymmetric-length aware; repeats collapse") {
+    val s = spark
+    import s.implicits._
+    // short = {ab,bc} (2 distinct); long = {ab,bc,cd,de,ef} (5);
+    // overlap 2 → max(2/2, 2/5) = 1.0: the short response is entirely
+    // contained, which is exactly what max-recall is for. Repeated
+    // bigrams in "a b a b c" collapse to the distinct set.
+    val resp = Seq(11L -> "a b c", 12L -> "a b c d e f",
+        13L -> "a b a b c").toDF("id", "response")
+    val got = Sft.rouge2Pairs(resp, "id", "response",
+        blockTokens = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 11↔12 contained (1.0); 11↔13 distinct sets equal {ab,bc,ba} vs
+    // {ab,bc}: overlap 2 → max(2/2, 2/3) = 1.0; 12↔13 overlap 2 →
+    // max(2/5, 2/3) < 0.99 dropped
+    assert(got == Set((11L, 12L, 1.0), (11L, 13L, 1.0)))
+  }
+
+  test("rouge2Dedup: transitive min-id survivor across a chained component") {
+    val s = spark
+    import s.implicits._
+    // 21–23 chain inside one block (21~22 and 22~23 high, 21~23 may or
+    // may not pair — transitivity must still collapse all three);
+    // 24 unrelated same block; 25 its own block
+    val resp = Seq(
+      21L -> "p q r s t u",
+      22L -> "p q r s t v",   // vs 21: 4/5 overlap = 0.8
+      23L -> "p q r s w v",   // vs 22: {pq,qr,rs,sw,wv}∩{pq,qr,rs,st,tv}=3 → 0.6
+      24L -> "p q 1 2 3 4",   // vs others: only {pq} → 0.2
+      25L -> "k k k k"
+    ).toDF("id", "response")
+    val kept = Sft.rouge2Dedup(resp, "id", "response",
+        blockTokens = 2, threshold = 0.6)
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept == Set(21L, 24L, 25L))
+  }
 }
