@@ -885,22 +885,38 @@ object TextQueries extends QueryPack {
     * shared, ROUGE-2 ≈ 0.86) the word-salad corpus would never
     * produce naturally. Prefix-block candidates, distinct-bigram
     * max-recall ≥ 0.6, transitive min-id survivor. */
-  def txSftRougeDedup(s: SparkSession, dir: String): DataFrame = {
+  def txSftRougeDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sft.rouge2Dedup(sftResponseFixture(s, dir), "doc_id",
+        "response", blockTokens = 2, threshold = 0.6)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** The shared planted-near-dup response corpus both ROUGE oracles
+    * run on (see [[txSftRougeDedup]] for the construction). */
+  private def sftResponseFixture(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
     val toks = split(col("text"), "\\s+")
     val base = docs.select(col("doc_id"),
       concat_ws(" ", slice(toks, 9, 8)).as("response"))
     val donors = docs.select((col("doc_id") + 3).as("doc_id"),
       concat(concat_ws(" ", slice(toks, 9, 7)), lit(" altered")).as("__alt"))
-    val cand = base.join(donors, Seq("doc_id"), "left")
+    base.join(donors, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("doc_id") % 10 === 3 && col("__alt").isNotNull, col("__alt"))
           .otherwise(col("response")).as("response"))
-    graft.text.Sft.rouge2Dedup(cand, "doc_id", "response",
-        blockTokens = 2, threshold = 0.6)
-      .select(col("doc_id"))
-      .orderBy(col("doc_id"))
   }
+
+  /** ROUGE-L (LCS) rescoring of the prefix-blocked candidate pairs
+    * ([[graft.text.Sft.rougeLPairs]]) over the same planted corpus:
+    * each planted pair shares a 7-token prefix of 8 (LCS = 7,
+    * rouge_l = 0.875); word-salad co-blocked pairs share only the
+    * 2-token block prefix and land near 0.25. The native LCS
+    * expression is oracle-gated here — DuckDB replays the two-row DP
+    * with nested list_reduce lambdas, cell for cell. */
+  def txSftRougeL(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sft.rougeLPairs(sftResponseFixture(s, dir), "doc_id",
+        "response", blockTokens = 2, threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
 
   /** Deterministic conversation synthesis over `documents` (both
     * engines build the IDENTICAL JSON string by concatenation — the
@@ -1373,6 +1389,7 @@ object TextQueries extends QueryPack {
     "tx_lm_score_kn" -> (txLmScoreKn _),
     "tx_bm25_topk" -> (txBm25TopK _),
     "sft_rouge_dedup" -> (txSftRougeDedup _),
+    "sft_rouge_l" -> (txSftRougeL _),
     "tx_dsir_weights" -> (txDsirWeights _),
     "tx_dsir_select" -> (txDsirSelect _),
     "tx_curation_funnel" -> (txCurationFunnel _),
@@ -1963,6 +1980,50 @@ object TextQueries extends QueryPack {
       WHERE doc_id NOT IN
         (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
       ORDER BY doc_id"""
+
+  // Sft.rougeLPairs twin: same response synthesis and prefix-2
+  // blocking as sftRougeDedupSql; the LCS itself is replayed cell for
+  // cell with DuckDB nested list_reduce lambdas — the accumulator is
+  // the DP row (list_prepend carries the init row; the fold index
+  // rides as a 1-element list so accumulator and element types match)
+  private val sftRougeLSql: String = """
+      WITH base AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        FROM documents),
+      resp AS (
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % 10 = 3 AND d.doc_id IS NOT NULL
+                 THEN concat(array_to_string(d.toks[9:15], ' '), ' altered')
+                 ELSE array_to_string(b.toks[9:16], ' ') END AS response
+        FROM base b LEFT JOIN base d ON d.doc_id = b.doc_id - 3),
+      rt AS (
+        SELECT doc_id, string_split_regex(response, '\s+') AS t
+        FROM resp),
+      sets AS (
+        SELECT doc_id, array_to_string(t[1:2], ' ') AS blk, t
+        FROM rt WHERE len(t) >= 2),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.t AS ta, b.t AS tb
+        FROM sets a JOIN sets b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT id_a, id_b, len(ta) AS la, len(tb) AS lb,
+          list_reduce(
+            list_prepend(list_transform(range(0, len(tb)+1), x -> 0),
+                         list_transform(range(1, len(ta)+1), i -> [i])),
+            (prev, il) -> list_reduce(
+                list_prepend([0], list_transform(range(1, len(tb)+1), j -> [j])),
+                (cur, jl) -> list_append(cur, greatest(
+                    prev[jl[1]+1],
+                    cur[len(cur)],
+                    prev[jl[1]] +
+                      CASE WHEN tb[jl[1]] = ta[il[1]] THEN 1 ELSE 0 END)))
+          )[len(tb)+1] AS lcs
+        FROM cand)
+      SELECT id_a, id_b, CAST(lcs AS BIGINT) AS lcs,
+             GREATEST(lcs / la, lcs / lb) AS rouge_l
+      FROM scored
+      WHERE GREATEST(lcs / la, lcs / lb) >= 0.7
+      ORDER BY id_a, id_b"""
 
   // TextFunctions.redact twin over the shared dirty synthesis — the
   // CTE pack (dirty → clean) both redaction oracles splice, one
@@ -2719,6 +2780,7 @@ object TextQueries extends QueryPack {
     "tx_lm_score_kn" -> lmScoreKnSql,
     "tx_bm25_topk" -> bm25Sql,
     "sft_rouge_dedup" -> sftRougeDedupSql,
+    "sft_rouge_l" -> sftRougeLSql,
     "tx_multilingual_funnel" -> multilingualFunnelSql,
     "tx_multilingual_pipeline" -> multilingualPipelineSql,
     "tx_bpe_fertility" -> {

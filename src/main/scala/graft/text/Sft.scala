@@ -222,6 +222,38 @@ object Sft {
         col("rouge2"))
   }
 
+  /** ROUGE-L rescoring over the same prefix-blocked candidates as
+    * [[rouge2Pairs]] (Lin 2004 §3): lcs = longest common SUBSEQUENCE
+    * of the token arrays (order-sensitive, gaps allowed — catches
+    * reorder-with-insertions near-dups whose bigram sets diverge),
+    * rouge_l = max(lcs/|a|, lcs/|b|), the max-recall convention the
+    * bigram variant uses. Requires ≥ `blockTokens` tokens so the
+    * block is a full prefix and both denominators are nonzero.
+    *
+    * Scale: identical shape to [[rouge2Pairs]] — one block-key
+    * shuffle, per-pair work is the codegen'd O(|a|·|b|) LCS DP
+    * ([[graft.functions.NativeText.lcsLength]]); responses are
+    * bounded-length by construction upstream, so per-pair cost is a
+    * constant, and blocking keeps the pair count linear in the hot
+    * block size (star-capped upstream where corpora are adversarial). */
+  def rougeLPairs(df: DataFrame, idCol: String, respCol: String,
+      blockTokens: Int = 2, threshold: Double = 0.7): DataFrame = {
+    val toks = TextFunctions.tokens(col(respCol))
+    val withT = df.select(col(idCol).as("__id"),
+        concat_ws(" ", slice(toks, 1, blockTokens)).as("__blk"),
+        toks.as("__t"))
+      .where(size(col("__t")) >= math.max(blockTokens, 1))
+    withT.as("l").hint("shuffle_hash").join(withT.as("r"),
+        col("l.__blk") === col("r.__blk") && col("l.__id") < col("r.__id"))
+      .withColumn("lcs",
+        graft.functions.NativeText.lcsLength(col("l.__t"), col("r.__t")))
+      .withColumn("rouge_l", greatest(
+        col("lcs") / size(col("l.__t")), col("lcs") / size(col("r.__t"))))
+      .filter(col("rouge_l") >= threshold)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        col("lcs"), col("rouge_l"))
+  }
+
   /** Apply [[rouge2Pairs]] with transitive-closure survivor semantics
     * (minimum id per duplicate component survives — the
     * order-independent corpus spelling of Self-Instruct's greedy

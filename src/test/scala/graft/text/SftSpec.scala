@@ -180,6 +180,43 @@ class SftSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((11L, 12L, 1.0), (11L, 13L, 1.0)))
   }
 
+  test("rougeLPairs: LCS is order-sensitive where bigram sets are not") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      // 31 vs 32: shared subsequence a b c d with one insertion each →
+      // LCS 4, lens 5/5, rouge_l = 0.8
+      31L -> "a b x c d",
+      32L -> "a b c y d",
+      // 33: same TOKENS as 31 but tail swapped — vs 31 LCS keeps 4
+      // (a b x + one of {c,d}); vs 32 the c/d inversion cuts LCS to 3
+      // (a b + one of {c,d}) → 0.6, below threshold: order sensitivity
+      33L -> "a b x d c",
+      // 34: shares only the block prefix → LCS 2, 0.4, dropped
+      34L -> "a b p q r"
+    ).toDF("id", "response")
+    val got = Sft.rougeLPairs(resp, "id", "response",
+        blockTokens = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 100) / 100)).toSet
+    assert(got == Set((31L, 32L, 4L, 0.8), (31L, 33L, 4L, 0.8)))
+  }
+
+  test("rougeLPairs: containment max-recall and short-response gating") {
+    val s = spark
+    import s.implicits._
+    val resp = Seq(
+      41L -> "a b c",          // subsequence of 42 → LCS 3, max-recall 1.0
+      42L -> "a b q c r s",
+      43L -> "a"               // < blockTokens → excluded entirely
+    ).toDF("id", "response")
+    val got = Sft.rougeLPairs(resp, "id", "response",
+        blockTokens = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set((41L, 42L, 3L, 1.0)))
+  }
+
   test("rouge2Dedup: transitive min-id survivor across a chained component") {
     val s = spark
     import s.implicits._
