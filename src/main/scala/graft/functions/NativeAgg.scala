@@ -173,10 +173,111 @@ case class HeavyHittersAgg(
     copy(child = newChild)
 }
 
+/** K-minimum-values distinct-count sketch as a native Catalyst
+  * aggregate (Bar-Yossef et al. 2002, "Counting distinct elements in a
+  * data stream", RANDOM'02; unbiased estimator from Beyer et al. 2007,
+  * "On synopses for distinct-value estimation under multiset
+  * operations", SIGMOD'07: D̂ = (k−1)/U₍ₖ₎ with U₍ₖ₎ the k-th
+  * smallest normalized hash). State is the k smallest DISTINCT hash
+  * values ever — map-side partials carry ≤k longs per partition, the
+  * shuffle carries ≤k longs, merge is a bounded set-union: the one-pass
+  * bounded-state answer to "distinct count over 100 TB" where the
+  * exact COUNT(DISTINCT) spelling shuffles one row per distinct value.
+  * Unlike HLL (`approx_count_distinct`) the sketch is DETERMINISTIC
+  * given the hash column, so the DuckDB oracle replays it value for
+  * value (k smallest distinct hashes per group), and it supports
+  * set-intersection estimates (Jaccard over two sketches) HLL cannot.
+  *
+  * Input must be an already-hashed long (the house convention:
+  * `conv(substring(md5(x),1,15),16,10)` — 60-bit positive, identical
+  * in DuckDB as `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`).
+  * Collisions fold identically in both engines. Result: `array<long>`,
+  * the ≤k smallest distinct hashes ascending.
+  */
+case class KmvMinHashesAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"sketch size must be >= 2, got $k")
+
+  override def prettyName: String = "graft_kmv_min_hashes"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long (pre-hashed) input, got ${child.dataType.sql}")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) { if (buf.add(h)) { buf.pollLast(); () } }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.iterator() // TreeSet iterates ascending
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(bb.getLong()); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinHashesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinHashesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinHashesAgg =
+    copy(child = newChild)
+}
+
 object NativeAgg {
   /** Column wrapper: `heavyHitters(items, k)` aggregates a string
     * column into the ≤k-entry Misra-Gries summary. */
   def heavyHitters(items: Column, k: Int): Column =
     GraftShims.column(
       HeavyHittersAgg(GraftShims.expression(items), k).toAggregateExpression())
+
+  /** Column wrapper: `kmvMinHashes(hash, k)` aggregates a pre-hashed
+    * long column into the ≤k smallest distinct hashes, ascending. */
+  def kmvMinHashes(hash: Column, k: Int): Column =
+    GraftShims.column(
+      KmvMinHashesAgg(GraftShims.expression(hash), k).toAggregateExpression())
 }

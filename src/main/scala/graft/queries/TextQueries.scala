@@ -1359,6 +1359,42 @@ object TextQueries extends QueryPack {
         col("e.item").as("token"), col("e.cnt").as("cnt"))
       .orderBy(col("rank"))
 
+  /** KMV distinct-count sketch vs exact, per source
+    * ([[graft.functions.KmvMinHashesAgg]]): distinct 3-token shingles
+    * per source estimated from the k=256 smallest 60-bit hashes
+    * (D̂ = (k−1)·2⁶⁰ / h₍ₖ₎, Beyer et al. 2007 unbiased KMV), next to
+    * the exact distinct-hash count the sketch approximates. The corpus
+    * has ~1.3k distinct shingles per source, so the approximate regime
+    * (nd > k) is what the oracle pins — sketch contents, k-th hash,
+    * estimate, and relative error all replay exactly in DuckDB
+    * because the sketch is deterministic given the md5-derived hash.
+    * At 100 TB the exact column is the thing you could NOT afford
+    * (one shuffled row per distinct value); the sketch ships 256
+    * longs per (partition, source). */
+  def txKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val h = table(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.text.TextFunctions.tokenShingles(col("text"), 3))
+          .as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType).as("h"))
+    h.groupBy(col("source"))
+      .agg(graft.functions.NativeAgg.kmvMinHashes(col("h"), k).as("kmv"),
+        countDistinct(col("h")).as("exact_distinct"))
+      .select(col("source"), col("exact_distinct"),
+        size(col("kmv")).cast(LongType).as("n_kept"),
+        element_at(col("kmv"), -1).as("kth_hash"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) /
+            element_at(col("kmv"), -1).cast(DoubleType))
+          .as("est_distinct"))
+      .withColumn("rel_err",
+        abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sft_turns" -> (txSftTurns _),
     "sft_stats" -> (txSftStats _),
@@ -1374,6 +1410,7 @@ object TextQueries extends QueryPack {
     "sft_pref_pairs" -> (txSftPrefPairs _),
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
+    "tx_kmv_distinct" -> (txKmvDistinct _),
     "tx_lang_profile" -> (txLangProfile _),
     "tx_multilingual_funnel" -> (txMultilingualFunnel _),
     "tx_multilingual_pipeline" -> (txMultilingualPipeline _),
@@ -2693,6 +2730,42 @@ object TextQueries extends QueryPack {
       FROM c
       QUALIFY rank <= 64
       ORDER BY rank""",
+    // KmvMinHashesAgg twin: the k smallest distinct 60-bit hashes per
+    // source replay exactly (deterministic hash), so the k-th hash,
+    // the Beyer et al. estimate, and the relative error are all
+    // value-pinned, not tolerance-checked
+    "tx_kmv_distinct" -> """
+      WITH s AS (
+        SELECT source, string_split_regex(text, '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT source, unnest([array_to_string(toks[i:i+2], ' ')
+                               FOR i IN range(1, len(toks) - 1)]) AS g
+        FROM s),
+      h AS (
+        SELECT DISTINCT source,
+               CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM g),
+      r AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS nd
+        FROM h),
+      agg AS (
+        SELECT source,
+               CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+               CAST(LEAST(MAX(nd), 256) AS BIGINT) AS n_kept,
+               MAX(CASE WHEN rn = LEAST(nd, 256) THEN h END) AS kth_hash
+        FROM r GROUP BY source)
+      SELECT source, exact_distinct, n_kept, kth_hash,
+             CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976 / kth_hash END
+               AS est_distinct,
+             abs((CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                       ELSE 255.0 * 1152921504606846976 / kth_hash END)
+                 - exact_distinct) / exact_distinct AS rel_err
+      FROM agg
+      ORDER BY source""",
     "tx_lang_profile" -> s"""
       WITH t AS (
         SELECT doc_id, regexp_replace(lower(text), '\\s+', '_', 'g') AS t

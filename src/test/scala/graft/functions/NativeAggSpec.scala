@@ -90,4 +90,54 @@ class NativeAggSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_graft_heavy_hitters"), plan.take(1500))
   }
+
+  private def kmv(hashes: Seq[Long], k: Int, parts: Int): Seq[Long] = {
+    val s = spark
+    import s.implicits._
+    hashes.toDF("h").repartition(parts)
+      .agg(NativeAgg.kmvMinHashes(col("h"), k).as("kmv"))
+      .head().getSeq[Long](0)
+  }
+
+  test("kmv: exact regime keeps ALL distinct hashes, ascending, dup-folded") {
+    val data = Seq(50L, 10L, 30L, 10L, 50L, 20L, 40L)
+    for (parts <- Seq(1, 3))
+      assert(kmv(data, k = 8, parts = parts) == Seq(10L, 20L, 30L, 40L, 50L))
+  }
+
+  test("kmv: approximate regime = k smallest distinct, any partitioning") {
+    val rnd = new scala.util.Random(13)
+    val data = rnd.shuffle((1L to 500L).map(_ * 7919L) ++
+      (1L to 500L).map(_ * 7919L)) // every value twice
+    val expect = (1L to 64L).map(_ * 7919L)
+    for (parts <- Seq(1, 7))
+      assert(kmv(data, k = 64, parts = parts) == expect, s"parts=$parts")
+  }
+
+  test("kmv: nulls ignored; estimate lands near truth on md5 hashes") {
+    val s = spark
+    import s.implicits._
+    // 5000 distinct values through the house 60-bit md5 hash; the
+    // Beyer et al. estimate with k=256 should land within ~25%
+    // (stderr ≈ 1/√(k−2) ≈ 6.3%; 4σ headroom for one draw)
+    val n = 5000
+    val got = (1 to n).map(i => Some(s"v$i")).toDF("v")
+      .union(Seq(Option.empty[String]).toDF("v"))
+      .select(conv(substring(md5(col("v")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .agg(NativeAgg.kmvMinHashes(col("h"), 256).as("kmv"))
+      .head().getSeq[Long](0)
+    assert(got.length == 256)
+    val est = 255.0 * 1152921504606846976.0 / got.last
+    assert(math.abs(est - n) / n < 0.25, s"est=$est")
+  }
+
+  test("kmv: partial aggregation runs map-side") {
+    val s = spark
+    import s.implicits._
+    val plan = Seq(1L, 2L).toDF("h").repartition(2)
+      .agg(NativeAgg.kmvMinHashes(col("h"), 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kmv_min_hashes"), plan.take(1500))
+  }
 }
