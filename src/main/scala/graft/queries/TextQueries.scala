@@ -1154,6 +1154,31 @@ object TextQueries extends QueryPack {
       .select(col("url_norm"), col("doc_id"))
       .orderBy(col("url_norm"))
 
+  /** Domain-authority PageRank over a synthesized inter-domain link
+    * graph ([[graft.operators.Graphs.pageRankFixedPoint]], 3
+    * iterations, damping 17/20, fixed-point scale 10¹²): each document
+    * links its own domain to a deterministic target — a hub (src0)
+    * for doc_id ≡ 0 mod 3, else src[(doc_id·7+3) mod 20] — so the hub
+    * accumulates ~⅓ of the link mass and the rank ORDER is a real
+    * signal, not uniform dust. Every arithmetic step is integer
+    * (DIV/Σ), so the oracle unrolls the same three iterations and
+    * matches rank_fp exactly. */
+  def txDomainPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val edges = docs.select(
+        concat(col("source"), lit(".example.com")).as("src"),
+        concat(lit("src"),
+          when(col("doc_id") % 3 === 0, lit(0L))
+            .otherwise((col("doc_id") * 7 + 3) % 20).cast(StringType),
+          lit(".example.com")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    graft.operators.Graphs.pageRankFixedPoint(edges, "src", "dst", "w",
+        iters = 3)
+      .withColumn("rank", col("rank_fp").cast(DoubleType) / 1.0e12)
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
   /** Per-domain cap (RefinedWeb §3.1): at most 5 documents per domain,
     * smallest ids surviving, rank included. */
   def txDomainCaps(s: SparkSession, dir: String): DataFrame =
@@ -1421,6 +1446,7 @@ object TextQueries extends QueryPack {
     "tx_url_normalize" -> (txUrlNormalize _),
     "tx_url_dedup" -> (txUrlDedup _),
     "tx_domain_caps" -> (txDomainCaps _),
+    "tx_domain_pagerank" -> (txDomainPagerank _),
     "tx_lm_score" -> (txLmScore _),
     "tx_lm_score5" -> (txLmScore5 _),
     "tx_lm_score_kn" -> (txLmScoreKn _),
@@ -2832,6 +2858,50 @@ object TextQueries extends QueryPack {
       WITH u AS ($urlSynthSql)
       SELECT doc_id, $urlNormSql AS url_norm, $urlDomainSql AS domain
       FROM u ORDER BY doc_id""",
+    // Graphs.pageRankFixedPoint twin: the same three power iterations
+    // unrolled as CTE pairs (contrib -> rank), all-integer arithmetic
+    // (// is DuckDB floor division = Spark DIV on non-negatives);
+    // SUM/HUGEINT products CAST back to BIGINT per the house rule
+    "tx_domain_pagerank" -> """
+      WITH e0 AS (
+        SELECT concat(source, '.example.com') AS src,
+               concat('src', CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                                  ELSE (doc_id * 7 + 3) % 20 END
+                             AS VARCHAR), '.example.com') AS dst
+        FROM documents),
+      e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM e0 WHERE src <> dst GROUP BY 1, 2),
+      nodes AS (SELECT DISTINCT src AS node FROM e
+                UNION SELECT DISTINCT dst FROM e),
+      pars AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS r_init,
+                      CAST(((1000000000000 * 3) // 20) // COUNT(*)
+                           AS BIGINT) AS base
+               FROM nodes),
+      od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, (SELECT r_init FROM pars) AS rank_fp FROM nodes),
+      c1 AS (SELECT e.dst AS node,
+                    CAST(SUM(e.w * (r.rank_fp // o.outdeg)) AS BIGINT) AS inr
+             FROM e JOIN r0 r ON e.src = r.node JOIN od o ON e.src = o.src
+             GROUP BY e.dst),
+      r1 AS (SELECT n.node, CAST((SELECT base FROM pars)
+                    + (17 * COALESCE(c.inr, 0)) // 20 AS BIGINT) AS rank_fp
+             FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+      c2 AS (SELECT e.dst AS node,
+                    CAST(SUM(e.w * (r.rank_fp // o.outdeg)) AS BIGINT) AS inr
+             FROM e JOIN r1 r ON e.src = r.node JOIN od o ON e.src = o.src
+             GROUP BY e.dst),
+      r2 AS (SELECT n.node, CAST((SELECT base FROM pars)
+                    + (17 * COALESCE(c.inr, 0)) // 20 AS BIGINT) AS rank_fp
+             FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+      c3 AS (SELECT e.dst AS node,
+                    CAST(SUM(e.w * (r.rank_fp // o.outdeg)) AS BIGINT) AS inr
+             FROM e JOIN r2 r ON e.src = r.node JOIN od o ON e.src = o.src
+             GROUP BY e.dst),
+      r3 AS (SELECT n.node, CAST((SELECT base FROM pars)
+                    + (17 * COALESCE(c.inr, 0)) // 20 AS BIGINT) AS rank_fp
+             FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+      SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank
+      FROM r3 ORDER BY rank_fp DESC, node""",
     "tx_url_dedup" -> s"""
       WITH u AS ($urlSynthSql),
       n AS (SELECT doc_id, $urlNormSql AS url_norm FROM u)
