@@ -1396,14 +1396,18 @@ object TextQueries extends QueryPack {
     * At 100 TB the exact column is the thing you could NOT afford
     * (one shuffled row per distinct value); the sketch ships 256
     * longs per (partition, source). */
-  def txKmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    val k = 256
-    val h = table(s, dir, "documents")
+  /** (source, 60-bit shingle hash) frame both KMV oracles aggregate. */
+  private def kmvHashFrame(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
       .select(col("source"),
         explode(graft.text.TextFunctions.tokenShingles(col("text"), 3))
           .as("g"))
       .select(col("source"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType).as("h"))
+
+  def txKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val h = kmvHashFrame(s, dir)
     h.groupBy(col("source"))
       .agg(graft.functions.NativeAgg.kmvMinHashes(col("h"), k).as("kmv"),
         countDistinct(col("h")).as("exact_distinct"))
@@ -1418,6 +1422,52 @@ object TextQueries extends QueryPack {
         abs(col("est_distinct") - col("exact_distinct")) /
           col("exact_distinct"))
       .orderBy(col("source"))
+  }
+
+  /** Pairwise source overlap estimated from KMV sketches ALONE
+    * (Beyer et al. 2007 §5: K = k smallest of the sketch union;
+    * ρ̂ = |K ∩ S_A ∩ S_B| / |K| estimates Jaccard(A,B)) — the
+    * set-operation capability HLL does not have, and the reason the
+    * deterministic KMV earns its place next to
+    * `approx_count_distinct`. At 100 TB the exact column requires a
+    * full shingle-level self-join across source pairs; the sketch
+    * path joins 20 rows of 256 longs. Pair count is quadratic in the
+    * SOURCE count (20 → 190 rows), not the data size; the exact twin
+    * is computed here only to pin the estimator's error. */
+  def txKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val h = kmvHashFrame(s, dir)
+    val sk = h.groupBy(col("source"))
+      .agg(graft.functions.NativeAgg.kmvMinHashes(col("h"), k).as("kmv"),
+        countDistinct(col("h")).as("nd"))
+      .localCheckpoint() // joined three ways below; don't re-derive
+    val pairs = sk.select(col("source").as("source_a"),
+        col("kmv").as("kmv_a"), col("nd").as("nd_a"))
+      .join(sk.select(col("source").as("source_b"),
+        col("kmv").as("kmv_b"), col("nd").as("nd_b")),
+        col("source_a") < col("source_b"))
+    val dist = h.distinct()
+    val inter = dist.as("x").join(dist.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"),
+        col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    pairs
+      .withColumn("bigk",
+        slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k))
+      .withColumn("matched", size(array_intersect(col("bigk"),
+        array_intersect(col("kmv_a"), col("kmv_b")))).cast(LongType))
+      .withColumn("k_used", size(col("bigk")).cast(LongType))
+      .withColumn("j_est",
+        col("matched").cast(DoubleType) / col("k_used"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("inter_exact",
+        coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("j_exact", col("inter_exact").cast(DoubleType) /
+        (col("nd_a") + col("nd_b") - col("inter_exact")))
+      .select(col("source_a"), col("source_b"), col("matched"),
+        col("k_used"), col("j_est"), col("inter_exact"), col("j_exact"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   val queries: Map[String, QueryFn] = Map(
@@ -1436,6 +1486,7 @@ object TextQueries extends QueryPack {
     "tx_funnel_model" -> (txFunnelModel _),
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_kmv_distinct" -> (txKmvDistinct _),
+    "tx_kmv_overlap" -> (txKmvOverlap _),
     "tx_lang_profile" -> (txLangProfile _),
     "tx_multilingual_funnel" -> (txMultilingualFunnel _),
     "tx_multilingual_pipeline" -> (txMultilingualPipeline _),
@@ -2792,6 +2843,57 @@ object TextQueries extends QueryPack {
                  - exact_distinct) / exact_distinct AS rel_err
       FROM agg
       ORDER BY source""",
+    // txKmvOverlap twin: sketches replayed as the 256 smallest distinct
+    // hashes per source, then the Beyer et al. union-resample estimate
+    // with list functions; the exact pairwise intersection pins j_exact
+    "tx_kmv_overlap" -> """
+      WITH s AS (
+        SELECT source, string_split_regex(text, '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT source, unnest([array_to_string(toks[i:i+2], ' ')
+                               FOR i IN range(1, len(toks) - 1)]) AS g
+        FROM s),
+      h AS (
+        SELECT DISTINCT source,
+               CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM g),
+      r AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS nd
+        FROM h),
+      sk AS (SELECT source, list(h ORDER BY h) AS kmv
+             FROM r WHERE rn <= 256 GROUP BY source),
+      nds AS (SELECT source, CAST(MAX(nd) AS BIGINT) AS nd
+              FROM r GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+                   a.kmv AS ka, b.kmv AS kb
+            FROM sk a JOIN sk b ON a.source < b.source),
+      calc AS (SELECT source_a, source_b,
+                      list_sort(list_distinct(list_concat(ka, kb)))[1:256]
+                        AS bigk,
+                      list_intersect(ka, kb) AS inboth
+               FROM p),
+      est AS (SELECT source_a, source_b,
+                     CAST(len(list_intersect(bigk, inboth)) AS BIGINT)
+                       AS matched,
+                     CAST(len(bigk) AS BIGINT) AS k_used
+              FROM calc),
+      ie AS (SELECT x.source AS source_a, y.source AS source_b,
+                    CAST(COUNT(*) AS BIGINT) AS inter_exact
+             FROM h x JOIN h y ON x.h = y.h AND x.source < y.source
+             GROUP BY 1, 2)
+      SELECT e.source_a, e.source_b, e.matched, e.k_used,
+             CAST(e.matched AS DOUBLE) / e.k_used AS j_est,
+             CAST(COALESCE(i.inter_exact, 0) AS BIGINT) AS inter_exact,
+             CAST(COALESCE(i.inter_exact, 0) AS DOUBLE) /
+               (na.nd + nb.nd - COALESCE(i.inter_exact, 0)) AS j_exact
+      FROM est e
+      LEFT JOIN ie i ON i.source_a = e.source_a AND i.source_b = e.source_b
+      JOIN nds na ON na.source = e.source_a
+      JOIN nds nb ON nb.source = e.source_b
+      ORDER BY e.source_a, e.source_b""",
     "tx_lang_profile" -> s"""
       WITH t AS (
         SELECT doc_id, regexp_replace(lower(text), '\\s+', '_', 'g') AS t

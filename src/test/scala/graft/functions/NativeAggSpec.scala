@@ -132,6 +132,28 @@ class NativeAggSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(est - n) / n < 0.25, s"est=$est")
   }
 
+  test("kmv overlap: sub-k regime makes the Jaccard estimator EXACT") {
+    val s = spark
+    import s.implicits._
+    // |A|=6, |B|=5, |A∩B|=3, |A∪B|=8 → J = 3/8; with k=16 > |A∪B| the
+    // sketches are the full sets and the union-resample estimate is J
+    val a = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val b = Seq(4L, 5L, 6L, 7L, 8L)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("s", "h")
+    val sk = df.groupBy(col("s"))
+      .agg(NativeAgg.kmvMinHashes(col("h"), 16).as("kmv"))
+    val row = sk.as("x").join(sk.as("y"),
+        col("x.s") < col("y.s"))
+      .select(
+        slice(array_sort(array_union(col("x.kmv"), col("y.kmv"))), 1, 16)
+          .as("bigk"),
+        array_intersect(col("x.kmv"), col("y.kmv")).as("inboth"))
+      .select(size(array_intersect(col("bigk"), col("inboth")))
+          .cast("double") / size(col("bigk")))
+      .head().getDouble(0)
+    assert(row == 3.0 / 8.0)
+  }
+
   test("kmv: partial aggregation runs map-side") {
     val s = spark
     import s.implicits._
