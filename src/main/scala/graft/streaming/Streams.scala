@@ -1042,6 +1042,42 @@ object Streams {
           .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("sum_x2"))
     }
 
+  /** KMV-profile fold: maintains, per key, the k-minimum-values
+    * distinct sketch ([[graft.functions.KmvMinHashesAgg]]) and the row
+    * count. Sketch merge is k-smallest-of-union — associative and
+    * commutative, so any micro-batch slicing (and any crash-replay,
+    * via the shared batch marker) converges to the one-shot batch
+    * sketch EXACTLY, not approximately: the streaming cardinality
+    * profile is bit-identical to the batch one, which the spec pins.
+    * State is keys × (k longs + 1 count) — bounded regardless of how
+    * many distinct values the stream has carried. */
+  def kmvMergeBatch(spark: SparkSession, batch: DataFrame, path: String,
+      keyCols: Seq[String], hashCol: String, k: Int,
+      batchId: Long = -1L): LoadResult =
+    foldBatchWith(spark, path, keyCols, batchId)(
+      batch.groupBy(keyCols.map(col): _*).agg(
+        graft.functions.NativeAgg.kmvMinHashes(col(hashCol), k).as("kmv"),
+        count(lit(1)).as("n_rows"))
+    ) { (all, _) =>
+      // merge = k smallest of the union of stored + incoming sketches;
+      // collect_list order is nondeterministic but sort+distinct makes
+      // the result deterministic
+      all.groupBy(keyCols.map(col): _*).agg(
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("kmv"),
+        sum(col("n_rows")).as("n_rows"))
+    }
+
+  /** writeStream wiring for [[kmvMergeBatch]] (checkpointed). */
+  def kmvMergeSink(stream: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], hashCol: String, k: Int,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
+      kmvMergeBatch(batch.sparkSession, batch, path, keyCols, hashCol, k,
+        batchId)
+    }
+
   /** Shared atomic fold: merge `partial` (keys + associative numeric
     * columns) into the stored totals at `path`, summing every non-key
     * column by name. Replay-idempotent via the batch marker; crash-safe
@@ -1054,7 +1090,23 @@ object Streams {
     * sum would silently return NULL and persist corrupt totals, which
     * is why the mode is asserted instead of worked around. */
   private def foldBatch(spark: SparkSession, path: String,
-      keyCols: Seq[String], batchId: Long)(partial: DataFrame): LoadResult = {
+      keyCols: Seq[String], batchId: Long)(partial: DataFrame): LoadResult =
+    foldBatchWith(spark, path, keyCols, batchId)(partial) { (all, sumCols) =>
+      all.groupBy(keyCols.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    }
+
+  /** [[foldBatch]] with a caller-supplied merge aggregation for state
+    * that folds by something other than a SUM (e.g. the KMV sketch's
+    * k-smallest-of-union). `mergeAgg` receives base ∪ partial rows and
+    * the non-key column names, and must return one row per key with
+    * the same schema as the partial — associativity/commutativity of
+    * the merge is the CALLER's contract (it is what makes replays and
+    * arbitrary batch boundaries converge to the one-shot result). */
+  private def foldBatchWith(spark: SparkSession, path: String,
+      keyCols: Seq[String], batchId: Long)(partial: DataFrame)(
+      mergeAgg: (DataFrame, Seq[String]) => DataFrame): LoadResult = {
     require(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean,
       "fold sinks require spark.sql.ansi.enabled=true: non-ANSI decimal " +
       "sum overflow yields NULL and would silently corrupt stored totals")
@@ -1086,10 +1138,7 @@ object Streams {
     // different column order (or a renamed measure), a positional union
     // would silently sum values into the wrong columns — unionByName
     // instead aligns matching names and FAILS on a schema mismatch
-    val merged = base.unionByName(partial)
-      .groupBy(keyCols.map(col): _*)
-      .agg(sum(col(sumCols.head)).as(sumCols.head),
-        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val merged = mergeAgg(base.unionByName(partial), sumCols)
     merged.write.mode("overwrite").parquet(tmp.toString)
     // count the WRITTEN files (footer metadata) before the swap — the
     // merged plan still references the old base directory and cannot be

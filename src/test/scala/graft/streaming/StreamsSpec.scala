@@ -207,6 +207,55 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("kmv-merge sink: streamed sketch == one-shot batch sketch, exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("kmvmerge").toString
+
+    // 400 distinct hashes for "web" (sketch saturates at k=64),
+    // 20 for "books" (sub-k: sketch IS the distinct set), sliced into
+    // three arbitrary micro-batches with cross-batch duplicates
+    val web = (1L to 400L).map(i => ("web", i * 7919L))
+    val books = (1L to 20L).map(i => ("books", i * 104729L))
+    val all = web ++ books
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.kmvMergeSink(
+        input.toDS().toDF("source", "h"),
+        s"$dir/kmv", s"$dir/ckpt", Seq("source"), "h", k = 64,
+        Streams.trigger(1))
+      .start()
+    try {
+      input.addData(all.take(150): _*)
+      q.processAllAvailable()
+      input.addData(all.slice(100, 300): _*) // overlaps batch 1
+      q.processAllAvailable()
+      input.addData(all.drop(280): _*)
+      q.processAllAvailable()
+
+      val stored = spark.read.parquet(s"$dir/kmv")
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[scala.collection.Seq[Long]]("kmv").toVector, r.getAs[Long]("n_rows"))))
+        .toMap
+      // one-shot over the SAME multiset of rows (dups included)
+      val oneShot = (all.take(150) ++ all.slice(100, 300) ++ all.drop(280))
+        .toDF("source", "h")
+        .groupBy($"source")
+        .agg(graft.functions.NativeAgg.kmvMinHashes($"h", 64).as("kmv"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[scala.collection.Seq[Long]]("kmv").toVector, r.getAs[Long]("n_rows"))))
+        .toMap
+      assert(stored == oneShot)
+      assert(stored("web")._1.length == 64 &&
+        stored("web")._1 == (1L to 64L).map(_ * 7919L))
+      assert(stored("books")._1.length == 20)
+    } finally q.stop()
+  }
+
   test("trending top-k sink: closed windows rank their items via the heap") {
     val spark2 = spark
     import spark2.implicits._
