@@ -47,6 +47,24 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < (fraction * Buckets).toLong)
   }
 
+  /** Join-consistent "universe" sampling (the BlinkDB/VerdictDB
+    * technique; Agarwal et al. 2013, "BlinkDB", EuroSys — there
+    * stratified over QCS; here the key-universe form): apply the SAME
+    * key-hash predicate to every table sharing a join key, so
+    * join-of-samples == sample-of-join restricted to the kept key
+    * universe, EXACTLY — no orphans, no bias. Independent per-table
+    * row sampling destroys this: two independent p-samples retain only
+    * p² of join pairs, and fact-side rows survive without their match.
+    * At 100 TB this is how you dry-run a multi-table pipeline on 1% of
+    * the keys with all joins intact: one map-side filter per table,
+    * fused into the scan's codegen stage (the md5 predicate is not a
+    * footer-prunable literal, so files still read — the savings are
+    * everything downstream), zero shuffle, and the kept subset is
+    * engine/partitioning/run independent like every sampler here. */
+  def universeSample(tables: Seq[(DataFrame, String)],
+      fraction: Double): Seq[DataFrame] =
+    tables.map { case (df, key) => deterministicSample(df, key, fraction) }
+
   /** Mix sources at per-source rates (unlisted sources drop): the
     * standard training-mixture downsample, reproducible row-for-row. */
   def stratifiedMix(df: DataFrame, sourceCol: String, keyCol: String,

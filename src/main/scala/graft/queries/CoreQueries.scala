@@ -535,7 +535,29 @@ object CoreQueries extends QueryPack {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** Join-consistent universe sample of orders ⋈ lineitem
+    * ([[graft.operators.Sampling.universeSample]]): BOTH tables keep
+    * exactly the 10% key universe (hash of the join key), so the
+    * sampled join has no orphans and equals the full join restricted
+    * to kept keys — the dry-run-a-100TB-pipeline-on-1%-of-keys
+    * operator. The filters are map-side and reach both scans; revenue
+    * is the decimal-exact order-free sum. */
+  def q19UniverseSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Seq(o, l) = graft.operators.Sampling.universeSample(Seq(
+      (table(s, dir, "orders"), "o_orderkey"),
+      (table(s, dir, "lineitem"), "l_orderkey")), 0.10)
+    o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_items"),
+        decSum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q19_universe_sample" -> (q19UniverseSample _),
     "w_topn_orders" -> (wTopnOrders _),
     "q18_min_price_supplier" -> (q18MinPriceSupplier _),
     "q17_winsorize" -> (q17Winsorize _),
@@ -568,6 +590,19 @@ object CoreQueries extends QueryPack {
       FROM orders
       QUALIFY rn <= 2
       ORDER BY o_custkey, rn""",
+    "q19_universe_sample" -> s"""
+      WITH o AS (SELECT * FROM orders
+                 WHERE ${bucketSqlOf("o_orderkey")} < 100000),
+      l AS (SELECT * FROM lineitem
+            WHERE ${bucketSqlOf("l_orderkey")} < 100000)
+      SELECT o.o_orderstatus,
+             CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             ${decSumSql("l.l_extendedprice * (1.0 - l.l_discount)")}
+               AS revenue
+      FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderstatus
+      ORDER BY o.o_orderstatus""",
     "q18_min_price_supplier" -> """
       SELECT p.p_partkey, p.p_name,
              MIN(l.l_extendedprice) AS min_price,

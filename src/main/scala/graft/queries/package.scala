@@ -107,8 +107,12 @@ package object queries {
     * for every sampler oracle (the sample_ and mix_ queries, the
     * funnel's sampling stage), so a bucket-scheme change can't silently
     * diverge one of them from the engine. */
-  val bucketSql: String =
-    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+  /** [[bucketSql]] over an arbitrary key expression (the universe
+    * sampler filters orders/lineitem keys, not doc_id). */
+  def bucketSqlOf(key: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+
+  val bucketSql: String = bucketSqlOf("doc_id")
 
   /** Order-independent, engine-exact sum of a double measure (see above). */
   def decSum(c: Column): Column =

@@ -22,6 +22,34 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(small.exceptAll(a).isEmpty)
   }
 
+  test("universe sample: join-of-samples == sample-of-join, no orphans") {
+    val s = spark
+    import s.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val Seq(o, l) = Sampling.universeSample(Seq(
+      (orders, "o_orderkey"), (lineitem, "l_orderkey")), 0.10)
+    val joined = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"l_linenumber")
+    // the algebraic identity: filtering the FULL join by the same key
+    // predicate gives the identical row set
+    val full = orders.join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .filter(Sampling.hashBucket($"o_orderkey") < 100000L)
+      .select($"o_orderkey", $"l_linenumber")
+    assert(joined.exceptAll(full).isEmpty && full.exceptAll(joined).isEmpty)
+    // no orphans: every sampled lineitem key survives with its order
+    val orphans = l.join(o, $"l_orderkey" === $"o_orderkey", "left_anti")
+    assert(orphans.isEmpty)
+    // contrast: INDEPENDENT 10% row samples of each side retain ~1% of
+    // join pairs — the property universe sampling exists to avoid
+    // (seeded Spark row-sample; any seeds demonstrate the p² decay)
+    val oInd = orders.sample(0.10, seed = 1)
+    val lInd = lineitem.sample(0.10, seed = 2)
+    val indPairs = oInd.join(lInd, $"o_orderkey" === $"l_orderkey").count()
+    assert(indPairs < joined.count() / 3,
+      s"independent sampling kept $indPairs vs universe ${joined.count()}")
+  }
+
   test("stratified mix honors per-source rates; unlisted sources drop") {
     val mixed = Sampling.stratifiedMix(docs, "source", "doc_id",
       Map("src0" -> 1.0, "src1" -> 0.0))
