@@ -115,6 +115,34 @@ object TransformQueries extends QueryPack {
         col("is_current"))
       .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
 
+  /** T10 END-TO-END warehouse ledger — the retail-side twin of the
+    * text flagship's `tx_pretrain_ledger`: every staged order's final
+    * disposition through the full chain (staging → latest-wins merge
+    * of the CDC delta → conformance against the customer dim with a
+    * late-arriving holdout (customer_id ≡ 0 mod 50 withheld, the
+    * classic late-dim scenario) → amount quality gate). Outcome
+    * precedence: late_dim → quarantined → kept; `was_updated` marks
+    * rows the delta touched. One broadcast dim join, one merge
+    * shuffle — the ledger costs the same as the fact build itself. */
+  def t10WarehouseLedger(s: SparkSession, dir: String): DataFrame = {
+    val st = staging(s, dir)
+    val dim = Models.dimCustomers(
+        Models.stagingCustomers(table(s, dir, "customer")))
+      .filter(col("customer_id") % 50 =!= 0)
+    val merged = Merge.latestWins(st, delta(st), Seq("order_id"),
+      col("order_date"))
+    merged.join(
+        broadcast(dim.select(col("customer_key"), col("customer_id"))),
+        Seq("customer_id"), "left")
+      .select(col("order_id"), col("customer_key"),
+        (col("order_id") % 7 === 0).as("was_updated"),
+        col("total_amount"),
+        when(col("customer_key").isNull, "late_dim")
+          .when(col("total_amount") > 450000.0, "quarantined")
+          .otherwise("kept").as("outcome"))
+      .orderBy(col("order_id"))
+  }
+
   /** Q7b quarantine with per-row violation reasons (one pass; rule names
     * in declaration order) — the reject stream is self-describing. */
   def qa8QuarantineReasons(s: SparkSession, dir: String): DataFrame = {
@@ -138,6 +166,7 @@ object TransformQueries extends QueryPack {
     "t2_dim_customers" -> (t2DimCustomers _),
     "t3_fact_orders_merge" -> (t3FactOrdersMerge _),
     "t9_scd2_customer" -> (t9Scd2Customer _),
+    "t10_warehouse_ledger" -> (t10WarehouseLedger _),
     "qa1_min_row_count" -> (qa1MinRowCount _),
     "qa2_freshness" -> (qa2Freshness _),
     "qa3_custom_scalar" -> (qa3CustomScalar _),
@@ -210,6 +239,32 @@ object TransformQueries extends QueryPack {
       FROM ranked r JOIN dim d ON r.customer_id = d.customer_id
       WHERE r.rn = 1
       ORDER BY r.order_id""",
+    // t10 twin: the t3 merge pack plus the dim holdout and the gate
+    "t10_warehouse_ledger" -> s"""
+      WITH staging AS ($stagingSql),
+      delta AS (
+        SELECT order_id, customer_id, 'U' AS order_status,
+               total_amount * 1.1 AS total_amount,
+               order_date + INTERVAL 1 DAY AS order_date, order_priority
+        FROM staging WHERE order_id % 7 = 0),
+      unioned AS (
+        SELECT *, 0 AS src FROM staging
+        UNION ALL SELECT *, 1 AS src FROM delta),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY order_id ORDER BY order_date DESC, src DESC) AS rn
+        FROM unioned),
+      merged AS (SELECT * FROM ranked WHERE rn = 1),
+      dim AS ($dimSql),
+      dim2 AS (SELECT customer_key, customer_id FROM dim
+               WHERE customer_id % 50 <> 0)
+      SELECT m.order_id, d.customer_key, m.order_id % 7 = 0 AS was_updated,
+             m.total_amount,
+             CASE WHEN d.customer_key IS NULL THEN 'late_dim'
+                  WHEN m.total_amount > 450000.0 THEN 'quarantined'
+                  ELSE 'kept' END AS outcome
+      FROM merged m LEFT JOIN dim2 d ON m.customer_id = d.customer_id
+      ORDER BY m.order_id""",
     "qa1_min_row_count" -> """
       SELECT COUNT(*) AS row_count, COUNT(*) >= 1000 AS passed FROM orders""",
     "qa2_freshness" -> """
