@@ -493,6 +493,49 @@ object CoreQueries extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** MAD-based robust outlier detection (the Hampel filter: flag
+    * |x − median| > k·MAD — the robust alternative to z-scores, which
+    * a single corrupt price can drag arbitrarily). Both medians (the
+    * group median and the median absolute deviation) are EXACT lower
+    * medians via the q17 cumulative-count-over-distinct-values
+    * technique — no sort of the raw fact, every aggregate over
+    * post-distinct cardinality, thresholds broadcast back. k = 1.5
+    * here: the synthetic uniform price distribution puts all mass
+    * inside 3·MAD (uniform's MAD is range/4), so the conventional
+    * k = 3 would pin an all-zero column; 1.5 exercises both branches. */
+  def q20MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byPrice = table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("cnt"))
+    def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val wCum = Window.partitionBy($"l_returnflag").orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"l_returnflag")
+      df.withColumn("cum", sum($"cnt").over(wCum))
+        .withColumn("n", sum($"cnt").over(wAll))
+        .groupBy($"l_returnflag")
+        .agg(min(when($"cum" >= expr("(n + 1) div 2"), col(valCol))).as(out))
+    }
+    val med = lowerMedian(byPrice, "l_extendedprice", "med")
+    val devs = byPrice.join(broadcast(med), Seq("l_returnflag"))
+      .groupBy($"l_returnflag",
+        abs($"l_extendedprice" - $"med").as("dev"))
+      .agg(sum($"cnt").as("cnt"))
+    val mad = lowerMedian(devs, "dev", "mad")
+    val isOut = abs($"l_extendedprice" - $"med") > $"mad" * 1.5
+    byPrice.join(broadcast(med), Seq("l_returnflag"))
+      .join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(max($"med").as("median"), max($"mad").as("mad"),
+        sum($"cnt").as("n"),
+        sum(when(isOut, $"cnt").otherwise(0L)).as("n_outliers"),
+        min(when(isOut, $"l_extendedprice")).as("min_outlier"),
+        max(when(isOut, $"l_extendedprice")).as("max_outlier"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Correlated-scalar-subquery shape (TPC-H Q2's MIN-cost pattern):
     * for each small part, the supplier(s) charging the group minimum.
     * The oracle runs the literal correlated subquery; the engine uses
@@ -558,6 +601,7 @@ object CoreQueries extends QueryPack {
 
   val queries: Map[String, QueryFn] = Map(
     "q19_universe_sample" -> (q19UniverseSample _),
+    "q20_mad_outliers" -> (q20MadOutliers _),
     "w_topn_orders" -> (wTopnOrders _),
     "q18_min_price_supplier" -> (q18MinPriceSupplier _),
     "q17_winsorize" -> (q17Winsorize _),
@@ -603,6 +647,46 @@ object CoreQueries extends QueryPack {
       FROM o JOIN l ON o.o_orderkey = l.l_orderkey
       GROUP BY o.o_orderstatus
       ORDER BY o.o_orderstatus""",
+    "q20_mad_outliers" -> """
+      WITH byp AS (
+        SELECT l_returnflag, l_extendedprice, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      medc AS (
+        SELECT l_returnflag, l_extendedprice,
+               SUM(cnt) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM byp),
+      med AS (
+        SELECT l_returnflag,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN l_extendedprice END)
+                 AS med
+        FROM medc GROUP BY 1),
+      devs AS (
+        SELECT b.l_returnflag, abs(b.l_extendedprice - m.med) AS dev,
+               CAST(SUM(b.cnt) AS BIGINT) AS cnt
+        FROM byp b JOIN med m USING (l_returnflag) GROUP BY 1, 2),
+      devc AS (
+        SELECT l_returnflag, dev,
+               SUM(cnt) OVER (PARTITION BY l_returnflag
+                 ORDER BY dev ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM devs),
+      mad AS (
+        SELECT l_returnflag,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+        FROM devc GROUP BY 1)
+      SELECT b.l_returnflag, MAX(m.med) AS median, MAX(d.mad) AS mad,
+             CAST(SUM(b.cnt) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN abs(b.l_extendedprice - m.med) > d.mad * 1.5
+                           THEN b.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+             MIN(CASE WHEN abs(b.l_extendedprice - m.med) > d.mad * 1.5
+                      THEN b.l_extendedprice END) AS min_outlier,
+             MAX(CASE WHEN abs(b.l_extendedprice - m.med) > d.mad * 1.5
+                      THEN b.l_extendedprice END) AS max_outlier
+      FROM byp b JOIN med m USING (l_returnflag)
+                 JOIN mad d USING (l_returnflag)
+      GROUP BY 1 ORDER BY 1""",
     "q18_min_price_supplier" -> """
       SELECT p.p_partkey, p.p_name,
              MIN(l.l_extendedprice) AS min_price,

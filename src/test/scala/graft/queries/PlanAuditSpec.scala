@@ -21,12 +21,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     *    row at any scale;
     *  - sim_topk_brute: the QUERY set broadcast against the corpus scan
     *    is the definition of brute-force ANN; the corpus side streams,
-    *    the broadcast side is the user's bounded query batch.
+    *    the broadcast side is the user's bounded query batch;
+    *  - tx_kmv_overlap: the pairwise sketch join — ONE ≤(k longs)-row
+    *    per SOURCE on each side (a config-sized dimension, not data-
+    *    sized); pairwise overlap is inherently quadratic in source
+    *    count and the sketches exist precisely so that quadratic factor
+    *    multiplies k longs instead of corpus rows.
     * Anything NOT in this list planning a BNLJ is a regression. */
   private val boundedBnlj = Set(
     "c2_dedup_events", "d1_exact_dedup", "v_rowlevel_events",
     "sim_topk_brute", "tx_curation_funnel", "tx_funnel_model",
-    "tx_html_funnel", "sft_funnel", "tx_pretrain_pipeline")
+    "tx_html_funnel", "sft_funnel", "tx_pretrain_pipeline",
+    "tx_kmv_overlap")
 
   test("no query plans a CartesianProduct; BNLJ only where provably bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
