@@ -54,6 +54,15 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SimHashMd5Expr].getName, "graft_simhash_md5"),
       (args: Seq[Expression]) =>
         SimHashMd5Expr(arity(args, 1, "graft_simhash_md5").head)),
+    ("graft_nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName,
+        "graft_nfc_normalize"),
+      (args: Seq[Expression]) =>
+        NfcNormalizeExpr(arity(args, 1, "graft_nfc_normalize").head)),
+    ("graft_lcs_length",
+      new ExpressionInfo(classOf[LcsLengthExpr].getName, "graft_lcs_length"),
+      (args: Seq[Expression]) => { arity(args, 2, "graft_lcs_length")
+        LcsLengthExpr(args(0), args(1)) }),
     ("graft_shingles",
       new ExpressionInfo(classOf[TokenShinglesExpr].getName, "graft_shingles"),
       (args: Seq[Expression]) => { arity(args, 2, "graft_shingles")

@@ -324,6 +324,16 @@ object NativeTextImpl {
       Array[Any](best, bestCnt.toLong))
   }
 
+  /** NFC-normalize a UTF8String; identity (no allocation) when the
+    * quick-check says the input is already composed. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** LCS length over two token arrays — the ROUGE-L numerator
     * (Lin 2004, "ROUGE: A Package for Automatic Evaluation of
     * Summaries", §3). Classic two-row DP: O(|a|·|b|) time,
@@ -354,6 +364,36 @@ object NativeTextImpl {
     }
     prev(sn).toLong
   }
+}
+
+/** Unicode NFC normalization as a codegen'd expression: canonical
+  * composition (combining sequences → precomposed forms, singleton
+  * compatibility points like U+212B ANGSTROM SIGN → U+00C5) per
+  * UAX #15. Spark ships no normalizer builtin, yet web text mixes
+  * composed and decomposed spellings of the SAME string — exact
+  * dedup, fingerprints, and blocklists all silently miss across the
+  * two unless a normalization pass runs first. JDK `Normalizer` and
+  * DuckDB's `nfc_normalize` implement the same stable standard, so
+  * the operation is oracle-replayable cross-engine. Fast path: NFC
+  * quick-check via `Normalizer.isNormalized` costs one scan and skips
+  * allocation for the (overwhelmingly common) already-NFC row. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextImpl.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
 }
 
 /** string → long SimHash, codegen'd as one static call. */
@@ -566,6 +606,8 @@ object NativeText {
   def lcsLength(a: Column, b: Column): Column =
     GraftShims.column(
       LcsLengthExpr(GraftShims.expression(a), GraftShims.expression(b)))
+  def nfcNormalize(text: Column): Column =
+    GraftShims.column(NfcNormalizeExpr(GraftShims.expression(text)))
   def simhash64(text: Column): Column =
     GraftShims.column(SimHash64Expr(GraftShims.expression(text)))
   def simhashMd5(text: Column): Column =

@@ -506,9 +506,13 @@ object CoreQueries extends QueryPack {
   def q20MadOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // the distinct-pair frame feeds BOTH median chains and the final
+    // aggregate — checkpoint it (post-distinct cardinality, small) so
+    // the fact scans once, not once per consumer
     val byPrice = table(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_extendedprice")
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
       val wCum = Window.partitionBy($"l_returnflag").orderBy(col(valCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -523,6 +527,7 @@ object CoreQueries extends QueryPack {
       .groupBy($"l_returnflag",
         abs($"l_extendedprice" - $"med").as("dev"))
       .agg(sum($"cnt").as("cnt"))
+      .localCheckpoint()
     val mad = lowerMedian(devs, "dev", "mad")
     val isOut = abs($"l_extendedprice" - $"med") > $"mad" * 1.5
     byPrice.join(broadcast(med), Seq("l_returnflag"))

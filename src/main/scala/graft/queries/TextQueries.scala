@@ -1470,6 +1470,39 @@ object TextQueries extends QueryPack {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Unicode-normalization-aware exact dedup
+    * ([[graft.functions.NfcNormalizeExpr]]): docs ≡ 6 mod 10 carry a
+    * DECOMPOSED suffix (e + U+0301, A + U+030A) while docs ≡ 7 carry
+    * their predecessor's text with the COMPOSED spelling (é, Å) — raw
+    * bytes differ, NFC forms collide, so byte-exact dedup misses what
+    * normalization-aware dedup catches; docs ≡ 2 get the U+212B
+    * ANGSTROM singleton (changed by NFC, no dup partner). One
+    * aggregate pins changed counts and the distinct-raw vs
+    * distinct-NFC collapse. JDK Normalizer and DuckDB nfc_normalize
+    * implement the same UAX #15, which is what makes this
+    * cross-engine-replayable. */
+  def txNfcDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("__prev"))
+    val dirty = docs.join(prev, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 6,
+            concat(col("text"), lit(" cafe\u0301 A\u030A")))
+          .when(col("doc_id") % 10 === 7 && col("__prev").isNotNull,
+            concat(col("__prev"), lit(" caf\u00e9 \u00c5")))
+          .when(col("doc_id") % 10 === 2,
+            concat(col("text"), lit(" \u212B")))
+          .otherwise(col("text")).as("raw"))
+    val nfc = graft.functions.NativeText.nfcNormalize(col("raw"))
+    dirty.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(nfc =!= col("raw"), 1L).otherwise(0L)).as("n_changed"),
+        countDistinct(col("raw")).as("distinct_raw"),
+        countDistinct(nfc).as("distinct_nfc"))
+      .withColumn("collapsed", col("distinct_raw") - col("distinct_nfc"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sft_turns" -> (txSftTurns _),
     "sft_stats" -> (txSftStats _),
@@ -1487,6 +1520,7 @@ object TextQueries extends QueryPack {
     "tx_heavy_tokens" -> (txHeavyTokens _),
     "tx_kmv_distinct" -> (txKmvDistinct _),
     "tx_kmv_overlap" -> (txKmvOverlap _),
+    "tx_nfc_dedup" -> (txNfcDedup _),
     "tx_lang_profile" -> (txLangProfile _),
     "tx_multilingual_funnel" -> (txMultilingualFunnel _),
     "tx_multilingual_pipeline" -> (txMultilingualPipeline _),
@@ -2843,6 +2877,31 @@ object TextQueries extends QueryPack {
                  - exact_distinct) / exact_distinct AS rel_err
       FROM agg
       ORDER BY source""",
+    // NfcNormalizeExpr twin: DuckDB nfc_normalize implements the same
+    // UAX #15 as the JDK Normalizer; chr() builds the decomposed /
+    // composed / singleton suffixes so no editor can re-normalize them
+    "tx_nfc_dedup" -> """
+      WITH prev AS (
+        SELECT doc_id + 1 AS doc_id, text AS prev_text FROM documents),
+      dirty AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 10 = 6
+                      THEN d.text || ' cafe' || chr(769) || ' A' || chr(778)
+                    WHEN d.doc_id % 10 = 7 AND p.prev_text IS NOT NULL
+                      THEN p.prev_text || ' caf' || chr(233) || ' ' || chr(197)
+                    WHEN d.doc_id % 10 = 2
+                      THEN d.text || ' ' || chr(8491)
+                    ELSE d.text END AS raw
+        FROM documents d LEFT JOIN prev p ON d.doc_id = p.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN nfc_normalize(raw) <> raw
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             CAST(COUNT(DISTINCT raw) AS BIGINT) AS distinct_raw,
+             CAST(COUNT(DISTINCT nfc_normalize(raw)) AS BIGINT)
+               AS distinct_nfc,
+             CAST(COUNT(DISTINCT raw) - COUNT(DISTINCT nfc_normalize(raw))
+                  AS BIGINT) AS collapsed
+      FROM dirty""",
     // txKmvOverlap twin: sketches replayed as the 256 smallest distinct
     // hashes per source, then the Beyer et al. union-resample estimate
     // with list functions; the exact pairwise intersection pins j_exact

@@ -68,6 +68,33 @@ class NativeTextSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("*(1) Project"), plan.take(500))
   }
 
+  test("nfcNormalize ≡ JDK Normalizer; identity fast path; codegen") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "plain ascii stays",
+      "cafe\u0301",         // e + combining acute (decomposed)
+      "A\u030A ring",       // A + combining ring (decomposed)
+      "\u212B angstrom",    // ANGSTROM SIGN singleton
+      "caf\u00e9 already composed",
+      "mixed cafe\u0301 and caf\u00e9",
+      "")
+    val got = cases.toDF("t")
+      .select(NativeText.nfcNormalize(col("t"))).as[String].collect()
+    val expect = cases.map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == expect)
+    // decomposed and composed spellings collide post-NFC
+    assert(got(1) == "caf\u00e9" && got(3).startsWith("\u00c5"))
+    // null → null
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(NativeText.nfcNormalize(col("t"))).head().isNullAt(0))
+    // codegen over a real scan
+    val plan = docs.select(NativeText.nfcNormalize(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+  }
+
   test("lcsLength ≡ brute-force LCS on random token arrays + edges") {
     val s = spark
     import s.implicits._
