@@ -150,14 +150,91 @@ object ValidationQueries extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** Functional-dependency discovery (profiling/metadata extension):
+    * FD A→B holds iff no A-group sees >1 distinct B — the check behind
+    * candidate-key detection, denormalization safety, and schema
+    * inference. One shuffle per tested LHS (each check is a groupBy on
+    * its determinant then a 1-row aggregate); a 100 TB profiler batches
+    * FDs sharing a determinant into one pass, which this spelling
+    * composes to. The battery covers held keys and dependencies plus
+    * violated candidates — including (l_orderkey, l_linenumber) →
+    * l_partkey, which a TPC-H schema would declare a key but the
+    * synthetic generator violates (line numbers repeat within an
+    * order): exactly the discovery a profiler exists to surface.
+    * Both verdict branches carry violation counts, not just booleans. */
+  def vFdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    def check(df: DataFrame, lhs: Seq[String], rhs: String,
+        label: String): DataFrame =
+      df.groupBy(lhs.map(col): _*)
+        .agg(countDistinct(col(rhs)).as("__d"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(label).as("fd"), col("n_groups"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    val orders = table(s, dir, "orders")
+    val lineitem = table(s, dir, "lineitem")
+    val customer = table(s, dir, "customer")
+    check(orders, Seq("o_orderkey"), "o_custkey",
+        "orders: o_orderkey -> o_custkey")
+      .unionByName(check(orders, Seq("o_custkey"), "o_orderpriority",
+        "orders: o_custkey -> o_orderpriority"))
+      .unionByName(check(lineitem, Seq("l_orderkey"), "l_returnflag",
+        "lineitem: l_orderkey -> l_returnflag"))
+      .unionByName(check(lineitem, Seq("l_orderkey", "l_linenumber"),
+        "l_partkey", "lineitem: (l_orderkey, l_linenumber) -> l_partkey"))
+      .unionByName(check(customer, Seq("c_custkey"), "c_mktsegment",
+        "customer: c_custkey -> c_mktsegment"))
+      .unionByName(check(customer, Seq("c_name"), "c_custkey",
+        "customer: c_name -> c_custkey"))
+      .orderBy(col("fd"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "v_stats_events" -> (vStatsEvents _),
     "v_constraints_orders" -> (vConstraintsOrders _),
     "v_rules_events" -> (vRulesEvents _),
     "v_profile_lineitem" -> (vProfileLineitem _),
+    "v_fd_discovery" -> (vFdDiscovery _),
     "v_rowlevel_events" -> (vRowlevelEvents _))
 
   val oracles: Map[String, String] = Map(
+    "v_fd_discovery" -> """
+      WITH c1 AS (SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+                         CAST(COUNT(*) AS BIGINT) AS n_groups,
+                         CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_violating
+                  FROM (SELECT COUNT(DISTINCT o_custkey) AS d
+                        FROM orders GROUP BY o_orderkey)),
+      c2 AS (SELECT 'orders: o_custkey -> o_orderpriority' AS fd,
+                    CAST(COUNT(*) AS BIGINT),
+                    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM (SELECT COUNT(DISTINCT o_orderpriority) AS d
+                   FROM orders GROUP BY o_custkey)),
+      c3 AS (SELECT 'lineitem: l_orderkey -> l_returnflag' AS fd,
+                    CAST(COUNT(*) AS BIGINT),
+                    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM (SELECT COUNT(DISTINCT l_returnflag) AS d
+                   FROM lineitem GROUP BY l_orderkey)),
+      c4 AS (SELECT 'lineitem: (l_orderkey, l_linenumber) -> l_partkey' AS fd,
+                    CAST(COUNT(*) AS BIGINT),
+                    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM (SELECT COUNT(DISTINCT l_partkey) AS d
+                   FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+      c5 AS (SELECT 'customer: c_custkey -> c_mktsegment' AS fd,
+                    CAST(COUNT(*) AS BIGINT),
+                    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM (SELECT COUNT(DISTINCT c_mktsegment) AS d
+                   FROM customer GROUP BY c_custkey)),
+      c6 AS (SELECT 'customer: c_name -> c_custkey' AS fd,
+                    CAST(COUNT(*) AS BIGINT),
+                    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM (SELECT COUNT(DISTINCT c_custkey) AS d
+                   FROM customer GROUP BY c_name)),
+      u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+            UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+            UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6)
+      SELECT fd, n_groups, n_violating, n_violating = 0 AS holds
+      FROM u ORDER BY fd""",
     "v_stats_events" -> """
       WITH st AS (
         SELECT event_type,
