@@ -89,4 +89,58 @@ object Merge {
       }
     }
   }
+
+  /** Targeted key deletion from a partitioned parquet table — the
+    * right-to-be-forgotten / takedown-propagation primitive. Rewrites
+    * ONLY the partitions that contain at least one matching row (the
+    * [[mergeIntoPartitioned]] cost model: work ∝ affected partitions,
+    * never the table), anti-joining the deletion list (broadcast — a
+    * deletion list is request-sized; a crawl-sized purge should go
+    * through a full compaction instead). A partition whose EVERY row is
+    * forgotten produces no output files, and dynamic partition
+    * overwrite only replaces partitions present in the written frame —
+    * the stale directory is deleted explicitly, or the "deleted" rows
+    * would still be served. Returns the per-partition audit
+    * (rows_before, rows_removed) a compliance process records; the
+    * audit is materialized BEFORE the rewrite so it reflects the
+    * pre-delete table even though the read path is being replaced. */
+  def forgetKeys(spark: SparkSession, basePath: String, forget: DataFrame,
+      keyCol: String, partitionCol: String): DataFrame = {
+    val keys = forget.select(col(keyCol)).distinct()
+    val base = spark.read.parquet(basePath)
+    val audit = base
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .groupBy(col(partitionCol)).agg(count(lit(1)).as("rows_removed"))
+      .join(base.groupBy(col(partitionCol))
+        .agg(count(lit(1)).as("rows_before")), Seq(partitionCol))
+      .select(col(partitionCol), col("rows_before"), col("rows_removed"))
+      .localCheckpoint()
+    val touched = audit.select(col(partitionCol)).collect().map(_.get(0)).toSeq
+    if (touched.nonEmpty) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val kept = base.filter(col(partitionCol).isin(touched: _*))
+          .join(broadcast(keys), Seq(keyCol), "left_anti")
+          // materialize before the overwrite replaces the files it reads
+          .localCheckpoint()
+        kept.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCol).parquet(basePath)
+        val keptParts = kept.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0)).toSet
+        val basePathP = new org.apache.hadoop.fs.Path(basePath)
+        val fs = basePathP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        touched.filterNot(keptParts).foreach { p =>
+          fs.delete(new org.apache.hadoop.fs.Path(basePathP,
+            s"$partitionCol=$p"), true)
+        }
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+    }
+    audit
+  }
 }

@@ -89,4 +89,57 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     Merge.mergeIntoPartitioned(spark, dir, delta, Seq("id"), col("ver"), "dt")
     assert(spark.read.parquet(dir).count() == 1)
   }
+
+  test("forgetKeys: deletes only listed keys, rewrites only touched partitions") {
+    val dir = Files.createTempDirectory("graft-forget").toString + "/t"
+    Seq(
+      (1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+      (3L, "2024-01-02", "c"), (4L, "2024-01-02", "d"),
+      (5L, "2024-01-03", "e"))
+      .toDF("user_id", "dt", "v").write.partitionBy("dt").parquet(dir)
+    def mtimes(part: String): Map[String, Long] = {
+      val p = Paths.get(dir, s"dt=$part")
+      Files.list(p).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    }
+    val before0103 = mtimes("2024-01-03")
+
+    val audit = Merge.forgetKeys(spark, dir,
+        Seq(2L, 3L, 99L).toDF("user_id"), "user_id", "dt")
+      .collect().map(r => r.get(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap  // partition col reads back as DATE via partition inference
+    // per-partition audit: only partitions with matches appear
+    assert(audit == Map("2024-01-01" -> ((2L, 1L)), "2024-01-02" -> ((2L, 1L))))
+
+    val left = spark.read.parquet(dir)
+      .select($"user_id").as[Long].collect().toSet
+    assert(left == Set(1L, 4L, 5L))
+    // untouched partition's files were not rewritten
+    assert(mtimes("2024-01-03") == before0103)
+  }
+
+  test("forgetKeys: a fully-forgotten partition's directory is removed") {
+    val dir = Files.createTempDirectory("graft-forget2").toString + "/t"
+    Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+        (3L, "2024-01-02", "c"))
+      .toDF("user_id", "dt", "v").write.partitionBy("dt").parquet(dir)
+    Merge.forgetKeys(spark, dir,
+      Seq(1L, 2L).toDF("user_id"), "user_id", "dt")
+    // dynamic overwrite alone would leave dt=2024-01-01 serving the
+    // "deleted" rows — the directory itself must be gone
+    assert(!Files.exists(Paths.get(dir, "dt=2024-01-01")))
+    assert(spark.read.parquet(dir)
+      .select($"user_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("forgetKeys: no matches is a no-op with an empty audit") {
+    val dir = Files.createTempDirectory("graft-forget3").toString + "/t"
+    Seq((1L, "2024-01-01", "a")).toDF("user_id", "dt", "v")
+      .write.partitionBy("dt").parquet(dir)
+    val audit = Merge.forgetKeys(spark, dir,
+      Seq(42L).toDF("user_id"), "user_id", "dt")
+    assert(audit.isEmpty)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
 }
