@@ -189,7 +189,43 @@ object ValidationQueries extends QueryPack {
       .orderBy(col("fd"))
   }
 
+  /** Pairwise Pearson correlations over the lineitem numeric columns —
+    * the multivariate profiling step (feature redundancy, drift
+    * detection) done engine-exactly: every moment (Σx, Σx², Σxy) is a
+    * DECIMAL sum in ONE pass over the fact, so the inputs to the final
+    * double formula are order-free and bit-identical; the closed-form
+    * corr = (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²)) then runs the same
+    * IEEE ops in both engines. Never `corr()` builtins — their
+    * accumulation order differs by partitioning and engine. */
+  def vCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def d(c: String) = col(c).cast(dec)
+    // product sums re-scale 12 → 6 BEFORE the double cast (exact for
+    // ≤3dp inputs; the v_stats_events 1-ulp DuckDB conversion note)
+    val moments =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+      cols.map(c => sum(d(c)).cast("double").as(s"s_$c")) ++
+      cols.map(c =>
+        sum(d(c) * d(c)).cast(dec28).cast("double").as(s"q_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(d(a) * d(b)).cast(dec28).cast("double").as(s"x_${a}_$b")
+      }.toSeq
+    val m = table(s, dir, "lineitem")
+      .agg(moments.head, moments.tail: _*)
+    val corrCols = cols.combinations(2).map { case Seq(a, b) =>
+      ((col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+        (sqrt(col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
+         sqrt(col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b"))))
+        .as(s"corr_${a}_$b")
+    }.toSeq
+    m.select(col("n").cast("long").as("n") +: corrCols: _*)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "v_corr_matrix" -> (vCorrMatrix _),
     "v_stats_events" -> (vStatsEvents _),
     "v_constraints_orders" -> (vConstraintsOrders _),
     "v_rules_events" -> (vRulesEvents _),
@@ -198,6 +234,32 @@ object ValidationQueries extends QueryPack {
     "v_rowlevel_events" -> (vRowlevelEvents _))
 
   val oracles: Map[String, String] = Map(
+    "v_corr_matrix" -> """
+      WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_q,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_p,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_d,
+          CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_t,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS q_q,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS q_p,
+          CAST(CAST(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS q_d,
+          CAST(CAST(SUM(CAST(l_tax AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS q_t,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS x_qp,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS x_qd,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS x_qt,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS x_pd,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS x_pt,
+          CAST(CAST(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_tax AS DECIMAL(19,6))) AS DECIMAL(28,6)) AS DOUBLE) AS x_dt
+        FROM lineitem)
+      SELECT CAST(n AS BIGINT) AS n,
+        (n * x_qp - s_q * s_p) / (SQRT(n * q_q - s_q * s_q) * SQRT(n * q_p - s_p * s_p)) AS corr_l_quantity_l_extendedprice,
+        (n * x_qd - s_q * s_d) / (SQRT(n * q_q - s_q * s_q) * SQRT(n * q_d - s_d * s_d)) AS corr_l_quantity_l_discount,
+        (n * x_qt - s_q * s_t) / (SQRT(n * q_q - s_q * s_q) * SQRT(n * q_t - s_t * s_t)) AS corr_l_quantity_l_tax,
+        (n * x_pd - s_p * s_d) / (SQRT(n * q_p - s_p * s_p) * SQRT(n * q_d - s_d * s_d)) AS corr_l_extendedprice_l_discount,
+        (n * x_pt - s_p * s_t) / (SQRT(n * q_p - s_p * s_p) * SQRT(n * q_t - s_t * s_t)) AS corr_l_extendedprice_l_tax,
+        (n * x_dt - s_d * s_t) / (SQRT(n * q_d - s_d * s_d) * SQRT(n * q_t - s_t * s_t)) AS corr_l_discount_l_tax
+      FROM m""",
     "v_fd_discovery" -> """
       WITH c1 AS (SELECT 'orders: o_orderkey -> o_custkey' AS fd,
                          CAST(COUNT(*) AS BIGINT) AS n_groups,
