@@ -224,8 +224,55 @@ object ValidationQueries extends QueryPack {
     m.select(col("n").cast("long").as("n") +: corrCols: _*)
   }
 
+  /** Distribution-drift detection: the two-sample chi-square statistic
+    * per event type between the first and second half of the month
+    * (ref = before Jan 16, cur = after), over fixed value buckets.
+    * Chi-square — not PSI/KL — because the statistic is pure
+    * count-arithmetic (+,×,÷): `ln` differs across libm
+    * implementations by 1 ulp and would make the oracle flaky, while
+    * identical double divisions replay exactly. The 2×k contingency
+    * grid is built EXPLICITLY (distinct buckets × both windows) so
+    * zero cells contribute their (0−e)²/e term — the join-only
+    * spelling silently drops exactly the cells that signal drift
+    * hardest. Per-type terms fold through the decimal-exact sum
+    * (order-free); one scan, one grid-sized shuffle. */
+  def vDriftChi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, dir, "events").filter($"value".isNotNull)
+      .select($"event_type",
+        least(floor($"value" / 50.0), lit(7.0)).cast(LongType).as("bucket"),
+        when($"ts" < ts("2024-01-16 00:00:00"), "ref").otherwise("cur")
+          .as("win"))
+    val cells = ev.groupBy($"event_type", $"bucket", $"win")
+      .agg(count(lit(1)).as("o"))
+    val wins = Seq("ref", "cur").toDF("win")
+    val grid = cells.select($"event_type", $"bucket").distinct()
+      .crossJoin(broadcast(wins))
+      .join(cells, Seq("event_type", "bucket", "win"), "left")
+      .withColumn("o", coalesce($"o", lit(0L)))
+    val wType = Window.partitionBy($"event_type")
+    val wBucket = Window.partitionBy($"event_type", $"bucket")
+    val wWin = Window.partitionBy($"event_type", $"win")
+    val terms = grid
+      .withColumn("t_all", sum($"o").over(wType))
+      .withColumn("t_bucket", sum($"o").over(wBucket))
+      .withColumn("t_win", sum($"o").over(wWin))
+      .withColumn("e",
+        ($"t_bucket" * $"t_win").cast(DoubleType) / $"t_all")
+      .withColumn("term", ($"o" - $"e") * ($"o" - $"e") / $"e")
+    terms.groupBy($"event_type")
+      .agg(
+        sum(when($"win" === "ref", $"o").otherwise(0L)).as("n_ref"),
+        sum(when($"win" === "cur", $"o").otherwise(0L)).as("n_cur"),
+        (countDistinct($"bucket") - 1).as("dof"),
+        decSum($"term").as("chi2"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "v_corr_matrix" -> (vCorrMatrix _),
+    "v_drift_chi2" -> (vDriftChi2 _),
     "v_stats_events" -> (vStatsEvents _),
     "v_constraints_orders" -> (vConstraintsOrders _),
     "v_rules_events" -> (vRulesEvents _),
@@ -234,6 +281,43 @@ object ValidationQueries extends QueryPack {
     "v_rowlevel_events" -> (vRowlevelEvents _))
 
   val oracles: Map[String, String] = Map(
+    "v_drift_chi2" -> s"""
+      WITH ev AS (
+        SELECT event_type,
+               CAST(LEAST(FLOOR(value / 50.0), 7.0) AS BIGINT) AS bucket,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS win
+        FROM events WHERE value IS NOT NULL),
+      cells AS (
+        SELECT event_type, bucket, win, CAST(COUNT(*) AS BIGINT) AS o
+        FROM ev GROUP BY 1, 2, 3),
+      grid AS (
+        SELECT g.event_type, g.bucket, w.win, COALESCE(c.o, 0) AS o
+        FROM (SELECT DISTINCT event_type, bucket FROM cells) g
+        CROSS JOIN (VALUES ('ref'), ('cur')) AS w(win)
+        LEFT JOIN cells c ON c.event_type = g.event_type
+          AND c.bucket = g.bucket AND c.win = w.win),
+      terms AS (
+        SELECT event_type, bucket, win, o,
+          CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS t_all,
+          CAST(SUM(o) OVER (PARTITION BY event_type, bucket) AS BIGINT)
+            AS t_bucket,
+          CAST(SUM(o) OVER (PARTITION BY event_type, win) AS BIGINT) AS t_win
+        FROM grid),
+      t2 AS (
+        SELECT event_type, win, o,
+               CAST(t_bucket * t_win AS DOUBLE) / t_all AS e, bucket
+        FROM terms)
+      SELECT event_type,
+             CAST(SUM(CASE WHEN win = 'ref' THEN o ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN win = 'cur' THEN o ELSE 0 END) AS BIGINT)
+               AS n_cur,
+             CAST(COUNT(DISTINCT bucket) - 1 AS BIGINT) AS dof,
+             ${decSumSql("(o - e) * (o - e) / e")} AS chi2
+      FROM t2
+      GROUP BY event_type
+      ORDER BY event_type""",
     "v_corr_matrix" -> """
       WITH m AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
