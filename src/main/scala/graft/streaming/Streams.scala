@@ -1078,6 +1078,31 @@ object Streams {
         batchId)
     }
 
+  /** Streaming deletion-request sink: each micro-batch of keys (a
+    * right-to-be-forgotten queue, a takedown feed) is applied to the
+    * partitioned target via [[graft.operators.Merge.forgetKeys]] —
+    * per-batch cost ∝ partitions containing matches — and every
+    * batch's per-partition audit is APPENDED to `auditPath` with its
+    * batchId (idempotent: a replayed batch overwrites its own
+    * batch=<id> audit rows, and re-deleting already-deleted keys is a
+    * no-op on the data). The audit table is the compliance ledger:
+    * when was which partition scrubbed, how many rows went. */
+  def forgetKeysSink(requests: DataFrame, tablePath: String,
+      auditPath: String, checkpoint: String, keyCol: String,
+      partitionCol: String,
+      trig: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val audit = graft.operators.Merge.forgetKeys(batch.sparkSession,
+          tablePath, batch, keyCol, partitionCol)
+        audit.withColumn("batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(auditPath)
+      }
+
   /** Shared atomic fold: merge `partial` (keys + associative numeric
     * columns) into the stored totals at `path`, summing every non-key
     * column by name. Replay-idempotent via the batch marker; crash-safe

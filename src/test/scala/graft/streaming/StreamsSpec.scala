@@ -207,6 +207,43 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("forget-keys sink: streamed deletions apply per batch with audit") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("forgetsink").toString
+    Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"),
+        (4L, "p2", "d"), (5L, "p3", "e"))
+      .toDF("user_id", "pt", "v")
+      .write.partitionBy("pt").parquet(s"$dir/t")
+
+    val input = MemoryStream[Long]
+    val q = Streams.forgetKeysSink(
+        input.toDS().toDF("user_id"),
+        s"$dir/t", s"$dir/audit", s"$dir/ckpt", "user_id", "pt",
+        Streams.trigger(1))
+      .start()
+    try {
+      input.addData(2L)          // touches p1 only
+      q.processAllAvailable()
+      input.addData(3L, 4L, 9L)  // empties p2; 9 matches nothing
+      q.processAllAvailable()
+
+      val left = spark.read.parquet(s"$dir/t")
+        .select($"user_id").as[Long].collect().toSet
+      assert(left == Set(1L, 5L))
+      // p2 fully forgotten → its directory is gone
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/t", "pt=p2")))
+      val audit = spark.read.parquet(s"$dir/audit")
+        .collect()
+        .map(r => (r.getAs[Long]("batch"), r.getAs[String]("pt"),
+          r.getAs[Long]("rows_before"), r.getAs[Long]("rows_removed")))
+        .toSet
+      assert(audit == Set((0L, "p1", 2L, 1L), (1L, "p2", 2L, 2L)))
+    } finally q.stop()
+  }
+
   test("kmv-merge sink: streamed sketch == one-shot batch sketch, exactly") {
     val spark2 = spark
     import spark2.implicits._
