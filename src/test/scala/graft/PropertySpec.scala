@@ -168,4 +168,45 @@ class PropertySpec extends AnyFunSuite {
         s"metadata (len $metaLen) leaked into the content signature")
     }
   }
+
+  test("NFC normalization: idempotent, JDK-exact, on combining-mark soup") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("e\u0301", "A\u030A", "\u212B", "o\u0308",
+        "n\u0303", "\u00e9", "\u00c5", "cafe\u0301", " "))
+    val gen = Gen.listOfN(8, piece).map(_.mkString)
+    forSamples(gen) { s =>
+      val once = graft.functions.NativeTextImpl
+        .nfcNormalize(UTF8String.fromString(s)).toString
+      // matches the JDK reference (the DuckDB oracle implements the
+      // same UAX #15) and is a fixpoint
+      assert(once == java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC))
+      assert(graft.functions.NativeTextImpl
+        .nfcNormalize(UTF8String.fromString(once)).toString == once)
+    }
+  }
+
+  test("LCS: symmetry, bounds, identity, append-monotonicity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Seq[String]) =
+      new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    def lcs(a: Seq[String], b: Seq[String]): Long =
+      graft.functions.NativeTextImpl.lcsLength(arr(a), arr(b))
+    val tok = Gen.oneOf("a", "b", "c", "d")
+    val gen = for {
+      n <- Gen.choose(0, 10); m <- Gen.choose(0, 10); k <- Gen.choose(0, 4)
+      a <- Gen.listOfN(n, tok); b <- Gen.listOfN(m, tok)
+      c <- Gen.listOfN(k, tok)
+    } yield (a, b, c)
+    forSamples(gen) { case (a, b, c) =>
+      assert(lcs(a, b) == lcs(b, a))                    // symmetric
+      assert(lcs(a, b) <= math.min(a.length, b.length)) // bounded
+      assert(lcs(a, a) == a.length)                     // identity
+      assert(lcs(a, b ++ c) >= lcs(a, b))               // append-monotone
+      assert(lcs(a ++ c, b ++ c) >= lcs(a, b))          // never decreases
+    }
+  }
 }
