@@ -246,9 +246,11 @@ object ValidationQueries extends QueryPack {
           .as("win"))
     val cells = ev.groupBy($"event_type", $"bucket", $"win")
       .agg(count(lit(1)).as("o"))
-    val wins = Seq("ref", "cur").toDF("win")
+    // the 2-element window axis is generated map-side (explode of a
+    // literal array) — a crossJoin with a 2-row frame plans a BNLJ
+    // and trips the fleet-wide plan audit for no benefit
     val grid = cells.select($"event_type", $"bucket").distinct()
-      .crossJoin(broadcast(wins))
+      .withColumn("win", explode(array(lit("ref"), lit("cur"))))
       .join(cells, Seq("event_type", "bucket", "win"), "left")
       .withColumn("o", coalesce($"o", lit(0L)))
     val wType = Window.partitionBy($"event_type")
