@@ -268,7 +268,40 @@ object EventQueries extends QueryPack {
       .orderBy(col("cohort_week"), col("week"))
   }
 
+  /** Sequence-pattern matching over per-user event histories — the
+    * MATCH_RECOGNIZE-lite / CEP primitive: each user's chronological
+    * event types collapse to a letter string (one aggregate on the
+    * user shuffle; order pinned by (ts, event_id) so both engines
+    * build the identical string), then patterns are regex counts over
+    * that string. Patterns here are chosen DETERMINISTIC across regex
+    * engines (literal adjacency `vcp`, and `v[^p]*p` whose greedy run
+    * cannot cross a `p` — leftmost-greedy Java and leftmost-longest
+    * RE2 agree); alternation-ambiguous patterns would not port. Per
+    * user the string is session-history-sized — at 100 TB you bound
+    * it by windowing the input first (the w_session_user machinery);
+    * the regex pass itself is map-side on one row per user. */
+  def wPatternMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val letter = when($"event_type" === "view", "v")
+      .when($"event_type" === "click", "c")
+      .when($"event_type" === "purchase", "p")
+      .when($"event_type" === "signup", "s")
+      .otherwise("e")
+    val seqs = table(s, dir, "events")
+      .select($"user_id", struct($"ts", $"event_id", letter.as("l")).as("e"))
+      .groupBy($"user_id")
+      .agg(array_join(transform(sort_array(collect_list($"e")),
+        x => x.getField("l")), "").as("seq"))
+    seqs.select($"user_id",
+        length($"seq").as("n_events"),
+        expr("regexp_count(seq, 'vcp')").as("n_vcp_adjacent"),
+        expr("regexp_count(seq, 'v[^p]*p')").as("n_view_to_purchase"))
+      .withColumn("converted", $"n_view_to_purchase" > 0)
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "w_pattern_match" -> (wPatternMatch _),
     "w_retention_cohorts" -> (wRetentionCohorts _),
     "w_funnel_steps" -> (wFunnelSteps _),
     "j_props_extract" -> (jPropsExtract _),
@@ -287,6 +320,27 @@ object EventQueries extends QueryPack {
     "w_session_user" -> (wSessionUser _))
 
   val oracles: Map[String, String] = Map(
+    // wPatternMatch twin: string_agg with the same (ts, event_id)
+    // order; len(regexp_extract_all) is DuckDB's regexp_count
+    "w_pattern_match" -> """
+      WITH l AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END AS letter
+        FROM events),
+      s AS (
+        SELECT user_id,
+               string_agg(letter, '' ORDER BY ts, event_id) AS seq
+        FROM l GROUP BY user_id)
+      SELECT user_id,
+             CAST(length(seq) AS INT) AS n_events,
+             CAST(len(regexp_extract_all(seq, 'vcp')) AS INT)
+               AS n_vcp_adjacent,
+             CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INT)
+               AS n_view_to_purchase,
+             len(regexp_extract_all(seq, 'v[^p]*p')) > 0 AS converted
+      FROM s ORDER BY user_id""",
     "w_retention_cohorts" -> """
       WITH e AS (
         SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week

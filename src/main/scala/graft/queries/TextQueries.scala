@@ -1436,7 +1436,9 @@ object TextQueries extends QueryPack {
     * is computed here only to pin the estimator's error. */
   def txKmvOverlap(s: SparkSession, dir: String): DataFrame = {
     val k = 256
-    val h = kmvHashFrame(s, dir)
+    // the hash frame feeds the sketch aggregate AND (twice) the exact
+    // intersection join — checkpoint so the corpus shingles+hashes once
+    val h = kmvHashFrame(s, dir).localCheckpoint()
     val sk = h.groupBy(col("source"))
       .agg(graft.functions.NativeAgg.kmvMinHashes(col("h"), k).as("kmv"),
         countDistinct(col("h")).as("nd"))
