@@ -287,6 +287,39 @@ object StreamStress {
     require(prefN == prefBatch,
       s"streamed preference fold $prefN != batch pairing $prefBatch")
 
+    // ——— 6. kmvMergeSink: per-key cardinality profile, 10 batches ———
+    // 20 keys × 2,500 distinct hashes per key (k = 64 saturates —
+    // the approximate regime); streamed fold must equal the one-shot
+    // sketch BIT-IDENTICALLY (k-smallest-of-union associativity)
+    val kmvCols = docs.select(col("doc_id"),
+      concat(lit("src"), (col("doc_id") % 20).cast("string")).as("key"),
+      conv(substring(md5(expr("CAST((doc_id DIV 20) % 2500 AS STRING)")),
+        1, 15), 16, 10).cast("long").as("h"))
+    val kmvArr = kmvCols.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    locally {
+      val input = MemoryStream[(Long, String, Long)]
+      val q = Streams.kmvMergeSink(
+          input.toDF().toDF("doc_id", "key", "h").drop("doc_id"),
+          s"$work/kmv/state", s"$work/kmv/cp", Seq("key"), "h", 64,
+          trig = Streams.trigger(1), onLoad = record("kmv")).start()
+      try {
+        partsOf(kmvArr, (r: (Long, String, Long)) => r._1)
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        require(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    def kmvMap(df: org.apache.spark.sql.DataFrame): Map[String, (Seq[Long], Long)] =
+      df.collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[scala.collection.Seq[Long]]("kmv").toVector.toSeq,
+          r.getAs[Long]("n_rows")))).toMap
+    val kmvStreamed = kmvMap(spark.read.parquet(s"$work/kmv/state"))
+    val kmvOneShot = kmvMap(kmvCols.drop("doc_id").groupBy(col("key"))
+      .agg(graft.functions.NativeAgg.kmvMinHashes(col("h"), 64).as("kmv"),
+        count(lit(1)).as("n_rows")))
+    require(kmvStreamed == kmvOneShot,
+      "streamed KMV state diverged from the one-shot sketch")
+
     val (sftB, sftF) = dirSize(s"$work/sft/index")
     val (phB, phF) = dirSize(s"$work/phash/index")
     val (flB, flF) = dirSize(s"$work/flag/state")
@@ -301,6 +334,7 @@ object StreamStress {
       f""""flagship_state_bytes":$flB,"flagship_state_files":$flF,""" +
       f""""ml_batch_secs":${jsonSecs("ml")},"ml_kept":$mlKept,""" +
       f""""pref_batch_secs":${jsonSecs("pref")},"pref_pairs":$prefN,""" +
+      f""""kmv_batch_secs":${jsonSecs("kmv")},"kmv_keys":${kmvStreamed.size},""" +
       f""""peak_heap_mb":${peakHeapMb()}}""")
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(work))
     spark.stop()
