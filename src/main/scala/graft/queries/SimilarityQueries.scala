@@ -33,6 +33,17 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Radius search ([[Similarity.rangeSearch]]): every corpus vector
+    * within cosine ≥ 0.35 of each of the 10 query vectors — the
+    * thresholded-retrieval mode top-k can't express; output is
+    * match-sized, not queries×k. */
+  def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.rangeSearch(emb, emb.filter(col("vec_id") < nQueries),
+        "vec_id", "embedding", threshold = 0.35)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ 0.40 within label blocks. */
   def simNearDupPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.blockedNearDupPairs(table(s, dir, "embeddings"),
@@ -95,6 +106,7 @@ object SimilarityQueries extends QueryPack {
     "sim_centroids" -> (simCentroids _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_bucketed" -> (simTopkBucketed _),
+    "sim_range_search" -> (simRangeSearch _),
     "sim_neardup_pairs" -> (simNearDupPairs _),
     "sim_dedup_apply" -> (simDedupApply _),
     "sim_semdedup" -> (simSemDedup _))
@@ -198,6 +210,16 @@ object SimilarityQueries extends QueryPack {
                  ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= $k ORDER BY query_id, rank""",
+    "sim_range_search" -> s"""
+      WITH prep AS ($prepSql), nrm AS ($normSql),
+      scored AS (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+               ${cosSql("qv.q", "cv.q", "qv.nsq", "cv.nsq")} AS cosine
+        FROM nrm qv JOIN nrm cv ON cv.vec_id <> qv.vec_id
+        WHERE qv.vec_id < $nQueries)
+      SELECT query_id, neighbor_id, cosine FROM scored
+      WHERE cosine >= 0.35
+      ORDER BY query_id, neighbor_id""",
     "sim_topk_bucketed" -> s"""
       WITH prep AS ($prepSql), nrm AS ($normSql),
       scored AS (

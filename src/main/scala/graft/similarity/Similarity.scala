@@ -374,6 +374,31 @@ object Similarity {
     topK(candidates, k)
   }
 
+  /** Radius (range) search: ALL corpus vectors within cosine ≥
+    * `threshold` of each query — the retrieval mode top-k cannot
+    * express (recall-bounded candidate generation, thresholded
+    * retrieval, "everything this similar"). Same shape as
+    * [[bruteForceTopK]]: one corpus scan against the broadcast query
+    * batch, but the filter replaces the heap, so the output is
+    * RESULT-sized (matches only) rather than queries×k. The IVF
+    * narrowing composes exactly as for top-k — pre-restrict the
+    * corpus side to the query's cell(s) — with the usual recall
+    * caveat at the radius boundary. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val c = prepare(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = prepare(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__q").as("__qq"),
+        col("__nsq").as("__qnsq"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"),
+          col("__qnsq")))
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold within a blocking key
     * (label / cluster): the embedding-space analog of
     * [[graft.dedup.Dedup.blockedJaccardPairs]]. */
