@@ -67,6 +67,26 @@ object DedupQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-family size histogram — the corpus-health report a
+    * dedup pass owes its operator: per component size, how many
+    * families and how many documents sit in them, plus the docs a
+    * dedup would remove (size − 1 per family). Singletons (docs in no
+    * pair) are excluded by construction — the histogram describes the
+    * DUPLICATED portion; total corpus size is the trivial complement.
+    * One extra two-level aggregate on top of the component frame. */
+  def d12ClusterHistogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 5, threshold = 0.8)
+    Dedup.connectedComponents(pairs, "doc_id")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_removable"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Transitive corpus dedup: one survivor (minimum id) per duplicate
     * COMPONENT — a duplicate of a duplicate is a duplicate. */
   def d7DedupTransitive(s: SparkSession, dir: String): DataFrame = {
@@ -339,6 +359,7 @@ object DedupQueries extends QueryPack {
     "d4_blocked_jaccard" -> (d4BlockedJaccard _),
     "d5_dedup_apply" -> (d5DedupApply _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
+    "d12_cluster_histogram" -> (d12ClusterHistogram _),
     "d7_dedup_transitive" -> (d7DedupTransitive _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "d11_bloom_incremental" -> (d11BloomIncremental _))
@@ -635,6 +656,32 @@ object DedupQueries extends QueryPack {
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
       SELECT src AS doc_id, MIN(dst) AS cluster_id
       FROM reach GROUP BY src ORDER BY doc_id""",
+    // d12: two-level aggregate over the d6 component closure
+    "d12_cluster_histogram" -> s"""
+      WITH RECURSIVE sets AS ($shingleSetsSql),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src),
+      szs AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM comp GROUP BY cluster_id)
+      SELECT sz AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs,
+             CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+      FROM szs GROUP BY sz ORDER BY cluster_size""",
     "d9_best_survivor" -> s"""
       WITH RECURSIVE sets AS ($shingleSetsSql),
       pairs AS (
