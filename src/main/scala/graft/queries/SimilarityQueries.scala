@@ -44,6 +44,44 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** Recall@k of the IVF/bucketed path against ground-truth brute
+    * force — the measurement that makes an ANN index honest: the
+    * speed/recall trade is a NUMBER per query, not a hope. Both paths
+    * run over the same quantized cosine; recall = |bucketed ∩ brute|
+    * / k via a semi-join on (query, neighbor). At 100 TB the brute
+    * side runs on a SAMPLE of queries (this query-batch pattern),
+    * never the full workload — recall estimation needs a few hundred
+    * queries, and the corpus-side cost is the same one scan the
+    * production brute path pays.
+    *
+    * On THIS fixture the measured mean recall ≈ 0.08 ≈ 1/|labels| —
+    * the theoretically expected value for a single-cell probe when
+    * embeddings are random and cells are arbitrary labels (true
+    * neighbors scatter uniformly across cells). That is the point of
+    * the measurement: it exposes that label-bucketing needs either a
+    * LEARNED quantizer (`Similarity.kmeansAssign`) or multiprobe to
+    * be a real index — which the sim_ivf/multiprobe queries then
+    * demonstrate. */
+  def simRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < nQueries)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val bucketed = Similarity.bucketedTopK(emb, q, "vec_id", "embedding",
+        "label", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = bucketed.join(brute, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    brute.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k.toLong).as("k"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ 0.40 within label blocks. */
   def simNearDupPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.blockedNearDupPairs(table(s, dir, "embeddings"),
@@ -107,6 +145,7 @@ object SimilarityQueries extends QueryPack {
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_bucketed" -> (simTopkBucketed _),
     "sim_range_search" -> (simRangeSearch _),
+    "sim_recall_eval" -> (simRecallEval _),
     "sim_neardup_pairs" -> (simNearDupPairs _),
     "sim_dedup_apply" -> (simDedupApply _),
     "sim_semdedup" -> (simSemDedup _))
@@ -233,6 +272,44 @@ object SimilarityQueries extends QueryPack {
                  ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= $k ORDER BY query_id, rank""",
+    // simRecallEval twin: both ranked paths replayed, intersection
+    // counted per query, missing-hit queries kept at recall 0
+    "sim_recall_eval" -> s"""
+      WITH prep AS ($prepSql), nrm AS ($normSql),
+      bscored AS (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+               ${cosSql("qv.q", "cv.q", "qv.nsq", "cv.nsq")} AS cosine
+        FROM nrm qv JOIN nrm cv ON cv.vec_id <> qv.vec_id
+        WHERE qv.vec_id < $nQueries),
+      brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM bscored)
+        WHERE rank <= $k),
+      vscored AS (
+        SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+               ${cosSql("qv.q", "cv.q", "qv.nsq", "cv.nsq")} AS cosine
+        FROM nrm qv JOIN nrm cv
+          ON cv.vec_id <> qv.vec_id AND cv.label = qv.label
+        WHERE qv.vec_id < $nQueries),
+      bucketed AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM vscored)
+        WHERE rank <= $k),
+      hits AS (
+        SELECT v.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM bucketed v JOIN brute b
+          ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id
+        GROUP BY v.query_id)
+      SELECT q.query_id, COALESCE(h.hits, 0) AS hits,
+             CAST($k AS BIGINT) AS k,
+             CAST(COALESCE(h.hits, 0) AS DOUBLE) / $k AS recall
+      FROM (SELECT DISTINCT query_id FROM brute) q
+      LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id""",
     "sim_neardup_pairs" -> s"""
       WITH prep AS ($prepSql), nrm AS ($normSql)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
