@@ -59,7 +59,7 @@ object SimilarityQueries extends QueryPack {
     * embeddings are random and cells are arbitrary labels (true
     * neighbors scatter uniformly across cells). That is the point of
     * the measurement: it exposes that label-bucketing needs either a
-    * LEARNED quantizer (`Similarity.kmeansAssign`) or multiprobe to
+    * LEARNED quantizer (`Similarity.kmeansIndex`) or multiprobe to
     * be a real index — which the sim_ivf/multiprobe queries then
     * demonstrate. */
   def simRecallEval(s: SparkSession, dir: String): DataFrame = {
