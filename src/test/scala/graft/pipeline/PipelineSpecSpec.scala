@@ -4,6 +4,60 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class PipelineSpecSpec extends AnyFunSuite {
 
+  test("the reference's LITERAL sample_pipeline.yaml parses whole and builds a valid DAG") {
+    // the drop-in claim, tested drop-in: the reference repo's own
+    // config file, byte for byte — not a mirrored inline copy
+    val path = java.nio.file.Paths.get(
+      "/root/reference/config/pipelines/sample_pipeline.yaml")
+    assume(java.nio.file.Files.exists(path), "reference checkout not present")
+    val spec = PipelineSpec.fromYaml(
+      java.nio.file.Files.readString(path), Map("API_TOKEN" -> "tkn"))
+
+    assert(spec.name == "sample_data_pipeline")
+    assert(spec.scheduleInterval == "0 */2 * * *")
+    assert(spec.sources.map(_.sourceId) == Seq("customer_db", "orders_api"))
+    assert(spec.sources.head.changeDetection("method") == "timestamp" &&
+      spec.sources.head.changeDetection("watermark_column") == "updated_at")
+    // ${API_TOKEN} interpolates inside the nested headers value
+    assert(spec.sources(1).connectionParams("headers").contains("Bearer tkn"))
+    assert(spec.sources.head.validationRules("required_columns") ==
+      Seq("id", "email", "created_at", "updated_at"))
+
+    assert(spec.transformations.map(_.modelName) ==
+      Seq("staging_customers", "staging_orders", "dim_customers",
+        "fact_orders"))
+    val fo = spec.transformations.last
+    assert(fo.materialization == "incremental" &&
+      fo.incrementalStrategy.contains("merge") &&
+      fo.uniqueKey.contains("order_id"))
+    assert(spec.transformations(1).tests.exists(t =>
+      t.kind == "relationships" &&
+        t.relatedModel.contains("ref('staging_customers')") &&
+        t.field.contains("customer_id")))
+
+    assert(spec.targets.map(_.tableName) == Seq("dim_customers", "fact_orders"))
+    assert(spec.targets.head.minRowCount.contains(1000L) &&
+      spec.targets.head.maxAgeHours.contains(4) &&
+      spec.targets.head.failOnValidationError)
+    assert(!spec.targets(1).failOnValidationError) // warning-only target
+    assert(spec.targets.flatMap(_.customChecks).map(_.name) ==
+      Seq("email_format_check", "duplicate_email_check",
+        "negative_amount_check", "future_order_date_check"))
+
+    assert(spec.dependencies("transform_fact_orders").toSet ==
+      Set("transform_staging_orders", "transform_dim_customers"))
+    assert(spec.monitoring.exists(m => m.enableMetrics &&
+      m.alertChannels.map(_.kind).sorted == Seq("email", "slack") &&
+      m.alertRules.map(_.name) ==
+        Seq("pipeline_failure", "data_quality_warning", "long_running_task")))
+
+    // 2 ingest + 4 transform + 2 validate tasks; the declared
+    // dependency map references them all and contains no cycle
+    val g = TaskGraph.fromSpec(spec)
+    assert(g.tasks.size == 8)
+    assert(g.validate.isEmpty, g.validate.mkString("; "))
+  }
+
   val yaml: String =
     """name: sample_data_pipeline
       |description: sample
