@@ -22,6 +22,36 @@ object ConfigMerge {
       }
     }
 
+  /** Parse a YAML document into the nested [[Conf]] shape deepMerge
+    * operates on (scalars → String/Int/Long/Double/Boolean, mappings →
+    * Map, sequences → List) — the loader half of the reference's
+    * `ConfigManager.load_config` (`settings.py:102-148`: read base,
+    * read environment file, deep-merge). `${VAR}` placeholders are
+    * NOT resolved here — they are config VALUES until
+    * [[applyOverrides]] (or a caller) substitutes them, exactly as
+    * the reference defers resolution to access time. */
+  def fromYaml(yaml: String): Conf = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    def conv(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+      import scala.jdk.CollectionConverters._
+      if (n.isObject)
+        n.properties().asScala.map(e => e.getKey -> conv(e.getValue)).toMap
+      else if (n.isArray) n.elements().asScala.map(conv).toList
+      else if (n.isBoolean) n.asBoolean()
+      else if (n.isInt) n.asInt()
+      else if (n.isLong) n.asLong()
+      else if (n.isFloatingPointNumber) n.asDouble()
+      else if (n.isNull) null
+      else n.asText()
+    }
+    conv(mapper.readTree(yaml)) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case other => throw new IllegalArgumentException(
+        s"top-level YAML must be a mapping, got $other")
+    }
+  }
+
   /** Apply env-var overrides at dotted config paths
     * (`settings.py:161-194`): `"a.b.c" -> value`, with `"true"/"false"`
     * coerced to Boolean, intermediate maps created as needed. */

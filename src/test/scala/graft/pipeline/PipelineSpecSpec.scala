@@ -58,6 +58,37 @@ class PipelineSpecSpec extends AnyFunSuite {
     assert(g.validate.isEmpty, g.validate.mkString("; "))
   }
 
+  test("the reference's LITERAL layered env configs merge with its semantics") {
+    import ConfigMerge._
+    val cfgDir = java.nio.file.Paths.get("/root/reference/config")
+    assume(java.nio.file.Files.exists(cfgDir), "reference checkout not present")
+    def load(f: String): Conf = fromYaml(java.nio.file.Files.readString(
+      cfgDir.resolve(f)))
+    val base = load("base.yaml")
+
+    // development overlay: env wins where both declare, base-only survives
+    val dev = deepMerge(base, load("development.yaml"))
+    assert(getPath(dev, "debug").contains(true))               // env wins
+    assert(getPath(dev, "logging.level").contains("DEBUG"))    // env wins
+    assert(getPath(dev, "logging.format").contains("json"))    // base-only
+    assert(getPath(dev, "logging.backup_count").contains(5))   // base-only
+    assert(getPath(dev, "snowflake.warehouse").contains("DEV_WH"))
+    assert(getPath(dev, "snowflake.role").contains("SYSADMIN")) // base-only
+    assert(getPath(dev, "airflow.dags_folder").contains("./airflow/dags"))
+    assert(getPath(dev, "databases.postgres_source.port").contains(5432))
+
+    // production overlay: ${VAR} placeholders survive as VALUES until
+    // resolution (the reference defers to access time); empty-map
+    // override replaces nothing under it
+    val prod = deepMerge(base, load("production.yaml"))
+    assert(getPath(prod, "snowflake.account")
+      .contains("${SNOWFLAKE_ACCOUNT}"))
+    assert(getPath(prod, "snowflake.warehouse").contains("PROD_WH"))
+    assert(getPath(prod, "snowflake.role").contains("SYSADMIN"))
+    assert(getPath(prod, "logging.format").contains("json"))
+    assert(getPath(prod, "databases") == Some(Map.empty))
+  }
+
   val yaml: String =
     """name: sample_data_pipeline
       |description: sample
