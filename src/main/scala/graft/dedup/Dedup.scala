@@ -87,7 +87,7 @@ object Dedup {
     else if (candHashes.isEmpty) probed.drop("__h", "__cand")
     else {
       val indexSlice = indexDf
-        .filter(xxhash64(col(textCol)).isin(candHashes.map(Long.box): _*))
+        .filter(xxhash64(col(textCol)).isin(candHashes.toIndexedSeq.map(Long.box): _*))
         .select(col(textCol)).distinct()
       probed.join(broadcast(indexSlice), Seq(textCol), "left_anti")
         .drop("__h", "__cand")

@@ -812,7 +812,7 @@ object TextQueries extends QueryPack {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val splits = Seq(
         docs.filter(col("doc_id") <= maxId / 3),
         docs.filter(col("doc_id") > maxId / 3 &&

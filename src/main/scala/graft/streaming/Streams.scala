@@ -63,7 +63,7 @@ object Streams {
         col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"interval $tolerance") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"interval $tolerance"))
-      .select(left.columns.map(c => col(s"l.$c")) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"l.$c")) ++
         rightCols.map(c => col(s"r.$c")): _*)
   }
 
@@ -160,7 +160,7 @@ object Streams {
               .distinct().limit(100001).collect()
             val old = spark.read.parquet(corpusPath)
               .filter(col("batch") =!= batchId) // replay: own prior attempt is not "old"
-              .select(batch.columns.map(col): _*)
+              .select(batch.columns.toIndexedSeq.map(col): _*)
             if (candIdProbe.isEmpty) batch
             else if (candIdProbe.length <= 100000)
               batch.unionByName(
@@ -1163,7 +1163,7 @@ object Streams {
     // different column order (or a renamed measure), a positional union
     // would silently sum values into the wrong columns — unionByName
     // instead aligns matching names and FAILS on a schema mismatch
-    val merged = mergeAgg(base.unionByName(partial), sumCols)
+    val merged = mergeAgg(base.unionByName(partial), sumCols.toIndexedSeq)
     merged.write.mode("overwrite").parquet(tmp.toString)
     // count the WRITTEN files (footer metadata) before the swap — the
     // merged plan still references the old base directory and cannot be

@@ -214,7 +214,7 @@ object LmScore {
     // re-tokenized and re-aggregated per join (the withQualityBands
     // localCheckpoint rationale)
     val counts = train5(train, idCol, textCol, buckets).map(_.localCheckpoint())
-    val t1 = counts.head.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    val t1 = counts.head.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     // one count frame per (order, role): renamed to the window
     // positions it matches, so every join is a plain usingColumns
     // broadcast hash join
