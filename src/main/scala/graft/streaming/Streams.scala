@@ -1042,6 +1042,51 @@ object Streams {
           .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("sum_x2"))
     }
 
+  /** Streaming drift monitor, fold half: accumulate per-(key, bucket)
+    * observation counts across micro-batches — plain [[aggMergeSink]]
+    * semantics (associative count sums on the atomic swap, replay-
+    * idempotent), keyed by (key, bucket). Pair with [[chi2Against]] to
+    * score the accumulated distribution at any time. */
+  def driftCountsSink(stream: DataFrame, path: String, checkpoint: String,
+      keyCol: String, bucketCol: String,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    aggMergeSink(stream.withColumn("__one", lit(1.0)), path, checkpoint,
+      Seq(keyCol, bucketCol), "__one", trig, onLoad)
+
+  /** Streaming drift monitor, scoring half: one-sample chi-square of
+    * the ACCUMULATED bucket counts at `path` against a reference
+    * distribution (`ref`: key, bucket, p_ref summing to 1 per key) —
+    * the continuous twin of the batch `v_drift_chi2`. Buckets the
+    * reference declares but the stream never produced contribute
+    * their full expected mass ((0−e)²/e — a vanished bucket is drift,
+    * not absence of evidence), via the ref-side left join; buckets
+    * observed but ABSENT from the reference have no expected mass and
+    * fail loudly rather than divide by zero. Pure count arithmetic
+    * (the libm-free discipline of the batch query); state read is
+    * keys × buckets rows. */
+  def chi2Against(spark: SparkSession, path: String, ref: DataFrame,
+      keyCol: String, bucketCol: String, pRefCol: String): DataFrame = {
+    val obs = spark.read.parquet(path)
+      .select(col(keyCol), col(bucketCol), col("n_rows").as("o"))
+    val unknown = obs.join(ref.select(col(keyCol), col(bucketCol)),
+      Seq(keyCol, bucketCol), "left_anti")
+    require(unknown.isEmpty,
+      "observed buckets absent from the reference distribution: " +
+        unknown.limit(5).collect().mkString(", "))
+    val n = obs.groupBy(col(keyCol)).agg(sum(col("o")).as("n"))
+    ref.join(obs, Seq(keyCol, bucketCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .join(n, Seq(keyCol))
+      .withColumn("e", col("n").cast("double") * col(pRefCol))
+      .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n_obs"),
+        (count(lit(1)) - 1).as("dof"),
+        sum(col("term").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("chi2"))
+  }
+
   /** KMV-profile fold: maintains, per key, the k-minimum-values
     * distinct sketch ([[graft.functions.KmvMinHashesAgg]]) and the row
     * count. Sketch merge is k-smallest-of-union — associative and

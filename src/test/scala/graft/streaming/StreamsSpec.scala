@@ -207,6 +207,48 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor: accumulated counts score in-distribution low, shifted high") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    // reference: key "m" uniform over buckets 0..3
+    val ref = Seq.tabulate(4)(b => ("m", b.toLong, 0.25)).toDF("k", "b", "p")
+
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.driftCountsSink(
+        input.toDS().toDF("k", "b"),
+        s"$dir/state", s"$dir/ckpt", "k", "b", Streams.trigger(1))
+      .start()
+    try {
+      // two in-distribution batches: 25 observations per bucket each
+      for (_ <- 1 to 2) {
+        input.addData((0 until 100).map(i => ("m", (i % 4).toLong)): _*)
+        q.processAllAvailable()
+      }
+      val calm = Streams.chi2Against(spark, s"$dir/state", ref, "k", "b", "p")
+        .head()
+      assert(calm.getAs[Long]("n_obs") == 200L &&
+        calm.getAs[Long]("dof") == 3L)
+      assert(calm.getAs[Double]("chi2") == 0.0) // exactly uniform stream
+      // a shifted batch: everything lands in bucket 0 — and bucket 3
+      // VANISHES from the incremental mix going forward
+      input.addData((0 until 200).map(_ => ("m", 0L)): _*)
+      q.processAllAvailable()
+      val drifted = Streams.chi2Against(spark, s"$dir/state", ref, "k", "b", "p")
+        .head()
+      // 400 obs: o = (250,50,50,50) vs e = 100 each -> chi2 = 300
+      assert(drifted.getAs[Double]("chi2") == 300.0)
+    } finally q.stop()
+
+    // a bucket the reference never declared fails loudly
+    val badRef = Seq(("m", 1L, 1.0)).toDF("k", "b", "p")
+    val e = intercept[IllegalArgumentException] {
+      Streams.chi2Against(spark, s"$dir/state", badRef, "k", "b", "p")
+    }
+    assert(e.getMessage.contains("absent from the reference"))
+  }
+
   test("forget-keys sink: streamed deletions apply per batch with audit") {
     val spark2 = spark
     import spark2.implicits._
