@@ -272,9 +272,79 @@ object ValidationQueries extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** THE STREAMING drift monitor as an oracle row
+    * ([[graft.streaming.Streams.driftCountsSink]] + `chi2Against`):
+    * the reference distribution is the FIRST half-month's bucket
+    * proportions; the second half-month's events stream through the
+    * checkpointed count-fold sink in three event_id-ordered
+    * micro-batches, and the accumulated state is scored one-sample
+    * against the reference. The oracle recomputes both windows and
+    * the statistic independently in SQL — pinning the fold AND the
+    * scorer, the tx_pretrain_stream pattern. Every (type, bucket)
+    * exists in both windows at this density, so the monitor's
+    * unknown-bucket guard stays quiet (it would THROW loudly, not
+    * mis-score, if the fixture thinned). Temp state deleted in
+    * `finally` — bench attempts and the oracle gate re-invoke this. */
+  def vDriftStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = table(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        // 3 pooled buckets (<50, 50-100, >=100): the one-sample monitor
+        // requires every CURRENT bucket to exist in the reference
+        // window (unknown buckets THROW) — at sf0.001 density finer
+        // bucketings leave uncovered tail cells in the ref window
+        least(floor(col("value") / 50.0), lit(2.0)).cast(LongType)
+          .as("bucket"),
+        (col("ts") < ts("2024-01-16 00:00:00")).as("is_ref"))
+    val refWin = ev.filter(col("is_ref"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val refP = refWin
+      .withColumn("p", col("c").cast(DoubleType) /
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))))
+      .select(col("event_type"), col("bucket"), col("p"))
+      .localCheckpoint()
+    val cur = ev.filter(!col("is_ref"))
+      .orderBy(col("event_id"))
+      .select(col("event_id"), col("event_type"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val splits = Seq(cur.take(cur.length / 3),
+      cur.slice(cur.length / 3, 2 * cur.length / 3),
+      cur.drop(2 * cur.length / 3))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_drift_stream").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.Streams.driftCountsSink(
+        input.toDF().toDF("event_id", "event_type", "bucket")
+          .drop("event_id"),
+        s"$work/state", s"$work/cp", "event_type", "bucket",
+        trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    val rows =
+      try {
+        try splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        finally q.stop()
+        graft.streaming.Streams.chi2Against(s, s"$work/state", refP,
+            "event_type", "bucket", "p")
+          .collect().toSeq
+      } finally graft.core.AtomicSwap.deleteRecursively(new java.io.File(work))
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = true),
+          StructField("n_obs", LongType, nullable = true),
+          StructField("dof", LongType, nullable = true),
+          StructField("chi2", DoubleType, nullable = true))))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "v_corr_matrix" -> (vCorrMatrix _),
     "v_drift_chi2" -> (vDriftChi2 _),
+    "v_drift_stream" -> (vDriftStream _),
     "v_stats_events" -> (vStatsEvents _),
     "v_constraints_orders" -> (vConstraintsOrders _),
     "v_rules_events" -> (vRulesEvents _),
@@ -283,6 +353,36 @@ object ValidationQueries extends QueryPack {
     "v_rowlevel_events" -> (vRowlevelEvents _))
 
   val oracles: Map[String, String] = Map(
+    // vDriftStream twin: ref-window proportions, cur-window counts,
+    // and the one-sample statistic all recomputed independently —
+    // pinning both the streaming fold and the scorer
+    "v_drift_stream" -> s"""
+      WITH ev AS (
+        SELECT event_type,
+               CAST(LEAST(FLOOR(value / 50.0), 2.0) AS BIGINT) AS bucket,
+               ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+        FROM events WHERE value IS NOT NULL),
+      refc AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c
+               FROM ev WHERE is_ref GROUP BY 1, 2),
+      refp AS (SELECT event_type, bucket,
+                      CAST(c AS DOUBLE) /
+                        SUM(c) OVER (PARTITION BY event_type) AS p
+               FROM refc),
+      curc AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS o
+               FROM ev WHERE NOT is_ref GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+              FROM curc GROUP BY 1),
+      terms AS (
+        SELECT r.event_type, COALESCE(c.o, 0) AS o, t.n,
+               CAST(t.n AS DOUBLE) * r.p AS e
+        FROM refp r
+        LEFT JOIN curc c ON c.event_type = r.event_type
+          AND c.bucket = r.bucket
+        JOIN tot t ON t.event_type = r.event_type)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_obs,
+             CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+             ${decSumSql("(o - e) * (o - e) / e")} AS chi2
+      FROM terms GROUP BY 1 ORDER BY 1""",
     "v_drift_chi2" -> s"""
       WITH ev AS (
         SELECT event_type,
