@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries, ValidationQueries, TransformQueries, EventQueries,
-    DedupQueries, SimilarityQueries, TextQueries, MultimodalQueries)
+    DedupQueries, SimilarityQueries, TextQueries, MultimodalQueries,
+    ErQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -47,6 +47,59 @@ object ChangeDetection {
       .drop("__ts_ms")
   }
 
+  /** Snapshot diff: classify every primary key across two table
+    * versions as `added` / `removed` / `changed` / (dropped)
+    * `unchanged`, with the exact set of changed columns per row — the
+    * audit view behind "what did yesterday's load do to this table?",
+    * and the batch analog of a CDC changelog when the source system
+    * ships only full snapshots (the reference's FULL extraction mode,
+    * `data_sources.py`, has no delta log to read — diffing successive
+    * snapshots IS its change stream).
+    *
+    * `compareCols` defaults to all shared non-key columns. Column
+    * comparison is null-safe (`<=>`); `changed_cols` lists differing
+    * columns in `compareCols` order via `concat_ws` (skips the
+    * non-differing entries' NULLs — identical semantics in DuckDB for
+    * the oracle).
+    *
+    * Scale: ONE full outer join on the primary key — both sides
+    * shuffle-partition by pk (or co-locate for free if both snapshots
+    * are bucketed by pk, the layout [[graft.operators.Layout]]
+    * recommends for fact tables); the per-column comparison is
+    * map-side on the joined row. `unchanged` rows are dropped before
+    * the result materializes, so output size is proportional to the
+    * CHANGE volume, not the table. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, pk: Seq[String],
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.filter(c => !pk.contains(c) &&
+        newDf.columns.contains(c)).toSeq
+    val o = oldDf.select((pk ++ cols).map(col): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select((pk ++ cols).map(col): _*)
+      .withColumn("__in_new", lit(true))
+    val oldR = o.toDF(o.columns.map(c =>
+      if (pk.contains(c)) c else s"${c}_old").toIndexedSeq: _*)
+    val newR = n.toDF(n.columns.map(c =>
+      if (pk.contains(c)) c else s"${c}_new").toIndexedSeq: _*)
+    val joined = oldR.join(newR, pk, "full_outer")
+    val changedCols = concat_ws(",", cols.map(c =>
+      when(!(col(s"${c}_old") <=> col(s"${c}_new")), lit(c))): _*)
+    joined
+      .withColumn("change_type",
+        when(col("__in_old_old").isNull, lit("added"))
+          .when(col("__in_new_new").isNull, lit("removed"))
+          .when(changedCols =!= "", lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("changed_cols",
+        when(col("change_type") === "changed", changedCols)
+          .otherwise(lit("")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(pk.map(col) ++
+        Seq(col("change_type"), col("changed_cols")): _*)
+  }
+
   /** S3/C4: log-based CDC apply — collapse a changelog to latest state
     * per key (deterministic tie-break on `seqCol`, e.g. a log offset).
     * This is the read-side of `MERGE`: one shuffle on the key, then a

@@ -143,6 +143,23 @@ object TransformQueries extends QueryPack {
       .orderBy(col("order_id"))
   }
 
+  /** T11 snapshot diff: the FULL-extraction change stream — diff two
+    * successive snapshots of the staged orders table (v2 = the CDC
+    * delta applied, minus a deterministic removal slice, plus a
+    * deterministic insert slice) into added/removed/changed rows with
+    * per-row changed-column sets. See
+    * [[graft.operators.ChangeDetection.snapshotDiff]]. */
+  def t11SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = staging(s, dir)
+    val merged = Merge.latestWins(v1, delta(v1), Seq("order_id"),
+      col("order_date"))
+    val v2 = merged.filter(col("order_id") % 13 =!= 3)
+      .unionByName(v1.filter(col("order_id") % 11 === 5)
+        .withColumn("order_id", col("order_id") + 10000000L))
+    graft.operators.ChangeDetection.snapshotDiff(v1, v2, Seq("order_id"))
+      .orderBy(col("order_id"))
+  }
+
   /** Q7b quarantine with per-row violation reasons (one pass; rule names
     * in declaration order) — the reject stream is self-describing. */
   def qa8QuarantineReasons(s: SparkSession, dir: String): DataFrame = {
@@ -167,6 +184,7 @@ object TransformQueries extends QueryPack {
     "t3_fact_orders_merge" -> (t3FactOrdersMerge _),
     "t9_scd2_customer" -> (t9Scd2Customer _),
     "t10_warehouse_ledger" -> (t10WarehouseLedger _),
+    "t11_snapshot_diff" -> (t11SnapshotDiff _),
     "qa1_min_row_count" -> (qa1MinRowCount _),
     "qa2_freshness" -> (qa2Freshness _),
     "qa3_custom_scalar" -> (qa3CustomScalar _),
@@ -265,6 +283,55 @@ object TransformQueries extends QueryPack {
                   ELSE 'kept' END AS outcome
       FROM merged m LEFT JOIN dim2 d ON m.customer_id = d.customer_id
       ORDER BY m.order_id""",
+    // t11 twin: v2 = latest-wins merge − removal slice + insert slice;
+    // the diff replays the null-safe per-column compare and the
+    // concat_ws changed-column framing
+    "t11_snapshot_diff" -> s"""
+      WITH staging AS ($stagingSql),
+      delta AS (
+        SELECT order_id, customer_id, 'U' AS order_status,
+               total_amount * 1.1 AS total_amount,
+               order_date + INTERVAL 1 DAY AS order_date, order_priority
+        FROM staging WHERE order_id % 7 = 0),
+      unioned AS (
+        SELECT *, 0 AS src FROM staging
+        UNION ALL SELECT *, 1 AS src FROM delta),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY order_id ORDER BY order_date DESC, src DESC) AS rn
+        FROM unioned),
+      merged AS (SELECT order_id, customer_id, order_status, total_amount,
+                        order_date, order_priority FROM ranked WHERE rn = 1),
+      v2 AS (
+        SELECT * FROM merged WHERE order_id % 13 <> 3
+        UNION ALL
+        SELECT order_id + 10000000, customer_id, order_status,
+               total_amount, order_date, order_priority
+        FROM staging WHERE order_id % 11 = 5),
+      diffed AS (
+        SELECT COALESCE(o.order_id, n.order_id) AS order_id,
+          o.order_id IS NULL AS is_added, n.order_id IS NULL AS is_removed,
+          concat_ws(',',
+            CASE WHEN o.customer_id IS DISTINCT FROM n.customer_id
+                 THEN 'customer_id' END,
+            CASE WHEN o.order_status IS DISTINCT FROM n.order_status
+                 THEN 'order_status' END,
+            CASE WHEN o.total_amount IS DISTINCT FROM n.total_amount
+                 THEN 'total_amount' END,
+            CASE WHEN o.order_date IS DISTINCT FROM n.order_date
+                 THEN 'order_date' END,
+            CASE WHEN o.order_priority IS DISTINCT FROM n.order_priority
+                 THEN 'order_priority' END) AS cc
+        FROM staging o FULL OUTER JOIN v2 n ON o.order_id = n.order_id)
+      SELECT order_id,
+             CASE WHEN is_added THEN 'added'
+                  WHEN is_removed THEN 'removed'
+                  ELSE 'changed' END AS change_type,
+             CASE WHEN is_added OR is_removed THEN '' ELSE cc END
+               AS changed_cols
+      FROM diffed
+      WHERE is_added OR is_removed OR cc <> ''
+      ORDER BY order_id""",
     "qa1_min_row_count" -> """
       SELECT COUNT(*) AS row_count, COUNT(*) >= 1000 AS passed FROM orders""",
     "qa2_freshness" -> """

@@ -341,7 +341,34 @@ object ValidationQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  import graft.validation.Privacy
+
+  /** Privacy: k-anonymity class-size histogram over the customer QI
+    * tuple (nation, segment, coarse balance bucket). */
+  def vKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymityHistogram(table(s, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_bucket")))
+      .orderBy(col("class_size"))
+
+  /** Privacy: single-row k-anonymity gate report at required k=5. */
+  def vKAnonReport(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymityReport(table(s, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_bucket")), k = 5)
+
+  /** Privacy: l-diversity of the sensitive segment within
+    * (nation, balance-bucket) classes, required l=3. */
+  def vLDiversity(s: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversityReport(table(s, dir, "customer"),
+      Seq(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).as("bal_bucket")),
+      col("c_mktsegment"), l = 3)
+
   val queries: Map[String, QueryFn] = Map(
+    "v_k_anonymity" -> (vKAnonymity _),
+    "v_k_anon_report" -> (vKAnonReport _),
+    "v_l_diversity" -> (vLDiversity _),
     "v_corr_matrix" -> (vCorrMatrix _),
     "v_drift_chi2" -> (vDriftChi2 _),
     "v_drift_stream" -> (vDriftStream _),
@@ -352,7 +379,48 @@ object ValidationQueries extends QueryPack {
     "v_fd_discovery" -> (vFdDiscovery _),
     "v_rowlevel_events" -> (vRowlevelEvents _))
 
+  private val custQiSql = """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+    FROM customer"""
+
   val oracles: Map[String, String] = Map(
+    "v_k_anonymity" -> s"""
+      WITH qi AS ($custQiSql),
+      classes AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket,
+               COUNT(*) AS class_size
+        FROM qi GROUP BY 1, 2, 3)
+      SELECT class_size, COUNT(*) AS n_classes,
+             CAST(COUNT(*) * class_size AS BIGINT) AS n_records
+      FROM classes GROUP BY class_size ORDER BY class_size""",
+    "v_k_anon_report" -> s"""
+      WITH qi AS ($custQiSql),
+      classes AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket,
+               COUNT(*) AS class_size
+        FROM qi GROUP BY 1, 2, 3)
+      SELECT COUNT(*) AS n_classes, MIN(class_size) AS dataset_k,
+             CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS classes_below_k,
+             CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                  AS BIGINT) AS records_below_k,
+             5 AS required_k
+      FROM classes""",
+    "v_l_diversity" -> """
+      WITH classes AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT c_mktsegment) AS l_distinct
+        FROM customer GROUP BY 1, 2)
+      SELECT COUNT(*) AS n_classes, MIN(l_distinct) AS dataset_l,
+             CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS classes_below_l,
+             CAST(SUM(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END)
+                  AS BIGINT) AS records_below_l,
+             3 AS required_l
+      FROM classes""",
     // vDriftStream twin: ref-window proportions, cur-window counts,
     // and the one-sample statistic all recomputed independently —
     // pinning both the streaming fold and the scorer

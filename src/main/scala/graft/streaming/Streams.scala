@@ -1568,6 +1568,109 @@ object Streams {
       }
   }
 
+  /** Streaming entity resolution — incremental record linkage against
+    * the accumulated feed (the MDM twin of [[nearDupDedupSink]]'s
+    * content dedup).
+    *
+    * Per micro-batch: a slim projection of the new records (id + the
+    * match fields only — the 16-bytes-per-record contract the sibling
+    * sinks' indexes follow) joins the ACCUMULATED slim store through
+    * [[graft.er.EntityResolution.incrementalCandidatePairs]] (the
+    * increment is always the small join side, so per-batch cost ∝
+    * increment × block width, never old×old), candidates score with
+    * the integer agreement weights, and links at/above threshold land
+    * in `linksPath/batch=<id>`; the slim records land in
+    * `recordsPath/batch=<id>`. Both writes are idempotent per batchId
+    * and both reads exclude the batch's own prior attempt, so a
+    * crash-replay equals a fresh run.
+    *
+    * Entity FINALIZATION is read-side — [[erGoldenState]] runs
+    * connectedComponents + survivorship over the accumulated links +
+    * records. That is deliberate: a new record can BRIDGE two
+    * previously-distinct entities, so any eagerly-materialized
+    * entity_id column would need retroactive rewrites of prior batch
+    * files (breaking the idempotent batch=id ownership). Links are
+    * append-only facts; entities are a view. This is the
+    * log-structured-MDM contract, and it makes streamed == batch
+    * equivalence exact: the union of per-batch incremental links IS
+    * the batch link set (every pair is emitted exactly once, when its
+    * LATER record arrives). */
+  def erLinkSink(stream: DataFrame, recordsPath: String, linksPath: String,
+      checkpoint: String, idCol: String, nameCol: String, segCol: String,
+      balCol: String, hardBlock: Seq[String],
+      passes: Seq[graft.er.EntityResolution.BlockingPass],
+      scoring: graft.er.EntityResolution.ErScoring =
+        graft.er.EntityResolution.ErScoring(),
+      maxBlockSize: Int = 10000,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.er.EntityResolution
+        val t0 = System.nanoTime()
+        val spark = batch.sparkSession
+        val slimCols = (Seq(idCol, nameCol, segCol, balCol) ++ hardBlock)
+          .distinct
+        val fs = new Path(recordsPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val committed = fs
+          .globStatus(new Path(recordsPath, "batch=*/_SUCCESS"))
+        val hasStore = committed != null && committed.nonEmpty
+        if (batchId == 0 && hasStore &&
+            committed.exists(s => s.getPath.getParent.getName != "batch=0"))
+          throw new IllegalStateException(
+            s"erLinkSink: batchId restarted at 0 but $recordsPath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or start fresh records/links paths.")
+        val newSlim = batch.select(slimCols.map(col): _*).localCheckpoint()
+        val oldSlim =
+          if (hasStore)
+            spark.read.parquet(recordsPath)
+              .filter(col("batch") =!= batchId) // replay: own attempt ≠ old
+              .select(slimCols.map(col): _*)
+          else newSlim.limit(0)
+        val all = newSlim.unionByName(oldSlim)
+        val cands = EntityResolution.incrementalCandidatePairs(
+          all, newSlim, idCol, hardBlock, passes, maxBlockSize)
+        val links = EntityResolution.matchLinks(
+          EntityResolution.scorePairs(cands, all, idCol, nameCol, segCol,
+            balCol, scoring), scoring)
+        // a replay re-derives in-batch links; new-old links of PRIOR
+        // batches already sit in their own batch dirs and are excluded
+        // from neither side here (pairs need >=1 new id) — emit-once
+        // holds because old-old pairs are never generated
+        links.write.mode("overwrite").parquet(s"$linksPath/batch=$batchId")
+        newSlim.write.mode("overwrite").parquet(s"$recordsPath/batch=$batchId")
+        onLoad(LoadResult(success = true, rowsLoaded = newSlim.count(),
+          tableName = recordsPath,
+          durationSeconds = (System.nanoTime() - t0) / 1e9))
+      }
+
+  /** Golden-record view over [[erLinkSink]]'s accumulated state:
+    * connectedComponents over ALL persisted links (edge count ∝
+    * matches, not corpus) + survivorship over the slim records.
+    * Identical output to batch [[graft.er.EntityResolution.run]] on
+    * the same feed. */
+  def erGoldenState(spark: SparkSession, recordsPath: String,
+      linksPath: String, idCol: String, nameCol: String, segCol: String,
+      balCol: String): DataFrame = {
+    import graft.er.EntityResolution
+    val records = spark.read.parquet(recordsPath).drop("batch")
+    val fs = new Path(linksPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val anyLinks = fs.globStatus(new Path(linksPath, "batch=*/_SUCCESS"))
+    val links =
+      if (anyLinks != null && anyLinks.nonEmpty)
+        spark.read.parquet(linksPath).drop("batch")
+      else records.limit(0)
+        .select(col(idCol).as("id_a"), col(idCol).as("id_b"))
+    EntityResolution.goldenRecords(
+      EntityResolution.resolve(records, links, idCol),
+      idCol, nameCol, segCol, balCol)
+  }
+
   /** E6: per-query input-row metrics via a listener (the reference's
     * extraction stats under lock, `extractors.py:318-336`). */
   class MetricsListener extends StreamingQueryListener {
