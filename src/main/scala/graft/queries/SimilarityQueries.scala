@@ -119,6 +119,24 @@ object SimilarityQueries extends QueryPack {
         "vec_id", "embedding", "label", eps = 0.40)
       .orderBy(col("vec_id"))
 
+  /** Contrastive pair mining ([[Similarity.contrastivePairs]]): per
+    * anchor, the best in-band positive (cos ≥ 0.35) and the hardest
+    * below-band negative. */
+  def simContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.contrastivePairs(emb, emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", tau = 0.35)
+      .orderBy(col("anchor_id"))
+  }
+
+  /** Cluster-balanced diversity sample
+    * ([[Similarity.clusterBalancedSample]]): the 3 least-prototypical
+    * members of every label cell. */
+  def simClusterSample(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(table(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", quota = 3)
+      .orderBy(col("label"), col("rank"))
+
   /** IVFADC top-k ([[graft.similarity.Pq.topK]]) over the COMMITTED
     * integer fixture ([[graft.similarity.PqFixture]]): coarse cells and
     * PQ codes assigned by exact integer nearest-centroid, ADC distance
@@ -148,7 +166,9 @@ object SimilarityQueries extends QueryPack {
     "sim_recall_eval" -> (simRecallEval _),
     "sim_neardup_pairs" -> (simNearDupPairs _),
     "sim_dedup_apply" -> (simDedupApply _),
-    "sim_semdedup" -> (simSemDedup _))
+    "sim_semdedup" -> (simSemDedup _),
+    "sim_contrastive_pairs" -> (simContrastivePairs _),
+    "sim_cluster_sample" -> (simClusterSample _))
 
   /** Integer-quantized corpus CTE shared by the oracles: q = floor(x·10⁴)
     * components, nsq = exact squared norm. */
@@ -329,6 +349,50 @@ object SimilarityQueries extends QueryPack {
     // centroid direction == integer component-sum direction (cosine is
     // scale-invariant), so centroid_cos stays integer until one final
     // divide — mirrors Similarity.centroidCosine exactly
+    "sim_contrastive_pairs" -> s"""
+      WITH prep AS ($prepSql), nrm AS ($normSql),
+      scored AS (
+        SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+               ${cosSql("a.q", "b.q", "a.nsq", "b.nsq")} AS cosine
+        FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50),
+      pos AS (
+        SELECT anchor_id, neighbor_id AS pos_id, cosine AS pos_cos
+        FROM scored WHERE cosine >= 0.35
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id
+          ORDER BY cosine DESC, neighbor_id) = 1),
+      neg AS (
+        SELECT anchor_id, neighbor_id AS neg_id, cosine AS neg_cos
+        FROM scored WHERE cosine < 0.35
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id
+          ORDER BY cosine DESC, neighbor_id) = 1)
+      SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+      FROM pos p JOIN neg n USING (anchor_id)
+      ORDER BY anchor_id""",
+    "sim_cluster_sample" -> s"""
+      WITH prep AS ($prepSql), nrm AS ($normSql),
+      lblpos AS (
+        SELECT label,
+               unnest([{'pos': i - 1, 'qc': q[i]}
+                       FOR i IN range(1, len(q) + 1)],
+                      recursive := true)
+        FROM prep),
+      lbl AS (
+        SELECT label, pos, CAST(SUM(qc) AS BIGINT) AS s
+        FROM lblpos GROUP BY label, pos),
+      lblarr AS (
+        SELECT label, list(s ORDER BY pos) AS sv,
+               SUM(CAST(s AS HUGEINT) * s) AS csq
+        FROM lbl GROUP BY label),
+      scored AS (
+        SELECT n.vec_id, n.label,
+               ${cosSql("n.q", "l.sv", "n.nsq", "l.csq")} AS centroid_cos
+        FROM nrm n JOIN lblarr l ON n.label = l.label)
+      SELECT label, rank, vec_id, centroid_cos
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+              ORDER BY centroid_cos, vec_id) AS rank
+            FROM scored)
+      WHERE rank <= 3 ORDER BY label, rank""",
     "sim_semdedup" -> s"""
       WITH RECURSIVE prep AS ($prepSql), nrm AS ($normSql),
       lblpos AS (

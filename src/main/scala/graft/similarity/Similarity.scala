@@ -480,6 +480,66 @@ object Similarity {
       Seq(graft.plans.TopK.asc("centroid_cos")))
   }
 
+  /** Contrastive training-pair mining: for each anchor, the POSITIVE
+    * (its most-similar corpus vector at cosine ≥ `tau`) and the HARD
+    * NEGATIVE (the most-similar vector BELOW `tau` — the confusable
+    * non-match that contrastive losses need; a random negative is
+    * trivially separable and teaches nothing, per the hard-negative
+    * literature, e.g. Robinson et al. 2021, arXiv:2010.04592).
+    * Anchors with no in-band positive are dropped (nothing to
+    * contrast against).
+    *
+    * Scale: anchors broadcast, corpus scanned ONCE (both band
+    * selections read the same scored frame), each selection is the
+    * k=1 bounded heap ([[graft.plans.TopKPerKeyExec]]) — never a
+    * per-anchor sort. Ties break on neighbor id, so the pair set is
+    * deterministic and the cosine columns hash-compare. */
+  def contrastivePairs(corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    import graft.plans.TopK
+    val c = prepare(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = prepare(anchors, idCol, vecCol)
+      .select(col(idCol).as("anchor_id"), col("__q").as("__qq"),
+        col("__nsq").as("__qnsq"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("anchor_id"))
+      .withColumn("cosine",
+        cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"),
+          col("__qnsq")))
+      .select(col("anchor_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint() // one corpus scan feeds both band selections
+    def best(band: DataFrame, outId: String, outCos: String) =
+      TopK.perKey(band, Seq("anchor_id"),
+          Seq(TopK.desc("cosine"), TopK.asc("neighbor_id")), k = 1)
+        .select(col("anchor_id"), col("neighbor_id").as(outId),
+          col("cosine").as(outCos))
+    best(scored.filter(col("cosine") >= tau), "pos_id", "pos_cos")
+      .join(best(scored.filter(col("cosine") < tau), "neg_id", "neg_cos"),
+        Seq("anchor_id"))
+  }
+
+  /** Cluster-balanced diversity sampling (the data-pruning rule of
+    * Sorscher et al. 2022, arXiv:2206.14486: keep the LEAST
+    * prototypical examples of each cluster — the hard ones carry the
+    * information; dense-cluster cores are redundant). Per label cell,
+    * keeps the `quota` members with the LOWEST centroid cosine
+    * ([[centroidCosine]], engine-exact), rank 1 = least prototypical.
+    * Also the quota-per-cell balancer: no cell contributes more than
+    * `quota` rows regardless of its population, so a mega-cluster
+    * cannot dominate the sample.
+    *
+    * Scale: centroidCosine's one map-side label-sum aggregate +
+    * broadcast-back, then the bounded per-label heap — the corpus
+    * shuffles once (the heap's label partitioning), never sorts. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, quota: Int): DataFrame = {
+    import graft.plans.TopK
+    TopK.perKey(centroidCosine(df, idCol, vecCol, labelCol),
+        Seq("label"),
+        Seq(TopK.asc("centroid_cos"), TopK.asc(idCol)), k = quota)
+      .select(col("label"), col("rank"), col(idCol), col("centroid_cos"))
+  }
+
   /** Int8 storage compression for embedding tables: per-vector
     * symmetric quantization — `scale = max(|x|)/127`, `code_i =
     * round(x_i / scale)` ∈ [−127, 127] — shrinks an array<float> column

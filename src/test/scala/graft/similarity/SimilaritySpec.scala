@@ -220,4 +220,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val recall = braw.intersect(bcmp).size.toDouble / braw.size
     assert(recall >= 0.9, s"recall@5 after int8 = $recall")
   }
+
+  test("contrastive pairs: positive in band, negative the hardest below") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // unit-ish 2d vectors at controlled angles to anchor (1, 0):
+    //   id 1 ~ cos 0.995 (positive band), id 2 ~ cos 0.7 (also in band),
+    //   id 3 ~ cos 0.3 (hard negative), id 4 ~ cos -0.9 (easy negative)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val rows = Seq(
+      Row(0L, v(1.0, 0.0)), Row(1L, v(0.995, 0.0998)),
+      Row(2L, v(0.7, 0.714)), Row(3L, v(0.3, 0.954)),
+      Row(4L, v(-0.9, 0.436)))
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val p = Similarity.contrastivePairs(df, df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", tau = 0.5).collect()
+    assert(p.length === 1)
+    val r = p.head
+    assert(r.getAs[Long]("pos_id") === 1L, "best in-band positive")
+    assert(r.getAs[Long]("neg_id") === 3L, "HARDEST below-band negative")
+    assert(r.getAs[Double]("pos_cos") >= 0.5 &&
+      r.getAs[Double]("neg_cos") < 0.5)
+    // an anchor with no in-band positive yields no pair
+    val none = Similarity.contrastivePairs(df,
+      df.filter(col("vec_id") === 4), "vec_id", "embedding", tau = 0.99)
+    assert(none.isEmpty)
+  }
+
+  test("cluster-balanced sample: quota per cell, least-prototypical first") {
+    val sampled = Similarity.clusterBalancedSample(emb, "vec_id",
+      "embedding", "label", quota = 3).collect()
+    val byLabel = sampled.groupBy(_.getAs[Int]("label"))
+    val cellSizes = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byLabel.foreach { case (lbl, rows) =>
+      assert(rows.length === math.min(3L, cellSizes(lbl)).toInt,
+        s"label $lbl must contribute min(quota, cell size)")
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cos = sorted.map(_.getAs[Double]("centroid_cos")).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a <= b },
+        "rank 1 = least prototypical (lowest centroid cosine)")
+    }
+    // rank-1 rows are the true per-cell minima of the full scoring
+    val scored = Similarity.centroidCosine(emb, "vec_id", "embedding",
+      "label").collect()
+    val minCos = scored.groupBy(_.getAs[Int]("label"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Double]("centroid_cos")).min }
+    byLabel.foreach { case (lbl, rows) =>
+      val r1 = rows.find(_.getAs[Int]("rank") == 1).get
+      assert(r1.getAs[Double]("centroid_cos") === minCos(lbl))
+    }
+  }
 }
