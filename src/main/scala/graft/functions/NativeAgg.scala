@@ -268,6 +268,128 @@ case class KmvMinHashesAgg(
     copy(child = newChild)
 }
 
+/** Exact integer scatter/Gram statistics of a quantized vector column,
+  * in ONE pass: row count n, per-component sums s_i, and the upper
+  * triangle of G_ij = Σ_rows q_i·q_j. This is the distributed half of
+  * PCA: the d×d scatter aggregates map-side in a d(d+1)/2-long buffer
+  * (d=64 → 2 080 longs ≈ 17 KB per partition state), the shuffle
+  * carries ONE buffer per partition, and the eigen-iteration then runs
+  * on the driver over a d×d matrix — config-sized, like the kmeans
+  * centroid collect. The naive spelling (posexplode twice + groupBy)
+  * multiplies the corpus by d² rows before combining; this never
+  * materializes more than partitions·d² longs.
+  *
+  * Exactness bound: |q_i| ≤ 10⁴ (the repo-wide quantization), so each
+  * product ≤ 10⁸ and the long accumulator is exact up to ~9·10¹⁰ rows;
+  * beyond that, shard the aggregation and merge in decimal (same
+  * escalation note as centroidCosine's Σ S²).
+  *
+  * Result: struct<n: long, s: array<long>, g: array<long>> with g in
+  * row-major upper-triangle order ((i,j), i ≤ j). */
+case class GramMatrixAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_gram_matrix"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("g", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<long> (quantized vector), got ${t.sql}")
+    }
+
+  // buffer layout: [d, n, s_0..s_{d-1}, G_00, G_01, .., G_0{d-1}, G_11, ..]
+  // d is fixed by the FIRST vector seen (empty marker: length-0 array)
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def init(d: Int): Array[Long] = {
+    val buf = new Array[Long](2 + d + d * (d + 1) / 2)
+    buf(0) = d
+    buf
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val d = arr.numElements()
+    val b = if (buf.isEmpty) init(d) else buf
+    require(b(0) == d,
+      s"$prettyName: inconsistent vector dims (${b(0)} vs $d)")
+    b(1) += 1
+    var i = 0
+    var gBase = 2 + d
+    while (i < d) {
+      val qi = arr.getLong(i)
+      b(2 + i) += qi
+      var j = i
+      while (j < d) {
+        b(gBase + (j - i)) += qi * arr.getLong(j)
+        j += 1
+      }
+      gBase += d - i
+      i += 1
+    }
+    b
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
+    if (other.isEmpty) buf
+    else if (buf.isEmpty) other.clone()
+    else {
+      require(buf(0) == other(0),
+        s"$prettyName: inconsistent vector dims (${buf(0)} vs ${other(0)})")
+      var i = 1
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+  override def eval(buf: Array[Long]): Any = {
+    val b = if (buf.isEmpty) init(0) else buf
+    val d = b(0).toInt
+    new GenericInternalRow(Array[Any](
+      b(1),
+      new GenericArrayData(java.util.Arrays.copyOfRange(b, 2, 2 + d)),
+      new GenericArrayData(
+        java.util.Arrays.copyOfRange(b, 2 + d, b.length))))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramMatrixAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramMatrixAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): GramMatrixAgg =
+    copy(child = newChild)
+}
+
 object NativeAgg {
   /** Column wrapper: `heavyHitters(items, k)` aggregates a string
     * column into the ≤k-entry Misra-Gries summary. */
@@ -280,4 +402,11 @@ object NativeAgg {
   def kmvMinHashes(hash: Column, k: Int): Column =
     GraftShims.column(
       KmvMinHashesAgg(GraftShims.expression(hash), k).toAggregateExpression())
+
+  /** Column wrapper: `gramMatrix(quantizedVec)` aggregates an
+    * array<long> column into (n, component sums, upper-triangle Gram
+    * matrix) — the one-pass scatter statistics PCA needs. */
+  def gramMatrix(vec: Column): Column =
+    GraftShims.column(
+      GramMatrixAgg(GraftShims.expression(vec)).toAggregateExpression())
 }

@@ -137,6 +137,13 @@ object SimilarityQueries extends QueryPack {
         "vec_id", "embedding", "label", quota = 3)
       .orderBy(col("label"), col("rank"))
 
+  /** First principal component of the embedding corpus by exact
+    * fixed-point power iteration ([[Similarity.powerIterationPc1]]);
+    * the oracle replays all 8 iterates as unrolled CTEs. */
+  def simPcaPc1(s: SparkSession, dir: String): DataFrame =
+    Similarity.powerIterationPc1(table(s, dir, "embeddings"), "embedding")
+      .orderBy(col("pos"))
+
   /** IVFADC top-k ([[graft.similarity.Pq.topK]]) over the COMMITTED
     * integer fixture ([[graft.similarity.PqFixture]]): coarse cells and
     * PQ codes assigned by exact integer nearest-centroid, ADC distance
@@ -168,7 +175,8 @@ object SimilarityQueries extends QueryPack {
     "sim_dedup_apply" -> (simDedupApply _),
     "sim_semdedup" -> (simSemDedup _),
     "sim_contrastive_pairs" -> (simContrastivePairs _),
-    "sim_cluster_sample" -> (simClusterSample _))
+    "sim_cluster_sample" -> (simClusterSample _),
+    "sim_pca_pc1" -> (simPcaPc1 _))
 
   /** Integer-quantized corpus CTE shared by the oracles: q = floor(x·10⁴)
     * components, nsq = exact squared norm. */
@@ -199,7 +207,57 @@ object SimilarityQueries extends QueryPack {
         s"($j, $c, ${v.mkString("[", ",", "]")})" } }
     .mkString(", ")
 
+  /** Unrolled fixed-point power iteration: w_t = M·v_{t-1},
+    * v_t = (w_t·10⁶)//max|w_t| — DuckDB `//` truncates toward zero,
+    * matching Scala BigInt division, so every iterate is bit-exact. */
+  private def pcaIterCtes(iters: Int): String =
+    (1 to iters).map { t =>
+      // MATERIALIZED: DuckDB inlines plain CTEs per reference, which
+      // re-derives the whole prior chain at every step (exponential)
+      s"""w$t AS MATERIALIZED (
+        SELECT m.i, SUM(m.mij * v${t - 1}.v) AS w
+        FROM m JOIN v${t - 1} ON m.j = v${t - 1}.i GROUP BY m.i),
+      v$t AS MATERIALIZED (
+        SELECT i, (w * 1000000) // (SELECT MAX(ABS(w)) FROM w$t) AS v
+        FROM w$t)"""
+    }.mkString(",\n      ")
+
+  private val pcaIters = 8
+
+  private val pcaSql = s"""
+      WITH prep AS ($prepSql),
+      comp AS (
+        SELECT vec_id,
+               unnest([{'i': i - 1, 'qi': q[i]}
+                       FOR i IN range(1, len(q) + 1)],
+                      recursive := true)
+        FROM prep),
+      g AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, SUM(a.qi * b.qi) AS gij
+        FROM comp a JOIN comp b USING (vec_id) GROUP BY 1, 2),
+      sums AS MATERIALIZED (
+        SELECT i, CAST(SUM(qi) AS BIGINT) AS si FROM comp GROUP BY i),
+      nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM prep),
+      m AS MATERIALIZED (
+        SELECT g.i, g.j,
+               (SELECT n FROM nn) * g.gij
+                 - CAST(sa.si AS HUGEINT) * sb.si AS mij
+        FROM g JOIN sums sa ON g.i = sa.i JOIN sums sb ON g.j = sb.i),
+      v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM sums),
+      ${pcaIterCtes(pcaIters)},
+      ray AS (
+        SELECT (SELECT SUM(m.mij * va.v * vb.v)
+                FROM m JOIN v$pcaIters va ON m.i = va.i
+                       JOIN v$pcaIters vb ON m.j = vb.i) AS num,
+               (SELECT SUM(v * v) FROM v$pcaIters) AS den,
+               (SELECT SUM(mij) FROM m WHERE i = j) AS trace)
+      SELECT CAST(v.i AS INT) AS pos, CAST(v.v AS BIGINT) AS v_fp,
+             CAST((SELECT num * 1000000 // (den * trace) FROM ray)
+                  AS BIGINT) AS explained_ppm
+      FROM v$pcaIters v ORDER BY pos"""
+
   val oracles: Map[String, String] = Map(
+    "sim_pca_pc1" -> pcaSql,
     "sim_pq_adc" -> s"""
       WITH prep AS ($prepSql),
       cents AS (SELECT * FROM (VALUES $coarseValuesSql) AS t(cid, cv)),

@@ -540,6 +540,76 @@ object Similarity {
       .select(col("label"), col("rank"), col(idCol), col("centroid_cos"))
   }
 
+  /** First principal component by EXACT fixed-point power iteration —
+    * embedding-space diagnostics (anisotropy / dominant-direction
+    * analysis; Mu & Viswanath 2018, arXiv:1702.01417, show removing
+    * the top component materially changes embedding geometry) with a
+    * bit-reproducible answer both engines can replay.
+    *
+    * Distributed part: ONE pass through the corpus via
+    * [[graft.functions.NativeAgg.gramMatrix]] over quantized vectors —
+    * map-side-combined scatter statistics, a single d×d matrix on the
+    * driver (config-sized, the kmeans-centroid precedent). Driver
+    * part: the centered scatter M = n·G − s·sᵀ (all BigInt — n·Cov·n,
+    * integer-exact, PSD) powered T times from v₀ = 1⃗ at fixed-point
+    * scale 10⁶: w = M·v, then v′ = (w·10⁶)/max|w| in integer division
+    * (truncation toward zero — DuckDB `//` semantics, so the oracle
+    * replays every iterate bit-for-bit). Output per component:
+    * `pos`, `v_fp` (the eigenvector at scale 10⁶), and
+    * `explained_ppm` = (vᵀMv · 10⁶) / (vᵀv · tr M) — the
+    * explained-variance fraction in parts-per-million, integer-exact
+    * (scale-invariant, so the n² factor in M cancels).
+    *
+    * T is a FIXED budget (default 8), not a convergence loop: a
+    * deterministic, replayable iterate beats a tolerance loop whose
+    * round count could differ across engines. */
+  def powerIterationPc1(df: DataFrame, vecCol: String,
+      iters: Int = 8): DataFrame = {
+    import graft.functions.NativeAgg
+    val spark = df.sparkSession
+    val row = df.select(
+      NativeAgg.gramMatrix(quantize(col(vecCol))).as("gm")).head()
+    val gm = row.getStruct(0)
+    val n = BigInt(gm.getLong(0))
+    val s = gm.getSeq[Long](1).map(BigInt(_)).toArray
+    val gUp = gm.getSeq[Long](2).map(BigInt(_)).toArray
+    val d = s.length
+    require(n > 0 && d > 0, "powerIterationPc1: empty input")
+    // dense symmetric M = n*G - s*s^T from the upper triangle
+    val m = Array.ofDim[BigInt](d, d)
+    var base = 0
+    for (i <- 0 until d) {
+      for (j <- i until d) {
+        val v = n * gUp(base + (j - i)) - s(i) * s(j)
+        m(i)(j) = v; m(j)(i) = v
+      }
+      base += d - i
+    }
+    val scale = BigInt(1000000)
+    var v = Array.fill(d)(scale)
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(BigInt(0))((acc, j) => acc + m(i)(j) * v(j)))
+      val mx = w.map(_.abs).max
+      v = if (mx == 0) v else w.map(x => x * scale / mx)
+    }
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield m(i)(j) * v(i) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    val ppm =
+      if (den == 0 || trace == 0) BigInt(0)
+      else num * scale / (den * trace)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      (0 until d).map(i => org.apache.spark.sql.Row(
+        i, v(i).toLong, ppm.toLong)).asJava,
+      StructType(Seq(
+        StructField("pos", IntegerType, nullable = false),
+        StructField("v_fp", LongType, nullable = false),
+        StructField("explained_ppm", LongType, nullable = false))))
+  }
+
   /** Int8 storage compression for embedding tables: per-vector
     * symmetric quantization — `scale = max(|x|)/127`, `code_i =
     * round(x_i / scale)` ∈ [−127, 127] — shrinks an array<float> column
