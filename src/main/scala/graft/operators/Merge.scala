@@ -143,4 +143,42 @@ object Merge {
     }
     audit
   }
+
+  /** Log-structured versioned table (poor-man's Delta log on plain
+    * parquet): each published version is an APPEND-ONLY delta
+    * directory `path/version=N` of upserts and tombstones
+    * (`_deleted = true` rows); nothing is ever rewritten, so every
+    * historical version stays readable — the time-travel capability
+    * snapshotDiff's full-snapshot world lacks. Publish with
+    * [[appendVersion]], read any point in time with [[readAsOf]].
+    *
+    * Scale: [[readAsOf]] filters `version <= asOf` BEFORE the read
+    * resolves — `version` is a partition column, so pruning skips
+    * newer delta directories entirely — then collapses to one row per
+    * key via the bounded k=1 heap ([[graft.plans.TopKPerKeyExec]]) on
+    * ONE key shuffle (no per-key sort of deep histories). Compact old
+    * versions out of band when the changelog outgrows the base (the
+    * [[graft.streaming.Streams.compactBatchOutput]] pattern). */
+  def appendVersion(df: DataFrame, path: String, version: Long,
+      deletedCol: Option[String] = None): Unit = {
+    val withDel = deletedCol match {
+      case Some(c) => df.withColumnRenamed(c, "_deleted")
+      case None if df.columns.contains("_deleted") => df
+      case None => df.withColumn("_deleted", lit(false))
+    }
+    withDel.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/version=$version")
+  }
+
+  /** The table as of `asOf`: latest version ≤ asOf per key, tombstones
+    * dropped. Keys never written by any version ≤ asOf are absent —
+    * exactly the snapshot a reader at that version would have seen. */
+  def readAsOf(spark: SparkSession, path: String, asOf: Long,
+      keys: Seq[String]): DataFrame = {
+    import graft.plans.TopK
+    val log = spark.read.parquet(path).filter(col("version") <= asOf)
+    TopK.perKey(log, keys, Seq(TopK.desc("version")), k = 1)
+      .filter(!col("_deleted"))
+      .drop("rank", "version", "_deleted")
+  }
 }

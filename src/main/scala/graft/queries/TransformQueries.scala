@@ -160,6 +160,46 @@ object TransformQueries extends QueryPack {
       .orderBy(col("order_id"))
   }
 
+  /** T12 time travel over the log-structured versioned table
+    * ([[graft.operators.Merge.appendVersion]]/`readAsOf`): three
+    * deterministic versions of the staged orders (base slice → updates
+    * + inserts → tombstones) are published to a scratch changelog, and
+    * the query reads the table AS OF each version — per-version row
+    * count and exact decimal amount sum. The oracle recomputes every
+    * snapshot from the same version logic, pinning upsert precedence,
+    * insert visibility, and tombstone semantics. Scratch state is
+    * removed in `finally` (the v_drift_stream temp-dir contract). */
+  def t12TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val st = staging(s, dir).select(col("order_id"), col("order_status"),
+      col("total_amount"))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-timetravel").toString
+    try {
+      Merge.appendVersion(st.filter(col("order_id") % 2 === 0), work, 0L)
+      val updates = st.filter(col("order_id") % 14 === 0)
+        .withColumn("order_status", lit("U"))
+        .withColumn("total_amount", col("total_amount") + 1000.0)
+      val inserts = st.filter(col("order_id") % 2 === 1 &&
+        col("order_id") % 11 === 5)
+      Merge.appendVersion(updates.unionByName(inserts), work, 1L)
+      Merge.appendVersion(
+        st.filter(col("order_id") % 26 === 0)
+          .withColumn("_deleted", lit(true)), work, 2L)
+      val perVersion = (0L to 2L).map { v =>
+        Merge.readAsOf(s, work, v, Seq("order_id"))
+          .agg(lit(v).as("as_of"), count(lit(1)).as("n_rows"),
+            decSum(col("total_amount")).as("sum_amount"))
+      }
+      val out = perVersion.reduce(_ unionByName _).orderBy(col("as_of"))
+      // materialize before the finally deletes the files under the plan
+      val rows = out.collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+        .orderBy(col("as_of"))
+    } finally graft.core.AtomicSwap.deleteRecursively(
+      new java.io.File(work))
+  }
+
   /** Q7b quarantine with per-row violation reasons (one pass; rule names
     * in declaration order) — the reject stream is self-describing. */
   def qa8QuarantineReasons(s: SparkSession, dir: String): DataFrame = {
@@ -185,6 +225,7 @@ object TransformQueries extends QueryPack {
     "t9_scd2_customer" -> (t9Scd2Customer _),
     "t10_warehouse_ledger" -> (t10WarehouseLedger _),
     "t11_snapshot_diff" -> (t11SnapshotDiff _),
+    "t12_time_travel" -> (t12TimeTravel _),
     "qa1_min_row_count" -> (qa1MinRowCount _),
     "qa2_freshness" -> (qa2Freshness _),
     "qa3_custom_scalar" -> (qa3CustomScalar _),
@@ -332,6 +373,28 @@ object TransformQueries extends QueryPack {
       FROM diffed
       WHERE is_added OR is_removed OR cc <> ''
       ORDER BY order_id""",
+    // t12 twin: each snapshot recomputed from the version logic —
+    // upsert precedence (v1 over v0), insert visibility, tombstones
+    "t12_time_travel" -> s"""
+      WITH staging AS ($stagingSql),
+      v0 AS (SELECT order_id, total_amount FROM staging
+             WHERE order_id % 2 = 0),
+      snap1 AS (
+        SELECT order_id,
+               CASE WHEN order_id % 14 = 0 THEN total_amount + 1000.0
+                    ELSE total_amount END AS total_amount
+        FROM v0
+        UNION ALL
+        SELECT order_id, total_amount FROM staging
+        WHERE order_id % 2 = 1 AND order_id % 11 = 5),
+      snap2 AS (SELECT * FROM snap1 WHERE order_id % 26 <> 0)
+      SELECT CAST(0 AS BIGINT) AS as_of, COUNT(*) AS n_rows,
+             ${decSumSql("total_amount")} AS sum_amount FROM v0
+      UNION ALL
+      SELECT 1, COUNT(*), ${decSumSql("total_amount")} FROM snap1
+      UNION ALL
+      SELECT 2, COUNT(*), ${decSumSql("total_amount")} FROM snap2
+      ORDER BY as_of""",
     "qa1_min_row_count" -> """
       SELECT COUNT(*) AS row_count, COUNT(*) >= 1000 AS passed FROM orders""",
     "qa2_freshness" -> """
