@@ -570,11 +570,22 @@ object Similarity {
     val row = df.select(
       NativeAgg.gramMatrix(quantize(col(vecCol))).as("gm")).head()
     val gm = row.getStruct(0)
-    val n = BigInt(gm.getLong(0))
-    val s = gm.getSeq[Long](1).map(BigInt(_)).toArray
-    val gUp = gm.getSeq[Long](2).map(BigInt(_)).toArray
+    pc1FromStats(spark, gm.getLong(0), gm.getSeq[Long](1),
+      gm.getSeq[Long](2), iters)
+  }
+
+  /** Driver half of [[powerIterationPc1]], callable on scatter stats
+    * from ANY source — the one-shot aggregate above, or the streaming
+    * Gram fold ([[graft.streaming.Streams.gramMergeSink]]), whose
+    * element-wise-summed state is bit-identical to the one-shot
+    * aggregate because the statistics are associative integers. */
+  def pc1FromStats(spark: SparkSession, nRows: Long, sums: Seq[Long],
+      gramUpper: Seq[Long], iters: Int = 8): DataFrame = {
+    val n = BigInt(nRows)
+    val s = sums.map(BigInt(_)).toArray
+    val gUp = gramUpper.map(BigInt(_)).toArray
     val d = s.length
-    require(n > 0 && d > 0, "powerIterationPc1: empty input")
+    require(n > 0 && d > 0, "pc1FromStats: empty input")
     // dense symmetric M = n*G - s*s^T from the upper triangle
     val m = Array.ofDim[BigInt](d, d)
     var base = 0

@@ -1113,6 +1113,68 @@ object Streams {
         sum(col("n_rows")).as("n_rows"))
     }
 
+  /** Streaming embedding-geometry state: fold each micro-batch's exact
+    * Gram/scatter statistics ([[graft.functions.GramMatrixAgg]]) into a
+    * stored per-key total. n, component sums, and the upper-triangle
+    * Gram entries are associative INTEGER sums, so the folded state is
+    * bit-identical to a one-shot aggregate over all data ever seen —
+    * which makes [[pc1State]] (fixed-point power iteration over the
+    * stored state) an exact streaming PCA: per-batch cost is the
+    * increment's one-pass aggregate plus a (keys × d²)-sized merge,
+    * never a history rescan. Replay-idempotent via the fold marker. */
+  def gramMergeBatch(spark: SparkSession, batch: DataFrame, path: String,
+      keyCols: Seq[String], vecCol: String,
+      batchId: Long = -1L): LoadResult = {
+    import graft.functions.NativeAgg
+    import graft.similarity.Similarity
+    val partial = batch.groupBy(keyCols.map(col): _*)
+      .agg(NativeAgg.gramMatrix(Similarity.quantize(col(vecCol))).as("gm"))
+      .select(keyCols.map(col) ++ Seq(col("gm.n").as("n"),
+        col("gm.s").as("s"), col("gm.g").as("g")): _*)
+    foldBatchWith(spark, path, keyCols, batchId)(partial) { (all, _) =>
+      // element-wise integer array sums via explode + re-pack (the
+      // centroidCosine re-pack pattern): rows per key = stored 1 +
+      // incoming 1, so the explode is (keys × d²) cells, not data
+      def packed(c: String) = all
+        .select(keyCols.map(col) :+
+          posexplode(col(c)).as(Seq("__pos", "__v")): _*)
+        .groupBy(keyCols.map(col) :+ col("__pos"): _*)
+        .agg(sum(col("__v")).as("__sv"))
+        .groupBy(keyCols.map(col): _*)
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__sv")))),
+          x => x("__sv")).as(c))
+      all.groupBy(keyCols.map(col): _*).agg(sum(col("n")).as("n"))
+        .join(packed("s"), keyCols)
+        .join(packed("g"), keyCols)
+    }
+  }
+
+  /** writeStream wiring for [[gramMergeBatch]] (checkpointed). */
+  def gramMergeSink(stream: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], vecCol: String,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
+      gramMergeBatch(batch.sparkSession, batch, path, keyCols, vecCol,
+        batchId)
+    }
+
+  /** First principal component of ONE key's accumulated Gram state —
+    * exact streaming PCA (see [[gramMergeBatch]]); output contract of
+    * [[graft.similarity.Similarity.powerIterationPc1]]. */
+  def pc1State(spark: SparkSession, path: String, keyCols: Seq[String],
+      keyValues: Seq[Any], iters: Int = 8): DataFrame = {
+    val pred = keyCols.zip(keyValues)
+      .map { case (c, v) => col(c) === lit(v) }
+      .reduce(_ && _)
+    val row = spark.read.parquet(path).filter(pred).head()
+    graft.similarity.Similarity.pc1FromStats(spark,
+      row.getAs[Long]("n"),
+      row.getAs[scala.collection.Seq[Long]]("s").toSeq,
+      row.getAs[scala.collection.Seq[Long]]("g").toSeq, iters)
+  }
+
   /** writeStream wiring for [[kmvMergeBatch]] (checkpointed). */
   def kmvMergeSink(stream: DataFrame, path: String, checkpoint: String,
       keyCols: Seq[String], hashCol: String, k: Int,
