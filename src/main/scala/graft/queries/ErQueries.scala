@@ -68,11 +68,16 @@ object ErQueries extends QueryPack {
            c_nationkey, c_acctbal + 0.25, c_mktsegment, 'dup'
     FROM customer WHERE c_custkey % 5 = 0"""
 
+  // interleaved position classes — see customerNamePasses
   private val keyedSql = """
     SELECT rec_id, nationkey, 'p1' AS pass,
-           substr(name, 10, 5) AS chunk FROM recs
+           concat(substr(name, 10, 1), substr(name, 12, 1),
+                  substr(name, 14, 1), substr(name, 16, 1),
+                  substr(name, 18, 1)) AS chunk FROM recs
     UNION ALL
-    SELECT rec_id, nationkey, 'p2', substr(name, 15, 4) FROM recs"""
+    SELECT rec_id, nationkey, 'p2',
+           concat(substr(name, 11, 1), substr(name, 13, 1),
+                  substr(name, 15, 1), substr(name, 17, 1)) FROM recs"""
 
   private val linksSql = s"""
     keyed AS ($keyedSql),
