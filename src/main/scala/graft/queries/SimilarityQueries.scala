@@ -144,6 +144,14 @@ object SimilarityQueries extends QueryPack {
     Similarity.powerIterationPc1(table(s, dir, "embeddings"), "embedding")
       .orderBy(col("pos"))
 
+  /** All-but-the-top anisotropy correction
+    * ([[Similarity.removeTopComponent]]): every embedding with the
+    * corpus PC1 projected out, exact long-form integers. */
+  def simAbtt(s: SparkSession, dir: String): DataFrame =
+    Similarity.removeTopComponent(table(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("pos"))
+
   /** IVFADC top-k ([[graft.similarity.Pq.topK]]) over the COMMITTED
     * integer fixture ([[graft.similarity.PqFixture]]): coarse cells and
     * PQ codes assigned by exact integer nearest-centroid, ADC distance
@@ -176,7 +184,8 @@ object SimilarityQueries extends QueryPack {
     "sim_semdedup" -> (simSemDedup _),
     "sim_contrastive_pairs" -> (simContrastivePairs _),
     "sim_cluster_sample" -> (simClusterSample _),
-    "sim_pca_pc1" -> (simPcaPc1 _))
+    "sim_pca_pc1" -> (simPcaPc1 _),
+    "sim_abtt" -> (simAbtt _))
 
   /** Integer-quantized corpus CTE shared by the oracles: q = floor(x·10⁴)
     * components, nsq = exact squared norm. */
@@ -224,9 +233,10 @@ object SimilarityQueries extends QueryPack {
 
   private val pcaIters = 8
 
-  private val pcaSql = s"""
-      WITH prep AS ($prepSql),
-      comp AS (
+  /** Shared CTE pack: quantized components → Gram → centered scatter →
+    * 8 fixed-point power iterates (v$pcaIters is PC1). */
+  private val pcaCtePack = s"""prep AS ($prepSql),
+      comp AS MATERIALIZED (
         SELECT vec_id,
                unnest([{'i': i - 1, 'qi': q[i]}
                        FOR i IN range(1, len(q) + 1)],
@@ -244,7 +254,10 @@ object SimilarityQueries extends QueryPack {
                  - CAST(sa.si AS HUGEINT) * sb.si AS mij
         FROM g JOIN sums sa ON g.i = sa.i JOIN sums sb ON g.j = sb.i),
       v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM sums),
-      ${pcaIterCtes(pcaIters)},
+      ${pcaIterCtes(pcaIters)}"""
+
+  private val pcaSql = s"""
+      WITH $pcaCtePack,
       ray AS (
         SELECT (SELECT SUM(m.mij * va.v * vb.v)
                 FROM m JOIN v$pcaIters va ON m.i = va.i
@@ -256,8 +269,25 @@ object SimilarityQueries extends QueryPack {
                   AS BIGINT) AS explained_ppm
       FROM v$pcaIters v ORDER BY pos"""
 
+  /** All-but-the-top: corrected_i = q_i·(vᵀv) − (qᵀv)·v_i over the
+    * shared PCA pack. */
+  private val abttSql = s"""
+      WITH $pcaCtePack,
+      vv AS (SELECT SUM(v * v) AS vv FROM v$pcaIters),
+      qv AS MATERIALIZED (
+        SELECT c.vec_id, SUM(c.qi * v.v) AS qv
+        FROM comp c JOIN v$pcaIters v ON c.i = v.i GROUP BY c.vec_id)
+      SELECT c.vec_id, CAST(c.i AS INT) AS pos,
+             CAST(c.qi * (SELECT vv FROM vv) - q.qv * v.v AS BIGINT)
+               AS corrected
+      FROM comp c
+      JOIN v$pcaIters v ON c.i = v.i
+      JOIN qv q ON c.vec_id = q.vec_id
+      ORDER BY c.vec_id, pos"""
+
   val oracles: Map[String, String] = Map(
     "sim_pca_pc1" -> pcaSql,
+    "sim_abtt" -> abttSql,
     "sim_pq_adc" -> s"""
       WITH prep AS ($prepSql),
       cents AS (SELECT * FROM (VALUES $coarseValuesSql) AS t(cid, cv)),

@@ -1068,6 +1068,63 @@ object TextQueries extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** DoReMi-flavored quality-proportional mixture reweighting
+    * (Xie et al. 2023, arXiv:2305.10429, use per-domain proxy-model
+    * losses to reweight the training mixture; here the committed LM
+    * quality signal plays the proxy): per-source mean bigram
+    * probability in exact fixed point (Σ lm_score ÷ Σ n_bigrams,
+    * integer division) is the domain gain, and THREE multiplicative-
+    * weights rounds from the uniform mixture — w′ = w·g/10⁶ then
+    * renormalize to Σ = 10⁶, every step a truncating integer divide —
+    * produce the reweighted mixture plus a 100k-token budget
+    * allocation. All arithmetic replays bit-for-bit in the oracle (the
+    * sources here differ mildly in reference-likeness, so the rounds
+    * visibly tilt the mix without collapsing it).
+    *
+    * Scale: one LM-scoring pass over the corpus (the tx_lm_score
+    * plan), one per-source aggregate; the MW rounds run on the driver
+    * over source-count-many rows — config-sized, like every mixture
+    * computation in the mix_* family. */
+  def mixQualityReweight(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = table(s, dir, "documents")
+    val scored = LmScore.quantizedScores(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024)
+    val perSrc = scored
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("lm_score")).as("sq"),
+        sum(col("n_bigrams")).as("nb"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2) / r.getLong(3)))
+      .sortBy(_._1)
+    val scale = 1000000L
+    def round(w: Seq[Long]): Seq[Long] = {
+      val u = w.zip(perSrc).map { case (wi, (_, _, g)) => wi * g / scale }
+      val tot = u.sum
+      u.map(_ * scale / tot)
+    }
+    val w1 = round(Seq.fill(perSrc.length)(scale))
+    val w2 = round(w1)
+    val w3 = round(w2)
+    val w3tot = w3.sum
+    val rows = perSrc.zipWithIndex.map { case ((src, n, g), i) =>
+      Row(src, n, g, w1(i), w2(i), w3(i), 100000L * w3(i) / w3tot)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("source", StringType, nullable = false),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("gain_fp", LongType, nullable = false),
+        StructField("w1", LongType, nullable = false),
+        StructField("w2", LongType, nullable = false),
+        StructField("w3", LongType, nullable = false),
+        StructField("budget_tokens", LongType, nullable = false))))
+      .orderBy(col("source"))
+  }
+
   /** Order-5 stupid-backoff LM scoring
     * ([[graft.text.LmScore.quantizedScores5]] — CCNet's actual filter
     * is a 5-gram LM; the bigram tx_lm_score is the broadcast-bounded
@@ -1535,6 +1592,7 @@ object TextQueries extends QueryPack {
     "tx_domain_caps" -> (txDomainCaps _),
     "tx_domain_pagerank" -> (txDomainPagerank _),
     "tx_lm_score" -> (txLmScore _),
+    "mix_quality_reweight" -> (mixQualityReweight _),
     "tx_lm_score5" -> (txLmScore5 _),
     "tx_lm_score_kn" -> (txLmScoreKn _),
     "tx_bm25_topk" -> (txBm25TopK _),
@@ -3082,6 +3140,37 @@ object TextQueries extends QueryPack {
       WHERE domain_rank <= 5
       ORDER BY domain, domain_rank""",
     "tx_lm_score" -> lmScoreSql,
+    // MW rounds: u_t = w_{t-1}·g // 10⁶, w_t = u_t·10⁶ // Σu_t — every
+    // divide truncating, matching the driver's Long arithmetic
+    "mix_quality_reweight" -> s"""
+      WITH base AS MATERIALIZED ($lmScoreSql),
+      g AS MATERIALIZED (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(b.lm_score) // SUM(b.n_bigrams) AS BIGINT) AS gain
+        FROM base b JOIN documents d USING (doc_id)
+        GROUP BY d.source),
+      r1 AS MATERIALIZED (
+        SELECT source, n_docs, gain,
+               (gain * 1000000) // (SUM(gain) OVER ()) AS w
+        FROM g),
+      u2 AS (SELECT source, n_docs, gain, (w * gain) // 1000000 AS u,
+                    w AS w1 FROM r1),
+      r2 AS MATERIALIZED (
+        SELECT source, n_docs, gain, w1,
+               (u * 1000000) // (SUM(u) OVER ()) AS w
+        FROM u2),
+      u3 AS (SELECT source, n_docs, gain, w1, w AS w2,
+                    (w * gain) // 1000000 AS u FROM r2),
+      r3 AS MATERIALIZED (
+        SELECT source, n_docs, gain, w1, w2,
+               (u * 1000000) // (SUM(u) OVER ()) AS w3
+        FROM u3)
+      SELECT source, n_docs, CAST(gain AS BIGINT) AS gain_fp,
+             CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+             CAST(w3 AS BIGINT) AS w3,
+             CAST((100000 * w3) // (SUM(w3) OVER ()) AS BIGINT)
+               AS budget_tokens
+      FROM r3 ORDER BY source""",
     "tx_lm_score5" -> lmScore5Sql,
     "tx_lm_score_kn" -> lmScoreKnSql,
     "tx_bm25_topk" -> bm25Sql,

@@ -621,6 +621,43 @@ object Similarity {
         StructField("explained_ppm", LongType, nullable = false))))
   }
 
+  /** All-but-the-top embedding correction (Mu & Viswanath 2018,
+    * arXiv:1702.01417): project out the corpus' first principal
+    * component — anisotropic embedding spaces concentrate mass along a
+    * dominant direction, and removing it measurably improves cosine
+    * retrieval. Exact integer form: with q the quantized vector and v
+    * the fixed-point PC1 from [[powerIterationPc1]],
+    * `corrected = q·(vᵀv) − (qᵀv)·v` — the unnormalized rejection,
+    * same DIRECTION as q − proj_v(q) (cosine is scale-invariant), all
+    * in 64-bit integer arithmetic both engines reproduce bit-for-bit.
+    *
+    * Bounds: |q_i| ≤ 3·10⁴ (|x| ≤ 3 at 10⁴ quantization), |v_i| ≤ 10⁶,
+    * vᵀv ≤ 64·10¹², qᵀv ≤ 64·3·10¹⁰ ⇒ each term ≤ ~2·10¹⁸ and the
+    * difference < 2⁶³; ANSI mode raises rather than wraps if an exotic
+    * embedding scale breaks the bound.
+    *
+    * Distributed shape: PC1 is the one-pass Gram aggregate + driver
+    * math; the correction itself is MAP-ONLY (v broadcast as a
+    * literal array into codegen) — no shuffle at any corpus size.
+    * Long-form output (id, pos, corrected) keeps the result
+    * hash-comparable. */
+  def removeTopComponent(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 8): DataFrame = {
+    val pc = powerIterationPc1(df, vecCol, iters)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    val vArr = array(pc.map(lit): _*)
+    val vv = pc.map(x => BigInt(x) * BigInt(x)).sum
+    require(vv.isValidLong, "removeTopComponent: v^T v overflows long")
+    df.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .withColumn("__qv", aggregate(
+        zip_with(col("__q"), vArr, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select(col(idCol),
+        posexplode(zip_with(col("__q"), vArr,
+          (q, v) => q * lit(vv.toLong) - col("__qv") * v))
+          .as(Seq("pos", "corrected")))
+  }
+
   /** Int8 storage compression for embedding tables: per-vector
     * symmetric quantization — `scale = max(|x|)/127`, `code_i =
     * round(x_i / scale)` ∈ [−127, 127] — shrinks an array<float> column

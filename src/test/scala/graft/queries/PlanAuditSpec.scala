@@ -19,11 +19,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     *  - c2/d1/v_rowlevel/tx_curation_funnel: 1-row aggregate frames
     *    (scalar subquery cross-join) — the broadcast side is a single
     *    row at any scale;
-    *  - sim_topk_brute / sim_range_search / sim_recall_eval: the QUERY
-    *    set broadcast against the corpus scan is the definition of
-    *    brute-force retrieval (recall_eval embeds the brute
-    *    ground-truth side); the corpus side streams, the broadcast
-    *    side is the user's bounded query batch;
+    *  - sim_topk_brute / sim_range_search / sim_recall_eval /
+    *    sim_contrastive_pairs: the QUERY/ANCHOR set broadcast against
+    *    the corpus scan is the definition of brute-force retrieval
+    *    (recall_eval embeds the brute ground-truth side; contrastive
+    *    mining scores every anchor against the corpus once); the
+    *    corpus side streams, the broadcast side is the user's bounded
+    *    batch;
     *  - tx_kmv_overlap: the pairwise sketch join — ONE ≤(k longs)-row
     *    per SOURCE on each side (a config-sized dimension, not data-
     *    sized); pairwise overlap is inherently quadratic in source
@@ -34,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "c2_dedup_events", "d1_exact_dedup", "v_rowlevel_events",
     "sim_topk_brute", "tx_curation_funnel", "tx_funnel_model",
     "tx_html_funnel", "sft_funnel", "tx_pretrain_pipeline",
-    "tx_kmv_overlap", "sim_range_search", "sim_recall_eval")
+    "tx_kmv_overlap", "sim_range_search", "sim_recall_eval",
+    "sim_contrastive_pairs")
 
   test("no query plans a CartesianProduct; BNLJ only where provably bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

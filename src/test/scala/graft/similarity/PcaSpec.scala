@@ -75,6 +75,32 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     assert(pc.map(_.getLong(2)).distinct.length === 1)
   }
 
+  test("all-but-the-top: corrected vectors exactly orthogonal to PC1") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pc = Similarity.powerIterationPc1(emb, "embedding")
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    val corrected = Similarity.removeTopComponent(emb, "vec_id", "embedding")
+    // v · corrected == 0 EXACTLY for every vector (integer algebra:
+    // v·(q(v^Tv) − (q^Tv)v) = (q^Tv)(v^Tv) − (q^Tv)(v^Tv))
+    val dots = corrected
+      .withColumn("__vi", element_at(array(pc.map(lit): _*),
+        col("pos") + 1))
+      .groupBy("vec_id")
+      .agg(sum(col("corrected").cast("decimal(38,0)") * col("__vi"))
+        .as("dot"))
+      .filter(col("dot") =!= 0)
+    assert(dots.isEmpty, "rejection must be exactly orthogonal to PC1")
+    assert(corrected.count() === emb.count() * 64)
+  }
+
+  test("all-but-the-top correction stage is map-only (no shuffle)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.removeTopComponent(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"correction must not shuffle, plan:\n$plan")
+  }
+
   test("dim mismatch fails loudly") {
     val bad = vecDf(Seq(Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)))
     val ex = intercept[Exception] {
