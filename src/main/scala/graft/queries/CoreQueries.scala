@@ -161,6 +161,33 @@ object CoreQueries extends QueryPack {
       .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
+  /** CUBE over (region, market segment): all four grouping sets — the
+    * cross-dimensional summary ROLLUP's hierarchy can't express (a
+    * per-segment total regardless of region IS a cube cell). Same
+    * pre-aggregate-then-Expand discipline as q6: Expand replicates
+    * input rows once per grouping set (4× for a 2-column cube), so it
+    * runs over the regions × segments pre-aggregate, never the raw
+    * join — decimal sums and counts re-aggregate exactly. */
+  def q21CubeRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    val n = table(s, dir, "nation")
+    val r = table(s, dir, "region")
+    val base = o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"c_mktsegment")
+      .agg(sum($"o_totalprice"
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("__rev"),
+        count(lit(1)).as("__n"))
+    base.cube($"r_name", $"c_mktsegment")
+      .agg(sum($"__rev").cast(org.apache.spark.sql.types.DoubleType)
+          .as("revenue"),
+        sum($"__n").as("n_orders"))
+      .orderBy($"r_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+  }
+
   /** Per-customer running revenue: cumulative sum over the order
     * history — partitioned window (never a global sort), deterministic
     * ROWS frame ordered by the unique (date, orderkey). Decimal partial
@@ -623,6 +650,7 @@ object CoreQueries extends QueryPack {
     "q11_status_listagg" -> (q11StatusListagg _),
     "q7_basket_pairs" -> (q7BasketPairs _),
     "q6_rollup_revenue" -> (q6RollupRevenue _),
+    "q21_cube_revenue" -> (q21CubeRevenue _),
     "w_running_total" -> (wRunningTotal _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -882,6 +910,16 @@ object CoreQueries extends QueryPack {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP (r_name, n_name)
       ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q21_cube_revenue" -> s"""
+      SELECT r_name, c_mktsegment,
+        ${decSumSql("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY CUBE (r_name, c_mktsegment)
+      ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""",
     "w_running_total" -> """
       SELECT o_custkey, o_orderkey,
              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,

@@ -87,6 +87,25 @@ object DedupQueries extends QueryPack {
       .orderBy(col("cluster_size"))
   }
 
+  /** Embedding-cosine near-dup dedup of DOCUMENTS (the semantic-dedup
+    * mode the text-similarity family can't see: paraphrases share
+    * embeddings, not shingles): documents join their embeddings
+    * (doc_id == vec_id, the driver fixture contract), pairs at
+    * engine-exact cosine ≥ 0.40 within label cells
+    * ([[graft.similarity.Similarity.blockedNearDupPairs]] — never
+    * all-pairs), transitive min-id survivor via the shared closure.
+    * Survivors reported with their source. */
+  def d13EmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val emb = table(s, dir, "embeddings")
+    val pairs = graft.similarity.Similarity.blockedNearDupPairs(
+      emb, "vec_id", "embedding", "label", threshold = 0.40)
+    val kept = Dedup.removeNearDuplicatesTransitive(
+      docs.join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id")),
+      pairs, "doc_id")
+    kept.select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+  }
+
   /** Transitive corpus dedup: one survivor (minimum id) per duplicate
     * COMPONENT — a duplicate of a duplicate is a duplicate. */
   def d7DedupTransitive(s: SparkSession, dir: String): DataFrame = {
@@ -360,6 +379,7 @@ object DedupQueries extends QueryPack {
     "d5_dedup_apply" -> (d5DedupApply _),
     "d6_dedup_clusters" -> (d6DedupClusters _),
     "d12_cluster_histogram" -> (d12ClusterHistogram _),
+    "d13_embed_dedup" -> (d13EmbedDedup _),
     "d7_dedup_transitive" -> (d7DedupTransitive _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "d11_bloom_incremental" -> (d11BloomIncremental _))
@@ -729,6 +749,43 @@ object DedupQueries extends QueryPack {
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
       ORDER BY doc_id""",
+    // d13 twin: quantized cosine within label cells + recursive closure
+    // (the d7 shape over embedding pairs instead of shingle pairs)
+    "d13_embed_dedup" -> """
+      WITH RECURSIVE prep AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+                 AS q
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id, label, q,
+               (SELECT SUM(a * b)
+                FROM (SELECT unnest(p.q) AS a, unnest(p.q) AS b)) AS nsq
+        FROM prep p),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nrm a JOIN nrm b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE CAST((SELECT SUM(x * y)
+                    FROM (SELECT unnest(a.q) AS x, unnest(b.q) AS y))
+                   AS DOUBLE)
+              / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE))
+              >= 0.40),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+               FROM reach GROUP BY src)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      WHERE d.doc_id NOT IN
+            (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+      ORDER BY d.doc_id""",
     // incremental = exhaustive pairs restricted to those touching the
     // "new" (odd-id) half; even-even pairs belong to the index build
     "d8_incremental_dedup" -> s"""

@@ -114,4 +114,42 @@ class EntityResolutionSpec extends AnyFunSuite with SparkSpec {
   private def er3GoldenLocal(): DataFrame =
     EntityResolution.run(feed, "rec_id", "name", "segment", "acctbal",
       hard, customerNamePasses)
+
+  test("k=2 edits: THREE interleaved classes keep the pigeonhole guarantee") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 9-digit names; dirty twins carry TWO substitutions at varying
+    // positions — two passes cannot guarantee a shared chunk (an edit
+    // in each class), three can (3 classes for k=2 edits)
+    val rows = (0 until 60).flatMap { i =>
+      val name = f"Customer#$i%09d"
+      val p1 = i % 9; val p2 = (i % 9 + 3 + i % 5) % 9 // two distinct slots
+      val chars = name.toCharArray
+      chars(9 + p1) = ('a' + i % 7).toChar
+      chars(9 + p2) = ('h' + i % 5).toChar
+      Seq(Row(i.toLong * 2, name, 1), Row(i.toLong * 2 + 1,
+        new String(chars), 1))
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("rec_id", LongType), StructField("name", StringType),
+      StructField("nationkey", IntegerType))))
+    def interleave(k: Int): Seq[BlockingPass] =
+      (0 until k).map { cls =>
+        BlockingPass(s"c$cls", concat(
+          (0 until 9).filter(_ % k == cls)
+            .map(p => substring(col("name"), 10 + p, 1)): _*))
+      }
+    val planted = df.filter(col("rec_id") % 2 === 0)
+      .select(col("rec_id").as("id_a"), (col("rec_id") + 1).as("id_b"))
+    val three = candidatePairs(df, "rec_id", Seq("nationkey"),
+      interleave(3))
+    assert(planted.join(three, Seq("id_a", "id_b"), "left_anti").isEmpty,
+      "3 classes must surface every 2-substitution pair")
+    // and 2 classes demonstrably DON'T (some twin edits hit both)
+    val two = candidatePairs(df, "rec_id", Seq("nationkey"),
+      interleave(2))
+    assert(planted.join(two, Seq("id_a", "id_b"), "left_anti").count() > 0,
+      "2 classes must miss some 2-substitution pair (k+1 rule is tight)")
+  }
 }
