@@ -1175,6 +1175,74 @@ object Streams {
       row.getAs[scala.collection.Seq[Long]]("g").toSeq, iters)
   }
 
+  /** CDC from FULL extractions: each micro-batch is a complete new
+    * SNAPSHOT of the source table (the reference's FULL mode ships no
+    * delta log — diffing successive snapshots IS its change stream).
+    * The batch diffs against the persisted previous snapshot
+    * ([[graft.operators.ChangeDetection.snapshotDiff]] — output ∝
+    * change volume), the added/removed/changed rows land in
+    * `changelogPath/batch=<id>`, and the batch replaces the stored
+    * snapshot via the atomic swap.
+    *
+    * Replay safety is ORDER + MARKER: the changelog writes BEFORE the
+    * snapshot swap, and the swap carries the batch marker — so a
+    * replay either redoes both (marker behind: state is still the old
+    * snapshot, the diff recomputes identically) or skips both (marker
+    * current: the changelog for this id was necessarily written before
+    * the swap that advanced the marker). Without the marker, a replay
+    * after the swap would diff the snapshot against ITSELF and
+    * overwrite the real changelog with an empty one. */
+  def snapshotDiffBatch(spark: SparkSession, batch: DataFrame,
+      statePath: String, changelogPath: String, pk: Seq[String],
+      compareCols: Seq[String] = Nil, batchId: Long = -1L): LoadResult = {
+    val t0 = System.nanoTime()
+    val target = new Path(statePath)
+    val backup = new Path(statePath + "__old")
+    val tmp = new Path(statePath + "__new")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.AtomicSwap.heal(fs, target, backup)
+    def lastApplied: Long = {
+      val m = new Path(target, AggBatchMarker)
+      if (!fs.exists(m)) -1L
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    }
+    if (batchId >= 0 && fs.exists(target) && batchId <= lastApplied)
+      return LoadResult(success = true, rowsLoaded = 0L,
+        tableName = changelogPath,
+        durationSeconds = (System.nanoTime() - t0) / 1e9)
+    val prev =
+      if (fs.exists(target))
+        spark.read.parquet(statePath).select(batch.columns.map(col): _*)
+      else batch.limit(0)
+    val diff = graft.operators.ChangeDetection
+      .snapshotDiff(prev, batch, pk, compareCols)
+      .localCheckpoint() // materialize before the swap replaces prev's files
+    val changes = diff.count()
+    diff.write.mode("overwrite").parquet(s"$changelogPath/batch=$batchId")
+    batch.write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, AggBatchMarker), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    graft.core.AtomicSwap.publish(fs, target, tmp, backup)
+    LoadResult(success = true, rowsLoaded = changes,
+      tableName = changelogPath,
+      durationSeconds = (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** writeStream wiring for [[snapshotDiffBatch]] (checkpointed). */
+  def snapshotDiffSink(stream: DataFrame, statePath: String,
+      changelogPath: String, checkpoint: String, pk: Seq[String],
+      compareCols: Seq[String] = Nil,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
+      snapshotDiffBatch(batch.sparkSession, batch, statePath,
+        changelogPath, pk, compareCols, batchId)
+    }
+
   /** writeStream wiring for [[kmvMergeBatch]] (checkpointed). */
   def kmvMergeSink(stream: DataFrame, path: String, checkpoint: String,
       keyCols: Seq[String], hashCol: String, k: Int,
