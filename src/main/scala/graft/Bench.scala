@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune projections and under-report the real work. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // dev loop: `runMain graft.Bench q1 q2 ...` times ONLY those
+    // queries and never touches the committed snapshot or its guards
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args.toSet) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -134,9 +138,11 @@ object Bench {
       (t, work.shuffleW.get / 1048576.0)
     }
     def runSuite(): Seq[(String, (Double, Double))] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> runOne(name, fn)
-      }
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .sortBy(_._1).map { case (name, fn) =>
+          name -> runOne(name, fn)
+        }
     // Round 4 committed a snapshot from one noisy host window (160 s where
     // a controlled re-run measures 95 s) and the next round nearly chased
     // phantom regressions. Guard the measurement itself: parse the
@@ -164,13 +170,16 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Exception => Map.empty }
-    val prevTimes = prevMap("queries")
+    val prevTimes =
+      if (only.isDefined) Map.empty[String, Double] // dev mode: no guards
+      else prevMap("queries")
     val prevShuffle = prevMap("shuffle_mb")
     // a snapshot that EXISTS but parses to an empty map means the
     // format drifted out from under the indexOf/regex extractor above —
     // every guard below (deviation re-run, outlier flags, shuffle
     // tripwire) would silently disarm. Fail loudly instead of quietly.
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outFile)) &&
+    if (only.isEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(outFile)) &&
         prevTimes.isEmpty)
       System.err.println(s"[bench] WARNING: $outFile exists but parsed to " +
         "an empty baseline (format drift or different sf); deviation " +
@@ -248,7 +257,8 @@ object Bench {
     // stale numbers to this one; best-effort delete so no stale file
     // lingers either
     val wrote =
-      try {
+      try if (only.isDefined) false // dev mode: never overwrite the snapshot
+      else {
         java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
           (full + "\n").getBytes("UTF-8"))
         true
