@@ -320,6 +320,121 @@ object StreamStress {
     require(kmvStreamed == kmvOneShot,
       "streamed KMV state diverged from the one-shot sketch")
 
+    // ——— 7. erLinkSink: ~48k-record entity feed, 10 micro-batches ———
+    // 40k synthetic base customers + the mod-5 planted duplicates;
+    // batches split by rec_id % nBatches so most (base, dup) pairs
+    // STRADDLE batches — the incremental new-vs-accumulated path does
+    // the work, not in-batch pairing. Gate: read-side golden records
+    // equal the one-shot batch ER exactly.
+    import graft.er.EntityResolution
+    val erCust = spark.range(0, 40000).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      (col("id") % 25).cast("int").as("c_nationkey"),
+      ((col("id") * 7919 % 1000000) / 100.0).as("c_acctbal"),
+      element_at(array(lit("AUTO"), lit("BLD"), lit("FUR"), lit("HH"),
+        lit("MCH")), (col("id") % 5 + 1).cast("int")).as("c_mktsegment"))
+    val erFeed = EntityResolution.dirtyCustomerFeed(erCust)
+      .localCheckpoint()
+    val erRows = erFeed
+      .select("rec_id", "name", "nationkey", "acctbal", "segment", "src")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getDouble(3), r.getString(4), r.getString(5)))
+    locally {
+      val input = MemoryStream[(Long, String, Int, Double, String, String)]
+      val q = Streams.erLinkSink(
+          input.toDF().toDF("rec_id", "name", "nationkey", "acctbal",
+            "segment", "src"),
+          s"$work/er/records", s"$work/er/links", s"$work/er/cp",
+          "rec_id", "name", "segment", "acctbal", Seq("nationkey"),
+          EntityResolution.customerNamePasses,
+          trig = Streams.trigger(1), onLoad = record("er")).start()
+      try {
+        (0 until nBatches).foreach { b =>
+          input.addData(erRows.filter(_._1 % nBatches == b).toSeq: _*)
+          q.processAllAvailable()
+        }
+        require(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    val erStreamedGolden = Streams.erGoldenState(spark, s"$work/er/records",
+      s"$work/er/links", "rec_id", "name", "segment", "acctbal")
+      .localCheckpoint()
+    val erBatchGolden = EntityResolution.run(erFeed, "rec_id", "name",
+      "segment", "acctbal", Seq("nationkey"),
+      EntityResolution.customerNamePasses).localCheckpoint()
+    require(erStreamedGolden.exceptAll(erBatchGolden).isEmpty &&
+      erBatchGolden.exceptAll(erStreamedGolden).isEmpty,
+      "streamed ER golden records diverged from the one-shot batch run")
+    val erEntities = erStreamedGolden.count()
+
+    // ——— 8. gramMergeSink: 50k 64-dim vectors, 10 micro-batches ———
+    // associative integer scatter fold; gate = streaming PCA equals the
+    // batch power iteration EXACTLY
+    val vecDf = spark.range(0, nDocs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        // SQL division always widens to double — cast back so the
+        // column is a true array<float> for the tuple encoder
+        ((pmod(hash(col("id") * 131 + i), lit(2000)) - 1000) / 1000.0)
+          .cast("float")).as("embedding")).localCheckpoint()
+    val vecRows = vecDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    locally {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.gramMergeSink(
+          input.toDF().toDF("vec_id", "embedding")
+            .withColumn("corpus", lit("all")),
+          s"$work/gram/state", s"$work/gram/cp", Seq("corpus"),
+          "embedding", trig = Streams.trigger(1),
+          onLoad = record("gram")).start()
+      try {
+        (0 until nBatches).foreach { b =>
+          input.addData(vecRows.filter(_._1 % nBatches == b).toSeq: _*)
+          q.processAllAvailable()
+        }
+        require(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    val pc1Streamed = Streams.pc1State(spark, s"$work/gram/state",
+      Seq("corpus"), Seq("all")).collect().toSeq
+    val pc1Batch = graft.similarity.Similarity
+      .powerIterationPc1(vecDf, "embedding").collect().toSeq
+    require(pc1Streamed == pc1Batch,
+      "streaming PCA diverged from the batch power iteration")
+
+    // ——— 9. snapshotDiffSink: 10 successive 50k-row FULL snapshots ———
+    // each version flips ~1% of statuses and adds nBatches rows; the
+    // changelog per batch must be change-sized, never table-sized
+    val snapRows = (0 until nBatches).map { v =>
+      spark.range(0, nDocs + v * 10).select(
+        col("id"),
+        when(pmod(col("id") + v, lit(100)) === 0, lit("flipped"))
+          .otherwise(lit("base")).as("status"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    locally {
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.snapshotDiffSink(
+          input.toDF().toDF("id", "status"),
+          s"$work/snap/state", s"$work/snap/changelog", s"$work/snap/cp",
+          Seq("id"), trig = Streams.trigger(1),
+          onLoad = record("snap")).start()
+      try {
+        snapRows.foreach { v =>
+          input.addData(v.toSeq: _*); q.processAllAvailable()
+        }
+        require(q.exception.isEmpty, q.exception.toString)
+      } finally q.stop()
+    }
+    val snapChanges = (1 until nBatches).map { b =>
+      spark.read.parquet(s"$work/snap/changelog/batch=$b").count()
+    }
+    // per version: ~2% of rows flip status (one mod class in, one out)
+    // + 10 added ids — the changelog stays ~1000 rows per 50k snapshot
+    require(snapChanges.forall(c => c > 0 && c < nDocs / 20),
+      s"changelog must be change-sized, got $snapChanges")
+
     val (sftB, sftF) = dirSize(s"$work/sft/index")
     val (phB, phF) = dirSize(s"$work/phash/index")
     val (flB, flF) = dirSize(s"$work/flag/state")
@@ -335,6 +450,10 @@ object StreamStress {
       f""""ml_batch_secs":${jsonSecs("ml")},"ml_kept":$mlKept,""" +
       f""""pref_batch_secs":${jsonSecs("pref")},"pref_pairs":$prefN,""" +
       f""""kmv_batch_secs":${jsonSecs("kmv")},"kmv_keys":${kmvStreamed.size},""" +
+      f""""er_batch_secs":${jsonSecs("er")},"er_entities":$erEntities,""" +
+      f""""gram_batch_secs":${jsonSecs("gram")},""" +
+      f""""snap_batch_secs":${jsonSecs("snap")},""" +
+      f""""snap_changelog_rows":${snapChanges.mkString("[", ",", "]")},""" +
       f""""peak_heap_mb":${peakHeapMb()}}""")
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(work))
     spark.stop()
