@@ -288,6 +288,49 @@ object DedupQueries extends QueryPack {
       .orderBy(col("source"), col("batch_id"))
   }
 
+  /** Curriculum ordering of the packed batches (curriculum learning,
+    * Bengio et al. 2009: present easier/cleaner data first): each
+    * packed batch gets a fixed-point quality score — the integer mean
+    * LM bigram probability of its documents (Σ lm_score ÷ Σ n_bigrams,
+    * the tx_lm_score signal) — and a 3-phase curriculum assignment
+    * (warmup = cleanest third, main, anneal) via the EXACT closed-form
+    * NTILE over the distributed rank
+    * ([[graft.operators.Keys.globalRankWithCount]] +
+    * [[graft.operators.Keys.ntileExpr]] — no unpartitioned WindowExec
+    * at any scale). Batch rows are corpus/2048-many, so the rank is
+    * over the POST-PACKING cardinality, never raw docs. */
+  def packCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Keys
+    import graft.text.{LmScore, TextFunctions}
+    val docs = table(s, dir, "documents")
+    val packed = graft.operators.Sampling.packSequences(docs, "source",
+      "doc_id", TextFunctions.bpeTokenCount(col("text")), 2048L)
+    val lm = LmScore.quantizedScores(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text", 1024)
+      .select(col("doc_id"), col("lm_score"), col("n_bigrams"))
+    val perBatch = packed.join(lm, Seq("doc_id"), "left")
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("batch_tokens"),
+        coalesce(sum(col("lm_score")), lit(0L)).as("__sq"),
+        coalesce(sum(col("n_bigrams")), lit(0L)).as("__nb"))
+      .withColumn("quality_fp",
+        when(col("__nb") > 0, expr("__sq div __nb")).otherwise(lit(0L)))
+      .drop("__sq", "__nb")
+      .withColumn("__negq", -col("quality_fp"))
+    val (ranked, n) = Keys.globalRankWithCount(perBatch, "__negq",
+      "__rank", tieBreakers = Seq(col("source"), col("batch_id")))
+    ranked
+      .withColumn("phase_id", Keys.ntileExpr(n, 3, "__rank"))
+      .withColumn("phase",
+        when(col("phase_id") === 1, "warmup")
+          .when(col("phase_id") === 2, "main").otherwise(lit("anneal")))
+      .select(col("source"), col("batch_id"), col("n_docs"),
+        col("batch_tokens"), col("quality_fp"), col("phase_id"),
+        col("phase"))
+      .orderBy(col("source"), col("batch_id"))
+  }
+
   /** Length-bucketed batch layout
     * ([[graft.operators.Sampling.lengthBucketedBatches]]): 4 exact
     * length quantiles, fixed 50-doc batches within each, and the
@@ -361,6 +404,8 @@ object DedupQueries extends QueryPack {
     "d9_best_survivor" -> (d9BestSurvivor _),
     "sample_weighted" -> (sampleWeighted _),
     "pack_sequences" -> (packSequences _),
+    // oracle lives in TextQueries (it reuses the private lm CTE pack)
+    "pack_curriculum" -> (packCurriculum _),
     "pack_length_buckets" -> (packLengthBuckets _),
     "pack_materialize" -> (packMaterialize _),
     "sample_docs" -> (sampleDocs _),

@@ -3140,6 +3140,48 @@ object TextQueries extends QueryPack {
       WHERE domain_rank <= 5
       ORDER BY domain, domain_rank""",
     "tx_lm_score" -> lmScoreSql,
+    // pack_curriculum twin (query registered in DedupQueries): the
+    // pack_sequences batch derivation + the lm quality chain, NTILE(3)
+    // over (quality desc, source, batch) — SQL-standard fill == the
+    // engine's closed-form ntileExpr
+    "pack_curriculum" -> s"""
+      ${BpeOracleSql.prelude},
+      ptoks AS (
+        SELECT d.source, d.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens
+        FROM documents d JOIN bpe_docs b ON d.doc_id = b.doc_id),
+      pcum AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM ptoks),
+      pb AS (
+        SELECT source, CAST((c - n_tokens) // 2048 AS BIGINT) AS batch_id,
+               doc_id, n_tokens
+        FROM pcum),
+      lmbase AS MATERIALIZED ($lmScoreSql),
+      pagg AS (
+        SELECT p.source, p.batch_id, COUNT(*) AS n_docs,
+               CAST(SUM(p.n_tokens) AS BIGINT) AS batch_tokens,
+               CAST(COALESCE(SUM(l.lm_score), 0) AS BIGINT) AS sq,
+               CAST(COALESCE(SUM(l.n_bigrams), 0) AS BIGINT) AS nb
+        FROM pb p LEFT JOIN lmbase l ON p.doc_id = l.doc_id
+        GROUP BY 1, 2),
+      pq AS (
+        SELECT source, batch_id, n_docs, batch_tokens,
+               CASE WHEN nb > 0 THEN CAST(sq // nb AS BIGINT)
+                    ELSE 0 END AS quality_fp
+        FROM pagg),
+      pr AS (
+        SELECT *, CAST(NTILE(3) OVER (
+            ORDER BY quality_fp DESC, source, batch_id) AS INT)
+            AS phase_id
+        FROM pq)
+      SELECT source, batch_id, n_docs, batch_tokens, quality_fp,
+             phase_id,
+             CASE phase_id WHEN 1 THEN 'warmup' WHEN 2 THEN 'main'
+                  ELSE 'anneal' END AS phase
+      FROM pr ORDER BY source, batch_id""",
     // MW rounds: u_t = w_{t-1}·g // 10⁶, w_t = u_t·10⁶ // Σu_t — every
     // divide truncating, matching the driver's Long arithmetic
     "mix_quality_reweight" -> s"""
