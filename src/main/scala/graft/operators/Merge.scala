@@ -170,6 +170,38 @@ object Merge {
       .parquet(s"$path/version=$version")
   }
 
+  /** Compact the changelog: fold every version ≤ `upTo` into ONE base
+    * delta at `version=upTo` (the materialized [[readAsOf]] snapshot —
+    * tombstoned keys vanish entirely, their history having served its
+    * purpose) and delete the older version directories. Reads at
+    * asOf ≥ upTo are BIT-identical before and after; reads at
+    * asOf < upTo become unavailable — compaction is the retention
+    * boundary, the same trade Delta/Iceberg expose as VACUUM. Crash
+    * safety: the compacted base is written to a temp dir and swapped
+    * into `version=upTo` via the checked rename pair BEFORE the older
+    * directories are deleted — a crash mid-delete leaves extra (stale
+    * but shadowed) versions, never a missing base. */
+  def compactVersions(spark: SparkSession, path: String, upTo: Long,
+      keys: Seq[String]): Unit = {
+    val base = readAsOf(spark, path, upTo, keys)
+      .withColumn("_deleted", lit(false))
+      .localCheckpoint() // materialize before the rewrite deletes inputs
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(root, s"version=$upTo")
+    val tmp = new org.apache.hadoop.fs.Path(root, s"version=$upTo" + "__new")
+    val backup = new org.apache.hadoop.fs.Path(root, s"version=$upTo" + "__old")
+    graft.core.AtomicSwap.heal(fs, target, backup)
+    base.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    graft.core.AtomicSwap.publish(fs, target, tmp, backup)
+    val stat = fs.listStatus(root)
+    stat.map(_.getPath).filter { p =>
+      val n = p.getName
+      n.startsWith("version=") && !n.contains("__") &&
+        n.stripPrefix("version=").toLong < upTo
+    }.foreach(p => fs.delete(p, true))
+  }
+
   /** The table as of `asOf`: latest version ≤ asOf per key, tombstones
     * dropped. Keys never written by any version ≤ asOf are absent —
     * exactly the snapshot a reader at that version would have seen. */

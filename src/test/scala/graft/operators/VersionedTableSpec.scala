@@ -42,6 +42,34 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
       new java.io.File(dir))
   }
 
+  test("compaction: reads at/after the boundary identical, history freed") {
+    val dir = Files.createTempDirectory("graft-vtc").toString
+    try {
+      Merge.appendVersion(frame(Row(1L, "a0"), Row(2L, "b0")), dir, 0L)
+      Merge.appendVersion(frame(Row(2L, "b1"), Row(3L, "c1")), dir, 1L)
+      Merge.appendVersion(
+        frame(Row(1L, "a0")).withColumn("_deleted", lit(true)), dir, 2L)
+      Merge.appendVersion(frame(Row(4L, "d3")), dir, 3L)
+
+      val beforeV2 = snapshot(dir, 2L)
+      val beforeV3 = snapshot(dir, 3L)
+      Merge.compactVersions(spark, dir, 2L, Seq("id"))
+      assert(snapshot(dir, 2L) === beforeV2,
+        "read at the boundary must be unchanged")
+      assert(snapshot(dir, 3L) === beforeV3,
+        "read after the boundary must be unchanged")
+      // versions 0/1 physically gone; the compacted base holds v2 state
+      val dirs = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("version=")).toSet
+      assert(dirs === Set("version=2", "version=3"))
+      // the tombstoned key does not survive compaction as a row at all
+      val v2rows = spark.read.parquet(s"$dir/version=2")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(v2rows === Set(2L, 3L), "tombstones vanish at compaction")
+    } finally graft.core.AtomicSwap.deleteRecursively(
+      new java.io.File(dir))
+  }
+
   test("readAsOf prunes newer version directories at the scan") {
     val dir = Files.createTempDirectory("graft-vtp").toString
     try {
