@@ -179,6 +179,38 @@ object BpeImpl {
     n
   }
 
+  /** A word's INITIAL training symbols: codepoints + `</w>` — the
+    * round-zero state of the trainer ([[graft.text.BpeTrain]]). */
+  def initSyms(word: UTF8String): GenericArrayData = {
+    val s = word.toString
+    val out = Array.newBuilder[Any]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out += UTF8String.fromString(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    out += UTF8String.fromString(Bpe.EndOfWord)
+    new GenericArrayData(out.result())
+  }
+
+  /** One training merge applied to a symbol sequence: every adjacent
+    * (l, r) merges, left-to-right non-overlapping — identical to the
+    * per-word inner loop of [[Bpe.encodeWord]]. */
+  def mergePair(syms: org.apache.spark.sql.catalyst.util.ArrayData,
+      l: UTF8String, r: UTF8String): GenericArrayData = {
+    val n = syms.numElements()
+    val out = Array.newBuilder[Any]
+    var j = 0
+    while (j < n) {
+      val cur = syms.getUTF8String(j)
+      if (j < n - 1 && cur.equals(l) && syms.getUTF8String(j + 1).equals(r)) {
+        out += UTF8String.concat(l, r); j += 2
+      } else { out += cur; j += 1 }
+    }
+    new GenericArrayData(out.result())
+  }
+
   /** All BPE tokens of a text in order, as array<string>. */
   def tokens(text: UTF8String, key: String): GenericArrayData = {
     val art = Bpe.artifact(key)
@@ -246,10 +278,65 @@ case class BpeTokensExpr(child: Expression, artifactKey: String)
     copy(child = newChild)
 }
 
+/** string → array<string>: a word's initial TRAINING symbols
+  * (codepoints + `</w>`), codegen'd — the round-zero projection of the
+  * distributed trainer ([[graft.text.BpeTrain.trainDistributed]]). */
+case class BpeInitSymsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_bpe_init_syms"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeImpl.initSyms(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.initSyms($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeInitSymsExpr =
+    copy(child = newChild)
+}
+
+/** array<string> → array<string>: one training merge (l, r) applied
+  * left-to-right non-overlapping, codegen'd. The pair rides the
+  * expression as constants — a new (tiny) plan per training round. */
+case class BpeMergePairExpr(child: Expression, l: String, r: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def prettyName: String = "graft_bpe_merge_pair"
+
+  @transient private lazy val lU = UTF8String.fromString(l)
+  @transient private lazy val rU = UTF8String.fromString(r)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeImpl.mergePair(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lU, rU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeL", lU, "org.apache.spark.unsafe.types.UTF8String")
+    val rRef = ctx.addReferenceObj("bpeR", rU, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.mergePair($c, $lRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePairExpr =
+    copy(child = newChild)
+}
+
 object NativeBpe {
   /** Column wrappers. */
   def bpeTokenCount(text: Column, artifactKey: String = "default"): Column =
     GraftShims.column(BpeCountExpr(GraftShims.expression(text), artifactKey))
   def bpeTokens(text: Column, artifactKey: String = "default"): Column =
     GraftShims.column(BpeTokensExpr(GraftShims.expression(text), artifactKey))
+  def bpeInitSyms(word: Column): Column =
+    GraftShims.column(BpeInitSymsExpr(GraftShims.expression(word)))
+  def bpeMergePair(syms: Column, l: String, r: String): Column =
+    GraftShims.column(BpeMergePairExpr(GraftShims.expression(syms), l, r))
 }

@@ -92,6 +92,28 @@ object TextQueries extends QueryPack {
           .as("toks_md5"))
       .orderBy(col("doc_id"))
 
+  /** Distributed BPE TRAINING end-to-end
+    * ([[graft.text.BpeTrain.trainDistributed]]): 12 merge rounds where
+    * each round's pair count is one Spark aggregate over the
+    * distributed (symbols, freq) dictionary — the driver holds only
+    * the 12 winning pairs and the alphabet. Result rows pin the FULL
+    * training trajectory (each merge's pair + its corpus frequency at
+    * selection time) and the final vocab layout; the oracle replays
+    * the same rounds unrolled as materialized DuckDB CTEs. */
+  def txBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, vocab) = graft.text.BpeTrain.trainDistributed(
+      table(s, dir, "documents"), "text", nMerges = 12)
+    val mergeRows = merges.zipWithIndex.map { case ((l, r, f), i) =>
+      ("merge", i, l, r, l + r, f)
+    }
+    val vocabRows = vocab.zipWithIndex.map { case (sym, i) =>
+      ("vocab", i, "", "", sym, 0L)
+    }
+    (mergeRows ++ vocabRows)
+      .toDF("kind", "rank", "lhs", "rhs", "sym", "freq")
+  }
+
   /** Document fingerprint: minimum MD5 over 5-token shingles
     * (winnowing-lite, engine-portable because MD5 is standard). */
   def txFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -1587,6 +1609,7 @@ object TextQueries extends QueryPack {
     "tx_clf_score" -> (txClfScore _),
     "tx_clf_eval" -> (txClfEval _),
     "tx_bpe_tokens" -> (txBpeTokens _),
+    "tx_bpe_train" -> (txBpeTrain _),
     "tx_url_normalize" -> (txUrlNormalize _),
     "tx_url_dedup" -> (txUrlDedup _),
     "tx_domain_caps" -> (txDomainCaps _),
@@ -2596,7 +2619,62 @@ object TextQueries extends QueryPack {
       ORDER BY stage_idx"""
   }
 
+  /** DuckDB replay of the DISTRIBUTED BPE training loop
+    * ([[graft.text.BpeTrain.trainDistributed]]): `n` merge rounds
+    * UNROLLED as materialized CTE pairs (b_k = winning pair by
+    * freq DESC then pair ASC — DuckDB's binary collation == Spark's
+    * UTF8 binary == codepoint order; s_k = the merge applied
+    * left-to-right non-overlapping via a list_reduce fold with the
+    * list-prepend init trick). Materialization is load-bearing: DuckDB
+    * inlines plain CTEs per reference, which would make the round
+    * chain exponential. */
+  private def bpeTrainOracleSql(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      s"""
+    b$k AS MATERIALIZED (
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS f
+      FROM (SELECT unnest([{'l': syms[i], 'r': syms[i+1]}
+                           FOR i IN range(1, len(syms))],
+                          recursive := true), freq FROM s${k - 1})
+      GROUP BY l, r ORDER BY f DESC, l, r LIMIT 1),
+    s$k AS MATERIALIZED (
+      SELECT list_reduce(
+               list_prepend([]::VARCHAR[], [[x] FOR x IN syms]),
+               (acc, e) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
+                                 AND e[1] = b.r
+                           THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                            b.l || b.r)
+                           ELSE list_append(acc, e[1]) END) AS syms,
+             freq
+      FROM s${k - 1}, b$k b)"""
+    }.mkString(",")
+    val mrows = (1 to n).map(k =>
+      s"SELECT ${k - 1} AS rank, l, r, f FROM b$k").mkString("\nUNION ALL ")
+    s"""
+    WITH
+    wc AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    s0 AS MATERIALIZED (
+      SELECT list_append(string_split(w, ''), '</w>') AS syms, freq FROM wc),
+    base AS (SELECT DISTINCT unnest(string_split(w, '')) AS c FROM wc),
+    $rounds,
+    mrows AS ($mrows),
+    vrows AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY grp, ord, sym) - 1 AS INT)
+               AS rank, sym
+      FROM (SELECT 0 AS grp, 0 AS ord, c AS sym FROM base
+            UNION ALL SELECT 1, 0, '</w>'
+            UNION ALL SELECT 2, rank + 1, l || r FROM mrows))
+    SELECT 'merge' AS kind, CAST(rank AS INT) AS rank, l AS lhs, r AS rhs,
+           l || r AS sym, f AS freq FROM mrows
+    UNION ALL
+    SELECT 'vocab', rank, '', '', sym, CAST(0 AS BIGINT) FROM vrows"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "tx_bpe_train" -> bpeTrainOracleSql(12),
     "tx_pretrain_pipeline" -> pretrainOracleSql,
     "tx_pretrain_stream" -> pretrainOracleSql,
     // the ledger is the same CTE pack read per-document: first stage a

@@ -134,6 +134,74 @@ object BpeTrain {
     trainFromCounts(words, nMerges)
   }
 
+  /** FULLY DISTRIBUTED training: the (word → symbols, freq) dictionary
+    * never leaves the cluster — each round's pair counting is one
+    * Spark aggregate over the dictionary frame and the ONLY rows the
+    * driver ever holds are the winning pair per round (1 row × nMerges)
+    * and the alphabet (base codepoints). This removes the `maxWords`
+    * driver bound [[train]] needs: a corpus whose distinct-word table
+    * itself exceeds driver memory (no Heaps'-law mercy — think
+    * URL-/ID-riddled web text) trains here at full fidelity.
+    *
+    * Per round: (1) adjacent-pair counts via map-side partial agg over
+    * the checkpointed dict (`zip_with` over the symbol array — no
+    * explode of the corpus, the frame is distinct-word-sized), shuffle
+    * carries only distinct pairs; winner by (freq DESC, pair ASC) —
+    * Spark's binary UTF8 ordering IS codepoint order, matching
+    * [[cpCompare]]; (2) the merge applied map-only via the codegen'd
+    * [[graft.functions.BpeMergePairExpr]], then `localCheckpoint` so
+    * each kept plan is one round deep and round k+1's aggregate scans
+    * cached rows, not a k-deep lineage (the [[graft.operators.Graphs]]
+    * fixed-point pattern). Cost: 2 jobs/round over a dictionary-sized
+    * frame; the corpus is scanned exactly once (word counting).
+    *
+    * Byte-identical to [[trainFromCounts]] on the same word counts
+    * (pinned by BpeTrainSpec): same tie order, same left-to-right
+    * merge-all, same vocab layout. */
+  def trainDistributed(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Option[Int] = None): (Seq[(String, String, Long)], Seq[String]) = {
+    import graft.functions.NativeBpe
+    val init = wordCounts(docs, textCol, maxWords)
+      .select(NativeBpe.bpeInitSyms(col("word")).as("syms"), col("freq"))
+      .localCheckpoint()
+    // alphabet: distinct base codepoints, codepoint-sorted (binary
+    // UTF8 ordering == codepoint order) — bounded by alphabet size
+    val baseChars = init
+      .select(explode(col("syms")).as("c"))
+      .filter(col("c") =!= Bpe.EndOfWord)
+      .distinct().orderBy(col("c"))
+      .collect().map(_.getString(0)).toSeq
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var cur = init
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val best = cur
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val f = best(0).getLong(2)
+        merges += ((l, r, f))
+        cur = cur
+          .select(NativeBpe.bpeMergePair(col("syms"), l, r).as("syms"),
+            col("freq"))
+          .localCheckpoint()
+      }
+      step += 1
+    }
+    val ms = merges.result()
+    (ms, baseChars ++ Seq(Bpe.EndOfWord) ++ ms.map { case (l, r, _) => l + r })
+  }
+
   /** Write the artifact in the exact on-disk format [[Bpe.artifact]]
     * (and every public BPE distribution) consumes — after this,
     * `Bpe.artifact(s"file:$dir")` serves the freshly-trained

@@ -57,6 +57,36 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assert(counts == Seq(2, 5))
   }
 
+  test("trainDistributed: hand-computed merges, freqs, and tie-breaks") {
+    import spark.implicits._
+    // same corpus as the driver-loop case: aa aa aa ab ab
+    val docs = Seq("aa aa aa ab ab").toDF("text")
+    val (merges, vocab) = BpeTrain.trainDistributed(docs, "text", 4)
+    assert(merges == Seq(("a", "</w>", 3L), ("a", "a</w>", 3L),
+      ("a", "b", 2L), ("ab", "</w>", 2L)))
+    assert(vocab == Seq("a", "b", "</w>",
+      "a</w>", "aa</w>", "ab", "ab</w>"))
+  }
+
+  test("trainDistributed stops early when no pairs remain") {
+    import spark.implicits._
+    val (merges, _) =
+      BpeTrain.trainDistributed(Seq("a a a").toDF("text"), "text", 10)
+    assert(merges.map(m => (m._1, m._2)) == Seq(("a", "</w>")))
+  }
+
+  test("trainDistributed == trainFromCounts on a real corpus") {
+    // the distributed pair-count + merge rounds must be byte-identical
+    // to the driver reference loop on the same word counts
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = BpeTrain.wordCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (expMerges, expVocab) = BpeTrain.trainFromCounts(words, 25)
+    val (gotMerges, gotVocab) = BpeTrain.trainDistributed(docs, "text", 25)
+    assert(gotMerges.map(m => (m._1, m._2)) == expMerges)
+    assert(gotVocab == expVocab)
+  }
+
   test("maxWords cap keeps the N most frequent words, deterministically") {
     import spark.implicits._
     val docs = Seq.fill(5)("hot hot hot warm warm cold").toDF("text")
