@@ -116,4 +116,112 @@ object JdbcSource {
         durationSeconds = (System.nanoTime() - t0) / 1e9)
     } finally pinned.unpersist()
   }
+
+  private def connect(cfg: JdbcSourceConfig): java.sql.Connection =
+    if (cfg.user.nonEmpty)
+      java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    else java.sql.DriverManager.getConnection(cfg.url)
+
+  private def tableExists(conn: java.sql.Connection, name: String): Boolean = {
+    // ANSI metadata lookup; unquoted DDL identifiers are stored
+    // upper-case by Derby/ANSI catalogs, so probe both spellings
+    val md = conn.getMetaData
+    Seq(name, name.toUpperCase, name.toLowerCase).exists { n =>
+      val rs = md.getTables(null, null, n, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+  }
+
+  /** EXACTLY-ONCE warehouse load (the streaming half of S8, reference
+    * `src/orchestration/operators.py:336-378` whose loads are fire-and-
+    * forget): replaying the same `batchId` leaves the warehouse table
+    * byte-identical.
+    *
+    * Spark's JDBC writer commits per-partition — it cannot be atomic
+    * with anything — so the load is STAGE-THEN-PUBLISH:
+    *  1. executors bulk-write the batch to `<table>_stage` (overwrite:
+    *     re-staging after a crash is harmless, nothing reads the stage
+    *     outside step 2);
+    *  2. ONE driver-side transaction publishes: `INSERT INTO target
+    *     SELECT … FROM stage` + the `(batch_id, rows)` row into
+    *     `<table>_batch_ledger`, COMMIT. The ledger row commits in the
+    *     SAME transaction as the rows — there is no state where the
+    *     data landed but the ledger missed it (or vice versa).
+    *
+    * Replay decision is the ledger, not Spark's checkpoint: a crash
+    * after the DB commit but before the streaming checkpoint commit
+    * re-delivers the batch, the ledger hit skips it (LoadResult notes
+    * the skip), and the table is unchanged. A crash before the commit
+    * rolls the transaction back — re-staging + re-publishing sees no
+    * partial rows. The stage table is per-target and single-writer
+    * (one streaming query per target), matching every sink here.
+    *
+    * Scale: step 1 is the same parallel executor write as [[write]]
+    * (batches are micro-batch-sized); step 2 is one set-based
+    * INSERT…SELECT inside the database — no row movement through the
+    * driver. */
+  def writeExactlyOnce(df: DataFrame, cfg: JdbcSourceConfig,
+      batchId: Long): graft.core.LoadResult = {
+    val t0 = System.nanoTime()
+    val stage = s"${cfg.table}_stage"
+    val ledger = s"${cfg.table}_batch_ledger"
+    val cols = df.columns
+    val conn = connect(cfg)
+    try {
+      conn.setAutoCommit(true)
+      val st = conn.createStatement()
+      try {
+        if (!tableExists(conn, ledger))
+          st.execute(s"CREATE TABLE $ledger (" +
+            "batch_id BIGINT NOT NULL PRIMARY KEY, " +
+            "rows_loaded BIGINT NOT NULL, loaded_at TIMESTAMP NOT NULL)")
+      } finally st.close()
+      val probe = conn.prepareStatement(
+        s"SELECT rows_loaded FROM $ledger WHERE batch_id = ?")
+      val hit = try {
+        probe.setLong(1, batchId)
+        val rs = probe.executeQuery()
+        try if (rs.next()) Some(rs.getLong(1)) else None finally rs.close()
+      } finally probe.close()
+      hit match {
+        case Some(_) =>
+          graft.core.LoadResult(success = true, rowsLoaded = 0L,
+            tableName = cfg.table,
+            durationSeconds = (System.nanoTime() - t0) / 1e9,
+            errorMessage = Some(s"batch $batchId already loaded; skipped"))
+        case None =>
+          // 1. parallel bulk write into the stage (overwrite replays fine)
+          val staged = write(df, cfg.copy(table = stage), mode = "overwrite")
+          // 2. one transaction: rows + ledger row commit together.
+          // Spark's JDBC writer creates columns as QUOTED identifiers —
+          // quote them here too or ANSI case folding misses them
+          val colList = cols.map(c => "\"" + c + "\"").mkString(", ")
+          val st2 = conn.createStatement()
+          try {
+            if (!tableExists(conn, cfg.table))
+              st2.execute(s"CREATE TABLE ${cfg.table} AS " +
+                s"SELECT $colList FROM $stage WITH NO DATA")
+            conn.setAutoCommit(false)
+            st2.execute(
+              s"INSERT INTO ${cfg.table} ($colList) SELECT $colList FROM $stage")
+            val ins = conn.prepareStatement(
+              s"INSERT INTO $ledger (batch_id, rows_loaded, loaded_at) " +
+                "VALUES (?, ?, CURRENT_TIMESTAMP)")
+            try {
+              ins.setLong(1, batchId)
+              ins.setLong(2, staged.rowsLoaded)
+              ins.executeUpdate()
+            } finally ins.close()
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally st2.close()
+          graft.core.LoadResult(success = true, rowsLoaded = staged.rowsLoaded,
+            tableName = cfg.table,
+            durationSeconds = (System.nanoTime() - t0) / 1e9)
+      }
+    } finally conn.close()
+  }
 }

@@ -1554,6 +1554,23 @@ object Streams {
         onLoad(mergeBatch(batch.sparkSession, batch, path, keys, versionCol))
       }
 
+  /** EXACTLY-ONCE streaming warehouse load over JDBC (the S8 streaming
+    * half; reference `operators.py:336-378` loads fire-and-forget):
+    * each micro-batch lands via
+    * [[graft.sources.JdbcSource.writeExactlyOnce]] — executor-parallel
+    * stage write, then one driver transaction committing the rows AND
+    * the `(batch_id, rows)` ledger row together. Micro-batch replays
+    * (crash between the DB commit and Spark's checkpoint commit) hit
+    * the ledger and skip, so the warehouse table is byte-identical
+    * under any replay schedule. */
+  def jdbcExactlyOnceSink(stream: DataFrame,
+      cfg: graft.sources.JdbcSourceConfig, checkpoint: String,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
+      graft.sources.JdbcSource.writeExactlyOnce(batch, cfg, batchId)
+    }
+
   /** Streaming twin of [[graft.operators.Merge.mergeIntoPartitioned]]:
     * each micro-batch rewrites only the partitions it touches. This is
     * the sink a 100 TB fact table actually runs — per-batch cost scales

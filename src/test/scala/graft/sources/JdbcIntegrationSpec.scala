@@ -86,4 +86,70 @@ class JdbcIntegrationSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("WHERE updated_at > '2024-01-20 00:00:00'"), plan)
     assert("\\(\\d+\\) Filter".r.findFirstIn(plan).isEmpty, plan)
   }
+
+  private def snapshot(table: String): Seq[(Int, String)] = {
+    val back = JdbcSource.reader(spark, cfg.copy(table = table))
+      .option("driver", driver).load()
+    back.collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+  }
+
+  test("writeExactlyOnce: replaying a batch leaves the table byte-identical") {
+    seeded
+    val spark2 = spark
+    import spark2.implicits._
+    val out = cfg.copy(table = "eo_customers")
+    val b0 = Seq((1, "a@test.com"), (2, "b@test.com")).toDF("id", "email")
+
+    val r0 = JdbcSource.writeExactlyOnce(b0, out, batchId = 0L)
+    assert(r0.success && r0.rowsLoaded == 2 && r0.errorMessage.isEmpty)
+    val afterFirst = snapshot("eo_customers")
+    assert(afterFirst == Seq(1 -> "a@test.com", 2 -> "b@test.com"))
+
+    // replay of the SAME batch id: skipped, table unchanged
+    val r0b = JdbcSource.writeExactlyOnce(b0, out, batchId = 0L)
+    assert(r0b.success && r0b.rowsLoaded == 0)
+    assert(r0b.errorMessage.exists(_.contains("already loaded")))
+    assert(snapshot("eo_customers") == afterFirst)
+
+    // a NEW batch id appends; its replay is also a no-op
+    val b1 = Seq((3, "c@test.com")).toDF("id", "email")
+    val r1 = JdbcSource.writeExactlyOnce(b1, out, batchId = 1L)
+    assert(r1.rowsLoaded == 1)
+    val r1b = JdbcSource.writeExactlyOnce(b1, out, batchId = 1L)
+    assert(r1b.rowsLoaded == 0)
+    assert(snapshot("eo_customers") ==
+      Seq(1 -> "a@test.com", 2 -> "b@test.com", 3 -> "c@test.com"))
+
+    // the ledger carries one row per batch, rows committed with the data
+    val ledger = JdbcSource.reader(spark, cfg.copy(table = "eo_customers_batch_ledger"))
+      .option("driver", driver).load()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(ledger == Seq(0L -> 2L, 1L -> 1L))
+  }
+
+  test("jdbcExactlyOnceSink: checkpointed stream lands batches exactly once") {
+    seeded
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
+    val out = cfg.copy(table = "eo_stream_customers")
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val q = graft.streaming.Streams.jdbcExactlyOnceSink(
+        input.toDS().toDF("id", "email"), out,
+        java.nio.file.Files.createTempDirectory("graft-eo-ckpt").toString,
+        graft.streaming.Streams.trigger(1),
+        onLoad = r => loads.synchronized { loads += r })
+      .start()
+    try {
+      input.addData((1, "a@test.com"), (2, "b@test.com"))
+      q.processAllAvailable()
+      input.addData((3, "c@test.com"))
+      q.processAllAvailable()
+      assert(snapshot("eo_stream_customers") ==
+        Seq(1 -> "a@test.com", 2 -> "b@test.com", 3 -> "c@test.com"))
+      assert(loads.count(_.rowsLoaded > 0) == 2 && loads.forall(_.success))
+    } finally q.stop()
+  }
 }
