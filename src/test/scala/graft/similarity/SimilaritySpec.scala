@@ -116,6 +116,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall(8) == 1.0)
   }
 
+  test("ivfTopKQ default: predicate dedup holds, spill+multiprobe lifts recall") {
+    val q = emb.filter(col("vec_id") < 10)
+    def run(nProbe: Int, nAssign: Int) =
+      Similarity.ivfTopKQ(emb, q, "vec_id", "embedding",
+          PqFixture.coarseIvfL, k = 10, nProbe = nProbe, nAssign = nAssign)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val deflt = run(4, 2)
+    // replication can match a pair once per shared cell — the join
+    // predicate must dedup (first-shared-cell rule), no pair twice
+    assert(deflt.distinct.length == deflt.length)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(pairs: Array[(Long, Long)]): Double =
+      pairs.count(brute.contains).toDouble / brute.size
+    // the default (spill ×2, probe 4) must dominate single-probe
+    // single-assign — the configuration the recall floor retired
+    assert(recall(deflt) >= recall(run(1, 1)))
+  }
+
   test("IVF index save/load round-trip: loaded index answers identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val (clustered, centroids) = Similarity.kmeansIndex(

@@ -24,6 +24,7 @@ sub = dim // M
 coarse = np.array([np.rint(q[labels == l].mean(axis=0))
                    for l in sorted(set(labels))], dtype=np.int64)
 
+
 def lloyd(X, k, seed, iters):
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), k, replace=False)].copy()
@@ -37,6 +38,12 @@ def lloyd(X, k, seed, iters):
 
 books = [lloyd(q[:, j*sub:(j+1)*sub], KSUB, SEED + j, ITERS) for j in range(M)]
 
+# TRAINED IVF coarse quantizer (the production-default cells for
+# Similarity.ivfTopKQ): Lloyd k-means on the FULL 64-dim quantized
+# vectors, k=10, same deterministic recipe as the codebooks. The
+# per-label `coarse` above stays as the sim_pq_adc fixture.
+coarse_ivf = lloyd(q, 10, SEED, ITERS).astype(np.int64)
+
 def fmt(v):
     return '    Seq(' + ', '.join(f'{int(x)}L' for x in v) + ')'
 
@@ -49,7 +56,9 @@ print('  * rounded) — generated once by tools/gen_pq_fixture.py. Integer')
 print('  * values make every ADC/coarse distance exact integer arithmetic,')
 print('  * so the IVFADC pipeline is DuckDB-oracle-checkable end to end')
 print('  * (the sim_pq_adc row); KMeans-trained float codebooks stay the')
-print('  * production path ([[Pq.train]]).  */')
+print('  * production path ([[Pq.train]]). coarseIvfL is the TRAINED (full')
+print('  * 64-dim Lloyd, k=10) coarse quantizer behind the production-')
+print('  * default ANN path Similarity.ivfTopKQ and its recall floor. */')
 print('object PqFixture {')
 print(f'  val m = {M}')
 print(f'  val ksub = {KSUB}')
@@ -60,6 +69,8 @@ for j, B in enumerate(books):
     print('    Seq(')
     print(',\n'.join('  ' + fmt(c) for c in B) + (')' if j == M-1 else '),'))
 print('  )')
+print('  val coarseIvfL: Seq[Seq[Long]] = Seq(')
+print(',\n'.join(fmt(c) for c in coarse_ivf) + ')')
 print('  val coarse: Seq[Seq[Double]] = coarseL.map(_.map(_.toDouble))')
 print('  val codebooks: Seq[Seq[Seq[Double]]] =')
 print('    codebooksL.map(_.map(_.map(_.toDouble)))')
