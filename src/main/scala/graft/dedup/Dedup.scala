@@ -586,6 +586,59 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL component maintenance: fold `newLinks` into an
+    * existing component assignment WITHOUT re-running the closure over
+    * history. New links can only MERGE existing components (or mint
+    * components for unseen ids) — so the iterative work runs on the
+    * ROOT GRAPH induced by the delta:
+    *
+    *  1. each new link's endpoints map to their current roots (two
+    *     broadcast-hash joins of the delta against the assignment —
+    *     map passes, no iterative scan of history);
+    *  2. [[connectedComponents]] runs over those root-level edges —
+    *     a frame ∝ |newLinks|, NOT ∝ |all links ever|;
+    *  3. the assignment updates by one broadcast remap (old root →
+    *     new root; the map is delta-sized) plus the unseen ids.
+    *
+    * Output contract identical to [[connectedComponents]] over the
+    * UNION of all links ever (min-id roots): merging component minima
+    * by min yields the global minimum, and components never split.
+    * This is the maintenance path a 10⁹-record MDM golden-record view
+    * needs — per-refresh cost ∝ links since the last fold, while the
+    * full closure remains the from-scratch/compaction path. */
+  def mergeComponents(existing: DataFrame, newLinks: DataFrame,
+      idCol: String): DataFrame = {
+    val asg = existing.select(col(idCol), col("cluster_id"))
+    val e = newLinks
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint() // delta-sized; read twice below
+    // root-map each endpoint (ids absent from the assignment root to
+    // themselves): ONE scan of the assignment semi-filtered by the
+    // broadcast delta ids, then two delta×delta joins
+    val ids = e.select(col("id_a").as(idCol))
+      .unionByName(e.select(col("id_b").as(idCol))).distinct()
+    val roots = asg.join(broadcast(ids), Seq(idCol)).localCheckpoint()
+    val rooted = e
+      .join(roots.select(col(idCol).as("id_a"),
+        col("cluster_id").as("__ra")), Seq("id_a"), "left")
+      .join(roots.select(col(idCol).as("id_b"),
+        col("cluster_id").as("__rb")), Seq("id_b"), "left")
+      .select(coalesce(col("__ra"), col("id_a")).as("id_a"),
+        coalesce(col("__rb"), col("id_b")).as("id_b"))
+    // closure over the root-level delta graph only
+    val rootMap = connectedComponents(rooted, idCol)
+    // one map-only remap of the (large) assignment...
+    val remap = rootMap
+      .select(col(idCol).as("cluster_id"), col("cluster_id").as("__new"))
+    val updated = asg.join(broadcast(remap), Seq("cluster_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+    // ...plus the ids the assignment has never seen
+    val newNodes = rootMap.join(asg.select(col(idCol)), Seq(idCol), "left_anti")
+    updated.unionByName(newNodes)
+  }
+
   /** Driver union-find over a small (gated) canonical edge list: one
     * collect of (src, dst) longs, path-compressed find, min-id root —
     * identical output contract to the distributed star rounds. */

@@ -180,6 +180,59 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(agg.getLong(1) == 1L && agg.getLong(2) == 1L) // one cluster, min id
   }
 
+  test("mergeComponents: incremental == batch closure over the union") {
+    val spark2 = spark
+    import spark2.implicits._
+    val old = Seq((2L, 1L), (2L, 3L), // component {1,2,3}
+      (10L, 11L), // component {10,11}
+      (21L, 20L)) // component {20,21}
+      .toDF("id_a", "id_b")
+    val existing = Dedup.connectedComponents(old, "doc_id")
+    // the delta: BRIDGES two existing components (3-10), extends one
+    // (21-22), and mints a brand-new one (30-31)
+    val delta = Seq((3L, 10L), (21L, 22L), (30L, 31L)).toDF("id_a", "id_b")
+    val inc = Dedup.mergeComponents(existing, delta, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(old.unionByName(delta), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    // bridged component collapsed to the global minimum
+    assert(inc(11L) == 1L && inc(10L) == 1L && inc(22L) == 20L)
+    // folding an ALREADY-MERGED delta again is a no-op (idempotent)
+    val again = Dedup.mergeComponents(inc.toSeq.toDF("doc_id", "cluster_id"),
+        delta, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == full)
+    // empty delta returns the assignment unchanged
+    val none = Dedup.mergeComponents(existing,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == Dedup.connectedComponents(old, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("mergeComponents chain: repeated folds == one closure (random graph)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = (0 until 180).map { i =>
+      val a = (i * 2654435761L % 200).abs
+      val b = ((i * 40503L + 7) % 200).abs
+      (math.max(a, b), math.min(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    // fold in 4 arbitrary increments
+    val slices = edges.grouped((edges.size + 3) / 4).toSeq
+    var asg = Dedup.connectedComponents(slices.head.toDF("id_a", "id_b"),
+      "doc_id")
+    slices.tail.foreach { s =>
+      asg = Dedup.mergeComponents(asg, s.toDF("id_a", "id_b"), "doc_id")
+        .localCheckpoint()
+    }
+    val inc = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+  }
+
   test("transitive dedup keeps one survivor per component; greedy may keep more") {
     val spark2 = spark
     import spark2.implicits._

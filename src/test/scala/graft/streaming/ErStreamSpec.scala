@@ -42,6 +42,11 @@ class ErStreamSpec extends AnyFunSuite with SparkSpec {
       (0 until 3).foreach { b =>
         input.addData(feedRows.filter(_._1 % 3 == b): _*)
         q.processAllAvailable()
+        // refresh the incremental components view AFTER EVERY batch:
+        // batch 0 bootstraps the assignment, batches 1-2 fold through
+        // mergeComponents — links that bridge across batches must merge
+        Streams.erComponentsRefresh(spark, s"$dir/links",
+          s"$dir/components", "rec_id")
       }
     } finally q.stop()
 
@@ -69,6 +74,23 @@ class ErStreamSpec extends AnyFunSuite with SparkSpec {
     assert(streamedGolden.exceptAll(batchGolden).isEmpty &&
       batchGolden.exceptAll(streamedGolden).isEmpty,
       "streamed golden records must equal the batch golden records")
+
+    // INCREMENTAL components view (persisted assignment folded batch by
+    // batch, closure ∝ delta) must ALSO equal the batch run — including
+    // the planted pairs that straddle micro-batches (bridge case)
+    val incGolden = Streams.erGoldenState(spark, s"$dir/records",
+      s"$dir/links", "rec_id", "name", "segment", "acctbal",
+      componentsPath = Some(s"$dir/components"))
+    assert(incGolden.exceptAll(batchGolden).isEmpty &&
+      batchGolden.exceptAll(incGolden).isEmpty,
+      "incrementally-maintained golden records must equal the batch run")
+    // a second refresh with no new batches serves the persisted state
+    // unchanged (marker short-circuit)
+    val incAgain = Streams.erGoldenState(spark, s"$dir/records",
+      s"$dir/links", "rec_id", "name", "segment", "acctbal",
+      componentsPath = Some(s"$dir/components"))
+    assert(incAgain.exceptAll(batchGolden).isEmpty &&
+      batchGolden.exceptAll(incAgain).isEmpty)
 
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
   }
