@@ -27,48 +27,90 @@ object Layout {
     (m3.bitwiseOR(shiftleft(m3, 1))).bitwiseAND(lit(0x55555555L))
   }
 
+  /** Spread the low `nBits` bits of `x` to every `n`-th bit position
+    * (0, n, 2n, …) — the N-dimensional generalization of [[spread16]].
+    * n = 2 takes the 5-op mask-shift cascade; other strides fold the
+    * per-bit shift chain (nBits × 3 built-in bitwise ops, still one
+    * codegen'd expression tree — no UDF, no loop at run time). */
+  def spreadEvery(x: Column, n: Int, nBits: Int): Column = {
+    val masked = x.bitwiseAND(lit((1L << nBits) - 1))
+    if (n == 1) masked
+    else if (n == 2 && nBits == 16) spread16(x)
+    else (0 until nBits).map { i =>
+      shiftleft(shiftright(masked, i).bitwiseAND(lit(1L)), i * n)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Morton z-value of two 16-bit bucket ids (a in even bits, b in odd). */
   def mortonZ(aBucket: Column, bBucket: Column): Column =
     spread16(aBucket).bitwiseOR(shiftleft(spread16(bBucket), 1))
 
-  /** Uniform 16-bit bucket of a numeric column over [lo, hi]. */
-  def bucket16(x: Column, lo: Double, hi: Double): Column = {
-    require(hi > lo, "bucket16 needs hi > lo")
-    least(greatest(
-      floor((x.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0), lit(0.0)),
-      lit(65535.0)).cast("long")
+  /** Morton z-value of N bucket ids of `nBits` bits each: column j's
+    * bits land at positions j, j+N, j+2N, … — bit-interleaved across
+    * ALL N dimensions, so a range of z-values is a locality-preserving
+    * cell in N-space. */
+  def mortonZN(buckets: Seq[Column], nBits: Int): Column = {
+    val n = buckets.size
+    buckets.zipWithIndex.map { case (b, j) =>
+      shiftleft(spreadEvery(b, n, nBits), j)
+    }.reduce(_ bitwiseOR _)
   }
 
-  /** Write `df` z-ordered on (colA, colB): range-partition by the
-    * z-value into `numFiles` files, sorted within each. Column bounds
-    * come from ONE tiny min/max aggregate (4 scalars to the driver).
-    * Rows with NULL in either column get z = −1 and cluster together
-    * in the first file (their stats are useless anyway). */
+  /** Uniform 16-bit bucket of a numeric column over [lo, hi]. */
+  def bucket16(x: Column, lo: Double, hi: Double): Column =
+    bucketN(x, lo, hi, 16)
+
+  /** Uniform `nBits`-bit bucket of a numeric column over [lo, hi]. */
+  def bucketN(x: Column, lo: Double, hi: Double, nBits: Int): Column = {
+    require(hi > lo, "bucketN needs hi > lo")
+    val k = 1L << nBits
+    least(greatest(
+      floor((x.cast("double") - lit(lo)) / lit(hi - lo) * k.toDouble),
+      lit(0.0)), lit((k - 1).toDouble)).cast("long")
+  }
+
+  /** Write `df` z-ordered on (colA, colB) — see the Seq overload. */
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit =
+    zorderWrite(df, path, Seq(colA, colB), numFiles)
+
+  /** Write `df` z-ordered on N columns (2-4 is the practical layout-
+    * tuning range; up to 8 supported): range-partition by the N-dim
+    * Morton value into `numFiles` files, sorted within each, so EVERY
+    * listed column gets tight per-file min/max statistics. Per-column
+    * bits shrink as N grows (⌊62/N⌋ capped at 16) — total z stays in
+    * one signed long, and resolution beyond numFiles^(1/N) buckets per
+    * dimension is wasted anyway. Column bounds come from ONE tiny
+    * min/max aggregate (2N scalars to the driver). Rows with NULL/NaN
+    * in any listed column get z = −1 and cluster together in the
+    * first file (their stats are useless anyway). */
+  def zorderWrite(df: DataFrame, path: String, cols: Seq[String],
       numFiles: Int): Unit = {
+    require(cols.nonEmpty && cols.size <= 8,
+      s"zorderWrite takes 1-8 columns, got ${cols.size}")
+    val nBits = math.min(16, 62 / cols.size)
     // NaN sorts above every double in Spark's min/max — exclude it from
-    // the bounds probe or one bad row poisons aHi and the whole relayout
+    // the bounds probe or one bad row poisons the hi and the relayout
     def cleanD(c: String) =
       when(!isnan(col(c).cast("double")), col(c).cast("double"))
-    val b = df.agg(min(cleanD(colA)), max(cleanD(colA)),
-        min(cleanD(colB)), max(cleanD(colB)))
+    val b = df.agg(
+      cols.flatMap(c => Seq(min(cleanD(c)), max(cleanD(c)))).head,
+      cols.flatMap(c => Seq(min(cleanD(c)), max(cleanD(c)))).tail: _*)
       .collect().head
-    if (b.isNullAt(0) || b.isNullAt(2)) {
+    if (cols.indices.exists(j => b.isNullAt(2 * j))) {
       // empty input or a layout column with no usable values: there is
       // nothing to cluster — write the data unclustered rather than NPE
       df.repartition(math.max(1, numFiles)).write.mode("overwrite").parquet(path)
       return
     }
-    val (aLo, aHi) = (b.getDouble(0), b.getDouble(1))
-    val (bLo, bHi) = (b.getDouble(2), b.getDouble(3))
-    // NULL/NaN rows get z = −1 and cluster into the first file
-    val unusable = col(colA).isNull || col(colB).isNull ||
-      isnan(col(colA).cast("double")) || isnan(col(colB).cast("double"))
+    val unusable = cols.map(c =>
+      col(c).isNull || isnan(col(c).cast("double"))).reduce(_ || _)
+    val buckets = cols.zipWithIndex.map { case (c, j) =>
+      bucketN(col(c), b.getDouble(2 * j),
+        math.nextUp(b.getDouble(2 * j + 1)), nBits)
+    }
     df.withColumn("__z",
-        when(unusable, lit(-1L))
-          .otherwise(mortonZ(
-            bucket16(col(colA), aLo, math.nextUp(aHi)),
-            bucket16(col(colB), bLo, math.nextUp(bHi)))))
+        when(unusable, lit(-1L)).otherwise(mortonZN(buckets, nBits)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

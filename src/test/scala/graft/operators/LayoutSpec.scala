@@ -69,6 +69,72 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$dir/z").exceptAll(df).isEmpty)
   }
 
+  test("mortonZN matches a reference interleave for N=3 (bit-loop path)") {
+    import spark.implicits._
+    def refMorton3(a: Long, b: Long, c: Long, nBits: Int): Long = {
+      var z = 0L
+      for (bit <- 0 until nBits)
+        z |= (((a >> bit) & 1L) << (3 * bit)) |
+          (((b >> bit) & 1L) << (3 * bit + 1)) |
+          (((c >> bit) & 1L) << (3 * bit + 2))
+      z
+    }
+    val rnd = new scala.util.Random(11)
+    val triples = Seq.fill(300)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.mortonZN(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    triples.foreach { case (a, b, c) =>
+      assert(got((a, b, c)) == refMorton3(a, b, c, 16), s"($a, $b, $c)")
+    }
+    // and the N=2 general path degrades to the cascade exactly
+    val pairs2 = triples.map(t => (t._1, t._2))
+    val viaN = pairs2.toDF("a", "b")
+      .select(Layout.mortonZN(Seq(col("a"), col("b")), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaCascade = pairs2.toDF("a", "b")
+      .select(Layout.mortonZ(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaN == viaCascade)
+  }
+
+  test("3-column z-order prunes on ALL THREE dimensions; single-sort on one") {
+    import spark.implicits._
+    val n = 20000
+    // three independent pseudo-uniform dimensions
+    val df = (0 until n).map { i =>
+      (((i * 2654435761L) % 10007).toDouble,
+        ((i * 40503L) % 9973).toDouble,
+        ((i * 69069L + 5) % 9901).toDouble)
+    }.toDF("a", "b", "c")
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+
+    Layout.zorderWrite(df, s"$dir/z3", Seq("a", "b", "c"), 27)
+    df.repartitionByRange(27, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(s"$dir/asorted")
+
+    def avgSpan(path: String, c: String, full: Double): Double = {
+      val spans = Layout.fileSpans(spark, path, c)
+      spans.map { case (lo, hi) => (hi - lo) / full }.sum / spans.length
+    }
+    // a-sorted: useless on b and c
+    assert(avgSpan(s"$dir/asorted", "b", 9973.0) > 0.8)
+    assert(avgSpan(s"$dir/asorted", "c", 9901.0) > 0.8)
+    // 3-dim z-order: every dimension substantially narrowed per file
+    val za = avgSpan(s"$dir/z3", "a", 10007.0)
+    val zb = avgSpan(s"$dir/z3", "b", 9973.0)
+    val zc = avgSpan(s"$dir/z3", "c", 9901.0)
+    assert(za < 0.7, s"z3 a-span $za")
+    assert(zb < 0.7, s"z3 b-span $zb")
+    assert(zc < 0.7, s"z3 c-span $zc")
+    // layout changes bytes, never data
+    assert(spark.read.parquet(s"$dir/z3").exceptAll(df).isEmpty)
+  }
+
   test("zorderWrite survives empty input, all-NULL columns, NaN rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("zorder-edge").toString
