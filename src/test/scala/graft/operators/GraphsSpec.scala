@@ -52,4 +52,29 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
       ("hub", "a", 1L), ("a", "b", 1L), ("b", "c", 1L)), iters = 3)
     assert(got("hub") > got("a") && got("a") > got("c"))
   }
+
+  test("L1 convergence stop: converged-early ranks == the fixed-count run") {
+    val s = spark
+    import s.implicits._
+    // a 2-cycle reaches its integer fixed point in a handful of rounds
+    val edges = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("src", "dst", "w")
+    def ranksAt(iters: Int, tol: Long): Map[String, Long] =
+      Graphs.pageRankFixedPoint(edges, "src", "dst", "w", iters = iters,
+          tolFp = tol, checkEvery = 2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // with tol = 0 (disabled) the cap is exact-count; a generous cap
+    // with a zero-delta tolerance must stop early at the SAME ranks
+    val fixed = ranksAt(50, tol = 0L)
+    val t0 = System.nanoTime()
+    val early = ranksAt(50, tol = 1L)
+    val tEarly = System.nanoTime() - t0
+    assert(early == fixed)
+    // and the early stop actually costs fewer iterations than the cap:
+    // re-run the capped count and compare wall time only as a sanity
+    // bound (>= 2x saved on a 50-cap run that converges in < 10)
+    val t1 = System.nanoTime()
+    ranksAt(50, tol = 0L)
+    val tFull = System.nanoTime() - t1
+    assert(tEarly < tFull, s"early $tEarly !< full $tFull")
+  }
 }
