@@ -180,7 +180,16 @@ object Merge {
     * safety: the compacted base is written to a temp dir and swapped
     * into `version=upTo` via the checked rename pair BEFORE the older
     * directories are deleted — a crash mid-delete leaves extra (stale
-    * but shadowed) versions, never a missing base. */
+    * but shadowed) versions, never a missing base. The scratch and
+    * backup directories are UNDERSCORE-prefixed and `=`-free
+    * (`_compact_N__new`): Spark's file index skips `_`-paths ONLY
+    * when they contain no `=` (an `=` makes it parse them as
+    * partition dirs), so this naming guarantees a crash
+    * mid-compaction (or a concurrent reader racing the tmp write)
+    * can never poison
+    * [[readAsOf]]'s partition discovery with a non-numeric `version`
+    * value — and a re-run heals itself because its own readAsOf never
+    * sees the leftovers. */
   def compactVersions(spark: SparkSession, path: String, upTo: Long,
       keys: Seq[String]): Unit = {
     val base = readAsOf(spark, path, upTo, keys)
@@ -189,9 +198,11 @@ object Merge {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(root, s"version=$upTo")
-    val tmp = new org.apache.hadoop.fs.Path(root, s"version=$upTo" + "__new")
-    val backup = new org.apache.hadoop.fs.Path(root, s"version=$upTo" + "__old")
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_compact_$upTo" + "__new")
+    val backup = new org.apache.hadoop.fs.Path(root, s"_compact_$upTo" + "__old")
     graft.core.AtomicSwap.heal(fs, target, backup)
+    // a stale tmp from a crashed run is fully replaced (Overwrite), and
+    // was invisible to the readAsOf above (underscore prefix)
     base.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     graft.core.AtomicSwap.publish(fs, target, tmp, backup)
     val stat = fs.listStatus(root)
@@ -204,11 +215,19 @@ object Merge {
 
   /** The table as of `asOf`: latest version ≤ asOf per key, tombstones
     * dropped. Keys never written by any version ≤ asOf are absent —
-    * exactly the snapshot a reader at that version would have seen. */
+    * exactly the snapshot a reader at that version would have seen.
+    *
+    * Schema evolution: versions may ADD or DROP columns over the
+    * table's life — `mergeSchema` resolves the read to the UNION
+    * schema of all delta directories, null-filling columns a version
+    * didn't write. A key's as-of row carries exactly the columns its
+    * LATEST ≤ asOf version wrote (others null), and [[compactVersions]]
+    * preserves the union schema (its base is this read). */
   def readAsOf(spark: SparkSession, path: String, asOf: Long,
       keys: Seq[String]): DataFrame = {
     import graft.plans.TopK
-    val log = spark.read.parquet(path).filter(col("version") <= asOf)
+    val log = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("version") <= asOf)
     TopK.perKey(log, keys, Seq(TopK.desc("version")), k = 1)
       .filter(!col("_deleted"))
       .drop("rank", "version", "_deleted")

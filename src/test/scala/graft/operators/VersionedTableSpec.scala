@@ -70,6 +70,72 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
       new java.io.File(dir))
   }
 
+  test("schema evolution: column added in v2 reads at v1/v2/v3; compaction keeps it") {
+    val dir = Files.createTempDirectory("graft-vte").toString
+    try {
+      val schema2 = StructType(Seq(
+        StructField("id", LongType), StructField("val", StringType),
+        StructField("tier", StringType)))
+      def frame2(rows: Row*) = spark.createDataFrame(rows.asJava, schema2)
+      Merge.appendVersion(frame(Row(1L, "a0"), Row(2L, "b0")), dir, 0L)
+      Merge.appendVersion(frame(Row(3L, "c1")), dir, 1L)
+      // v2 ADDS a column; it also re-writes key 1 with a tier
+      Merge.appendVersion(frame2(Row(1L, "a2", "gold"), Row(4L, "d2", "silver")),
+        dir, 2L)
+      // v3 DROPS the column again (writes the original shape)
+      Merge.appendVersion(frame(Row(4L, "d3")), dir, 3L)
+
+      def snap(asOf: Long): Map[Long, (String, Option[String])] =
+        Merge.readAsOf(spark, dir, asOf, Seq("id")).collect()
+          .map(r => r.getLong(0) ->
+            ((r.getString(1), Option(r.getAs[String]("tier"))))).toMap
+
+      // at v1 (before the add) the union schema still exposes `tier`,
+      // null-filled — values as written
+      assert(snap(1L) === Map(
+        1L -> ("a0", None), 2L -> ("b0", None), 3L -> ("c1", None)))
+      // at v2 the new column carries the written values for v2 rows
+      assert(snap(2L) === Map(
+        1L -> ("a2", Some("gold")), 2L -> ("b0", None),
+        3L -> ("c1", None), 4L -> ("d2", Some("silver"))))
+      // at v3 key 4's LATEST version wrote no tier — null, not 'silver'
+      assert(snap(3L) === Map(
+        1L -> ("a2", Some("gold")), 2L -> ("b0", None),
+        3L -> ("c1", None), 4L -> (("d3", None))))
+
+      // compaction at the add boundary preserves the union schema
+      val before = snap(3L)
+      Merge.compactVersions(spark, dir, 2L, Seq("id"))
+      assert(snap(3L) === before,
+        "compaction must preserve evolved-schema reads")
+      assert(Merge.readAsOf(spark, dir, 2L, Seq("id"))
+        .columns.toSet === Set("id", "val", "tier"))
+    } finally graft.core.AtomicSwap.deleteRecursively(
+      new java.io.File(dir))
+  }
+
+  test("compaction scratch dirs are invisible to partition discovery") {
+    val dir = Files.createTempDirectory("graft-vts").toString
+    try {
+      Merge.appendVersion(frame(Row(1L, "a0")), dir, 0L)
+      Merge.appendVersion(frame(Row(2L, "b1")), dir, 1L)
+      // simulate a CRASH mid-compaction: a stale underscore-prefixed
+      // scratch dir left in the table root
+      frame(Row(9L, "junk")).write.parquet(s"$dir/_compact_1__new")
+      // readAsOf must neither see the junk rows nor mis-infer the
+      // version partition type (ANSI cast of 'N__new' would throw)
+      assert(snapshot(dir, 1L) === Map(1L -> "a0", 2L -> "b1"))
+      // and a re-run of compaction self-heals over the leftovers
+      Merge.compactVersions(spark, dir, 1L, Seq("id"))
+      assert(snapshot(dir, 1L) === Map(1L -> "a0", 2L -> "b1"))
+      val scratch = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.contains("__")).toSet
+      assert(scratch.forall(_.startsWith("_")),
+        s"scratch dirs must be underscore-prefixed: $scratch")
+    } finally graft.core.AtomicSwap.deleteRecursively(
+      new java.io.File(dir))
+  }
+
   test("readAsOf prunes newer version directories at the scan") {
     val dir = Files.createTempDirectory("graft-vtp").toString
     try {
