@@ -1120,18 +1120,24 @@ object TextQueries extends QueryPack {
         sum(col("n_bigrams")).as("nb"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1),
-        r.getLong(2) / r.getLong(3)))
+        // a source whose docs yield no scoreable bigrams gets gain 0
+        // (same guard as pack_curriculum) instead of an /0 crash
+        if (r.getLong(3) > 0) r.getLong(2) / r.getLong(3) else 0L))
       .sortBy(_._1)
     val scale = 1000000L
     def round(w: Seq[Long]): Seq[Long] = {
       val u = w.zip(perSrc).map { case (wi, (_, _, g)) => wi * g / scale }
       val tot = u.sum
+      require(tot > 0, "mixQualityReweight: every source has zero gain " +
+        "(no scoreable bigrams anywhere) — the mixture is undefined")
       u.map(_ * scale / tot)
     }
     val w1 = round(Seq.fill(perSrc.length)(scale))
     val w2 = round(w1)
     val w3 = round(w2)
     val w3tot = w3.sum
+    require(w3tot > 0, "mixQualityReweight: reweighted mixture collapsed " +
+      "to zero mass — gains too skewed for the fixed-point scale")
     val rows = perSrc.zipWithIndex.map { case ((src, n, g), i) =>
       Row(src, n, g, w1(i), w2(i), w3(i), 100000L * w3(i) / w3tot)
     }
@@ -3266,7 +3272,9 @@ object TextQueries extends QueryPack {
       WITH base AS MATERIALIZED ($lmScoreSql),
       g AS MATERIALIZED (
         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(b.lm_score) // SUM(b.n_bigrams) AS BIGINT) AS gain
+               CAST(CASE WHEN SUM(b.n_bigrams) > 0
+                    THEN SUM(b.lm_score) // SUM(b.n_bigrams)
+                    ELSE 0 END AS BIGINT) AS gain
         FROM base b JOIN documents d USING (doc_id)
         GROUP BY d.source),
       r1 AS MATERIALIZED (

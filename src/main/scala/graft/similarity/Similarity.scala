@@ -538,8 +538,10 @@ object Similarity {
     * non-match that contrastive losses need; a random negative is
     * trivially separable and teaches nothing, per the hard-negative
     * literature, e.g. Robinson et al. 2021, arXiv:2010.04592).
-    * Anchors with no in-band positive are dropped (nothing to
-    * contrast against).
+    * An anchor lacking EITHER side of the pair is dropped — no
+    * in-band positive (nothing to contrast against) or no below-tau
+    * negative (tiny corpora / tau near −1): the result is inner-joined
+    * on both selections, complete pairs only.
     *
     * Scale: anchors broadcast, corpus scanned ONCE (both band
     * selections read the same scored frame), each selection is the

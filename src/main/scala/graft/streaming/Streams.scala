@@ -1144,9 +1144,23 @@ object Streams {
         .agg(transform(
           array_sort(collect_list(struct(col("__pos"), col("__sv")))),
           x => x("__sv")).as(c))
+      // GramMatrixAgg enforces one dimension within a single aggregate
+      // only — a stream whose embedding dimension CHANGES between
+      // batches would otherwise silently sum misaligned cells through
+      // the re-pack. Fail the batch loudly instead: assert_true rides
+      // the written plan, so the error fires before the swap commits.
+      val dims = all.groupBy(keyCols.map(col): _*)
+        .agg(min(size(col("s"))).as("__dmin"),
+          max(size(col("s"))).as("__dmax"))
       all.groupBy(keyCols.map(col): _*).agg(sum(col("n")).as("n"))
         .join(packed("s"), keyCols)
         .join(packed("g"), keyCols)
+        .join(dims, keyCols)
+        .withColumn("__dimchk", assert_true(col("__dmin") === col("__dmax"),
+          lit("gramMergeBatch: embedding dimension changed across batches " +
+            "— stored and incoming Gram states are incompatible")))
+        .filter(col("__dimchk").isNull)
+        .drop("__dmin", "__dmax", "__dimchk")
     }
   }
 

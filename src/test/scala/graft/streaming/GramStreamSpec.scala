@@ -55,4 +55,27 @@ class GramStreamSpec extends AnyFunSuite with SparkSpec {
 
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
   }
+
+  test("a dimension change across batches fails the fold loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-gramdim").toString
+    val d8 = Seq(("all", Seq.fill(8)(1.0f))).toDF("corpus", "embedding")
+    val d16 = Seq(("all", Seq.fill(16)(1.0f))).toDF("corpus", "embedding")
+    val r1 = Streams.gramMergeBatch(spark, d8, s"$dir/state",
+      Seq("corpus"), "embedding", batchId = 0L)
+    assert(r1.success)
+    val e = intercept[Exception] {
+      Streams.gramMergeBatch(spark, d16, s"$dir/state",
+        Seq("corpus"), "embedding", batchId = 1L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dimension changed")), e.toString)
+    // the stored state survives untouched (the swap never committed)
+    val kept = spark.read.parquet(s"$dir/state").head()
+    assert(kept.getAs[scala.collection.Seq[Long]]("s").size == 8)
+    graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
+  }
 }
