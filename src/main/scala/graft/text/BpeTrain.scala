@@ -161,9 +161,18 @@ object BpeTrain {
   def trainDistributed(docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Option[Int] = None): (Seq[(String, String, Long)], Seq[String]) = {
     import graft.functions.NativeBpe
-    val init = wordCounts(docs, textCol, maxWords)
+    val raw = wordCounts(docs, textCol, maxWords)
       .select(NativeBpe.bpeInitSyms(col("word")).as("syms"), col("freq"))
       .localCheckpoint()
+    // right-size the round jobs to the DICTIONARY, not to the corpus's
+    // shuffle partitioning: the dict is vocabulary-sized, and nMerges
+    // rounds of 32-task jobs over a few thousand rows is pure scheduler
+    // overhead (~64k words per partition keeps round tasks meaningful)
+    val nWords = raw.count()
+    val parts = math.max(1L,
+      math.min(raw.rdd.getNumPartitions.toLong, nWords / 65536 + 1)).toInt
+    val init =
+      if (parts < raw.rdd.getNumPartitions) raw.coalesce(parts) else raw
     // alphabet: distinct base codepoints, codepoint-sorted (binary
     // UTF8 ordering == codepoint order) — bounded by alphabet size
     val baseChars = init
