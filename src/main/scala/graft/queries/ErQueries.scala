@@ -50,10 +50,42 @@ object ErQueries extends QueryPack {
       "acctbal", hard, passes, scoring)
       .orderBy(col("entity_id"))
 
+  /** ER golden records via INCREMENTAL component maintenance
+    * ([[graft.dedup.Dedup.mergeComponents]]): the link set folds in
+    * three arbitrary chunks — bootstrap closure on the first, each
+    * later chunk merged through the delta-root-graph path (closure
+    * cost ∝ chunk, never link history). The oracle is the SAME
+    * one-shot recursive closure as er3_golden, so every fold-order
+    * bridge/extend/mint case the feed contains is hash-pinned against
+    * an independent full-closure replay. */
+  def er4GoldenIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val f = feed(s, dir)
+    val cands = EntityResolution.candidatePairs(f, "rec_id", hard, passes)
+    val links = EntityResolution.matchLinks(
+      EntityResolution.scorePairs(cands, f, "rec_id", "name", "segment",
+        "acctbal", scoring), scoring)
+      .localCheckpoint()
+    val chunks = (0 until 3).map(i =>
+      links.filter(pmod(col("id_a"), lit(3)) === i))
+    var asg = Dedup.connectedComponents(chunks.head, "rec_id")
+    chunks.tail.foreach { c =>
+      asg = Dedup.mergeComponents(asg, c, "rec_id").localCheckpoint()
+    }
+    val assigned = f
+      .join(asg.withColumnRenamed("cluster_id", "entity_id"),
+        Seq("rec_id"), "left")
+      .withColumn("entity_id", coalesce(col("entity_id"), col("rec_id")))
+    EntityResolution.goldenRecords(assigned, "rec_id", "name", "segment",
+        "acctbal")
+      .orderBy(col("entity_id"))
+  }
+
   def queries: Map[String, QueryFn] = Map(
     "er1_blocking" -> (er1Blocking _),
     "er2_links" -> (er2Links _),
-    "er3_golden" -> (er3Golden _))
+    "er3_golden" -> (er3Golden _),
+    "er4_golden_incremental" -> (er4GoldenIncremental _))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -125,7 +157,11 @@ object ErQueries extends QueryPack {
       WITH recs AS ($recsSql),
       $linksSql
       SELECT id_a, id_b, lev, score FROM links ORDER BY id_a, id_b""",
-    "er3_golden" -> s"""
+    "er3_golden" -> goldenSql,
+    // the incremental fold must land on EXACTLY the one-shot closure
+    "er4_golden_incremental" -> goldenSql)
+
+  private lazy val goldenSql = s"""
       WITH RECURSIVE recs AS ($recsSql),
       $linksSql,
       edges AS (
@@ -145,5 +181,5 @@ object ErQueries extends QueryPack {
              min_by(segment, rec_id) AS canon_segment,
              MAX(acctbal) AS max_bal,
              COUNT(DISTINCT segment) AS n_segments
-      FROM assigned GROUP BY entity_id ORDER BY entity_id""")
+      FROM assigned GROUP BY entity_id ORDER BY entity_id"""
 }
