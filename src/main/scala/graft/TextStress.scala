@@ -176,7 +176,30 @@ object TextStress {
     require(sft._1.getLong(1) > 0L, "assistant tokens must be counted")
     require(sft._2 > 0L && sft._2 <= nDocs, s"sft dedup out of range: $sft")
 
-    println(f"""{"metric":"text_stress","docs":$nDocs,"dup_runs_sec":$runSec%.1f,"funnel_model_sec":$funnelSec%.1f,"pretrain_pipeline_sec":$pipeSec%.1f,"sft_sec":$sftSec%.1f,"peak_heap_mb":${peakHeapMb()}}""")
+    // ——— 4. Distributed BPE training: 2M-word vocabulary ———
+    // the regime trainDistributed exists for: a distinct-word table in
+    // the MILLIONS (URL-/ID-riddled web text) where the driver-side
+    // merge loop would have to hold the whole dictionary. Two shared
+    // words ("alpha beta") dominate the counts, so the first merge is
+    // hand-computable: (a, </w>) occurs at the end of BOTH shared
+    // words = 2 × nVocab; the per-round pair space stays small (chars
+    // + digits) so map-side partial aggregation collapses each round's
+    // shuffle to a few hundred rows regardless of dictionary size.
+    val nVocab = sys.env.getOrElse("SPARK_GRAFT_STRESS_BPE_VOCAB",
+      "2000000").toLong
+    val bpeDocs = spark.range(0, nVocab).select(
+      concat(lit("alpha beta u"), col("id").cast("string"), lit("x"))
+        .as("text"))
+    val ((bpeMerges, bpeVocab), bpeSec) = timed {
+      graft.text.BpeTrain.trainDistributed(bpeDocs, "text", nMerges = 10)
+    }
+    require(bpeMerges.length == 10, s"expected 10 merges: $bpeMerges")
+    require(bpeMerges.head == (("a", "</w>", 2 * nVocab)),
+      s"first merge must be (a, </w>) x ${2 * nVocab}: ${bpeMerges.head}")
+    // base alphabet: a l p h b e t u x + 10 digits = 19; + </w> + 10 merges
+    require(bpeVocab.length == 30, s"vocab size ${bpeVocab.length} != 30")
+
+    println(f"""{"metric":"text_stress","docs":$nDocs,"dup_runs_sec":$runSec%.1f,"funnel_model_sec":$funnelSec%.1f,"pretrain_pipeline_sec":$pipeSec%.1f,"sft_sec":$sftSec%.1f,"bpe_vocab":${nVocab + 2},"bpe_train_sec":$bpeSec%.1f,"peak_heap_mb":${peakHeapMb()}}""")
     spark.stop()
   }
 }
