@@ -148,6 +148,30 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** LEAKAGE-FREE split assignment: every member of the same group —
+    * in practice a near-duplicate cluster from
+    * [[graft.dedup.Dedup.connectedComponents]] — lands in the SAME
+    * split, because the split hash keys on the group representative,
+    * not the row id. Row-keyed splitting puts near-copies of one
+    * document on both sides of the train/test fence (the classic
+    * eval-contamination leak dedup exists to prevent); group-keyed
+    * splitting makes that impossible by construction.
+    *
+    * `groups` is (idCol, cluster_id); rows absent from it are their
+    * own group (singletons). Cost: ONE equi-join of the corpus with
+    * the cluster table (clustered docs only — small when duplication
+    * is sparse; broadcastable below the threshold) + the same pure
+    * projection as [[assignSplits]]. */
+  def assignSplitsByGroup(df: DataFrame, idCol: String, groups: DataFrame,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    val grp = freshName("__grp", df.columns.toSet)
+    val keyed = df
+      .join(groups.select(col(idCol), col("cluster_id").as(grp)),
+        Seq(idCol), "left")
+      .withColumn(grp, coalesce(col(grp), col(idCol)))
+    assignSplits(keyed, grp, splits, splitCol).drop(grp)
+  }
+
   /** Data-constrained mixing allocation (Muennighoff et al. 2023,
     * "Scaling Data-Constrained Language Models", arXiv:2305.16264 —
     * repeating data beyond ~4 epochs stops helping): split a token

@@ -231,6 +231,34 @@ object DedupQueries extends QueryPack {
         sum(col("n_chars").cast("long")).as("n_chars"))
       .orderBy(col("split"))
 
+  /** LEAKAGE-FREE splits ([[graft.operators.Sampling
+    * .assignSplitsByGroup]]): near-duplicate clusters (the d6 closure)
+    * are split as UNITS — no cluster may straddle the train/test
+    * fence. `leaky_clusters` counts clusters spanning >1 split; the
+    * oracle pins it to the literal 0, so a regression in the grouping
+    * (not just in the counts) turns the row red. */
+  def sampleSplitsLeakFree(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 5, threshold = 0.8)
+    val comp = Dedup.connectedComponents(pairs, "doc_id").localCheckpoint()
+    val assigned = graft.operators.Sampling.assignSplitsByGroup(
+        docs, "doc_id", comp,
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .localCheckpoint()
+    val leaky = assigned.join(comp, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assigned.join(comp, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered_docs"))
+      .withColumn("leaky_clusters", lit(leaky))
+      .orderBy(col("split"))
+  }
+
   /** Token-budget mixture ([[graft.operators.Sampling.tokenBudgetMix]]):
     * every source downsampled to ≈500 tokens; report kept docs/tokens
     * per source. Rates derive from the data (budget / per-source total),
@@ -414,6 +442,7 @@ object DedupQueries extends QueryPack {
     "sample_stratified" -> (sampleStratified _),
     "sample_exact_n" -> (sampleExactN _),
     "sample_splits" -> (sampleSplits _),
+    "sample_splits_leakfree" -> (sampleSplitsLeakFree _),
     "mix_sources" -> (mixSources _),
     "mix_temperature" -> (mixTemperature _),
     "mix_token_budget" -> (mixTokenBudget _),
@@ -614,6 +643,39 @@ object DedupQueries extends QueryPack {
              CAST(SUM(n_chars) AS BIGINT) AS n_chars
       FROM documents
       GROUP BY 1 ORDER BY split""",
+    // leak-free splits: the d6 closure (recursive CTE) feeds the split
+    // hash through the CLUSTER representative; leaky_clusters is the
+    // LITERAL 0 — the engine computes the real count, so any grouping
+    // regression (a cluster straddling the fence) fails the row
+    "sample_splits_leakfree" -> s"""
+      WITH RECURSIVE sets AS ($shingleSetsSql),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+               FROM reach GROUP BY src),
+      asg AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS grp,
+               (c.doc_id IS NOT NULL) AS clustered
+        FROM documents d LEFT JOIN comp c USING (doc_id))
+      SELECT CASE WHEN ${bucketSqlOf("grp")} < 800000 THEN 'train'
+                  WHEN ${bucketSqlOf("grp")} < 900000 THEN 'valid'
+                  WHEN ${bucketSqlOf("grp")} < 1000000 THEN 'test' END AS split,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clustered_docs,
+             CAST(0 AS BIGINT) AS leaky_clusters
+      FROM asg GROUP BY 1 ORDER BY split""",
     "mix_sources" -> s"""
       SELECT source, COUNT(*) AS kept FROM documents
       WHERE $bucketSql <

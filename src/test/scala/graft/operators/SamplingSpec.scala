@@ -127,6 +127,39 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       again.select("doc_id", "split")).isEmpty)
   }
 
+  test("group-keyed splits: cluster members share a split, singletons == row-keyed") {
+    val s = spark
+    import s.implicits._
+    // clusters: {1,2,3} -> rep 1, {10,11} -> rep 10; everything else solo
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.assignSplitsByGroup(docs, "doc_id", groups,
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)).cache()
+    try {
+      assert(out.count() == docs.count())
+      // every cluster lands in exactly one split — leakage impossible
+      val perCluster = out.join(groups, Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("ns"))
+        .collect().map(_.getLong(1))
+      assert(perCluster.nonEmpty && perCluster.forall(_ == 1L))
+      // a member's split is its REPRESENTATIVE's row-keyed split
+      val repSplit = Sampling.assignSplits(docs.filter(col("doc_id") === 1L),
+        "doc_id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("split").head().getString(0)
+      val memberSplits = out.filter(col("doc_id").isin(1L, 2L, 3L))
+        .select("split").collect().map(_.getString(0)).toSet
+      assert(memberSplits == Set(repSplit))
+      // singletons: identical to plain row-keyed assignment
+      val solo = Sampling.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      assert(out.filter(!col("doc_id").isin(1L, 2L, 3L, 10L, 11L))
+        .select("doc_id", "split")
+        .exceptAll(solo.filter(!col("doc_id").isin(1L, 2L, 3L, 10L, 11L))
+          .select("doc_id", "split")).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("working columns never clobber user columns of the same name") {
     // a corpus that already carries rank/__bucket/__w/__cum columns —
     // the operators' internals must pick fresh names, not drop them
