@@ -144,7 +144,7 @@ object Pq {
     * what lets the sim_pq_adc oracle hash-pin the distances. */
   def topKQ(indexed: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, coarse: Seq[Seq[Long]],
-      codebooks: Seq[Seq[Seq[Long]]], k: Int, nProbe: Int): DataFrame = {
+      codebooks: Seq[Seq[Seq[Long]]], k: Int, nProbe: Int = 4): DataFrame = {
     import graft.plans.TopK
     val ksub = codebooks.head.size
     val m = codebooks.size
@@ -176,7 +176,7 @@ object Pq {
     * rank 1 = nearest. */
   def topK(indexed: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, coarse: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int): DataFrame = {
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = 4): DataFrame = {
     import graft.plans.TopK
     val ksub = codebooks.head.size
     val m = codebooks.size
@@ -217,7 +217,7 @@ object Pq {
     * (query_id, rank, neighbor_id, cosine). */
   def topKRefined(indexed: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, coarse: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = 4,
       shortlist: Int = 0): DataFrame = {
     import graft.plans.TopK
     import Similarity.{cosineFromParts, dotQ, normSqQ, quantize}
