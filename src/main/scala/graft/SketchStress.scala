@@ -106,6 +106,34 @@ object SketchStress {
     require(mass > 999900000000L && mass <= 1000000000000L,
       s"rank mass not conserved: $mass")
 
+    // ——— 2b. Incremental components: 2M-edge closure vs 3.3k-link fold ———
+    // the mergeComponents scale claim measured: a full distributed
+    // closure over the history vs folding a small delta into the
+    // persisted assignment. Graph: 1M chains of 3 ({3k, 3k+1, 3k+2}),
+    // delta bridges every 300th chain to its successor — merges of
+    // EXISTING components plus the remap of a 3M-row assignment.
+    val nChains = 1000000L
+    val base = spark.range(0, 3 * nChains)
+      .filter(col("id") % 3 =!= 2)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (full, closureSec) = timed {
+      graft.dedup.Dedup.connectedComponents(base, "node",
+        smallEdgeThreshold = 0L).localCheckpoint()
+    }
+    require(full.count() == 3 * nChains, "closure must cover every node")
+    val delta = spark.range(0, nChains, 300)
+      .select((col("id") * 3 + 2).as("id_a"), ((col("id") + 1) * 3).as("id_b"))
+      .filter(col("id_b") < 3 * nChains)
+    val (inc, foldSec) = timed {
+      graft.dedup.Dedup.mergeComponents(full, delta, "node").localCheckpoint()
+    }
+    val (fullU, reclosureSec) = timed {
+      graft.dedup.Dedup.connectedComponents(base.unionByName(delta), "node",
+        smallEdgeThreshold = 0L).localCheckpoint()
+    }
+    require(inc.exceptAll(fullU).isEmpty && fullU.exceptAll(inc).isEmpty,
+      "incremental fold must equal the re-closure over the union")
+
     // ——— 3. ROUGE-2 dedup: 100k responses, 10k planted near-dups ———
     // base responses are 8 "words" derived from the id; the multiplier
     // modulus 999983 (prime > nResp) keeps every token UNIQUE per id,
@@ -136,7 +164,7 @@ object SketchStress {
     require(kept == nResp - planted,
       s"rouge dedup kept $kept, expected ${nResp - planted}")
 
-    println(f"""{"metric":"sketch_stress","kmv_rows":$rows,"kmv_sec":$kmvSec%.1f,"pagerank_edges":11000000,"pagerank_sec":$prSec%.1f,"rouge_docs":$nResp,"rouge_sec":$rougeSec%.1f,"peak_heap_mb":${peakHeapMb()}}""")
+    println(f"""{"metric":"sketch_stress","kmv_rows":$rows,"kmv_sec":$kmvSec%.1f,"pagerank_edges":11000000,"pagerank_sec":$prSec%.1f,"cc_closure_sec":$closureSec%.1f,"cc_fold_sec":$foldSec%.1f,"cc_reclosure_sec":$reclosureSec%.1f,"rouge_docs":$nResp,"rouge_sec":$rougeSec%.1f,"peak_heap_mb":${peakHeapMb()}}""")
     spark.stop()
   }
 }
