@@ -198,12 +198,23 @@ object Similarity {
   /** Build the full IVF index once: (corpus with `cluster` column,
     * centroid vectors). One KMeans fit (bounded by `maxTrainRows`, see
     * [[kmeansClusters]]) + one assignment pass; the centroid list is
-    * k×dim doubles — driver-small by construction. */
+    * k×dim doubles — driver-small by construction.
+    *
+    * `nAssign` > 1 builds a SPILL index (the [[ivfTopKQ]] default's
+    * persisted twin): every row is indexed into its `nAssign` nearest
+    * cells — one duplicated row per extra cell, each carrying a
+    * `cells` column (nearest-first) that [[kmeansTopKMultiProbe]] uses
+    * to dedup replicated matches in the join predicate. Index size
+    * ×nAssign buys boundary-neighbor recall multiprobe alone misses;
+    * [[saveIndex]]/[[loadIndex]]/[[compactIndex]] carry the column
+    * transparently. */
   def kmeansIndex(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      seed: Long = 42L, maxTrainRows: Option[Long] = None)
+      seed: Long = 42L, maxTrainRows: Option[Long] = None,
+      nAssign: Int = 1)
       : (DataFrame, Seq[Seq[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(nAssign >= 1 && nAssign <= k)
     val featurized = df.withColumn("__features",
       array_to_vector(col(vecCol).cast(ArrayType(DoubleType))))
     val train = maxTrainRows match {
@@ -218,8 +229,12 @@ object Similarity {
       .setK(k).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("__features").setPredictionCol("cluster")
       .fit(train)
-    (model.transform(featurized).drop("__features"),
-      model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    if (nAssign == 1)
+      (model.transform(featurized).drop("__features"), cents)
+    else
+      (df.withColumn("cells", nearestCentroids(col(vecCol), cents, nAssign))
+        .withColumn("cluster", explode(col("cells"))), cents)
   }
 
   /** Persist an IVF index built by [[kmeansIndex]]: the clustered
@@ -330,25 +345,37 @@ object Similarity {
 
   /** IVF search with nProbe > 1: each query searches its `nProbe`
     * closest cells (the standard recall lever — single-probe misses
-    * neighbors that fall just across a Voronoi boundary). The corpus
-    * keeps its one-cell assignment from [[kmeansIndex]]; only the
-    * broadcast-small query side fans out ×nProbe. */
+    * neighbors that fall just across a Voronoi boundary). Only the
+    * broadcast-small query side fans out ×nProbe. Works on both index
+    * shapes from [[kmeansIndex]]: single-assignment (one cell per
+    * corpus row ⇒ each pair matches at most once, no dedup needed) and
+    * SPILL (`cells` column present ⇒ replicated matches are deduped in
+    * the join predicate via the first-shared-cell rule — no post-join
+    * shuffle, same as [[ivfTopKQ]]). */
   def kmeansTopKMultiProbe(clustered: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[Seq[Double]], k: Int,
       nProbe: Int = 4): DataFrame = {
+    val hasCells = clustered.columns.contains("cells")
+    val baseCols = Seq(col(idCol).as("neighbor_id"),
+      col("cluster").as("__bkt"), quantize(col(vecCol)).as("__q"))
     val c = clustered
-      .select(col(idCol).as("neighbor_id"), col("cluster").as("__bkt"),
-        quantize(col(vecCol)).as("__q"))
+      .select(baseCols ++
+        (if (hasCells) Seq(col("cells").as("__cells")) else Nil): _*)
       .withColumn("__nsq", normSqQ(col("__q")))
     val q = queries
       .select(col(idCol).as("query_id"),
         quantize(col(vecCol)).as("__qq"),
-        explode(nearestCentroids(col(vecCol), centroids, nProbe)).as("__qbkt"))
+        nearestCentroids(col(vecCol), centroids, nProbe).as("__qcells"))
+      .withColumn("__qbkt", explode(col("__qcells")))
       .withColumn("__qnsq", normSqQ(col("__qq")))
-    // one cell per corpus row + nProbe DISTINCT query cells ⇒ each pair
-    // matches at most once; no dedup shuffle needed (see hyperplaneTopK)
+    val dedup =
+      if (hasCells)
+        col("__bkt") === element_at(
+          array_intersect(col("__cells"), col("__qcells")), 1)
+      else lit(true)
     val candidates = c.join(broadcast(q),
-        col("__bkt") === col("__qbkt") && col("neighbor_id") =!= col("query_id"))
+        col("__bkt") === col("__qbkt") && dedup &&
+          col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
     topK(candidates, k)

@@ -137,6 +137,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall(deflt) >= recall(run(1, 1)))
   }
 
+  test("spill index (nAssign=2): predicate dedup, recall dominates, save/load") {
+    val (spill, cents) = Similarity.kmeansIndex(
+      emb, "vec_id", "embedding", k = 8, seed = 42L, nAssign = 2)
+    assert(spill.columns.contains("cells"))
+    // index is replicated x2 exactly
+    assert(spill.count() == 2 * emb.count())
+    val q = emb.filter(col("vec_id") < 20)
+    val res = Similarity.kmeansTopKMultiProbe(spill, q, "vec_id",
+        "embedding", cents, k = 5, nProbe = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    // replication never leaks duplicate pairs
+    assert(res.distinct.length == res.length)
+    // recall vs brute must dominate the single-assign index at same nProbe
+    val (single, cents1) = Similarity.kmeansIndex(
+      emb, "vec_id", "embedding", k = 8, seed = 42L)
+    val res1 = Similarity.kmeansTopKMultiProbe(single, q, "vec_id",
+        "embedding", cents1, k = 5, nProbe = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(res.count(brute.contains) >= res1.count(brute.contains))
+    // the cells column persists through save/load; answers identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spill").toString
+    Similarity.saveIndex(spill, cents, dir)
+    val (loaded, loadedCents) = Similarity.loadIndex(spark, dir)
+    assert(loaded.columns.contains("cells"))
+    val res2 = Similarity.kmeansTopKMultiProbe(loaded, q, "vec_id",
+        "embedding", loadedCents, k = 5, nProbe = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(res2.sorted.toSeq == res.sorted.toSeq)
+    graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
+  }
+
   test("IVF index save/load round-trip: loaded index answers identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val (clustered, centroids) = Similarity.kmeansIndex(
