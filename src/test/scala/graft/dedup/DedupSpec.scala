@@ -233,6 +233,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(inc == full)
   }
 
+  test("mergeComponents property sweep: random graphs, random fold partitions") {
+    val spark2 = spark
+    import spark2.implicits._
+    // five deterministic random graphs, each folded in a random number
+    // of arbitrary increments — every bridge/extend/mint interleaving
+    // the partition happens to produce must land on the full closure
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { c =>
+      val edges = Seq.fill(30 + rnd.nextInt(60))(
+          (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val k = 2 + rnd.nextInt(3)
+      val parts = edges.map(e => (rnd.nextInt(k), e)).groupBy(_._1)
+        .values.map(_.map(_._2)).toSeq.filter(_.nonEmpty)
+      var asg = Dedup.connectedComponents(
+        parts.head.toDF("id_a", "id_b"), "doc_id")
+      parts.tail.foreach { p =>
+        asg = Dedup.mergeComponents(asg, p.toDF("id_a", "id_b"), "doc_id")
+      }
+      val inc = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full,
+        s"case $c: ${edges.size} edges folded in ${parts.size} increments")
+    }
+  }
+
   test("transitive dedup keeps one survivor per component; greedy may keep more") {
     val spark2 = spark
     import spark2.implicits._
