@@ -174,6 +174,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
   }
 
+  test("ivfTopKQ plan: broadcast equi join on the cell, dedup stays in predicate") {
+    val q = emb.filter(col("vec_id") < 5)
+    val plan = Similarity.ivfTopKQ(emb, q, "vec_id", "embedding",
+        PqFixture.coarseIvfL, k = 5)
+      .queryExecution.executedPlan.toString
+    // the spill-dedup rule must ride the hash join as a post-probe
+    // filter, never degrade the join to a nested loop
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("IVF index save/load round-trip: loaded index answers identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val (clustered, centroids) = Similarity.kmeansIndex(
