@@ -272,6 +272,46 @@ object ValidationQueries extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** NUMERIC drift by the EXACT two-sample Kolmogorov–Smirnov
+    * statistic, per event_type over the same ref/cur half-month
+    * windows as [[vDriftChi2]] (chi-square covers categorical buckets;
+    * KS is the standard numeric-distribution complement). The sup of
+    * |F_ref − F_cur| is attained at a data point, so evaluating at
+    * every DISTINCT value computes KS exactly — no binning, no
+    * approximation. All arithmetic until the final division is
+    * integer (cumulative counts cross-multiplied by the opposite
+    * sample size), so the statistic is order-free and replays
+    * bit-for-bit in DuckDB; the one division produces exact doubles
+    * at these magnitudes (< 2⁵³). Plan shape: one (type, value)
+    * aggregate, then cumulative windows PARTITIONED by event_type
+    * (never an unpartitioned global sort — the q20 median pattern). */
+  def vDriftKs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, dir, "events").filter($"value".isNotNull)
+      .select($"event_type", $"value",
+        when($"ts" < ts("2024-01-16 00:00:00"), "ref").otherwise("cur")
+          .as("win"))
+    val byVal = ev.groupBy($"event_type", $"value")
+      .agg(sum(when($"win" === "ref", 1L).otherwise(0L)).as("c_ref"),
+        sum(when($"win" === "cur", 1L).otherwise(0L)).as("c_cur"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+    byVal
+      .withColumn("cum_ref", sum($"c_ref").over(wCum))
+      .withColumn("cum_cur", sum($"c_cur").over(wCum))
+      .withColumn("n_ref", sum($"c_ref").over(wAll))
+      .withColumn("n_cur", sum($"c_cur").over(wAll))
+      .groupBy($"event_type")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+        max(abs($"cum_ref" * $"n_cur" - $"cum_cur" * $"n_ref")).as("ks_num"))
+      .withColumn("ks",
+        $"ks_num".cast(DoubleType) /
+          ($"n_ref" * $"n_cur").cast(DoubleType))
+      .orderBy($"event_type")
+  }
+
   /** THE STREAMING drift monitor as an oracle row
     * ([[graft.streaming.Streams.driftCountsSink]] + `chi2Against`):
     * the reference distribution is the FIRST half-month's bucket
@@ -371,6 +411,7 @@ object ValidationQueries extends QueryPack {
     "v_l_diversity" -> (vLDiversity _),
     "v_corr_matrix" -> (vCorrMatrix _),
     "v_drift_chi2" -> (vDriftChi2 _),
+    "v_drift_ks" -> (vDriftKs _),
     "v_drift_stream" -> (vDriftStream _),
     "v_stats_events" -> (vStatsEvents _),
     "v_constraints_orders" -> (vConstraintsOrders _),
@@ -451,6 +492,39 @@ object ValidationQueries extends QueryPack {
              CAST(COUNT(*) - 1 AS BIGINT) AS dof,
              ${decSumSql("(o - e) * (o - e) / e")} AS chi2
       FROM terms GROUP BY 1 ORDER BY 1""",
+    // exact two-sample KS: cumulative counts at every distinct value,
+    // cross-multiplied by the opposite sample size — integer until the
+    // final division (window SUMs are HUGEINT, CAST per house rule)
+    "v_drift_ks" -> s"""
+      WITH ev AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS win
+        FROM events WHERE value IS NOT NULL),
+      bv AS (
+        SELECT event_type, value,
+               SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+               SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS c_cur
+        FROM ev GROUP BY event_type, value),
+      cums AS (
+        SELECT event_type,
+               CAST(SUM(c_ref) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ref,
+               CAST(SUM(c_cur) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cur,
+               CAST(SUM(c_ref) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_ref,
+               CAST(SUM(c_cur) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_cur
+        FROM bv)
+      SELECT event_type,
+             CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+             CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+             CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT)
+               AS ks_num,
+             CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS DOUBLE)
+               / CAST(MAX(n_ref) * MAX(n_cur) AS DOUBLE) AS ks
+      FROM cums GROUP BY event_type ORDER BY event_type""",
     "v_drift_chi2" -> s"""
       WITH ev AS (
         SELECT event_type,
