@@ -287,28 +287,11 @@ object ValidationQueries extends QueryPack {
     * (never an unpartitioned global sort — the q20 median pattern). */
   def vDriftKs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ev = table(s, dir, "events").filter($"value".isNotNull)
+    val ev = table(s, dir, "events")
       .select($"event_type", $"value",
         when($"ts" < ts("2024-01-16 00:00:00"), "ref").otherwise("cur")
           .as("win"))
-    val byVal = ev.groupBy($"event_type", $"value")
-      .agg(sum(when($"win" === "ref", 1L).otherwise(0L)).as("c_ref"),
-        sum(when($"win" === "cur", 1L).otherwise(0L)).as("c_cur"))
-    val wCum = Window.partitionBy($"event_type").orderBy($"value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy($"event_type")
-    byVal
-      .withColumn("cum_ref", sum($"c_ref").over(wCum))
-      .withColumn("cum_cur", sum($"c_cur").over(wCum))
-      .withColumn("n_ref", sum($"c_ref").over(wAll))
-      .withColumn("n_cur", sum($"c_cur").over(wAll))
-      .groupBy($"event_type")
-      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
-        max(abs($"cum_ref" * $"n_cur" - $"cum_cur" * $"n_ref")).as("ks_num"))
-      .withColumn("ks",
-        $"ks_num".cast(DoubleType) /
-          ($"n_ref" * $"n_cur").cast(DoubleType))
+    graft.validation.Drift.ksStatistic(ev, "event_type", "value", "win")
       .orderBy($"event_type")
   }
 
