@@ -51,6 +51,10 @@ object Layout {
     * cell in N-space. */
   def mortonZN(buckets: Seq[Column], nBits: Int): Column = {
     val n = buckets.size
+    // highest bit position is n*nBits − 1; past 61 the interleave
+    // spills into the sign bit and z-ordering silently inverts
+    require(n >= 1 && n * nBits <= 62,
+      s"mortonZN: $n dims x $nBits bits exceeds the 62-bit budget")
     buckets.zipWithIndex.map { case (b, j) =>
       shiftleft(spreadEvery(b, n, nBits), j)
     }.reduce(_ bitwiseOR _)

@@ -82,6 +82,9 @@ object SimilarityQueries extends QueryPack {
         coalesce(col("hits"), lit(0L)).as("hits"),
         lit(kEval.toLong).as("k"),
         (coalesce(col("hits"), lit(0L)).cast("double") / kEval).as("recall"))
+      // the summary row re-aggregates this frame — checkpoint or the
+      // union re-runs the whole brute-force + IVF pipeline twice
+      .localCheckpoint()
     // the FLOOR row: mean recall@10 over the query sample must hold
     // ≥ 0.8 — asserted as a value in the oracle-compared result
     val floor = perQuery.agg(

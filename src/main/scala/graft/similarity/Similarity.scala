@@ -370,8 +370,12 @@ object Similarity {
       .withColumn("__qnsq", normSqQ(col("__qq")))
     val dedup =
       if (hasCells)
-        col("__bkt") === element_at(
-          array_intersect(col("__cells"), col("__qcells")), 1)
+        // rows with NULL cells (e.g. a single-assignment batch mixed
+        // into a spill index by an older writer) are single-cell and
+        // cannot duplicate — pass them rather than NULL-drop them
+        when(col("__cells").isNull, lit(true))
+          .otherwise(col("__bkt") === element_at(
+            array_intersect(col("__cells"), col("__qcells")), 1))
       else lit(true)
     val candidates = c.join(broadcast(q),
         col("__bkt") === col("__qbkt") && dedup &&

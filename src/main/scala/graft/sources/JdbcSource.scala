@@ -124,10 +124,16 @@ object JdbcSource {
 
   private def tableExists(conn: java.sql.Connection, name: String): Boolean = {
     // ANSI metadata lookup; unquoted DDL identifiers are stored
-    // upper-case by Derby/ANSI catalogs, so probe both spellings
+    // upper-case by Derby/ANSI catalogs, so probe both spellings.
+    // getTables takes a LIKE pattern: '_' in a table name is a
+    // single-char wildcard and would false-positive on similarly-named
+    // tables — escape it with the driver's escape string
     val md = conn.getMetaData
+    val esc = md.getSearchStringEscape
+    def quote(n: String): String =
+      n.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
     Seq(name, name.toUpperCase, name.toLowerCase).exists { n =>
-      val rs = md.getTables(null, null, n, Array("TABLE"))
+      val rs = md.getTables(null, null, quote(n), Array("TABLE"))
       try rs.next() finally rs.close()
     }
   }

@@ -1147,15 +1147,16 @@ object Streams {
       // GramMatrixAgg enforces one dimension within a single aggregate
       // only — a stream whose embedding dimension CHANGES between
       // batches would otherwise silently sum misaligned cells through
-      // the re-pack. Fail the batch loudly instead: assert_true rides
-      // the written plan, so the error fires before the swap commits.
-      val dims = all.groupBy(keyCols.map(col): _*)
-        .agg(min(size(col("s"))).as("__dmin"),
+      // the re-pack. Fail the batch loudly instead: min/max(size) ride
+      // the EXISTING per-key aggregate (no extra shuffle), and
+      // assert_true rides the written plan, so the error fires before
+      // the swap commits.
+      all.groupBy(keyCols.map(col): _*)
+        .agg(sum(col("n")).as("n"),
+          min(size(col("s"))).as("__dmin"),
           max(size(col("s"))).as("__dmax"))
-      all.groupBy(keyCols.map(col): _*).agg(sum(col("n")).as("n"))
         .join(packed("s"), keyCols)
         .join(packed("g"), keyCols)
-        .join(dims, keyCols)
         .withColumn("__dimchk", assert_true(col("__dmin") === col("__dmax"),
           lit("gramMergeBatch: embedding dimension changed across batches " +
             "— stored and incoming Gram states are incompatible")))
@@ -1694,8 +1695,16 @@ object Streams {
       trig: Trigger = Trigger.AvailableNow(),
       onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = stream.sparkSession
-    val (_, centroids) =
+    val (base, centroids) =
       graft.similarity.Similarity.loadIndex(spark, indexPath)
+    // a SPILL index ([[graft.similarity.Similarity.kmeansIndex]] with
+    // nAssign > 1) carries a `cells` column; ingested batches must
+    // match its assignment multiplicity or search would silently
+    // null-fill their cells and the dedup predicate would drop them
+    val nAssign =
+      if (base.columns.contains("cells"))
+        base.select(size(col("cells"))).head().getInt(0)
+      else 1
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trig)
@@ -1718,9 +1727,16 @@ object Streams {
             s"ivfIngestSink: batchId restarted at 0 but $indexPath " +
             "already holds committed batches — the checkpoint was lost. " +
             "Restore it, or compact the index and start a fresh checkpoint.")
-        val assigned = batch.select(col(idCol), col(vecCol),
-          element_at(graft.similarity.Similarity.nearestCentroids(
-            col(vecCol), centroids, 1), 1).as("cluster"))
+        val assigned =
+          if (nAssign == 1)
+            batch.select(col(idCol), col(vecCol),
+              element_at(graft.similarity.Similarity.nearestCentroids(
+                col(vecCol), centroids, 1), 1).as("cluster"))
+          else
+            batch.select(col(idCol), col(vecCol),
+                graft.similarity.Similarity.nearestCentroids(
+                  col(vecCol), centroids, nAssign).as("cells"))
+              .withColumn("cluster", explode(col("cells")))
         assigned.write.mode("overwrite").partitionBy("cluster")
           .parquet(s"$indexPath/corpus/batch=$batchId")
         onLoad(LoadResult(success = true,
@@ -1858,12 +1874,19 @@ object Streams {
     if (pending.isEmpty) {
       // the _-prefixed marker file is invisible to the parquet reader
       if (hasState) return spark.read.parquet(componentsPath)
-      else return spark.emptyDataFrame
-        .select(lit(0L).as(idCol), lit(0L).as("cluster_id")).limit(0)
+      // no state AND no committed batches: derive an empty assignment
+      // with the LINKS' id type (a fabricated LongType frame would
+      // break callers with non-long ids); unreadable linksPath fails
+      // loudly here, which is the right answer for this state
+      else return spark.read.parquet(linksPath)
+        .select(col("id_a").as(idCol), col("id_a").as("cluster_id"))
+        .limit(0)
     }
-    // partition-pruned: only the not-yet-folded batches are read
+    // partition-pruned AND commit-gated: read exactly the _SUCCESS-
+    // committed batch ids — `batch > lastApplied` alone would scan an
+    // in-flight batch directory the sink is still writing
     val newLinks = spark.read.parquet(linksPath)
-      .filter(col("batch") > lastApplied)
+      .filter(col("batch").isin(pending.map(Long.box): _*))
       .select(col("id_a"), col("id_b"))
     val merged =
       if (hasState)

@@ -65,16 +65,18 @@ class GraphsSpec extends AnyFunSuite with SparkSpec {
     // with tol = 0 (disabled) the cap is exact-count; a generous cap
     // with a zero-delta tolerance must stop early at the SAME ranks
     val fixed = ranksAt(50, tol = 0L)
-    val t0 = System.nanoTime()
-    val early = ranksAt(50, tol = 1L)
-    val tEarly = System.nanoTime() - t0
+    // count Spark jobs instead of wall time (a GC pause would make a
+    // duration comparison flake): the early stop must run FAR fewer
+    // jobs than the 50-iteration cap (each iteration is >= 1 job)
+    def jobsDuring(f: => Unit): Int = {
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      f
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
+    }
+    var early: Map[String, Long] = Map.empty
+    val earlyJobs = jobsDuring { early = ranksAt(50, tol = 1L) }
     assert(early == fixed)
-    // and the early stop actually costs fewer iterations than the cap:
-    // re-run the capped count and compare wall time only as a sanity
-    // bound (>= 2x saved on a 50-cap run that converges in < 10)
-    val t1 = System.nanoTime()
-    ranksAt(50, tol = 0L)
-    val tFull = System.nanoTime() - t1
-    assert(tEarly < tFull, s"early $tEarly !< full $tFull")
+    assert(earlyJobs < 40,
+      s"early stop ran $earlyJobs jobs — the 50-iteration cap was not cut")
   }
 }

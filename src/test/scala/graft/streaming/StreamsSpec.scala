@@ -1376,6 +1376,49 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(Similarity.compactIndex(spark, s"$dir/idx") == 0)
   }
 
+  test("IVF ingest into a SPILL index matches the base's multiplicity") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Similarity
+    val dir = Files.createTempDirectory("ivfspill").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val late = emb.filter(col("vec_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val (clustered, cents) = Similarity.kmeansIndex(base, "vec_id",
+      "embedding", k = 4, nAssign = 2)
+    Similarity.saveIndex(clustered, cents, s"$dir/idx")
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfIngestSink(
+        input.toDS().toDF("vec_id", "embedding"),
+        s"$dir/idx", s"$dir/ckpt", "vec_id", "embedding",
+        Streams.trigger(1))
+      .start()
+    try {
+      input.addData(late.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val (corpus, loadedCents) = Similarity.loadIndex(spark, s"$dir/idx")
+    // ingested rows must be replicated x2 like the base — never
+    // null-cells rows the dedup predicate would drop from results
+    assert(corpus.count() == 2 * emb.count())
+    assert(corpus.filter(col("cells").isNull).count() == 0)
+    val queries = emb.filter(col("vec_id") < 5)
+    val res = Similarity.kmeansTopKMultiProbe(
+        corpus.select(col("vec_id"), col("embedding"), col("cluster"),
+          col("cells")),
+        queries, "vec_id", "embedding", loadedCents, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(res.distinct.length == res.length, "no duplicate pairs")
+    // ingested (odd) ids are searchable
+    assert(res.exists(_._2 % 2 == 1), "ingested vectors must be findable")
+    graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
+  }
+
   test("IVF ingest sink: checkpoint loss fails loudly instead of overwriting batch 0") {
     val spark2 = spark
     import spark2.implicits._
