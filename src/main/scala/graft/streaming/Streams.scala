@@ -1087,6 +1087,51 @@ object Streams {
           .cast("double").as("chi2"))
   }
 
+  /** Streaming drift monitor, NUMERIC half: grid-KS of the ACCUMULATED
+    * bucket counts at `path` against a reference CDF — the streaming
+    * twin of the batch exact-KS ([[graft.validation.Drift
+    * .ksStatistic]]). An exact KS needs per-distinct-value state
+    * (unbounded on a stream); the standard streaming trade is the
+    * FIXED BUCKET GRID already maintained by [[driftCountsSink]]:
+    * KS restricted to the grid's cut points, a LOWER bound on the
+    * exact statistic that converges to it as the grid refines. Same
+    * integer discipline as the batch side: `ref` carries integer
+    * reference counts (`cRefCol`), and `ks_num = max |cumObs·nRef −
+    * cumRef·nObs|` is pure count arithmetic — the one division is
+    * final. Buckets observed but absent from the reference fail
+    * loudly (the [[chi2Against]] contract). Ordered cumulative sums
+    * run per key over grid-sized rows. */
+  def ksAgainst(spark: SparkSession, path: String, ref: DataFrame,
+      keyCol: String, bucketCol: String, cRefCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = spark.read.parquet(path)
+      .select(col(keyCol), col(bucketCol), col("n_rows").as("o"))
+    val unknown = obs.join(ref.select(col(keyCol), col(bucketCol)),
+      Seq(keyCol, bucketCol), "left_anti")
+    require(unknown.isEmpty,
+      "observed buckets absent from the reference distribution: " +
+        unknown.limit(5).collect().mkString(", "))
+    val joined = ref
+      .select(col(keyCol), col(bucketCol), col(cRefCol).cast("long").as("r"))
+      .join(obs, Seq(keyCol, bucketCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    joined
+      .withColumn("cum_r", sum(col("r")).over(wCum))
+      .withColumn("cum_o", sum(col("o")).over(wCum))
+      .withColumn("n_r", sum(col("r")).over(wAll))
+      .withColumn("n_o", sum(col("o")).over(wAll))
+      .groupBy(col(keyCol))
+      .agg(max(col("n_r")).as("n_ref"), max(col("n_o")).as("n_obs"),
+        max(abs(col("cum_o") * col("n_r") - col("cum_r") * col("n_o")))
+          .as("ks_num"))
+      .withColumn("ks",
+        col("ks_num").cast("double") /
+          (col("n_ref") * col("n_obs")).cast("double"))
+  }
+
   /** KMV-profile fold: maintains, per key, the k-minimum-values
     * distinct sketch ([[graft.functions.KmvMinHashesAgg]]) and the row
     * count. Sketch merge is k-smallest-of-union — associative and

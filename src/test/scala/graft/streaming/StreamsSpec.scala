@@ -239,6 +239,18 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
         .head()
       // 400 obs: o = (250,50,50,50) vs e = 100 each -> chi2 = 300
       assert(drifted.getAs[Double]("chi2") == 300.0)
+
+      // the NUMERIC twin over the same folded state: grid-KS against
+      // integer reference counts (uniform 100 per bucket).
+      // cum_o = (250,300,350,400), cum_r = (100,200,300,400),
+      // n_o = n_r = 400 -> ks_num = max|cum_o - cum_r|*400 = 150*400
+      val refC = Seq.tabulate(4)(b => ("m", b.toLong, 100L))
+        .toDF("k", "b", "c")
+      val ks = Streams.ksAgainst(spark, s"$dir/state", refC, "k", "b", "c")
+        .head()
+      assert(ks.getAs[Long]("n_ref") == 400L && ks.getAs[Long]("n_obs") == 400L)
+      assert(ks.getAs[Long]("ks_num") == 150L * 400L)
+      assert(ks.getAs[Double]("ks") == 0.375)
     } finally q.stop()
 
     // a bucket the reference never declared fails loudly
