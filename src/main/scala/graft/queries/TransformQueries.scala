@@ -217,7 +217,23 @@ object TransformQueries extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Export-integrity manifest ([[graft.operators.Export.manifest]]):
+    * per training shard — deterministic hash-assigned — the row count
+    * and the order-free (sum, xor) content fingerprint a consumer
+    * verifies before training. Both fingerprint halves are integer
+    * aggregates over the md5-derived portable row hash, so DuckDB
+    * recomputes the manifest independently. */
+  def exportManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .withColumn("shard",
+        (graft.operators.Sampling.hash60(col("doc_id")) % 8).cast("int"))
+    graft.operators.Export.manifest(docs, "shard",
+        Seq("doc_id", "text", "source"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "export_manifest" -> (exportManifest _),
     "qa8_quarantine_reasons" -> (qa8QuarantineReasons _),
     "t1_staging_orders" -> (t1StagingOrders _),
     "t2_dim_customers" -> (t2DimCustomers _),
@@ -248,6 +264,22 @@ object TransformQueries extends QueryPack {
           FROM customer WHERE c_custkey IS NOT NULL)"""
 
   val oracles: Map[String, String] = Map(
+    // the manifest replayed independently: same md5-derived row hash
+    // (chr(31)-joined columns), same (sum mod 2^32, xor) fingerprint
+    "export_manifest" -> """
+      WITH h AS (
+        SELECT CAST(concat('0x', substr(md5(
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+               CAST(concat('0x', substr(md5(concat_ws(chr(31),
+                 COALESCE(CAST(doc_id AS VARCHAR), ''),
+                 COALESCE(text, ''),
+                 COALESCE(source, ''))), 1, 15)) AS BIGINT) AS rh
+        FROM documents)
+      SELECT CAST(shard AS INT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(rh % 4294967296) AS BIGINT) AS fp_sum,
+             CAST(bit_xor(rh) AS BIGINT) AS fp_xor
+      FROM h GROUP BY shard ORDER BY shard""",
     "qa8_quarantine_reasons" -> """
       SELECT event_id,
              array_to_string(list_filter([
