@@ -136,7 +136,10 @@ object Similarity {
     * strongest re-rank (ADC re-rank, [[Pq.topKRefined]], is the
     * cheaper stand-in when original vectors are too hot to keep; here
     * they ride the scan). The corpus never shuffles: assignment +
-    * explode is one map-side projection, queries broadcast.
+    * explode is one map-side projection, queries broadcast. For
+    * REPEATED query batches, persist the assignment instead of
+    * re-deriving it per call — [[kmeansIndex]] with nAssign ≥ 2 +
+    * [[saveIndex]] is this exact shape with the cells precomputed.
     *
     * Replication can match a (query, neighbor) pair once per shared
     * cell; the pair is deduplicated IN THE JOIN PREDICATE — only the
