@@ -1087,6 +1087,50 @@ object Streams {
           .cast("double").as("chi2"))
   }
 
+  /** Streaming training-shard export with an incrementally-maintained
+    * INTEGRITY MANIFEST ([[graft.operators.Export]]'s streaming half).
+    * Per micro-batch: the rows land idempotently under
+    * `path/data/batch=<id>` partitioned by the shard column (the
+    * ivfIngestSink layout — uniform directory depth, replays replace
+    * their own output), and the batch's manifest FOLDS into the
+    * stored one at `path/_manifest`: row counts and fingerprint sums
+    * ADD, fingerprint xors XOR — both associative, so the folded
+    * manifest is BIT-IDENTICAL to a one-shot
+    * [[graft.operators.Export.manifest]] over everything ever
+    * streamed (spec-pinned), and
+    * [[graft.operators.Export.verifyManifest]] works unchanged on the
+    * grown export. The fold carries the batch marker (replays skip)
+    * behind the shared atomic swap. */
+  def exportManifestSink(stream: DataFrame, path: String,
+      checkpoint: String, shardCol: String, cols: Seq[String],
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
+      manifestMergeBatch(batch.sparkSession, batch, path, shardCol, cols,
+        batchId)
+    }
+
+  /** One [[exportManifestSink]] micro-batch: idempotent data write +
+    * marker-guarded manifest fold (callable directly with batchId = -1
+    * for batch-mode appends). */
+  def manifestMergeBatch(spark: SparkSession, batch: DataFrame,
+      path: String, shardCol: String, cols: Seq[String],
+      batchId: Long): LoadResult = {
+    import graft.operators.Export
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pinned.write.mode("overwrite").partitionBy(shardCol)
+        .parquet(s"$path/data/batch=$batchId")
+      foldBatchWith(spark, s"$path/_manifest", Seq(shardCol), batchId)(
+        Export.manifest(pinned, shardCol, cols)) { (all, _) =>
+        all.groupBy(col(shardCol)).agg(
+          sum(col("n_rows")).as("n_rows"),
+          sum(col("fp_sum")).as("fp_sum"),
+          coalesce(expr("bit_xor(fp_xor)"), lit(0L)).as("fp_xor"))
+      }
+    } finally pinned.unpersist()
+  }
+
   /** Streaming drift monitor, NUMERIC half: grid-KS of the ACCUMULATED
     * bucket counts at `path` against a reference CDF — the streaming
     * twin of the batch exact-KS ([[graft.validation.Drift

@@ -261,6 +261,54 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("absent from the reference"))
   }
 
+  test("export manifest sink: folded manifest == one-shot; verify passes; replay no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Export, Sampling}
+    val dir = java.nio.file.Files.createTempDirectory("exportsink").toString
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    val cols = Seq("doc_id", "text", "source")
+    def shardify(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("shard", (Sampling.hash60(col("doc_id")) % 4).cast("int"))
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.exportManifestSink(
+        shardify(input.toDS().toDF("doc_id", "text", "source")),
+        s"$dir/exp", s"$dir/ckpt", "shard", cols, Streams.trigger(1))
+      .start()
+    try {
+      (0 until 2).foreach { b =>
+        input.addData(rows.filter(_._1 % 2 == b): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the folded manifest is BIT-IDENTICAL to a one-shot manifest over
+    // everything streamed (sums add, xors xor — associative)
+    val folded = spark.read.parquet(s"$dir/exp/_manifest")
+      .select("shard", "n_rows", "fp_sum", "fp_xor")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val oneShot = Export.manifest(
+        shardify(rows.toDF("doc_id", "text", "source")), "shard", cols)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(folded == oneShot && folded.nonEmpty)
+    // the grown export verifies with the unchanged batch verifier
+    assert(Export.verifyManifest(spark, s"$dir/exp", "shard", cols).isEmpty)
+    // a direct replay of an already-folded batch id is a no-op
+    val replay = Streams.manifestMergeBatch(spark,
+      shardify(rows.filter(_._1 % 2 == 0).toDF("doc_id", "text", "source")),
+      s"$dir/exp", "shard", cols, batchId = 0L)
+    assert(replay.success && replay.rowsLoaded == 0L)
+    assert(Export.verifyManifest(spark, s"$dir/exp", "shard", cols).isEmpty)
+    graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
+  }
+
   test("forget-keys sink: streamed deletions apply per batch with audit") {
     val spark2 = spark
     import spark2.implicits._
