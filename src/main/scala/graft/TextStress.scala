@@ -190,16 +190,19 @@ object TextStress {
     val bpeDocs = spark.range(0, nVocab).select(
       concat(lit("alpha beta u"), col("id").cast("string"), lit("x"))
         .as("text"))
-    val ((bpeMerges, bpeVocab), bpeSec) = timed {
-      graft.text.BpeTrain.trainDistributed(bpeDocs, "text", nMerges = 10)
+    val (bpeRes, bpeSec) = timed {
+      graft.text.BpeTrain.trainDistributedStats(bpeDocs, "text", nMerges = 10)
     }
+    val (bpeMerges, bpeVocab) = (bpeRes.merges, bpeRes.vocab)
     require(bpeMerges.length == 10, s"expected 10 merges: $bpeMerges")
+    require(bpeRes.rounds < 10,
+      s"multi-merge batching should need < 10 rounds, got ${bpeRes.rounds}")
     require(bpeMerges.head == (("a", "</w>", 2 * nVocab)),
       s"first merge must be (a, </w>) x ${2 * nVocab}: ${bpeMerges.head}")
     // base alphabet: a l p h b e t u x + 10 digits = 19; + </w> + 10 merges
     require(bpeVocab.length == 30, s"vocab size ${bpeVocab.length} != 30")
 
-    println(f"""{"metric":"text_stress","docs":$nDocs,"dup_runs_sec":$runSec%.1f,"funnel_model_sec":$funnelSec%.1f,"pretrain_pipeline_sec":$pipeSec%.1f,"sft_sec":$sftSec%.1f,"bpe_vocab":${nVocab + 2},"bpe_train_sec":$bpeSec%.1f,"peak_heap_mb":${peakHeapMb()}}""")
+    println(f"""{"metric":"text_stress","docs":$nDocs,"dup_runs_sec":$runSec%.1f,"funnel_model_sec":$funnelSec%.1f,"pretrain_pipeline_sec":$pipeSec%.1f,"sft_sec":$sftSec%.1f,"bpe_vocab":${nVocab + 2},"bpe_train_sec":$bpeSec%.1f,"bpe_rounds":${bpeRes.rounds},"peak_heap_mb":${peakHeapMb()}}""")
     spark.stop()
   }
 }

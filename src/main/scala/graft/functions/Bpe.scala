@@ -74,11 +74,58 @@ object Bpe {
     * `"default"` → the committed classpath fixture; `"file:<dir>"` →
     * `<dir>/merges.txt` + `<dir>/vocab.txt` on the local filesystem
     * (a path every executor can read — distribute via `--files` or a
-    * shared mount on a real cluster). */
+    * shared mount on a real cluster); `"parquet:<dir>"` → the parquet
+    * artifact table [[graft.text.BpeTrain.saveParquet]] writes, read
+    * executor-side through parquet-hadoop (no SparkSession needed). */
   def artifact(key: String): Artifact =
     registry.computeIfAbsent(key, k => load(k))
 
+  /** Read the parquet artifact table directly with parquet-hadoop —
+    * callable from executors (tokenization expressions resolve their
+    * artifact lazily inside tasks, where no SparkSession exists). The
+    * version row's expected counts gate against a torn write. */
+  private def loadParquet(key: String): Artifact = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val dir = new java.io.File(key.stripPrefix("parquet:"))
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, String, String, String)]
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(f.getPath))
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          rows += ((g.getString("kind", 0), g.getInteger("rank", 0),
+            g.getString("lhs", 0), g.getString("rhs", 0),
+            g.getString("sym", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    val version = rows.filter(_._1 == "version")
+    require(version.length == 1,
+      s"artifact at $dir: expected exactly one version row, got ${version.length}")
+    require(version.head._5 == "graft-bpe-1",
+      s"artifact at $dir: unknown version '${version.head._5}'")
+    val merges = rows.filter(_._1 == "merge").sortBy(_._2)
+      .map(r => (r._3, r._4)).toArray
+    val vocab = rows.filter(_._1 == "vocab").sortBy(_._2).map(_._5).toArray
+    require(merges.length == version.head._3.toInt &&
+      vocab.length == version.head._4.toInt,
+      s"artifact at $dir is torn: ${merges.length}/${version.head._3} merges, " +
+        s"${vocab.length}/${version.head._4} vocab")
+    new Artifact(key, merges, vocab)
+  }
+
   private def load(key: String): Artifact = {
+    if (key.startsWith("parquet:")) return loadParquet(key)
     def readLines(open: => java.io.InputStream): Array[String] = {
       val in = open
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
@@ -98,7 +145,8 @@ object Bpe {
           readLines(new java.io.FileInputStream(s"$dir/vocab.txt")))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown BPE artifact key '$other' (use \"default\" or \"file:<dir>\")")
+          s"unknown BPE artifact key '$other' " +
+            "(use \"default\", \"file:<dir>\", or \"parquet:<dir>\")")
     }
     val merges = mergeLines.iterator
       .filterNot(l => l.startsWith("#") || l.trim.isEmpty)

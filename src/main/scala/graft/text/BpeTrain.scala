@@ -134,33 +134,212 @@ object BpeTrain {
     trainFromCounts(words, nMerges)
   }
 
+  /** Result of [[trainDistributedStats]]: the merge trajectory (pair +
+    * corpus frequency at selection time, rank order), the vocab layout,
+    * and the number of Spark ROUNDS the trajectory cost — `rounds` <
+    * `merges.size` whenever multi-merge batching fired. */
+  final case class DistTrainResult(merges: Seq[(String, String, Long)],
+      vocab: Seq[String], rounds: Int)
+
+  /** One round's distributed statistics, from which [[selectExactBatch]]
+    * simulates as many sequential merges as are provable: the top pair
+    * counts, the top adjacent-TRIPLE (3-gram of symbols) counts, and
+    * whether each list was exhaustive (if not, every unseen entry is
+    * bounded by the floor — the last seen count). */
+  private[text] final case class RoundStats(
+      pairs: IndexedSeq[(String, String, Long)], sawAllPairs: Boolean,
+      triples: Map[(String, String, String), Long], sawAllTriples: Boolean,
+      tripleFloor: Long)
+
+  /** EXACT multi-merge batch selection: a driver-side simulation of the
+    * sequential merge loop over one round's pair AND triple counts,
+    * emitting merges for as long as each step's winner is PROVABLY the
+    * true sequential winner — then stopping, so the next Spark round
+    * recounts. The emitted sequence (pairs, order, frequencies) is
+    * byte-identical to the one-merge-at-a-time loop; batching only
+    * changes how many Spark jobs it costs.
+    *
+    * The machinery rests on how merging p=(a,b)→m (a≠b; left-to-right,
+    * and a≠b means every (a,b) adjacency merges — overlap needs b=a)
+    * moves counts:
+    *   - (x,a) loses exactly triples(x,a,b) occurrences, and (b,y)
+    *     exactly triples(a,b,y) — EXACT decrements, provided x/y is not
+    *     a symbol an earlier applied merge touched (staleness) and not
+    *     a or b itself (self-chain 4-gram effects);
+    *   - (x,m) is created with EXACTLY triples(x,a,b) occurrences and
+    *     (m,y) with triples(a,b,y) — under the same cleanliness
+    *     conditions these enter the candidate set as first-class
+    *     mergeable pairs;
+    *   - every other pair is EXACTLY unchanged (shared-LEFT (a,·) and
+    *     shared-RIGHT (·,b) included: an `a` is consumed only when
+    *     followed by `b`, a `b` only when preceded by `a`);
+    *   - pre-existing pair counts never increase.
+    * Whenever a count is NOT provable — the triple is missing from a
+    * truncated list, a symbol is dirty, a self-chain form — the pair
+    * moves to an UNKNOWN set carrying its last exact value as an upper
+    * bound, and creations fold into a created-pairs bound. A step's
+    * winner is accepted only while its exact count sits STRICTLY above
+    * every unknown bound (unseen pairs ≤ pair floor, unseen triples ≤
+    * triple floor, unknown-set bounds, created bound); at a tie the
+    * lexicographic order against an unknowable count can't be resolved,
+    * so the round ends. Winners that are themselves terminal — output
+    * string already a live symbol (merging into an existing symbol
+    * boosts its pre-existing pairs unboundedly), self-pair (a,a)
+    * (run-length semantics), or a previously decremented/created pair
+    * (their bookkeeping triples are stale) — are emitted and end the
+    * round: they are exact as merges, but nothing after them is
+    * provable. The head winner is always exact (global argmax over
+    * complete information), so every round advances ≥ 1 merge. */
+  private[text] def selectExactBatch(stats: RoundStats,
+      isLiveSymbol: String => Boolean, budget: Int): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val pairOrd = new Ordering[(String, String)] {
+      def compare(x: (String, String), y: (String, String)): Int = {
+        val c = cpCompare(x._1, y._1)
+        if (c != 0) c else cpCompare(x._2, y._2)
+      }
+    }
+    // exact candidate counts; `tainted` marks pairs whose own count is
+    // exact but whose application bookkeeping would need post-merge
+    // triples we don't have (decremented originals, created pairs)
+    val exact = mutable.HashMap.empty[(String, String), Long]
+    val tainted = mutable.HashSet.empty[(String, String)]
+    stats.pairs.foreach { case (l, r, f) => exact((l, r)) = f }
+    val tripleFloor = if (stats.sawAllTriples) 0L else stats.tripleFloor
+    // bounds no candidate may tie: unseen originals, moved-to-unknown
+    // pairs, un-enumerable created pairs
+    var unknownBar = if (stats.sawAllPairs) -1L else stats.pairs.last._3
+    val dirty = mutable.HashSet.empty[String]
+    val outputs = mutable.HashSet.empty[String]
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+
+    def winner(): Option[((String, String), Long)] =
+      if (exact.isEmpty) None
+      else Some(exact.minBy { case (p, f) => (-f, p) }(
+        Ordering.Tuple2(Ordering.Long, pairOrd)))
+
+    var stop = false
+    while (!stop && out.size < budget) {
+      winner() match {
+        case None => stop = true
+        case Some(((a, b), f)) =>
+          // strictly above every unknowable count, else unorderable —
+          // except the head, which is the global argmax over complete
+          // information (the round's sort saw every pair): always exact
+          if (out.nonEmpty && f <= unknownBar) stop = true
+          else {
+            out += ((a, b, f))
+            val m = a + b
+            val terminal = isLiveSymbol(m) || outputs.contains(m) ||
+              a == b || tainted((a, b))
+            if (terminal || out.size == budget) stop = true
+            else {
+              exact.remove((a, b))
+              dirty += a; dirty += b; dirty += m
+              outputs += m
+              // (m,m) creations need the a,b,a,b 4-gram — bound only
+              val mm = math.min(
+                stats.triples.getOrElse((a, b, a), tripleFloor),
+                stats.triples.getOrElse((b, a, b), tripleFloor))
+              unknownBar = math.max(unknownBar, mm)
+              if (!stats.sawAllTriples)
+                unknownBar = math.max(unknownBar, tripleFloor)
+              // decrements: a conflicting pair over ORIGINAL symbols
+              // with no pre-round interaction triple keeps its exact
+              // count (original-symbol triples only ever shrink, so a
+              // zero stays zero); a seen triple decrements exactly when
+              // everything involved is clean; otherwise the pair's
+              // count is no longer provable and becomes a bound.
+              // Created pairs (an output symbol inside) have no
+              // pre-round triples at all — any conflict unknowns them.
+              def conflictUpdate(p: (String, String), fp: Long,
+                  other: String, triple: (String, String, String)): Unit = {
+                val created = outputs(p._1) || outputs(p._2)
+                val t = if (created) None else stats.triples.get(triple)
+                t match {
+                  case None if !created && stats.sawAllTriples => () // dec=0
+                  case Some(dec) if other != a && other != b &&
+                      !dirty(other) && !tainted(p) =>
+                    if (dec >= fp) { exact.remove(p); () }
+                    else { exact(p) = fp - dec; tainted += p }
+                  case _ =>
+                    exact.remove(p); unknownBar = math.max(unknownBar, fp)
+                }
+              }
+              exact.filter { case ((_, r), _) => r == a }.foreach {
+                case (p @ (x, _), fx) => conflictUpdate(p, fx, x, (x, a, b))
+              }
+              exact.filter { case ((l, _), _) => l == b }.foreach {
+                case (p @ (_, y), fy) => conflictUpdate(p, fy, y, (a, b, y))
+              }
+              // exact creations from seen triples (clean outer symbol);
+              // dirty/self-chain outer symbols fold into the bound
+              stats.triples.foreach {
+                case ((x, ta, tb), c) if ta == a && tb == b =>
+                  if (x != b && !dirty(x)) {
+                    if (c > 0) { exact((x, m)) = c; tainted += ((x, m)) }
+                  } else unknownBar = math.max(unknownBar, c)
+                case ((ta, tb, y), c) if ta == a && tb == b =>
+                  if (y != a && !dirty(y)) {
+                    if (c > 0) { exact((m, y)) = c; tainted += ((m, y)) }
+                  } else unknownBar = math.max(unknownBar, c)
+                case _ => ()
+              }
+            }
+          }
+      }
+    }
+    out.toSeq
+  }
+
   /** FULLY DISTRIBUTED training: the (word → symbols, freq) dictionary
     * never leaves the cluster — each round's pair counting is one
     * Spark aggregate over the dictionary frame and the ONLY rows the
-    * driver ever holds are the winning pair per round (1 row × nMerges)
-    * and the alphabet (base codepoints). This removes the `maxWords`
-    * driver bound [[train]] needs: a corpus whose distinct-word table
-    * itself exceeds driver memory (no Heaps'-law mercy — think
-    * URL-/ID-riddled web text) trains here at full fidelity.
+    * driver ever holds are the top pair counts per round (≤ `batchTopK`
+    * rows) and the alphabet (base codepoints). This removes the
+    * `maxWords` driver bound [[train]] needs: a corpus whose
+    * distinct-word table itself exceeds driver memory (no Heaps'-law
+    * mercy — think URL-/ID-riddled web text) trains here at full
+    * fidelity.
     *
     * Per round: (1) adjacent-pair counts via map-side partial agg over
     * the checkpointed dict (`zip_with` over the symbol array — no
     * explode of the corpus, the frame is distinct-word-sized), shuffle
-    * carries only distinct pairs; winner by (freq DESC, pair ASC) —
-    * Spark's binary UTF8 ordering IS codepoint order, matching
-    * [[cpCompare]]; (2) the merge applied map-only via the codegen'd
-    * [[graft.functions.BpeMergePairExpr]], then `localCheckpoint` so
-    * each kept plan is one round deep and round k+1's aggregate scans
-    * cached rows, not a k-deep lineage (the [[graft.operators.Graphs]]
-    * fixed-point pattern). Cost: 2 jobs/round over a dictionary-sized
-    * frame; the corpus is scanned exactly once (word counting).
+    * carries only distinct pairs; candidates ordered by (freq DESC,
+    * pair ASC) — Spark's binary UTF8 ordering IS codepoint order,
+    * matching [[cpCompare]]; (2) [[selectExactBatch]] picks the longest
+    * provably-sequential prefix of merges from those counts (so a
+    * 32k-merge vocabulary costs ~batch-size-fold fewer Spark rounds
+    * than one-merge-per-round, with the merge SEQUENCE byte-identical —
+    * singleton fallback on any conflict or tie); (3) the batch applied
+    * map-only via chained codegen'd
+    * [[graft.functions.BpeMergePairExpr]]s in rank order, then
+    * `localCheckpoint` so each kept plan is one round deep and the next
+    * round's aggregate scans cached rows, not a k-deep lineage (the
+    * [[graft.operators.Graphs]] fixed-point pattern) — and the
+    * SUPERSEDED round's checkpoint blocks are freed explicitly
+    * ([[org.apache.spark.sql.GraftShims.unpersistCheckpoint]]), so
+    * storage is bounded at one dictionary copy regardless of round
+    * count, not left to ContextCleaner GC cadence.
     *
     * Byte-identical to [[trainFromCounts]] on the same word counts
-    * (pinned by BpeTrainSpec): same tie order, same left-to-right
-    * merge-all, same vocab layout. */
+    * (pinned by BpeTrainSpec at 200 merges): same tie order, same
+    * left-to-right merge-all, same vocab layout. */
   def trainDistributed(docs: DataFrame, textCol: String, nMerges: Int,
-      maxWords: Option[Int] = None): (Seq[(String, String, Long)], Seq[String]) = {
+      maxWords: Option[Int] = None,
+      batchTopK: Int = 256): (Seq[(String, String, Long)], Seq[String]) = {
+    val r = trainDistributedStats(docs, textCol, nMerges, maxWords, batchTopK)
+    (r.merges, r.vocab)
+  }
+
+  /** [[trainDistributed]] plus the round count (for scale assertions —
+    * batching should cost far fewer rounds than merges). */
+  def trainDistributedStats(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Option[Int] = None,
+      batchTopK: Int = 256): DistTrainResult = {
     import graft.functions.NativeBpe
+    import org.apache.spark.sql.GraftShims
+    require(batchTopK >= 1, s"batchTopK must be >= 1, got $batchTopK")
     val raw = wordCounts(docs, textCol, maxWords)
       .select(NativeBpe.bpeInitSyms(col("word")).as("syms"), col("freq"))
       .localCheckpoint()
@@ -180,12 +359,17 @@ object BpeTrain {
       .filter(col("c") =!= Bpe.EndOfWord)
       .distinct().orderBy(col("c"))
       .collect().map(_.getString(0)).toSeq
-    val merges = Seq.newBuilder[(String, String, Long)]
+    // live-symbol set is driver-known by construction: symbols are only
+    // ever base codepoints, the end-of-word marker, or merge outputs
+    val live = scala.collection.mutable.HashSet[String](baseChars: _*)
+    live += Bpe.EndOfWord
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var cur = init
-    var step = 0
+    var rounds = 0
     var exhausted = false
-    while (step < nMerges && !exhausted) {
-      val best = cur
+    val tripleTopK = batchTopK * 16
+    while (merges.size < nMerges && !exhausted) {
+      val top = cur
         .select(explode(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1),
@@ -193,22 +377,78 @@ object BpeTrain {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("f"))
         .orderBy(col("f").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(batchTopK).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val l = best(0).getString(0)
-        val r = best(0).getString(1)
-        val f = best(0).getLong(2)
-        merges += ((l, r, f))
+        rounds += 1
+        val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toIndexedSeq
+        val budget = nMerges - merges.size
+        // second (triple-count) aggregate only pays off when the round
+        // can batch; with one merge left the head alone is taken
+        val stats = if (budget <= 1 || rows.length <= 1)
+          RoundStats(rows, sawAllPairs = rows.length < batchTopK,
+            Map.empty, sawAllTriples = true, tripleFloor = 0L)
+        else {
+          val n3 = greatest(size(col("syms")) - 2, lit(0))
+          val trip = cur
+            .select(explode(zip_with(
+              zip_with(
+                slice(col("syms"), lit(1), n3),
+                slice(col("syms"), lit(2), n3),
+                (a, b) => struct(a.as("x"), b.as("y"))),
+              slice(col("syms"), lit(3), n3),
+              (xy, z) => struct(xy.getField("x").as("x"),
+                xy.getField("y").as("y"), z.as("z")))).as("t"), col("freq"))
+            .groupBy(col("t.x").as("x"), col("t.y").as("y"), col("t.z").as("z"))
+            .agg(sum(col("freq")).as("f"))
+            .orderBy(col("f").desc, col("x"), col("y"), col("z"))
+            .limit(tripleTopK).collect()
+          RoundStats(rows, sawAllPairs = rows.length < batchTopK,
+            trip.map(r => (r.getString(0), r.getString(1), r.getString(2))
+              -> r.getLong(3)).toMap,
+            sawAllTriples = trip.length < tripleTopK,
+            tripleFloor = if (trip.isEmpty) 0L else trip.last.getLong(3))
+        }
+        val batch = selectExactBatch(stats, live, budget)
+        merges ++= batch
+        batch.foreach { case (l, r, _) => live += (l + r) }
+        val prev = cur
         cur = cur
-          .select(NativeBpe.bpeMergePair(col("syms"), l, r).as("syms"),
-            col("freq"))
+          .select(batch.foldLeft(col("syms")) { case (c, (l, r, _)) =>
+            NativeBpe.bpeMergePair(c, l, r)
+          }.as("syms"), col("freq"))
           .localCheckpoint()
+        GraftShims.unpersistCheckpoint(prev)
       }
-      step += 1
     }
-    val ms = merges.result()
-    (ms, baseChars ++ Seq(Bpe.EndOfWord) ++ ms.map { case (l, r, _) => l + r })
+    GraftShims.unpersistCheckpoint(cur)
+    val ms = merges.toSeq
+    DistTrainResult(ms,
+      baseChars ++ Seq(Bpe.EndOfWord) ++ ms.map { case (l, r, _) => l + r },
+      rounds)
+  }
+
+  /** Persist the artifact as a PARQUET table (`kind`/`rank`/`lhs`/
+    * `rhs`/`sym` rows plus one version row carrying the expected merge
+    * and vocab counts) — the scale form of [[save]]: written through
+    * Spark's parquet writer rather than as one driver-assembled string,
+    * and loadable by every executor directly via parquet-hadoop with
+    * `Bpe.artifact("parquet:<dir>")`. A 100k-merge vocabulary is just
+    * rows here; the version row makes a torn/partial artifact fail
+    * loudly at load instead of tokenizing with a truncated merge
+    * table. */
+  def saveParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      merges: Seq[(String, String)], vocab: Seq[String]): Unit = {
+    import spark.implicits._
+    val rows =
+      Seq(("version", -1, merges.size.toString, vocab.size.toString,
+        "graft-bpe-1")) ++
+      merges.zipWithIndex.map { case ((l, r), i) => ("merge", i, l, r, l + r) } ++
+      vocab.zipWithIndex.map { case (s, i) => ("vocab", i, "", "", s) }
+    rows.toDF("kind", "rank", "lhs", "rhs", "sym")
+      .repartition(1) // artifact is vocabulary-sized; one file loads fastest
+      .write.mode("overwrite").parquet(dir)
   }
 
   /** Write the artifact in the exact on-disk format [[Bpe.artifact]]

@@ -28,6 +28,21 @@ object GraftShims {
     try spark.sparkContext.listenerBus.waitUntilEmpty()
     catch { case _: java.util.concurrent.TimeoutException => () }
 
+  /** Explicitly free the storage blocks behind a `localCheckpoint`ed
+    * DataFrame (the checkpointed RDD hides inside a `LogicalRDD` leaf;
+    * `Dataset.unpersist` cannot reach it and ContextCleaner only frees
+    * it on GC). For fixed-point loops that re-checkpoint every round —
+    * [[graft.text.BpeTrain.trainDistributed]], graph iteration — this
+    * bounds storage to ONE round deterministically instead of trusting
+    * the driver's GC cadence. Only call on a frame whose successor
+    * checkpoint has already materialized (eager=true default). */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a native function on an existing session (the config-time
     * path is `spark.sql.extensions`; this is the runtime equivalent). */
   def registerFunction(spark: SparkSession, name: String,

@@ -87,6 +87,124 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assert(gotVocab == expVocab)
   }
 
+  test("batched trainDistributed == trainFromCounts at 200 merges, " +
+      "in <= merges/4 rounds") {
+    // multi-merge batching must preserve the EXACT sequential merge
+    // trajectory (pairs, order, frequencies) while collapsing rounds
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = BpeTrain.wordCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (expMerges, expVocab) = BpeTrain.trainFromCounts(words, 200)
+    val got = BpeTrain.trainDistributedStats(docs, "text", 200)
+    assert(got.merges.map(m => (m._1, m._2)) == expMerges)
+    assert(got.vocab == expVocab)
+    assert(got.rounds <= 200 / 4,
+      s"batching should cost <= 50 rounds for 200 merges, got ${got.rounds}")
+  }
+
+  test("selectExactBatch: exact decrements, creations, terminal stops") {
+    def rs(pairs: Seq[(String, String, Long)],
+        triples: Map[(String, String, String), Long]) =
+      BpeTrain.RoundStats(pairs.toIndexedSeq, sawAllPairs = true,
+        triples, sawAllTriples = true, tripleFloor = 0L)
+    def batch(s: BpeTrain.RoundStats, live: String*): Seq[(String, String, Long)] =
+      BpeTrain.selectExactBatch(s, (live.toSet ++ Set("a","b","c","d","e","f")),
+        budget = 100)
+    // disjoint pairs, no interacting triples: all batch
+    assert(batch(rs(Seq(("a","b",10L), ("c","d",8L), ("e","f",6L)), Map.empty)) ==
+      Seq(("a","b",10L), ("c","d",8L), ("e","f",6L)))
+    // triple-exact decrement: (b,c)=9 loses triples(a,b,c)=4 → merges
+    // third at 5, exactly as the sequential loop would
+    assert(batch(rs(Seq(("a","b",10L), ("c","d",8L), ("b","c",9L)),
+      Map(("a","b","c") -> 4L))) ==
+      Seq(("a","b",10L), ("c","d",8L), ("b","c",5L)))
+    // exact creation out-competes originals: (c,ab) created at 7 wins
+    // step 2 and is terminal (no triples over the fresh symbol)
+    assert(batch(rs(Seq(("a","b",10L), ("e","f",6L)),
+      Map(("c","a","b") -> 7L))) ==
+      Seq(("a","b",10L), ("c","ab",7L)))
+    // self-pair winner is terminal (run-length semantics)
+    assert(batch(rs(Seq(("a","a",10L), ("c","d",8L)), Map.empty)) ==
+      Seq(("a","a",10L)))
+    // head output already live: terminal singleton (boost unbounded)
+    assert(batch(rs(Seq(("a","b",10L), ("c","d",8L)), Map.empty), "ab") ==
+      Seq(("a","b",10L)))
+    // truncated pair list: unseen pairs bound at the floor; the tying
+    // candidate is unorderable against them
+    assert(BpeTrain.selectExactBatch(
+      BpeTrain.RoundStats(IndexedSeq(("a","b",10L), ("c","d",8L), ("e","f",8L)),
+        sawAllPairs = false, Map.empty, sawAllTriples = true, 0L),
+      Set("a","b","c","d","e","f"), budget = 100) == Seq(("a","b",10L)))
+    // truncated TRIPLE list: a decremented pair whose triple is unseen
+    // becomes unorderable at the floor
+    assert(BpeTrain.selectExactBatch(
+      BpeTrain.RoundStats(IndexedSeq(("a","b",10L), ("b","c",9L), ("e","f",2L)),
+        sawAllPairs = true, Map(("x","y","z") -> 9L), sawAllTriples = false, 9L),
+      Set("a","b","c","d","e","f","x","y","z"), budget = 100) ==
+      Seq(("a","b",10L)))
+  }
+
+  test("saveParquet → parquet: artifact load → tokenizer-exact round-trip") {
+    // the scale artifact form: Spark-written parquet table, loaded
+    // executor-side via parquet-hadoop — must tokenize identically to
+    // the text form trained from the same corpus
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-bpe-pq")
+    val txtDir = base.resolve("txt").toString
+    val pqDir = base.resolve("pq").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (merges, vocab) = BpeTrain.train(docs, "text", nMerges = 40)
+    BpeTrain.save(txtDir, merges, vocab)
+    BpeTrain.saveParquet(spark, pqDir, merges, vocab)
+    val fromTxt = Bpe.artifact(s"file:$txtDir")
+    val fromPq = Bpe.artifact(s"parquet:$pqDir")
+    assert(fromPq.merges.toSeq == fromTxt.merges.toSeq)
+    assert(fromPq.vocab.toSeq == fromTxt.vocab.toSeq)
+    // end-to-end through the codegen'd expression on executors
+    val counts = docs.limit(50)
+      .select(
+        NativeBpe.bpeTokenCount(col("text"), s"parquet:$pqDir").as("pq"),
+        NativeBpe.bpeTokenCount(col("text"), s"file:$txtDir").as("txt"))
+      .collect()
+    assert(counts.forall(r => r.getInt(0) == r.getInt(1)))
+    // a torn artifact (missing rows vs the version header) fails loudly
+    val tornDir = base.resolve("torn").toString
+    BpeTrain.saveParquet(spark, tornDir, merges.drop(1), vocab)
+    spark.read.parquet(tornDir)
+      .filter(col("kind") =!= "version" || col("lhs") =!= "39")
+      .withColumn("lhs", org.apache.spark.sql.functions.when(
+        col("kind") === "version", "40").otherwise(col("lhs")))
+      .write.mode("overwrite").parquet(base.resolve("torn2").toString)
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.artifact(s"parquet:${base.resolve("torn2")}")
+    }
+    assert(ex.getMessage.contains("torn"))
+  }
+
+  test("trainDistributed == trainFromCounts on adversarial tiny alphabets") {
+    // 2-4 letter alphabets maximize chains, self-pairs, ties, and
+    // created-pair winners — every terminal path in the batch selector
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val alphabet = "abcd".take(2 + rng.nextInt(3))
+      val freqs = (1 to 12).map { _ =>
+        val w = (1 to (1 + rng.nextInt(5)))
+          .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+        (w, 1L + rng.nextInt(9).toLong)
+      }
+      val text = freqs.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+        .mkString(" ")
+      val wordMap = freqs.groupMapReduce(_._1)(_._2)(_ + _)
+      val (expM, expV) = BpeTrain.trainFromCounts(wordMap, 30)
+      val got = BpeTrain.trainDistributedStats(
+        Seq(text).toDF("text"), "text", 30, batchTopK = 8)
+      assert(got.merges.map(m => (m._1, m._2)) == expM,
+        s"trial $trial corpus: $text")
+      assert(got.vocab == expV, s"trial $trial corpus: $text")
+    }
+  }
+
   test("maxWords cap keeps the N most frequent words, deterministically") {
     import spark.implicits._
     val docs = Seq.fill(5)("hot hot hot warm warm cold").toDF("text")
