@@ -67,6 +67,133 @@ object Pq {
     }
   }
 
+  /** Deterministic hash-sample (bounded) used by the integer trainers:
+    * same subset on any cluster layout. */
+  private def bounded(df: DataFrame, idCol: String,
+      maxTrainRows: Option[Long]): DataFrame = maxTrainRows match {
+    case Some(n) =>
+      val total = df.count()
+      if (total <= n) df
+      else graft.operators.Sampling.deterministicSample(
+        df, idCol, n.toDouble / total)
+    case None => df
+  }
+
+  /** IN-ENGINE integer Lloyd k-means over one quantized vector frame
+    * `(\_\_id string, \_\_v array<long>)` — the distributed producer of
+    * every [[PqFixture]] artifact (`tools/gen_pq_fixture.py` is the
+    * independent parity reference, pinned by PqTrainSpec, the same
+    * relationship `tools/train_bpe.py` has to the BPE trainer).
+    *
+    * Exactness is the whole design: init picks the k rows with the
+    * smallest `md5("<id>:<tag>")` digests (engine-portable — no RNG
+    * implementation to reproduce); assignment is argmin of exact
+    * integer distance with ties to the LOWER centroid index (the
+    * [[Similarity.nearestCentroidsQ]] contract); the update keeps
+    * centroids int64 via the round-half-up integer mean
+    * `floorDiv(2·sum + n, 2·n)` — so no float summation order exists
+    * anywhere and any two runs (or engines) agree bit for bit. Empty
+    * clusters keep their previous centroid.
+    *
+    * Scale shape: per iteration ONE aggregate over the training frame
+    * — assignment rides map-side as a compiled projection, the shuffle
+    * carries (cluster, dim) partial sums (k·dim rows per partition),
+    * and the driver holds k·dim longs. Iterations scan the training
+    * frame, so at corpus scale bound it with `maxTrainRows` upstream
+    * (standard IVF practice: centroids need a representative sample,
+    * not the corpus) and let only the encode/assignment pass touch
+    * every row. */
+  private def lloydQ(q: DataFrame, k: Int, tag: String,
+      iters: Int): Seq[Seq[Long]] = {
+    val init = q
+      .orderBy(md5(concat(col("__id"), lit(s":$tag"))))
+      .limit(k).collect().map(_.getSeq[Long](1).toVector)
+    var cents: Seq[Seq[Long]] = init.toSeq
+    for (_ <- 1 to iters) {
+      val sums = q.select(
+          element_at(
+            Similarity.nearestCentroidsQ(col("__v"), cents, 1), 1).as("c"),
+          posexplode(col("__v")).as(Seq("d", "x")))
+        .groupBy(col("c"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCluster.get(j) match {
+          case Some(rows) =>
+            val arr = old.toArray
+            rows.foreach { r =>
+              arr(r.getInt(1)) =
+                Math.floorDiv(2L * r.getLong(2) + r.getLong(3),
+                  2L * r.getLong(3))
+            }
+            arr.toVector
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** Train the `m` integer PQ codebooks in-engine (one [[lloydQ]] per
+    * subspace over a single quantized, checkpointed pass of the
+    * training rows). Replaces the offline fixture generator as the
+    * production re-index path: retrain when the embedding distribution
+    * drifts, feed the result straight to [[encodeQ]]/[[topKQ]]. */
+  def trainCodebooksQ(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int = 8, iters: Int = 25,
+      maxTrainRows: Option[Long] = None): Seq[Seq[Seq[Long]]] = {
+    val dim = vecDim(df, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val q = bounded(df, idCol, maxTrainRows)
+      .select(col(idCol).cast("string").as("__id"),
+        Similarity.quantize(col(vecCol)).as("__q"))
+      .localCheckpoint()
+    val books = (0 until m).map { j =>
+      lloydQ(q.select(col("__id"),
+        slice(col("__q"), j * sub + 1, sub).as("__v")), ksub, s"pq$j", iters)
+    }
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(q)
+    books
+  }
+
+  /** Train the full-dimension integer IVF coarse quantizer in-engine
+    * (k cells for [[Similarity.ivfTopKQ]] / [[topKQ]]). Same recipe,
+    * tag `"coarse"`. */
+  def trainCoarseQ(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 25, maxTrainRows: Option[Long] = None): Seq[Seq[Long]] = {
+    val q = bounded(df, idCol, maxTrainRows)
+      .select(col(idCol).cast("string").as("__id"),
+        Similarity.quantize(col(vecCol)).as("__v"))
+      .localCheckpoint()
+    val cents = lloydQ(q, k, "coarse", iters)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(q)
+    cents
+  }
+
+  /** Per-label integer centroids (rounded means, label-sorted) — the
+    * supervised coarse quantizer ([[PqFixture.coarseL]]) when a label
+    * column already partitions the space. One groupBy over (label,
+    * dim) partial sums. */
+  def labelCentroidsQ(df: DataFrame, labelCol: String,
+      vecCol: String): Seq[Seq[Long]] = {
+    val rows = df
+      .select(col(labelCol).cast("long").as("__l"),
+        posexplode(Similarity.quantize(col(vecCol))).as(Seq("d", "x")))
+      .groupBy(col("__l"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      val arr = new Array[Long](rs.length)
+      rs.foreach { r =>
+        arr(r.getInt(1)) =
+          Math.floorDiv(2L * r.getLong(2) + r.getLong(3), 2L * r.getLong(3))
+      }
+      arr.toVector
+    }
+  }
+
   /** Nearest-centroid code of one subvector — reuses the IVF probe
     * expression (sorted struct array, deterministic ties by id). */
   private def code(sub: Column, codebook: Seq[Seq[Double]]): Column =
