@@ -148,11 +148,18 @@ object JdbcSource {
     *  1. executors bulk-write the batch to `<table>_stage` (overwrite:
     *     re-staging after a crash is harmless, nothing reads the stage
     *     outside step 2);
-    *  2. ONE driver-side transaction publishes: `INSERT INTO target
-    *     SELECT … FROM stage` + the `(batch_id, rows)` row into
-    *     `<table>_batch_ledger`, COMMIT. The ledger row commits in the
-    *     SAME transaction as the rows — there is no state where the
-    *     data landed but the ledger missed it (or vice versa).
+    *  2. ONE driver-side transaction publishes: with `mergeKeys` empty,
+    *     `INSERT INTO target SELECT … FROM stage` (append); with
+    *     `mergeKeys` given, UPSERT as delete-then-insert by key —
+    *     `DELETE FROM target WHERE EXISTS (stage row with same keys)`
+    *     followed by the same INSERT (the reference's declared
+    *     warehouse upsert, `design.md:171-181`, done set-based and
+    *     ANSI-portable instead of a dialect MERGE) — plus the
+    *     `(batch_id, rows)` row into `<table>_batch_ledger`, COMMIT.
+    *     The ledger row commits in the SAME transaction as the rows —
+    *     there is no state where the data landed but the ledger missed
+    *     it (or vice versa), and no state where the delete half of an
+    *     upsert survives without its insert half.
     *
     * Replay decision is the ledger, not Spark's checkpoint: a crash
     * after the DB commit but before the streaming checkpoint commit
@@ -161,17 +168,30 @@ object JdbcSource {
     * rolls the transaction back — re-staging + re-publishing sees no
     * partial rows. The stage table is per-target and single-writer
     * (one streaming query per target), matching every sink here.
+    * Upsert batches must carry ONE row per key (the micro-batch is the
+    * latest state per key — dedup upstream if the source re-delivers).
+    *
+    * Dialect note: identifiers are quoted through the Spark
+    * [[org.apache.spark.sql.jdbc.JdbcDialects]] registry for the URL,
+    * but the publish DDL/DML (`CREATE TABLE … AS SELECT … WITH NO
+    * DATA`, correlated `DELETE … WHERE EXISTS`) is ANSI SQL — Derby
+    * and PostgreSQL dialects; databases without ANSI CTAS (MySQL, SQL
+    * Server) need the target table pre-created, after which the
+    * INSERT/DELETE/ledger path is standard.
     *
     * Scale: step 1 is the same parallel executor write as [[write]]
-    * (batches are micro-batch-sized); step 2 is one set-based
-    * INSERT…SELECT inside the database — no row movement through the
-    * driver. */
+    * (batches are micro-batch-sized); step 2 is one or two set-based
+    * statements inside the database — no row movement through the
+    * driver, and the keyed DELETE is an index probe per staged row,
+    * not a table scan, on any warehouse with a key index. */
   def writeExactlyOnce(df: DataFrame, cfg: JdbcSourceConfig,
-      batchId: Long): graft.core.LoadResult = {
+      batchId: Long, mergeKeys: Seq[String] = Nil): graft.core.LoadResult = {
     val t0 = System.nanoTime()
     val stage = s"${cfg.table}_stage"
     val ledger = s"${cfg.table}_batch_ledger"
     val cols = df.columns
+    require(mergeKeys.forall(cols.contains),
+      s"mergeKeys ${mergeKeys.mkString(",")} must be batch columns")
     val conn = connect(cfg)
     try {
       conn.setAutoCommit(true)
@@ -200,14 +220,24 @@ object JdbcSource {
           val staged = write(df, cfg.copy(table = stage), mode = "overwrite")
           // 2. one transaction: rows + ledger row commit together.
           // Spark's JDBC writer creates columns as QUOTED identifiers —
-          // quote them here too or ANSI case folding misses them
-          val colList = cols.map(c => "\"" + c + "\"").mkString(", ")
+          // quote them through the URL's dialect too, or case folding
+          // misses them
+          val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(cfg.url)
+          val colList = cols.map(dialect.quoteIdentifier).mkString(", ")
           val st2 = conn.createStatement()
           try {
             if (!tableExists(conn, cfg.table))
               st2.execute(s"CREATE TABLE ${cfg.table} AS " +
                 s"SELECT $colList FROM $stage WITH NO DATA")
             conn.setAutoCommit(false)
+            if (mergeKeys.nonEmpty) {
+              // upsert = keyed delete, then the shared insert — both
+              // halves inside this transaction
+              val matchPred = mergeKeys.map(dialect.quoteIdentifier)
+                .map(k => s"s.$k = t.$k").mkString(" AND ")
+              st2.execute(s"DELETE FROM ${cfg.table} t WHERE EXISTS (" +
+                s"SELECT 1 FROM $stage s WHERE $matchPred)")
+            }
             st2.execute(
               s"INSERT INTO ${cfg.table} ($colList) SELECT $colList FROM $stage")
             val ins = conn.prepareStatement(

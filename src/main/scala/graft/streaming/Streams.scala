@@ -1666,13 +1666,18 @@ object Streams {
     * the `(batch_id, rows)` ledger row together. Micro-batch replays
     * (crash between the DB commit and Spark's checkpoint commit) hit
     * the ledger and skip, so the warehouse table is byte-identical
-    * under any replay schedule. */
+    * under any replay schedule. With `mergeKeys` the load is a keyed
+    * UPSERT (delete-then-insert inside the same ledger transaction —
+    * the reference's declared warehouse upsert, `design.md:171-181`);
+    * each micro-batch must then carry one row per key, so re-delivered
+    * source events are collapsed to the latest per key first. */
   def jdbcExactlyOnceSink(stream: DataFrame,
       cfg: graft.sources.JdbcSourceConfig, checkpoint: String,
       trig: Trigger = Trigger.AvailableNow(),
+      mergeKeys: Seq[String] = Nil,
       onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
     foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
-      graft.sources.JdbcSource.writeExactlyOnce(batch, cfg, batchId)
+      graft.sources.JdbcSource.writeExactlyOnce(batch, cfg, batchId, mergeKeys)
     }
 
   /** Streaming twin of [[graft.operators.Merge.mergeIntoPartitioned]]:

@@ -127,6 +127,63 @@ class JdbcIntegrationSpec extends AnyFunSuite with SparkSpec {
     assert(ledger == Seq(0L -> 2L, 1L -> 1L))
   }
 
+  test("writeExactlyOnce upsert: keyed merge, one row per key, replay-safe") {
+    seeded
+    val spark2 = spark
+    import spark2.implicits._
+    val out = cfg.copy(table = "eo_upsert_customers")
+    val keys = Seq("id")
+    val b0 = Seq((1, "a@test.com"), (2, "b@test.com")).toDF("id", "email")
+    val r0 = JdbcSource.writeExactlyOnce(b0, out, batchId = 0L, keys)
+    assert(r0.success && r0.rowsLoaded == 2)
+
+    // second batch UPDATES key 2 and inserts key 3: exactly one row per
+    // key afterwards, update applied
+    val b1 = Seq((2, "b2@test.com"), (3, "c@test.com")).toDF("id", "email")
+    val r1 = JdbcSource.writeExactlyOnce(b1, out, batchId = 1L, keys)
+    assert(r1.success && r1.rowsLoaded == 2)
+    val afterUpsert = snapshot("eo_upsert_customers")
+    assert(afterUpsert ==
+      Seq(1 -> "a@test.com", 2 -> "b2@test.com", 3 -> "c@test.com"))
+
+    // replaying EITHER batch is byte-identical (ledger skip — the
+    // stale b0 replay must NOT resurrect b@test.com)
+    assert(JdbcSource.writeExactlyOnce(b0, out, 0L, keys).rowsLoaded == 0)
+    assert(snapshot("eo_upsert_customers") == afterUpsert)
+    assert(JdbcSource.writeExactlyOnce(b1, out, 1L, keys).rowsLoaded == 0)
+    assert(snapshot("eo_upsert_customers") == afterUpsert)
+
+    // a fresh batch id re-carrying key 3 still converges to one row
+    val b2 = Seq((3, "c3@test.com")).toDF("id", "email")
+    assert(JdbcSource.writeExactlyOnce(b2, out, 2L, keys).rowsLoaded == 1)
+    assert(snapshot("eo_upsert_customers") ==
+      Seq(1 -> "a@test.com", 2 -> "b2@test.com", 3 -> "c3@test.com"))
+  }
+
+  test("jdbcExactlyOnceSink with mergeKeys: streamed upsert converges") {
+    seeded
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
+    val out = cfg.copy(table = "eo_stream_upsert")
+    val q = graft.streaming.Streams.jdbcExactlyOnceSink(
+        input.toDS().toDF("id", "email"), out,
+        java.nio.file.Files.createTempDirectory("graft-eou-ckpt").toString,
+        graft.streaming.Streams.trigger(1),
+        mergeKeys = Seq("id"))
+      .start()
+    try {
+      input.addData((1, "a@test.com"), (2, "b@test.com"))
+      q.processAllAvailable()
+      input.addData((2, "b2@test.com"), (3, "c@test.com"))
+      q.processAllAvailable()
+      assert(snapshot("eo_stream_upsert") ==
+        Seq(1 -> "a@test.com", 2 -> "b2@test.com", 3 -> "c@test.com"))
+    } finally q.stop()
+  }
+
   test("jdbcExactlyOnceSink: checkpointed stream lands batches exactly once") {
     seeded
     val spark2 = spark
