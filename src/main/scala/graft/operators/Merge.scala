@@ -191,7 +191,8 @@ object Merge {
     * value — and a re-run heals itself because its own readAsOf never
     * sees the leftovers. */
   def compactVersions(spark: SparkSession, path: String, upTo: Long,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], zorderBy: Seq[String] = Nil,
+      zorderFiles: Int = 16): Unit = {
     val base = readAsOf(spark, path, upTo, keys)
       .withColumn("_deleted", lit(false))
       .localCheckpoint() // materialize before the rewrite deletes inputs
@@ -202,8 +203,17 @@ object Merge {
     val backup = new org.apache.hadoop.fs.Path(root, s"_compact_$upTo" + "__old")
     graft.core.AtomicSwap.heal(fs, target, backup)
     // a stale tmp from a crashed run is fully replaced (Overwrite), and
-    // was invisible to the readAsOf above (underscore prefix)
-    base.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // was invisible to the readAsOf above (underscore prefix).
+    // Compaction rewrites every row anyway, so it is the free moment to
+    // CLUSTER the base: with `zorderBy`, route through the N-dim
+    // z-order writer so a long-lived filter-heavy table gains tight
+    // per-file min/max on all listed columns instead of key-shuffle
+    // row order.
+    if (zorderBy.nonEmpty)
+      graft.operators.Layout.zorderWrite(base, tmp.toString, zorderBy,
+        zorderFiles)
+    else
+      base.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     graft.core.AtomicSwap.publish(fs, target, tmp, backup)
     val stat = fs.listStatus(root)
     stat.map(_.getPath).filter { p =>

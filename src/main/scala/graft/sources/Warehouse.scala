@@ -80,9 +80,14 @@ object Warehouse {
     * (the live dir is still authoritative). Every FS mutation's return
     * value is checked — a failed rename must surface, not report a
     * successful compaction.
+    *
+    * `zorderBy` re-CLUSTERS during the rewrite (the free moment — every
+    * row moves anyway) via [[graft.operators.Layout.zorderWrite]], so a
+    * filter-heavy table gains per-file pruning on all listed columns.
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -113,8 +118,15 @@ object Warehouse {
       }
     }
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(path).repartition(parts)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // the rewrite touches every row anyway — with `zorderBy`, spend it
+    // on clustering (tight per-file min/max on all listed columns)
+    // instead of a plain round-robin repartition
+    if (zorderBy.nonEmpty)
+      graft.operators.Layout.zorderWrite(
+        spark.read.parquet(path), tmp.toString, zorderBy, parts)
+    else
+      spark.read.parquet(path).repartition(parts)
+        .write.mode("overwrite").parquet(tmp.toString)
     graft.core.AtomicSwap.publish(fs, dir, tmp, backup)
     val after = fs.listFiles(dir, true)
     var nAfter = 0L

@@ -70,6 +70,42 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
       new java.io.File(dir))
   }
 
+  test("clustered compaction: z-order narrows spans on both keys, " +
+      "time travel unchanged") {
+    val dir = Files.createTempDirectory("graft-vtz").toString
+    try {
+      // two independent uniform dimensions (x = i/256, y = reversed
+      // byte) — interleaved appends so unclustered files span the
+      // whole range of both
+      val wide = StructType(Seq(StructField("id", LongType),
+        StructField("x", LongType), StructField("y", LongType),
+        StructField("val", StringType)))
+      def gen(v: Long) = spark.createDataFrame(
+        (0L until 4096L).filter(_ % 4 == v).map { i =>
+          Row(i, i / 16, ((i * 2654435761L) % 4096L), s"r$i-$v")
+        }.asJava, wide)
+      (0L to 3L).foreach(v => Merge.appendVersion(gen(v), dir, v))
+      val before = Merge.readAsOf(spark, dir, 3L, Seq("id")).collect()
+        .map(r => (r.getLong(0), r.getString(3))).toMap
+      Merge.compactVersions(spark, dir, 3L, Seq("id"),
+        zorderBy = Seq("x", "y"), zorderFiles = 16)
+      val after = Merge.readAsOf(spark, dir, 3L, Seq("id")).collect()
+        .map(r => (r.getLong(0), r.getString(3))).toMap
+      assert(after === before, "clustering must not change the snapshot")
+      // pruning quality: average per-file span on BOTH columns well
+      // under the full range (a plain rewrite leaves ~full-range files)
+      def avgSpan(c: String): Double = {
+        val spans = Layout.fileSpans(spark, s"$dir/version=3", c)
+        spans.map { case (lo, hi) => hi - lo }.sum / spans.length
+      }
+      assert(avgSpan("x") < 256.0 * 0.5,
+        s"x spans must narrow, got ${avgSpan("x")}")
+      assert(avgSpan("y") < 4096.0 * 0.5,
+        s"y spans must narrow, got ${avgSpan("y")}")
+    } finally graft.core.AtomicSwap.deleteRecursively(
+      new java.io.File(dir))
+  }
+
   test("schema evolution: column added in v2 reads at v1/v2/v3; compaction keeps it") {
     val dir = Files.createTempDirectory("graft-vte").toString
     try {

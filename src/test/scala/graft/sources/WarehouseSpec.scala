@@ -84,6 +84,32 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     assert(back.filter(back("id") === 4321L).count() == 1)
   }
 
+  test("clustered compaction: zorderBy narrows per-file spans, data exact") {
+    val dir = Files.createTempDirectory("graft-whz").toString
+    // interleaved appends: every file spans the full range of both dims
+    (0 until 8).foreach { i =>
+      spark.range(0, 4096).filter(s"id % 8 = $i")
+        .selectExpr("id", "id / 16 AS x",
+          "(id * 2654435761) % 4096 AS y", "id * 2 AS v")
+        .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    }
+    val before = spark.read.parquet(s"$dir/t")
+      .collect().map(_.getLong(0)).toSet
+    // small targetBytes so the rewrite keeps >= a handful of files
+    val (_, nAfter) = Warehouse.compact(spark, s"$dir/t",
+      targetBytes = 3L * 1024, zorderBy = Seq("x", "y"))
+    val after = spark.read.parquet(s"$dir/t")
+      .collect().map(_.getLong(0)).toSet
+    assert(after === before, "clustering must not change the data")
+    assert(nAfter >= 4L, s"need several files to measure spans: $nAfter")
+    def avgSpan(c: String): Double = {
+      val spans = graft.operators.Layout.fileSpans(spark, s"$dir/t", c)
+      spans.map { case (lo, hi) => hi - lo }.sum / spans.length
+    }
+    assert(avgSpan("x") < 256.0 * 0.5, s"x spans: ${avgSpan("x")}")
+    assert(avgSpan("y") < 4096.0 * 0.5, s"y spans: ${avgSpan("y")}")
+  }
+
   test("compaction collapses many small files, preserves data exactly") {
     val dir = Files.createTempDirectory("graft-whc").toString
     // simulate a micro-batch sink: 20 appends of 50 rows → ≥20 files
