@@ -37,16 +37,24 @@ object Export {
       cols.map(c => coalesce(col(c).cast(StringType), lit(""))): _*))
 
   /** The manifest frame of `df`: per `shardCol` value — row count,
-    * fingerprint sum (mod 2³², overflow-free under ANSI at any row
-    * count) and fingerprint xor over [[rowHash]] of `cols`. */
+    * fingerprint sum (per-row hash mod 2³², SUMMED AS DECIMAL so a
+    * shard of any realistic size — up to ~10²⁰ rows before the
+    * 30-digit accumulator saturates — cannot overflow under ANSI, then
+    * reduced mod 2³² again so the stored value is canonical) and
+    * fingerprint xor over [[rowHash]] of `cols`. The outer mod keeps
+    * the streaming fold exact: sums of per-batch fingerprints reduce
+    * to the same residue as the one-shot sum. */
   def manifest(df: DataFrame, shardCol: String,
       cols: Seq[String]): DataFrame = {
     require(!df.columns.contains("__graft_rowhash"))
     df.withColumn("__graft_rowhash", rowHash(cols))
       .groupBy(col(shardCol))
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(pmod(col("__graft_rowhash"), lit(1L << 32))), lit(0L))
-          .as("fp_sum"),
+        coalesce(
+          pmod(sum(pmod(col("__graft_rowhash"), lit(1L << 32))
+              .cast(org.apache.spark.sql.types.DecimalType(20, 0))),
+            lit(1L << 32)).cast("long"),
+          lit(0L)).as("fp_sum"),
         coalesce(expr("bit_xor(__graft_rowhash)"), lit(0L)).as("fp_xor"))
   }
 

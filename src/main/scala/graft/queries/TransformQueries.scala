@@ -277,7 +277,7 @@ object TransformQueries extends QueryPack {
         FROM documents)
       SELECT CAST(shard AS INT) AS shard,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(rh % 4294967296) AS BIGINT) AS fp_sum,
+             CAST(SUM(rh % 4294967296) % 4294967296 AS BIGINT) AS fp_sum,
              CAST(bit_xor(rh) AS BIGINT) AS fp_xor
       FROM h GROUP BY shard ORDER BY shard""",
     "qa8_quarantine_reasons" -> """

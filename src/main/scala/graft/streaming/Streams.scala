@@ -1111,21 +1111,35 @@ object Streams {
     }
 
   /** One [[exportManifestSink]] micro-batch: idempotent data write +
-    * marker-guarded manifest fold (callable directly with batchId = -1
-    * for batch-mode appends). */
+    * marker-guarded manifest fold. Callable directly with batchId = -1
+    * for BATCH-MODE appends — that path APPENDS into `data/batch=-1`
+    * (streaming batches overwrite their own directory; batch-mode calls
+    * have no batch identity, so overwrite would silently destroy the
+    * previous append's rows while their fingerprints stayed folded into
+    * the manifest). Batch-mode appends carry no replay marker: rerunning
+    * one adds its rows twice — by design, like any batch append — and a
+    * crash between the data append and the manifest fold leaves the
+    * mismatch [[graft.operators.Export.verifyManifest]] exists to
+    * catch. */
   def manifestMergeBatch(spark: SparkSession, batch: DataFrame,
       path: String, shardCol: String, cols: Seq[String],
       batchId: Long): LoadResult = {
     import graft.operators.Export
     val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      pinned.write.mode("overwrite").partitionBy(shardCol)
+      val mode = if (batchId >= 0) "overwrite" else "append"
+      pinned.write.mode(mode).partitionBy(shardCol)
         .parquet(s"$path/data/batch=$batchId")
       foldBatchWith(spark, s"$path/_manifest", Seq(shardCol), batchId)(
         Export.manifest(pinned, shardCol, cols)) { (all, _) =>
         all.groupBy(col(shardCol)).agg(
           sum(col("n_rows")).as("n_rows"),
-          sum(col("fp_sum")).as("fp_sum"),
+          // same decimal-widened, mod-2^32-reduced sum as the batch
+          // manifest: residues add then reduce, so the fold stays
+          // bit-identical to a one-shot manifest at any batch count
+          pmod(sum(col("fp_sum")
+              .cast(org.apache.spark.sql.types.DecimalType(20, 0))),
+            lit(1L << 32)).cast("long").as("fp_sum"),
           coalesce(expr("bit_xor(fp_xor)"), lit(0L)).as("fp_xor"))
       }
     } finally pinned.unpersist()
@@ -1138,18 +1152,47 @@ object Streams {
     * (unbounded on a stream); the standard streaming trade is the
     * FIXED BUCKET GRID already maintained by [[driftCountsSink]]:
     * KS restricted to the grid's cut points, a LOWER bound on the
-    * exact statistic that converges to it as the grid refines. Same
-    * integer discipline as the batch side: `ref` carries integer
+    * exact statistic that converges to it as the grid refines.
+    *
+    * The approximation error is BOUNDED, not just "small": for any cut
+    * point x inside bucket b (edges l < x ≤ r), the CDF gap satisfies
+    * both `D(x) ≤ D(l) + obsMass(b)` and `D(x) ≤ D(r) + refMass(b)`
+    * (CDFs are monotone within the bucket), and symmetrically for
+    * −D(x) — so
+    *   gridKS ≤ exactKS ≤ gridKS + max_b min(obsMass_b, refMass_b),
+    * the worst case being drift hiding entirely INSIDE one bucket
+    * (bucket counts equal, values shifted within). DriftSpec asserts
+    * the two-sided bound against [[graft.validation.Drift.ksStatistic]]
+    * on exactly that adversarial fixture. Size the grid so the largest
+    * bucket's mass is below the drift threshold you act on.
+    *
+    * Same integer discipline as the batch side: `ref` carries integer
     * reference counts (`cRefCol`), and `ks_num = max |cumObs·nRef −
     * cumRef·nObs|` is pure count arithmetic — the one division is
     * final. Buckets observed but absent from the reference fail
-    * loudly (the [[chi2Against]] contract). Ordered cumulative sums
-    * run per key over grid-sized rows. */
+    * loudly (the [[chi2Against]] contract), and the bucket column must
+    * be NUMERIC (or date/timestamp): the cumulative window orders by
+    * it, and string labels would order "b10" < "b2" and silently
+    * compute a wrong statistic. Ordered cumulative sums run per key
+    * over grid-sized rows. */
   def ksAgainst(spark: SparkSession, path: String, ref: DataFrame,
       keyCol: String, bucketCol: String, cRefCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val obs = spark.read.parquet(path)
       .select(col(keyCol), col(bucketCol), col("n_rows").as("o"))
+    (obs.schema(bucketCol).dataType, ref.schema(bucketCol).dataType) match {
+      case (a: org.apache.spark.sql.types.NumericType,
+            b: org.apache.spark.sql.types.NumericType) => (a, b)
+      case (org.apache.spark.sql.types.DateType,
+            org.apache.spark.sql.types.DateType) => ()
+      case (org.apache.spark.sql.types.TimestampType,
+            org.apache.spark.sql.types.TimestampType) => ()
+      case (a, b) => throw new IllegalArgumentException(
+        s"ksAgainst orders the CDF by '$bucketCol' and needs a numeric/" +
+          s"date/timestamp bucket column on both sides, got ${a.sql} / " +
+          s"${b.sql} — string grids sort lexically ('b10' < 'b2') and " +
+          "would produce a silently wrong KS statistic")
+    }
     val unknown = obs.join(ref.select(col(keyCol), col(bucketCol)),
       Seq(keyCol, bucketCol), "left_anti")
     require(unknown.isEmpty,
@@ -1295,7 +1338,12 @@ object Streams {
     * current: the changelog for this id was necessarily written before
     * the swap that advanced the marker). Without the marker, a replay
     * after the swap would diff the snapshot against ITSELF and
-    * overwrite the real changelog with an empty one. */
+    * overwrite the real changelog with an empty one.
+    *
+    * Batch-mode calls (batchId = -1) advance the snapshot but keep only
+    * the LATEST diff (each overwrites `changelog/batch=-1`) and never
+    * move the replay marker; pass explicit increasing batchIds to
+    * retain diff history across batch runs. */
   def snapshotDiffBatch(spark: SparkSession, batch: DataFrame,
       statePath: String, changelogPath: String, pk: Seq[String],
       compareCols: Seq[String] = Nil, batchId: Long = -1L): LoadResult = {
@@ -1318,6 +1366,13 @@ object Streams {
       return LoadResult(success = true, rowsLoaded = 0L,
         tableName = changelogPath,
         durationSeconds = (System.nanoTime() - t0) / 1e9)
+    // batch-mode diffs (batchId < 0) must not REGRESS the marker — a
+    // later streaming replay would re-diff against the advanced
+    // snapshot and overwrite its changelog entry with an empty diff
+    val markerValue =
+      if (batchId >= 0) batchId
+      else if (fs.exists(target)) lastApplied
+      else -1L
     val prev =
       if (fs.exists(target))
         spark.read.parquet(statePath).select(batch.columns.map(col): _*)
@@ -1329,7 +1384,7 @@ object Streams {
     diff.write.mode("overwrite").parquet(s"$changelogPath/batch=$batchId")
     batch.write.mode("overwrite").parquet(tmp.toString)
     val out = fs.create(new Path(tmp, AggBatchMarker), true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(markerValue.toString.getBytes("UTF-8")) finally out.close()
     graft.core.AtomicSwap.publish(fs, target, tmp, backup)
     LoadResult(success = true, rowsLoaded = changes,
       tableName = changelogPath,
@@ -1434,6 +1489,12 @@ object Streams {
     if (batchId >= 0 && fs.exists(target) && batchId <= lastApplied)
       return LoadResult(success = true, rowsLoaded = 0L, tableName = path,
         durationSeconds = (System.nanoTime() - t0) / 1e9)
+    // batch-mode folds (batchId < 0) must not REGRESS the marker: a
+    // later streaming replay would otherwise re-fold and corrupt totals
+    val markerValue =
+      if (batchId >= 0) batchId
+      else if (fs.exists(target)) lastApplied
+      else -1L
     val base =
       if (fs.exists(target)) spark.read.parquet(path)
       else partial.limit(0)
@@ -1449,7 +1510,7 @@ object Streams {
     // re-executed once the rename replaces it
     val outRows = spark.read.parquet(tmp.toString).count()
     val out = fs.create(new Path(tmp, AggBatchMarker), true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(markerValue.toString.getBytes("UTF-8")) finally out.close()
     graft.core.AtomicSwap.publish(fs, target, tmp, backup)
     LoadResult(success = true, rowsLoaded = outRows, tableName = path,
       durationSeconds = (System.nanoTime() - t0) / 1e9)
@@ -1794,10 +1855,17 @@ object Streams {
     // a SPILL index ([[graft.similarity.Similarity.kmeansIndex]] with
     // nAssign > 1) carries a `cells` column; ingested batches must
     // match its assignment multiplicity or search would silently
-    // null-fill their cells and the dedup predicate would drop them
+    // null-fill their cells and the dedup predicate would drop them.
+    // Probe defensively: the corpus may be empty (fresh index) or mix
+    // in single-assignment batches with NULL cells (the tolerated
+    // mixed-index shape) — take the max over non-null rows, default 1
     val nAssign =
       if (base.columns.contains("cells"))
-        base.select(size(col("cells"))).head().getInt(0)
+        base.filter(col("cells").isNotNull)
+          .agg(max(size(col("cells")))).head() match {
+          case r if r.isNullAt(0) => 1
+          case r => math.max(1, r.getInt(0))
+        }
       else 1
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1990,8 +2058,90 @@ object Streams {
     merged.write.mode("overwrite").parquet(tmp.toString)
     val out = fs.create(new Path(tmp, AggBatchMarker), true)
     try out.write(pending.max.toString.getBytes("UTF-8")) finally out.close()
+    // carry the full-closure watermark ([[erComponentsCompact]]) across
+    // the swap, or every incremental refresh would reset the
+    // links-since-compaction clock to "never compacted"
+    val closureMark = new Path(target, ClosureLinksMarker)
+    if (fs.exists(closureMark)) {
+      val in = fs.open(closureMark)
+      val v = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      val out2 = fs.create(new Path(tmp, ClosureLinksMarker), true)
+      try out2.write(v.getBytes("UTF-8")) finally out2.close()
+    }
     graft.core.AtomicSwap.publish(fs, target, tmp, backup)
     spark.read.parquet(componentsPath)
+  }
+
+  private val ClosureLinksMarker = "_closure_links"
+
+  /** Periodic FULL-CLOSURE compaction for the incrementally-maintained
+    * ER component view — the maintenance half of
+    * [[erComponentsRefresh]], mirroring [[compactBatchOutput]]'s
+    * run-between-micro-batches protocol. The incremental fold is exact,
+    * but a view that only ever folds deltas (a) re-baselines never —
+    * its worst-case repair path after any doubt is a manual rebuild —
+    * and (b) leaves the links directory growing one `batch=<id>`
+    * directory per micro-batch forever (listing cost at 100 TB scale).
+    * This call, when at least `minNewLinks` link rows have arrived
+    * since the last full closure (parquet metadata count — no scan):
+    *  1. recomputes the assignment from scratch over ALL committed link
+    *     batches ([[graft.dedup.Dedup.connectedComponents]], the
+    *     documented bootstrap/repair path) and atomically swaps it in,
+    *     carrying the batch marker forward plus a `_closure_links`
+    *     watermark of the link count it covered;
+    *  2. merges the closed link batch directories via
+    *     [[compactBatchOutput]] — safe exactly HERE because the fresh
+    *     closure's marker equals the newest committed id, so no merged
+    *     directory can ever be re-read by a later refresh.
+    * Both assignments are canonical (cluster_id = min member id), so
+    * the view is IDENTICAL before and after (spec-pinned); only the
+    * storage layout and the trust baseline change. Threshold rationale:
+    * full closure costs one pass over all links, the incremental fold
+    * costs ∝ delta — amortize by compacting every ~table-sized batch
+    * of new links, the same log-vs-base trade as
+    * [[graft.operators.Merge.compactVersions]]. Returns true when
+    * compaction ran, false when below threshold / nothing committed. */
+  def erComponentsCompact(spark: SparkSession, linksPath: String,
+      componentsPath: String, idCol: String,
+      minNewLinks: Long = 10000000L): Boolean = {
+    import graft.dedup.Dedup
+    val target = new Path(componentsPath)
+    val backup = new Path(componentsPath + "__old")
+    val tmp = new Path(componentsPath + "__new")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.AtomicSwap.heal(fs, target, backup)
+    val committed = fs.globStatus(new Path(linksPath, "batch=*/_SUCCESS"))
+    val batchIds =
+      if (committed == null) Array.empty[Long]
+      else committed.map(_.getPath.getParent.getName.stripPrefix("batch=").toLong)
+    if (batchIds.isEmpty) return false
+    val allLinks = spark.read.parquet(linksPath)
+      .filter(col("batch").isin(batchIds.map(Long.box).toSeq: _*))
+      .select(col("id_a"), col("id_b"))
+    val totalLinks = allLinks.count() // parquet footer metadata, no scan
+    val lastClosure: Long = {
+      val m = new Path(target, ClosureLinksMarker)
+      if (!fs.exists(m)) 0L
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    }
+    if (fs.exists(target) && totalLinks - lastClosure < minNewLinks)
+      return false
+    val full = Dedup.connectedComponents(allLinks, idCol)
+    full.write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, AggBatchMarker), true)
+    try out.write(batchIds.max.toString.getBytes("UTF-8")) finally out.close()
+    val out2 = fs.create(new Path(tmp, ClosureLinksMarker), true)
+    try out2.write(totalLinks.toString.getBytes("UTF-8")) finally out2.close()
+    graft.core.AtomicSwap.publish(fs, target, tmp, backup)
+    // directory hygiene AFTER the closure is live: every link batch is
+    // now at/below the marker, so merging them can never be re-read
+    compactBatchOutput(spark, linksPath)
+    true
   }
 
   /** Golden-record view over [[erLinkSink]]'s accumulated state:

@@ -92,6 +92,35 @@ class ErStreamSpec extends AnyFunSuite with SparkSpec {
     assert(incAgain.exceptAll(batchGolden).isEmpty &&
       batchGolden.exceptAll(incAgain).isEmpty)
 
+    // FULL-CLOSURE COMPACTION: below threshold → no-op; forced → the
+    // assignment is byte-identical (both paths canonicalize cluster_id
+    // to the min member id), link batch dirs merge down, and the
+    // links-since-closure watermark advances so a repeat is a no-op
+    val compView = spark.read.parquet(s"$dir/components").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!Streams.erComponentsCompact(spark, s"$dir/links",
+      s"$dir/components", "rec_id", minNewLinks = Long.MaxValue),
+      "below threshold must be a no-op")
+    assert(Streams.erComponentsCompact(spark, s"$dir/links",
+      s"$dir/components", "rec_id", minNewLinks = 1L),
+      "forced compaction must run")
+    val afterCompact = spark.read.parquet(s"$dir/components").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterCompact == compView,
+      "full closure must reproduce the incremental view exactly")
+    val linkDirs = new java.io.File(s"$dir/links").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(linkDirs.size <= 2, s"link batch dirs should merge: $linkDirs")
+    assert(!Streams.erComponentsCompact(spark, s"$dir/links",
+      s"$dir/components", "rec_id", minNewLinks = 1L),
+      "watermark advanced: immediate re-compaction must be a no-op")
+    // and the golden view over the compacted state still equals batch
+    val postCompact = Streams.erGoldenState(spark, s"$dir/records",
+      s"$dir/links", "rec_id", "name", "segment", "acctbal",
+      componentsPath = Some(s"$dir/components"))
+    assert(postCompact.exceptAll(batchGolden).isEmpty &&
+      batchGolden.exceptAll(postCompact).isEmpty)
+
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
   }
 

@@ -306,6 +306,30 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
       s"$dir/exp", "shard", cols, batchId = 0L)
     assert(replay.success && replay.rowsLoaded == 0L)
     assert(Export.verifyManifest(spark, s"$dir/exp", "shard", cols).isEmpty)
+
+    // BATCH-MODE appends (batchId = -1) ACCUMULATE — a second append
+    // must not clobber the first's rows while its fingerprints stay
+    // folded (the corruption mode fixed here), and the marker must not
+    // regress (a streaming replay after a batch append stays a no-op)
+    val extraA = Seq((100001L, "batch append one", "srcX"))
+    val extraB = Seq((100002L, "batch append two", "srcX"))
+    Streams.manifestMergeBatch(spark,
+      shardify(extraA.toDF("doc_id", "text", "source")),
+      s"$dir/exp", "shard", cols, batchId = -1L)
+    Streams.manifestMergeBatch(spark,
+      shardify(extraB.toDF("doc_id", "text", "source")),
+      s"$dir/exp", "shard", cols, batchId = -1L)
+    val total = spark.read.parquet(s"$dir/exp/data").count()
+    assert(total == rows.size + 2L,
+      s"both batch-mode appends must survive: $total")
+    assert(Export.verifyManifest(spark, s"$dir/exp", "shard", cols).isEmpty,
+      "manifest must cover both appends")
+    val replay2 = Streams.manifestMergeBatch(spark,
+      shardify(rows.filter(_._1 % 2 == 1).toDF("doc_id", "text", "source")),
+      s"$dir/exp", "shard", cols, batchId = 1L)
+    assert(replay2.rowsLoaded == 0L,
+      "batch-mode folds must not regress the streaming replay marker")
+    assert(Export.verifyManifest(spark, s"$dir/exp", "shard", cols).isEmpty)
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
   }
 

@@ -16,6 +16,54 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     Drift.ksStatistic(mk(rows), "g", "v", "win")
       .select("ks").head().getDouble(0)
 
+  test("grid-KS error bound: gridKS <= exactKS <= gridKS + max min bucket mass") {
+    // adversarial fixture: ALL drift hides INSIDE buckets — ref is one
+    // value per integer 0..99, obs piles its 10 per-bucket rows on each
+    // bucket's left edge. Bucket counts (width 10) are IDENTICAL, so the
+    // grid statistic is 0 while the exact statistic is 0.09 — right
+    // under the documented bound max_b min(obsMass_b, refMass_b) = 0.1.
+    val s = spark
+    import s.implicits._
+    val refRows = (0 until 100).map(v => ("m", v.toDouble, "ref"))
+    val curRows = (0 until 10).flatMap(b =>
+      Seq.fill(10)(("m", (10 * b).toDouble, "cur")))
+    val exact = Drift.ksStatistic(mk(refRows ++ curRows), "g", "v", "win")
+      .select("ks").head().getDouble(0)
+    assert(exact == 0.09, s"exact KS: $exact")
+
+    // the streaming grid over the same data: accumulated (key, bucket,
+    // n_rows) state vs integer reference counts
+    val dir = java.nio.file.Files.createTempDirectory("graft-ksb").toString
+    try {
+      (0 until 10).map(b => ("m", b.toLong, 10L)).toDF("k", "b", "n_rows")
+        .write.mode("overwrite").parquet(s"$dir/state")
+      val refC = (0 until 10).map(b => ("m", b.toLong, 10L)).toDF("k", "b", "c")
+      val grid = graft.streaming.Streams
+        .ksAgainst(spark, s"$dir/state", refC, "k", "b", "c")
+        .select("ks").head().getDouble(0)
+      assert(grid == 0.0, s"grid KS: $grid")
+      val maxMinBucketMass = 0.1 // every bucket holds 10/100 on both sides
+      assert(grid <= exact && exact <= grid + maxMinBucketMass,
+        s"bound violated: grid=$grid exact=$exact")
+    } finally graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("grid-KS rejects string bucket columns (lexical order != numeric)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kss").toString
+    try {
+      Seq(("m", "b2", 10L), ("m", "b10", 10L)).toDF("k", "b", "n_rows")
+        .write.mode("overwrite").parquet(s"$dir/state")
+      val refC = Seq(("m", "b2", 10L), ("m", "b10", 10L)).toDF("k", "b", "c")
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.Streams.ksAgainst(spark, s"$dir/state", refC,
+          "k", "b", "c")
+      }
+      assert(e.getMessage.contains("numeric"))
+    } finally graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
+  }
+
   test("identical samples have KS 0; disjoint samples have KS 1") {
     val base = (1 to 50).map(i => ("a", i.toDouble, "ref"))
     assert(ksOf(base ++ base.map(r => (r._1, r._2, "cur"))) == 0.0)
