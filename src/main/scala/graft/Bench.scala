@@ -185,15 +185,31 @@ object Bench {
         "an empty baseline (format drift or different sf); deviation " +
         "re-run and outlier flagging are DISABLED for this run")
     val prevTotal = prevTimes.values.sum
+    // SPARK_GRAFT_BENCH_RUNS forces a minimum number of full-suite runs
+    // (seal rounds use 3 so the committed record carries repetition
+    // averaging — the minimum across runs — not one window's noise)
+    val minRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
     var attempts = List(runSuite())
-    while (attempts.size < 3 && prevTimes.nonEmpty && {
+    while (attempts.size < minRuns ||
+      (attempts.size < 3 && prevTimes.nonEmpty && {
         val t = attempts.head.map(_._2._1).sum
         t > prevTotal * 1.5 || t < prevTotal / 1.5
-      }) {
-      System.err.println(f"[bench] total ${attempts.head.map(_._2._1).sum}%.1f s deviates >1.5x from previous committed ${prevTotal}%.1f s; re-running")
+      })) {
+      if (attempts.size >= minRuns)
+        System.err.println(f"[bench] total ${attempts.head.map(_._2._1).sum}%.1f s deviates >1.5x from previous committed ${prevTotal}%.1f s; re-running")
       attempts ::= runSuite()
     }
-    val picked = attempts.minBy(_.map(_._2._1).sum)
+    // multiple runs: keep each query's MINIMUM across runs (wall noise
+    // only ever adds time; time and shuffle stay paired per execution)
+    val fastest = attempts.minBy(_.map(_._2._1).sum)
+    val picked =
+      if (attempts.size == 1) fastest
+      else {
+        val maps = attempts.map(_.toMap)
+        fastest.map { case (name, _) =>
+          name -> maps.map(_(name)).minBy(_._1)
+        }
+      }
     // per-query >3x slowdown vs the previous committed snapshot,
     // ignoring sub-0.3 s queries where the harness floor dominates
     def isOutlier(name: String, t: Double): Boolean =

@@ -295,6 +295,51 @@ object ValidationQueries extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** The GRID-KS APPROXIMATION BOUND as an oracle row — the theory the
+    * streaming drift monitor rests on, pinned end to end: per
+    * event_type, the EXACT KS numerator (every distinct value), the
+    * GRID KS numerator (values pooled into the chi2 bucketing), and
+    * the bound numerator `max_b min(c_cur_b·n_ref, c_ref_b·n_cur)`,
+    * with `bound_ok` asserting
+    *   grid_num ≤ exact_num ≤ grid_num + bound_num
+    * (CDFs are monotone inside a bucket, so the gap at any interior
+    * cut point exceeds a grid-edge gap by at most the smaller of the
+    * two bucket masses — the [[graft.streaming.Streams.ksAgainst]]
+    * contract). Everything is cross-multiplied integer arithmetic, so
+    * the row hash-compares; the oracle re-derives all three numbers
+    * independently. */
+  def vDriftGridBound(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .filter($"value".isNotNull)
+      .select($"event_type", $"value",
+        when($"ts" < ts("2024-01-16 00:00:00"), "ref").otherwise("cur")
+          .as("win"))
+    val exact = graft.validation.Drift
+      .ksStatistic(ev, "event_type", "value", "win")
+      .select($"event_type", $"n_ref", $"n_cur", $"ks_num".as("exact_num"))
+    val evB = ev.withColumn("value",
+      least(floor($"value" / 50.0), lit(7.0)).cast("long"))
+    val grid = graft.validation.Drift
+      .ksStatistic(evB, "event_type", "value", "win")
+      .select($"event_type", $"ks_num".as("grid_num"))
+    val totals = ev.groupBy($"event_type").agg(
+      sum(when($"win" === "ref", 1L).otherwise(0L)).as("nr"),
+      sum(when($"win" =!= "ref", 1L).otherwise(0L)).as("nc"))
+    val bound = evB.groupBy($"event_type", $"value")
+      .agg(sum(when($"win" === "ref", 1L).otherwise(0L)).as("c_ref"),
+        sum(when($"win" =!= "ref", 1L).otherwise(0L)).as("c_cur"))
+      .join(totals, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(max(least($"c_cur" * $"nr", $"c_ref" * $"nc")).as("bound_num"))
+    exact.join(grid, Seq("event_type")).join(bound, Seq("event_type"))
+      .select($"event_type", $"n_ref", $"n_cur", $"grid_num",
+        $"exact_num", $"bound_num",
+        ($"grid_num" <= $"exact_num" &&
+          $"exact_num" <= $"grid_num" + $"bound_num").as("bound_ok"))
+      .orderBy($"event_type")
+  }
+
   /** THE STREAMING drift monitor as an oracle row
     * ([[graft.streaming.Streams.driftCountsSink]] + `chi2Against`):
     * the reference distribution is the FIRST half-month's bucket
@@ -395,6 +440,7 @@ object ValidationQueries extends QueryPack {
     "v_corr_matrix" -> (vCorrMatrix _),
     "v_drift_chi2" -> (vDriftChi2 _),
     "v_drift_ks" -> (vDriftKs _),
+    "v_drift_grid_bound" -> (vDriftGridBound _),
     "v_drift_stream" -> (vDriftStream _),
     "v_stats_events" -> (vStatsEvents _),
     "v_constraints_orders" -> (vConstraintsOrders _),
@@ -508,6 +554,69 @@ object ValidationQueries extends QueryPack {
              CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS DOUBLE)
                / CAST(MAX(n_ref) * MAX(n_cur) AS DOUBLE) AS ks
       FROM cums GROUP BY event_type ORDER BY event_type""",
+    "v_drift_grid_bound" -> s"""
+      WITH ev AS (
+        SELECT event_type, value,
+               CAST(LEAST(FLOOR(value / 50.0), 7.0) AS BIGINT) AS bucket,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS win
+        FROM events WHERE value IS NOT NULL),
+      bv AS (
+        SELECT event_type, value,
+               SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+               SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS c_cur
+        FROM ev GROUP BY event_type, value),
+      vcums AS (
+        SELECT event_type,
+               CAST(SUM(c_ref) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ref,
+               CAST(SUM(c_cur) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cur,
+               CAST(SUM(c_ref) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_ref,
+               CAST(SUM(c_cur) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_cur
+        FROM bv),
+      ex AS (
+        SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+               CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT)
+                 AS exact_num
+        FROM vcums GROUP BY event_type),
+      gb AS (
+        SELECT event_type, bucket,
+               SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS c_ref,
+               SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS c_cur
+        FROM ev GROUP BY event_type, bucket),
+      gcums AS (
+        SELECT event_type,
+               CAST(SUM(c_ref) OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ref,
+               CAST(SUM(c_cur) OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cur,
+               CAST(SUM(c_ref) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_ref,
+               CAST(SUM(c_cur) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_cur
+        FROM gb),
+      gr AS (
+        SELECT event_type,
+               CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT)
+                 AS grid_num
+        FROM gcums GROUP BY event_type),
+      bnd AS (
+        SELECT g.event_type,
+               CAST(MAX(LEAST(g.c_cur * e.n_ref, g.c_ref * e.n_cur))
+                 AS BIGINT) AS bound_num
+        FROM gb g JOIN ex e ON e.event_type = g.event_type
+        GROUP BY g.event_type)
+      SELECT e.event_type, e.n_ref, e.n_cur, gr.grid_num, e.exact_num,
+             bnd.bound_num,
+             (gr.grid_num <= e.exact_num AND
+              e.exact_num <= gr.grid_num + bnd.bound_num) AS bound_ok
+      FROM ex e
+      JOIN gr ON gr.event_type = e.event_type
+      JOIN bnd ON bnd.event_type = e.event_type
+      ORDER BY e.event_type""",
     "v_drift_chi2" -> s"""
       WITH ev AS (
         SELECT event_type,
