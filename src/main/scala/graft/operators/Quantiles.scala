@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed quantiles by ITERATIVE RANGE REFINEMENT — the
+  * 100 TB path for order statistics over CONTINUOUS columns.
+  *
+  * The cumulative-count-over-distinct-values technique (q9/q17/q20)
+  * shuffles one row per DISTINCT value per group: perfect for prices
+  * with a few thousand distincts, degenerate for continuous
+  * measurements where distinct ≈ rows — the "window over distincts"
+  * becomes a full sort of the fact table. The usual escape is an
+  * approximate sketch (GK/KLL/t-digest), which trades exactness away
+  * AND has order-sensitive merges no hash-compare oracle can pin.
+  *
+  * This operator is EXACT, order-free, and shuffle-light: it
+  * binary-searches the VALUE SPACE instead of sorting the data.
+  * Doubles map to monotone IEEE bit keys (the codegen'd
+  * [[graft.functions.DoubleBitsKeyExpr]]); each pass histograms every
+  * still-active (group, quantile) search's keys into ≤ 2^bits
+  * equal-width key intervals of its current range — ONE aggregate
+  * whose shuffle carries (groups × quantiles × 2^bits) COUNTS,
+  * map-side combined, never rows — and the driver descends into the
+  * interval holding the residual target rank. Each pass divides the
+  * key range by 2^bits, so ≤ ⌈64/bits⌉ passes (6 at the default 12)
+  * reach a single key = the exact k-th smallest value, duplicates
+  * counted individually. Scans are the cheap currency at scale
+  * (columnar, cached once here); row-volume shuffles are the
+  * expensive one — this trades ≤ 6 scans of a checkpointed
+  * (group, key) projection for ZERO row shuffles.
+  *
+  * Rank convention (replayed verbatim by the DuckDB oracle): the
+  * q-quantile of n values is the k-th smallest with k = max(1, ⌈q·n⌉)
+  * — the lower discrete quantile, always an actual data value (so the
+  * result hash-compares bit-exactly across engines). NULL and NaN are
+  * excluded up front (NaN's bit pattern would sort above +∞);
+  * ±Infinity participate and sort where IEEE puts them; −0.0 and
+  * +0.0 are adjacent distinct keys of numerically equal values.
+  */
+object Quantiles {
+
+  private final case class Search(group: String, qIdx: Int,
+      lo: Long, hi: Long, rank: Long)
+
+  /** Exact per-group quantiles of `valueCol` at fractions `qs`.
+    * Returns (groupCol, q, n, value): one row per group × quantile,
+    * `value` the exact k-th smallest. Group cardinality must be
+    * driver-small (dashboard-shaped — as for any per-group quantile
+    * report); `bits` sizes each pass's histogram. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], bits: Int = 12): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got $qs")
+    require(bits >= 4 && bits <= 16, s"bits must be in [4, 16], got $bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBuckets = 1L << bits
+
+    val base = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).cast("string").as("__g"),
+        graft.functions.NativeDoubleBits
+          .bitsKey(col(valueCol).cast("double")).as("__k"))
+      .localCheckpoint()
+
+    // bounds + counts: one tiny aggregate seeds every search. The
+    // negative-key count performs a free SIGN SPLIT: a group mixing
+    // negative and positive values has an unsigned key span wider than
+    // a signed long, so every search starts inside ONE sign — after
+    // which all interval arithmetic (here and in the codegen'd bucket
+    // expression) provably fits signed 64-bit.
+    val bounds = base.groupBy($"__g")
+      .agg(count(lit(1)).as("n"), min($"__k").as("lo"), max($"__k").as("hi"),
+        sum(when($"__k" < 0L, 1L).otherwise(0L)).as("nneg"))
+      .collect()
+    val groupN = scala.collection.mutable.HashMap.empty[String, Long]
+    var searches = Vector.empty[Search]
+    bounds.foreach { r =>
+      val g = r.getString(0); val n = r.getLong(1)
+      val lo = r.getLong(2); val hi = r.getLong(3)
+      val nneg = r.getLong(4)
+      groupN(g) = n
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val k = math.max(1L, math.ceil(q * n).toLong)
+        searches :+=
+          (if (lo >= 0 || hi < 0) Search(g, i, lo, hi, k) // one sign already
+          else if (k <= nneg) Search(g, i, lo, -1L, k) // k-th is negative
+          else Search(g, i, 0L, hi, k - nneg))
+      }
+    }
+
+    def width(s: Search): Long = s.hi - s.lo + 1
+    var pass = 0
+    val maxPasses = (63 / bits) + 2
+    while (searches.exists(width(_) > 1) && pass < maxPasses) {
+      pass += 1
+      val active = searches.filter(width(_) > 1)
+      val stateDf = active.map { s =>
+        val ivw = math.max(1L, (width(s) + nBuckets - 1) / nBuckets)
+        (s.group, s.qIdx, s.lo, s.hi, ivw)
+      }.toDF("__g", "__q", "__lo", "__hi", "__ivw")
+      // one aggregate serves every active search: broadcast the search
+      // ranges, bucket each in-range key, count — shuffle rows are
+      // (group, search, bucket) partials, bounded by searches × 2^bits
+      val hist = base
+        .join(broadcast(stateDf), Seq("__g"))
+        .filter($"__k" >= $"__lo" && $"__k" <= $"__hi")
+        .groupBy($"__g", $"__q", expr("(__k - __lo) DIV __ivw").as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+        .groupBy(r => (r.getString(0), r.getInt(1)))
+        .view.mapValues(_.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1))
+        .toMap
+      searches = searches.map { s =>
+        if (width(s) <= 1) s
+        else {
+          val ivw = math.max(1L, (width(s) + nBuckets - 1) / nBuckets)
+          val buckets = hist.getOrElse((s.group, s.qIdx),
+            throw new IllegalStateException(
+              s"refinement pass returned no buckets for '${s.group}'"))
+          var rem = s.rank
+          var out: Search = null
+          buckets.foreach { case (b, c) =>
+            if (out == null) {
+              if (rem <= c) {
+                val newLo = s.lo + b * ivw
+                out = Search(s.group, s.qIdx, newLo,
+                  math.min(s.hi, newLo + ivw - 1), rem)
+              } else rem -= c
+            }
+          }
+          require(out != null,
+            s"refinement lost rank ${s.rank} for group '${s.group}' — " +
+              "input mutated between passes?")
+          out
+        }
+      }
+    }
+    require(searches.forall(width(_) == 1),
+      s"refinement did not converge in $maxPasses passes")
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(base)
+    searches.map { s =>
+      (s.group, qs(s.qIdx), groupN(s.group),
+        graft.functions.DoubleBitsImpl.unkey(s.lo))
+    }.toDF("__g", "q", "n", "value")
+      .withColumnRenamed("__g", groupCol)
+      .orderBy(col(groupCol), col("q"))
+  }
+
+  /** GRID quantiles from an accumulated (key, bucket, n_rows) count
+    * state — the STREAMING half, reading the exact fold
+    * [[graft.streaming.Streams.driftCountsSink]] maintains. Returns
+    * the first bucket whose cumulative mass reaches ⌈q·n⌉ per key ×
+    * fraction. Approximation contract (the grid-KS discipline): the
+    * true q-quantile lies INSIDE the returned bucket, so the value
+    * error is bounded by the bucket's width and the rank error by its
+    * mass — size the grid so the largest bucket sits below the
+    * resolution you act on. Exactness of the FOLD itself (counts,
+    * not samples) is what keeps this deterministic and
+    * oracle-replayable. */
+  def gridQuantiles(counts: DataFrame, keyCol: String, bucketCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    import org.apache.spark.sql.expressions.Window
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    val cum = counts
+      .withColumn("__cum", sum(col("n_rows")).over(wCum))
+      .withColumn("__n", sum(col("n_rows")).over(wAll))
+    qs.map { q =>
+      cum.filter($"__cum" >=
+          greatest(lit(1L), ceil($"__n" * lit(q)).cast("long")))
+        .groupBy(col(keyCol))
+        .agg(lit(q).as("q"), max($"__n").as("n"),
+          min(col(bucketCol)).as("bucket"))
+    }.reduce(_ unionByName _)
+      .orderBy(col(keyCol), col("q"))
+  }
+}

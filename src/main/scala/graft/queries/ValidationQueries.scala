@@ -295,6 +295,20 @@ object ValidationQueries extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** EXACT per-type quantiles of the continuous `value` column by
+    * ITERATIVE RANGE REFINEMENT ([[graft.operators.Quantiles
+    * .exactQuantiles]]): ≤ 6 histogram passes over monotone IEEE bit
+    * keys, shuffling only interval COUNTS — never rows, never a
+    * per-distinct-value window (which on a continuous column is a
+    * full sort of the fact table). The returned value is the exact
+    * k-th smallest (k = max(1, ⌈q·n⌉)), an actual data value, so the
+    * row hash-compares bit-exactly; the oracle derives the same rank
+    * by brute-force row_number. */
+  def vExactQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.exactQuantiles(
+      table(s, dir, "events"), "event_type", "value",
+      Seq(0.25, 0.5, 0.9, 0.95))
+
   /** The GRID-KS APPROXIMATION BOUND as an oracle row — the theory the
     * streaming drift monitor rests on, pinned end to end: per
     * event_type, the EXACT KS numerator (every distinct value), the
@@ -441,6 +455,7 @@ object ValidationQueries extends QueryPack {
     "v_drift_chi2" -> (vDriftChi2 _),
     "v_drift_ks" -> (vDriftKs _),
     "v_drift_grid_bound" -> (vDriftGridBound _),
+    "v_exact_quantiles" -> (vExactQuantiles _),
     "v_drift_stream" -> (vDriftStream _),
     "v_stats_events" -> (vStatsEvents _),
     "v_constraints_orders" -> (vConstraintsOrders _),
@@ -554,6 +569,21 @@ object ValidationQueries extends QueryPack {
              CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS DOUBLE)
                / CAST(MAX(n_ref) * MAX(n_cur) AS DOUBLE) AS ks
       FROM cums GROUP BY event_type ORDER BY event_type""",
+    "v_exact_quantiles" -> """
+      WITH ev AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+      r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev),
+      qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.95)) AS t(q))
+      SELECT r.event_type, qs.q, CAST(r.n AS BIGINT) AS n, r.value
+      FROM r JOIN qs
+        ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
+      ORDER BY r.event_type, qs.q""",
     "v_drift_grid_bound" -> s"""
       WITH ev AS (
         SELECT event_type, value,

@@ -2119,7 +2119,9 @@ object Streams {
     val allLinks = spark.read.parquet(linksPath)
       .filter(col("batch").isin(batchIds.map(Long.box).toSeq: _*))
       .select(col("id_a"), col("id_b"))
-    val totalLinks = allLinks.count() // parquet footer metadata, no scan
+    // count over the committed partitions only — row-group-metadata
+    // cheap, and the same frame feeds the closure below if we proceed
+    val totalLinks = allLinks.count()
     val lastClosure: Long = {
       val m = new Path(target, ClosureLinksMarker)
       if (!fs.exists(m)) 0L

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.DoubleBitsImpl
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantilesSpec extends AnyFunSuite with SparkSpec {
+
+  test("IEEE bit key is monotone and invertible on adversarial doubles") {
+    val vs = Seq(Double.NegativeInfinity, -1.7e308, -3.5, -1.0, -1e-300,
+      -0.0, 0.0, 4.9e-324, 1e-300, 1.0, 2.5, 1.7e308,
+      Double.PositiveInfinity)
+    val keys = vs.map(DoubleBitsImpl.key)
+    assert(keys == keys.sorted, "key order must equal double order")
+    // strictly increasing except the -0.0/+0.0 adjacency
+    keys.sliding(2).foreach { case Seq(a, b) => assert(a < b) }
+    vs.foreach(v => assert(DoubleBitsImpl.unkey(DoubleBitsImpl.key(v)) == v
+      || (v == 0.0 && DoubleBitsImpl.unkey(DoubleBitsImpl.key(v)) == v)))
+    // the codegen'd expression matches the driver function
+    val s = spark
+    import s.implicits._
+    val got = vs.filter(v => !v.isNaN).toDF("v")
+      .select(graft.functions.NativeDoubleBits.bitsKey(col("v")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == vs.map(DoubleBitsImpl.key))
+  }
+
+  test("exactQuantiles == sort-based ranks on random data with " +
+      "duplicates, negatives, and infinities") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      val g = s"g${i % 3}"
+      val v = rng.nextInt(6) match {
+        case 0 => rng.nextInt(10).toDouble          // heavy duplicates
+        case 1 => -rng.nextDouble() * 1e6
+        case 2 => rng.nextDouble() * 1e-9
+        case 3 => rng.nextGaussian() * 100
+        case 4 => if (i % 500 == 0) Double.PositiveInfinity
+                  else rng.nextDouble()
+        case _ => rng.nextDouble() * 1e12
+      }
+      (g, v)
+    }
+    val df = rows.toDF("g", "v").repartition(7)
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.95, 1.0)
+    val got = Quantiles.exactQuantiles(df, "g", "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // brute-force reference: sort each group, pick the k-th smallest
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length.toLong
+      qs.foreach { q =>
+        val k = math.max(1L, math.ceil(q * n).toLong)
+        val (gotN, gotV) = got((g, q))
+        assert(gotN == n, s"$g/$q n")
+        assert(gotV == sorted((k - 1).toInt), s"$g/$q value")
+      }
+    }
+  }
+
+  test("exactQuantiles shuffles counts, not rows (plan + work audit)") {
+    val s = spark
+    import s.implicits._
+    // 60k continuous values: the distinct-window technique would
+    // shuffle ~60k rows; refinement passes shuffle only bucket counts
+    val df = s.range(0, 60000).select(lit("k").as("g"),
+      (col("id") * 2654435761L % 1000003L).cast("double").as("v"))
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val r = Quantiles.exactQuantiles(df, "g", "v", Seq(0.5))
+        .collect()
+      org.apache.spark.sql.GraftShims.drainListenerBus(s)
+      assert(r.length == 1 && r.head.getLong(2) == 60000L)
+      // brute check the median value
+      val vals = df.select("v").collect().map(_.getDouble(0)).sorted
+      assert(r.head.getDouble(3) == vals(30000 - 1))
+      // all passes together move far less than the 480 KB the raw
+      // (key) column would cost a row shuffle
+      assert(shuffleBytes.get < 200L * 1024,
+        s"refinement shuffled ${shuffleBytes.get} bytes")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
+  test("gridQuantiles: bucket containing the true quantile, per key") {
+    val s = spark
+    import s.implicits._
+    // key "a": 100 rows uniform over buckets 0..9 (10 each)
+    val counts = (0 until 10).map(b => ("a", b.toLong, 10L))
+      .toDF("k", "b", "n_rows")
+    val got = Quantiles.gridQuantiles(counts, "k", "b", Seq(0.25, 0.5, 1.0))
+      .collect().map(r => (r.getDouble(1), r.getLong(3))).toMap
+    // rank 25 → bucket 2 (cum 30 ≥ 25), rank 50 → bucket 4, rank 100 → 9
+    assert(got == Map(0.25 -> 2L, 0.5 -> 4L, 1.0 -> 9L))
+  }
+}
