@@ -45,9 +45,10 @@ object Quantiles {
 
   /** Exact per-group quantiles of `valueCol` at fractions `qs`.
     * Returns (groupCol, q, n, value): one row per group × quantile,
-    * `value` the exact k-th smallest. Group cardinality must be
-    * driver-small (dashboard-shaped — as for any per-group quantile
-    * report); `bits` sizes each pass's histogram. */
+    * `value` the exact k-th smallest, the group column coerced to
+    * STRING (it rides a driver map between passes). Group cardinality
+    * must be driver-small (dashboard-shaped — as for any per-group
+    * quantile report); `bits` sizes each pass's histogram. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], bits: Int = 12): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),

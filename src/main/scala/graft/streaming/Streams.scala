@@ -1683,6 +1683,42 @@ object Streams {
         onLoad(batchFn(batch, batchId))
       }
 
+  /** Streaming EXACT-n GLOBAL SAMPLE: maintain, across every
+    * micro-batch ever folded, the `n` hash-smallest rows by
+    * [[graft.operators.Sampling.hash60]] of `keyCol` — exactly the
+    * rows [[graft.operators.Sampling.exactSample]] would pick from the
+    * full history in one shot (spec-pinned bit-identical), because
+    * "n smallest of the union" is an associative, commutative,
+    * idempotent fold (the KMV-sketch argument applied to whole rows).
+    * Every property of the batch sampler carries over: deterministic
+    * on any arrival order, nested samples (the fold at n' < n is a
+    * prefix), leak-free key-hash membership. State is n FULL rows
+    * regardless of stream volume — the eval-set / human-review-queue
+    * sampler a 100 TB ingest needs (a rate-based sampler's output
+    * grows with the stream; a naive reservoir is arrival-order-
+    * dependent and irreproducible). Keys must be unique per entity
+    * (re-deliveries of a key with CHANGED payload tie arbitrarily —
+    * dedup upstream, as for exactSample itself). Replay-idempotent
+    * via the shared fold marker + atomic swap. */
+  def sampleMergeBatch(spark: SparkSession, batch: DataFrame,
+      path: String, keyCol: String, n: Int,
+      batchId: Long = -1L): LoadResult = {
+    import graft.operators.Sampling
+    foldBatchWith(spark, path, Seq(keyCol), batchId)(
+      Sampling.exactSample(batch, keyCol, n)) { (all, _) =>
+      Sampling.exactSample(all, keyCol, n)
+    }
+  }
+
+  /** writeStream wiring for [[sampleMergeBatch]] (checkpointed). */
+  def exactSampleSink(stream: DataFrame, path: String, checkpoint: String,
+      keyCol: String, n: Int,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
+      sampleMergeBatch(batch.sparkSession, batch, path, keyCol, n, batchId)
+    }
+
   /** writeStream wiring for [[aggMergeBatch]] (checkpointed). */
   def aggMergeSink(stream: DataFrame, path: String, checkpoint: String,
       keyCols: Seq[String], measureCol: String,

@@ -333,6 +333,50 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
   }
 
+  test("exact-sample sink: streamed fold == one-shot exactSample, nested") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("samplesink").toString
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.exactSampleSink(
+        input.toDS().toDF("doc_id", "source"),
+        s"$dir/state", s"$dir/ckpt", "doc_id", n = 25, Streams.trigger(1))
+      .start()
+    try {
+      (0 until 3).foreach { b =>
+        input.addData(rows.filter(_._1 % 3 == b): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/state")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val oneShot = Sampling.exactSample(
+        rows.toDF("doc_id", "source"), "doc_id", 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == oneShot && streamed.size == 25,
+      "fold must equal the one-shot exact sample over all batches")
+    // nesting: a 10-row fold over the same feed is a subset
+    val smaller = Sampling.exactSample(
+        rows.toDF("doc_id", "source"), "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(smaller.subsetOf(streamed))
+    // direct replay of an already-folded batch id is a no-op
+    val replay = Streams.sampleMergeBatch(spark,
+      rows.filter(_._1 % 3 == 0).toDF("doc_id", "source"),
+      s"$dir/state", "doc_id", 25, batchId = 0L)
+    assert(replay.success && replay.rowsLoaded == 0L)
+    assert(spark.read.parquet(s"$dir/state")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == streamed)
+    graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
+  }
+
   test("forget-keys sink: streamed deletions apply per batch with audit") {
     val spark2 = spark
     import spark2.implicits._
