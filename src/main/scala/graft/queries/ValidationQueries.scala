@@ -309,6 +309,25 @@ object ValidationQueries extends QueryPack {
       table(s, dir, "events"), "event_type", "value",
       Seq(0.25, 0.5, 0.9, 0.95))
 
+  /** GRID quantiles over accumulated bucket counts
+    * ([[graft.operators.Quantiles.gridQuantiles]] — the streaming
+    * read-side of the drift sink's folded state), pinned end to end:
+    * per event_type the bucket holding the q-quantile (first bucket
+    * whose cumulative count reaches max(1, ⌈q·n⌉)) over the chi2
+    * bucketing of `value`. Together with v_exact_quantiles this
+    * grounds the whole quantile story in the oracle gate: exact values
+    * from refinement, bucket-resolution answers from folded counts. */
+  def vGridQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = table(s, dir, "events")
+      .filter($"value".isNotNull)
+      .groupBy($"event_type",
+        least(floor($"value" / 50.0), lit(7.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    graft.operators.Quantiles.gridQuantiles(counts, "event_type", "bucket",
+      Seq(0.25, 0.5, 0.9, 0.95))
+  }
+
   /** The GRID-KS APPROXIMATION BOUND as an oracle row — the theory the
     * streaming drift monitor rests on, pinned end to end: per
     * event_type, the EXACT KS numerator (every distinct value), the
@@ -456,6 +475,7 @@ object ValidationQueries extends QueryPack {
     "v_drift_ks" -> (vDriftKs _),
     "v_drift_grid_bound" -> (vDriftGridBound _),
     "v_exact_quantiles" -> (vExactQuantiles _),
+    "v_grid_quantiles" -> (vGridQuantiles _),
     "v_drift_stream" -> (vDriftStream _),
     "v_stats_events" -> (vStatsEvents _),
     "v_constraints_orders" -> (vConstraintsOrders _),
@@ -569,6 +589,26 @@ object ValidationQueries extends QueryPack {
              CAST(MAX(ABS(cum_ref * n_cur - cum_cur * n_ref)) AS DOUBLE)
                / CAST(MAX(n_ref) * MAX(n_cur) AS DOUBLE) AS ks
       FROM cums GROUP BY event_type ORDER BY event_type""",
+    "v_grid_quantiles" -> """
+      WITH gb AS (
+        SELECT event_type,
+               CAST(LEAST(FLOOR(value / 50.0), 7.0) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2),
+      cums AS (
+        SELECT event_type, bucket,
+               CAST(SUM(n_rows) OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(n_rows) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM gb),
+      qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.95)) AS t(q))
+      SELECT event_type, CAST(qs.q AS DOUBLE) AS q, MAX(n) AS n,
+             MIN(bucket) AS bucket
+      FROM cums JOIN qs
+        ON cum >= GREATEST(1, CAST(CEIL(n * qs.q) AS BIGINT))
+      GROUP BY event_type, qs.q
+      ORDER BY event_type, qs.q""",
     "v_exact_quantiles" -> """
       WITH ev AS (
         SELECT event_type, value FROM events
@@ -580,7 +620,8 @@ object ValidationQueries extends QueryPack {
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM ev),
       qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.95)) AS t(q))
-      SELECT r.event_type, qs.q, CAST(r.n AS BIGINT) AS n, r.value
+      SELECT r.event_type, CAST(qs.q AS DOUBLE) AS q,
+             CAST(r.n AS BIGINT) AS n, r.value
       FROM r JOIN qs
         ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
       ORDER BY r.event_type, qs.q""",
