@@ -149,6 +149,39 @@ object Quantiles {
       .orderBy(col(groupCol), col("q"))
   }
 
+  /** EQUI-DEPTH grid boundaries: the b−1 exact quantile cut points at
+    * fractions 1/b … (b−1)/b per group — the principled way to SIZE a
+    * drift/quantile grid. The grid-KS bound and [[gridQuantiles]]'
+    * error contract are both "≤ the largest bucket's mass"; an
+    * equi-WIDTH grid leaves that mass at the mercy of the
+    * distribution's densest region, while these boundaries pin every
+    * bucket's reference mass to ≈ 1/b by construction (up to
+    * duplicate-value mass that cannot be split — a value heavier than
+    * 1/b is its own bucket and its mass is irreducible). One
+    * [[exactQuantiles]] call: all b−1 searches share each refinement
+    * pass. Returns (group, q, n, value) — feed the `value`s to
+    * [[bucketOf]] and the resulting bucket column to
+    * [[graft.streaming.Streams.driftCountsSink]] /
+    * [[graft.streaming.Streams.ksAgainst]]. */
+  def equiDepthBounds(df: DataFrame, groupCol: String, valueCol: String,
+      b: Int, bits: Int = 12): DataFrame = {
+    require(b >= 2 && b <= 4096, s"need 2-4096 buckets, got $b")
+    exactQuantiles(df, groupCol, valueCol,
+      (1 until b).map(_.toDouble / b), bits)
+  }
+
+  /** Bucket id of a value against ascending boundary cut points:
+    * bucket i holds values in (bounds(i−1), bounds(i)], bucket 0
+    * everything ≤ bounds(0), bucket bounds.size everything above the
+    * last cut — the standard right-closed equi-depth convention, as a
+    * pure codegen-able Column (sum of comparisons, no UDF). */
+  def bucketOf(v: org.apache.spark.sql.Column,
+      bounds: Seq[Double]): org.apache.spark.sql.Column = {
+    require(bounds.nonEmpty && bounds == bounds.sorted,
+      "bounds must be ascending")
+    bounds.map(cut => when(v > lit(cut), 1L).otherwise(0L)).reduce(_ + _)
+  }
+
   /** GRID quantiles from an accumulated (key, bucket, n_rows) count
     * state — the STREAMING half, reading the exact fold
     * [[graft.streaming.Streams.driftCountsSink]] maintains. Returns

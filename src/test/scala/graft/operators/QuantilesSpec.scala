@@ -93,6 +93,40 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     } finally s.sparkContext.removeSparkListener(listener)
   }
 
+  test("equiDepthBounds + bucketOf: every bucket's mass ≈ n/b; " +
+      "heavy duplicates stay irreducible but isolated") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(21)
+    // skewed continuous data + one heavy duplicate (20% of rows)
+    val rows = (1 to 5000).map { i =>
+      val v = if (i % 5 == 0) 42.0 else math.exp(rng.nextGaussian() * 3)
+      ("k", v)
+    }
+    val df = rows.toDF("g", "v").repartition(6)
+    val b = 10
+    val bounds = Quantiles.equiDepthBounds(df, "g", "v", b)
+      .collect().map(_.getDouble(3)).toSeq
+    assert(bounds.size == b - 1 && bounds == bounds.sorted.distinct ||
+      bounds == bounds.sorted, s"bounds: $bounds")
+    val masses = df
+      .groupBy(Quantiles.bucketOf(col("v"), bounds.distinct).as("b"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    // every non-duplicate-dominated bucket holds ≈ n/b; the 42.0 spike
+    // (20% of mass, > 1/b) is allowed to exceed — but ONLY the bucket
+    // that owns the duplicated value
+    val spikeBucket = bounds.distinct.count(42.0 > _).toLong
+    masses.foreach { case (bk, m) =>
+      if (bk != spikeBucket)
+        assert(m <= n / b + n / 50,
+          s"bucket $bk mass $m exceeds equi-depth bound")
+    }
+    assert(masses(spikeBucket) >= n / 5, "the spike owns its bucket")
+    // and the masses cover everything
+    assert(masses.values.sum == n)
+  }
+
   test("gridQuantiles: bucket containing the true quantile, per key") {
     val s = spark
     import s.implicits._
