@@ -127,6 +127,23 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(masses.values.sum == n)
   }
 
+  test("edge groups: single row, all-identical values, q=1.0, bits=16") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("solo", 7.25)) ++ Seq.fill(100)(("same", -3.5)) ++
+      (1 to 50).map(i => ("mix", i.toDouble))
+    val got = Quantiles.exactQuantiles(rows.toDF("g", "v"), "g", "v",
+        Seq(0.5, 1.0), bits = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("solo", 0.5)) == (1L, 7.25))
+    assert(got(("solo", 1.0)) == (1L, 7.25))
+    assert(got(("same", 0.5)) == (100L, -3.5))
+    assert(got(("same", 1.0)) == (100L, -3.5))
+    assert(got(("mix", 0.5)) == (50L, 25.0))
+    assert(got(("mix", 1.0)) == (50L, 50.0))
+  }
+
   test("gridQuantiles: bucket containing the true quantile, per key") {
     val s = spark
     import s.implicits._

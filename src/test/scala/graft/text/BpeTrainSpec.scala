@@ -205,6 +205,18 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("batchTopK=1 degenerates to one-merge-per-round but stays exact") {
+    // the smallest candidate list exercises the truncation floor on
+    // every round: bar == the head's own frequency → singleton batches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = BpeTrain.wordCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (expMerges, _) = BpeTrain.trainFromCounts(words, 15)
+    val got = BpeTrain.trainDistributedStats(docs, "text", 15, batchTopK = 1)
+    assert(got.merges.map(m => (m._1, m._2)) == expMerges)
+    assert(got.rounds == 15, "topK=1 cannot batch")
+  }
+
   test("maxWords cap keeps the N most frequent words, deterministically") {
     import spark.implicits._
     val docs = Seq.fill(5)("hot hot hot warm warm cold").toDF("text")
