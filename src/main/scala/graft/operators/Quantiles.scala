@@ -48,9 +48,19 @@ object Quantiles {
     * `value` the exact k-th smallest, the group column coerced to
     * STRING (it rides a driver map between passes). Group cardinality
     * must be driver-small (dashboard-shaped — as for any per-group
-    * quantile report); `bits` sizes each pass's histogram. */
+    * quantile report); `bits` sizes each pass's histogram.
+    *
+    * `weightCol` (integer weights > 0; zero/negative rows are
+    * excluded) switches to WEIGHTED quantiles — the q-point of the
+    * weight mass, k = max(1, ⌈q·W⌉) with every row contributing its
+    * weight to the rank, exactly as if it appeared `w` times. Token-
+    * weighted length percentiles, byte-weighted shard cuts, and every
+    * other "median of the MASS, not the row count" statistic use
+    * this; the refinement machinery is identical because the per-pass
+    * histogram just sums weights instead of counting rows. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[Double], bits: Int = 12): DataFrame = {
+      qs: Seq[Double], bits: Int = 12,
+      weightCol: Option[String] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantile fractions must be in (0, 1], got $qs")
     require(bits >= 4 && bits <= 16, s"bits must be in [4, 16], got $bits")
@@ -58,11 +68,14 @@ object Quantiles {
     import spark.implicits._
     val nBuckets = 1L << bits
 
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val base = df
-      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double"))
+        && w > 0L)
       .select(col(groupCol).cast("string").as("__g"),
         graft.functions.NativeDoubleBits
-          .bitsKey(col(valueCol).cast("double")).as("__k"))
+          .bitsKey(col(valueCol).cast("double")).as("__k"),
+        w.as("__w"))
       .localCheckpoint()
 
     // bounds + counts: one tiny aggregate seeds every search. The
@@ -72,8 +85,8 @@ object Quantiles {
     // which all interval arithmetic (here and in the codegen'd bucket
     // expression) provably fits signed 64-bit.
     val bounds = base.groupBy($"__g")
-      .agg(count(lit(1)).as("n"), min($"__k").as("lo"), max($"__k").as("hi"),
-        sum(when($"__k" < 0L, 1L).otherwise(0L)).as("nneg"))
+      .agg(sum($"__w").as("n"), min($"__k").as("lo"), max($"__k").as("hi"),
+        sum(when($"__k" < 0L, $"__w").otherwise(0L)).as("nneg"))
       .collect()
     val groupN = scala.collection.mutable.HashMap.empty[String, Long]
     var searches = Vector.empty[Search]
@@ -82,6 +95,11 @@ object Quantiles {
       val lo = r.getLong(2); val hi = r.getLong(3)
       val nneg = r.getLong(4)
       groupN(g) = n
+      // ⌈q·n⌉ is computed in IEEE double (the oracle's CEIL does the
+      // same): exactness needs the total mass below 2^53
+      require(n < (1L << 53),
+        s"group '$g' carries $n total weight — rank arithmetic is only " +
+          "exact below 2^53; pre-scale the weight column")
       qs.zipWithIndex.foreach { case (q, i) =>
         val k = math.max(1L, math.ceil(q * n).toLong)
         searches :+=
@@ -108,7 +126,7 @@ object Quantiles {
         .join(broadcast(stateDf), Seq("__g"))
         .filter($"__k" >= $"__lo" && $"__k" <= $"__hi")
         .groupBy($"__g", $"__q", expr("(__k - __lo) DIV __ivw").as("__b"))
-        .agg(count(lit(1)).as("__c"))
+        .agg(sum($"__w").as("__c"))
         .collect()
         .groupBy(r => (r.getString(0), r.getInt(1)))
         .view.mapValues(_.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1))

@@ -127,6 +127,34 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(masses.values.sum == n)
   }
 
+  test("weighted quantiles == expanded-row ranks; zero weights excluded") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 800).map { i =>
+      (s"g${i % 2}", rng.nextGaussian() * 50,
+        if (i % 10 == 0) 0L else 1L + rng.nextInt(9).toLong)
+    }
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = Quantiles.exactQuantiles(rows.toDF("g", "v", "w"),
+        "g", "v", qs, weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      // brute force: expand each row to `w` copies, sort, take k-th
+      val expanded = rs.flatMap { case (_, v, w) =>
+        Seq.fill(w.toInt)(v)
+      }.sorted
+      val total = expanded.length.toLong
+      qs.foreach { q =>
+        val k = math.max(1L, math.ceil(q * total).toLong)
+        val (gotW, gotV) = got((g, q))
+        assert(gotW == total, s"$g/$q mass")
+        assert(gotV == expanded((k - 1).toInt), s"$g/$q value")
+      }
+    }
+  }
+
   test("edge groups: single row, all-identical values, q=1.0, bits=16") {
     val s = spark
     import s.implicits._
