@@ -1,0 +1,56 @@
+import org.apache.spark.sql.SparkSession
+
+/** 25-trial randomized parity sweep for iterative exact quantiles:
+  * massive ties, mixed-sign extreme magnitudes, random finite IEEE
+  * bit patterns, planted infinities, bits down to 4 (forcing ~16
+  * refinement passes). Any MISMATCH line is a bug. */
+object FuzzQuantiles {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.Quantiles
+    val rng = new scala.util.Random(args.headOption.map(_.toLong).getOrElse(99L))
+    var fails = 0
+    for (trial <- 1 to 25) {
+      val n = 200 + rng.nextInt(3000)
+      val rows = (1 to n).map { i =>
+        val g = s"g${i % (1 + rng.nextInt(3))}"
+        val v = trial % 5 match {
+          case 0 => rng.nextInt(4).toDouble
+          case 1 => math.pow(10, rng.nextInt(600) - 300) *
+            (if (rng.nextBoolean()) 1 else -1)
+          case 2 => if (i % 97 == 0) Double.NegativeInfinity
+                    else rng.nextGaussian()
+          case 3 => rng.nextLong().toDouble
+          case _ => java.lang.Double.longBitsToDouble(
+            rng.nextLong() & 0x7fefffffffffffffL) *
+            (if (rng.nextBoolean()) 1 else -1)
+        }
+        (g, v)
+      }
+      val qs = Seq(0.001, 0.1, 0.33, 0.5, 0.77, 0.99, 1.0)
+      val bits = Seq(4, 8, 12)(rng.nextInt(3))
+      val got = Quantiles.exactQuantiles(
+          rows.toDF("g", "v").repartition(5), "g", "v", qs, bits)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        val nn = sorted.length.toLong
+        qs.foreach { q =>
+          val k = math.max(1L, math.ceil(q * nn).toLong)
+          val (gn, gv) = got((g, q))
+          if (gn != nn || gv != sorted((k - 1).toInt)) {
+            fails += 1
+            println(s"MISMATCH trial=$trial g=$g q=$q bits=$bits")
+          }
+        }
+      }
+    }
+    println(s"quantile fuzz done: $fails failures / 25 trials")
+    spark.stop()
+  }
+}
