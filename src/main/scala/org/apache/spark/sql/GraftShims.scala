@@ -35,7 +35,10 @@ object GraftShims {
     * [[graft.text.BpeTrain.trainDistributed]], graph iteration — this
     * bounds storage to ONE round deterministically instead of trusting
     * the driver's GC cadence. Only call on a frame whose successor
-    * checkpoint has already materialized (eager=true default). */
+    * checkpoint has already materialized (eager=true default).
+    * Spark logs a benign WARN per call ("locally checkpointed …
+    * cannot be recomputed after unpersisting") — expected: nothing
+    * reads the superseded frame again, which is the point. */
   def unpersistCheckpoint(df: DataFrame): Unit =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
