@@ -47,7 +47,30 @@ case class DoubleBitsKeyExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** long → double: the inverse bit key (codegen'd) — lets the
+  * DISTRIBUTED quantile refinement materialize final values without a
+  * driver round-trip ([[graft.operators.Quantiles.exactQuantilesDist]]). */
+case class DoubleBitsUnkeyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_double_bits_unkey"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DoubleBitsImpl.unkey(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DoubleBitsImpl.unkey($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleBitsUnkeyExpr =
+    copy(child = newChild)
+}
+
 object NativeDoubleBits {
   def bitsKey(v: Column): Column =
     GraftShims.column(DoubleBitsKeyExpr(GraftShims.expression(v)))
+  def bitsUnkey(k: Column): Column =
+    GraftShims.column(DoubleBitsUnkeyExpr(GraftShims.expression(k)))
 }

@@ -70,6 +70,26 @@ object Export {
       .write.mode("overwrite").parquet(s"$path/_manifest")
   }
 
+  /** Recompute and OVERWRITE the manifest from the exported data files
+    * — the upgrade path for manifests written before `fp_sum` was
+    * canonicalized (format note below), and the repair path after a
+    * deliberate in-place rewrite of a shard. This re-baselines
+    * integrity to "whatever is on disk NOW": run [[verifyManifest]]
+    * first if the export's current intactness is in question.
+    *
+    * FORMAT NOTE (graft-manifest v2): `fp_sum` is stored reduced
+    * mod 2³². Manifests written by the pre-reduction format stored the
+    * raw DECIMAL sum, which differs whenever a shard's summed residues
+    * exceeded 2³² (≥ ~2 rows can); such legacy manifests fail
+    * [[verifyManifest]] after upgrade BY DESIGN — the check cannot
+    * distinguish a format delta from corruption, so rebuild them with
+    * this method (legacy_sum mod 2³² == new fp_sum, i.e. the values
+    * are modulo-equivalent; only the stored canonical form changed). */
+  def rebuildManifest(spark: SparkSession, path: String,
+      shardCol: String, cols: Seq[String]): Unit =
+    manifest(spark.read.parquet(s"$path/data"), shardCol, cols)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+
   /** Recompute the manifest from the exported files and diff it
     * against the stored one. Returns the mismatch frame — one row per
     * shard whose count or fingerprint differs (missing/extra shards

@@ -40,6 +40,29 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Internal stand-in for a NULL group key: groupBy keeps a null
+    * group, but the per-pass equi-join on the group column would drop
+    * it (null never equi-joins), so null keys ride as this sentinel
+    * between passes and map back to null in the output. Contains
+    * U+0000, which no cast-to-string group value produces. */
+  private val NullGroup = "\u0000graft null group"
+
+  private def integralWeight(df: DataFrame,
+      weightCol: Option[String]): org.apache.spark.sql.Column =
+    weightCol match {
+      case Some(c) =>
+        val dt = df.schema(c).dataType
+        require(Seq(org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType).contains(dt),
+          s"weight column '$c' must be an integral type (weights are " +
+            s"exact row multiplicities); got ${dt.sql} — round or " +
+            "rescale to integers explicitly upstream")
+        col(c).cast("long")
+      case None => lit(1L)
+    }
+
   private final case class Search(group: String, qIdx: Int,
       lo: Long, hi: Long, rank: Long)
 
@@ -68,11 +91,13 @@ object Quantiles {
     import spark.implicits._
     val nBuckets = 1L << bits
 
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val w = integralWeight(df, weightCol)
+    // NULL group keys ride as the sentinel: a null __g would survive
+    // the seeding groupBy but silently miss every per-pass equi-join
     val base = df
       .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double"))
         && w > 0L)
-      .select(col(groupCol).cast("string").as("__g"),
+      .select(coalesce(col(groupCol).cast("string"), lit(NullGroup)).as("__g"),
         graft.functions.NativeDoubleBits
           .bitsKey(col(valueCol).cast("double")).as("__k"),
         w.as("__w"))
@@ -112,6 +137,7 @@ object Quantiles {
     def width(s: Search): Long = s.hi - s.lo + 1
     var pass = 0
     val maxPasses = (63 / bits) + 2
+    try {
     while (searches.exists(width(_) > 1) && pass < maxPasses) {
       pass += 1
       val active = searches.filter(width(_) > 1)
@@ -158,13 +184,133 @@ object Quantiles {
     }
     require(searches.forall(width(_) == 1),
       s"refinement did not converge in $maxPasses passes")
-    org.apache.spark.sql.GraftShims.unpersistCheckpoint(base)
+    // checkpoint blocks are freed on EVERY exit (non-convergence,
+    // job failure) — a long-lived driver calling this repeatedly must
+    // not leak storage until GC notices
+    } finally org.apache.spark.sql.GraftShims.unpersistCheckpoint(base)
     searches.map { s =>
-      (s.group, qs(s.qIdx), groupN(s.group),
+      (if (s.group == NullGroup) null else s.group,
+        qs(s.qIdx), groupN(s.group),
         graft.functions.DoubleBitsImpl.unkey(s.lo))
     }.toDF("__g", "q", "n", "value")
       .withColumnRenamed("__g", groupCol)
       .orderBy(col(groupCol), col("q"))
+  }
+
+  /** [[exactQuantiles]] with DISTRIBUTED search state — same contract,
+    * same rank convention, same refinement machinery, but the
+    * (group, q, lo, hi, rank) searches live in a DataFrame joined to
+    * the base each pass and the per-pass histograms NEVER visit the
+    * driver: the descent (cumulative mass over buckets, first bucket
+    * reaching the residual rank) runs as a window over the counts
+    * frame, partitioned by search. This lifts [[exactQuantiles]]'
+    * driver-small-groups contract: per-domain / per-source percentiles
+    * over 10⁵–10⁶ groups refine with the driver holding nothing but
+    * the loop counter. The search frame rides each pass's join as a
+    * BROADCAST (groups × quantiles × ~40 bytes — tens of MB at 10⁶
+    * searches), so the base is still never row-shuffled; the per-pass
+    * shuffle carries (active searches × ≤ 2^bits) COUNT rows,
+    * executor-side. The returned frame is backed by its own
+    * checkpoint (all intermediates are freed before return).
+    *
+    * Prefer [[exactQuantiles]] for dashboard-shaped reports (fewer
+    * jobs: its descent is a driver map); prefer this whenever
+    * groups × quantiles × 2^bits histogram rows should not be
+    * collected. Results are identical — pinned by QuantilesSpec. */
+  def exactQuantilesDist(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], bits: Int = 12,
+      weightCol: Option[String] = None): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got $qs")
+    require(bits >= 4 && bits <= 16, s"bits must be in [4, 16], got $bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftShims.unpersistCheckpoint
+    val nBuckets = 1L << bits
+    val w = integralWeight(df, weightCol)
+    val base = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double"))
+        && w > 0L)
+      .select(coalesce(col(groupCol).cast("string"), lit(NullGroup)).as("__g"),
+        graft.functions.NativeDoubleBits
+          .bitsKey(col(valueCol).cast("double")).as("__k"),
+        w.as("__w"))
+      .localCheckpoint()
+    try {
+      // seed: per-group bounds × fractions, sign-split exactly as the
+      // driver variant (all interval arithmetic then fits signed 64-bit)
+      val seeded = base.groupBy($"__g")
+        .agg(sum($"__w").as("n"), min($"__k").as("__glo"),
+          max($"__k").as("__ghi"),
+          sum(when($"__k" < 0L, $"__w").otherwise(0L)).as("__nneg"))
+        .select($"*", posexplode(lit(qs.toArray)).as(Seq("__q", "q")))
+        .withColumn("__k0", greatest(lit(1L), ceil($"q" * $"n").cast("long")))
+        .select($"__g", $"__q", $"q", $"n",
+          when($"__glo" >= 0L || $"__ghi" < 0L,
+            struct($"__glo".as("lo"), $"__ghi".as("hi"), $"__k0".as("rk")))
+            .when($"__k0" <= $"__nneg",
+              struct($"__glo".as("lo"), lit(-1L).as("hi"), $"__k0".as("rk")))
+            .otherwise(struct(lit(0L).as("lo"), $"__ghi".as("hi"),
+              ($"__k0" - $"__nneg").as("rk"))).as("s"))
+        .select($"__g", $"__q", $"q", $"n",
+          $"s.lo".as("__lo"), $"s.hi".as("__hi"), $"s.rk".as("__rank"))
+      var state = seeded.localCheckpoint()
+      val expected = state.count()
+      // rank exactness needs every group's mass below 2^53 (⌈q·n⌉ is
+      // IEEE-double on both engine and oracle sides)
+      val maxN = state.agg(coalesce(max($"n"), lit(0L))).head().getLong(0)
+      require(maxN < (1L << 53),
+        s"a group carries $maxN total weight — rank arithmetic is only " +
+          "exact below 2^53; pre-scale the weight column")
+      var pass = 0
+      val maxPasses = (63 / bits) + 2
+      var nActive = state.filter($"__hi" > $"__lo").count()
+      try {
+        while (nActive > 0 && pass < maxPasses) {
+          pass += 1
+          val st = state.filter($"__hi" > $"__lo")
+            .withColumn("__ivw",
+              expr(s"(__hi - __lo + $nBuckets) DIV $nBuckets"))
+          val hist = base
+            .join(broadcast(st), Seq("__g"))
+            .filter($"__k" >= $"__lo" && $"__k" <= $"__hi")
+            .groupBy($"__g", $"__q", $"q", $"n", $"__lo", $"__hi",
+              $"__rank", $"__ivw", expr("(__k - __lo) DIV __ivw").as("__b"))
+            .agg(sum($"__w").as("__c"))
+          // descent without the driver: cumulative mass per search in
+          // bucket order; the ONE bucket where the residual rank lands
+          // is `cum − c < rank ≤ cum` (top-bucket end < hi + 2^bits —
+          // no overflow, ivw·2^bits < width + 2^bits)
+          val wOrd = org.apache.spark.sql.expressions.Window
+            .partitionBy($"__g", $"__q").orderBy($"__b")
+          val next = hist
+            .withColumn("__cum", sum($"__c").over(wOrd))
+            .filter($"__cum" >= $"__rank" && $"__cum" - $"__c" < $"__rank")
+            .select($"__g", $"__q", $"q", $"n",
+              ($"__lo" + $"__b" * $"__ivw").as("lo2"),
+              least($"__hi",
+                $"__lo" + ($"__b" + lit(1L)) * $"__ivw" - lit(1L)).as("hi2"),
+              ($"__rank" - $"__cum" + $"__c").as("rk2"))
+            .toDF("__g", "__q", "q", "n", "__lo", "__hi", "__rank")
+          val prev = state
+          state = state.filter($"__hi" <= $"__lo").unionByName(next)
+            .localCheckpoint()
+          unpersistCheckpoint(prev)
+          nActive = state.filter($"__hi" > $"__lo").count()
+        }
+        require(nActive == 0,
+          s"refinement did not converge in $maxPasses passes")
+        require(state.count() == expected,
+          "refinement lost searches — input mutated between passes?")
+        val out = state.select(
+            when($"__g" === lit(NullGroup), lit(null).cast("string"))
+              .otherwise($"__g").as(groupCol),
+            $"q", $"n",
+            graft.functions.NativeDoubleBits.bitsUnkey($"__lo").as("value"))
+          .localCheckpoint()
+        out.orderBy(col(groupCol), col("q"))
+      } finally unpersistCheckpoint(state)
+    } finally unpersistCheckpoint(base)
   }
 
   /** EQUI-DEPTH grid boundaries: the b−1 exact quantile cut points at
@@ -219,17 +365,22 @@ object Quantiles {
     import spark.implicits._
     val wCum = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(keyCol))
+    // same partition+order spec as wCum (frame differs) so BOTH sums
+    // compile into the single WindowExec — asserted by QuantilesSpec
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // SINGLE cumulative pass for every fraction: one WindowExec over
+    // the (small) counts state, fractions exploded against it — not a
+    // per-fraction window+filter+union (q× the passes for no reason)
     val cum = counts
       .withColumn("__cum", sum(col("n_rows")).over(wCum))
       .withColumn("__n", sum(col("n_rows")).over(wAll))
-    qs.map { q =>
-      cum.filter($"__cum" >=
-          greatest(lit(1L), ceil($"__n" * lit(q)).cast("long")))
-        .groupBy(col(keyCol))
-        .agg(lit(q).as("q"), max($"__n").as("n"),
-          min(col(bucketCol)).as("bucket"))
-    }.reduce(_ unionByName _)
+    cum.withColumn("q", explode(lit(qs.toArray)))
+      .filter($"__cum" >=
+        greatest(lit(1L), ceil($"__n" * $"q").cast("long")))
+      .groupBy(col(keyCol), $"q")
+      .agg(max($"__n").as("n"), min(col(bucketCol)).as("bucket"))
+      .select(col(keyCol), $"q", $"n", $"bucket")
       .orderBy(col(keyCol), col("q"))
   }
 }

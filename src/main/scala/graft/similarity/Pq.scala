@@ -108,36 +108,78 @@ object Pq {
     val init = q
       .orderBy(md5(concat(col("__id"), lit(s":$tag"))))
       .limit(k).collect().map(_.getSeq[Long](1).toVector)
-    var cents: Seq[Seq[Long]] = init.toSeq
-    for (_ <- 1 to iters) {
-      val sums = q.select(
-          element_at(
-            Similarity.nearestCentroidsQ(col("__v"), cents, 1), 1).as("c"),
-          posexplode(col("__v")).as(Seq("d", "x")))
-        .groupBy(col("c"), col("d"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCluster = sums.groupBy(_.getInt(0))
-      cents = cents.zipWithIndex.map { case (old, j) =>
-        byCluster.get(j) match {
-          case Some(rows) =>
-            val arr = old.toArray
-            rows.foreach { r =>
-              arr(r.getInt(1)) =
-                Math.floorDiv(2L * r.getLong(2) + r.getLong(3),
-                  2L * r.getLong(3))
-            }
-            arr.toVector
-          case None => old
-        }
-      }
-    }
-    cents
+    lloydFusedQ(q.withColumnRenamed("__v", "__q"), Seq(init.toSeq),
+      init.head.size, iters).head
   }
 
-  /** Train the `m` integer PQ codebooks in-engine (one [[lloydQ]] per
-    * subspace over a single quantized, checkpointed pass of the
-    * training rows). Replaces the offline fixture generator as the
+  /** FUSED integer Lloyd over ALL `inits.size` subspaces of one
+    * quantized frame `(\_\_id, \_\_q array<long>)` AT ONCE: every row
+    * already carries all m subvectors, so each iteration is ONE
+    * aggregate — per subspace the assignment rides map-side exactly as
+    * the serial loop's did (same [[Similarity.nearestCentroidsQ]]
+    * expression over the same slice), and the shuffle carries
+    * (subspace, cluster, dim) partial sums: m·k·dsub = k·dim rows per
+    * partition, driver state k·dim longs per subspace. m × iters jobs
+    * become ≤ iters — at corpus-scale training frames the job count IS
+    * the cost, and this is the production re-index path.
+    *
+    * CONVERGENCE STOP (exact-integer, the [[graft.operators.Graphs]]
+    * PageRank discipline): when an iteration moves NO centroid
+    * component in ANY subspace — integer equality, no epsilon — the
+    * codebooks are a fixed point (same centroids ⇒ same deterministic
+    * assignment ⇒ same integer means), so every remaining iteration
+    * would reproduce them bit for bit; stopping is byte-identical to
+    * running the full `iters` cap, just cheaper. Pinned by PqTrainSpec
+    * (early-stop == fixed-count; job-count ceiling; fixture parity). */
+  private def lloydFusedQ(q: DataFrame, inits: Seq[Seq[Seq[Long]]],
+      sub: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
+    val m = inits.size
+    var books = inits
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      it += 1
+      // one flattened (subspace, cluster, dim, x) stream per row; the
+      // per-subspace assignment is computed once per row map-side
+      val flat = flatten(array((0 until m).map { j =>
+        val s = if (m == 1) col("__q") else slice(col("__q"), j * sub + 1, sub)
+        val c = element_at(Similarity.nearestCentroidsQ(s, books(j), 1), 1)
+        transform(s, (x, d) => struct(lit(j).as("sp"), c.as("c"),
+          d.as("d"), x.as("x")))
+      }: _*))
+      val sums = q.select(explode(flat).as("e"))
+        .groupBy(col("e.sp").as("sp"), col("e.c").as("c"), col("e.d").as("d"))
+        .agg(sum(col("e.x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val bySp = sums.groupBy(_.getInt(0))
+      val newBooks = books.zipWithIndex.map { case (book, j) =>
+        val byCluster = bySp.getOrElse(j, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+        book.zipWithIndex.map { case (old, cIdx) =>
+          byCluster.get(cIdx) match {
+            case Some(rows) =>
+              val arr = old.toArray
+              rows.foreach { r =>
+                arr(r.getInt(2)) =
+                  Math.floorDiv(2L * r.getLong(3) + r.getLong(4),
+                    2L * r.getLong(4))
+              }
+              arr.toVector
+            case None => old // empty cluster keeps its centroid
+          }
+        }
+      }
+      if (newBooks == books) converged = true
+      books = newBooks
+    }
+    books
+  }
+
+  /** Train the `m` integer PQ codebooks in-engine — ONE fused
+    * [[lloydFusedQ]] aggregate per iteration updates ALL m books at
+    * once over a single quantized, checkpointed pass of the training
+    * rows (≤ iters + m + setup jobs total, early-stopped at the integer
+    * fixed point). Replaces the offline fixture generator as the
     * production re-index path: retrain when the embedding distribution
     * drifts, feed the result straight to [[encodeQ]]/[[topKQ]]. */
   def trainCodebooksQ(df: DataFrame, idCol: String, vecCol: String,
@@ -150,12 +192,16 @@ object Pq {
       .select(col(idCol).cast("string").as("__id"),
         Similarity.quantize(col(vecCol)).as("__q"))
       .localCheckpoint()
-    val books = (0 until m).map { j =>
-      lloydQ(q.select(col("__id"),
-        slice(col("__q"), j * sub + 1, sub).as("__v")), ksub, s"pq$j", iters)
-    }
-    org.apache.spark.sql.GraftShims.unpersistCheckpoint(q)
-    books
+    try {
+      // per-subspace md5 init (one small TakeOrdered job each — setup,
+      // not per-iteration work), then ONE fused Lloyd for all m books
+      val inits = (0 until m).map { j =>
+        q.select(col("__id"), slice(col("__q"), j * sub + 1, sub).as("__v"))
+          .orderBy(md5(concat(col("__id"), lit(s":pq$j"))))
+          .limit(ksub).collect().map(_.getSeq[Long](1).toVector).toSeq
+      }
+      lloydFusedQ(q, inits, sub, iters)
+    } finally org.apache.spark.sql.GraftShims.unpersistCheckpoint(q)
   }
 
   /** Train the full-dimension integer IVF coarse quantizer in-engine
@@ -167,9 +213,8 @@ object Pq {
       .select(col(idCol).cast("string").as("__id"),
         Similarity.quantize(col(vecCol)).as("__v"))
       .localCheckpoint()
-    val cents = lloydQ(q, k, "coarse", iters)
-    org.apache.spark.sql.GraftShims.unpersistCheckpoint(q)
-    cents
+    try lloydQ(q, k, "coarse", iters)
+    finally org.apache.spark.sql.GraftShims.unpersistCheckpoint(q)
   }
 
   /** Per-label integer centroids (rounded means, label-sorted) — the

@@ -179,6 +179,18 @@ object JdbcSource {
     * Server) need the target table pre-created, after which the
     * INSERT/DELETE/ledger path is standard.
     *
+    * INDEX REQUIREMENT (`mergeKeys`): the upsert's correlated
+    * `DELETE … WHERE EXISTS` probes the TARGET once per staged row —
+    * on a target with an index over the merge keys that is an index
+    * probe each; on an UNINDEXED target the database degrades it to a
+    * scan of the target per probe (or a full-table nested loop),
+    * which at warehouse scale turns a micro-batch publish into hours.
+    * Callers MUST ensure a (unique or plain) index/primary key exists
+    * over exactly the `mergeKeys` columns — this is a hard operational
+    * requirement stated here as API contract, like the ANSI-CTAS
+    * dialect restriction below; JdbcIntegrationSpec exercises the
+    * indexed path.
+    *
     * Scale: step 1 is the same parallel executor write as [[write]]
     * (batches are micro-batch-sized); step 2 is one or two set-based
     * statements inside the database — no row movement through the

@@ -172,6 +172,133 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(got(("mix", 1.0)) == (50L, 50.0))
   }
 
+  test("NULL group keys refine like any other group (driver + dist)") {
+    val s = spark
+    import s.implicits._
+    // the null group MUST have >1 distinct value: the historical bug
+    // was the per-pass equi-join dropping null keys mid-refinement
+    val rows = Seq((Option("a"), 1.0), (Option("a"), 2.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0),
+      (Option.empty[String], 30.0), (Option.empty[String], 40.5))
+    val df = rows.toDF("g", "v")
+    for (res <- Seq(Quantiles.exactQuantiles(df, "g", "v", Seq(0.5, 1.0)),
+        Quantiles.exactQuantilesDist(df, "g", "v", Seq(0.5, 1.0)))) {
+      val got = res.collect()
+        .map(r => (Option(r.getString(0)), r.getDouble(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got((Some("a"), 0.5)) == (2L, 1.0))
+      assert(got((Some("a"), 1.0)) == (2L, 2.0))
+      assert(got((None, 0.5)) == (4L, 20.0))
+      assert(got((None, 1.0)) == (4L, 40.5))
+    }
+  }
+
+  test("fractional weight columns are rejected, not silently truncated") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 1.0, 0.5), ("g", 2.0, 1.5)).toDF("g", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "g", "v", Seq(0.5), weightCol = Some("w"))
+    }
+    assert(e.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Quantiles.exactQuantilesDist(df, "g", "v", Seq(0.5),
+        weightCol = Some("w"))
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("exactQuantilesDist == exactQuantiles on adversarial data " +
+      "(duplicates, negatives, infinities, weights)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      val g = s"g${i % 3}"
+      val v = rng.nextInt(6) match {
+        case 0 => rng.nextInt(10).toDouble
+        case 1 => -rng.nextDouble() * 1e6
+        case 2 => rng.nextDouble() * 1e-9
+        case 3 => rng.nextGaussian() * 100
+        case 4 => if (i % 500 == 0) Double.PositiveInfinity
+                  else rng.nextDouble()
+        case _ => rng.nextDouble() * 1e12
+      }
+      (g, v, 1L + rng.nextInt(5).toLong)
+    }
+    val df = rows.toDF("g", "v", "w").repartition(7)
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 1.0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getDouble(3))
+    assert(Quantiles.exactQuantilesDist(df, "g", "v", qs).collect()
+        .map(key).toMap ==
+      Quantiles.exactQuantiles(df, "g", "v", qs).collect().map(key).toMap)
+    assert(Quantiles.exactQuantilesDist(df, "g", "v", qs,
+        weightCol = Some("w")).collect().map(key).toMap ==
+      Quantiles.exactQuantiles(df, "g", "v", qs,
+        weightCol = Some("w")).collect().map(key).toMap)
+  }
+
+  test("exactQuantilesDist at 100k groups: driver never holds " +
+      "histograms, results exact") {
+    val s = spark
+    import s.implicits._
+    val nGroups = 100000
+    // 3 continuous values per group — high-cardinality domain stats,
+    // the shape the driver-map variant's contract excludes
+    val df = s.range(0, 3L * nGroups).select(
+      (col("id") % nGroups).cast("string").as("g"),
+      ((col("id") * 2654435761L % 1000003L) -
+        lit(500000L)).cast("double").as("v"))
+    val got = Quantiles.exactQuantilesDist(df, "g", "v", Seq(0.5))
+    val rows = got.collect()
+    assert(rows.length == nGroups)
+    // exact ground truth, computed independently per group
+    val byG = df.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1)
+    rows.take(500).foreach { r =>
+      val sorted = byG(r.getString(0)).map(_._2).sorted
+      assert(r.getLong(2) == 3L)
+      assert(r.getDouble(3) == sorted(1), s"median of group ${r.getString(0)}")
+    }
+    // spot-check the full frame cheaply: every median must be one of
+    // its group's values and ranked correctly — verified on the sample
+    // above; here assert global invariants
+    assert(rows.forall(_.getDouble(1) == 0.5))
+  }
+
+  test("gridQuantiles is a single cumulative pass: one WindowExec " +
+      "serves every fraction") {
+    val s = spark
+    import s.implicits._
+    val counts = (0 until 10).map(b => ("a", b.toLong, 10L))
+      .toDF("k", "b", "n_rows")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    // AQE nests the final plan under QueryStageExec leaves — recurse
+    def windows(p: SparkPlan): Seq[WindowExecBase] = {
+      val here = p match {
+        case w: WindowExecBase => Seq(w)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(windows)
+    }
+    val df = Quantiles.gridQuantiles(counts, "k", "b",
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
+    df.collect() // materialize so the adaptive plan is final
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.size == 1,
+      s"expected ONE WindowExec for all fractions, got ${ws.size}")
+    // both sums (cumulative + total) live in that one node
+    assert(ws.head.windowExpression.size == 2)
+  }
+
   test("gridQuantiles: bucket containing the true quantile, per key") {
     val s = spark
     import s.implicits._

@@ -160,6 +160,48 @@ class JdbcIntegrationSpec extends AnyFunSuite with SparkSpec {
       Seq(1 -> "a@test.com", 2 -> "b2@test.com", 3 -> "c3@test.com"))
   }
 
+  test("writeExactlyOnce upsert against a KEY-INDEXED target (the " +
+      "stated operational contract): converges, index intact") {
+    seeded
+    val spark2 = spark
+    import spark2.implicits._
+    // pre-create the target with a PRIMARY KEY over the merge key —
+    // the index the API contract requires so the correlated DELETE is
+    // an index probe per staged row, not a scan. Quoted lower-case
+    // identifiers to match Spark's JDBC writer column spelling.
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE eo_upsert_indexed (
+        |  "id" INT NOT NULL, "email" VARCHAR(64),
+        |  PRIMARY KEY ("id"))""".stripMargin)
+      st.close()
+    } finally conn.close()
+    val out = cfg.copy(table = "eo_upsert_indexed")
+    val keys = Seq("id")
+    assert(JdbcSource.writeExactlyOnce(
+      Seq((1, "a@test.com"), (2, "b@test.com")).toDF("id", "email"),
+      out, 0L, keys).rowsLoaded == 2)
+    assert(JdbcSource.writeExactlyOnce(
+      Seq((2, "b2@test.com"), (3, "c@test.com")).toDF("id", "email"),
+      out, 1L, keys).rowsLoaded == 2)
+    assert(snapshot("eo_upsert_indexed") ==
+      Seq(1 -> "a@test.com", 2 -> "b2@test.com", 3 -> "c@test.com"))
+    // the key index survived the delete+insert path (a duplicate-key
+    // violation would have aborted the transaction had the upsert
+    // tried insert-before-delete) and Derby still reports it
+    val conn2 = DriverManager.getConnection(url)
+    try {
+      val rs = conn2.getMetaData.getIndexInfo( // Derby stores unquoted
+        null, null, "EO_UPSERT_INDEXED", false, false) // names upper-case
+      val indexed = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("COLUMN_NAME")).toSet
+      rs.close()
+      assert(indexed.contains("id"),
+        s"merge-key index missing on target (indexed cols: $indexed)")
+    } finally conn2.close()
+  }
+
   test("jdbcExactlyOnceSink with mergeKeys: streamed upsert converges") {
     seeded
     val spark2 = spark
