@@ -377,6 +377,112 @@ case class BpeMergePairExpr(child: Expression, l: String, r: String)
     copy(child = newChild)
 }
 
+/** array<string> → array<struct<step:int, l:string, r:string, c:long>>:
+  * the per-word VERIFICATION TRACE of a speculative multi-merge batch
+  * ([[graft.text.BpeTrain.trainDistributedStats]]'s verified
+  * speculation). Applies the batch merges to the word's symbols one at
+  * a time (identical left-to-right non-overlapping semantics as
+  * [[BpeImpl.mergePair]]) and, at every state from `minState` merges
+  * applied through `batch.size` (the FINAL state included — its exact
+  * counts seed the next speculation leg of the chained-replay round),
+  * emits the
+  * word's counts of every RELEVANT adjacent pair — one in the
+  * `tracked` top-K list or touching a batch output symbol. Aggregated
+  * over the dictionary (× word freq), these are the EXACT corpus pair
+  * counts along the speculated trajectory: the driver verifies each
+  * speculative step's winner against them, with every untracked pair
+  * bounded by the round's pair floor (pairs not touching an output
+  * symbol never gain occurrences during the batch).
+  *
+  * Cost shape: O(len × batch) per word, map-side; output rows per word
+  * bounded by states × relevant pairs present. The batch/tracked
+  * constants ride `addReferenceObj`, so the generated source is
+  * round-independent (one janino compile for all rounds). */
+case class BpeBatchReplayExpr(child: Expression,
+    batch: Seq[(String, String)], tracked: Seq[(String, String)],
+    minState: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("step", IntegerType, nullable = false),
+    StructField("l", StringType, nullable = false),
+    StructField("r", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def prettyName: String = "graft_bpe_batch_replay"
+
+  @transient private lazy val batchU: Array[(UTF8String, UTF8String)] =
+    batch.iterator.map { case (l, r) =>
+      (UTF8String.fromString(l), UTF8String.fromString(r))
+    }.toArray
+  @transient private lazy val trackedSet =
+    tracked.iterator.map { case (l, r) =>
+      (UTF8String.fromString(l), UTF8String.fromString(r))
+    }.to(scala.collection.immutable.HashSet)
+  @transient private lazy val outputSet =
+    batch.iterator.map { case (l, r) => UTF8String.fromString(l + r) }
+      .to(scala.collection.immutable.HashSet)
+
+  private def applyMerge(syms: Array[UTF8String], l: UTF8String,
+      r: UTF8String): Array[UTF8String] = {
+    val out = Array.newBuilder[UTF8String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j).equals(l) &&
+          syms(j + 1).equals(r)) {
+        out += UTF8String.concat(l, r); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Called from generated code. */
+  def replay(input: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = input.numElements()
+    var cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = input.getUTF8String(i); i += 1 }
+    val out = Array.newBuilder[Any]
+    val counts =
+      scala.collection.mutable.HashMap.empty[(UTF8String, UTF8String), Long]
+    var j = 1
+    while (j <= batchU.length) {
+      cur = applyMerge(cur, batchU(j - 1)._1, batchU(j - 1)._2)
+      if (j >= minState) {
+        counts.clear()
+        var i2 = 0
+        while (i2 < cur.length - 1) {
+          val a = cur(i2); val b = cur(i2 + 1)
+          if (outputSet.contains(a) || outputSet.contains(b) ||
+              trackedSet.contains((a, b)))
+            counts.updateWith((a, b))(v => Some(v.getOrElse(0L) + 1L))
+          i2 += 1
+        }
+        counts.foreach { case ((l, r), c) =>
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](j, l, r, c))
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    replay(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeReplay", this,
+      "graft.functions.BpeBatchReplayExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.replay($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeBatchReplayExpr =
+    copy(child = newChild)
+}
+
 object NativeBpe {
   /** Column wrappers. */
   def bpeTokenCount(text: Column, artifactKey: String = "default"): Column =
@@ -387,4 +493,8 @@ object NativeBpe {
     GraftShims.column(BpeInitSymsExpr(GraftShims.expression(word)))
   def bpeMergePair(syms: Column, l: String, r: String): Column =
     GraftShims.column(BpeMergePairExpr(GraftShims.expression(syms), l, r))
+  def bpeBatchReplay(syms: Column, batch: Seq[(String, String)],
+      tracked: Seq[(String, String)], minState: Int): Column =
+    GraftShims.column(BpeBatchReplayExpr(GraftShims.expression(syms),
+      batch, tracked, minState))
 }

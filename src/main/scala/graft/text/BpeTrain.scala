@@ -191,7 +191,26 @@ object BpeTrain {
     * provable. The head winner is always exact (global argmax over
     * complete information), so every round advances ≥ 1 merge. */
   private[text] def selectExactBatch(stats: RoundStats,
-      isLiveSymbol: String => Boolean, budget: Int): Seq[(String, String, Long)] = {
+      isLiveSymbol: String => Boolean, budget: Int): Seq[(String, String, Long)] =
+    simulateBatch(stats, isLiveSymbol, budget, speculate = false)._1
+
+  /** [[selectExactBatch]] generalized with VERIFIED SPECULATION
+    * (`speculate = true`): instead of ending the round at the first
+    * unprovable step, the simulation CONTINUES past it with best-effort
+    * count updates (missing/stale triples treated as their most likely
+    * value) up to `budget` steps, returning the speculated sequence
+    * plus `provableLen` — the length of the prefix the exact mode
+    * would have emitted. Until the first exact-mode stop condition the
+    * simulation state is BIT-IDENTICAL to exact mode (the lenient
+    * update rules only engage after `provable` flips), so `provableLen`
+    * is sound: steps ≤ provableLen need no verification; steps beyond
+    * it are *predictions* whose true winners the caller must confirm
+    * against the [[graft.functions.BpeBatchReplayExpr]] replay counts
+    * (exactness restored by accepting only the verified prefix —
+    * speculation errors cost wasted suffix, never a wrong merge). */
+  private[text] def simulateBatch(stats: RoundStats,
+      isLiveSymbol: String => Boolean, budget: Int,
+      speculate: Boolean): (Seq[(String, String, Long)], Int) = {
     import scala.collection.mutable
     val pairOrd = new Ordering[(String, String)] {
       def compare(x: (String, String), y: (String, String)): Int = {
@@ -218,6 +237,13 @@ object BpeTrain {
       else Some(exact.minBy { case (p, f) => (-f, p) }(
         Ordering.Tuple2(Ordering.Long, pairOrd)))
 
+    // `provable` mirrors exact mode: true until the first condition
+    // that would have ended an exact round. While provable, every code
+    // path below is BIT-IDENTICAL to exact mode (lenient rules are
+    // gated on !provable), so provableLen is sound
+    var provable = true
+    var provableLen = 0
+    def lenient: Boolean = speculate && !provable
     var stop = false
     while (!stop && out.size < budget) {
       winner() match {
@@ -226,14 +252,20 @@ object BpeTrain {
           // strictly above every unknowable count, else unorderable —
           // except the head, which is the global argmax over complete
           // information (the round's sort saw every pair): always exact
-          if (out.nonEmpty && f <= unknownBar) stop = true
-          else {
+          if (out.nonEmpty && f <= unknownBar && provable) {
+            if (!speculate) stop = true
+            else provable = false // emit anyway — a prediction now
+          }
+          if (!stop) {
             out += ((a, b, f))
+            if (provable) provableLen += 1
             val m = a + b
             val terminal = isLiveSymbol(m) || outputs.contains(m) ||
               a == b || tainted((a, b))
-            if (terminal || out.size == budget) stop = true
-            else {
+            if (terminal && !speculate) stop = true
+            else if (terminal) provable = false // simulate on, predicted
+            if (!stop && out.size == budget) stop = true
+            if (!stop) {
               exact.remove((a, b))
               dirty += a; dirty += b; dirty += m
               outputs += m
@@ -262,6 +294,14 @@ object BpeTrain {
                       !dirty(other) && !tainted(p) =>
                     if (dec >= fp) { exact.remove(p); () }
                     else { exact(p) = fp - dec; tainted += p }
+                  case _ if lenient =>
+                    // prediction mode: a missing/stale triple's most
+                    // likely decrement is the seen value or 0 — keep
+                    // the pair live so the simulation can rank it; the
+                    // replay verifies whatever this guesses
+                    val dec = t.getOrElse(0L)
+                    if (dec >= fp) { exact.remove(p); () }
+                    else { exact(p) = fp - dec; tainted += p }
                   case _ =>
                     exact.remove(p); unknownBar = math.max(unknownBar, fp)
                 }
@@ -274,13 +314,17 @@ object BpeTrain {
               }
               // exact creations from seen triples (clean outer symbol);
               // dirty/self-chain outer symbols fold into the bound
+              // clean-symbol creations are exact; in lenient mode a
+              // stale (dirty/self-chain) triple count still beats
+              // dropping the created pair — the prediction horizon is
+              // what buys batch length, and the replay verifies it all
               stats.triples.foreach {
                 case ((x, ta, tb), c) if ta == a && tb == b =>
-                  if (x != b && !dirty(x)) {
+                  if (x != b && !dirty(x) || lenient) {
                     if (c > 0) { exact((x, m)) = c; tainted += ((x, m)) }
                   } else unknownBar = math.max(unknownBar, c)
                 case ((ta, tb, y), c) if ta == a && tb == b =>
-                  if (y != a && !dirty(y)) {
+                  if (y != a && !dirty(y) || lenient) {
                     if (c > 0) { exact((m, y)) = c; tainted += ((m, y)) }
                   } else unknownBar = math.max(unknownBar, c)
                 case _ => ()
@@ -289,7 +333,7 @@ object BpeTrain {
           }
       }
     }
-    out.toSeq
+    (out.toSeq, provableLen)
   }
 
   /** FULLY DISTRIBUTED training: the (word → symbols, freq) dictionary
@@ -326,17 +370,40 @@ object BpeTrain {
     * (pinned by BpeTrainSpec at 200 merges): same tie order, same
     * left-to-right merge-all, same vocab layout. */
   def trainDistributed(docs: DataFrame, textCol: String, nMerges: Int,
-      maxWords: Option[Int] = None,
-      batchTopK: Int = 256): (Seq[(String, String, Long)], Seq[String]) = {
-    val r = trainDistributedStats(docs, textCol, nMerges, maxWords, batchTopK)
+      maxWords: Option[Int] = None, batchTopK: Int = 256,
+      maxBatch: Int = 64): (Seq[(String, String, Long)], Seq[String]) = {
+    val r = trainDistributedStats(docs, textCol, nMerges, maxWords,
+      batchTopK, maxBatch)
     (r.merges, r.vocab)
   }
 
   /** [[trainDistributed]] plus the round count (for scale assertions —
-    * batching should cost far fewer rounds than merges). */
+    * batching should cost far fewer rounds than merges).
+    *
+    * VERIFIED SPECULATION (round shape): each round (1) counts pairs,
+    * (2) counts triples, (3) runs [[simulateBatch]] speculatively up to
+    * `maxBatch` steps — the prefix exact mode could PROVE plus a
+    * predicted continuation past the old stopping conditions (truncated
+    * triples, dirty symbols, self-chains, live-symbol outputs), (4) if
+    * anything speculative was proposed, ONE
+    * [[graft.functions.BpeBatchReplayExpr]] aggregate replays the
+    * speculated trajectory over the dictionary and returns the EXACT
+    * corpus counts of every candidate pair at every intermediate state,
+    * (5) the driver accepts speculative steps while each one's true
+    * argmax (replay counts for tracked/created pairs; the round's pair
+    * floor bounds everything else — pairs not touching a batch output
+    * can only LOSE occurrences mid-batch) matches the prediction,
+    * strictly above the floor; the first divergence contributes its
+    * CORRECTED winner (the replay told us the true one) and ends the
+    * round, so a wrong guess costs wasted suffix, never a wrong merge;
+    * (6) only accepted merges are applied. Every emitted merge is
+    * therefore the true sequential winner with its true corpus
+    * frequency — byte-identical to [[trainFromCounts]], pinned by
+    * BpeTrainSpec parity and the tools/fuzz sweeps — while a round can
+    * now emit up to `maxBatch` merges for 4 jobs. */
   def trainDistributedStats(docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Option[Int] = None,
-      batchTopK: Int = 256): DistTrainResult = {
+      batchTopK: Int = 256, maxBatch: Int = 64): DistTrainResult = {
     import graft.functions.NativeBpe
     import org.apache.spark.sql.GraftShims
     require(batchTopK >= 1, s"batchTopK must be >= 1, got $batchTopK")
@@ -410,7 +477,96 @@ object BpeTrain {
             sawAllTriples = trip.length < tripleTopK,
             tripleFloor = if (trip.isEmpty) 0L else trip.last.getLong(3))
         }
-        val batch = selectExactBatch(stats, live, budget)
+        val cap = math.min(budget, maxBatch)
+        val floor = if (stats.sawAllPairs) 0L else stats.pairs.last._3
+        val pairOrd = new Ordering[(String, String)] {
+          def compare(x: (String, String), y: (String, String)): Int = {
+            val c = cpCompare(x._1, y._1)
+            if (c != 0) c else cpCompare(x._2, y._2)
+          }
+        }
+        val trackedPairs = stats.pairs.map(p => (p._1, p._2))
+        val (spec0, provable0) =
+          simulateBatch(stats, live, cap, speculate = true)
+        val verified = scala.collection.mutable.ArrayBuffer(
+          spec0.take(provable0): _*)
+        var curSpec: Seq[(String, String)] =
+          spec0.map(s => (s._1, s._2))
+        // CHAINED REPLAYS: each replay verifies the current speculative
+        // suffix; a divergence contributes its corrected winner AND the
+        // exact counts at that state, from which a FRESH speculation
+        // continues — so one round keeps extending (one job per leg,
+        // each leg ≥ 1 verified merge) until the cap or a floor stall
+        var replays = 0
+        var stalled = false
+        while (!stalled && verified.size < curSpec.size &&
+            verified.size < cap) {
+          replays += 1
+          val repl = cur
+            .select(explode(graft.functions.NativeBpe.bpeBatchReplay(
+              col("syms"), curSpec, trackedPairs, verified.size)).as("e"),
+              col("freq"))
+            .groupBy(col("e.step").as("s"), col("e.l").as("l"),
+              col("e.r").as("r"))
+            .agg(sum(col("e.c") * col("freq")).as("f"))
+            .collect()
+          val byState = repl.groupBy(_.getInt(0)).view.mapValues(_.map(r =>
+            (r.getString(1), r.getString(2), r.getLong(3))).toSeq).toMap
+          var t = verified.size + 1
+          var go = true
+          var diverged = false
+          while (go && t <= curSpec.size && verified.size < cap) {
+            val cnts = byState.getOrElse(t - 1, Seq.empty).filter(_._3 > 0L)
+            if (cnts.isEmpty) { go = false; stalled = true }
+            else {
+              val (wl, wr, fw) = cnts.minBy { case (l, r, f) =>
+                (-f, (l, r))
+              }(Ordering.Tuple2(Ordering.Long, pairOrd))
+              // strictly above the floor, or an unseen pair could tie
+              // and win the lexicographic break — unorderable
+              if (fw <= floor) { go = false; stalled = true }
+              else {
+                verified += ((wl, wr, fw)) // the TRUE winner, true count
+                if (wl == curSpec(t - 1)._1 && wr == curSpec(t - 1)._2)
+                  t += 1
+                else { go = false; diverged = true }
+              }
+            }
+          }
+          if (!stalled && verified.size < cap) {
+            // seed the next speculation leg from the last state whose
+            // counts are EXACT: the divergence state (its corrected
+            // winner heads the new simulation) or the fully-verified
+            // trajectory's final state
+            val seedState = if (diverged) verified.size - 1 else verified.size
+            val seed = byState.getOrElse(seedState, Seq.empty)
+              .filter(_._3 > 0L)
+              .sortBy { case (l, r, f) => (-f, (l, r)) }(
+                Ordering.Tuple2(Ordering.Long, pairOrd))
+            if (seed.isEmpty) stalled = true
+            else {
+              val liveNow = live.toSet ++ verified.map(v => v._1 + v._2)
+              val (seq2, _) = simulateBatch(
+                RoundStats(seed.toIndexedSeq, sawAllPairs = false,
+                  stats.triples, stats.sawAllTriples, stats.tripleFloor),
+                liveNow, cap - seedState, speculate = true)
+              // on divergence the new head re-derives the corrected
+              // winner (same exact counts, same order); nothing new
+              // beyond it means the leg made no forward prediction
+              val newSpec = verified.take(seedState).map(v => (v._1, v._2))
+                .toSeq ++ seq2.map(s => (s._1, s._2))
+              if (newSpec.size <= verified.size ||
+                  newSpec.take(verified.size) !=
+                    verified.map(v => (v._1, v._2)).toSeq)
+                stalled = true // defensive: no progress or prefix drift
+              else curSpec = newSpec
+            }
+          }
+        }
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          println(s"DBG round provable=$provable0 accepted=${verified.size} " +
+            s"replays=$replays cap=$cap stalled=$stalled")
+        val batch: Seq[(String, String, Long)] = verified.toSeq
         merges ++= batch
         batch.foreach { case (l, r, _) => live += (l + r) }
         val prev = cur
