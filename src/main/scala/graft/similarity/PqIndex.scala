@@ -1,0 +1,204 @@
+package graft.similarity
+
+import graft.core.AtomicSwap
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVFADC index + RECALL WATCHDOG — the maintenance loop the
+  * in-engine trainers ([[Pq.trainCoarseQ]]/[[Pq.trainCodebooksQ]])
+  * enable: train → encode → serve from disk → WATCH recall on a
+  * held-out query sample → retrain + atomically re-index when drift
+  * pushes recall below the floor. Before this, re-indexing was an
+  * operator decision; [[maintain]] makes it a measured one.
+  *
+  * On-disk layout under `path/`:
+  *  - `meta/` — one tiny parquet of (kind, idx, sub, vals array<long>):
+  *    `coarse` rows are the full-dimension integer cells (sub = −1),
+  *    `codebook` rows the per-subspace PQ centroids. Integer artifacts
+  *    (the [[PqFixture]] discipline) keep every ADC distance exact and
+  *    the index byte-reproducible on any cluster layout.
+  *  - `corpus/` — (id, codes array<tinyint>) PARTITIONED BY cluster:
+  *    a query probing nProbe cells reads only those directories, and
+  *    the m-byte codes are the only per-row payload (the float vectors
+  *    stay in the source table — the point of PQ).
+  *
+  * Swap discipline: a replacement index (meta AND corpus — the
+  * artifacts and the encoding they produced must never be mixed across
+  * generations) is FULLY written beside the live directory, then
+  * published through [[graft.core.AtomicSwap]]: rename-aside + rename-in
+  * + retire, with [[AtomicSwap.heal]] at every read entry — a crash at
+  * any interruption point leaves one complete index readable.
+  *
+  * Scale shape: training is sample-bounded (`maxTrainRows`), encode is
+  * ONE map-side pass over the corpus (assignment + PQ codes ride the
+  * same projection), recall evaluation is brute force over the QUERY
+  * SAMPLE only (a few hundred queries — the corpus is scanned once,
+  * never shuffled), and the retrain trigger reads nothing but that
+  * number. */
+object PqIndex {
+
+  /** The driver-small index artifacts: k×dim coarse cells + m×ksub×dsub
+    * PQ codebooks, all integer. */
+  final case class Index(coarse: Seq[Seq[Long]], books: Seq[Seq[Seq[Long]]])
+
+  /** What [[maintain]] did and measured. `recallAfter == recallBefore`
+    * when the floor held and nothing was retrained. */
+  final case class MaintainResult(recallBefore: Double, retrained: Boolean,
+      recallAfter: Double, floor: Double)
+
+  /** Train both quantizer tiers on (a bounded sample of) the corpus —
+    * deterministic integer Lloyd, byte-reproducible. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      kCells: Int = 10, m: Int = 4, ksub: Int = 8, iters: Int = 25,
+      maxTrainRows: Option[Long] = None): Index =
+    Index(
+      Pq.trainCoarseQ(corpus, idCol, vecCol, kCells, iters, maxTrainRows),
+      Pq.trainCodebooksQ(corpus, idCol, vecCol, m, ksub, iters, maxTrainRows))
+
+  /** Encode + write a COMPLETE index generation into `dir` (not the
+    * live path — callers publish via the atomic swap). */
+  private def writeTo(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, ix: Index): Unit = {
+    import spark.implicits._
+    val prep = corpus.select(col(idCol).cast("string").as("id"),
+      Similarity.quantize(col(vecCol)).as("q"))
+    val encoded = Pq.encodeQ(
+        prep.withColumn("cluster", element_at(
+          Similarity.nearestCentroidsQ(col("q"), ix.coarse, 1), 1)),
+        "q", ix.books)
+      .select(col("id"), col("q_pq").as("codes"), col("cluster"))
+    encoded.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/corpus")
+    val metaRows =
+      ix.coarse.zipWithIndex.map { case (c, i) => ("coarse", i, -1, c) } ++
+        ix.books.zipWithIndex.flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (c, i) => ("codebook", i, j, c) }
+        }
+    metaRows.toDF("kind", "idx", "sub", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Heal a cut-mid-swap index, if any — called at every entry. */
+  private def heal(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(spark, path)
+    AtomicSwap.heal(fs, p, new Path(path + "__bak"))
+  }
+
+  /** Publish the generation under `path__new` over the live `path`. */
+  private def publish(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(spark, path)
+    AtomicSwap.publish(fs, p, new Path(path + "__new"),
+      new Path(path + "__bak"))
+  }
+
+  /** Train on the corpus and publish a fresh index at `path`
+    * (crash-safe: the generation is complete before the swap). */
+  def build(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, vecCol: String, kCells: Int = 10, m: Int = 4,
+      ksub: Int = 8, iters: Int = 25,
+      maxTrainRows: Option[Long] = None): Index = {
+    heal(spark, path)
+    val ix = train(corpus, idCol, vecCol, kCells, m, ksub, iters,
+      maxTrainRows)
+    writeTo(spark, path + "__new", corpus, idCol, vecCol, ix)
+    publish(spark, path)
+    ix
+  }
+
+  /** Re-encode a changed corpus with the CURRENT artifacts (the
+    * ingest-time path: rows moved, quantizers reused) — the scenario
+    * that makes a recall watchdog necessary, because nothing here
+    * checks that the stale artifacts still fit the data. */
+  def reencode(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    heal(spark, path)
+    val ix = loadMeta(spark, path)
+    writeTo(spark, path + "__new", corpus, idCol, vecCol, ix)
+    publish(spark, path)
+  }
+
+  /** Load the integer artifacts (tiny). */
+  def loadMeta(spark: SparkSession, path: String): Index = {
+    heal(spark, path)
+    val rows = spark.read.parquet(s"$path/meta").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Long](3).toVector))
+    val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4).toSeq
+    val books = rows.filter(_._1 == "codebook").groupBy(_._3).toSeq
+      .sortBy(_._1).map(_._2.sortBy(_._2).map(_._4).toSeq)
+    require(coarse.nonEmpty && books.nonEmpty &&
+      books.forall(_.size == books.head.size),
+      s"index at $path is torn: ${coarse.size} cells, " +
+        s"ragged codebooks ${books.map(_.size)}")
+    Index(coarse, books)
+  }
+
+  /** ADC top-k straight off the persisted index: only the probed
+    * cluster directories and the m-byte codes are read. Output matches
+    * [[Pq.topKQ]]: (query_id, rank, neighbor_id, adc_dist). */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val ix = loadMeta(spark, path)
+    val indexed = spark.read.parquet(s"$path/corpus")
+      .withColumnRenamed("codes", "q_pq")
+    val q = queries.select(col(idCol).cast("string").as("id"),
+      Similarity.quantize(col(vecCol)).as("q"))
+    Pq.topKQ(indexed, q, "id", "q", ix.coarse, ix.books, k, nProbe)
+  }
+
+  /** Mean recall@k of the live index against brute-force cosine over a
+    * held-out query sample — the watchdog's ONE number. Brute force
+    * touches queries × corpus candidate rows (the sample is small by
+    * contract); the index side reads only probed cells. */
+  def recallAt(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): Double = {
+    val brute = Similarity
+      .bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id").cast("string").as("query_id"),
+        col("neighbor_id").cast("string").as("neighbor_id"))
+      .localCheckpoint()
+    val approx = topK(spark, path, queries, idCol, vecCol, k, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(brute, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    val total = brute.count()
+    val r = if (total == 0L) 1.0 else hits.toDouble / total
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(brute)
+    r
+  }
+
+  /** The WATCHDOG: measure recall on the held-out sample; below the
+    * floor, retrain BOTH quantizer tiers on the current corpus,
+    * re-encode, swap atomically, and re-measure. Schedule this beside
+    * the ingest (e.g. after every [[reencode]] / compaction window);
+    * when the floor holds it costs one recall evaluation and touches
+    * nothing. */
+  def maintain(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, floor: Double,
+      k: Int = 10, nProbe: Int = 4, kCells: Int = 10, m: Int = 4,
+      ksub: Int = 8, iters: Int = 25,
+      maxTrainRows: Option[Long] = None): MaintainResult = {
+    require(floor > 0.0 && floor <= 1.0, s"floor must be in (0, 1]: $floor")
+    heal(spark, path)
+    val before = recallAt(spark, path, corpus, queries, idCol, vecCol, k,
+      nProbe)
+    if (before >= floor) MaintainResult(before, retrained = false, before,
+      floor)
+    else {
+      val ix = train(corpus, idCol, vecCol, kCells, m, ksub, iters,
+        maxTrainRows)
+      writeTo(spark, path + "__new", corpus, idCol, vecCol, ix)
+      publish(spark, path)
+      val after = recallAt(spark, path, corpus, queries, idCol, vecCol, k,
+        nProbe)
+      MaintainResult(before, retrained = true, after, floor)
+    }
+  }
+}
