@@ -309,6 +309,18 @@ object ValidationQueries extends QueryPack {
       table(s, dir, "events"), "event_type", "value",
       Seq(0.25, 0.5, 0.9, 0.95))
 
+  /** [[vExactQuantiles]]' HIGH-CARDINALITY twin through the DISTRIBUTED
+    * search state ([[graft.operators.Quantiles.exactQuantilesDist]]):
+    * per-USER p50/p95 of `value` — the group column nobody would hand
+    * to a driver-map descent at scale (10⁵–10⁶ users; 150 here, the
+    * semantics identical at any cardinality). The per-pass histograms
+    * and the cumulative-mass descent run as DataFrame work, the driver
+    * holds only the loop counter, and the result is the same exact
+    * k-th-smallest contract the oracle derives by row_number. */
+  def vQuantilesDist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.exactQuantilesDist(
+      table(s, dir, "events"), "user_id", "value", Seq(0.5, 0.95))
+
   /** GRID quantiles over accumulated bucket counts
     * ([[graft.operators.Quantiles.gridQuantiles]] — the streaming
     * read-side of the drift sink's folded state), pinned end to end:
@@ -475,6 +487,7 @@ object ValidationQueries extends QueryPack {
     "v_drift_ks" -> (vDriftKs _),
     "v_drift_grid_bound" -> (vDriftGridBound _),
     "v_exact_quantiles" -> (vExactQuantiles _),
+    "v_quantiles_dist" -> (vQuantilesDist _),
     "v_grid_quantiles" -> (vGridQuantiles _),
     "v_drift_stream" -> (vDriftStream _),
     "v_stats_events" -> (vStatsEvents _),
@@ -625,6 +638,22 @@ object ValidationQueries extends QueryPack {
       FROM r JOIN qs
         ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
       ORDER BY r.event_type, qs.q""",
+    "v_quantiles_dist" -> """
+      WITH ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+      r AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM ev),
+      qs AS (SELECT * FROM (VALUES (0.5), (0.95)) AS t(q))
+      SELECT r.user_id, CAST(qs.q AS DOUBLE) AS q,
+             CAST(r.n AS BIGINT) AS n, r.value
+      FROM r JOIN qs
+        ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
+      ORDER BY r.user_id, qs.q""",
     "v_drift_grid_bound" -> s"""
       WITH ev AS (
         SELECT event_type, value,

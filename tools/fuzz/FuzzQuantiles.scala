@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 /** 25-trial randomized parity sweep for iterative exact quantiles:
   * massive ties, mixed-sign extreme magnitudes, random finite IEEE
   * bit patterns, planted infinities, bits down to 4 (forcing ~16
-  * refinement passes). Any MISMATCH line is a bug. */
+  * refinement passes). Both descent engines are checked per trial —
+  * the driver-map variant and the distributed-search-state variant
+  * must each equal the brute-force rank. Any MISMATCH is a bug. */
 object FuzzQuantiles {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -33,8 +35,11 @@ object FuzzQuantiles {
       }
       val qs = Seq(0.001, 0.1, 0.33, 0.5, 0.77, 0.99, 1.0)
       val bits = Seq(4, 8, 12)(rng.nextInt(3))
-      val got = Quantiles.exactQuantiles(
-          rows.toDF("g", "v").repartition(5), "g", "v", qs, bits)
+      val df = rows.toDF("g", "v").repartition(5)
+      val got = Quantiles.exactQuantiles(df, "g", "v", qs, bits)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val gotDist = Quantiles.exactQuantilesDist(df, "g", "v", qs, bits)
         .collect().map(r => (r.getString(0), r.getDouble(1)) ->
           (r.getLong(2), r.getDouble(3))).toMap
       rows.groupBy(_._1).foreach { case (g, rs) =>
@@ -42,10 +47,14 @@ object FuzzQuantiles {
         val nn = sorted.length.toLong
         qs.foreach { q =>
           val k = math.max(1L, math.ceil(q * nn).toLong)
-          val (gn, gv) = got((g, q))
-          if (gn != nn || gv != sorted((k - 1).toInt)) {
+          val exp = (nn, sorted((k - 1).toInt))
+          if (got((g, q)) != exp) {
             fails += 1
-            println(s"MISMATCH trial=$trial g=$g q=$q bits=$bits")
+            println(s"MISMATCH trial=$trial g=$g q=$q bits=$bits (driver)")
+          }
+          if (gotDist((g, q)) != exp) {
+            fails += 1
+            println(s"MISMATCH trial=$trial g=$g q=$q bits=$bits (dist)")
           }
         }
       }

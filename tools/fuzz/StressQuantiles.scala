@@ -52,6 +52,41 @@ object StressQuantiles {
     require(refined == sorted, s"mismatch:\n$refined\n$sorted")
     println(f"refinement: $tR%.1f s, $sR%.1f MB shuffle")
     println(f"distinct-window: $tS%.1f s, $sS%.1f MB shuffle")
+
+    // distributed search state on the SAME 10M rows — parity + cost
+    val (dist, tD, sD) = timed {
+      graft.operators.Quantiles.exactQuantilesDist(df, "g", "v",
+          Seq(0.5, 0.95))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    }
+    require(dist == refined, s"dist mismatch:\n$dist\n$refined")
+    println(f"refinement-dist (4 groups): $tD%.1f s, $sD%.1f MB shuffle")
+
+    // the case the driver-map variant cannot serve: 100k groups × 100
+    // continuous rows — per-pass histograms would be 100k × 2^bits
+    // driver rows; the distributed descent keeps them executor-side
+    val wide = spark.range(0, 10000000).select(
+        (col("id") % 100000).cast("string").as("g"),
+        (sin(col("id").cast("double")) * 1e6).as("v"))
+      .localCheckpoint()
+    val (wideGot, tW, sW) = timed {
+      graft.operators.Quantiles.exactQuantilesDist(wide, "g", "v", Seq(0.5))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    }
+    // exact ground truth for a sample of groups via the distinct-window
+    val check = wide.filter(col("g").isin("0", "31415", "99999"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("cnt"))
+    val wCum2 = Window.partitionBy($"g").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll2 = Window.partitionBy($"g")
+    val exp = check.withColumn("cum", sum($"cnt").over(wCum2))
+      .withColumn("n", sum($"cnt").over(wAll2))
+      .filter($"cum" >= greatest(lit(1L), ceil($"n" * lit(0.5)).cast("long")))
+      .groupBy($"g").agg(min($"v").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(wideGot.size == 100000 && exp.forall { case (g, v) => wideGot(g) == v },
+      s"wide-group mismatch: ${exp.map { case (g, v) => (g, v, wideGot(g)) }}")
+    println(f"refinement-dist (100k groups): $tW%.1f s, $sW%.1f MB shuffle")
     spark.stop()
   }
 }
