@@ -321,6 +321,25 @@ object ValidationQueries extends QueryPack {
     graft.operators.Quantiles.exactQuantilesDist(
       table(s, dir, "events"), "user_id", "value", Seq(0.5, 0.95))
 
+  /** WEIGHTED exact quantiles ([[graft.operators.Quantiles
+    * .exactQuantiles]] with `weightCol`): per-source TOKEN-weighted
+    * document-length percentiles — the q-point of the token MASS, not
+    * the document count (a corpus-budget question: "half the tokens
+    * live in documents shorter than THIS"). Each doc contributes its
+    * whitespace token count as an integer multiplicity
+    * (k = max(1, ⌈q·W⌉) over total token weight W); the refinement
+    * machinery is unchanged — histograms sum weights. The oracle
+    * derives the same rank by cumulative weight over per-value mass
+    * (deterministic regardless of intra-value ordering, which a
+    * weighted row_number would not be). */
+  def vWeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("__w"))
+    graft.operators.Quantiles.exactQuantiles(docs, "source", "n_chars",
+      Seq(0.5, 0.9), weightCol = Some("__w"))
+  }
+
   /** GRID quantiles over accumulated bucket counts
     * ([[graft.operators.Quantiles.gridQuantiles]] — the streaming
     * read-side of the drift sink's folded state), pinned end to end:
@@ -488,6 +507,7 @@ object ValidationQueries extends QueryPack {
     "v_drift_grid_bound" -> (vDriftGridBound _),
     "v_exact_quantiles" -> (vExactQuantiles _),
     "v_quantiles_dist" -> (vQuantilesDist _),
+    "v_weighted_quantiles" -> (vWeightedQuantiles _),
     "v_grid_quantiles" -> (vGridQuantiles _),
     "v_drift_stream" -> (vDriftStream _),
     "v_stats_events" -> (vStatsEvents _),
@@ -654,6 +674,26 @@ object ValidationQueries extends QueryPack {
       FROM r JOIN qs
         ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
       ORDER BY r.user_id, qs.q""",
+    "v_weighted_quantiles" -> """
+      WITH d AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS v,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w
+        FROM documents WHERE n_chars IS NOT NULL),
+      vals AS (
+        SELECT source, v, SUM(w) AS vw FROM d WHERE w > 0
+        GROUP BY source, v),
+      cum AS (
+        SELECT source, v,
+               SUM(vw) OVER (PARTITION BY source ORDER BY v) AS cw,
+               SUM(vw) OVER (PARTITION BY source) AS W
+        FROM vals),
+      qs AS (SELECT * FROM (VALUES (0.5), (0.9)) AS t(q))
+      SELECT source, CAST(qs.q AS DOUBLE) AS q,
+             CAST(MAX(cum.W) AS BIGINT) AS n, MIN(cum.v) AS value
+      FROM cum JOIN qs
+        ON cum.cw >= GREATEST(1, CAST(CEIL(qs.q * cum.W) AS BIGINT))
+      GROUP BY source, qs.q
+      ORDER BY source, qs.q""",
     "v_drift_grid_bound" -> s"""
       WITH ev AS (
         SELECT event_type, value,
