@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   *    `codebook` rows the per-subspace PQ centroids. Integer artifacts
   *    (the [[PqFixture]] discipline) keep every ADC distance exact and
   *    the index byte-reproducible on any cluster layout.
-  *  - `corpus/` — (id, codes array<tinyint>) PARTITIONED BY cluster:
-  *    a query probing nProbe cells reads only those directories, and
-  *    the m-byte codes are the only per-row payload (the float vectors
-  *    stay in the source table — the point of PQ).
+  *  - `corpus/batch=<id>/` — (id, codes array<tinyint>) PARTITIONED BY
+  *    cluster inside each batch directory: a query probing nProbe
+  *    cells reads only those cluster directories, and the m-byte codes
+  *    are the only per-row payload (the float vectors stay in the
+  *    source table — the point of PQ). A generation build writes
+  *    `batch=-1`; [[append]] lands each increment under its own
+  *    `batch=<id>` (the repo-wide idempotent batch=id layout), so
+  *    ingest cost is ∝ new rows and a replayed batch overwrites
+  *    exactly itself.
   *
   * Swap discipline: a replacement index (meta AND corpus — the
   * artifacts and the encoding they produced must never be mixed across
@@ -69,7 +74,7 @@ object PqIndex {
         "q", ix.books)
       .select(col("id"), col("q_pq").as("codes"), col("cluster"))
     encoded.write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$dir/corpus")
+      .parquet(s"$dir/corpus/batch=-1")
     val metaRows =
       ix.coarse.zipWithIndex.map { case (c, i) => ("coarse", i, -1, c) } ++
         ix.books.zipWithIndex.flatMap { case (book, j) =>
@@ -121,6 +126,33 @@ object PqIndex {
     val ix = loadMeta(spark, path)
     writeTo(spark, path + "__new", corpus, idCol, vecCol, ix)
     publish(spark, path)
+  }
+
+  /** INCREMENTAL ingest: encode ONLY `rows` with the CURRENT artifacts
+    * and land them under `corpus/batch=<batchId>` — per-call cost ∝
+    * new rows (one map-side assign+encode projection, one write),
+    * never a corpus re-encode ([[reencode]] is the full-rewrite path;
+    * this is what a 100 TB corpus actually runs per ingest window).
+    * A replayed batchId overwrites exactly its own directory, so
+    * crash-replay is idempotent. Append-only contract: ids must be
+    * NEW — an updated id would coexist with its old encoding until the
+    * next retrain absorbs everything into a fresh `batch=-1`
+    * generation (the [[graft.streaming.Streams.ivfIngestSink]]
+    * frozen-centroid discipline). Stale-artifact drift is [[maintain]]'s
+    * job: run it on a cadence; a retrain re-encodes the caller's FULL
+    * corpus and the atomic swap retires every batch directory. */
+  def append(spark: SparkSession, path: String, rows: DataFrame,
+      idCol: String, vecCol: String, batchId: Long): Unit = {
+    val ix = loadMeta(spark, path)
+    val prep = rows.select(col(idCol).cast("string").as("id"),
+      Similarity.quantize(col(vecCol)).as("q"))
+    Pq.encodeQ(
+        prep.withColumn("cluster", element_at(
+          Similarity.nearestCentroidsQ(col("q"), ix.coarse, 1), 1)),
+        "q", ix.books)
+      .select(col("id"), col("q_pq").as("codes"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/corpus/batch=$batchId")
   }
 
   /** Load the integer artifacts (tiny). */

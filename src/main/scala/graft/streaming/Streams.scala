@@ -1943,6 +1943,53 @@ object Streams {
       }
   }
 
+  /** Streaming PQ-index ingest — the IVFADC twin of [[ivfIngestSink]]:
+    * each micro-batch of embedding vectors is assigned + PQ-encoded
+    * with the LIVE [[graft.similarity.PqIndex]] artifacts (one
+    * map-only projection — the quantizers are driver-small integer
+    * literals) and landed under `corpus/batch=<id>/cluster=<c>/` via
+    * [[graft.similarity.PqIndex.append]]. Per-batch cost ∝ batch size;
+    * the existing codes are never rescanned or rewritten; a replayed
+    * batch overwrites exactly its own directory. Artifact drift is the
+    * watchdog's job: schedule [[graft.similarity.PqIndex.maintain]]
+    * beside this sink — its retrain re-encodes the full corpus into a
+    * fresh generation and the atomic swap retires the batch
+    * directories (so the sink re-reads `meta/` EVERY batch rather than
+    * closing over stale artifacts). */
+  def pqIndexIngestSink(stream: DataFrame, indexPath: String,
+      checkpoint: String, idCol: String, vecCol: String,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        val spark = batch.sparkSession
+        // checkpoint-loss guard (the accumulate-by-batch discipline):
+        // batchIds restart at 0 when the checkpoint is lost, and
+        // blindly overwriting batch=0 would replace the oldest ingested
+        // codes with unrelated data (batch=-1 is the generation build
+        // and doesn't trip this)
+        val fs = new Path(indexPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val committed = fs.globStatus(
+          new Path(indexPath, "corpus/batch=*/_SUCCESS"))
+        if (batchId == 0 && committed != null && committed.exists { s =>
+            val b = s.getPath.getParent.getName
+            b != "batch=0" && b != "batch=-1"
+          })
+          throw new IllegalStateException(
+            s"pqIndexIngestSink: batchId restarted at 0 but $indexPath " +
+            "already holds committed batches — the checkpoint was lost. " +
+            "Restore it, or rebuild the index and start a fresh checkpoint.")
+        graft.similarity.PqIndex.append(spark, indexPath, batch,
+          idCol, vecCol, batchId)
+        onLoad(LoadResult(success = true,
+          rowsLoaded = batch.count(), tableName = s"$indexPath/corpus",
+          durationSeconds = (System.nanoTime() - t0) / 1e9))
+      }
+
   /** Streaming entity resolution — incremental record linkage against
     * the accumulated feed (the MDM twin of [[nearDupDedupSink]]'s
     * content dedup).

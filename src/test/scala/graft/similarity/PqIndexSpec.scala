@@ -108,6 +108,120 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       k = 10) == res.recallAfter)
   }
 
+  test("incremental append: appended ids searchable exactly as a full " +
+      "build with the same artifacts; replay idempotent; retrain " +
+      "retires batch directories") {
+    val s = spark
+    import s.implicits._
+    val path = freshPath("append")
+    val base = corpusA.filter($"vec_id" < 150)
+    val late = corpusA.filter($"vec_id" >= 150)
+    val ix = PqIndex.build(s, path, base, "vec_id", "embedding", kCells = 8)
+    PqIndex.append(s, path, late, "vec_id", "embedding", batchId = 0)
+    // assignment + encoding are pure functions of the frozen artifacts,
+    // so the grown index answers EXACTLY like one encoding the full
+    // corpus in a single generation
+    val queries = corpusA.filter($"vec_id" < 20)
+    def fromDisk() = PqIndex
+      .topK(s, path, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val grown = fromDisk()
+    val prep = corpusA.select(col("vec_id").cast("string").as("id"),
+      Similarity.quantize(col("embedding")).as("q"))
+    val inMem = Pq.topKQ(
+        Pq.encodeQ(prep.withColumn("cluster", element_at(
+          Similarity.nearestCentroidsQ(col("q"), ix.coarse, 1), 1)),
+          "q", ix.books),
+        prep.filter(col("id").cast("long") < 20), "id", "q",
+        ix.coarse, ix.books, k = 5, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(grown == inMem)
+    assert(grown.exists(_._3.toLong >= 150),
+      "appended ids must appear as neighbors")
+    // a replayed batch overwrites exactly itself: no duplicates, same
+    // answers
+    PqIndex.append(s, path, late, "vec_id", "embedding", batchId = 0)
+    assert(s.read.parquet(s"$path/corpus").count() == 200)
+    assert(fromDisk() == grown)
+    // the watchdog retrain absorbs appends into a fresh generation and
+    // the atomic swap retires every batch directory
+    val res = PqIndex.maintain(s, path, corpusB,
+      corpusB.filter($"vec_id" < 30), "vec_id", "embedding",
+      floor = 0.5, kCells = 8)
+    assert(res.retrained)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    val batches = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$path/corpus/batch=*"))
+      .map(_.getPath.getName).toSet
+    assert(batches == Set("batch=-1"),
+      s"retrain must retire append batches, found $batches")
+    assert(s.read.parquet(s"$path/corpus").count() == 200)
+  }
+
+  test("streaming PQ ingest: streamed codes == batch append; " +
+      "checkpoint loss fails loudly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = freshPath("stream-ingest")
+    val base = corpusA.filter($"vec_id" < 150)
+    PqIndex.build(s, path, base, "vec_id", "embedding", kCells = 8)
+    val late = corpusA.filter($"vec_id" >= 150)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.pqIndexIngestSink(
+        input.toDS().toDF("vec_id", "embedding"),
+        path, s"$path-ckpt", "vec_id", "embedding",
+        graft.streaming.Streams.trigger(1),
+        onLoad = r => loads.synchronized { loads += r })
+      .start()
+    try {
+      val (a, b) = late.splitAt(late.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    assert(loads.size == 2 && loads.forall(_.success))
+    assert(loads.map(_.rowsLoaded).sum == late.length)
+    // the streamed index answers exactly like one batch-appended index:
+    // encoding is a pure function of the frozen artifacts
+    val queries = corpusA.filter($"vec_id" < 20)
+    val streamed = PqIndex
+      .topK(s, path, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val path2 = freshPath("stream-ingest-batch")
+    PqIndex.build(s, path2, base, "vec_id", "embedding", kCells = 8)
+    PqIndex.append(s, path2, corpusA.filter($"vec_id" >= 150),
+      "vec_id", "embedding", batchId = 0)
+    val batched = PqIndex
+      .topK(s, path2, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(streamed == batched)
+    // fresh checkpoint = batchIds restart at 0 while batch=1 exists →
+    // fail loudly instead of silently replacing batch=0
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = graft.streaming.Streams.pqIndexIngestSink(
+        input2.toDS().toDF("vec_id", "embedding"),
+        path, s"$path-ckpt2", "vec_id", "embedding",
+        graft.streaming.Streams.trigger(1))
+      .start()
+    try {
+      input2.addData(late.take(3).toSeq)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(q2.exception.exists(
+        _.toString.contains("checkpoint was lost")), q2.exception.toString)
+    } finally q2.stop()
+  }
+
   test("index swap is crash-safe: a cut between the two publish " +
       "renames heals to the complete previous generation") {
     val s = spark
