@@ -334,6 +334,39 @@ object Quantiles {
       (1 until b).map(_.toDouble / b), bits)
   }
 
+  /** [[equiDepthBounds]] at GROUP SCALE — the cut points ride the
+    * DISTRIBUTED descent ([[exactQuantilesDist]]), so per-key grids
+    * over 10⁵–10⁶ keys size without the driver-small-groups contract.
+    * Returns (keyCol, bounds array<double>): the b−1 ascending exact
+    * cut points per key (duplicate cut values are KEPT — a value
+    * heavier than 1/b of its key's mass yields repeated cuts and the
+    * empty buckets between them, preserving [[bucketOf]]'s
+    * convention). Feed the result to [[bucketOfKeyed]]. */
+  def equiDepthBoundsDist(df: DataFrame, keyCol: String, valueCol: String,
+      b: Int, bits: Int = 12): DataFrame = {
+    require(b >= 2 && b <= 4096, s"need 2-4096 buckets, got $b")
+    exactQuantilesDist(df, keyCol, valueCol,
+        (1 until b).map(_.toDouble / b), bits)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("value"))).as("bounds"))
+  }
+
+  /** Bucket id against PER-KEY bounds — the group-scale twin of
+    * [[bucketOf]]: each row joins its key's bounds array (broadcast
+    * hint; the repo's SafeBroadcastRule degrades it if the bounds
+    * frame outgrows the cap — keys × (b−1) doubles) and the bucket is
+    * the same right-closed comparison sum, evaluated over the array by
+    * a codegen-able HOF. Output = `df`'s columns plus `bucket`;
+    * rows whose key has no bounds row are dropped (inner join — a key
+    * absent from the sizing pass has no grid to land in). */
+  def bucketOfKeyed(df: DataFrame, keyCol: String, valueCol: String,
+      bounds: DataFrame, bucketName: String = "bucket"): DataFrame =
+    df.join(broadcast(bounds), Seq(keyCol))
+      .withColumn(bucketName,
+        aggregate(col("bounds"), lit(0L), (acc, cut) =>
+          acc + when(col(valueCol).cast("double") > cut, 1L).otherwise(0L)))
+      .drop("bounds")
+
   /** Bucket id of a value against ascending boundary cut points:
     * bucket i holds values in (bounds(i−1), bounds(i)], bucket 0
     * everything ≤ bounds(0), bucket bounds.size everything above the

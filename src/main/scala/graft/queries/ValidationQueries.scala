@@ -340,6 +340,28 @@ object ValidationQueries extends QueryPack {
       Seq(0.5, 0.9), weightCol = Some("__w"))
   }
 
+  /** PER-KEY EQUI-DEPTH bucketing end to end ([[graft.operators
+    * .Quantiles.equiDepthBoundsDist]] sizes the grid through the
+    * distributed descent, [[graft.operators.Quantiles.bucketOfKeyed]]
+    * lands every row in its key's bucket): per event_type, the b=8
+    * bucket histogram of `value`. This is the grid-sizing pipeline a
+    * 10⁵-key drift monitor runs — cut points exact per key, every
+    * bucket's mass pinned ≈ n/8 by construction — and the oracle
+    * replays cuts (rank selection), per-row bucket (comparison count
+    * against the key's 7 cuts), and the final histogram. */
+  def vEquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .filter($"value".isNotNull && !isnan($"value"))
+      .select($"event_type", $"value")
+    val bounds = graft.operators.Quantiles.equiDepthBoundsDist(
+      ev, "event_type", "value", b = 8)
+    graft.operators.Quantiles.bucketOfKeyed(ev, "event_type", "value", bounds)
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy($"event_type", $"bucket")
+  }
+
   /** GRID quantiles over accumulated bucket counts
     * ([[graft.operators.Quantiles.gridQuantiles]] — the streaming
     * read-side of the drift sink's folded state), pinned end to end:
@@ -508,6 +530,7 @@ object ValidationQueries extends QueryPack {
     "v_exact_quantiles" -> (vExactQuantiles _),
     "v_quantiles_dist" -> (vQuantilesDist _),
     "v_weighted_quantiles" -> (vWeightedQuantiles _),
+    "v_equidepth_hist" -> (vEquidepthHist _),
     "v_grid_quantiles" -> (vGridQuantiles _),
     "v_drift_stream" -> (vDriftStream _),
     "v_stats_events" -> (vStatsEvents _),
@@ -694,6 +717,32 @@ object ValidationQueries extends QueryPack {
         ON cum.cw >= GREATEST(1, CAST(CEIL(qs.q * cum.W) AS BIGINT))
       GROUP BY source, qs.q
       ORDER BY source, qs.q""",
+    "v_equidepth_hist" -> """
+      WITH ev AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rid
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+      r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev),
+      qs AS (SELECT CAST(i AS DOUBLE) / 8.0 AS q FROM range(1, 8) t(i)),
+      cuts AS (
+        SELECT r.event_type, r.value AS cut
+        FROM r JOIN qs
+          ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))),
+      b AS (
+        SELECT e.event_type, e.rid,
+               SUM(CASE WHEN e.value > c.cut THEN 1 ELSE 0 END) AS bucket
+        FROM ev e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type, e.rid)
+      SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM b GROUP BY event_type, bucket
+      ORDER BY event_type, bucket""",
     "v_drift_grid_bound" -> s"""
       WITH ev AS (
         SELECT event_type, value,

@@ -127,6 +127,45 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(masses.values.sum == n)
   }
 
+  test("equiDepthBoundsDist + bucketOfKeyed: per-key cuts == the " +
+      "driver variant's; keyed bucketing == bucketOf row for row") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(77)
+    // 7 keys with different scales + per-key duplicate spikes
+    val rows = (1 to 6000).map { i =>
+      val k = s"k${i % 7}"
+      val v =
+        if (i % 6 == 0) 10.0 * (i % 7) else rng.nextGaussian() * (1 + i % 7)
+      (k, v)
+    }
+    val df = rows.toDF("g", "v").repartition(6)
+    val b = 8
+    val boundsDist = Quantiles.equiDepthBoundsDist(df, "g", "v", b)
+      .localCheckpoint()
+    val distMap = boundsDist.collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toVector).toMap
+    val driverMap = Quantiles.equiDepthBounds(df, "g", "v", b).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(3)).sorted.toVector).toMap
+    assert(distMap == driverMap,
+      "distributed cut points must equal the driver variant's")
+    val keyed = Quantiles.bucketOfKeyed(df, "g", "v", boundsDist)
+      .groupBy($"g", $"bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val cuts = driverMap(k)
+      val expected = rs.groupBy { case (_, v) => cuts.count(v > _).toLong }
+        .view.mapValues(_.size.toLong).toMap
+      assert(expected.keySet == keyed.keySet.collect { case (`k`, bk) => bk },
+        s"key $k bucket set")
+      expected.foreach { case (bk, m) =>
+        assert(keyed((k, bk)) == m, s"key $k bucket $bk mass")
+      }
+    }
+  }
+
   test("weighted quantiles == expanded-row ranks; zero weights excluded") {
     val s = spark
     import s.implicits._
