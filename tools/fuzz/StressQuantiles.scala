@@ -87,6 +87,47 @@ object StressQuantiles {
     require(wideGot.size == 100000 && exp.forall { case (g, v) => wideGot(g) == v },
       s"wide-group mismatch: ${exp.map { case (g, v) => (g, v, wideGot(g)) }}")
     println(f"refinement-dist (100k groups): $tW%.1f s, $sW%.1f MB shuffle")
+
+    // 1M groups × 10 rows — the extreme key-cardinality shape
+    // (per-domain percentiles over a web corpus). The search-state
+    // broadcast is ~1M rows here; if SafeBroadcastRule ever degrades
+    // it the join falls back to shuffle and stays correct — this run
+    // measures whichever plan actually executes
+    val xwide = spark.range(0, 10000000).select(
+        (col("id") % 1000000).cast("string").as("g"),
+        (sin(col("id").cast("double")) * 1e6).as("v"))
+      .localCheckpoint()
+    val (xGot, tX, sX) = timed {
+      graft.operators.Quantiles.exactQuantilesDist(xwide, "g", "v", Seq(0.5))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    }
+    val xcheck = xwide.filter(col("g").isin("0", "314159", "999999"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(wCum2))
+      .withColumn("n", sum($"cnt").over(wAll2))
+      .filter($"cum" >= greatest(lit(1L), ceil($"n" * lit(0.5)).cast("long")))
+      .groupBy($"g").agg(min($"v").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(xGot.size == 1000000 &&
+      xcheck.forall { case (g, v) => xGot(g) == v },
+      s"1M-group mismatch: ${xcheck.map { case (g, v) => (g, v, xGot(g)) }}")
+    println(f"refinement-dist (1M groups): $tX%.1f s, $sX%.1f MB shuffle")
+
+    // per-key equi-depth grids at 100k keys: cut sizing through the
+    // distributed descent + bucketOfKeyed assignment; every key's
+    // bucket masses must be balanced (continuous values — no
+    // irreducible duplicate mass)
+    val (bal, tE, sE) = timed {
+      val bounds = graft.operators.Quantiles
+        .equiDepthBoundsDist(wide, "g", "v", b = 8)
+      graft.operators.Quantiles.bucketOfKeyed(wide, "g", "v", bounds)
+        .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("m"))
+        .groupBy(col("g")).agg(max(col("m")).as("mx"), sum(col("m")).as("n"))
+        .filter(col("mx") > col("n") / 8 + lit(2))
+        .count()
+    }
+    require(bal == 0L, s"$bal keys with unbalanced equi-depth buckets")
+    println(f"equi-depth keyed (100k keys, b=8): $tE%.1f s, $sE%.1f MB shuffle")
     spark.stop()
   }
 }
