@@ -261,6 +261,69 @@ class StreamsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("absent from the reference"))
   }
 
+  test("per-key equi-depth grid drives the drift monitor: sized " +
+      "buckets fold exactly; only the drifted key scores") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("eqdrift").toString
+    // reference window: both keys uniform over 1..400 — the equi-depth
+    // cuts land at exactly 100/200/300 and every bucket's reference
+    // mass is 1/4 BY CONSTRUCTION (the point of sizing the grid from
+    // the reference window instead of declaring equi-width bounds)
+    val refWin = Seq("a", "b")
+      .flatMap(k => (1 to 400).map(i => (k, i.toDouble))).toDF("k", "v")
+    val bounds = graft.operators.Quantiles
+      .equiDepthBoundsDist(refWin, "k", "v", b = 4).localCheckpoint()
+    assert(bounds.collect().map(r =>
+      r.getString(0) -> r.getSeq[Double](1).toVector).toMap ==
+      Map("a" -> Vector(100.0, 200.0, 300.0),
+        "b" -> Vector(100.0, 200.0, 300.0)))
+    val ref = Seq("a", "b")
+      .flatMap(k => (0 until 4).map(b => (k, b.toLong, 0.25)))
+      .toDF("k", "bucket", "p")
+    // the stream carries raw (key, value); the bucket is computed
+    // in-flight by the stream-static broadcast join against the sized
+    // grid, then folded by the exact drift sink
+    val input = MemoryStream[(String, Double)]
+    val q = Streams.driftCountsSink(
+        graft.operators.Quantiles.bucketOfKeyed(
+          input.toDS().toDF("k", "v"), "k", "v", bounds),
+        s"$dir/state", s"$dir/ckpt", "k", "bucket", Streams.trigger(1))
+      .start()
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    try {
+      for (_ <- 1 to 2) {
+        // "a" stays in-distribution (one full uniform sweep per batch);
+        // "b" drifts — everything lands above the last cut
+        val batch = (1 to 400).map(i => ("a", i.toDouble)) ++
+          (1 to 200).map(i => ("b", 301.0 + (i % 100)))
+        streamed ++= batch
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    // the folded state == a batch recompute over everything streamed
+    val stored = spark.read.parquet(s"$dir/state")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("n_rows")).toMap
+    val batchTwin = graft.operators.Quantiles.bucketOfKeyed(
+        streamed.toSeq.toDF("k", "v"), "k", "v", bounds)
+      .groupBy($"k", $"bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(stored == batchTwin)
+    // exact scores: the stable key is EXACTLY zero (equi-depth cuts +
+    // uniform sweeps), the drifted key 3·e + (400−e)²/e with e = 100
+    val scored = Streams
+      .chi2Against(spark, s"$dir/state", ref, "k", "bucket", "p")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("chi2"))
+      .toMap
+    assert(scored("a") == 0.0)
+    assert(scored("b") == 1200.0)
+  }
+
   test("export manifest sink: folded manifest == one-shot; verify passes; replay no-op") {
     val spark2 = spark
     import spark2.implicits._
