@@ -61,4 +61,33 @@ class ExportSpec extends AnyFunSuite with SparkSpec {
       "row counts agree — only the fingerprint catches a mutation")
     graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
   }
+
+  test("rebuildManifest is the pre-v2 upgrade path: a legacy " +
+      "(unreduced) fp_sum fails verification until rebuilt") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-export-v1").toString
+    Export.writeWithManifest(docs.select(col("shard") +: cols.map(col): _*),
+      dir, "shard", cols)
+    // simulate a manifest written by the pre-v2 format: one shard's
+    // fp_sum stored UNREDUCED (the old sum exceeded 2^32 and kept its
+    // raw value, mod-equivalent to the canonical one)
+    val legacy = s.read.parquet(s"$dir/_manifest").collect().map { r =>
+      val sum = r.getAs[Long]("fp_sum")
+      (r.getAs[Int]("shard"), r.getAs[Long]("n_rows"),
+        if (r.getAs[Int]("shard") == 2) sum + (1L << 32) else sum,
+        r.getAs[Long]("fp_xor"))
+    }.toSeq
+    legacy.toDF("shard", "n_rows", "fp_sum", "fp_xor")
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+    // the data is INTACT, but the stored value is non-canonical —
+    // verification flags exactly that shard
+    val stale = Export.verifyManifest(s, dir, "shard", cols)
+    assert(stale.collect().map(_.getAs[Int]("shard")).toSeq == Seq(2))
+    // the documented repair: recompute the manifest from the (trusted)
+    // export itself
+    Export.rebuildManifest(s, dir, "shard", cols)
+    assert(Export.verifyManifest(s, dir, "shard", cols).isEmpty)
+    graft.core.AtomicSwap.deleteRecursively(new java.io.File(dir))
+  }
 }
