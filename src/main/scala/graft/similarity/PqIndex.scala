@@ -155,6 +155,36 @@ object PqIndex {
       .parquet(s"$path/corpus/batch=$batchId")
   }
 
+  /** Fold accumulated [[append]] batches into a single `batch=-1`
+    * generation WITHOUT retraining or re-encoding — the stored codes
+    * are already the live artifacts' output, so compaction is one scan
+    * of the m-byte codes re-partitioned by cluster (the float vectors
+    * are never touched) plus a copy of the tiny `meta/`, published
+    * through the same atomic swap. This is directory HYGIENE, not a
+    * quality operation: a long-lived index whose ingest produced
+    * thousands of `batch=N` directories pays their listing cost on
+    * every query ([[graft.streaming.Streams.erComponentsCompact]]'s
+    * motivation, minus the closure math). Returns false (touching
+    * nothing) when no append batches exist. Answers are identical
+    * before and after — same rows, same codes, same clusters. */
+  def compactCorpus(spark: SparkSession, path: String): Boolean = {
+    heal(spark, path)
+    val (fs, _) = fsOf(spark, path)
+    val batches = fs.globStatus(new Path(path, "corpus/batch=*"))
+    if (batches == null || !batches.exists(_.getPath.getName != "batch=-1"))
+      false
+    else {
+      val codes = spark.read.parquet(s"$path/corpus")
+        .select(col("id"), col("codes"), col("cluster"))
+      codes.write.mode("overwrite").partitionBy("cluster")
+        .parquet(path + "__new/corpus/batch=-1")
+      spark.read.parquet(s"$path/meta")
+        .coalesce(1).write.mode("overwrite").parquet(path + "__new/meta")
+      publish(spark, path)
+      true
+    }
+  }
+
   /** Load the integer artifacts (tiny). */
   def loadMeta(spark: SparkSession, path: String): Index = {
     heal(spark, path)

@@ -161,6 +161,45 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     assert(s.read.parquet(s"$path/corpus").count() == 200)
   }
 
+  test("compactCorpus folds append batches without re-encoding: " +
+      "answers identical, one batch dir remains, no-op when clean") {
+    val s = spark
+    import s.implicits._
+    val path = freshPath("compact")
+    PqIndex.build(s, path, corpusA.filter($"vec_id" < 100),
+      "vec_id", "embedding", kCells = 8)
+    PqIndex.append(s, path, corpusA.filter($"vec_id" >= 100 &&
+      $"vec_id" < 150), "vec_id", "embedding", batchId = 0)
+    PqIndex.append(s, path, corpusA.filter($"vec_id" >= 150),
+      "vec_id", "embedding", batchId = 1)
+    val queries = corpusA.filter($"vec_id" < 20)
+    def answers() = PqIndex
+      .topK(s, path, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    def codes() = s.read.parquet(s"$path/corpus")
+      .select("id", "codes", "cluster")
+      .collect().map(r => (r.getString(0),
+        r.getSeq[Byte](1).toVector, r.getInt(2))).toSet
+    val before = answers()
+    val codesBefore = codes()
+    val meta = PqIndex.loadMeta(s, path)
+    assert(PqIndex.compactCorpus(s, path))
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    val dirs = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$path/corpus/batch=*"))
+      .map(_.getPath.getName).toSet
+    assert(dirs == Set("batch=-1"), s"found $dirs")
+    assert(codes() == codesBefore, "compaction must not touch a code")
+    assert(answers() == before)
+    val meta2 = PqIndex.loadMeta(s, path)
+    assert(meta2.coarse == meta.coarse && meta2.books == meta.books)
+    // already compact: a second call is a measured no-op
+    assert(!PqIndex.compactCorpus(s, path))
+    assert(answers() == before)
+  }
+
   test("streaming PQ ingest: streamed codes == batch append; " +
       "checkpoint loss fails loudly") {
     val s = spark
@@ -172,11 +211,13 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     PqIndex.build(s, path, base, "vec_id", "embedding", kCells = 8)
     val late = corpusA.filter($"vec_id" >= 150)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val ckpt1 = freshPath("stream-ingest-ckpt")
+    val ckpt2 = freshPath("stream-ingest-ckpt2")
     val loads = scala.collection.mutable.ArrayBuffer.empty[graft.core.LoadResult]
     val input = MemoryStream[(Long, Seq[Float])]
     val q = graft.streaming.Streams.pqIndexIngestSink(
         input.toDS().toDF("vec_id", "embedding"),
-        path, s"$path-ckpt", "vec_id", "embedding",
+        path, ckpt1, "vec_id", "embedding",
         graft.streaming.Streams.trigger(1),
         onLoad = r => loads.synchronized { loads += r })
       .start()
@@ -209,7 +250,7 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     val input2 = MemoryStream[(Long, Seq[Float])]
     val q2 = graft.streaming.Streams.pqIndexIngestSink(
         input2.toDS().toDF("vec_id", "embedding"),
-        path, s"$path-ckpt2", "vec_id", "embedding",
+        path, ckpt2, "vec_id", "embedding",
         graft.streaming.Streams.trigger(1))
       .start()
     try {
