@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -61,7 +61,88 @@ case class DotQExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<long> → array<int>: indices of the `nProbe` nearest centroids
+  * by exact integer squared-L2 (d_i = Σc_i² − 2·v·c_i; the shared-‖v‖²
+  * term cancels in ranking), ties to the LOWER centroid index — the
+  * [[graft.similarity.Similarity.nearestCentroidsQ]] contract, bit-for-
+  * bit (pinned by SimilaritySpec against the Column-composed reference).
+  *
+  * The Column spelling expands to k struct-building dot products plus
+  * an interpreter-only array_sort; past k ≈ 100 the generated method
+  * also blows janino's size limit and whole-stage codegen falls back,
+  * so every training/encode row pays interpreted evaluation. This is
+  * one compiled loop with an nProbe-sized insertion buffer — O(k·dim)
+  * per row, no allocation beyond the output, one janino-stable virtual
+  * call from generated code (centroids ride addReferenceObj, so the
+  * generated source is identical for every codebook and compiles
+  * once). */
+case class NearestCentroidsQExpr(child: Expression,
+    centroids: Seq[Seq[Long]], nProbe: Int) extends UnaryExpression {
+  require(centroids.nonEmpty && nProbe >= 1 && nProbe <= centroids.size)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids_q"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  @transient private lazy val cents: Array[Array[Long]] =
+    centroids.iterator.map(_.toArray).toArray
+  @transient private lazy val normSq: Array[Long] =
+    cents.map(c => c.map(x => x * x).sum)
+
+  /** Called from generated code. */
+  def nearest(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = cents.length
+    val bestD = new Array[Long](nProbe)
+    val bestI = new Array[Int](nProbe)
+    var filled = 0
+    var i = 0
+    while (i < k) {
+      val c = cents(i)
+      val n = math.min(arr.numElements(), c.length)
+      var dot = 0L
+      var j = 0
+      while (j < n) { dot += arr.getLong(j) * c(j); j += 1 }
+      val d = normSq(i) - 2L * dot
+      // insertion point: first slot with a STRICTLY larger distance —
+      // an equal-distance incumbent has a lower index and stays first
+      var p = 0
+      while (p < filled && bestD(p) <= d) p += 1
+      if (p < nProbe) {
+        var q = math.min(filled, nProbe - 1)
+        while (q > p) { bestD(q) = bestD(q - 1); bestI(q) = bestI(q - 1); q -= 1 }
+        bestD(p) = d; bestI(p) = i
+        if (filled < nProbe) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    var o = 0
+    while (o < filled) { out(o) = bestI(o); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestQ", this,
+      "graft.functions.NearestCentroidsQExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsQExpr =
+    copy(child = newChild)
+}
+
 object NativeVec {
   def dotQ(a: Column, b: Column): Column =
     GraftShims.column(DotQExpr(GraftShims.expression(a), GraftShims.expression(b)))
+
+  def nearestCentroidsQ(v: Column, centroids: Seq[Seq[Long]],
+      nProbe: Int): Column =
+    GraftShims.column(NearestCentroidsQExpr(GraftShims.expression(v),
+      centroids, nProbe))
 }

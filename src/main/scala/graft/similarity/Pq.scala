@@ -139,15 +139,25 @@ object Pq {
     var converged = false
     while (it < iters && !converged) {
       it += 1
-      // one flattened (subspace, cluster, dim, x) stream per row; the
-      // per-subspace assignment is computed once per row map-side
+      // the per-subspace assignment is HOISTED into a projection so it
+      // evaluates ONCE per row: embedded in the per-dim lambda below it
+      // would re-run the k-centroid argmin for EVERY array element —
+      // Catalyst does not common-subexpression-eliminate across lambda
+      // bodies, and the argmin's array_sort is interpreter-only, so
+      // that spelling costs dim × (k·dim + k log k) interpreted ops
+      // per row instead of one
+      val assigned = q.select(Seq(col("__q")) ++ (0 until m).map { j =>
+        val s = if (m == 1) col("__q") else slice(col("__q"), j * sub + 1, sub)
+        element_at(Similarity.nearestCentroidsQ(s, books(j), 1), 1)
+          .as(s"__c$j")
+      }: _*)
+      // one flattened (subspace, cluster, dim, x) stream per row
       val flat = flatten(array((0 until m).map { j =>
         val s = if (m == 1) col("__q") else slice(col("__q"), j * sub + 1, sub)
-        val c = element_at(Similarity.nearestCentroidsQ(s, books(j), 1), 1)
-        transform(s, (x, d) => struct(lit(j).as("sp"), c.as("c"),
+        transform(s, (x, d) => struct(lit(j).as("sp"), col(s"__c$j").as("c"),
           d.as("d"), x.as("x")))
       }: _*))
-      val sums = q.select(explode(flat).as("e"))
+      val sums = assigned.select(explode(flat).as("e"))
         .groupBy(col("e.sp").as("sp"), col("e.c").as("c"), col("e.d").as("d"))
         .agg(sum(col("e.x")).as("s"), count(lit(1)).as("n"))
         .collect()

@@ -214,19 +214,61 @@ object PqIndex {
     Pq.topKQ(indexed, q, "id", "q", ix.coarse, ix.books, k, nProbe)
   }
 
+  /** ADC shortlist off the persisted codes + EXACT cosine re-rank
+    * against the caller's float corpus — the recall-robust query path
+    * (the disk twin of [[Similarity.ivfTopKQ]] / [[Pq.topKRefined]]).
+    * Raw [[topK]] ranks have m-byte-code resolution: inside a tight
+    * cell whose members differ by less than the quantization error
+    * they are effectively unordered, so recall-sensitive serving
+    * re-ranks a shortlist (default 4k). The shortlist id set is
+    * broadcast-small (queries × shortlist) and the float fetch is one
+    * broadcast join against the corpus — the vectors' home table, read
+    * once; at deployment scale it is the hot-tier point lookup while
+    * only the m-byte codes live in the index. */
+  def topKRefined(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int = 0, nProbe: Int = 4): DataFrame = {
+    import graft.plans.TopK
+    import Similarity.{cosineFromParts, dotQ, normSqQ, quantize}
+    val r = if (shortlist > 0) shortlist else 4 * k
+    val cands = topK(spark, path, queries, idCol, vecCol, r, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus
+      .select(col(idCol).cast("string").as("neighbor_id"), col(vecCol))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .withColumn("__q", quantize(col(vecCol)))
+      .withColumn("__nsq", normSqQ(col("__q")))
+      .drop(vecCol)
+    val q = queries.select(col(idCol).cast("string").as("query_id"),
+        quantize(col(vecCol)).as("__qq"))
+      .withColumn("__qnsq", normSqQ(col("__qq")))
+    val exact = c.join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        cosineFromParts(dotQ(col("__q"), col("__qq")),
+          col("__nsq"), col("__qnsq")))
+    TopK.perKey(exact, Seq("query_id"),
+        Seq(TopK.desc("cosine"), TopK.asc("neighbor_id")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Mean recall@k of the live index against brute-force cosine over a
     * held-out query sample — the watchdog's ONE number. Brute force
     * touches queries × corpus candidate rows (the sample is small by
-    * contract); the index side reads only probed cells. */
+    * contract); the index side reads only probed cells. `shortlist`
+    * > 0 measures the [[topKRefined]] serving path instead of raw ADC
+    * ranks — measure whichever path actually serves. */
   def recallAt(spark: SparkSession, path: String, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int = 4): Double = {
+      nProbe: Int = 4, shortlist: Int = 0): Double = {
     val brute = Similarity
       .bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id").cast("string").as("query_id"),
         col("neighbor_id").cast("string").as("neighbor_id"))
       .localCheckpoint()
-    val approx = topK(spark, path, queries, idCol, vecCol, k, nProbe)
+    val approx = (if (shortlist > 0)
+        topKRefined(spark, path, corpus, queries, idCol, vecCol, k,
+          shortlist, nProbe)
+      else topK(spark, path, queries, idCol, vecCol, k, nProbe))
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(brute, Seq("query_id", "neighbor_id"),
       "left_semi").count()
@@ -246,11 +288,11 @@ object PqIndex {
       queries: DataFrame, idCol: String, vecCol: String, floor: Double,
       k: Int = 10, nProbe: Int = 4, kCells: Int = 10, m: Int = 4,
       ksub: Int = 8, iters: Int = 25,
-      maxTrainRows: Option[Long] = None): MaintainResult = {
+      maxTrainRows: Option[Long] = None, shortlist: Int = 0): MaintainResult = {
     require(floor > 0.0 && floor <= 1.0, s"floor must be in (0, 1]: $floor")
     heal(spark, path)
     val before = recallAt(spark, path, corpus, queries, idCol, vecCol, k,
-      nProbe)
+      nProbe, shortlist)
     if (before >= floor) MaintainResult(before, retrained = false, before,
       floor)
     else {
@@ -259,7 +301,7 @@ object PqIndex {
       writeTo(spark, path + "__new", corpus, idCol, vecCol, ix)
       publish(spark, path)
       val after = recallAt(spark, path, corpus, queries, idCol, vecCol, k,
-        nProbe)
+        nProbe, shortlist)
       MaintainResult(before, retrained = true, after, floor)
     }
   }

@@ -323,6 +323,20 @@ object Similarity {
   def nearestCentroidsQ(vecQ: Column, centroids: Seq[Seq[Long]],
       nProbe: Int): Column = {
     require(nProbe >= 1 && nProbe <= centroids.size)
+    // native compiled loop ([[graft.functions.NearestCentroidsQExpr]]):
+    // the Column spelling below survives as the parity reference — past
+    // k ≈ 100 its generated method exceeds janino's limit and falls
+    // back to interpreted eval, which multiplied by every training/
+    // encode row is the dominant cost of a large-ksub index build
+    graft.functions.NativeVec.nearestCentroidsQ(vecQ, centroids, nProbe)
+  }
+
+  /** Pure-Column reference formulation of [[nearestCentroidsQ]] (kept
+    * for parity tests; semantically identical — same exact integer
+    * distances, same ties-to-lower-index order). */
+  def nearestCentroidsQReference(vecQ: Column, centroids: Seq[Seq[Long]],
+      nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= centroids.size)
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val dot = graft.functions.NativeVec.dotQ(vecQ, array(c.map(lit): _*))
       struct((lit(c.map(x => x * x).sum) - lit(2L) * dot).as("d"),

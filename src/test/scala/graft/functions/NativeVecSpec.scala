@@ -25,4 +25,43 @@ class NativeVecSpec extends AnyFunSuite with SparkSpec {
       .select(NativeVec.dotQ(col("a"), col("b"))).head()
     assert(n.isNullAt(0))
   }
+
+  test("native nearestCentroidsQ ≡ Column reference: real embeddings, " +
+      "random centroids, ties, every nProbe") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(Similarity.quantize(col("embedding")).as("q"))
+      .localCheckpoint()
+    val rng = new scala.util.Random(5)
+    val dim = emb.select(size(col("q"))).head().getInt(0)
+    val cents = Seq.tabulate(9)(i =>
+      Seq.tabulate(dim)(d => (rng.nextInt(2000001) - 1000000).toLong))
+    for (nProbe <- Seq(1, 3, 9)) {
+      val cmp = emb.select(
+        Similarity.nearestCentroidsQ(col("q"), cents, nProbe).as("native"),
+        Similarity.nearestCentroidsQReference(col("q"), cents, nProbe)
+          .as("ref"))
+      assert(cmp.filter(col("native") =!= col("ref")).count() == 0,
+        s"nProbe=$nProbe parity")
+    }
+    // exact ties: duplicated centroids must rank lower-index-first in
+    // BOTH formulations
+    val tied = Seq(Seq(10L, 0L), Seq(0L, 10L), Seq(10L, 0L), Seq(0L, 10L))
+    val v = Seq(Tuple1(Seq(10L, 0L))).toDF("q")
+    val got = v.select(
+        Similarity.nearestCentroidsQ(col("q"), tied, 4).as("native"),
+        Similarity.nearestCentroidsQReference(col("q"), tied, 4).as("ref"))
+      .head()
+    assert(got.getSeq[Int](0) == Seq(0, 2, 1, 3))
+    assert(got.getSeq[Int](0) == got.getSeq[Int](1))
+    // a 128-centroid codebook stays inside ONE compiled call (the
+    // Column spelling trips janino's method limit there and falls back
+    // to interpreted eval — the reason the native expression exists)
+    val big = Seq.tabulate(128)(i =>
+      Seq.tabulate(dim)(d => (rng.nextInt(2000001) - 1000000).toLong))
+    val bigCmp = emb.limit(200).select(
+      Similarity.nearestCentroidsQ(col("q"), big, 4).as("native"),
+      Similarity.nearestCentroidsQReference(col("q"), big, 4).as("ref"))
+    assert(bigCmp.filter(col("native") =!= col("ref")).count() == 0)
+  }
 }

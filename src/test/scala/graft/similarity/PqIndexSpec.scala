@@ -161,6 +161,36 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     assert(s.read.parquet(s"$path/corpus").count() == 200)
   }
 
+  test("topKRefined: exhaustive shortlist == brute force exactly; " +
+      "serving shortlist never below raw ADC recall") {
+    val s = spark
+    import s.implicits._
+    val path = freshPath("refined")
+    PqIndex.build(s, path, corpusA, "vec_id", "embedding", kCells = 8)
+    val queries = corpusA.filter($"vec_id" < 15)
+    // shortlist covering the whole corpus + every cell probed: the
+    // exact-cosine re-rank IS brute force (same tie-break convention)
+    val refinedAll = PqIndex.topKRefined(s, path, corpusA, queries,
+        "vec_id", "embedding", k = 5, shortlist = 200, nProbe = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    val brute = Similarity
+      .bruteForceTopK(corpusA, queries, "vec_id", "embedding", 5)
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getInt(1), r.getLong(2).toString,
+        r.getDouble(3)))
+      .toSet
+    assert(refinedAll == brute)
+    // the serving path (bounded shortlist) can only help recall vs raw
+    // ADC ranks — the shortlist is re-ranked by exact cosine
+    val rRaw = PqIndex.recallAt(s, path, corpusA, queries, "vec_id",
+      "embedding", k = 10)
+    val rRef = PqIndex.recallAt(s, path, corpusA, queries, "vec_id",
+      "embedding", k = 10, shortlist = 50)
+    assert(rRef >= rRaw, s"refined $rRef < raw $rRaw")
+  }
+
   test("compactCorpus folds append batches without re-encoding: " +
       "answers identical, one batch dir remains, no-op when clean") {
     val s = spark
