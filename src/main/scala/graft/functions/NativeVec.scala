@@ -137,6 +137,74 @@ case class NearestCentroidsQExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** array<long> → array<double>: the per-query ADC lookup table — for
+  * every subspace j and centroid i, the exact integer squared L2
+  * ‖s_j‖² − 2·s_j·c_{j,i} + ‖c_{j,i}‖² cast to double, subspace-major
+  * (m × ksub entries). Same janino story as
+  * [[NearestCentroidsQExpr]]: the Column spelling is ~m·ksub inlined
+  * dot products (≈ 8000 generated lines at m=8, ksub=128) and falls
+  * out of codegen exactly where big codebooks make the table worth
+  * having. Bit-parity with the Column reference pinned by PqSpec. */
+case class AdcTableQExpr(child: Expression,
+    codebooks: Seq[Seq[Seq[Long]]]) extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_adc_table_q"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  @transient private lazy val books: Array[Array[Array[Long]]] =
+    codebooks.iterator.map(_.iterator.map(_.toArray).toArray).toArray
+  @transient private lazy val centNormSq: Array[Array[Long]] =
+    books.map(_.map(c => c.map(x => x * x).sum))
+
+  /** Called from generated code. */
+  def table(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = books.length
+    val ksub = books(0).length
+    val sub = books(0)(0).length
+    val out = new Array[Any](m * ksub)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      // slice semantics of the reference: elements past the vector's
+      // end simply don't contribute (dotQ min-length)
+      val lim = math.max(0, math.min(sub, arr.numElements() - off))
+      var nq = 0L
+      var t = 0
+      while (t < lim) { val x = arr.getLong(off + t); nq += x * x; t += 1 }
+      val cb = books(j)
+      val ns = centNormSq(j)
+      var i = 0
+      while (i < ksub) {
+        val c = cb(i)
+        var dot = 0L
+        var u = 0
+        while (u < lim) { dot += arr.getLong(off + u) * c(u); u += 1 }
+        out(j * ksub + i) = (nq - 2L * dot + ns(i)).toDouble
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    table(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcTableQ", this,
+      "graft.functions.AdcTableQExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.table($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcTableQExpr =
+    copy(child = newChild)
+}
+
 object NativeVec {
   def dotQ(a: Column, b: Column): Column =
     GraftShims.column(DotQExpr(GraftShims.expression(a), GraftShims.expression(b)))
@@ -145,4 +213,7 @@ object NativeVec {
       nProbe: Int): Column =
     GraftShims.column(NearestCentroidsQExpr(GraftShims.expression(v),
       centroids, nProbe))
+
+  def adcTableQ(v: Column, codebooks: Seq[Seq[Seq[Long]]]): Column =
+    GraftShims.column(AdcTableQExpr(GraftShims.expression(v), codebooks))
 }

@@ -305,7 +305,18 @@ object Pq {
     * `table[j·ksub + c] = ‖q_j − centroid_{j,c}‖²` as exact-integer-
     * valued doubles via ‖q_j‖² − 2⟨q_j,c⟩ + ‖c‖² — native dot products,
     * no per-dim lambda. */
-  private def adcTableQ(vec: Column, codebooks: Seq[Seq[Seq[Long]]]): Column = {
+  private[similarity] def adcTableQ(vec: Column,
+      codebooks: Seq[Seq[Seq[Long]]]): Column =
+    // native compiled loop ([[graft.functions.AdcTableQExpr]]): the
+    // Column spelling below is the parity reference — at m×ksub ≈ 1000
+    // entries its generated method exceeds janino's limit and the
+    // query-side projection falls back to interpreted eval
+    graft.functions.NativeVec.adcTableQ(vec, codebooks)
+
+  /** Pure-Column reference formulation of [[adcTableQ]] (kept for
+    * parity tests; identical integer arithmetic, identical cast). */
+  private[similarity] def adcTableQReference(vec: Column,
+      codebooks: Seq[Seq[Seq[Long]]]): Column = {
     import graft.functions.NativeVec.dotQ
     val sub = codebooks.head.head.size
     flatten(array(codebooks.zipWithIndex.map { case (cb, j) =>

@@ -124,4 +124,24 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("native adcTableQ == Column reference bit for bit, incl. a " +
+      "128-centroid codebook past the codegen limit") {
+    val q = emb.select(Similarity.quantize(col("embedding")).as("q"))
+      .localCheckpoint()
+    val qBooks = PqFixture.codebooksL
+    val cmp = q.select(
+      Pq.adcTableQ(col("q"), qBooks).as("native"),
+      Pq.adcTableQReference(col("q"), qBooks).as("ref"))
+    assert(cmp.filter(col("native") =!= col("ref")).count() == 0)
+    // big codebooks: m=8 x ksub=128 over dim 64 (sub=8) — the regime
+    // where the Column spelling falls out of whole-stage codegen
+    val rng = new scala.util.Random(11)
+    val big = Seq.tabulate(8)(j => Seq.tabulate(128)(i =>
+      Seq.tabulate(8)(d => (rng.nextInt(2000001) - 1000000).toLong)))
+    val cmp2 = q.limit(100).select(
+      Pq.adcTableQ(col("q"), big).as("native"),
+      Pq.adcTableQReference(col("q"), big).as("ref"))
+    assert(cmp2.filter(col("native") =!= col("ref")).count() == 0)
+  }
 }
