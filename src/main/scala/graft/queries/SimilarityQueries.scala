@@ -374,7 +374,7 @@ object SimilarityQueries extends QueryPack {
         WHERE qv.vec_id < $nQueries)
       SELECT query_id, rank, neighbor_id, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id) AS rank
+                 ORDER BY cosine DESC, CAST(neighbor_id AS VARCHAR)) AS rank
         FROM scored)
       WHERE rank <= $k ORDER BY query_id, rank""",
     "sim_range_search" -> s"""
@@ -449,7 +449,7 @@ object SimilarityQueries extends QueryPack {
       brute AS (
         SELECT query_id, neighbor_id FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id) AS rank
+                   ORDER BY cosine DESC, CAST(neighbor_id AS VARCHAR)) AS rank
           FROM bscored)
         WHERE rank <= 10),
       hits AS (

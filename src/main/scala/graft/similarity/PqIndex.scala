@@ -128,6 +128,35 @@ object PqIndex {
     publish(spark, path)
   }
 
+  /** Migrate a LEGACY flat corpus layout (`cluster=*` directly under
+    * `corpus/` — the pre-batch [[writeTo]] shape) into `batch=-1/`.
+    * Without this, [[append]] landing `batch=<id>` beside flat
+    * `cluster=*` directories gives the corpus two partition depths and
+    * every subsequent read fails with conflicting-directory-structures
+    * — an apparently successful append would corrupt a previously
+    * readable index. Pure driver-side renames (one per cluster
+    * directory). A corpus that somehow mixes BOTH layouts already is
+    * not migratable (the flat clusters cannot merge into an existing
+    * `batch=-1`) and fails fast with a rebuild message. */
+  private def ensureBatchLayout(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val legacy = fs.globStatus(new Path(path, "corpus/cluster=*"))
+    if (legacy != null && legacy.nonEmpty) {
+      val gen = new Path(path, "corpus/batch=-1")
+      require(!fs.exists(gen),
+        s"index at $path mixes a legacy flat corpus layout (cluster=* " +
+          "directly under corpus/) with batch=* directories — not " +
+          "migratable in place; rebuild the index (PqIndex.build)")
+      fs.mkdirs(gen)
+      legacy.foreach { st =>
+        require(fs.rename(st.getPath, new Path(gen, st.getPath.getName)),
+          s"legacy-layout migration failed renaming ${st.getPath}")
+      }
+      val succ = new Path(path, "corpus/_SUCCESS")
+      if (fs.exists(succ)) fs.rename(succ, new Path(gen, "_SUCCESS"))
+    }
+  }
+
   /** INCREMENTAL ingest: encode ONLY `rows` with the CURRENT artifacts
     * and land them under `corpus/batch=<batchId>` — per-call cost ∝
     * new rows (one map-side assign+encode projection, one write),
@@ -140,19 +169,36 @@ object PqIndex {
     * generation (the [[graft.streaming.Streams.ivfIngestSink]]
     * frozen-centroid discipline). Stale-artifact drift is [[maintain]]'s
     * job: run it on a cadence; a retrain re-encodes the caller's FULL
-    * corpus and the atomic swap retires every batch directory. */
+    * corpus and the atomic swap retires every batch directory.
+    *
+    * Reader safety: the batch is written to an underscore-prefixed
+    * scratch directory (invisible to `corpus` readers) and renamed in,
+    * so a concurrent reader never lists a half-written batch. Writers
+    * are single per index (the streaming-sink contract); the rename
+    * only protects READERS. A legacy flat-layout corpus is migrated to
+    * `batch=-1` first (see [[ensureBatchLayout]]). Returns the row
+    * count actually written (footer-metadata read-back of the landed
+    * batch — no second pass over `rows`, which may be a non-replayable
+    * micro-batch source). */
   def append(spark: SparkSession, path: String, rows: DataFrame,
-      idCol: String, vecCol: String, batchId: Long): Unit = {
+      idCol: String, vecCol: String, batchId: Long): Long = {
     val ix = loadMeta(spark, path)
+    val (fs, _) = fsOf(spark, path)
+    ensureBatchLayout(fs, path)
     val prep = rows.select(col(idCol).cast("string").as("id"),
       Similarity.quantize(col(vecCol)).as("q"))
+    val tmp = new Path(s"$path/corpus/_batch_tmp_$batchId")
     Pq.encodeQ(
         prep.withColumn("cluster", element_at(
           Similarity.nearestCentroidsQ(col("q"), ix.coarse, 1), 1)),
         "q", ix.books)
       .select(col("id"), col("q_pq").as("codes"), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$path/corpus/batch=$batchId")
+      .parquet(tmp.toString)
+    val dst = new Path(s"$path/corpus/batch=$batchId")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"append: rename $tmp -> $dst failed")
+    spark.read.parquet(dst.toString).count()
   }
 
   /** Fold accumulated [[append]] batches into a single `batch=-1`
@@ -170,6 +216,7 @@ object PqIndex {
   def compactCorpus(spark: SparkSession, path: String): Boolean = {
     heal(spark, path)
     val (fs, _) = fsOf(spark, path)
+    ensureBatchLayout(fs, path)
     val batches = fs.globStatus(new Path(path, "corpus/batch=*"))
     if (batches == null || !batches.exists(_.getPath.getName != "batch=-1"))
       false
@@ -201,13 +248,35 @@ object PqIndex {
     Index(coarse, books)
   }
 
+  /** The union of coarse cells the query batch probes — driver-tiny by
+    * construction (≤ kCells distinct ints, whatever the batch size).
+    * One extra small job over the query frame (small by the serving
+    * contract); the payoff is a STATIC partition filter on the corpus
+    * scan, which dynamic partition pruning cannot deliver here (the
+    * broadcast probe side carries no selective predicate, so Spark's
+    * PartitionPruning rule declines and an unhinted read scans every
+    * cluster directory — plan-probed, and what [[topK]] shipped
+    * before this filter existed). */
+  private def probedCells(queries: DataFrame, vecCol: String, ix: Index,
+      nProbe: Int): Seq[Int] =
+    queries.select(explode(Similarity.nearestCentroidsQ(
+        Similarity.quantize(col(vecCol)), ix.coarse, nProbe)).as("__cell"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+
   /** ADC top-k straight off the persisted index: only the probed
-    * cluster directories and the m-byte codes are read. Output matches
-    * [[Pq.topKQ]]: (query_id, rank, neighbor_id, adc_dist). */
+    * cluster directories and the m-byte codes are read — the probed
+    * cell set (≤ kCells ints) is computed up front and pushed as a
+    * static `cluster IN (...)` partition filter, so the scan lists and
+    * reads nProbe-cells' worth of the codes corpus, not all of it
+    * (asserted by PqIndexSpec on the executed plan's scan metrics).
+    * Output matches [[Pq.topKQ]]: (query_id, rank, neighbor_id,
+    * adc_dist). */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val ix = loadMeta(spark, path)
+    val cells = probedCells(queries, vecCol, ix, nProbe)
     val indexed = spark.read.parquet(s"$path/corpus")
+      .where(col("cluster").isin(cells: _*))
       .withColumnRenamed("codes", "q_pq")
     val q = queries.select(col(idCol).cast("string").as("id"),
       Similarity.quantize(col(vecCol)).as("q"))

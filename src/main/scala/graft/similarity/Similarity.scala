@@ -69,7 +69,15 @@ object Similarity {
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         cosineFromParts(dotQ(col("__q"), col("__qq")), col("__nsq"), col("__qnsq")))
-    topK(scored, k)
+    // tie-break on the STRING image of the id (output types unchanged):
+    // every index path (PqIndex.topK/topKRefined, Pq.topKQ) carries
+    // string ids, so exact-cosine ties (duplicate vectors) at the k
+    // boundary resolve identically whether the caller compares this
+    // oracle against a string-id or native-id ranking
+    import graft.plans.TopK
+    TopK.perKey(scored.withColumn("__tb", col("neighbor_id").cast("string")),
+        Seq("query_id"), Seq(TopK.desc("cosine"), TopK.asc("__tb")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** Per-group vector centroids in LONG form (group, component position,

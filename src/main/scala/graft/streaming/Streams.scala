@@ -1868,6 +1868,39 @@ object Streams {
         } finally cached.unpersist()
       }
 
+  /** Sink-epoch guard shared by the accumulate-by-batch index sinks:
+    * a tiny `_sink_epoch` marker beside the corpus records WHICH
+    * checkpoint feeds it. The batch-directory guard (batchId == 0 but
+    * committed batches exist) has a blind window — checkpoint lost
+    * after exactly ONE ingested batch=0 — where a restarted stream's
+    * own batch 0 silently overwrites the original ingest; the marker
+    * catches it on every batch, not just id 0. Underscore-prefixed so
+    * parquet readers never see it; written via scratch+rename so a
+    * reader never observes a torn marker; NOT copied by
+    * compaction/retrain (both publish a fresh corpus), so a deliberate
+    * fresh checkpoint after either is allowed. */
+  private def sinkEpochGuard(fs: org.apache.hadoop.fs.FileSystem,
+      corpusDir: Path, checkpoint: String, sinkName: String): Unit = {
+    val marker = new Path(corpusDir, "_sink_epoch")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val rec =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (rec != checkpoint)
+        throw new IllegalStateException(
+          s"$sinkName: $corpusDir was fed by checkpoint '$rec' but this " +
+            s"stream runs from '$checkpoint' — the checkpoint was lost " +
+            "or replaced. Restore it, or compact/rebuild the index and " +
+            "start a fresh checkpoint.")
+    } else {
+      val tmp = new Path(corpusDir, "_sink_epoch__tmp")
+      val out = fs.create(tmp, true)
+      try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, marker)) fs.delete(tmp, true)
+    }
+  }
+
   /** Streaming IVF index ingest: append new embedding vectors to a
     * persisted [[graft.similarity.Similarity.saveIndex]] index as they
     * arrive. The expensive global step (KMeans training) ran once at
@@ -1925,21 +1958,30 @@ object Streams {
             s"ivfIngestSink: batchId restarted at 0 but $indexPath " +
             "already holds committed batches — the checkpoint was lost. " +
             "Restore it, or compact the index and start a fresh checkpoint.")
-        val assigned =
-          if (nAssign == 1)
-            batch.select(col(idCol), col(vecCol),
-              element_at(graft.similarity.Similarity.nearestCentroids(
-                col(vecCol), centroids, 1), 1).as("cluster"))
-          else
-            batch.select(col(idCol), col(vecCol),
-                graft.similarity.Similarity.nearestCentroids(
-                  col(vecCol), centroids, nAssign).as("cells"))
-              .withColumn("cluster", explode(col("cells")))
-        assigned.write.mode("overwrite").partitionBy("cluster")
-          .parquet(s"$indexPath/corpus/batch=$batchId")
-        onLoad(LoadResult(success = true,
-          rowsLoaded = batch.count(), tableName = s"$indexPath/corpus",
-          durationSeconds = (System.nanoTime() - t0) / 1e9))
+        sinkEpochGuard(fs, new Path(indexPath, "corpus"), checkpoint,
+          "ivfIngestSink")
+        // ONE read of the micro-batch source: the assignment projection
+        // and the reported row count both come off this checkpoint — a
+        // trailing batch.count() would re-read the source and could
+        // disagree with what was actually written
+        val b = batch.localCheckpoint()
+        try {
+          val assigned =
+            if (nAssign == 1)
+              b.select(col(idCol), col(vecCol),
+                element_at(graft.similarity.Similarity.nearestCentroids(
+                  col(vecCol), centroids, 1), 1).as("cluster"))
+            else
+              b.select(col(idCol), col(vecCol),
+                  graft.similarity.Similarity.nearestCentroids(
+                    col(vecCol), centroids, nAssign).as("cells"))
+                .withColumn("cluster", explode(col("cells")))
+          assigned.write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$indexPath/corpus/batch=$batchId")
+          onLoad(LoadResult(success = true,
+            rowsLoaded = b.count(), tableName = s"$indexPath/corpus",
+            durationSeconds = (System.nanoTime() - t0) / 1e9))
+        } finally org.apache.spark.sql.GraftShims.unpersistCheckpoint(b)
       }
   }
 
@@ -1983,10 +2025,22 @@ object Streams {
             s"pqIndexIngestSink: batchId restarted at 0 but $indexPath " +
             "already holds committed batches — the checkpoint was lost. " +
             "Restore it, or rebuild the index and start a fresh checkpoint.")
-        graft.similarity.PqIndex.append(spark, indexPath, batch,
+        // sink-epoch marker: closes the residual one-batch window the
+        // batch-directory guard above cannot see (checkpoint lost after
+        // exactly one ingested batch=0 → the restarted stream's batch 0
+        // would silently overwrite it). The marker records which
+        // checkpoint feeds this corpus; retrain/compaction publish a
+        // fresh generation without it, so a deliberate fresh checkpoint
+        // after either is allowed.
+        sinkEpochGuard(fs, new Path(indexPath, "corpus"), checkpoint,
+          "pqIndexIngestSink")
+        // append returns the count actually written (footer read-back):
+        // a second batch.count() here would re-read the micro-batch
+        // source and could disagree with what was encoded
+        val n = graft.similarity.PqIndex.append(spark, indexPath, batch,
           idCol, vecCol, batchId)
         onLoad(LoadResult(success = true,
-          rowsLoaded = batch.count(), tableName = s"$indexPath/corpus",
+          rowsLoaded = n, tableName = s"$indexPath/corpus",
           durationSeconds = (System.nanoTime() - t0) / 1e9))
       }
 

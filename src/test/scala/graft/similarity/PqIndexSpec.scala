@@ -293,6 +293,211 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
     } finally q2.stop()
   }
 
+  /** Every FileSourceScanExec in the final (post-AQE) executed plan. */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+
+  test("serving scan is statically pruned to the probed cells: " +
+      "partition filter in the plan, files-read metric == probed dirs") {
+    val s = spark
+    import s.implicits._
+    val path = freshPath("pruned")
+    val ix = PqIndex.build(s, path, corpusA, "vec_id", "embedding",
+      kCells = 8)
+    val queries = corpusA.filter($"vec_id" === 0)
+    val nProbe = 2
+    val df = PqIndex.topK(s, path, queries, "vec_id", "embedding",
+      k = 3, nProbe = nProbe)
+    df.collect()
+    // the probed cell set, re-derived through the same public pieces
+    val probed = queries
+      .select(explode(Similarity.nearestCentroidsQ(
+        Similarity.quantize(col("embedding")), ix.coarse, nProbe)).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(probed.size == nProbe)
+    // static partition filter on the corpus scan (NOT just isnotnull —
+    // the exact regression the round-11 plan probe caught)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      (planStr.contains("cluster") &&
+        (planStr.contains(" IN ") || planStr.contains("INSET"))),
+      s"corpus scan must carry a static cluster IN filter, plan:\n$planStr")
+    // and the metric: exactly the probed directories' files were read
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    def partFiles(glob: String): Long = {
+      val st = fs.globStatus(new org.apache.hadoop.fs.Path(glob))
+      if (st == null) 0L
+      else st.count(f => f.getPath.getName.startsWith("part-") &&
+        f.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val expected = probed.toSeq
+      .map(c => partFiles(s"$path/corpus/batch=-1/cluster=$c/*")).sum
+    val total = partFiles(s"$path/corpus/batch=-1/cluster=*/*")
+    assert(expected < total,
+      s"fixture must leave unprobed cells ($expected vs $total files)")
+    val corpusScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("graft-pqindex")))
+    assert(corpusScans.nonEmpty, "no corpus file scan found in plan")
+    val read = corpusScans.map(_.metrics("numFiles").value).sum
+    assert(read == expected,
+      s"scan read $read files; probed cells hold $expected of $total")
+  }
+
+  test("append migrates a legacy flat corpus layout instead of " +
+      "corrupting it with mixed partition depths") {
+    val s = spark
+    import s.implicits._
+    val path = freshPath("legacy")
+    PqIndex.build(s, path, corpusA.filter($"vec_id" < 150),
+      "vec_id", "embedding", kCells = 8)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    // rewrite the on-disk shape to the pre-batch layout: cluster=*
+    // directly under corpus/ (what older generations wrote)
+    val clusters = fs.globStatus(p(s"$path/corpus/batch=-1/cluster=*"))
+    assert(clusters.nonEmpty)
+    clusters.foreach { st =>
+      assert(fs.rename(st.getPath,
+        p(s"$path/corpus/" + st.getPath.getName)))
+    }
+    fs.rename(p(s"$path/corpus/batch=-1/_SUCCESS"), p(s"$path/corpus/_SUCCESS"))
+    fs.delete(p(s"$path/corpus/batch=-1"), true)
+    // legacy index is still readable on its own
+    assert(s.read.parquet(s"$path/corpus").count() == 150)
+    // append onto the legacy layout: migrates to batch=-1, then lands
+    // batch=0 — the whole corpus stays readable (pre-fix this produced
+    // conflicting directory structures and every read failed)
+    val n = PqIndex.append(s, path, corpusA.filter($"vec_id" >= 150),
+      "vec_id", "embedding", batchId = 0)
+    assert(n == 50)
+    assert(s.read.parquet(s"$path/corpus").count() == 200)
+    val dirs = fs.globStatus(p(s"$path/corpus/batch=*"))
+      .map(_.getPath.getName).toSet
+    assert(dirs == Set("batch=-1", "batch=0"), s"found $dirs")
+    // and answers equal a single-generation build with the same rows
+    val queries = corpusA.filter($"vec_id" < 20)
+    val got = PqIndex.topK(s, path, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val path2 = freshPath("legacy-ref")
+    PqIndex.build(s, path2, corpusA.filter($"vec_id" < 150),
+      "vec_id", "embedding", kCells = 8)
+    PqIndex.append(s, path2, corpusA.filter($"vec_id" >= 150),
+      "vec_id", "embedding", batchId = 0)
+    val ref = PqIndex.topK(s, path2, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == ref)
+    // a corpus that already mixes BOTH layouts is not migratable:
+    // fail fast with the rebuild message, write nothing
+    val path3 = freshPath("legacy-mixed")
+    PqIndex.build(s, path3, corpusA, "vec_id", "embedding", kCells = 8)
+    fs.mkdirs(p(s"$path3/corpus/cluster=999"))
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.append(s, path3, corpusA.limit(1), "vec_id", "embedding", 0)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("sink epoch marker closes the one-batch checkpoint-loss window; " +
+      "compaction clears it so a deliberate fresh checkpoint works") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = freshPath("epoch")
+    PqIndex.build(s, path, corpusA.filter($"vec_id" < 150),
+      "vec_id", "embedding", kCells = 8)
+    val late = corpusA.filter($"vec_id" >= 150)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    // ingest exactly ONE batch (batchId 0) from checkpoint 1
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.pqIndexIngestSink(
+        input.toDS().toDF("vec_id", "embedding"),
+        path, freshPath("epoch-ckpt1"), "vec_id", "embedding",
+        graft.streaming.Streams.trigger(1))
+      .start()
+    try {
+      input.addData(late.take(25).toSeq); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    assert(s.read.parquet(s"$path/corpus").count() == 175)
+    // checkpoint lost after exactly one batch: only batch=0 exists, so
+    // the batch-directory guard is blind — the epoch marker must trip
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = graft.streaming.Streams.pqIndexIngestSink(
+        input2.toDS().toDF("vec_id", "embedding"),
+        path, freshPath("epoch-ckpt2"), "vec_id", "embedding",
+        graft.streaming.Streams.trigger(1))
+      .start()
+    try {
+      input2.addData(late.slice(25, 30).toSeq)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(q2.exception.exists(
+        _.toString.contains("checkpoint was lost")), q2.exception.toString)
+    } finally q2.stop()
+    // the original ingest survived untouched
+    assert(s.read.parquet(s"$path/corpus").count() == 175)
+    // compaction publishes a fresh corpus without the marker: starting
+    // over from a NEW checkpoint is then a deliberate, allowed act
+    assert(PqIndex.compactCorpus(s, path))
+    val input3 = MemoryStream[(Long, Seq[Float])]
+    val q3 = graft.streaming.Streams.pqIndexIngestSink(
+        input3.toDS().toDF("vec_id", "embedding"),
+        path, freshPath("epoch-ckpt3"), "vec_id", "embedding",
+        graft.streaming.Streams.trigger(1))
+      .start()
+    try {
+      input3.addData(late.slice(25, 50).toSeq); q3.processAllAvailable()
+      assert(q3.exception.isEmpty, q3.exception.toString)
+    } finally q3.stop()
+    assert(s.read.parquet(s"$path/corpus").count() == 200)
+  }
+
+  test("watchdog measures the SERVING path: maintain with shortlist " +
+      "evaluates topKRefined recall before and after the retrain") {
+    val s = spark
+    import s.implicits._
+    val path = freshPath("watchdog-refined")
+    PqIndex.build(s, path, corpusA, "vec_id", "embedding", kCells = 8)
+    val qA = corpusA.filter($"vec_id" < 30)
+    val rHealthy = PqIndex.recallAt(s, path, corpusA, qA, "vec_id",
+      "embedding", k = 10, shortlist = 20)
+    // healthy: maintain(shortlist) measures exactly the refined path
+    val noop = PqIndex.maintain(s, path, corpusA, qA, "vec_id",
+      "embedding", floor = math.min(rHealthy, 0.5), kCells = 8,
+      shortlist = 20)
+    assert(!noop.retrained && noop.recallBefore == rHealthy)
+    // drift, then maintain against a floor just above the stale
+    // refined recall: retrain fires and both measurements ran through
+    // the serving (shortlist) path
+    PqIndex.reencode(s, path, corpusB, "vec_id", "embedding")
+    val qB = corpusB.filter($"vec_id" < 30)
+    val rStale = PqIndex.recallAt(s, path, corpusB, qB, "vec_id",
+      "embedding", k = 10, shortlist = 20)
+    val floor = math.min(0.9, rStale + 0.01)
+    val res = PqIndex.maintain(s, path, corpusB, qB, "vec_id",
+      "embedding", floor, kCells = 8, shortlist = 20)
+    assert(res.retrained && res.recallBefore == rStale)
+    assert(res.recallAfter >= floor,
+      s"retrained refined recall ${res.recallAfter} under $floor " +
+        s"(stale was $rStale)")
+    // and the published index serves what the watchdog measured
+    assert(PqIndex.recallAt(s, path, corpusB, qB, "vec_id", "embedding",
+      k = 10, shortlist = 20) == res.recallAfter)
+  }
+
   test("index swap is crash-safe: a cut between the two publish " +
       "renames heals to the complete previous generation") {
     val s = spark
