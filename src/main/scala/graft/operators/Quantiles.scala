@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   * binary-searches the VALUE SPACE instead of sorting the data.
   * Doubles map to monotone IEEE bit keys (the codegen'd
   * [[graft.functions.DoubleBitsKeyExpr]]); each pass histograms every
-  * still-active (group, quantile) search's keys into ≤ 2^bits
-  * equal-width key intervals of its current range — ONE aggregate
-  * whose shuffle carries (groups × quantiles × 2^bits) COUNTS,
-  * map-side combined, never rows — and the driver descends into the
-  * interval holding the residual target rank. Each pass divides the
+  * still-active search range's keys into ≤ 2^bits equal-width key
+  * intervals — ONE aggregate per pass over the DISTINCT (group, lo,
+  * hi) ranges (coincident searches share a histogram: in pass 1 all
+  * of a group's quantiles cover the same full range, so deduping
+  * before the join is a quantiles× CPU factor), whose shuffle carries
+  * (ranges × 2^bits) COUNTS, map-side combined, never rows — and the
+  * descent steps every search into the interval holding its residual
+  * target rank. Each pass divides the
   * key range by 2^bits, so ≤ ⌈64/bits⌉ passes (6 at the default 12)
   * reach a single key = the exact k-th smallest value, duplicates
   * counted individually. Scans are the cheap currency at scale
@@ -141,27 +144,34 @@ object Quantiles {
     while (searches.exists(width(_) > 1) && pass < maxPasses) {
       pass += 1
       val active = searches.filter(width(_) > 1)
-      val stateDf = active.map { s =>
-        val ivw = math.max(1L, (width(s) + nBuckets - 1) / nBuckets)
-        (s.group, s.qIdx, s.lo, s.hi, ivw)
-      }.toDF("__g", "__q", "__lo", "__hi", "__ivw")
-      // one aggregate serves every active search: broadcast the search
-      // ranges, bucket each in-range key, count — shuffle rows are
-      // (group, search, bucket) partials, bounded by searches × 2^bits
+      // histogram once per DISTINCT (group, lo, hi, ivw) range, not
+      // once per search: in pass 1 every search of a group shares the
+      // group's full range (equi-depth runs b−1 of them), so the
+      // per-search join would bucket each row b−1 times for identical
+      // counts. Searches sharing a range descend on the same histogram.
+      val ranges = active.map { s =>
+        (s.group, s.lo, s.hi, math.max(1L, (width(s) + nBuckets - 1) / nBuckets))
+      }.distinct
+      val stateDf = ranges.toDF("__g", "__lo", "__hi", "__ivw")
+      // one aggregate serves every active search: broadcast the
+      // distinct ranges, bucket each in-range key once per RANGE,
+      // count — shuffle rows are (group, range, bucket) partials,
+      // bounded by ranges × 2^bits
       val hist = base
         .join(broadcast(stateDf), Seq("__g"))
         .filter($"__k" >= $"__lo" && $"__k" <= $"__hi")
-        .groupBy($"__g", $"__q", expr("(__k - __lo) DIV __ivw").as("__b"))
+        .groupBy($"__g", $"__lo", $"__hi",
+          expr("(__k - __lo) DIV __ivw").as("__b"))
         .agg(sum($"__w").as("__c"))
         .collect()
-        .groupBy(r => (r.getString(0), r.getInt(1)))
-        .view.mapValues(_.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1))
+        .groupBy(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .view.mapValues(_.map(r => (r.getLong(3), r.getLong(4))).sortBy(_._1))
         .toMap
       searches = searches.map { s =>
         if (width(s) <= 1) s
         else {
           val ivw = math.max(1L, (width(s) + nBuckets - 1) / nBuckets)
-          val buckets = hist.getOrElse((s.group, s.qIdx),
+          val buckets = hist.getOrElse((s.group, s.lo, s.hi),
             throw new IllegalStateException(
               s"refinement pass returned no buckets for '${s.group}'"))
           var rem = s.rank
@@ -271,20 +281,47 @@ object Quantiles {
           val st = state.filter($"__hi" > $"__lo")
             .withColumn("__ivw",
               expr(s"(__hi - __lo + $nBuckets) DIV $nBuckets"))
-          val hist = base
-            .join(broadcast(st), Seq("__g"))
-            .filter($"__k" >= $"__lo" && $"__k" <= $"__hi")
-            .groupBy($"__g", $"__q", $"q", $"n", $"__lo", $"__hi",
-              $"__rank", $"__ivw", expr("(__k - __lo) DIV __ivw").as("__b"))
-            .agg(sum($"__w").as("__c"))
-          // descent without the driver: cumulative mass per search in
-          // bucket order; the ONE bucket where the residual rank lands
-          // is `cum − c < rank ≤ cum` (top-bucket end < hi + 2^bits —
+          // PASS 1 with several fractions: every search of a group
+          // covers the group's FULL range (equi-depth runs b−1 of
+          // them), so joining the base to SEARCHES would bucket each
+          // row qs.size times for identical counts — histogram once
+          // per group and re-attach the searches to the cumulative
+          // counts by a broadcast join (the search frame is the same
+          // tens-of-MB side either join broadcasts). Later passes the
+          // ranges have diverged per quantile (sharing ≈ none), and
+          // the dedup's extra distinct + join is pure overhead —
+          // measured +30% on the 1M-group single-quantile stress — so
+          // the search attributes ride the aggregate directly.
+          val descended = if (pass == 1 && qs.size > 1) {
+            val ranges = st.select($"__g", $"__lo", $"__hi", $"__ivw")
+              .distinct()
+            val hist = base
+              .join(broadcast(ranges), Seq("__g"))
+              .filter($"__k" >= $"__lo" && $"__k" <= $"__hi")
+              .groupBy($"__g", $"__lo", $"__hi", $"__ivw",
+                expr("(__k - __lo) DIV __ivw").as("__b"))
+              .agg(sum($"__w").as("__c"))
+            val wOrd = org.apache.spark.sql.expressions.Window
+              .partitionBy($"__g", $"__lo", $"__hi").orderBy($"__b")
+            hist.withColumn("__cum", sum($"__c").over(wOrd))
+              .join(broadcast(st), Seq("__g", "__lo", "__hi", "__ivw"))
+          } else {
+            val hist = base
+              .join(broadcast(st), Seq("__g"))
+              .filter($"__k" >= $"__lo" && $"__k" <= $"__hi")
+              .groupBy($"__g", $"__q", $"q", $"n", $"__lo", $"__hi",
+                $"__rank", $"__ivw", expr("(__k - __lo) DIV __ivw").as("__b"))
+              .agg(sum($"__w").as("__c"))
+            val wOrd = org.apache.spark.sql.expressions.Window
+              .partitionBy($"__g", $"__q").orderBy($"__b")
+            hist.withColumn("__cum", sum($"__c").over(wOrd))
+          }
+          // descent without the driver: cumulative mass per range in
+          // bucket order; for each search sharing the range, the ONE
+          // bucket where the residual rank lands is
+          // `cum − c < rank ≤ cum` (top-bucket end < hi + 2^bits —
           // no overflow, ivw·2^bits < width + 2^bits)
-          val wOrd = org.apache.spark.sql.expressions.Window
-            .partitionBy($"__g", $"__q").orderBy($"__b")
-          val next = hist
-            .withColumn("__cum", sum($"__c").over(wOrd))
+          val next = descended
             .filter($"__cum" >= $"__rank" && $"__cum" - $"__c" < $"__rank")
             .select($"__g", $"__q", $"q", $"n",
               ($"__lo" + $"__b" * $"__ivw").as("lo2"),
@@ -355,17 +392,25 @@ object Quantiles {
     * [[bucketOf]]: each row joins its key's bounds array (broadcast
     * hint; the repo's SafeBroadcastRule degrades it if the bounds
     * frame outgrows the cap — keys × (b−1) doubles) and the bucket is
-    * the same right-closed comparison sum, evaluated over the array by
-    * a codegen-able HOF. Output = `df`'s columns plus `bucket`;
-    * rows whose key has no bounds row are dropped (inner join — a key
-    * absent from the sizing pass has no grid to land in). */
+    * the same right-closed convention as one compiled O(log b) binary
+    * search per row ([[graft.functions.BucketOfKeyedExpr]] — the HOF
+    * fold spelling is ArrayAggregate, which is CodegenFallback:
+    * interpreted O(b) per corpus row in the drift monitor's full-
+    * volume path). The join key is compared as STRING on BOTH sides
+    * ([[equiDepthBoundsDist]] emits string keys — the dist-descent
+    * group coercion); without the explicit cast Spark would coerce a
+    * numeric-vs-string equality through DOUBLE, where long keys beyond
+    * 2^53 can misjoin. Output = `df`'s columns plus `bucket`; rows
+    * whose key has no bounds row are dropped, and so are NULL-key rows
+    * (inner equi-join — null never equi-joins; a key absent from the
+    * sizing pass has no grid to land in). */
   def bucketOfKeyed(df: DataFrame, keyCol: String, valueCol: String,
       bounds: DataFrame, bucketName: String = "bucket"): DataFrame =
-    df.join(broadcast(bounds), Seq(keyCol))
-      .withColumn(bucketName,
-        aggregate(col("bounds"), lit(0L), (acc, cut) =>
-          acc + when(col(valueCol).cast("double") > cut, 1L).otherwise(0L)))
-      .drop("bounds")
+    df.join(broadcast(bounds.withColumnRenamed(keyCol, "__bk")),
+        col(keyCol).cast("string") === col("__bk"))
+      .withColumn(bucketName, graft.functions.NativeBucket.bucketOf(
+        col(valueCol).cast("double"), col("bounds")))
+      .drop("__bk", "bounds")
 
   /** Bucket id of a value against ascending boundary cut points:
     * bucket i holds values in (bounds(i−1), bounds(i)], bucket 0

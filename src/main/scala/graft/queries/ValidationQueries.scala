@@ -349,6 +349,23 @@ object ValidationQueries extends QueryPack {
     * bucket's mass pinned ≈ n/8 by construction — and the oracle
     * replays cuts (rank selection), per-row bucket (comparison count
     * against the key's 7 cuts), and the final histogram. */
+  /** WEIGHTED × GROUP-SCALE exact quantiles — the composition of
+    * [[vWeightedQuantiles]] (token mass, not row count) and
+    * [[vQuantilesDist]] (distributed search state): the same
+    * token-weighted document-length percentiles, refined with the
+    * per-pass histograms and the descent living in DataFrames — the
+    * shape a per-domain corpus-budget report takes when the key
+    * cardinality outgrows the driver-map variant's contract. The
+    * oracle is the identical cumulative-weight DuckDB derivation
+    * (deterministic regardless of intra-value ordering). */
+  def vWeightedQuantilesDist(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("__w"))
+    graft.operators.Quantiles.exactQuantilesDist(docs, "source", "n_chars",
+      Seq(0.5, 0.9), weightCol = Some("__w"))
+  }
+
   def vEquidepthHist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = table(s, dir, "events")
@@ -530,6 +547,7 @@ object ValidationQueries extends QueryPack {
     "v_exact_quantiles" -> (vExactQuantiles _),
     "v_quantiles_dist" -> (vQuantilesDist _),
     "v_weighted_quantiles" -> (vWeightedQuantiles _),
+    "v_weighted_quantiles_dist" -> (vWeightedQuantilesDist _),
     "v_equidepth_hist" -> (vEquidepthHist _),
     "v_grid_quantiles" -> (vGridQuantiles _),
     "v_drift_stream" -> (vDriftStream _),
@@ -698,6 +716,26 @@ object ValidationQueries extends QueryPack {
         ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
       ORDER BY r.user_id, qs.q""",
     "v_weighted_quantiles" -> """
+      WITH d AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS v,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w
+        FROM documents WHERE n_chars IS NOT NULL),
+      vals AS (
+        SELECT source, v, SUM(w) AS vw FROM d WHERE w > 0
+        GROUP BY source, v),
+      cum AS (
+        SELECT source, v,
+               SUM(vw) OVER (PARTITION BY source ORDER BY v) AS cw,
+               SUM(vw) OVER (PARTITION BY source) AS W
+        FROM vals),
+      qs AS (SELECT * FROM (VALUES (0.5), (0.9)) AS t(q))
+      SELECT source, CAST(qs.q AS DOUBLE) AS q,
+             CAST(MAX(cum.W) AS BIGINT) AS n, MIN(cum.v) AS value
+      FROM cum JOIN qs
+        ON cum.cw >= GREATEST(1, CAST(CEIL(qs.q * cum.W) AS BIGINT))
+      GROUP BY source, qs.q
+      ORDER BY source, qs.q""",
+    "v_weighted_quantiles_dist" -> """
       WITH d AS (
         SELECT source, CAST(n_chars AS DOUBLE) AS v,
                CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w

@@ -166,6 +166,39 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bucketOfKeyed joins long keys beyond 2^53 exactly (string " +
+      "comparison, not the double coercion that collides them)") {
+    val s = spark
+    import s.implicits._
+    // two keys whose DOUBLE images are identical: a numeric-vs-string
+    // equi-join coerces both sides through double and cross-matches
+    val k1 = 1L << 53
+    val k2 = (1L << 53) + 1L
+    assert(k1.toDouble == k2.toDouble)
+    val df = (Seq.tabulate(40)(i => (k1, i.toDouble)) ++
+      Seq.tabulate(40)(i => (k2, 1000.0 + i))).toDF("g", "v")
+      .repartition(3)
+    val bounds = Quantiles.equiDepthBoundsDist(df, "g", "v", b = 4)
+    assert(bounds.count() == 2)
+    val keyed = Quantiles.bucketOfKeyed(df, "g", "v", bounds)
+    // every row keeps exactly one bounds row — no cross-key fanout
+    assert(keyed.count() == 80)
+    // and each key buckets against ITS OWN grid: k2's values all sit
+    // above k1's cuts, so a misjoin would land them in k1's top bucket
+    val perKey = keyed.groupBy($"g", $"bucket").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    Seq(k1, k2).foreach { k =>
+      val masses = perKey.collect { case ((`k`, _), m) => m }
+      assert(masses.sum == 40L, s"key $k total")
+      assert(masses.forall(_ == 10L), s"key $k equi-depth masses: $masses")
+    }
+    // null keys drop (documented: null never equi-joins)
+    val withNull = (Seq((Option(k1), 1.0), (Option.empty[Long], 2.0)))
+      .toDF("g", "v")
+    assert(Quantiles.bucketOfKeyed(withNull, "g", "v", bounds).count() == 1)
+  }
+
   test("weighted quantiles == expanded-row ranks; zero weights excluded") {
     val s = spark
     import s.implicits._

@@ -35,19 +35,35 @@ object FuzzQuantiles {
       }
       val qs = Seq(0.001, 0.1, 0.33, 0.5, 0.77, 0.99, 1.0)
       val bits = Seq(4, 8, 12)(rng.nextInt(3))
-      val df = rows.toDF("g", "v").repartition(5)
+      // random integer weights ride every trial: the WEIGHTED ×
+      // DISTRIBUTED composition sweeps the same adversarial values
+      val wrows = rows.map { case (g, v) => (g, v, 1L + rng.nextInt(7)) }
+      val df = wrows.toDF("g", "v", "w").repartition(5)
       val got = Quantiles.exactQuantiles(df, "g", "v", qs, bits)
         .collect().map(r => (r.getString(0), r.getDouble(1)) ->
           (r.getLong(2), r.getDouble(3))).toMap
       val gotDist = Quantiles.exactQuantilesDist(df, "g", "v", qs, bits)
         .collect().map(r => (r.getString(0), r.getDouble(1)) ->
           (r.getLong(2), r.getDouble(3))).toMap
-      rows.groupBy(_._1).foreach { case (g, rs) =>
+      val gotW = Quantiles.exactQuantiles(df, "g", "v", qs, bits,
+          weightCol = Some("w"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val gotWDist = Quantiles.exactQuantilesDist(df, "g", "v", qs, bits,
+          weightCol = Some("w"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      wrows.groupBy(_._1).foreach { case (g, rs) =>
         val sorted = rs.map(_._2).sorted
         val nn = sorted.length.toLong
+        val expanded = rs.flatMap { case (_, v, w) =>
+          Seq.fill(w.toInt)(v) }.sorted
+        val wn = expanded.length.toLong
         qs.foreach { q =>
           val k = math.max(1L, math.ceil(q * nn).toLong)
           val exp = (nn, sorted((k - 1).toInt))
+          val kw = math.max(1L, math.ceil(q * wn).toLong)
+          val expW = (wn, expanded((kw - 1).toInt))
           if (got((g, q)) != exp) {
             fails += 1
             println(s"MISMATCH trial=$trial g=$g q=$q bits=$bits (driver)")
@@ -55,6 +71,15 @@ object FuzzQuantiles {
           if (gotDist((g, q)) != exp) {
             fails += 1
             println(s"MISMATCH trial=$trial g=$g q=$q bits=$bits (dist)")
+          }
+          if (gotW((g, q)) != expW) {
+            fails += 1
+            println(s"MISMATCH trial=$trial g=$g q=$q bits=$bits (weighted)")
+          }
+          if (gotWDist((g, q)) != expW) {
+            fails += 1
+            println(s"MISMATCH trial=$trial g=$g q=$q bits=$bits " +
+              "(weighted dist)")
           }
         }
       }
