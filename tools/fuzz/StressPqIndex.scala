@@ -27,20 +27,26 @@ object StressPqIndex {
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        }
       }
     })
     def timed[A](tag: String)(f: => A): A = {
       org.apache.spark.sql.GraftShims.drainListenerBus(spark)
       shuffleBytes.set(0)
+      inputBytes.set(0)
       val t0 = System.nanoTime()
       val r = f
       org.apache.spark.sql.GraftShims.drainListenerBus(spark)
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
-        f"${shuffleBytes.get / 1048576.0}%.1f MB shuffle")
+        f"${shuffleBytes.get / 1048576.0}%.1f MB shuffle, " +
+        f"${inputBytes.get / 1048576.0}%.1f MB read")
       r
     }
     val dim = 32
@@ -81,6 +87,40 @@ object StressPqIndex {
     // planted ground truth: the twin is the true nearest neighbor
     val twinHits = grown.count { case (q, n) => n.toLong == (q.toLong ^ 1L) }
     println(f"  twin recall@1 = ${twinHits.toDouble / grown.size}%.3f")
+    // PRUNING OBSERVABILITY (round 12): with kCells=64 and 50 queries
+    // × nProbe=4 the probed-cell union can cover most of the index, so
+    // the static cluster IN filter has little to prune. A 2-query
+    // batch probes ≤ 8 of 64 cells — the serving shape (point lookups
+    // against a big index) where probed-cells-only reads are the whole
+    // point. Compare "MB read" between this and the 50-query phase.
+    val fewQ = base.filter(col("vec_id").cast("long") % 500000L === 0L)
+    timed("topKRefined 2 queries (pruned: <=8/64 cells)") {
+      val r = graft.similarity.PqIndex.topKRefined(spark, path, full, fewQ,
+          "vec_id", "embedding", k = 1, shortlist = 100)
+        .collect()
+      require(r.nonEmpty)
+    }
+    // raw ADC reads ONLY the codes corpus — the cleanest view of the
+    // static partition filter. Queries ride a LOCAL frame (the serving
+    // shape: a query batch arrives from outside, it is not a filter
+    // over the checkpointed corpus — deriving it by filter re-reads
+    // the whole 1M-row base three times per call and buries the codes
+    // scan in the read metric).
+    val localQ = { rows: Array[org.apache.spark.sql.Row] =>
+      import spark.implicits._
+      rows.map(r => (r.getString(0), r.getSeq[Float](1).toSeq)).toSeq
+        .toDF("vec_id", "embedding")
+    }
+    val q50 = localQ(queries.collect())
+    val q2 = localQ(fewQ.collect())
+    timed("topK raw ADC, 50 local queries (probes most cells)") {
+      require(graft.similarity.PqIndex.topK(spark, path, q50,
+        "vec_id", "embedding", k = 1).collect().nonEmpty)
+    }
+    timed("topK raw ADC, 2 local queries (pruned codes scan)") {
+      require(graft.similarity.PqIndex.topK(spark, path, q2,
+        "vec_id", "embedding", k = 1).collect().nonEmpty)
+    }
     timed("compactCorpus (codes only, no re-encode)") {
       require(graft.similarity.PqIndex.compactCorpus(spark, path))
     }
