@@ -105,6 +105,35 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
         s"(${got.merges.size} merges), got ${got.rounds}")
   }
 
+  test("batched trainDistributed == trainFromCounts at 500 merges on " +
+      "a Zipf morphological fixture (the StressBpeVocab shape, CI-sized)") {
+    // shared subword structure (syllables recur across words, suffixes
+    // across stems) is what makes deep merge trajectories productive —
+    // the 5k-merge divergence-rate seal runs in tools/fuzz; this pins
+    // the same corpus shape at CI cost
+    val s = spark
+    import s.implicits._
+    val syls = for (c <- "bdfg"; v <- "aeiou") yield s"$c$v" // 20
+    val sufs = Seq("", "ing", "ed", "s")
+    val rng = new scala.util.Random(12)
+    val words = Seq.tabulate(3000) { r =>
+      val w = syls(r / 400 % 20) + syls(r / 20 % 20) + syls(r % 20) +
+        sufs(r % 4)
+      Seq.fill(1 + 3000 / (r + 1))(w) // frequency ∝ 1/rank
+    }.flatten
+    val docs = rng.shuffle(words).grouped(20)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val counts = BpeTrain.wordCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (expMerges, expVocab) = BpeTrain.trainFromCounts(counts, 500)
+    val got = BpeTrain.trainDistributedStats(docs, "text", 500)
+    assert(got.merges.map(m => (m._1, m._2)) == expMerges)
+    assert(got.vocab == expVocab)
+    assert(got.rounds <= math.max(1, got.merges.size / 8),
+      s"${got.merges.size} merges should cost <= merges/8 rounds, " +
+        s"got ${got.rounds}")
+  }
+
   test("selectExactBatch: exact decrements, creations, terminal stops") {
     def rs(pairs: Seq[(String, String, Long)],
         triples: Map[(String, String, String), Long]) =
