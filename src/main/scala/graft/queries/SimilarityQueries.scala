@@ -175,6 +175,40 @@ object SimilarityQueries extends QueryPack {
     * lookup, rank) is oracle-pinned, including the adc_dist column
     * (exact-integer-valued doubles). KMeans-trained float codebooks
     * remain the production path, verified by PqSpec recall bounds. */
+  /** The PERSISTED-index serving path end-to-end under the oracle
+    * gate: the fixture artifacts ([[graft.similarity.PqFixture]])
+    * encode the corpus into an on-disk IVFADC index
+    * ([[graft.similarity.PqIndex.buildFrom]]), and the ranks come off
+    * the DISK index through the statically-pruned cluster scan
+    * ([[graft.similarity.PqIndex.topK]]) — the same integer ADC
+    * distances as [[simPqAdc]], independently recomputed by DuckDB.
+    * Ids ride as strings on the disk path, so the oracle casts and
+    * tie-breaks on the string image. The index lives in a per-call
+    * temp dir, materialized rows survive its deletion (the
+    * tx_pretrain_stream temp-state discipline — this query runs
+    * repeatedly under bench + the gate). */
+  def simPqIndexDisk(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{PqFixture, PqIndex}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_pqindex_disk").toString
+    val rows =
+      try {
+        val emb = table(s, dir, "embeddings")
+        PqIndex.buildFrom(s, s"$work/index", emb, "vec_id", "embedding",
+          PqIndex.Index(PqFixture.coarseL, PqFixture.codebooksL))
+        PqIndex.topK(s, s"$work/index", emb.filter(col("vec_id") < nQueries),
+            "vec_id", "embedding", k, nProbe = 2)
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+            r.getDouble(3)))
+          .toSeq
+      } finally graft.core.AtomicSwap
+        .deleteRecursively(new java.io.File(work))
+    import s.implicits._
+    rows.toDF("query_id", "rank", "neighbor_id", "adc_dist")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def simPqAdc(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.{Pq, PqFixture}
     val prep = table(s, dir, "embeddings")
@@ -190,6 +224,7 @@ object SimilarityQueries extends QueryPack {
 
   val queries: Map[String, QueryFn] = Map(
     "sim_pq_adc" -> (simPqAdc _),
+    "sim_pqindex_disk" -> (simPqIndexDisk _),
     "sim_centroids" -> (simCentroids _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_bucketed" -> (simTopkBucketed _),
@@ -338,6 +373,50 @@ object SimilarityQueries extends QueryPack {
                                    ORDER BY d, cid) <= 2),
       adc AS (
         SELECT pr.query_id, ce.vec_id AS neighbor_id,
+               CAST(SUM(sd.d) AS BIGINT) AS di
+        FROM probes pr
+        JOIN cell ce ON ce.cluster = pr.cluster
+                    AND ce.vec_id <> pr.query_id
+        JOIN codes co ON co.vec_id = ce.vec_id
+        JOIN subd sd ON sd.vec_id = pr.query_id
+                    AND sd.j = co.j AND sd.c = co.c
+        GROUP BY pr.query_id, ce.vec_id)
+      SELECT query_id, rank, neighbor_id, CAST(di AS DOUBLE) AS adc_dist
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY di, neighbor_id) AS rank
+            FROM adc)
+      WHERE rank <= $k ORDER BY query_id, rank""",
+    "sim_pqindex_disk" -> s"""
+      WITH prep AS ($prepSql),
+      cents AS (SELECT * FROM (VALUES $coarseValuesSql) AS t(cid, cv)),
+      cb AS (SELECT * FROM (VALUES $cbValuesSql) AS t(j, c, v)),
+      cdist AS (
+        SELECT p.vec_id, c.cid,
+               (SELECT SUM((a - b) * (a - b))
+                FROM (SELECT unnest(p.q) AS a, unnest(c.cv) AS b)) AS d
+        FROM prep p CROSS JOIN cents c),
+      cell AS (
+        SELECT vec_id, cid AS cluster FROM cdist
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) = 1),
+      subd AS (
+        SELECT p.vec_id, b.j, b.c,
+               (SELECT SUM((a - bb) * (a - bb))
+                FROM (SELECT unnest(p.q[b.j * 16 + 1 : b.j * 16 + 16]) AS a,
+                             unnest(b.v) AS bb)) AS d
+        FROM prep p CROSS JOIN cb b),
+      codes AS (
+        SELECT vec_id, j, c FROM subd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                   ORDER BY d, c) = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS cluster FROM cdist
+        WHERE vec_id < $nQueries
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) <= 2),
+      adc AS (
+        SELECT CAST(pr.query_id AS VARCHAR) AS query_id,
+               CAST(ce.vec_id AS VARCHAR) AS neighbor_id,
                CAST(SUM(sd.d) AS BIGINT) AS di
         FROM probes pr
         JOIN cell ce ON ce.cluster = pr.cluster

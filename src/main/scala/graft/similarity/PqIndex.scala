@@ -116,6 +116,20 @@ object PqIndex {
     ix
   }
 
+  /** Publish a fresh index at `path` from CALLER-PROVIDED artifacts —
+    * the bring-your-own-quantizers build ([[build]] trains its own):
+    * artifacts trained on an earlier corpus generation, on a different
+    * cluster, or pinned fixtures (the [[PqFixture]] oracle discipline)
+    * encode the given corpus through the same writeTo + atomic-swap
+    * path, so disk serving is byte-comparable to any in-memory ranking
+    * using the same integers. */
+  def buildFrom(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, vecCol: String, ix: Index): Unit = {
+    heal(spark, path)
+    writeTo(spark, path + "__new", corpus, idCol, vecCol, ix)
+    publish(spark, path)
+  }
+
   /** Re-encode a changed corpus with the CURRENT artifacts (the
     * ingest-time path: rows moved, quantizers reused) — the scenario
     * that makes a recall watchdog necessary, because nothing here
