@@ -307,7 +307,7 @@ object ValidationQueries extends QueryPack {
   def vExactQuantiles(s: SparkSession, dir: String): DataFrame =
     graft.operators.Quantiles.exactQuantiles(
       table(s, dir, "events"), "event_type", "value",
-      Seq(0.25, 0.5, 0.9, 0.95))
+      Seq(0.25, 0.5, 0.9, 0.95), bits = 16)
 
   /** [[vExactQuantiles]]' HIGH-CARDINALITY twin through the DISTRIBUTED
     * search state ([[graft.operators.Quantiles.exactQuantilesDist]]):
@@ -319,7 +319,8 @@ object ValidationQueries extends QueryPack {
     * k-th-smallest contract the oracle derives by row_number. */
   def vQuantilesDist(s: SparkSession, dir: String): DataFrame =
     graft.operators.Quantiles.exactQuantilesDist(
-      table(s, dir, "events"), "user_id", "value", Seq(0.5, 0.95))
+      table(s, dir, "events"), "user_id", "value", Seq(0.5, 0.95),
+      bits = 16)
 
   /** WEIGHTED exact quantiles ([[graft.operators.Quantiles
     * .exactQuantiles]] with `weightCol`): per-source TOKEN-weighted
@@ -337,7 +338,7 @@ object ValidationQueries extends QueryPack {
       .select(col("source"), col("n_chars"),
         graft.text.TextFunctions.tokenCount(col("text")).as("__w"))
     graft.operators.Quantiles.exactQuantiles(docs, "source", "n_chars",
-      Seq(0.5, 0.9), weightCol = Some("__w"))
+      Seq(0.5, 0.9), bits = 16, weightCol = Some("__w"))
   }
 
   /** PER-KEY EQUI-DEPTH bucketing end to end ([[graft.operators
@@ -363,7 +364,7 @@ object ValidationQueries extends QueryPack {
       .select(col("source"), col("n_chars"),
         graft.text.TextFunctions.tokenCount(col("text")).as("__w"))
     graft.operators.Quantiles.exactQuantilesDist(docs, "source", "n_chars",
-      Seq(0.5, 0.9), weightCol = Some("__w"))
+      Seq(0.5, 0.9), bits = 16, weightCol = Some("__w"))
   }
 
   def vEquidepthHist(s: SparkSession, dir: String): DataFrame = {
@@ -371,8 +372,15 @@ object ValidationQueries extends QueryPack {
     val ev = table(s, dir, "events")
       .filter($"value".isNotNull && !isnan($"value"))
       .select($"event_type", $"value")
+    // bits = 16 here and in the sibling quantile rows: passes =
+    // ⌈64/bits⌉, so 16 cuts the 64-bit key descent from 6 passes to 4,
+    // and the per-search histogram rows are bounded by NON-EMPTY
+    // buckets (≤ the group's distinct values — far below 2^16 at these
+    // cardinalities), so the wider grid costs nothing. The operator
+    // default stays 12: at 10⁶ searches × dense groups the 2^bits
+    // worst-case bound is the scaling contract.
     val bounds = graft.operators.Quantiles.equiDepthBoundsDist(
-      ev, "event_type", "value", b = 8)
+      ev, "event_type", "value", b = 8, bits = 16)
     graft.operators.Quantiles.bucketOfKeyed(ev, "event_type", "value", bounds)
       .groupBy($"event_type", $"bucket")
       .agg(count(lit(1)).as("n_rows"))
