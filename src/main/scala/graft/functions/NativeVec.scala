@@ -205,7 +205,76 @@ case class AdcTableQExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** array<float|double> → array<long>: per-element floor(x·10⁴) — the
+  * engine-wide quantization ([[graft.similarity.Similarity.quantize]])
+  * as one compiled loop. The Column spelling is an `ArrayTransform`
+  * HOF, which is `CodegenFallback`: every corpus row of every
+  * similarity / PQ / index path paid an interpreted per-element
+  * closure walk at the very start of the pipeline — the same
+  * interpreter tax class as the argmin (measured 23×) and the bucket
+  * fold. Semantics are bit-identical to
+  * `transform(v, x => floor(x.cast(double) * 1e4).cast(long))`:
+  * float→double widening then one IEEE multiply, `math.floor(_).toLong`
+  * (NaN → 0, ±Inf → Long.Max/Min — Spark Floor's own double→long),
+  * null elements stay null, null array stays null. Pinned by
+  * NativeVecSpec against the retained Column reference. */
+case class QuantizeExpr(child: Expression) extends UnaryExpression {
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = elemNullable)
+  override def prettyName: String = "graft_quantize"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.sql}")
+  }
+
+  /** Called from generated code. */
+  def quantize(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        if (!arr.isNullAt(i))
+          out(i) = math.floor(arr.getFloat(i).toDouble * 10000.0).toLong
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (!arr.isNullAt(i))
+          out(i) = math.floor(arr.getDouble(i) * 10000.0).toLong
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantizeQ", this,
+      "graft.functions.QuantizeExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.quantize($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeExpr =
+    copy(child = newChild)
+}
+
 object NativeVec {
+  def quantize(v: Column): Column =
+    GraftShims.column(QuantizeExpr(GraftShims.expression(v)))
+
   def dotQ(a: Column, b: Column): Column =
     GraftShims.column(DotQExpr(GraftShims.expression(a), GraftShims.expression(b)))
 

@@ -27,8 +27,16 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Quantize an array<float> to array<long> at 4-decimal resolution. */
+  /** Quantize an array<float> to array<long> at 4-decimal resolution —
+    * native expression ([[graft.functions.QuantizeExpr]]): one compiled
+    * loop inside whole-stage codegen. The `transform` spelling is an
+    * ArrayTransform HOF (CodegenFallback — interpreted per element) at
+    * the head of EVERY similarity/PQ/index corpus scan. */
   def quantize(v: Column): Column =
+    graft.functions.NativeVec.quantize(v)
+
+  /** Pure-Column reference formulation of [[quantize]] (parity tests). */
+  def quantizeReference(v: Column): Column =
     transform(v, x => floor(x.cast(DoubleType) * 10000.0d).cast(LongType))
 
   /** Exact integer dot product of two quantized vectors — native

@@ -7,6 +7,47 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class NativeVecSpec extends AnyFunSuite with SparkSpec {
 
+  test("native quantize ≡ Column-reference transform over real " +
+      "embeddings and adversarial doubles") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cmp = emb.select(
+      Similarity.quantize(col("embedding")).as("native"),
+      Similarity.quantizeReference(col("embedding")).as("ref"))
+    assert(cmp.filter(col("native") =!= col("ref")).count() == 0)
+    // adversarial: NaN, ±Inf, signed zero, null elements, null array,
+    // exact-boundary values whose ·10⁴ product sits on an integer —
+    // both spellings must floor the SAME IEEE double product
+    val adv: Seq[Option[Seq[Option[Double]]]] = Seq(
+      Some(Seq(Some(0.12345), Some(-0.12345), Some(1.00005), Some(-0.0),
+        Some(0.0), Some(Double.NaN), Some(Double.PositiveInfinity),
+        Some(Double.NegativeInfinity), None, Some(1e300), Some(-1e300),
+        Some(4.9e-324), Some(0.0001), Some(-0.0001))),
+      Some(Seq.empty[Option[Double]]),
+      None)
+    val advDf = adv.toDF("v")
+    val advCmp = advDf.select(
+      Similarity.quantize(col("v")).as("native"),
+      Similarity.quantizeReference(col("v")).as("ref"))
+    val bad = advCmp.filter(
+      (col("native").isNull =!= col("ref").isNull) ||
+        (col("native").isNotNull && (col("native") =!= col("ref"))))
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+    // float path: the float→double widening happens BEFORE the
+    // multiply in both spellings
+    val f = Seq(Seq(0.1f, -0.1f, 1.5f, Float.NaN)).toDF("v")
+    val fCmp = f.select(
+      Similarity.quantize(col("v")).as("native"),
+      Similarity.quantizeReference(col("v")).as("ref"))
+    assert(fCmp.filter(col("native") =!= col("ref")).count() == 0)
+    // and it is NOT CodegenFallback, unlike the HOF it replaces
+    val cf = classOf[org.apache.spark.sql.catalyst.expressions
+      .codegen.CodegenFallback]
+    assert(!cf.isAssignableFrom(classOf[QuantizeExpr]))
+    assert(cf.isAssignableFrom(
+      classOf[org.apache.spark.sql.catalyst.expressions.ArrayTransform]))
+  }
+
   test("native dotQ ≡ Column-reference dotQ over real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.select(Similarity.quantize(col("embedding")).as("q"))
