@@ -96,6 +96,37 @@ object NativeTextImpl {
     out
   }
 
+  /** Per-token md5 bucket ids — the [[graft.text.Dsir.featureBucket]]
+    * md5-twin scheme over every whitespace token in one compiled loop:
+    * first 15 md5 hex chars parsed big-endian (< 2^60, exactly
+    * `conv(substring(md5(t),1,15),16,10)`), then pmod `buckets` (the
+    * 60-bit value is non-negative, so `%` == pmod). The Column
+    * spelling wraps this chain in an ArrayTransform lambda —
+    * CodegenFallback, so the whole md5 chain ran interpreted per token
+    * on the corpus-linear LM-scoring path. */
+  def bucketArray(s: UTF8String, buckets: Long): ArrayData = {
+    val toks = tokenize(s)
+    val md = mdLocal.get()
+    val out = new Array[Any](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(
+        toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 0
+      while (i < 15) {
+        val nib =
+          if (i % 2 == 0) (d(i / 2) >> 4) & 0xF else d(i / 2) & 0xF
+        v = (v << 4) | nib
+        i += 1
+      }
+      out(t) = v % buckets
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct n-token shingles in first-occurrence order (space-joined),
     * empty array for docs shorter than n tokens. */
   def shingles(s: UTF8String, n: Int): ArrayData = {
@@ -461,6 +492,30 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** string → array<bigint> per-token md5 bucket ids, codegen'd (the
+  * [[graft.text.LmScore.bucketArray]] hot path — one compiled loop
+  * instead of an interpreted ArrayTransform around the md5 chain). */
+case class BucketArrayExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_bucket_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.bucketArray(input.asInstanceOf[UTF8String], buckets.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextImpl.bucketArray($c, ${buckets}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): BucketArrayExpr =
+    copy(child = newChild)
+}
+
 /** string → array<string> distinct n-token shingles, codegen'd. */
 case class TokenShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -624,4 +679,6 @@ object NativeText {
     GraftShims.column(TopCharGramsExpr(GraftShims.expression(text), n, k))
   def deflateLen(text: Column): Column =
     GraftShims.column(DeflateLenExpr(GraftShims.expression(text)))
+  def bucketArray(text: Column, buckets: Int): Column =
+    GraftShims.column(BucketArrayExpr(GraftShims.expression(text), buckets))
 }

@@ -47,24 +47,16 @@ object LmScore {
     Dsir.featureBucket(tok, buckets)
 
   /** One row per bigram occurrence: `(doc_id, bu, bv)` hashed token
-    * pair, built DIRECTLY from adjacent token-array entries (the
-    * DuckDB twin's toks[i]/toks[i+1] shape) — a join-the-gram-then-
-    * split-it-again spelling would pay a string concat plus regex
-    * splits per bigram on the corpus-sized hot path. Short docs yield
-    * nothing. Map-only. */
+    * pair — order-2 windows sliced from the per-document
+    * [[bucketArray]] (each token md5-hashed ONCE, by the compiled
+    * native expression; the previous direct spelling hashed every
+    * interior token twice — once per adjacent window — through an
+    * interpreted lambda). Same (doc_id, toks[i], toks[i+1]) shape the
+    * DuckDB twin replays. Short docs yield nothing. Map-only. */
   def bigramBuckets(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), toks.as("__t"))
-      .where(size(col("__t")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("__t")) - 2),
-          i => struct(
-            tokenBucket(element_at(col("__t"), i + 1), buckets).as("bu"),
-            tokenBucket(element_at(col("__t"), i + 2), buckets).as("bv"))))
-          .as("__p"))
-      .select(col("doc_id"), col("__p.bu").as("bu"), col("__p.bv").as("bv"))
-  }
+      buckets: Int): DataFrame =
+    ngramWindowsOf(bucketArray(docs, idCol, textCol, buckets), 2)
+      .withColumnRenamed("g1", "bu").withColumnRenamed("g2", "bv")
 
   /** Training pass: bigram bucket counts (≤ B² rows) and the prefix
     * marginals derived from them (≤ B rows) — the model's entire
@@ -117,9 +109,19 @@ object LmScore {
   /** Per-document hashed-token-id ARRAY: `(doc_id, bs)` — the one
     * md5-bucketing pass every n-gram order derives its windows from
     * (integer slicing of the array instead of re-hashing the text per
-    * order). Map-only. */
+    * order). Native expression ([[graft.functions.BucketArrayExpr]]):
+    * the `transform` spelling is an ArrayTransform HOF
+    * (CodegenFallback), so the md5 chain ran INTERPRETED per token on
+    * this corpus-linear path. Map-only. */
   def bucketArray(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.NativeText.bucketArray(col(textCol), buckets).as("bs"))
+
+  /** Pure-Column reference formulation of [[bucketArray]]'s hashing
+    * (parity tests — interpreted). */
+  private[graft] def bucketArrayReference(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       transform(TextFunctions.tokens(col(textCol)),
         t => tokenBucket(t, buckets)).as("bs"))

@@ -41,6 +41,33 @@ class NativeTextSpec extends AnyFunSuite with SparkSpec {
     assert(edge(3).getSeq[String](0) == Seq("a a"))
   }
 
+  test("native bucketArray ≡ Column-reference md5 buckets: corpus, " +
+      "whitespace edges, unicode, null") {
+    import spark.implicits._
+    val ref = graft.text.LmScore.bucketArrayReference(docs, "doc_id",
+      "text", 1024).withColumnRenamed("bs", "ref")
+    val got = graft.text.LmScore.bucketArray(docs, "doc_id", "text", 1024)
+      .withColumnRenamed("bs", "native")
+    val cmp = got.join(ref, Seq("doc_id"))
+    assert(cmp.filter(col("native") =!= col("ref")).count() == 0)
+    // whitespace-edge texts: leading/trailing spaces produce the same
+    // empty tokens (split limit -1 semantics), multi-space runs
+    // collapse, unicode hashes over UTF-8 bytes — and null stays null
+    val edge = Seq(Option(""), Option(" "), Option("  a  b "),
+      Option("café 日本語 tok"), Option("one"),
+      None).toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val eCmp = graft.text.LmScore
+      .bucketArray(edge, "doc_id", "text", 7)
+      .withColumnRenamed("bs", "native")
+      .join(graft.text.LmScore
+        .bucketArrayReference(edge, "doc_id", "text", 7)
+        .withColumnRenamed("bs", "ref"), Seq("doc_id"))
+    val bad = eCmp.filter(
+      (col("native").isNull =!= col("ref").isNull) ||
+        (col("native").isNotNull && (col("native") =!= col("ref"))))
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+  }
+
   test("edge cases: short docs, empty-ish strings, nulls") {
     import spark.implicits._
     val df = Seq("one two three", "one", "", "a a a a a a").toDF("text")
