@@ -127,6 +127,53 @@ object NativeTextImpl {
     new GenericArrayData(out)
   }
 
+  /** Minimum md5 (lowercase hex) over all n-token shingles — the
+    * [[graft.text.TextFunctions.minShingleFingerprint]] containment
+    * fingerprint in one compiled pass: no shingle array, no distinct
+    * set (min over occurrences == min over distincts), no interpreted
+    * per-shingle md5 lambda; digests compare as unsigned bytes, which
+    * is exactly the hex string's lexicographic order. Null (matching
+    * `array_min` over an empty array) for docs shorter than n. */
+  def minShingleFingerprint(s: UTF8String, n: Int): UTF8String = {
+    val toks = tokenize(s)
+    if (toks.length < n) return null
+    val md = mdLocal.get()
+    val sb = new java.lang.StringBuilder
+    var best: Array[Byte] = null
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (best == null) best = d
+      else {
+        var k = 0
+        var cmp = 0
+        while (k < 16 && cmp == 0) {
+          cmp = (d(k) & 0xFF) - (best(k) & 0xFF)
+          k += 1
+        }
+        if (cmp < 0) best = d
+      }
+      i += 1
+    }
+    val hex = new Array[Char](32)
+    var k = 0
+    while (k < 16) {
+      hex(2 * k) = Character.forDigit((best(k) >> 4) & 0xF, 16)
+      hex(2 * k + 1) = Character.forDigit(best(k) & 0xF, 16)
+      k += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
   /** Distinct n-token shingles in first-occurrence order (space-joined),
     * empty array for docs shorter than n tokens. */
   def shingles(s: UTF8String, n: Int): ArrayData = {
@@ -516,6 +563,32 @@ case class BucketArrayExpr(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** string → string minimum shingle-md5 fingerprint, codegen'd; null
+  * for docs shorter than n tokens (the `array_min`-over-empty twin). */
+case class MinShingleFingerprintExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_min_shingle_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.minShingleFingerprint(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.NativeTextImpl.minShingleFingerprint($c, $n);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinShingleFingerprintExpr =
+    copy(child = newChild)
+}
+
 /** string → array<string> distinct n-token shingles, codegen'd. */
 case class TokenShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression {
@@ -681,4 +754,7 @@ object NativeText {
     GraftShims.column(DeflateLenExpr(GraftShims.expression(text)))
   def bucketArray(text: Column, buckets: Int): Column =
     GraftShims.column(BucketArrayExpr(GraftShims.expression(text), buckets))
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    GraftShims.column(
+      MinShingleFingerprintExpr(GraftShims.expression(text), n))
 }

@@ -190,8 +190,17 @@ object TextFunctions {
 
   /** Document fingerprint: minimum MD5 over token shingles — a
     * deterministic containment fingerprint (winnowing-lite) identical in
-    * any engine with standard MD5. */
+    * any engine with standard MD5. Native expression
+    * ([[graft.functions.MinShingleFingerprintExpr]]): one compiled
+    * window scan keeping the running-min digest — the `transform`
+    * spelling materialized the shingle array and ran md5 in an
+    * interpreted (CodegenFallback) lambda per shingle. */
   def minShingleFingerprint(text: Column, n: Int): Column =
+    graft.functions.NativeText.minShingleFingerprint(text, n)
+
+  /** Pure-Column reference of [[minShingleFingerprint]] (parity tests). */
+  private[graft] def minShingleFingerprintReference(text: Column,
+      n: Int): Column =
     array_min(transform(tokenShingles(text, n), s => md5(s)))
 
   /** Context-window chunking: split a document into `size`-token chunks

@@ -68,6 +68,31 @@ class NativeTextSpec extends AnyFunSuite with SparkSpec {
     assert(bad.count() == 0, bad.collect().mkString("\n"))
   }
 
+  test("native minShingleFingerprint ≡ Column reference: corpus, " +
+      "short docs null, null text") {
+    import spark.implicits._
+    val cmp = docs.select(
+      graft.text.TextFunctions.minShingleFingerprint(col("text"), 5)
+        .as("native"),
+      graft.text.TextFunctions.minShingleFingerprintReference(col("text"), 5)
+        .as("ref"))
+    val bad = cmp.filter(
+      (col("native").isNull =!= col("ref").isNull) ||
+        (col("native").isNotNull && (col("native") =!= col("ref"))))
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+    val edge = Seq(Option("a b c"), Option("one two three four five six"),
+      Option(""), None).toDF("text")
+    val eCmp = edge.select(
+      graft.text.TextFunctions.minShingleFingerprint(col("text"), 5)
+        .as("native"),
+      graft.text.TextFunctions.minShingleFingerprintReference(col("text"), 5)
+        .as("ref"))
+    val eBad = eCmp.filter(
+      (col("native").isNull =!= col("ref").isNull) ||
+        (col("native").isNotNull && (col("native") =!= col("ref"))))
+    assert(eBad.count() == 0, eBad.collect().mkString("\n"))
+  }
+
   test("edge cases: short docs, empty-ish strings, nulls") {
     import spark.implicits._
     val df = Seq("one two three", "one", "", "a a a a a a").toDF("text")
