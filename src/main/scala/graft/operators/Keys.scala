@@ -163,7 +163,14 @@ object Keys {
     }
 
     val boundsArr = array(bounds.map(lit): _*)
-    val bucket = size(filter(boundsArr, b => b < key))
+    // compiled binary search over the cut array (count of bounds
+    // strictly below the key — identical right-closed predicate, null
+    // key → bucket 0 in both spellings). The HOF spelling
+    // `size(filter(bounds, b => b < key))` is ArrayFilter, which is
+    // CodegenFallback: an interpreted per-row closure walk on the
+    // engine-wide distributed-rank path every band split rides.
+    val bucket = graft.functions.NativeBucket
+      .bucketOf(key, boundsArr).cast("int")
     val bucketed = df.withColumn("__bucket", bucket)
 
     val counts: Map[Int, Long] = bucketed

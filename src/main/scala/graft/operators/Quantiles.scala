@@ -403,10 +403,21 @@ object Quantiles {
     * 2^53 can misjoin. Output = `df`'s columns plus `bucket`; rows
     * whose key has no bounds row are dropped, and so are NULL-key rows
     * (inner equi-join — null never equi-joins; a key absent from the
-    * sizing pass has no grid to land in). */
+    * sizing pass has no grid to land in).
+    *
+    * Bounds contract: the native binary search needs each `bounds`
+    * array ASCENDING (Spark sort order: NaN last) and NULL-FREE. The
+    * internal producer ([[equiDepthBoundsDist]]) emits exactly that,
+    * but this is public API over an arbitrary bounds frame — so the
+    * contract is ENFORCED here, on the keys-sized side (once per key,
+    * never per corpus row): null cuts are dropped (they contributed 0
+    * in the order-independent HOF fold this replaced) and the array is
+    * sorted. For conforming producers both are no-ops. */
   def bucketOfKeyed(df: DataFrame, keyCol: String, valueCol: String,
       bounds: DataFrame, bucketName: String = "bucket"): DataFrame =
-    df.join(broadcast(bounds.withColumnRenamed(keyCol, "__bk")),
+    df.join(broadcast(bounds.withColumnRenamed(keyCol, "__bk")
+          .withColumn("bounds", sort_array(
+            filter(col("bounds"), x => x.isNotNull)))),
         col(keyCol).cast("string") === col("__bk"))
       .withColumn(bucketName, graft.functions.NativeBucket.bucketOf(
         col(valueCol).cast("double"), col("bounds")))

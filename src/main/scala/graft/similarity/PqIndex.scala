@@ -212,7 +212,16 @@ object PqIndex {
     val dst = new Path(s"$path/corpus/batch=$batchId")
     if (fs.exists(dst)) fs.delete(dst, true)
     require(fs.rename(tmp, dst), s"append: rename $tmp -> $dst failed")
-    spark.read.parquet(dst.toString).count()
+    // a zero-row batch (an AvailableNow run with no new data, or a
+    // replayed batch off a non-replayable source — exactly the cases
+    // the read-back exists for) lands only _SUCCESS: no parquet
+    // footers under cluster=*, and schema inference on the data-less
+    // directory THROWS — turning a harmless no-op into a stream crash
+    // after the rename already published the empty batch. Probe for
+    // data files first; 0 rows needs no read.
+    val dataFiles = fs.globStatus(new Path(dst, "*/part-*"))
+    if (dataFiles == null || dataFiles.isEmpty) 0L
+    else spark.read.parquet(dst.toString).count()
   }
 
   /** Fold accumulated [[append]] batches into a single `batch=-1`
@@ -271,10 +280,10 @@ object PqIndex {
     * PartitionPruning rule declines and an unhinted read scans every
     * cluster directory — plan-probed, and what [[topK]] shipped
     * before this filter existed). */
-  private def probedCells(queries: DataFrame, vecCol: String, ix: Index,
+  private def probedCells(prepared: DataFrame, ix: Index,
       nProbe: Int): Seq[Int] =
-    queries.select(explode(Similarity.nearestCentroidsQ(
-        Similarity.quantize(col(vecCol)), ix.coarse, nProbe)).as("__cell"))
+    prepared.select(explode(Similarity.nearestCentroidsQ(
+        col("q"), ix.coarse, nProbe)).as("__cell"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
 
   /** ADC top-k straight off the persisted index: only the probed
@@ -288,12 +297,23 @@ object PqIndex {
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val ix = loadMeta(spark, path)
-    val cells = probedCells(queries, vecCol, ix, nProbe)
+    // ONE evaluation of the query source per serve: quantize once,
+    // pin the tiny (id, q) frame (queries are serving-contract small —
+    // localCheckpoint materializes it eagerly), and derive the
+    // probed-cell set, the probe explode, and the per-query ADC
+    // tables all from the pinned frame. The previous spelling
+    // re-evaluated quantize+assignment over the query SOURCE for each
+    // of the three derivations — and when callers pass a query frame
+    // derived by filtering the corpus, each derivation re-read the
+    // corpus (the SCALE.md caveat this retires). Single-scan behavior
+    // is pinned by PqIndexSpec with an accumulator-instrumented
+    // source.
+    val q = queries.select(col(idCol).cast("string").as("id"),
+      Similarity.quantize(col(vecCol)).as("q")).localCheckpoint()
+    val cells = probedCells(q, ix, nProbe)
     val indexed = spark.read.parquet(s"$path/corpus")
       .where(col("cluster").isin(cells: _*))
       .withColumnRenamed("codes", "q_pq")
-    val q = queries.select(col(idCol).cast("string").as("id"),
-      Similarity.quantize(col(vecCol)).as("q"))
     Pq.topKQ(indexed, q, "id", "q", ix.coarse, ix.books, k, nProbe)
   }
 

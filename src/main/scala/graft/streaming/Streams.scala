@@ -1868,36 +1868,90 @@ object Streams {
         } finally cached.unpersist()
       }
 
-  /** Sink-epoch guard shared by the accumulate-by-batch index sinks:
-    * a tiny `_sink_epoch` marker beside the corpus records WHICH
-    * checkpoint feeds it. The batch-directory guard (batchId == 0 but
-    * committed batches exist) has a blind window — checkpoint lost
-    * after exactly ONE ingested batch=0 — where a restarted stream's
-    * own batch 0 silently overwrites the original ingest; the marker
-    * catches it on every batch, not just id 0. Underscore-prefixed so
-    * parquet readers never see it; written via scratch+rename so a
-    * reader never observes a torn marker; NOT copied by
-    * compaction/retrain (both publish a fresh corpus), so a deliberate
-    * fresh checkpoint after either is allowed. */
-  private def sinkEpochGuard(fs: org.apache.hadoop.fs.FileSystem,
+  // Sink-epoch guard shared by the accumulate-by-batch index sinks: a
+  // tiny `_sink_epoch` marker beside the corpus records WHICH
+  // checkpoint feeds it. The batch-directory guard (batchId == 0 but
+  // committed batches exist) has a blind window — checkpoint lost
+  // after exactly ONE ingested batch=0 — where a restarted stream's
+  // own batch 0 silently overwrites the original ingest; the marker
+  // catches it on every batch, not just id 0. Underscore-prefixed so
+  // parquet readers never see it; written via scratch+rename so a
+  // reader never observes a torn marker; NOT copied by
+  // compaction/retrain (both publish a fresh corpus), so a deliberate
+  // fresh checkpoint after either is allowed. Split into a validate
+  // half (batch start) and a commit half (after the batch's data
+  // lands) — see each method's contract.
+
+  /** Canonical form of a checkpoint location for epoch comparison:
+    * fs-qualified URI via the path's OWN filesystem (the checkpoint may
+    * live on a different scheme than the corpus). The same logical
+    * checkpoint spelled differently across restarts — trailing slash,
+    * `file://` scheme vs bare path, relative vs absolute — must not
+    * falsely trip the guard and permanently block a healthy stream.
+    * Applied to BOTH sides of the comparison, so markers persisted by
+    * older builds (raw spelling) still compare correctly. */
+  private def canonicalEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      checkpoint: String): String = {
+    val p = new Path(checkpoint)
+    p.getFileSystem(fs.getConf).makeQualified(p).toUri.toString
+  }
+
+  private def readEpochMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: Path): String = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def epochMismatch(sinkName: String, corpusDir: Path,
+      rec: String, checkpoint: String): IllegalStateException =
+    new IllegalStateException(
+      s"$sinkName: $corpusDir was fed by checkpoint '$rec' but this " +
+        s"stream runs from '$checkpoint' — the checkpoint was lost " +
+        "or replaced. Restore it, or compact/rebuild the index and " +
+        "start a fresh checkpoint.")
+
+  /** Validate-only half of the epoch guard — runs at BATCH START,
+    * before anything is overwritten. Throws when the corpus was fed by
+    * a different checkpoint; silently passes when no marker exists yet
+    * (the first successful batch commits it — [[sinkEpochCommit]]). */
+  private def sinkEpochCheck(fs: org.apache.hadoop.fs.FileSystem,
       corpusDir: Path, checkpoint: String, sinkName: String): Unit = {
     val marker = new Path(corpusDir, "_sink_epoch")
     if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val rec =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      if (rec != checkpoint)
-        throw new IllegalStateException(
-          s"$sinkName: $corpusDir was fed by checkpoint '$rec' but this " +
-            s"stream runs from '$checkpoint' — the checkpoint was lost " +
-            "or replaced. Restore it, or compact/rebuild the index and " +
-            "start a fresh checkpoint.")
-    } else {
+      val rec = readEpochMarker(fs, marker)
+      if (canonicalEpoch(fs, rec) != canonicalEpoch(fs, checkpoint))
+        throw epochMismatch(sinkName, corpusDir, rec, checkpoint)
+    }
+  }
+
+  /** Create-if-absent half — runs AFTER the batch's data landed, so a
+    * stream that dies on its very first batch before writing anything
+    * leaves no marker and a deliberate fresh-checkpoint restart is not
+    * poisoned with a misleading 'checkpoint was lost'. A failed rename
+    * is never swallowed: the marker is re-read and validated (another
+    * writer's identical marker is fine), and if it cannot be
+    * established at all the batch fails loudly — a silently inactive
+    * guard is the bug this method exists to prevent. */
+  private def sinkEpochCommit(fs: org.apache.hadoop.fs.FileSystem,
+      corpusDir: Path, checkpoint: String, sinkName: String): Unit = {
+    val marker = new Path(corpusDir, "_sink_epoch")
+    if (!fs.exists(marker)) {
+      val canon = canonicalEpoch(fs, checkpoint)
       val tmp = new Path(corpusDir, "_sink_epoch__tmp")
       val out = fs.create(tmp, true)
-      try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, marker)) fs.delete(tmp, true)
+      try out.write(canon.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        fs.delete(tmp, true)
+        if (!fs.exists(marker))
+          throw new IllegalStateException(
+            s"$sinkName: could not persist the _sink_epoch marker at " +
+              s"$marker — the checkpoint-loss guard would be silently " +
+              "inactive for this corpus")
+        val rec = readEpochMarker(fs, marker)
+        if (canonicalEpoch(fs, rec) != canon)
+          throw epochMismatch(sinkName, corpusDir, rec, checkpoint)
+      }
     }
   }
 
@@ -1958,7 +2012,7 @@ object Streams {
             s"ivfIngestSink: batchId restarted at 0 but $indexPath " +
             "already holds committed batches — the checkpoint was lost. " +
             "Restore it, or compact the index and start a fresh checkpoint.")
-        sinkEpochGuard(fs, new Path(indexPath, "corpus"), checkpoint,
+        sinkEpochCheck(fs, new Path(indexPath, "corpus"), checkpoint,
           "ivfIngestSink")
         // ONE read of the micro-batch source: the assignment projection
         // and the reported row count both come off this checkpoint — a
@@ -1978,6 +2032,8 @@ object Streams {
                 .withColumn("cluster", explode(col("cells")))
           assigned.write.mode("overwrite").partitionBy("cluster")
             .parquet(s"$indexPath/corpus/batch=$batchId")
+          sinkEpochCommit(fs, new Path(indexPath, "corpus"), checkpoint,
+            "ivfIngestSink")
           onLoad(LoadResult(success = true,
             rowsLoaded = b.count(), tableName = s"$indexPath/corpus",
             durationSeconds = (System.nanoTime() - t0) / 1e9))
@@ -2032,13 +2088,15 @@ object Streams {
         // checkpoint feeds this corpus; retrain/compaction publish a
         // fresh generation without it, so a deliberate fresh checkpoint
         // after either is allowed.
-        sinkEpochGuard(fs, new Path(indexPath, "corpus"), checkpoint,
+        sinkEpochCheck(fs, new Path(indexPath, "corpus"), checkpoint,
           "pqIndexIngestSink")
         // append returns the count actually written (footer read-back):
         // a second batch.count() here would re-read the micro-batch
         // source and could disagree with what was encoded
         val n = graft.similarity.PqIndex.append(spark, indexPath, batch,
           idCol, vecCol, batchId)
+        sinkEpochCommit(fs, new Path(indexPath, "corpus"), checkpoint,
+          "pqIndexIngestSink")
         onLoad(LoadResult(success = true,
           rowsLoaded = n, tableName = s"$indexPath/corpus",
           durationSeconds = (System.nanoTime() - t0) / 1e9))

@@ -47,6 +47,38 @@ object Curation {
     val nTok = size(toks)
     val nonWs = length(regexp_replace(text, "\\s+", ""))
     val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    // compiled single-pass scorers ([[graft.functions.NativeCuration]])
+    // for the two per-element walks — the ArrayFilter spellings (kept
+    // in [[gopherFeaturesReference]] as the parity pin) are
+    // CodegenFallback: an interpreted closure per token/line on the
+    // corpus-linear pretrain gate
+    val nAlpha = graft.functions.NativeCuration.alphaTokenCount(text)
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(gopherStopWords.map(lit): _*)))
+    val ls = graft.functions.NativeCuration.gopherLineStats(text)
+    val nLines = ls.getField("n_lines")
+    val nBullet = ls.getField("n_bullet")
+    val nEllipsis = ls.getField("n_ellipsis")
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
+        .otherwise(lit(0.0))
+    struct(
+      nTok.cast(LongType).as("n_tokens"),
+      ratio(nonWs, nTok).as("mean_word_len"),
+      ratio(nSym, nTok).as("symbol_ratio"),
+      ratio(nAlpha, nTok).as("alpha_word_ratio"),
+      nStop.cast(LongType).as("n_stop_words"),
+      ratio(nBullet, nLines).as("bullet_ratio"),
+      ratio(nEllipsis, nLines).as("ellipsis_ratio"))
+  }
+
+  /** The HOF reference spelling of [[gopherFeatures]] (parity tests
+    * only — ArrayFilter walks, interpreted). */
+  private[graft] def gopherFeaturesReference(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val nTok = size(toks)
+    val nonWs = length(regexp_replace(text, "\\s+", ""))
+    val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
     val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
     val nStop = size(array_intersect(array_distinct(toks),
       array(gopherStopWords.map(lit): _*)))
@@ -117,6 +149,28 @@ object Curation {
     * corpus-side aggregate) and the existing per-doc
     * `TextFunctions.repetitionScore`. */
   def repetitionFeatures(text: Column): Column = {
+    // compiled one-pass duplication stats
+    // ([[graft.functions.DupUnitStatsExpr]]): the Column spelling
+    // ([[dupUnitStats]], kept as the parity reference inside
+    // [[repetitionFeaturesReference]]) pays two interpreted
+    // aggregate(transform(...)) folds per document
+    val lines = graft.functions.NativeCuration.dupUnitStats(text, "\n")
+    val paras = graft.functions.NativeCuration.dupUnitStats(text, "\n\n")
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
+        .otherwise(lit(0.0))
+    struct(
+      ratio(lines("n_dup_units"), lines("n_units")).as("dup_line_frac"),
+      ratio(lines("dup_unit_chars"), lines("unit_chars"))
+        .as("dup_line_char_frac"),
+      ratio(paras("n_dup_units"), paras("n_units")).as("dup_para_frac"),
+      ratio(paras("dup_unit_chars"), paras("unit_chars"))
+        .as("dup_para_char_frac"))
+  }
+
+  /** The HOF reference spelling of [[repetitionFeatures]] (parity
+    * tests only — interpreted). */
+  private[graft] def repetitionFeaturesReference(text: Column): Column = {
     val lines = dupUnitStats(split(text, "\n", -1))
     val paras = dupUnitStats(split(text, "\n\n", -1))
     def ratio(num: Column, den: Column): Column =
@@ -154,6 +208,23 @@ object Curation {
     * [[blocklistHitsJoin]] when the list outgrows a plan literal. */
   def blocklistHits(text: Column, terms: Seq[String]): Column = {
     require(terms.nonEmpty, "empty blocklist")
+    // one compiled pass ([[graft.functions.TokenSetHitsExpr]] — the
+    // ArrayFilter spelling in [[blocklistHitsReference]] interprets a
+    // closure per token): the text side is lowered ONCE with Spark's
+    // own `lower` (lowercasing never creates or removes the ASCII
+    // whitespace that bounds tokens, and the final-sigma rule sees the
+    // same word boundaries, so lower-then-tokenize ≡ tokenize-then-
+    // lower — pinned by the parity spec's unicode fixtures), then each
+    // token is one hash-set probe against the ROOT-lowercased terms
+    graft.functions.NativeCuration.tokenSetHits(lower(text),
+      terms.map(_.toLowerCase(java.util.Locale.ROOT)))
+  }
+
+  /** The HOF reference spelling of [[blocklistHits]] (parity tests
+    * only — interpreted). */
+  private[graft] def blocklistHitsReference(text: Column,
+      terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "empty blocklist")
     val lowered = array(terms.map(t => lit(t.toLowerCase(
       java.util.Locale.ROOT))): _*)
     size(filter(TextFunctions.tokens(text),
@@ -184,6 +255,16 @@ object Curation {
     * [[blocklistHits]] whose callers always gate on a committed list.
     * Codegen'd literal-array filter, map-only. */
   def containsCount(text: Column, terms: Seq[String]): Column =
+    if (terms.isEmpty) lit(0L)
+    // compiled term loop ([[graft.functions.ContainsCountExpr]], binary
+    // UTF8String.contains per term — the ArrayFilter spelling in
+    // [[containsCountReference]] interprets a closure per term per row)
+    else graft.functions.NativeCuration.containsCount(text, terms)
+
+  /** The HOF reference spelling of [[containsCount]] (parity tests
+    * only — interpreted). */
+  private[graft] def containsCountReference(text: Column,
+      terms: Seq[String]): Column =
     if (terms.isEmpty) lit(0L)
     else size(filter(array(terms.map(lit): _*), t => text.contains(t)))
       .cast(LongType)
@@ -269,7 +350,18 @@ object Curation {
     * don't mention "javascript"; re-join survivors with newlines.
     * Returns the cleaned text ("" when nothing survives — callers drop
     * those rows). */
-  def c4CleanedText(text: Column, minWords: Int = 3): Column = {
+  def c4CleanedText(text: Column, minWords: Int = 3): Column =
+    // one compiled pass over the document
+    // ([[graft.functions.C4CleanExpr]]): the HOF spelling in
+    // [[c4CleanedTextReference]] is an interpreted ArrayFilter whose
+    // PER-LINE lambda itself re-runs trim + a regex split + lower —
+    // three more interpreted walks per line
+    graft.functions.NativeCuration.c4Clean(text, minWords)
+
+  /** The HOF reference spelling of [[c4CleanedText]] (parity tests
+    * only — interpreted). */
+  private[graft] def c4CleanedTextReference(text: Column,
+      minWords: Int = 3): Column = {
     val kept = filter(split(text, "\n", -1), l => {
       val t = trim(l)
       (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||

@@ -9,6 +9,32 @@ trait SparkSpec { self: AnyFunSuite =>
   val sf: String = "/root/testdata/sf0.001"
 }
 
+/** Shared plan probes for the interpreter-tax asserts: walk a
+  * DataFrame's executed plan (through AQE wrappers) and report every
+  * expression that is `CodegenFallback` — the class the native-
+  * expression sweep exists to keep OFF corpus-linear paths. */
+object PlanProbe {
+  import org.apache.spark.sql.execution.SparkPlan
+
+  def codegenFallbacks(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    fallbacks(df.queryExecution.executedPlan).distinct
+
+  private def fallbacks(p: SparkPlan): Seq[String] = {
+    val here = p.expressions.flatMap(_.collect {
+      case f: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback =>
+        f.getClass.getSimpleName
+    })
+    val nested = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fallbacks(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fallbacks(q.plan)
+      case _ => Seq.empty
+    }
+    here ++ nested ++ p.children.flatMap(fallbacks)
+  }
+}
+
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()

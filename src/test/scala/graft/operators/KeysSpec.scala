@@ -41,6 +41,17 @@ class KeysSpec extends AnyFunSuite with SparkSpec {
       plan.contains("windowspecdefinition(__bucket"))
   }
 
+  test("distributed rank plan carries no CodegenFallback expression " +
+      "(native bucket search, not the interpreted ArrayFilter walk)") {
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val ranked = Keys.globalRank(customer, "c_custkey", "rk", buckets = 8,
+      smallBytes = 0L)
+    ranked.collect()
+    val found = graft.PlanProbe.codegenFallbacks(ranked)
+    assert(found.isEmpty,
+      s"interpreted expressions on the engine-wide rank path: $found")
+  }
+
   test("graft.rank.smallBytes conf can force distributed, never re-enable the window") {
     val customer = spark.read.parquet(s"$sf/customer.parquet")
     // a huge conf value must NOT override an explicit smallBytes = 0:

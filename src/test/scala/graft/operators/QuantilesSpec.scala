@@ -199,6 +199,36 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(Quantiles.bucketOfKeyed(withNull, "g", "v", bounds).count() == 1)
   }
 
+  test("bucketOfKeyed enforces the bounds contract on arbitrary " +
+      "producers: unsorted + null-slot bounds bucket exactly as the " +
+      "order-independent HOF fold") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 0.5), ("a", 1.5), ("a", 2.5), ("a", 2.0),
+      ("b", -1.0), ("b", 0.0), ("b", 10.0)).toDF("k", "v")
+    // adversarial public-API producer: descending order, null cuts —
+    // the native binary search is undefined over this raw shape; the
+    // entry point must normalize it (null cuts contributed 0 in the
+    // HOF fold, so drop + sort reproduces the fold for any input)
+    val bounds = Seq(
+      ("a", Seq[java.lang.Double](2.0, null, 1.0)),
+      ("b", Seq[java.lang.Double](null, 0.0))).toDF("k", "bounds")
+    val got = Quantiles.bucketOfKeyed(df, "k", "v", bounds)
+      .select($"k", $"v", $"bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // the HOF reference evaluated over the RAW (unsorted, null-slot)
+    // arrays — order-independent, null-tolerant by construction
+    val ref = df
+      .join(bounds.withColumnRenamed("k", "bk"), $"k" === $"bk")
+      .select($"k", $"v", graft.functions.NativeBucket
+        .bucketOfReference($"v".cast("double"), $"bounds").as("bucket"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == ref, s"got $got vs HOF reference $ref")
+    assert(got == Set(("a", 0.5, 0L), ("a", 1.5, 1L), ("a", 2.0, 1L),
+      ("a", 2.5, 2L), ("b", -1.0, 0L), ("b", 0.0, 0L), ("b", 10.0, 1L)))
+  }
+
   test("weighted quantiles == expanded-row ranks; zero weights excluded") {
     val s = spark
     import s.implicits._

@@ -522,4 +522,104 @@ class PqIndexSpec extends AnyFunSuite with SparkSpec {
       "vec_id", "embedding", k = 3)
     assert(got.count() == 15)
   }
+
+  test("topK evaluates the query source exactly ONCE per serve: the " +
+      "probe set, probe explode, and ADC tables all derive from the " +
+      "pinned (id, q) frame") {
+    val s = spark
+    import s.implicits._
+    val path = freshPath("single-eval")
+    PqIndex.build(s, path, corpusA, "vec_id", "embedding", kCells = 8)
+    val nQueries = 20
+    val acc = s.sparkContext.longAccumulator("query-evals")
+    val instrumented = corpusA.filter($"vec_id" < nQueries)
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it => it.map { r => acc.add(1); r } }
+      .toDF("vec_id", "embedding")
+    val got = PqIndex
+      .topK(s, path, instrumented, "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(acc.value == nQueries,
+      s"query source evaluated ${acc.value} row-times for $nQueries " +
+        "rows — the serve must scan it exactly once (pre-fix: 3×)")
+    // and the pinned-frame serve answers exactly like the plain one
+    val plain = PqIndex
+      .topK(s, path, corpusA.filter($"vec_id" < nQueries), "vec_id",
+        "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(got == plain)
+  }
+
+  test("append of an EMPTY batch is a 0-row no-op: no schema-inference " +
+      "crash on the data-less batch dir, corpus and answers unchanged") {
+    val s = spark
+    import s.implicits._
+    val path = freshPath("empty-append")
+    PqIndex.build(s, path, corpusA, "vec_id", "embedding", kCells = 8)
+    val queries = corpusA.filter($"vec_id" < 10)
+    def answers() = PqIndex
+      .topK(s, path, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val before = answers()
+    // a zero-row micro-batch (AvailableNow catch-up with no new data,
+    // or a replayed batch off a non-replayable source) must return 0,
+    // not crash reading back a directory that holds only _SUCCESS
+    val n = PqIndex.append(s, path, corpusA.filter($"vec_id" < 0),
+      "vec_id", "embedding", batchId = 7)
+    assert(n == 0L)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/corpus/batch=7")),
+      "the empty batch dir is the idempotent replay target — it must land")
+    // replay of the same empty batch: still 0, still no crash
+    assert(PqIndex.append(s, path, corpusA.filter($"vec_id" < 0),
+      "vec_id", "embedding", batchId = 7) == 0L)
+    assert(s.read.parquet(s"$path/corpus").count() == 200)
+    assert(answers() == before)
+  }
+
+  test("sink epoch guard: the same logical checkpoint respelled " +
+      "(file:// scheme + trailing slash) must not trip 'checkpoint " +
+      "was lost'") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = freshPath("epoch-spell")
+    PqIndex.build(s, path, corpusA.filter($"vec_id" < 150),
+      "vec_id", "embedding", kCells = 8)
+    val late = corpusA.filter($"vec_id" >= 150)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val ckpt = freshPath("epoch-spell-ckpt")
+    // batch 0 lands from the bare-path spelling of the checkpoint
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.pqIndexIngestSink(
+        input.toDS().toDF("vec_id", "embedding"),
+        path, ckpt, "vec_id", "embedding",
+        graft.streaming.Streams.trigger(1))
+      .start()
+    try {
+      input.addData(late.take(25).toSeq); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    assert(s.read.parquet(s"$path/corpus").count() == 175)
+    // the SAME checkpoint (same source, so offsets resume), respelled
+    // with an explicit scheme and a trailing slash — a healthy restart,
+    // not a lost checkpoint; the guard must compare canonical URIs,
+    // not raw strings
+    val q2 = graft.streaming.Streams.pqIndexIngestSink(
+        input.toDS().toDF("vec_id", "embedding"),
+        path, s"file://$ckpt/", "vec_id", "embedding",
+        graft.streaming.Streams.trigger(1))
+      .start()
+    try {
+      input.addData(late.drop(25).toSeq); q2.processAllAvailable()
+      assert(q2.exception.isEmpty,
+        s"respelled checkpoint falsely tripped the guard: ${q2.exception}")
+    } finally q2.stop()
+    assert(s.read.parquet(s"$path/corpus").count() == 200)
+  }
 }

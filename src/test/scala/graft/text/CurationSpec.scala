@@ -218,4 +218,101 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       "ja" -> ((2L, 1L, 1L)),
       "other" -> ((1L, 0L, 0L))), funnel)
   }
+
+  /** Adversarial corpus for the native-vs-HOF parity pins: whitespace
+    * zoo (tab, VT, FF, CR), boundary/empty lines, multi-byte scripts,
+    * the unicode lowercasing traps (U+0130 İ lowers to i + combining
+    * dot; U+212A Kelvin lowers to ASCII k; final sigma is contextual),
+    * duplicate lines/paragraphs, and NULL. */
+  private def adversarialDocs = {
+    import spark.implicits._
+    Seq[Option[String]](
+      Some(""), Some(" "), Some("\n"), Some("\n\n\n"),
+      Some("\t\n\f\r x\t"),
+      Some("the cat and dog have fun"),
+      Some("- a\n* b\nplain c...\nplain d"),
+      Some("  - padded bullet \n   * star   \n...\n .. \na..."),
+      Some("Words here. And more!\nshort\nNo js mention of " +
+        "JavaScript here.\nOk line with enough words?\n" +
+        "\"Quoted line three words.\""),
+      Some("This has JAVASCRİPT inside it."),
+      Some("This has JAVASCRIPT plainly spelled."),
+      Some("javascript"),
+      Some("ΣΟΦΟΣ ΣΟΦΟΣ the end."),
+      Some("K (kelvin) and Å signs here."),
+      Some("multi  spaces\tand\ttabs between words."),
+      Some("a\n\n a\n\na\n\n\na"),
+      Some("lorem\nlorem\nlorem\npara\n\npara\n\npara"),
+      Some("混ざった 言語 tokens the of"),
+      Some("emoji 🙂 token and ascii."),
+      None
+    ).toDF("text").repartition(3)
+  }
+
+  test("native gate scorers ≡ HOF reference spellings on the " +
+      "adversarial corpus (whitespace zoo, unicode lowering traps, " +
+      "boundary lines, NULL)") {
+    val docs = adversarialDocs
+    def pin(name: String, native: org.apache.spark.sql.Column,
+        ref: org.apache.spark.sql.Column): Unit = {
+      val bad = docs.select(col("text"), native.as("n"), ref.as("r"))
+        .filter(not(col("n") <=> col("r")))
+      assert(bad.count() == 0,
+        s"$name diverges from the HOF reference:\n" +
+          bad.collect().mkString("\n"))
+    }
+    pin("gopherFeatures",
+      Curation.gopherFeatures(col("text")),
+      Curation.gopherFeaturesReference(col("text")))
+    pin("repetitionFeatures",
+      Curation.repetitionFeatures(col("text")),
+      Curation.repetitionFeaturesReference(col("text")))
+    pin("c4CleanedText(3)",
+      Curation.c4CleanedText(col("text")),
+      Curation.c4CleanedTextReference(col("text")))
+    pin("c4CleanedText(1)",
+      Curation.c4CleanedText(col("text"), minWords = 1),
+      Curation.c4CleanedTextReference(col("text"), minWords = 1))
+    val terms = Seq("JavaScript", "the", "σοφός",
+      "k", "plain")
+    pin("blocklistHits",
+      Curation.blocklistHits(col("text"), terms),
+      Curation.blocklistHitsReference(col("text"), terms))
+    val subs = Seq("java", "JAVASCRIPT", "ΣΟ", "\n\n", "...", " ")
+    pin("containsCount",
+      Curation.containsCount(col("text"), subs),
+      Curation.containsCountReference(col("text"), subs))
+  }
+
+  test("gate plans carry no CodegenFallback expression; the retired " +
+      "HOF classes ARE CodegenFallback (the tax the natives remove)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val docs = adversarialDocs.filter(col("text").isNotNull)
+    val gates = docs.select(
+      Curation.gopherFeatures(col("text")).as("g"),
+      Curation.repetitionFeatures(col("text")).as("rep"),
+      Curation.c4CleanedText(col("text")).as("c4"),
+      Curation.blocklistHits(col("text"), Seq("bad", "worse")).as("bl"),
+      Curation.containsCount(col("text"), Seq("x", "y")).as("cc"))
+      .filter(Curation.gopherPassed(col("g")) ||
+        Curation.repetitionPassed(col("rep")) || col("c4") =!= "")
+    gates.collect()
+    val found = graft.PlanProbe.codegenFallbacks(gates)
+    assert(found.isEmpty,
+      s"interpreted expressions on the gate path: $found")
+    // reflection pins: what we removed was interpreted; what we added
+    // is compiled
+    for (c <- Seq(
+        classOf[org.apache.spark.sql.catalyst.expressions.ArrayFilter],
+        classOf[org.apache.spark.sql.catalyst.expressions.ArrayAggregate],
+        classOf[org.apache.spark.sql.catalyst.expressions.ArrayTransform]))
+      assert(classOf[CodegenFallback].isAssignableFrom(c), c.toString)
+    for (c <- Seq(classOf[graft.functions.AlphaTokenCountExpr],
+        classOf[graft.functions.GopherLineStatsExpr],
+        classOf[graft.functions.DupUnitStatsExpr],
+        classOf[graft.functions.TokenSetHitsExpr],
+        classOf[graft.functions.ContainsCountExpr],
+        classOf[graft.functions.C4CleanExpr]))
+      assert(!classOf[CodegenFallback].isAssignableFrom(c), c.toString)
+  }
 }
