@@ -217,6 +217,55 @@ object TransformQueries extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Q7→T3 composition — the quarantine → correct → re-validate →
+    * replay loop the reference declares around its reject capture
+    * (design.md:262-265: rejects are kept for correction and reload;
+    * the reload leg is the same latest-wins upsert T3 ships). Events
+    * split through the REAL [[Rules.quarantineSplit]]; rejects take
+    * the deterministic correction (off-list event_type → 'error',
+    * null value → 0.0, value clamped into [0,150]); corrected rows
+    * re-validate through the SAME rule set and only passing rows
+    * replay into the target via [[Merge.latestWins]] keyed by
+    * event_id (reject keys are disjoint from the valid side, so the
+    * upsert is a pure insert — the tie-break and k=1 heap are the
+    * production merge path regardless). The oracle replays the whole
+    * loop and unions EVERY corrected reject, so a correction that
+    * failed re-validation (a non-closed correction rule) surfaces as
+    * a row-count mismatch, and the output pins every event's final
+    * state + disposition. */
+  def qa9QuarantineReplay(s: SparkSession, dir: String): DataFrame = {
+    import Rules._
+    val allowed = Seq("view", "click", "purchase", "signup", "error")
+    val rules = Seq(
+      Rule("range", "value", graft.core.Severity.Error,
+        range(col("value"), Some(0.0), Some(150.0))),
+      Rule("allowed_values", "event_type", graft.core.Severity.Warning,
+        allowedValues(col("event_type"), allowed)),
+      Rule("not_null", "value", graft.core.Severity.Error,
+        col("value").isNull))
+    val events = table(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val (valid, rejects) = quarantineSplit(events, rules)
+    val corrected = rejects.drop("reasons")
+      .withColumn("event_type",
+        when(col("event_type").isin(allowed.map(x => x: Any): _*),
+          col("event_type")).otherwise(lit("error")))
+      .withColumn("value",
+        least(greatest(coalesce(col("value"), lit(0.0)), lit(0.0)),
+          lit(150.0)))
+      .withColumn("corrected", lit(true))
+    // the replay admits only rows that PASS the same gate — still-bad
+    // rows would loop back to quarantine (and the oracle, which unions
+    // all corrected rows, would catch the shortfall)
+    val (replayable, _) = quarantineSplit(corrected, rules)
+    Merge.latestWins(valid.withColumn("corrected", lit(false)),
+        replayable, Seq("event_id"), version = lit(0L))
+      .select(col("event_id"), fmtTs(col("ts")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("corrected"))
+      .orderBy(col("event_id"))
+  }
+
   /** Export-integrity manifest ([[graft.operators.Export.manifest]]):
     * per training shard — deterministic hash-assigned — the row count
     * and the order-free (sum, xor) content fingerprint a consumer
@@ -246,7 +295,8 @@ object TransformQueries extends QueryPack {
     "qa2_freshness" -> (qa2Freshness _),
     "qa3_custom_scalar" -> (qa3CustomScalar _),
     "qa4_grouped_having" -> (qa4GroupedHaving _),
-    "qa7_quarantine" -> (qa7Quarantine _))
+    "qa7_quarantine" -> (qa7Quarantine _),
+    "qa9_quarantine_replay" -> (qa9QuarantineReplay _))
 
   private val stagingSql = """
     SELECT o_orderkey AS order_id, o_custkey AS customer_id,
@@ -449,5 +499,37 @@ object TransformQueries extends QueryPack {
       WHERE (value IS NOT NULL AND (value < 0.0 OR value > 150.0))
          OR (event_type IS NOT NULL AND event_type NOT IN ('view','click','purchase','signup','error'))
          OR value IS NULL
+      ORDER BY event_id""",
+    // the full replay loop recomputed: split, correct, re-admit — the
+    // oracle unions EVERY corrected reject, so a non-closed correction
+    // (a corrected row that still fails the gate and is therefore
+    // withheld by the Spark side) breaks the row-count match
+    "qa9_quarantine_replay" -> s"""
+      WITH ev AS (
+        SELECT event_id, ts, user_id, event_type, value,
+               ((value IS NOT NULL AND (value < 0.0 OR value > 150.0))
+                 OR (event_type IS NOT NULL AND event_type NOT IN
+                     ('view','click','purchase','signup','error'))
+                 OR value IS NULL) AS bad
+        FROM events),
+      valid AS (
+        SELECT event_id, ts, user_id, event_type, value,
+               FALSE AS corrected
+        FROM ev WHERE NOT bad),
+      replay AS (
+        SELECT event_id, ts, user_id,
+               CASE WHEN event_type IN
+                    ('view','click','purchase','signup','error')
+                    THEN event_type ELSE 'error' END AS event_type,
+               LEAST(GREATEST(COALESCE(value, 0.0), 0.0), 150.0) AS value,
+               TRUE AS corrected
+        FROM ev WHERE bad)
+      SELECT event_id, ${fmtTsSql("ts")} AS ts, user_id, event_type,
+             value, corrected
+      FROM (SELECT event_id, ts, user_id, event_type, value, corrected
+              FROM valid
+            UNION ALL
+            SELECT event_id, ts, user_id, event_type, value, corrected
+              FROM replay)
       ORDER BY event_id""")
 }
