@@ -107,6 +107,36 @@ object NativeCurationImpl {
     seps + 1
   }
 
+  /** Per-line whitespace normalization (see [[NormalizeLinesExpr]]):
+    * emit each line's non-`\s` word runs joined by single spaces,
+    * drop wordless lines, join kept lines with '\n'. Multi-byte UTF-8
+    * is opaque to the scan (all `\s` members are single ASCII
+    * bytes). */
+  def normalizeLines(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val out = new Array[Byte](b.length)
+    var o = 0
+    var lineHasOut = false // current line already emitted a word
+    var keptAny = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c == 0x0A) { lineHasOut = false; i += 1 }
+      else if (isWs(c)) i += 1
+      else {
+        var j = i
+        while (j < b.length && !isWs(b(j))) j += 1
+        if (lineHasOut) { out(o) = 0x20; o += 1 }
+        else if (keptAny) { out(o) = 0x0A; o += 1 }
+        System.arraycopy(b, i, out, o, j - i)
+        o += j - i
+        lineHasOut = true; keptAny = true
+        i = j
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   private val JS = "javascript".getBytes("US-ASCII")
 
   /** ASCII-case-insensitive containment of "javascript" in [from,
@@ -222,6 +252,31 @@ case class DupUnitStatsExpr(child: Expression, sep: String)
     defineCodeGen(ctx, ev, c => s"$ref.stats($c)")
   }
   override protected def withNewChildInternal(newChild: Expression): DupUnitStatsExpr =
+    copy(child = newChild)
+}
+
+/** string → string: per-line whitespace normalization — each line's
+  * `\s+` runs collapse to single spaces, leading/trailing whitespace
+  * trims, empty lines drop, survivors re-join with '\n'. One compiled
+  * byte pass (output provably no longer than input, so a single exact
+  * buffer); replaces the HTML extractor's final
+  * `array_join(filter(transform(split(...), trim(regexp_replace(...)))))`
+  * stage — an interpreted ArrayTransform AND ArrayFilter whose per-line
+  * lambda re-enters a regex engine, on the corpus-linear crawl path.
+  * NULL propagates (the HOF chain's array_join(null) is null). */
+case class NormalizeLinesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_lines"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    NativeCurationImpl.normalizeLines(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeCurationImpl.normalizeLines($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeLinesExpr =
     copy(child = newChild)
 }
 
@@ -397,6 +452,8 @@ case class C4CleanExpr(child: Expression, minWords: Int)
 }
 
 object NativeCuration {
+  def normalizeLines(text: Column): Column =
+    GraftShims.column(NormalizeLinesExpr(GraftShims.expression(text)))
   def dupUnitStats(text: Column, sep: String): Column =
     GraftShims.column(DupUnitStatsExpr(GraftShims.expression(text), sep))
   def alphaTokenCount(text: Column): Column =

@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * LLM-pipeline surface.
   *
   * Built as a chain of Spark's own codegen'd string expressions
-  * (`regexp_replace`/`replace`/HOFs) rather than a custom Expression:
-  * composition of existing operators is the preferred extension level,
-  * the whole chain stays inside whole-stage codegen, and every step is
-  * a regex an independent SQL engine replays verbatim — which is what
-  * lets the DuckDB oracle pin the extraction byte-for-byte. Map-only:
-  * no shuffle, no state.
+  * (`regexp_replace`/`replace`): composition of existing operators is
+  * the preferred extension level, and every step is a regex an
+  * independent SQL engine replays verbatim — which is what lets the
+  * DuckDB oracle pin the extraction byte-for-byte. The one exception
+  * is the FINAL per-line normalize, which as a HOF chain was
+  * interpreted (ArrayTransform/ArrayFilter are CodegenFallback) with
+  * a regex re-entry per line — that stage is a native compiled pass
+  * ([[graft.functions.NormalizeLinesExpr]]), parity-pinned against
+  * the retained HOF spelling. Map-only: no shuffle, no state.
   *
   * Deliberately NOT a browser-grade parser — the contract, pinned by
   * HtmlSpec's guard tests:
@@ -99,12 +102,21 @@ object Html {
     val decoded = Entities.foldLeft(noTags) { case (c, (from, to)) =>
       replace(c, lit(from), lit(to))
     }
-    // per-line whitespace normalization, empty lines dropped
+    // per-line whitespace normalization, empty lines dropped — one
+    // compiled pass ([[graft.functions.NormalizeLinesExpr]]); the HOF
+    // spelling ([[normalizeLinesReference]], the parity pin) is an
+    // interpreted ArrayTransform+ArrayFilter whose per-line lambda
+    // re-enters the regex engine
+    graft.functions.NativeCuration.normalizeLines(decoded)
+  }
+
+  /** The HOF reference spelling of [[extractText]]'s final normalize
+    * stage (parity tests only — interpreted). */
+  private[graft] def normalizeLinesReference(decoded: Column): Column =
     array_join(
       filter(
         transform(split(decoded, "\n", -1),
           l => trim(regexp_replace(l, "\\s+", " "))),
         l => l =!= ""),
       "\n")
-  }
 }

@@ -114,6 +114,32 @@ class HtmlSpec extends AnyFunSuite with SparkSpec {
     assert(extract("<p>ok</p><scr") == "ok\n<scr")
   }
 
+  test("native line normalize ≡ HOF reference on the whitespace zoo; " +
+      "extractText plan carries no CodegenFallback") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq[Option[String]](
+      Some(""), Some(" "), Some("\n"), Some("\n \n\t\n"),
+      Some("  a   b\t c  \n   \nd"),
+      Some("x\fy\rz"),
+      Some("多  字节\t行\n\n次の  行"),
+      Some("one\ntwo  words\n\n\n three "),
+      Some("emoji 🙂  spaced"),
+      None).toDF("t").repartition(2)
+    val bad = docs.select(
+        graft.functions.NativeCuration.normalizeLines(col("t")).as("n"),
+        Html.normalizeLinesReference(col("t")).as("r"))
+      .filter(not(col("n") <=> col("r")))
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+    // the extraction plan is fallback-free end to end
+    val plan = docs.filter(col("t").isNotNull)
+      .select(Html.extractText(col("t")).as("x"))
+      .filter(col("x") =!= "")
+    plan.collect()
+    val found = graft.PlanProbe.codegenFallbacks(plan)
+    assert(found.isEmpty, s"interpreted expressions in extractText: $found")
+  }
+
   test("HTML5 named core + numeric entities decode; &-producing forms stay last") {
     assert(extract("<p>c &copy; 2024 &mdash; 5&deg; &euro;9 &hellip;</p>") ==
       "c © 2024 — 5° €9 …")
