@@ -271,9 +271,177 @@ case class QuantizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** FLOAT/DOUBLE twin of [[NearestCentroidsQExpr]] — the legacy float
+  * index paths (kmeansIndex assignment, float PQ encode, ivfIngestSink,
+  * float query probes) ran the `aggregate(zip_with(...))` fold per
+  * centroid, interpreted, once per corpus row. Identical ranking
+  * arithmetic to the Column reference: dot accumulated LEFT TO RIGHT
+  * in element order (IEEE addition is order-dependent — the fold order
+  * IS the contract), d = ‖c‖² − 2·dot with ‖c‖² summed at plan build
+  * exactly like the `lit(...)` in the reference, ties to the lower
+  * centroid index, and double ordering under Spark's total order
+  * (NaN greatest — a NaN distance ranks LAST, as array_sort places
+  * it). Element contract: non-null (the embedding-column contract);
+  * length mismatches rank by the shorter prefix. */
+case class NearestCentroidsDExpr(child: Expression,
+    centroids: Seq[Seq[Double]], nProbe: Int) extends UnaryExpression {
+  require(centroids.nonEmpty && nProbe >= 1 && nProbe <= centroids.size)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids_d"
+  // long elements allowed too: the generic-path callers feed QUANTIZED
+  // vectors through the double spelling, whose reference lambda was
+  // `x.cast(DoubleType) * y` — widening cast semantics replicated here
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double|bigint>, got ${other.sql}")
+  }
+
+  // 0 = double, 1 = float, 2 = long (read accessor per element type)
+  @transient private lazy val elemKind: Int = child.dataType match {
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case _ => 0
+  }
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.iterator.map(_.toArray).toArray
+  @transient private lazy val normSq: Array[Double] =
+    cents.map(c => c.map(x => x * x).sum)
+
+  /** `a < b` under Spark SQL's total order on doubles (NaN greatest,
+    * −0.0 == 0.0) — the order array_sort ranks the reference's
+    * distance structs by. */
+  @inline private def nanLess(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) false
+    else if (java.lang.Double.isNaN(b)) true
+    else a < b
+
+  /** Called from generated code. */
+  def nearest(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = cents.length
+    val bestD = new Array[Double](nProbe)
+    val bestI = new Array[Int](nProbe)
+    var filled = 0
+    var i = 0
+    while (i < k) {
+      val c = cents(i)
+      val n = math.min(arr.numElements(), c.length)
+      var dot = 0.0d
+      var j = 0
+      while (j < n) {
+        val x = elemKind match {
+          case 1 => arr.getFloat(j).toDouble
+          case 2 => arr.getLong(j).toDouble
+          case _ => arr.getDouble(j)
+        }
+        dot += x * c(j)
+        j += 1
+      }
+      val d = normSq(i) - 2.0d * dot
+      // first slot whose distance is STRICTLY greater — equal-distance
+      // incumbents have lower indexes and stay first
+      var p = 0
+      while (p < filled && !nanLess(d, bestD(p))) p += 1
+      if (p < nProbe) {
+        var q = math.min(filled, nProbe - 1)
+        while (q > p) { bestD(q) = bestD(q - 1); bestI(q) = bestI(q - 1); q -= 1 }
+        bestD(p) = d; bestI(p) = i
+        if (filled < nProbe) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    var o = 0
+    while (o < filled) { out(o) = bestI(o); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    nearest(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestD", this,
+      "graft.functions.NearestCentroidsDExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsDExpr =
+    copy(child = newChild)
+}
+
+/** array<float|double> → bigint sign-LSH bucket: bit i = sign of
+  * ⟨vec, plane_i⟩ — one compiled loop over the literal plane table;
+  * the Column spelling runs an interpreted `aggregate(zip_with(...))`
+  * fold PER PLANE per row. Exact reference semantics: dot accumulated
+  * left to right; the sign test replicates Spark's `dot > 0.0`
+  * comparison, under which NaN ranks ABOVE every double — a NaN dot
+  * SETS the bit (Java's `NaN > 0` is false; the difference is pinned
+  * by NativeVecSpec). */
+case class HyperplaneBucketExpr(child: Expression,
+    planes: Seq[Seq[Double]]) extends UnaryExpression {
+  require(planes.nonEmpty && planes.size <= 63, s"1..63 planes, got ${planes.size}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bucket"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double|bigint>, got ${other.sql}")
+  }
+
+  @transient private lazy val elemKind: Int = child.dataType match {
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case _ => 0
+  }
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.iterator.map(_.toArray).toArray
+
+  /** Called from generated code. */
+  def bucket(arr: ArrayData): Long = {
+    var bits = 0L
+    var i = 0
+    while (i < planeArr.length) {
+      val p = planeArr(i)
+      val n = math.min(arr.numElements(), p.length)
+      var dot = 0.0d
+      var j = 0
+      while (j < n) {
+        val x = elemKind match {
+          case 1 => arr.getFloat(j).toDouble
+          case 2 => arr.getLong(j).toDouble
+          case _ => arr.getDouble(j)
+        }
+        dot += x * p(j)
+        j += 1
+      }
+      if (java.lang.Double.isNaN(dot) || dot > 0.0d) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    bucket(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBucket", this,
+      "graft.functions.HyperplaneBucketExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.bucket($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
 object NativeVec {
   def quantize(v: Column): Column =
     GraftShims.column(QuantizeExpr(GraftShims.expression(v)))
+
+  def nearestCentroidsD(v: Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): Column =
+    GraftShims.column(NearestCentroidsDExpr(GraftShims.expression(v),
+      centroids, nProbe))
+
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    GraftShims.column(HyperplaneBucketExpr(GraftShims.expression(v), planes))
 
   def dotQ(a: Column, b: Column): Column =
     GraftShims.column(DotQExpr(GraftShims.expression(a), GraftShims.expression(b)))

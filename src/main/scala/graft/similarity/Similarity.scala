@@ -361,8 +361,25 @@ object Similarity {
     slice(array_sort(array(scored: _*)), 1, nProbe).getField("id")
   }
 
+  /** FLOAT twin of [[nearestCentroidsQ]] for the legacy float index
+    * paths (kmeansIndex assignment, float PQ encode, ivfIngestSink,
+    * float query probes). Native compiled loop
+    * ([[graft.functions.NearestCentroidsDExpr]]) — the Column spelling
+    * below ran an interpreted `aggregate(zip_with(...))` fold per
+    * centroid per corpus row (and past k ≈ 100 fell out of codegen
+    * entirely, the measured 23× build tax of the Q twin). Identical
+    * IEEE arithmetic: left-to-right dot fold, d = ‖c‖² − 2·dot, ties
+    * to the lower index, NaN distances last (Spark's double order). */
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]],
       nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= centroids.size)
+    graft.functions.NativeVec.nearestCentroidsD(vec, centroids, nProbe)
+  }
+
+  /** Pure-Column reference formulation of [[nearestCentroids]] (parity
+    * tests only — interpreted). */
+  private[graft] def nearestCentroidsReference(vec: Column,
+      centroids: Seq[Seq[Double]], nProbe: Int): Column = {
     require(nProbe >= 1 && nProbe <= centroids.size)
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val dot = aggregate(
@@ -439,8 +456,17 @@ object Similarity {
 
   /** Sign-LSH bucket id: bit i = sign of ⟨vec, plane_i⟩. A pure
     * projection (no shuffle); cosine-close vectors collide with
-    * probability (1 − θ/π)^nPlanes. */
+    * probability (1 − θ/π)^nPlanes. Native compiled loop
+    * ([[graft.functions.HyperplaneBucketExpr]]) — the Column spelling
+    * ([[hyperplaneBucketReference]]) ran an interpreted
+    * `aggregate(zip_with(...))` fold PER PLANE per row. */
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.NativeVec.hyperplaneBucket(vec, planes)
+
+  /** Pure-Column reference of [[hyperplaneBucket]] (parity tests only
+    * — interpreted). */
+  private[graft] def hyperplaneBucketReference(vec: Column,
+      planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(
         zip_with(vec, array(p.map(lit): _*),

@@ -105,4 +105,75 @@ class NativeVecSpec extends AnyFunSuite with SparkSpec {
       Similarity.nearestCentroidsQReference(col("q"), big, 4).as("ref"))
     assert(bigCmp.filter(col("native") =!= col("ref")).count() == 0)
   }
+
+  test("native nearestCentroids (FLOAT twin) ≡ Column reference: real " +
+      "float embeddings, ties, NaN/±Inf vectors, every nProbe, k=128") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding")).localCheckpoint()
+    val rng = new scala.util.Random(11)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cents = Seq.tabulate(9)(_ =>
+      Seq.tabulate(dim)(_ => rng.nextGaussian()))
+    for (nProbe <- Seq(1, 3, 9)) {
+      val cmp = emb.select(
+        Similarity.nearestCentroids(col("embedding"), cents, nProbe)
+          .as("native"),
+        Similarity.nearestCentroidsReference(col("embedding"), cents,
+          nProbe).as("ref"))
+      assert(cmp.filter(col("native") =!= col("ref")).count() == 0,
+        s"nProbe=$nProbe float parity")
+    }
+    // adversarial DOUBLE vectors: NaN / ±Inf elements produce NaN/±Inf
+    // distances — ordering must match array_sort's total order (NaN
+    // last) in both spellings; duplicate centroids tie lower-index-first
+    val tied = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(10.0, 0.0))
+    val adv = Seq(
+      Seq(10.0, 0.0),
+      Seq(Double.NaN, 1.0),
+      Seq(Double.PositiveInfinity, -1.0),
+      Seq(Double.NegativeInfinity, 0.5),
+      Seq(-0.0, 0.0)).map(Tuple1(_)).toDF("v")
+    for (nProbe <- Seq(1, 2, 3)) {
+      val cmp = adv.select(
+        Similarity.nearestCentroids(col("v"), tied, nProbe).as("native"),
+        Similarity.nearestCentroidsReference(col("v"), tied, nProbe)
+          .as("ref"))
+      assert(cmp.filter(col("native") =!= col("ref")).count() == 0,
+        s"adversarial nProbe=$nProbe")
+    }
+    // 128 centroids: one compiled call where the Column spelling falls
+    // out of codegen
+    val big = Seq.tabulate(128)(_ =>
+      Seq.tabulate(dim)(_ => rng.nextGaussian() * 100))
+    val bigCmp = emb.limit(200).select(
+      Similarity.nearestCentroids(col("embedding"), big, 4).as("native"),
+      Similarity.nearestCentroidsReference(col("embedding"), big, 4)
+        .as("ref"))
+    assert(bigCmp.filter(col("native") =!= col("ref")).count() == 0)
+  }
+
+  test("native hyperplaneBucket ≡ Column reference on real embeddings; " +
+      "NaN dot sets the bit (Spark's NaN > 0 is TRUE)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding")).localCheckpoint()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val planes = graft.similarity.Similarity.hyperplanes(8, dim)
+    val cmp = emb.select(
+      Similarity.hyperplaneBucket(col("embedding"), planes).as("native"),
+      Similarity.hyperplaneBucketReference(col("embedding"), planes)
+        .as("ref"))
+    assert(cmp.filter(col("native") =!= col("ref")).count() == 0)
+    // NaN element → NaN dot → Spark's `dot > 0.0` is TRUE (NaN ranks
+    // above every double) — the Java-semantics trap the native expr
+    // must NOT fall into
+    val nanV = Seq(Tuple1(Seq(Double.NaN, 1.0))).toDF("v")
+    val p2 = Seq(Seq(1.0, 0.0), Seq(0.0, -1.0))
+    val got = nanV.select(
+      Similarity.hyperplaneBucket(col("v"), p2).as("native"),
+      Similarity.hyperplaneBucketReference(col("v"), p2).as("ref")).head()
+    assert(got.getLong(0) == got.getLong(1))
+    assert(got.getLong(0) == 3L, "both NaN dots must set their bits")
+  }
 }
