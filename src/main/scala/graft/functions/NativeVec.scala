@@ -431,7 +431,57 @@ case class HyperplaneBucketExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** array<long> → array<array<long>>: every k-length sliding window in
+  * document order (size − k + 1 of them; inputs shorter than k yield
+  * an empty array — callers pre-filter on size ≥ k). The
+  * `transform(sequence(0, n−k), i => struct(element_at...))` spelling
+  * this replaces built one struct per window through an interpreted
+  * lambda (ArrayTransform is CodegenFallback) on the LM-scoring
+  * corpus path — every n-gram order re-walked every document in the
+  * interpreter. One compiled pass. */
+case class NgramWindowsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"window length must be positive: $k")
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def prettyName: String = "graft_ngram_windows"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  /** Called from generated code. */
+  def windows(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val m = math.max(0, n - k + 1)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val w = new Array[Any](k)
+      var j = 0
+      while (j < k) { w(j) = arr.getLong(i + j); j += 1 }
+      out(i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(w)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    windows(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramWindows", this,
+      "graft.functions.NgramWindowsExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.windows($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NgramWindowsExpr =
+    copy(child = newChild)
+}
+
 object NativeVec {
+  def ngramWindows(v: Column, k: Int): Column =
+    GraftShims.column(NgramWindowsExpr(GraftShims.expression(v), k))
+
   def quantize(v: Column): Column =
     GraftShims.column(QuantizeExpr(GraftShims.expression(v)))
 

@@ -133,6 +133,24 @@ object LmScore {
     * than k yield nothing. Map-only. */
   def ngramWindowsOf(arr: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
+    // one compiled slice pass ([[graft.functions.NgramWindowsExpr]]):
+    // the transform(sequence(...)) spelling (kept in
+    // [[ngramWindowsOfReference]] as the parity pin) built each
+    // window's struct through an interpreted lambda — every n-gram
+    // order re-walked every document in the interpreter on the
+    // LM-scoring corpus path
+    arr.where(size(col("bs")) >= k)
+      .select(col("doc_id"),
+        explode(graft.functions.NativeVec.ngramWindows(col("bs"), k))
+          .as("__w"))
+      .select(col("doc_id") +: (1 to k).map(j =>
+        col("__w").getItem(j - 1).as(s"g$j")): _*)
+  }
+
+  /** The HOF reference spelling of [[ngramWindowsOf]] (parity tests
+    * only — interpreted). */
+  private[graft] def ngramWindowsOfReference(arr: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
     arr.where(size(col("bs")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("bs")) - k),

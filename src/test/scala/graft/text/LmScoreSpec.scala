@@ -231,6 +231,27 @@ class LmScoreSpec extends AnyFunSuite with SparkSpec {
     assert(kn(21L) > kn(20L), s"KN should prefer high-continuation: $kn")
   }
 
+  test("native ngramWindowsOf ≡ HOF reference for k in {1,2,5} on real " +
+      "docs; the windows projection carries no CodegenFallback") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val arr = LmScore.bucketArray(docs, "doc_id", "text", 1 << 20)
+      .localCheckpoint()
+    for (k <- Seq(1, 2, 5)) {
+      val native = LmScore.ngramWindowsOf(arr, k)
+      val ref = LmScore.ngramWindowsOfReference(arr, k)
+      assert(native.schema == ref.schema, s"k=$k schema")
+      val cols = native.columns.map(col)
+      val n = native.groupBy(cols: _*).count()
+      val r = ref.groupBy(cols: _*).count()
+      assert(n.join(r, native.columns.toSeq :+ "count", "full_outer")
+        .count() == r.count(), s"k=$k windows multiset")
+      val found = graft.PlanProbe.codegenFallbacks(
+        { native.collect(); native })
+      assert(found.isEmpty, s"k=$k interpreted expressions: $found")
+    }
+  }
+
   test("quality bands: exact thirds, ordered head > middle > tail") {
     val corpus = docsDf((1L to 9L).map(i =>
       // doc i repeats seen bigram "the cat" i times then pads with
