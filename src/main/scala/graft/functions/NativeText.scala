@@ -127,6 +127,45 @@ object NativeTextImpl {
     new GenericArrayData(out)
   }
 
+  /** N-gram twin of [[bucketArray]]: the md5 60-bit bucket of every
+    * n-token SHINGLE (space-joined, boundary-empty tokens included —
+    * exactly `concat_ws(" ", tok_i..tok_{i+n-1})` over the same `\s+`
+    * split), in document order; empty for docs shorter than n tokens.
+    * Replaces the DSIR feature pass's ArrayTransform lambda, which ran
+    * the whole md5 chain interpreted per bigram occurrence. */
+  def ngramBucketArray(s: UTF8String, n: Int, buckets: Long): ArrayData = {
+    val toks = tokenize(s)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = mdLocal.get()
+    val sb = new java.lang.StringBuilder
+    val out = new Array[Any](m)
+    var p = 0
+    while (p < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(p + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 0
+      while (i < 15) {
+        val nib =
+          if (i % 2 == 0) (d(i / 2) >> 4) & 0xF else d(i / 2) & 0xF
+        v = (v << 4) | nib
+        i += 1
+      }
+      out(p) = v % buckets
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Minimum md5 (lowercase hex) over all n-token shingles — the
     * [[graft.text.TextFunctions.minShingleFingerprint]] containment
     * fingerprint in one compiled pass: no shingle array, no distinct
@@ -542,6 +581,31 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
 /** string → array<bigint> per-token md5 bucket ids, codegen'd (the
   * [[graft.text.LmScore.bucketArray]] hot path — one compiled loop
   * instead of an interpreted ArrayTransform around the md5 chain). */
+/** string → array<bigint> n-gram md5 buckets
+  * ([[NativeTextImpl.ngramBucketArray]]), codegen'd. */
+case class NgramBucketArrayExpr(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_ngram_bucket_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeTextImpl.ngramBucketArray(input.asInstanceOf[UTF8String], n,
+      buckets.toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeTextImpl.ngramBucketArray($c, $n, ${buckets}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramBucketArrayExpr =
+    copy(child = newChild)
+}
+
 case class BucketArrayExpr(child: Expression, buckets: Int)
     extends UnaryExpression {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
@@ -752,6 +816,9 @@ object NativeText {
     GraftShims.column(TopCharGramsExpr(GraftShims.expression(text), n, k))
   def deflateLen(text: Column): Column =
     GraftShims.column(DeflateLenExpr(GraftShims.expression(text)))
+  def ngramBucketArray(text: Column, n: Int, buckets: Int): Column =
+    GraftShims.column(NgramBucketArrayExpr(GraftShims.expression(text),
+      n, buckets))
   def bucketArray(text: Column, buckets: Int): Column =
     GraftShims.column(BucketArrayExpr(GraftShims.expression(text), buckets))
   def minShingleFingerprint(text: Column, n: Int): Column =

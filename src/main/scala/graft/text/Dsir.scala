@@ -67,7 +67,22 @@ object Dsir {
     * parity is untouched. Documents shorter than 2 tokens contribute
     * no rows (and are absent from every downstream weight frame). */
   def docFeatures(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    // one compiled tokenize+hash pass per document
+    // ([[graft.functions.NativeText.ngramBucketArray]]): the transform
+    // spelling (kept in [[docFeaturesReference]] as the parity pin) ran
+    // the whole md5 chain in an interpreted lambda per bigram
+    // occurrence — the DSIR feature pass is corpus-linear, so that was
+    // the tax class the other native buckets already retired
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.NativeText
+          .ngramBucketArray(col(textCol), 2, buckets).as("__bs"))
+      .select(col("doc_id"), explode(col("__bs")).as("bucket"))
+
+  /** The HOF reference spelling of [[docFeatures]] (parity tests only
+    * — interpreted). */
+  private[graft] def docFeaturesReference(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
     val t = col("__toks")
     docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))

@@ -69,6 +69,30 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     assert(top2 == List(10L, 12L), top2)
   }
 
+  test("native docFeatures ≡ HOF reference (bigram md5 buckets per " +
+      "occurrence, short docs drop, boundary-empty tokens included); " +
+      "the feature projection carries no CodegenFallback") {
+    val s = spark
+    import s.implicits._
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq(
+      (900001L, ""), (900002L, "one"), (900003L, " leading space pair"),
+      (900004L, "trailing pair "), (900005L, "a  b"),
+      (900006L, "多 字节 字")).toDF("doc_id", "text")
+    val docs = real.unionByName(edge)
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("doc_id", "bucket").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val native = Dsir.docFeatures(docs, "doc_id", "text", 4096)
+    val ref = counts(Dsir.docFeaturesReference(docs, "doc_id", "text", 4096))
+    assert(counts(native) == ref)
+    native.collect()
+    val found = graft.PlanProbe.codegenFallbacks(native)
+    assert(found.isEmpty, s"interpreted expressions: $found")
+  }
+
   test("distribution dictionaries stay bucket-bounded (broadcast side)") {
     val counts = Dsir.bucketCounts(corpus, "doc_id", "text", buckets = 8)
     assert(counts.count() <= 8)
