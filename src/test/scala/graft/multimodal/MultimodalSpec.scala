@@ -730,6 +730,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("size-hint repartition: outlier placement is EXACT at spec " +
+      "scale — one LPT outlier per partition, spread ≤ 1.2×") {
+    val s = spark
+    import s.implicits._
+    // 2000 ~1KB rows + 8 200KB outliers over 8 partitions: target =
+    // (2MB + 1.6MB)/8 ≈ 450KB, threshold ≈ 56KB → exactly the 8 big
+    // rows qualify; LPT must land ONE per bin and the murmur3-preimage
+    // exchange must place each bin exactly (the range-sampler jitter
+    // the stress harness measured at 1.4–1.9× would break this)
+    val rows = (0L until 2000L).map(i => (i, new Array[Byte](1024))) ++
+      (9000L until 9008L).map(i => (i, new Array[Byte](200 * 1024)))
+    val df = rows.toDF("doc_id", "payload")
+      .withColumn("sz", octet_length(col("payload")).cast("long"))
+      .repartition(5)
+    val parts = 8
+    val sized = Multimodal.repartitionBySizeHint(df, parts, "sz")
+    val per = sized.groupBy(spark_partition_id().as("pid"))
+      .agg(sum("sz").as("bytes"),
+        sum(when(col("sz") >= 200L * 1024, 1L).otherwise(0L)).as("big"))
+      .collect()
+    assert(per.length == parts, s"expected $parts partitions, got ${per.length}")
+    assert(per.forall(_.getLong(2) == 1L),
+      s"exactly one outlier per partition, got ${per.map(_.getLong(2)).toSeq}")
+    val bytes = per.map(_.getLong(1))
+    val mean = bytes.sum.toDouble / parts
+    assert(bytes.max <= mean * 1.2,
+      s"spread ${bytes.max / mean} over ${bytes.mkString(",")}")
+  }
+
   test("size-hint repartition balances payload bytes") {
     val media = Multimodal.withPayload(docs, "text")
     val parts = 8
