@@ -137,6 +137,91 @@ object NativeCurationImpl {
     UTF8String.fromBytes(out, 0, o)
   }
 
+  /** The FULL Gopher A1.1 feature struct in compiled passes —
+    * (n_tokens, mean_word_len, symbol_ratio, alpha_word_ratio,
+    * n_stop_words, bullet_ratio, ellipsis_ratio) — replacing the whole
+    * Column composition (two regex walks, two splits, an
+    * array_distinct + array_intersect) with byte scans. Replicated
+    * semantics, each pinned by the parity spec:
+    *  - n_tokens = `size(split(text, "\\s+"))` INCLUDING boundary
+    *    empties (the empty string counts 1);
+    *  - mean_word_len divides non-whitespace CODE POINTS (`length`
+    *    counts chars, not bytes) by n_tokens;
+    *  - symbols are leftmost non-overlapping `#|\.\.\.` matches
+    *    ("...." counts once — the alternation consumes three dots);
+    *  - stop words match case-sensitively, DISTINCT members counted;
+    *  - ratios are the same when(den>0, num/den).otherwise(0) IEEE
+    *    divides over exact integer counts. */
+  def gopherStats(s: UTF8String, stops: Array[Array[Byte]]): InternalRow = {
+    val b = s.getBytes
+    // pass 1: token runs, non-ws code points, symbols, alpha runs,
+    // distinct stop words
+    var nonWsChars = 0L
+    var nSym = 0L
+    var nAlpha = 0L
+    var stopMask = 0L
+    var inRun = false; var runAlpha = false; var runStart = 0
+    var i = 0
+    def closeRun(end: Int): Unit = {
+      if (inRun) {
+        if (runAlpha) nAlpha += 1
+        val len = end - runStart
+        var w = 0
+        while (w < stops.length) {
+          val sw = stops(w)
+          if (sw.length == len) {
+            var j = 0
+            while (j < len && b(runStart + j) == sw(j)) j += 1
+            if (j == len) stopMask |= 1L << w
+          }
+          w += 1
+        }
+      }
+      inRun = false; runAlpha = false
+    }
+    while (i < b.length) {
+      val c = b(i)
+      if (isWs(c)) { closeRun(i); i += 1 }
+      else {
+        if (!inRun) { inRun = true; runStart = i }
+        if (isAlpha(c)) runAlpha = true
+        // lead byte (not a UTF-8 continuation) = one code point
+        if ((c & 0xC0) != 0x80) nonWsChars += 1
+        // the '#' branch of the symbol alternation — single-byte, so
+        // it can never overlap the "..." branch (different characters)
+        if (c == '#') nSym += 1
+        i += 1
+      }
+    }
+    closeRun(b.length)
+    // the "..." branch: leftmost non-overlapping triple dots (a run of
+    // d dots yields floor(d/3) matches, exactly the regex's scan)
+    nSym += countEllipses(b)
+    val nTok = splitSize(b, 0, b.length).toLong
+    var nStop = 0L
+    while (stopMask != 0L) { nStop += stopMask & 1L; stopMask >>>= 1 }
+    val lines = gopherLineStats(s)
+    def ratio(num: Long, den: Long): Double =
+      if (den > 0) num.toDouble / den.toDouble else 0.0
+    InternalRow(nTok, ratio(nonWsChars, nTok), ratio(nSym, nTok),
+      ratio(nAlpha, nTok), nStop,
+      ratio(lines.getLong(1), lines.getLong(0)),
+      ratio(lines.getLong(2), lines.getLong(0)))
+  }
+
+  /** Leftmost non-overlapping "..." matches — the `\.\.\.` branch of
+    * the symbol alternation ('#' is single-byte and counted inline). */
+  private def countEllipses(b: Array[Byte]): Long = {
+    var n = 0L
+    var i = 0
+    while (i + 2 < b.length) {
+      if (b(i) == '.' && b(i + 1) == '.' && b(i + 2) == '.') {
+        n += 1; i += 3
+      } else i += 1
+    }
+    n
+  }
+
   private val JS = "javascript".getBytes("US-ASCII")
 
   /** ASCII-case-insensitive containment of "javascript" in [from,
@@ -277,6 +362,57 @@ case class NormalizeLinesExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev,
       c => s"graft.functions.NativeCurationImpl.normalizeLines($c)")
   override protected def withNewChildInternal(newChild: Expression): NormalizeLinesExpr =
+    copy(child = newChild)
+}
+
+/** string → the FULL Gopher A1.1 feature struct
+  * ([[NativeCurationImpl.gopherStats]]) in compiled byte passes — the
+  * Column composition it replaces ran two regex walks
+  * (`regexp_replace(\s+)`, `regexp_extract_all(#|\.\.\.)`), two
+  * splits, and an array_distinct + array_intersect per document on
+  * the corpus-linear pretrain gate. NULL text yields the same struct
+  * of nulls/zeros the Column spelling produced (the struct itself is
+  * never null), so `gopherPassed`'s coalesce contract is unchanged. */
+case class GopherStatsExpr(child: Expression, stopWords: Seq[String])
+    extends UnaryExpression {
+  require(stopWords.nonEmpty && stopWords.size <= 64,
+    s"1..64 stop words, got ${stopWords.size}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = true),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("symbol_ratio", DoubleType, nullable = false),
+    StructField("alpha_word_ratio", DoubleType, nullable = false),
+    StructField("n_stop_words", LongType, nullable = true),
+    StructField("bullet_ratio", DoubleType, nullable = false),
+    StructField("ellipsis_ratio", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_gopher_stats"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.sql}")
+
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopWords.iterator
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  /** Called from generated code (null-tolerant). */
+  def stats(s: UTF8String): InternalRow =
+    if (s == null) InternalRow(null, 0.0, 0.0, 0.0, null, 0.0, 0.0)
+    else NativeCurationImpl.gopherStats(s, stopBytes)
+
+  override def eval(input: InternalRow): Any =
+    stats(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherStats", this,
+      "graft.functions.GopherStatsExpr")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      InternalRow ${ev.value} = $ref.stats(${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
     copy(child = newChild)
 }
 
@@ -452,6 +588,9 @@ case class C4CleanExpr(child: Expression, minWords: Int)
 }
 
 object NativeCuration {
+  def gopherStats(text: Column, stopWords: Seq[String]): Column =
+    GraftShims.column(GopherStatsExpr(GraftShims.expression(text),
+      stopWords))
   def normalizeLines(text: Column): Column =
     GraftShims.column(NormalizeLinesExpr(GraftShims.expression(text)))
   def dupUnitStats(text: Column, sep: String): Column =

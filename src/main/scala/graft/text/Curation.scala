@@ -42,35 +42,14 @@ object Curation {
     * alpha_word_ratio (tokens containing a letter), n_stop_words
     * (distinct members of [[gopherStopWords]] present), bullet_ratio /
     * ellipsis_ratio (of lines). */
-  def gopherFeatures(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    val nTok = size(toks)
-    val nonWs = length(regexp_replace(text, "\\s+", ""))
-    val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
-    // compiled single-pass scorers ([[graft.functions.NativeCuration]])
-    // for the two per-element walks — the ArrayFilter spellings (kept
-    // in [[gopherFeaturesReference]] as the parity pin) are
-    // CodegenFallback: an interpreted closure per token/line on the
+  def gopherFeatures(text: Column): Column =
+    // the WHOLE feature struct as compiled byte passes
+    // ([[graft.functions.GopherStatsExpr]]) — the Column composition
+    // (kept in [[gopherFeaturesReference]] as the parity pin) ran two
+    // regex walks, two splits, an array_distinct + array_intersect
+    // and two interpreted ArrayFilter walks per document on the
     // corpus-linear pretrain gate
-    val nAlpha = graft.functions.NativeCuration.alphaTokenCount(text)
-    val nStop = size(array_intersect(array_distinct(toks),
-      array(gopherStopWords.map(lit): _*)))
-    val ls = graft.functions.NativeCuration.gopherLineStats(text)
-    val nLines = ls.getField("n_lines")
-    val nBullet = ls.getField("n_bullet")
-    val nEllipsis = ls.getField("n_ellipsis")
-    def ratio(num: Column, den: Column): Column =
-      when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
-        .otherwise(lit(0.0))
-    struct(
-      nTok.cast(LongType).as("n_tokens"),
-      ratio(nonWs, nTok).as("mean_word_len"),
-      ratio(nSym, nTok).as("symbol_ratio"),
-      ratio(nAlpha, nTok).as("alpha_word_ratio"),
-      nStop.cast(LongType).as("n_stop_words"),
-      ratio(nBullet, nLines).as("bullet_ratio"),
-      ratio(nEllipsis, nLines).as("ellipsis_ratio"))
-  }
+    graft.functions.NativeCuration.gopherStats(text, gopherStopWords)
 
   /** The HOF reference spelling of [[gopherFeatures]] (parity tests
     * only — ArrayFilter walks, interpreted). */
