@@ -90,8 +90,7 @@ object TextStress {
     import graft.text.{Curation, QualityClassifier, QualityModelFixture}
     val (funnel, funnelSec) = timed {
       val flagged = docs
-        .withColumn("__s1", Curation.gopherPassed(
-          Curation.gopherFeatures(col("text")),
+        .withColumn("__s1", Curation.gopherGate(col("text"),
           minTokens = 50, minStopWords = 1))
         .withColumn("clean", Curation.c4CleanedText(
           concat(col("text"), lit(".")), minWords = 3))
@@ -123,9 +122,8 @@ object TextStress {
       val flagged = docs
         .withColumn("__s1",
           Curation.blocklistPassed(col("text"), Seq("slow"), maxHits = 8L))
-        .withColumn("__s2", col("__s1") && Curation.gopherPassed(
-          Curation.gopherFeatures(col("text")),
-          minTokens = 50, minStopWords = 1))
+        .withColumn("__s2", col("__s1") && Curation.gopherGate(
+          col("text"), minTokens = 50, minStopWords = 1))
         .withColumn("clean", Curation.c4CleanedText(
           concat(col("text"), lit(".")), minWords = 3))
         .withColumn("__s3", col("__s2") && col("clean") =!= "")

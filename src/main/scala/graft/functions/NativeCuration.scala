@@ -416,6 +416,63 @@ case class GopherStatsExpr(child: Expression, stopWords: Seq[String])
     copy(child = newChild)
 }
 
+/** string → boolean: the Gopher document pass rule evaluated off ONE
+  * [[NativeCurationImpl.gopherStats]] pass. Exists because the struct
+  * spelling `gopherPassed(gopherFeatures(text))` fans the OPAQUE
+  * native struct into eight field references inside one predicate —
+  * Catalyst cannot field-prune a custom expression the way it
+  * simplifies `CreateNamedStruct(...).field`, and codegen's
+  * subexpression elimination does not rescue short-circuited
+  * conjunction branches, so each reference re-evaluated the whole
+  * scorer (measured 3× on tx_html_funnel). Callers that want the
+  * FEATURES project the struct into a column first (one evaluation,
+  * cheap field access); callers that only gate use this. NULL text
+  * fails the gate (the reference's coalesce(false)). */
+case class GopherPassedExpr(child: Expression, stopWords: Seq[String],
+    minTokens: Long, maxTokens: Long, minStopWords: Long)
+    extends UnaryExpression {
+  require(stopWords.nonEmpty && stopWords.size <= 64)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_gopher_passed"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.sql}")
+
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopWords.iterator
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  /** Called from generated code (null-tolerant). */
+  def passed(s: UTF8String): Boolean =
+    if (s == null) false
+    else {
+      val r = NativeCurationImpl.gopherStats(s, stopBytes)
+      val nTok = r.getLong(0)
+      nTok >= minTokens && nTok <= maxTokens &&
+        r.getDouble(1) >= 3.0 && r.getDouble(1) <= 10.0 &&
+        r.getDouble(2) < 0.1 &&
+        r.getDouble(5) < 0.9 && r.getDouble(6) < 0.3 &&
+        r.getDouble(3) > 0.8 &&
+        r.getLong(4) >= minStopWords
+    }
+
+  override def eval(input: InternalRow): Any =
+    passed(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherPassed", this,
+      "graft.functions.GopherPassedExpr")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.value} = $ref.passed(${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GopherPassedExpr =
+    copy(child = newChild)
+}
+
 /** string → bigint: tokens containing an ASCII letter ("alphabetic
   * words", the Gopher A1.1 ratio numerator). */
 case class AlphaTokenCountExpr(child: Expression) extends UnaryExpression {
@@ -588,6 +645,10 @@ case class C4CleanExpr(child: Expression, minWords: Int)
 }
 
 object NativeCuration {
+  def gopherPassed(text: Column, stopWords: Seq[String], minTokens: Long,
+      maxTokens: Long, minStopWords: Long): Column =
+    GraftShims.column(GopherPassedExpr(GraftShims.expression(text),
+      stopWords, minTokens, maxTokens, minStopWords))
   def gopherStats(text: Column, stopWords: Seq[String]): Column =
     GraftShims.column(GopherStatsExpr(GraftShims.expression(text),
       stopWords))

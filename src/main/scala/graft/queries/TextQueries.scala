@@ -498,8 +498,8 @@ object TextQueries extends QueryPack {
     // one aggregate. The five rows explode from the joined 1×1 results.
     val docs = table(s, dir, "documents")
     val flagged = docs
-      .withColumn("__s1", Curation.gopherPassed(
-        Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
+      .withColumn("__s1", Curation.gopherGate(col("text"),
+        minTokens = 50, minStopWords = 1))
       .withColumn("__t2", segmentLines(col("text")))
       .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords = 3))
       .withColumn("__s2",
@@ -541,8 +541,8 @@ object TextQueries extends QueryPack {
   def txFunnelModel(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Curation
     val flagged = table(s, dir, "documents")
-      .withColumn("__s1", Curation.gopherPassed(
-        Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
+      .withColumn("__s1", Curation.gopherGate(col("text"),
+        minTokens = 50, minStopWords = 1))
       .withColumn("__t2", segmentLines(col("text")))
       .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords = 3))
       .withColumn("__s2",
@@ -622,8 +622,7 @@ object TextQueries extends QueryPack {
     import graft.operators.Sampling
     val flagged = table(s, dir, "documents")
       .withColumn("__x", Html.extractText(synthHtmlCol))
-      .withColumn("__s1", Curation.gopherPassed(
-        Curation.gopherFeatures(col("__x")),
+      .withColumn("__s1", Curation.gopherGate(col("__x"),
         minTokens = 20, minStopWords = 1))
       .withColumn("clean", Curation.c4CleanedText(col("__x"), minWords = 3))
       .withColumn("__s2",
@@ -702,8 +701,8 @@ object TextQueries extends QueryPack {
         Curation.blocklistPassed(col("text"), terms, maxHits = 2L))
       .withColumn("__sL",
         col("__s1") && (TextFunctions.langId(col("text")) === "en"))
-      .withColumn("__s2", col("__sL") && Curation.gopherPassed(
-        Curation.gopherFeatures(col("text")), minTokens = 50, minStopWords = 1))
+      .withColumn("__s2", col("__sL") && Curation.gopherGate(
+        col("text"), minTokens = 50, minStopWords = 1))
       .withColumn("__t2", segmentLines(col("text")))
       .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords = 3))
       .withColumn("__s3",

@@ -444,8 +444,7 @@ object Streams {
                 .localCheckpoint()
             else batch
           val hN = if (htmlExtract) src.count() else total
-          val gophered = src.filter(Curation.gopherPassed(
-              Curation.gopherFeatures(col(textCol)),
+          val gophered = src.filter(Curation.gopherGate(col(textCol),
               minTokens, maxTokens, minStopWords))
             .localCheckpoint()
           val gN = gophered.count()
@@ -614,8 +613,8 @@ object Streams {
               Curation.blocklistPassed(col(textCol), blocklistTerms, maxHits))
             .withColumn("__sL",
               col("__s1") && (TextFunctions.langId(col(textCol)) === lang))
-            .withColumn("__s2", col("__sL") && Curation.gopherPassed(
-              Curation.gopherFeatures(col(textCol)),
+            .withColumn("__s2", col("__sL") && Curation.gopherGate(
+              col(textCol),
               minTokens = minTokens, minStopWords = minStopWords))
             .withColumn("__t2", segment(col(textCol)))
             .withColumn("clean", Curation.c4CleanedText(col("__t2"), minWords))

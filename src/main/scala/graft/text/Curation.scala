@@ -48,8 +48,26 @@ object Curation {
     // (kept in [[gopherFeaturesReference]] as the parity pin) ran two
     // regex walks, two splits, an array_distinct + array_intersect
     // and two interpreted ArrayFilter walks per document on the
-    // corpus-linear pretrain gate
+    // corpus-linear pretrain gate.
+    //
+    // USAGE CONTRACT: project this struct into a COLUMN before fanning
+    // out field references. The native struct is opaque to Catalyst's
+    // field pruning (unlike CreateNamedStruct, whose `.field` accesses
+    // simplify to the field's sub-expression), so an inline
+    // `gopherPassed(gopherFeatures(text))` would re-evaluate the whole
+    // scorer once per field reference — gate-only callers use
+    // [[gopherGate]], which computes the boolean off ONE pass.
     graft.functions.NativeCuration.gopherStats(text, gopherStopWords)
+
+  /** The Gopher pass rule STRAIGHT off the text — one compiled pass
+    * ([[graft.functions.GopherPassedExpr]]), for callers that gate
+    * without consuming the features (see [[gopherFeatures]]'s usage
+    * contract). Identical rule to [[gopherPassed]] over
+    * [[gopherFeatures]], NULL text fails. */
+  def gopherGate(text: Column, minTokens: Long = 50L,
+      maxTokens: Long = 100000L, minStopWords: Long = 2L): Column =
+    graft.functions.NativeCuration.gopherPassed(text, gopherStopWords,
+      minTokens, maxTokens, minStopWords)
 
   /** The HOF reference spelling of [[gopherFeatures]] (parity tests
     * only — ArrayFilter walks, interpreted). */

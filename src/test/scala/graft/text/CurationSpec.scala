@@ -284,6 +284,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       Curation.containsCountReference(col("text"), subs))
   }
 
+  test("gopherGate (single-pass boolean) ≡ gopherPassed over the HOF " +
+      "reference features, across threshold combos and NULL") {
+    val docs = adversarialDocs
+    for ((minT, maxT, minS) <- Seq((50L, 100000L, 2L), (2L, 100L, 1L),
+        (1L, 100000L, 0L))) {
+      val bad = docs.select(
+          Curation.gopherGate(col("text"), minT, maxT, minS).as("n"),
+          Curation.gopherPassed(
+            Curation.gopherFeaturesReference(col("text")), minT, maxT,
+            minS).as("r"))
+        .filter(not(col("n") <=> col("r")))
+      assert(bad.count() == 0,
+        s"($minT,$maxT,$minS): " + bad.collect().mkString("\n"))
+    }
+  }
+
   test("gate plans carry no CodegenFallback expression; the retired " +
       "HOF classes ARE CodegenFallback (the tax the natives remove)") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
