@@ -793,7 +793,61 @@ case class TopCharGramsExpr(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** string → array<string>: split on a literal separator, Spark-trim
+  * (ASCII space 0x20 only, the `trim` contract) each piece, keep the
+  * non-empty ones — the multimodal interleave segmentation pass
+  * ([[graft.multimodal.Multimodal.interleaveSegments]]). The
+  * `filter(transform(split(...), trim), _ != "")` spelling (retained
+  * as `interleaveSegmentsReference`) runs two interpreted lambdas per
+  * SEGMENT per corpus row — segment count grows with document length,
+  * the same data-sized-array tax class as the compiled curation
+  * gates. One pass here. */
+case class TrimSegmentsExpr(child: Expression, sep: String)
+    extends UnaryExpression {
+  require(sep.nonEmpty, "empty separator")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+  override def prettyName: String = "graft_trim_segments"
+
+  /** Called from generated code. */
+  def segments(s: UTF8String): GenericArrayData = {
+    // literal (non-regex) split — the reference's split() pattern is a
+    // single control character with no regex metachars
+    val parts = s.toString.split(java.util.regex.Pattern.quote(sep), -1)
+    val out = new java.util.ArrayList[Any](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      var a = 0
+      var b = p.length
+      while (a < b && p.charAt(a) == ' ') a += 1
+      while (b > a && p.charAt(b - 1) == ' ') b -= 1
+      if (b > a) out.add(UTF8String.fromString(p.substring(a, b)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    segments(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trimSegments", this,
+      "graft.functions.TrimSegmentsExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.segments($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrimSegmentsExpr =
+    copy(child = newChild)
+}
+
 object NativeText {
+  def trimSegments(text: Column, sep: String): Column =
+    GraftShims.column(TrimSegmentsExpr(GraftShims.expression(text), sep))
+
   /** Column wrappers. */
   def lcsLength(a: Column, b: Column): Column =
     GraftShims.column(

@@ -2,9 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -18,6 +20,18 @@ import org.apache.spark.sql.types._
   * whole-stage codegen.
   */
 object NativeVecImpl {
+  /** Any null slot in the array (the degenerate-input check the
+    * reference-faithful natives run before their compiled loops). */
+  def hasNullElement(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Exact dot product of two long arrays (caller guarantees equal
     * lengths — quantized embeddings of one corpus). */
   def dotQ(a: ArrayData, b: ArrayData): Long = {
@@ -92,6 +106,17 @@ case class NearestCentroidsQExpr(child: Expression,
   @transient private lazy val normSq: Array[Long] =
     cents.map(c => c.map(x => x * x).sum)
 
+  // a NULL input array nulls every distance in the Column reference
+  // (null dot → null struct field), the all-tied sort falls through to
+  // the index field, and the result is indices 0..nProbe−1 — never a
+  // null output (the reference's structs themselves are non-null)
+  override def nullable: Boolean = false
+
+  /** Called from generated code (the null-input branch). */
+  def ties(): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](nProbe)(i => i))
+
   /** Called from generated code. */
   def nearest(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val k = cents.length
@@ -124,13 +149,20 @@ case class NearestCentroidsQExpr(child: Expression,
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    nearest(input.asInstanceOf[ArrayData])
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => ties()
+    case arr => nearest(arr.asInstanceOf[ArrayData])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("nearestQ", this,
       "graft.functions.NearestCentroidsQExpr")
-    defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${c.isNull} ? $ref.ties() : $ref.nearest(${c.value});
+    """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsQExpr =
@@ -281,11 +313,17 @@ case class QuantizeExpr(child: Expression) extends UnaryExpression {
   * exactly like the `lit(...)` in the reference, ties to the lower
   * centroid index, and double ordering under Spark's total order
   * (NaN greatest — a NaN distance ranks LAST, as array_sort places
-  * it). Element contract: non-null (the embedding-column contract);
-  * length mismatches rank by the shorter prefix. */
+  * it). Degenerate inputs reproduce the reference EXACTLY (pinned by
+  * NativeVecSpec): a null element or a vector whose length differs
+  * from the (uniform) centroid dim nulls the `aggregate(zip_with)`
+  * fold in the Column spelling — EVERY distance goes null, the
+  * null-dist structs tie, and array_sort falls through to the index
+  * field, so the result is indices 0..nProbe−1. */
 case class NearestCentroidsDExpr(child: Expression,
     centroids: Seq[Seq[Double]], nProbe: Int) extends UnaryExpression {
   require(centroids.nonEmpty && nProbe >= 1 && nProbe <= centroids.size)
+  require(centroids.map(_.length).distinct.size == 1,
+    "centroids must share one dimensionality")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_nearest_centroids_d"
   // long elements allowed too: the generic-path callers feed QUANTIZED
@@ -317,8 +355,21 @@ case class NearestCentroidsDExpr(child: Expression,
     else if (java.lang.Double.isNaN(b)) true
     else a < b
 
+  // see NearestCentroidsQExpr: a null input array also yields the
+  // all-tied index order in the reference, never a null output
+  override def nullable: Boolean = false
+
+  /** Called from generated code (the null-input branch). */
+  def ties(): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](nProbe)(i => i))
+
   /** Called from generated code. */
   def nearest(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // null element / length mismatch: the reference's fold nulls every
+    // distance and the all-tied sort yields indices 0..nProbe−1
+    if (arr.numElements() != cents(0).length ||
+        NativeVecImpl.hasNullElement(arr)) return ties()
     val k = cents.length
     val bestD = new Array[Double](nProbe)
     val bestI = new Array[Int](nProbe)
@@ -326,7 +377,7 @@ case class NearestCentroidsDExpr(child: Expression,
     var i = 0
     while (i < k) {
       val c = cents(i)
-      val n = math.min(arr.numElements(), c.length)
+      val n = c.length
       var dot = 0.0d
       var j = 0
       while (j < n) {
@@ -357,12 +408,19 @@ case class NearestCentroidsDExpr(child: Expression,
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    nearest(input.asInstanceOf[ArrayData])
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => ties()
+    case arr => nearest(arr.asInstanceOf[ArrayData])
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("nearestD", this,
       "graft.functions.NearestCentroidsDExpr")
-    defineCodeGen(ctx, ev, c => s"$ref.nearest($c)")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${c.isNull} ? $ref.ties() : $ref.nearest(${c.value});
+    """, isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsDExpr =
     copy(child = newChild)
@@ -375,10 +433,16 @@ case class NearestCentroidsDExpr(child: Expression,
   * left to right; the sign test replicates Spark's `dot > 0.0`
   * comparison, under which NaN ranks ABOVE every double — a NaN dot
   * SETS the bit (Java's `NaN > 0` is false; the difference is pinned
-  * by NativeVecSpec). */
+  * by NativeVecSpec). Degenerate inputs reproduce the reference too
+  * (pinned): a null element or a length mismatch against the
+  * (uniform) plane dim nulls every dot in the Column fold, the
+  * `when(dot > 0)` condition is null, and every bit falls to the
+  * `otherwise(0)` branch — bucket 0. */
 case class HyperplaneBucketExpr(child: Expression,
     planes: Seq[Seq[Double]]) extends UnaryExpression {
   require(planes.nonEmpty && planes.size <= 63, s"1..63 planes, got ${planes.size}")
+  require(planes.map(_.length).distinct.size == 1,
+    "planes must share one dimensionality")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hyperplane_bucket"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -398,11 +462,15 @@ case class HyperplaneBucketExpr(child: Expression,
 
   /** Called from generated code. */
   def bucket(arr: ArrayData): Long = {
+    // null element / length mismatch: every dot is null in the
+    // reference fold → every `when(dot > 0)` falls to otherwise(0)
+    if (arr.numElements() != planeArr(0).length ||
+        NativeVecImpl.hasNullElement(arr)) return 0L
     var bits = 0L
     var i = 0
     while (i < planeArr.length) {
       val p = planeArr(i)
-      val n = math.min(arr.numElements(), p.length)
+      val n = p.length
       var dot = 0.0d
       var j = 0
       while (j < n) {
@@ -420,12 +488,23 @@ case class HyperplaneBucketExpr(child: Expression,
     bits
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    bucket(input.asInstanceOf[ArrayData])
+  // a NULL input array nulls every dot in the reference; each
+  // `when(dot > 0)` falls to otherwise(0) and the bit SUM is 0, not
+  // null — so the expression never returns null
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => 0L
+    case arr => bucket(arr.asInstanceOf[ArrayData])
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("hyperplaneBucket", this,
       "graft.functions.HyperplaneBucketExpr")
-    defineCodeGen(ctx, ev, c => s"$ref.bucket($c)")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} = ${c.isNull} ? 0L : $ref.bucket(${c.value});
+    """, isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
     copy(child = newChild)
@@ -438,12 +517,20 @@ case class HyperplaneBucketExpr(child: Expression,
   * this replaces built one struct per window through an interpreted
   * lambda (ArrayTransform is CodegenFallback) on the LM-scoring
   * corpus path — every n-gram order re-walked every document in the
-  * interpreter. One compiled pass. */
+  * interpreter. One compiled pass. Null tokens copy through to the
+  * windows exactly as the reference's `element_at` does (pinned by
+  * NativeVecSpec; inner containsNull mirrors the input's, so
+  * null-free tokenizer output keeps its null-free schema). */
 case class NgramWindowsExpr(child: Expression, k: Int)
     extends UnaryExpression {
   require(k >= 1, s"window length must be positive: $k")
-  override def dataType: DataType =
-    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def dataType: DataType = {
+    val inner = child.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+    ArrayType(ArrayType(LongType, containsNull = inner), containsNull = false)
+  }
   override def prettyName: String = "graft_ngram_windows"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -460,7 +547,10 @@ case class NgramWindowsExpr(child: Expression, k: Int)
     while (i < m) {
       val w = new Array[Any](k)
       var j = 0
-      while (j < k) { w(j) = arr.getLong(i + j); j += 1 }
+      while (j < k) {
+        if (!arr.isNullAt(i + j)) w(j) = arr.getLong(i + j)
+        j += 1
+      }
       out(i) = new org.apache.spark.sql.catalyst.util.GenericArrayData(w)
       i += 1
     }
@@ -478,7 +568,364 @@ case class NgramWindowsExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** (array<long>, array<long>) → decimal(38,0): the exact WIDE dot
+  * product behind [[graft.similarity.Similarity.centroidCosine]] —
+  * per-component products cast to decimal BEFORE multiplying in the
+  * Column reference (a long·long product would overflow first), so
+  * the per-corpus-row cosine scan of sim_semdedup / sim_cluster_sample
+  * evaluated an interpreted `aggregate(zip_with(cast(dec)·cast(dec)))`
+  * with a Decimal allocation per element. This is one compiled loop on
+  * a two-long 128-bit accumulator (products via `Math.multiplyHigh`;
+  * any long·long product ≈ ≤ 8.5·10³⁷ < 10³⁸ fits decimal(38,0), so
+  * only SUMS can overflow — checked per step against ±(10³⁸−1), the
+  * same intermediate bound ANSI decimal addition enforces, raising
+  * exactly where the reference raises). Reference null semantics:
+  * null element or length mismatch nulls the fold → null result. */
+case class DecDotQExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DecimalType(38, 0)
+  override def prettyName: String = "graft_dec_dotq"
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DecDotQExpr.decDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+        ${ev.value} = graft.functions.DecDotQExpr.decDot($a, $b);
+        ${ev.isNull} = ${ev.value} == null;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DecDotQExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DecDotQExpr {
+  // 10^38 − 1: the decimal(38,0) magnitude bound, split for the
+  // 128-bit comparison (high signed word, low unsigned word)
+  private val Bound = java.math.BigInteger.TEN.pow(38)
+    .subtract(java.math.BigInteger.ONE)
+  private val BoundHi = Bound.shiftRight(64).longValueExact()
+  private val BoundLo = Bound.longValue()
+
+  /** Called from generated code. Returns null for the inputs whose
+    * reference fold nulls out (null element / length mismatch). */
+  def decDot(a: ArrayData, b: ArrayData): org.apache.spark.sql.types.Decimal = {
+    val n = a.numElements()
+    if (n != b.numElements() || NativeVecImpl.hasNullElement(a) ||
+        NativeVecImpl.hasNullElement(b)) return null
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      val pHi = Math.multiplyHigh(x, y)
+      val pLo = x * y
+      val newLo = lo + pLo
+      // unsigned carry out of the low-word add
+      val carry = ((lo & pLo) | ((lo | pLo) & ~newLo)) >>> 63
+      hi = hi + pHi + carry
+      lo = newLo
+      // |acc| ≤ 10^38−1, the bound ANSI decimal(38,0) addition
+      // enforces per step (products alone can never exceed it)
+      var aHi = hi
+      var aLo = lo
+      if (aHi < 0) { // two's-complement negate for the magnitude
+        aLo = -lo
+        aHi = if (lo == 0L) -hi else ~hi
+      }
+      if (aHi > BoundHi || (aHi == BoundHi &&
+          java.lang.Long.compareUnsigned(aLo, BoundLo) > 0))
+        throw new ArithmeticException(
+          "graft_dec_dotq: intermediate sum exceeds decimal(38,0) (ANSI)")
+      i += 1
+    }
+    val bytes = new Array[Byte](16)
+    var k = 0
+    while (k < 8) {
+      bytes(k) = (hi >>> (56 - 8 * k)).toByte
+      bytes(k + 8) = (lo >>> (56 - 8 * k)).toByte
+      k += 1
+    }
+    org.apache.spark.sql.types.Decimal(
+      scala.math.BigDecimal(new java.math.BigInteger(bytes)), 38, 0)
+  }
+}
+
+/** array<long> → array<long>: the all-but-the-top correction
+  * `out_i = q_i·(vᵀv) − (qᵀv)·v_i` with the qᵀv fold INLINE — one
+  * compiled pass per corpus row. The Column spelling it replaces
+  * (retained as `Similarity.removeTopComponentReference`) computed
+  * qᵀv as `aggregate(zip_with(q, v, a·b), 0, +)` and the correction
+  * as a second `zip_with` — ArrayAggregate/ZipWith are
+  * CodegenFallback, so the sim_abtt corpus scan evaluated three
+  * interpreted lambdas per element per row (the last corpus-scan
+  * interpreter tax, VERDICT r13 #1). Exact reference semantics,
+  * parity-pinned by NativeVecSpec:
+  *  - a null element or a length mismatch against `v` nulls the qᵀv
+  *    fold, which nulls EVERY corrected component — this returns an
+  *    all-null array of zip_with's length max(|q|, |v|);
+  *  - 64-bit overflow raises (`Math.*Exact`), as the reference's
+  *    ANSI-mode arithmetic does — the caller's documented |q|,|v|
+  *    bounds keep conforming corpora clear of it. */
+case class AbttCorrectExpr(child: Expression, v: Seq[Long], vv: Long)
+    extends UnaryExpression {
+  require(v.nonEmpty, "empty principal component")
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_abtt_correct"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+  @transient private lazy val vArr: Array[Long] = v.toArray
+
+  /** Called from generated code. */
+  def correct(arr: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val d = vArr.length
+    if (n != d || NativeVecImpl.hasNullElement(arr))
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](math.max(n, d))) // all-null, the nulled-fold shape
+    var qv = 0L
+    var i = 0
+    while (i < n) {
+      qv = Math.addExact(qv, Math.multiplyExact(arr.getLong(i), vArr(i)))
+      i += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = Math.subtractExact(
+        Math.multiplyExact(arr.getLong(i), vv),
+        Math.multiplyExact(qv, vArr(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    correct(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("abttCorrect", this,
+      "graft.functions.AbttCorrectExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.correct($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AbttCorrectExpr =
+    copy(child = newChild)
+}
+
+/** array<float> → double: the int8 symmetric-quantization scale
+  * `max_i |x_i| / 127` as one compiled loop. The Column spelling
+  * (retained as `Similarity.compressInt8Reference`) folds
+  * `aggregate(vec, 0f, greatest(acc, abs(x)))` — interpreted per
+  * element on the storage-tier conversion whose whole point is byte
+  * volume (VERDICT r13 #2). Exact reference semantics: the max
+  * accumulates in FLOAT left to right under Spark's ordering (NaN
+  * greatest — one NaN element pins the scale to NaN), null elements
+  * are SKIPPED (`greatest` ignores nulls), and the division happens
+  * in double exactly as the analyzer widens `float / lit(127.0f)`. */
+case class I8ScaleExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_i8_scale"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.sql}")
+  }
+
+  /** Called from generated code. */
+  def scaleOf(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    var acc = 0.0f
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = Math.abs(arr.getFloat(i))
+        // Spark's greatest: NaN ranks above every float
+        if (java.lang.Float.isNaN(x) || x > acc) acc = x
+      }
+      i += 1
+    }
+    acc.toDouble / 127.0d
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    scaleOf(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("i8Scale", this,
+      "graft.functions.I8ScaleExpr")
+    defineCodeGen(ctx, ev, c => s"$ref.scaleOf($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): I8ScaleExpr =
+    copy(child = newChild)
+}
+
+/** (array<float>, double) → array<byte>: int8 symmetric-quantization
+  * codes `round(x_i / scale)` in one compiled loop (the interpreted
+  * `transform` twin is retained as `Similarity.compressInt8Reference`).
+  * Exact reference semantics: scale 0 short-circuits to all-zero
+  * codes (including null slots — the reference's constant lambda
+  * ignores its input); otherwise x/scale divides in double, rounds
+  * HALF_UP through the same BigDecimal path as Spark's `round`, and
+  * null elements encode to null codes. A NaN/±Inf quotient raises,
+  * as the reference's ANSI double→byte cast does. */
+case class I8EncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = {
+    val inner = left.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+    ArrayType(ByteType, containsNull = inner)
+  }
+  override def prettyName: String = "graft_i8_encode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, double), got ${l.sql}, ${r.sql}")
+    }
+
+  /** Called from generated code. */
+  def encode(arr: ArrayData, scale: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    if (scale == 0.0d) {
+      while (i < n) { out(i) = 0.toByte; i += 1 }
+    } else {
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val d = arr.getFloat(i).toDouble / scale
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+            throw new ArithmeticException(
+              s"graft_i8_encode: $d cannot be cast to byte (ANSI)")
+          // exact HALF_UP without BigDecimal (~8× on this, the
+          // element-dominated pass): floor(d+0.5) is one ulp too high
+          // exactly when d+0.5 rounded up across the boundary (e.g.
+          // 0.49999999999999994) — the subtraction test corrects it.
+          // Equal to Spark's BigDecimal.valueOf(d).setScale(0, HALF_UP)
+          // for ALL doubles: a shortest-decimal repr of exactly x.5
+          // implies d == x.5 in binary (x.5 is representable), so the
+          // binary half-comparison and the decimal one always agree —
+          // pinned against the reference round by NativeVecSpec's
+          // boundary fixtures.
+          val r =
+            if (d >= 0.0d) {
+              var t = Math.floor(d + 0.5d)
+              if (t - d > 0.5d) t -= 1.0d
+              t
+            } else {
+              var t = Math.ceil(d - 0.5d)
+              if (d - t > 0.5d) t += 1.0d
+              t
+            }
+          if (r < -128.0d || r > 127.0d)
+            throw new ArithmeticException(
+              s"graft_i8_encode: $r out of byte range (ANSI)")
+          out(i) = r.toByte
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    encode(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("i8Encode", this,
+      "graft.functions.I8EncodeExpr")
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.encode($a, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): I8EncodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (array<byte>, double) → array<float>: int8 reconstruction
+  * `x̂_i = code_i · scale` in one compiled loop (interpreted twin
+  * retained as `Similarity.decompressInt8Reference`). Reference
+  * arithmetic exactly: the product happens in double (the analyzer
+  * widens `float × double`) and narrows to float at the end; null
+  * codes decode to null. */
+case class I8DecodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = {
+    val inner = left.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+    ArrayType(FloatType, containsNull = inner)
+  }
+  override def prettyName: String = "graft_i8_decode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<byte>, double), got ${l.sql}, ${r.sql}")
+    }
+
+  /** Called from generated code. */
+  def decode(arr: ArrayData, scale: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) out(i) = (arr.getByte(i).toDouble * scale).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    decode(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("i8Decode", this,
+      "graft.functions.I8DecodeExpr")
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.decode($a, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): I8DecodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeVec {
+  def decDotQ(a: Column, b: Column): Column =
+    GraftShims.column(DecDotQExpr(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
+  def abttCorrect(q: Column, v: Seq[Long], vv: Long): Column =
+    GraftShims.column(AbttCorrectExpr(GraftShims.expression(q), v, vv))
+
+  def i8Scale(v: Column): Column =
+    GraftShims.column(I8ScaleExpr(GraftShims.expression(v)))
+
+  def i8Encode(v: Column, scale: Column): Column =
+    GraftShims.column(I8EncodeExpr(
+      GraftShims.expression(v), GraftShims.expression(scale)))
+
+  def i8Decode(codes: Column, scale: Column): Column =
+    GraftShims.column(I8DecodeExpr(
+      GraftShims.expression(codes), GraftShims.expression(scale)))
+
   def ngramWindows(v: Column, k: Int): Column =
     GraftShims.column(NgramWindowsExpr(GraftShims.expression(v), k))
 

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1172,19 +1172,36 @@ object Multimodal {
     * segment, `(doc_id, seg_idx, kind ∈ text|image, media_id,
     * content)`. Text segments carry their trimmed text; image segments
     * carry the referenced media id for [[attachMedia]] to resolve.
-    * Pure map-side column ops (regex + split + posexplode) — codegen,
+    * Pure map-side column ops (regex + one compiled split/trim pass
+    * ([[graft.functions.TrimSegmentsExpr]]) + posexplode) — codegen,
     * no UDF, no shuffle — and every step engine-portable, so the SQL
-    * oracle replays the segmentation byte-for-byte. */
+    * oracle replays the segmentation byte-for-byte. The earlier
+    * `filter(transform(split(...)))` spelling (retained in
+    * [[interleaveSegmentsReference]] as the parity pin) interpreted
+    * two lambdas per SEGMENT per row — ArrayFilter/ArrayTransform are
+    * CodegenFallback and segment count grows with document length,
+    * the data-sized-array tax class the compiled gates retired. */
   def interleaveSegments(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    interleaveFrom(docs, idCol, textCol, (marked, sep) =>
+      graft.functions.NativeText.trimSegments(marked, sep))
+
+  /** HOF reference spelling of [[interleaveSegments]] (parity tests
+    * only — interpreted). */
+  private[graft] def interleaveSegmentsReference(docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    interleaveFrom(docs, idCol, textCol, (marked, sep) =>
+      filter(transform(split(marked, sep, -1), s => trim(s)),
+        s => s =!= ""))
+
+  private def interleaveFrom(docs: DataFrame, idCol: String,
+      textCol: String, segs: (Column, String) => Column): DataFrame = {
     val sep = "\u001f"
     val markerFull = "^<img:\\d+>$"
     val marked = regexp_replace(col(textCol),
       "(<img:\\d+>)", sep + "$1" + sep)
     docs.select(col(idCol).as("doc_id"),
-        posexplode(
-          filter(transform(split(marked, sep, -1), s => trim(s)),
-            s => s =!= "")).as(Seq("seg_idx", "seg")))
+        posexplode(segs(marked, sep)).as(Seq("seg_idx", "seg")))
       .select(col("doc_id"), col("seg_idx").cast(IntegerType).as("seg_idx"),
         when(col("seg").rlike(markerFull), lit("image"))
           .otherwise(lit("text")).as("kind"),

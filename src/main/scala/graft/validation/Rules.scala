@@ -85,8 +85,10 @@ object Rules {
       rules: Seq[Rule]): org.apache.spark.sql.DataFrame = {
     val tags = rules.map(r =>
       when(r.violationPredicate, lit(s"${r.name}__${r.column}")))
-    df.withColumn("reasons",
-      concat_ws(",", array_compact(array(tags: _*))))
+    // concat_ws skips null operands itself, so no array_compact —
+    // which is RuntimeReplaceable to ArrayFilter, an interpreted
+    // (CodegenFallback) pass per row; this spelling stays codegen'd
+    df.withColumn("reasons", concat_ws(",", tags: _*))
   }
 
   def quarantineSplit(df: org.apache.spark.sql.DataFrame, rules: Seq[Rule])

@@ -31,7 +31,10 @@ object PlanProbe {
         fallbacks(q.plan)
       case _ => Seq.empty
     }
-    here ++ nested ++ p.children.flatMap(fallbacks)
+    // subquery plans hang off expressions, not children — a fallback
+    // inside a scalar subquery would otherwise escape the audit
+    val sub = p.subqueries.flatMap(fallbacks)
+    here ++ nested ++ sub ++ p.children.flatMap(fallbacks)
   }
 }
 

@@ -185,6 +185,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("interleaveSegments native split/trim ≡ HOF reference (real docs " +
+      "+ adversarial whitespace); plan carries no CodegenFallback") {
+    val s2 = spark
+    import s2.implicits._
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val adv = Seq(
+      (1000001L, "  leading <img:1>   spaced   <img:2>trailing  "),
+      (1000002L, " \t tab-only segments \t <img:3> \t "), // tabs are NOT trimmed
+      (1000003L, "   "),          // spaces only → trims empty → dropped
+      (1000004L, "<img:4>"),
+      (1000005L, null)).toDF("doc_id", "text")
+    for (docs <- Seq(real, adv)) {
+      val native = Multimodal.interleaveSegments(docs, "doc_id", "text")
+      val ref = Multimodal.interleaveSegmentsReference(docs, "doc_id", "text")
+      assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty)
+    }
+    val fb = graft.PlanProbe.codegenFallbacks(
+      Multimodal.interleaveSegments(real, "doc_id", "text"))
+    assert(fb.isEmpty, fb.mkString(", "))
+  }
+
   test("attachMedia: resolved flag marks dangling references, text passes through") {
     val s2 = spark
     import s2.implicits._

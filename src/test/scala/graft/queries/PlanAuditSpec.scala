@@ -79,6 +79,69 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       here ++ nested
   }
 
+  /** Fourth always-wrong-at-scale shape: an interpreted
+    * (CodegenFallback) expression on a corpus-linear stage — the
+    * 3–15× per-row tax the native-expression sweep exists to keep off
+    * scan paths (measured same-JVM: gopher struct 14.7×, abtt
+    * correction 6.4×, int8 encode 12×). These classes carry no such
+    * tax to retire — allowed ANYWHERE: */
+  private val allowedFallbackClasses = Set(
+    // imperative aggregates: evaluated through the aggregation
+    // iterator's buffer machinery, not per-row projection codegen —
+    // Spark has no codegen path for them (builtin or typed)
+    "CollectList", "PivotFirst", "Percentile",
+    "HeavyHittersAgg", "KmvMinHashesAgg", "KllSketchAgg",
+    // Spark's JSON parser: no codegen exists; the SFT corpus stores
+    // conversations as JSON text by contract
+    "JsonToStructs",
+    // lambda plumbing nodes: appear only as CHILDREN of a HOF — the
+    // HOF class itself is the gated signal
+    "LambdaFunction", "NamedLambdaVariable")
+
+  /** Higher-order functions ARE the gated tax class — allowed only
+    * where the array is provably NOT corpus-row-sized data: a
+    * post-shuffle per-GROUP re-pack of collect_list output (the array
+    * exists only after aggregation, its cost is the group count, not
+    * the corpus), or a config/sketch-sized side. Every entry names its
+    * justification; a query growing ANY other fallback — or a NEW
+    * query growing one — fails by name. */
+  private val justifiedHofs: Map[String, Set[String]] = Map(
+    // per-doc surviving-line re-pack of collect_list output
+    "d10_line_dedup" -> Set("ArrayTransform", "ArraySort"),
+    // per-pack token-array assembly from collect_list
+    "pack_materialize" -> Set("ArrayTransform", "ArraySort"),
+    // listagg = sort + join of a per-group collect_list
+    "q11_status_listagg" -> Set("ArrayTransform", "ArraySort"),
+    // per-conversation turn re-pack of collect_list output
+    "sft_dedup" -> Set("ArrayTransform"),
+    "sft_funnel" -> Set("ArrayTransform"),
+    // label-sum table re-pack (labels × dims → one array per label;
+    // label-count-sized, the broadcast side of centroidCosine)
+    "sim_cluster_sample" -> Set("ArrayTransform", "ArraySort"),
+    "sim_semdedup" -> Set("ArrayTransform", "ArraySort"),
+    // per-doc duplicate-span re-pack of collect_list output
+    "tx_dup_span_removal" -> Set("ArrayTransform", "ArraySort"),
+    "tx_dup_span_removal_runs" -> Set("ArrayTransform", "ArraySort"),
+    // k-sized KMV sketch arrays, one per SOURCE (config-sized side)
+    "tx_kmv_overlap" -> Set("ArraySort"),
+    // per-group grid-bound arrays (bucket-count-sized)
+    "v_equidepth_hist" -> Set("ArrayFilter"),
+    // per-user event-sequence re-pack of collect_list output
+    "w_pattern_match" -> Set("ArrayTransform"))
+
+  test("no query evaluates a CodegenFallback expression outside the " +
+      "justified group-re-pack/sketch set (COVERAGE round-13 claim, " +
+      "now a CI invariant)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val fb = graft.PlanProbe.codegenFallbacks(fn(spark, sf))
+          .filterNot(allowedFallbackClasses)
+          .filterNot(justifiedHofs.getOrElse(name, Set.empty))
+        if (fb.isEmpty) Nil else Seq(s"$name: ${fb.mkString(", ")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no query plans an unpartitioned WindowExec at scale") {
     spark.conf.set("graft.rank.smallBytes", "0")
     try {
