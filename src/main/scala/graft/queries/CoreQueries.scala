@@ -245,30 +245,28 @@ object CoreQueries extends QueryPack {
       .orderBy($"o_orderpriority")
   }
 
-  /** Exact per-group quantiles (p50/p95) that scale: the window runs
-    * over DISTINCT (group, value) pairs with pre-aggregated counts —
+  /** Exact per-group quantiles (p50/p95) that scale: the cuts run over
+    * DISTINCT (group, value) pairs with pre-aggregated counts —
     * the raw fact table never sorts. Rank targets use pure integer
     * arithmetic (`ceil(p·n)` as `(k·n + d − 1) div d`), so the chosen
     * value is an actual data element, bit-identical across engines —
-    * no interpolation, no floating-point quantile math. The sketch
+    * no interpolation, no floating-point quantile math. Routed through
+    * [[graft.operators.Quantiles.rankCuts]]: at the bounded price
+    * domain this is the window-over-distincts plan the oracle replays;
+    * past `graft.median.distinctBound` distincts per group (a
+    * continuous column at scale) the same cuts ride the
+    * [[graft.operators.Quantiles.exactQuantiles]] range refinement —
+    * count-only shuffles, no one-task group sort. The sketch
     * twin for when exactness isn't required is
     * `Validator.profileFrame(approx = true)`'s `approx_percentile`. */
   def q9GroupQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val byPrice = table(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_extendedprice")
       .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy($"l_returnflag")
-    byPrice
-      .withColumn("cum", sum($"cnt").over(wCum))
-      .withColumn("n", sum($"cnt").over(wAll))
-      .groupBy($"l_returnflag")
-      .agg(
-        min(when($"cum" >= expr("(n + 1) div 2"), $"l_extendedprice")).as("p50"),
-        min(when($"cum" >= expr("(19 * n + 19) div 20"), $"l_extendedprice")).as("p95"))
+      .localCheckpoint()
+    graft.operators.Quantiles.rankCuts(byPrice, "l_returnflag",
+        "l_extendedprice", "cnt", Seq(("p50", 1, 2), ("p95", 19, 20)))
       .orderBy($"l_returnflag")
   }
 
@@ -484,28 +482,22 @@ object CoreQueries extends QueryPack {
     * rows, and the clipped sum stays decimal-exact. */
   def q17Winsorize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val li = table(s, dir, "lineitem").select($"l_returnflag", $"l_extendedprice")
     val byPrice = li.groupBy($"l_returnflag", $"l_extendedprice")
       .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy($"l_returnflag")
-    val cuts = byPrice
-      .withColumn("cum", sum($"cnt").over(wCum))
-      .withColumn("n", sum($"cnt").over(wAll))
-      .groupBy($"l_returnflag")
-      .agg(
-        min(when($"cum" >= expr("(n + 19) div 20"), $"l_extendedprice")).as("p05"),
-        min(when($"cum" >= expr("(19 * n + 19) div 20"), $"l_extendedprice")).as("p95"))
+      .localCheckpoint()
+    val cuts = graft.operators.Quantiles.rankCuts(byPrice, "l_returnflag",
+      "l_extendedprice", "cnt", Seq(("p05", 1, 20), ("p95", 19, 20)))
     // Aggregate from the DISTINCT-price counts, not the raw fact: every
     // output (clip counts, winsorized sum) is a function of
-    // (price, cnt), so the fact is scanned ONCE (for byPrice, whose
-    // exchange both the cuts chain and this join reuse) and the join +
-    // final aggregate run over per-(flag, price) rows — at 100 TB that
-    // is the post-agg cardinality, not 600 M lineitems again. The
-    // weighted decimal sum (price×cnt in DecimalType(18,6)) is
-    // value-identical to decSum over the expanded rows.
+    // (price, cnt), so the fact is scanned ONCE (into the checkpointed
+    // byPrice that the cuts probe, the cuts chain, and this join all
+    // read) and the join + final aggregate run over per-(flag, price)
+    // rows — at 100 TB that is the post-agg cardinality, not 600 M
+    // lineitems again. The cuts carry the rankCuts cardinality escape
+    // hatch (see q9). The weighted decimal sum (price×cnt in
+    // DecimalType(18,6)) is value-identical to decSum over the
+    // expanded rows.
     byPrice.join(broadcast(cuts), Seq("l_returnflag"))
       .groupBy($"l_returnflag")
       .agg(
@@ -532,7 +524,6 @@ object CoreQueries extends QueryPack {
     * k = 3 would pin an all-zero column; 1.5 exercises both branches. */
   def q20MadOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     // the distinct-pair frame feeds BOTH median chains and the final
     // aggregate — checkpoint it (post-distinct cardinality, small) so
     // the fact scans once, not once per consumer
@@ -540,15 +531,12 @@ object CoreQueries extends QueryPack {
       .groupBy($"l_returnflag", $"l_extendedprice")
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
-      val wCum = Window.partitionBy($"l_returnflag").orderBy(col(valCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy($"l_returnflag")
-      df.withColumn("cum", sum($"cnt").over(wCum))
-        .withColumn("n", sum($"cnt").over(wAll))
-        .groupBy($"l_returnflag")
-        .agg(min(when($"cum" >= expr("(n + 1) div 2"), col(valCol))).as(out))
-    }
+    // exact lower median via rankCuts — window-over-distincts at the
+    // bounded price domain, range refinement past the cardinality
+    // bound (see q9)
+    def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame =
+      graft.operators.Quantiles.rankCuts(df, "l_returnflag", valCol,
+        "cnt", Seq((out, 1, 2)))
     val med = lowerMedian(byPrice, "l_extendedprice", "med")
     val devs = byPrice.join(broadcast(med), Seq("l_returnflag"))
       .groupBy($"l_returnflag",

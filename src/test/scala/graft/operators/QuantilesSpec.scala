@@ -26,6 +26,30 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(got == vs.map(DoubleBitsImpl.key))
   }
 
+  test("rankCuts: window route ≡ refinement route on the real price " +
+      "domain (schema AND values); bound=0 forces the at-scale plan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cuts = Seq(("p05", 1, 20), ("p50", 1, 2), ("p95", 19, 20))
+    val windowed = Quantiles.rankCuts(li, "l_returnflag",
+      "l_extendedprice", "cnt", cuts)
+    spark.conf.set("graft.median.distinctBound", "0")
+    val refined =
+      try Quantiles.rankCuts(li, "l_returnflag", "l_extendedprice",
+        "cnt", cuts)
+      finally spark.conf.unset("graft.median.distinctBound")
+    assert(windowed.schema == refined.schema,
+      s"${windowed.schema} vs ${refined.schema}")
+    assert(windowed.exceptAll(refined).isEmpty &&
+      refined.exceptAll(windowed).isEmpty)
+    // the refinement route plans no per-group window at all — the
+    // at-scale shape has no one-task distinct-set sort to degrade to
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("exactQuantiles == sort-based ranks on random data with " +
       "duplicates, negatives, and infinities") {
     val s = spark

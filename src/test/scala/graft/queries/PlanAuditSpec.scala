@@ -144,6 +144,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   test("no query plans an unpartitioned WindowExec at scale") {
     spark.conf.set("graft.rank.smallBytes", "0")
+    // force the exact-median family through its continuous-domain
+    // route too (rankCuts escape hatch): the audit must see the plan
+    // a 100 TB run of EVERY technique would execute
+    spark.conf.set("graft.median.distinctBound", "0")
     try {
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
@@ -151,6 +155,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
             .map(o => s"$name: $o")
       }
       assert(offenders.isEmpty, offenders.mkString("\n"))
-    } finally spark.conf.unset("graft.rank.smallBytes")
+    } finally {
+      spark.conf.unset("graft.rank.smallBytes")
+      spark.conf.unset("graft.median.distinctBound")
+    }
   }
 }
