@@ -309,6 +309,33 @@ object ValidationQueries extends QueryPack {
       table(s, dir, "events"), "event_type", "value",
       Seq(0.25, 0.5, 0.9, 0.95), bits = 16)
 
+  /** Per-type quantiles through the MERGEABLE KLL sketch
+    * ([[graft.functions.KllSketchAgg]] — map-side partials of
+    * O(k·log(n/k)) doubles, one buffer per partition on the shuffle,
+    * re-mergeable across micro-batches by
+    * [[graft.streaming.Streams.kllMergeBatch]]). EXACT-REGIME PIN
+    * (the tx_heavy_tokens discipline): per-type counts at the oracle
+    * scale (~2k) sit below k=4096, so nothing ever compacts, the
+    * sketch IS the data, and the DuckDB row_number oracle matches
+    * value for value; at bench scale (~20k/type) compaction engages
+    * and KllSpec's deterministic rank bound takes over. */
+  def vKllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.9, 0.95)
+    val qArr = array(qs.map(lit): _*)
+    table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.NativeAgg.kllQuantiles(
+          col("value").cast("double"), 4096, qs).as("__vals"),
+        count(when(col("value").isNotNull &&
+          !isnan(col("value")), 1)).as("n"))
+      .select(col("event_type"), col("n"),
+        posexplode(col("__vals")).as(Seq("__qi", "value")))
+      .select(col("event_type"),
+        element_at(qArr, col("__qi") + 1).as("q"), col("n"), col("value"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   /** [[vExactQuantiles]]' HIGH-CARDINALITY twin through the DISTRIBUTED
     * search state ([[graft.operators.Quantiles.exactQuantilesDist]]):
     * per-USER p50/p95 of `value` — the group column nobody would hand
@@ -553,6 +580,7 @@ object ValidationQueries extends QueryPack {
     "v_drift_ks" -> (vDriftKs _),
     "v_drift_grid_bound" -> (vDriftGridBound _),
     "v_exact_quantiles" -> (vExactQuantiles _),
+    "v_kll_quantiles" -> (vKllQuantiles _),
     "v_quantiles_dist" -> (vQuantilesDist _),
     "v_weighted_quantiles" -> (vWeightedQuantiles _),
     "v_weighted_quantiles_dist" -> (vWeightedQuantilesDist _),
@@ -694,6 +722,22 @@ object ValidationQueries extends QueryPack {
     "v_exact_quantiles" -> """
       WITH ev AS (
         SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+      r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev),
+      qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.95)) AS t(q))
+      SELECT r.event_type, CAST(qs.q AS DOUBLE) AS q,
+             CAST(r.n AS BIGINT) AS n, r.value
+      FROM r JOIN qs
+        ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
+      ORDER BY r.event_type, qs.q""",
+    "v_kll_quantiles" -> """
+      WITH ev AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS value FROM events
         WHERE value IS NOT NULL AND NOT isnan(value)),
       r AS (
         SELECT event_type, value,

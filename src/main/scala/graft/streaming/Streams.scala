@@ -1411,6 +1411,58 @@ object Streams {
         batchId)
     }
 
+  /** Streaming GRID-FREE quantile state: fold each micro-batch's
+    * per-key KLL sketch ([[graft.functions.KllSketchAgg]]) into the
+    * stored serialized state — the percentile half the drift monitor
+    * lacked: [[driftCountsSink]]/[[graft.operators.Quantiles.gridQuantiles]]
+    * need bucket bounds DECLARED before the stream starts, so a
+    * distribution that walks out of the declared grid saturates the
+    * edge buckets; the sketch needs no grid at all. Merge is the
+    * sketch union ([[graft.functions.KllMergeAgg]]) — deterministic
+    * (no randomness in compaction), so replays converge bit-for-bit
+    * via the fold marker, and state per key is O(k·log(n/k)) doubles
+    * at ANY stream length. While a key has seen ≤ k values the stored
+    * state is EXACT (the KllSpec-pinned regime); beyond, the
+    * deterministic-compactor rank bound applies. Read quantiles at
+    * any time with [[kllQuantilesState]]. */
+  def kllMergeBatch(spark: SparkSession, batch: DataFrame, path: String,
+      keyCols: Seq[String], valueCol: String, k: Int,
+      batchId: Long = -1L): LoadResult =
+    foldBatchWith(spark, path, keyCols, batchId)(
+      batch.groupBy(keyCols.map(col): _*).agg(
+        graft.functions.NativeAgg.kllSketch(
+          col(valueCol).cast("double"), k).as("kll"),
+        count(col(valueCol)).as("n_rows"))
+    ) { (all, _) =>
+      all.groupBy(keyCols.map(col): _*).agg(
+        graft.functions.NativeAgg.kllMerge(col("kll"), k).as("kll"),
+        sum(col("n_rows")).as("n_rows"))
+    }
+
+  /** writeStream wiring for [[kllMergeBatch]] (checkpointed). */
+  def kllMergeSink(stream: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], valueCol: String, k: Int,
+      trig: Trigger = Trigger.AvailableNow(),
+      onLoad: LoadResult => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    foldSink(stream, checkpoint, trig, onLoad) { (batch, batchId) =>
+      kllMergeBatch(batch.sparkSession, batch, path, keyCols, valueCol, k,
+        batchId)
+    }
+
+  /** Scoring half of [[kllMergeBatch]]: the accumulated per-key
+    * quantiles at `qs` — (keys…, q, value) long form, read from the
+    * keys-sized stored state, no data rescan. */
+  def kllQuantilesState(spark: SparkSession, path: String,
+      keyCols: Seq[String], qs: Seq[Double]): DataFrame = {
+    val qArr = array(qs.map(lit): _*)
+    spark.read.parquet(path)
+      .select(keyCols.map(col) :+ posexplode(
+        graft.functions.NativeAgg.kllStateQuantiles(col("kll"), qs))
+        .as(Seq("__qi", "value")): _*)
+      .select(keyCols.map(col) :+
+        element_at(qArr, col("__qi") + 1).as("q") :+ col("value"): _*)
+  }
+
   /** Streaming deletion-request sink: each micro-batch of keys (a
     * right-to-be-forgotten queue, a takedown feed) is applied to the
     * partitioned target via [[graft.operators.Merge.forgetKeys]] —

@@ -111,8 +111,13 @@ object Validator {
     val numeric = dt match {
       case _: NumericType => Seq(
           avg(x).as(s"mean__$c"),
+          // approx median through the house KLL sketch (mergeable,
+          // deterministic, rank-bounded — KllSpec) instead of Spark's
+          // approx_percentile: same constant-state contract, plus the
+          // partials re-merge across runs/streams
           (if (approx)
-             expr(s"approx_percentile(CAST($c AS DOUBLE), 0.5, 10000)")
+             element_at(graft.functions.NativeAgg.kllQuantiles(
+               x.cast(DoubleType), 8192, Seq(0.5)), 1)
            else expr(s"percentile($c, 0.5)")).as(s"median__$c"),
           stddev(x).as(s"std__$c"),
           min(x).cast(DoubleType).as(s"min__$c"),
