@@ -943,8 +943,20 @@ object Multimodal {
     * range-partition on `size DESC` do the OPPOSITE of balancing when
     * outliers are rare — the whole heavy head lands in partition 0
     * (measured by `graft.MultimodalStress`; naive hash placement
-    * clusters them Poisson-style instead). `idCol` must be unique
-    * (the media contract). */
+    * clusters them Poisson-style instead).
+    *
+    * Contract + cost notes (ADVICE r13): `idCol` must be UNIQUE and
+    * NON-NULL among outlier-sized rows — the bin rides back on an
+    * equi-join keyed by it, so a duplicate id would multiply rows and
+    * a null id would never join; both are CHECKED on the collected
+    * (≤ 8·parts) outlier list, cheaply, before the join can corrupt
+    * cardinality. The temp columns are suffixed with a nonce so a
+    * same-named user column can't collide. The input is evaluated up
+    * to THREE times (total-size aggregate, outlier collect, final
+    * shuffle) — callers with expensive upstream lineage should
+    * localCheckpoint/cache `df` first; for the cheap scan-shaped
+    * inputs of the decode pipeline the three passes are columnar scans
+    * of one file set. */
   def repartitionBySizeHint(df: DataFrame, parts: Int,
       sizeCol: String, idCol: String = "doc_id"): DataFrame = {
     require(parts >= 1, s"parts must be positive: $parts")
@@ -958,9 +970,27 @@ object Multimodal {
     val outliers = df.filter(col(sizeCol).cast(LongType) >= thresh)
       .select(col(idCol), col(sizeCol).cast(LongType))
       .collect()
+    // enforce the join-key contract on the driver-bounded outlier list
+    // (≤ 8·parts rows by the mass bound): a duplicate or null id here
+    // would silently change row cardinality through the bin join
+    require(outliers.forall(!_.isNullAt(0)),
+      s"repartitionBySizeHint: null $idCol among outlier-sized rows")
+    require(outliers.iterator.map(_.get(0)).toSet.size == outliers.length,
+      s"repartitionBySizeHint: duplicate $idCol among outlier-sized rows " +
+        "— the id contract is unique ids")
+    // deterministic temp names that cannot collide with user columns
+    // (a same-named __bin in the input would previously be dropped)
+    def fresh(base: String): String = {
+      var c = base
+      while (df.columns.contains(c)) c += "_"
+      c
+    }
+    val binCol = fresh("__bin")
+    val oidCol = fresh("__oid")
+    val obinCol = fresh("__obin")
     val smallBin = pmod(hash(col(idCol)), lit(parts))
     val binned =
-      if (outliers.isEmpty) df.withColumn("__bin", smallBin)
+      if (outliers.isEmpty) df.withColumn(binCol, smallBin)
       else {
         val loads = new Array[Long](parts)
         val assign = outliers.sortBy(-_.getLong(1)).map { r =>
@@ -971,14 +1001,14 @@ object Multimodal {
           org.apache.spark.sql.Row(r.get(0), b)
         }
         val schema = org.apache.spark.sql.types.StructType(Seq(
-          df.schema(idCol).copy(name = "__oid"),
-          org.apache.spark.sql.types.StructField("__obin",
+          df.schema(idCol).copy(name = oidCol),
+          org.apache.spark.sql.types.StructField(obinCol,
             org.apache.spark.sql.types.IntegerType, nullable = false)))
         val binDf = spark.createDataFrame(
           java.util.Arrays.asList(assign: _*), schema)
-        df.join(broadcast(binDf), col(idCol) === col("__oid"), "left")
-          .withColumn("__bin", coalesce(col("__obin"), smallBin))
-          .drop("__oid", "__obin")
+        df.join(broadcast(binDf), col(idCol) === col(oidCol), "left")
+          .withColumn(binCol, coalesce(col(obinCol), smallBin))
+          .drop(oidCol, obinCol)
       }
     // EXACT bin → partition placement: `repartition(n, expr)` routes a
     // row to pmod(murmur3(expr), n), so map each bin to a precomputed
@@ -1003,8 +1033,8 @@ object Multimodal {
     }
     binned
       .repartition(parts,
-        element_at(array(preimage.map(lit).toSeq: _*), col("__bin") + 1))
-      .drop("__bin")
+        element_at(array(preimage.map(lit).toSeq: _*), col(binCol) + 1))
+      .drop(binCol)
   }
 
   /** Batched per-partition feature extraction — the Scala analog of

@@ -218,8 +218,13 @@ object PqIndex {
     // footers under cluster=*, and schema inference on the data-less
     // directory THROWS — turning a harmless no-op into a stream crash
     // after the rename already published the empty batch. Probe for
-    // data files first; 0 rows needs no read.
-    val dataFiles = fs.globStatus(new Path(dst, "*/part-*"))
+    // data files first; 0 rows needs no read. The probe accepts ANY
+    // non-hidden file under cluster=* (ADVICE r13): a committer or
+    // write config producing data files that don't match Spark's
+    // default part-* prefix would otherwise mis-read a landed batch
+    // as empty and report rowsLoaded=0 while data exists.
+    val dataFiles = fs.globStatus(new Path(dst, "*/*"),
+      (p: Path) => !p.getName.startsWith("_") && !p.getName.startsWith("."))
     if (dataFiles == null || dataFiles.isEmpty) 0L
     else spark.read.parquet(dst.toString).count()
   }

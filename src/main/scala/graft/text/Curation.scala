@@ -202,9 +202,19 @@ object Curation {
     * false-positive factory ("class", "assassin"). One codegen'd
     * filter over the token array against the literal term list; fine
     * for config-sized lists (C4's is ~400 terms), use
-    * [[blocklistHitsJoin]] when the list outgrows a plan literal. */
+    * [[blocklistHitsJoin]] when the list outgrows a plan literal.
+    *
+    * Term contract (ADVICE r13): terms must be NON-EMPTY strings —
+    * enforced at plan build (the native TokenSetHitsExpr requires it,
+    * and [[blocklistHitsReference]] mirrors the require so both
+    * spellings share one contract). An earlier HOF spelling silently
+    * accepted "" and counted boundary-empty tokens as hits — a
+    * nonsense blocklist entry that only ever inflated counts; failing
+    * fast is the deliberate, documented behavior change. */
   def blocklistHits(text: Column, terms: Seq[String]): Column = {
     require(terms.nonEmpty, "empty blocklist")
+    require(terms.forall(_.nonEmpty),
+      "blocklist terms must be non-empty strings")
     // one compiled pass ([[graft.functions.TokenSetHitsExpr]] — the
     // ArrayFilter spelling in [[blocklistHitsReference]] interprets a
     // closure per token): the text side is lowered ONCE with Spark's
@@ -222,6 +232,8 @@ object Curation {
   private[graft] def blocklistHitsReference(text: Column,
       terms: Seq[String]): Column = {
     require(terms.nonEmpty, "empty blocklist")
+    require(terms.forall(_.nonEmpty),
+      "blocklist terms must be non-empty strings") // mirror blocklistHits
     val lowered = array(terms.map(t => lit(t.toLowerCase(
       java.util.Locale.ROOT))): _*)
     size(filter(TextFunctions.tokens(text),

@@ -781,6 +781,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       s"spread ${bytes.max / mean} over ${bytes.mkString(",")}")
   }
 
+  test("size-hint repartition: id contract enforced on outliers " +
+      "(duplicate/null ids rejected); user __bin column survives " +
+      "(ADVICE r13)") {
+    val s = spark
+    import s.implicits._
+    // duplicate id among outlier-sized rows → the bin join would
+    // multiply rows; must fail loudly instead
+    val dup = (Seq((1L, 500000L), (1L, 400000L)) ++
+        (0L until 50L).map(i => (100L + i, 10L)))
+      .toDF("doc_id", "sz")
+    intercept[IllegalArgumentException] {
+      Multimodal.repartitionBySizeHint(dup, 4, "sz").count()
+    }
+    // null id among outliers → never joins its bin; must fail loudly
+    val withNull = dup.withColumn("doc_id",
+      when(col("doc_id") === 1L && col("sz") === 500000L,
+        lit(null).cast("long")).otherwise(col("doc_id")))
+      .withColumn("sz", when(col("sz") === 400000L, lit(10L))
+        .otherwise(col("sz")))
+    intercept[IllegalArgumentException] {
+      Multimodal.repartitionBySizeHint(withNull, 4, "sz").count()
+    }
+    // a user column literally named __bin must pass through untouched
+    // (the temp names are collision-avoided, not reserved)
+    val clash = (Seq((1L, 500000L)) ++ (0L until 50L).map(i =>
+        (100L + i, 10L)))
+      .toDF("doc_id", "sz").withColumn("__bin", col("doc_id") * 2)
+    val out = Multimodal.repartitionBySizeHint(clash, 4, "sz")
+    assert(out.columns.contains("__bin"))
+    assert(out.filter(col("__bin") =!= col("doc_id") * 2).count() == 0)
+    assert(out.count() == 51)
+  }
+
   test("size-hint repartition balances payload bytes") {
     val media = Multimodal.withPayload(docs, "text")
     val parts = 8
