@@ -69,6 +69,11 @@ object VecAb {
         .select(col("vec_id"), posexplode(zip_with(col("__q"), vArr,
           (qi, vi) => qi * lit(vv) - col("__qv") * vi))
           .as(Seq("pos", "corrected"))))
+    // the centroidCosine corpus-row decimal dot (sim_semdedup scan)
+    ab("decDotQ",
+      q.select(graft.functions.NativeVec.decDotQ(col("__q"), col("__q"))
+        .as("d")),
+      q.select(Similarity.decDotReference(col("__q"), col("__q")).as("d")))
     ab("compressInt8",
       Similarity.compressInt8(emb, "embedding"),
       Similarity.compressInt8Reference(emb, "embedding"))
