@@ -498,6 +498,58 @@ final class KllState(val k: Int) extends Serializable {
     Some(out)
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance against another sketch:
+    * max over the union of stored support points of
+    * |F_this(v) − F_other(v)|, F the right-continuous weighted CDF
+    * (cum/n in IEEE double — the same arithmetic a SQL window
+    * spelling produces, so the exact regime hash-compares across
+    * engines). EXACT when both sketches are in the exact regime (they
+    * hold all their data); compacted, the error is bounded by the sum
+    * of the two sketches' rank-error bounds over min(n_a, n_b). None
+    * when either side is empty. */
+  def ksAgainst(o: KllState): Option[Double] = {
+    if (n == 0L || o.n == 0L) return None
+    def points(s: KllState): (Array[Double], Array[Long]) = {
+      var m = 0
+      s.levels.foreach(m += _.size)
+      val vs = new Array[Double](m)
+      val ws = new Array[Long](m)
+      var p = 0
+      var h = 0
+      while (h < s.levels.size) {
+        val w = 1L << h
+        val lvl = s.levels(h)
+        var i = 0
+        while (i < lvl.size) { vs(p) = lvl(i); ws(p) = w; p += 1; i += 1 }
+        h += 1
+      }
+      val idx = Array.range(0, m).sortBy(vs(_))
+      (idx.map(vs), idx.map(ws))
+    }
+    val (av, aw) = points(this)
+    val (bv, bw) = points(o)
+    val na = n.toDouble
+    val nb = o.n.toDouble
+    var i = 0
+    var j = 0
+    var ca = 0L
+    var cb = 0L
+    var d = 0.0d
+    while (i < av.length || j < bv.length) {
+      // advance over the smallest remaining value on BOTH sides (ties
+      // across sides fold before F is evaluated — the RANGE-frame
+      // window convention)
+      val v =
+        if (j >= bv.length || (i < av.length && av(i) <= bv(j))) av(i)
+        else bv(j)
+      while (i < av.length && av(i) == v) { ca += aw(i); i += 1 }
+      while (j < bv.length && bv(j) == v) { cb += bw(j); j += 1 }
+      val gap = math.abs(ca / na - cb / nb)
+      if (gap > d) d = gap
+    }
+    Some(d)
+  }
+
   def serialized: Array[Byte] = {
     var m = 0
     levels.foreach(m += _.size)
@@ -680,6 +732,51 @@ case class KllQuantilesExpr(child: Expression, qs: Seq[Double])
     copy(child = newChild)
 }
 
+/** (binary, binary) → double: two-sample KS distance between two
+  * serialized [[KllState]] sketches — the GRID-FREE drift score
+  * ([[graft.operators.Quantiles.gridQuantiles]]/`ksAgainst` need
+  * bucket bounds declared before the stream starts; two sketches
+  * need nothing). Codegen'd; null when either sketch is empty. Exact
+  * when both sketches are exact-regime (oracle row v_kll_ks);
+  * compacted, bounded by the two rank-error bounds. */
+case class KllKsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_kll_ks"
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two binary (serialized sketch) inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  /** Called from generated code; null when either sketch is empty. */
+  def ks(a: Array[Byte], b: Array[Byte]): Any =
+    KllState.deserialize(a).ksAgainst(KllState.deserialize(b)) match {
+      case Some(d) => java.lang.Double.valueOf(d)
+      case None => null
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ks(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("kllKs", this,
+      "graft.functions.KllKsExpr")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = $ref.ks($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllKsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeAgg {
   /** Column wrapper: `heavyHitters(items, k)` aggregates a string
     * column into the ≤k-entry Misra-Gries summary. */
@@ -721,4 +818,10 @@ object NativeAgg {
     * ≤ k, rank-error-bounded beyond (KllSpec pins both regimes). */
   def kllQuantiles(x: Column, k: Int, qs: Seq[Double]): Column =
     kllStateQuantiles(kllSketch(x, k), qs)
+
+  /** Column wrapper: two-sample KS distance between two serialized
+    * sketch columns (grid-free drift score). */
+  def kllKs(a: Column, b: Column): Column =
+    GraftShims.column(KllKsExpr(
+      GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -336,6 +336,31 @@ object ValidationQueries extends QueryPack {
       .orderBy(col("event_type"), col("q"))
   }
 
+  /** Pairwise two-sample KS distance between event-type value
+    * distributions through MERGEABLE KLL sketches
+    * ([[graft.functions.KllKsExpr]]) — the grid-free drift SCORE: the
+    * corpus aggregates once into 5 per-type sketches and every pair
+    * compares sketch-to-sketch (a type-count-sized frame, never the
+    * data). Exact-regime pin like v_kll_quantiles: at the oracle
+    * scale the sketches hold all their data, so the DuckDB window
+    * spelling of the exact two-sample KS matches to the double. The
+    * pair join is a BNLJ over the 5-row aggregate output — bounded by
+    * the TYPE COUNT at any corpus size (PlanAuditSpec allowlists it
+    * with that justification). */
+  def vKllKs(s: SparkSession, dir: String): DataFrame = {
+    val sk = table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.NativeAgg.kllSketch(
+        col("value").cast("double"), 4096).as("kll"))
+    sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        graft.functions.NativeAgg.kllKs(col("a.kll"), col("b.kll"))
+          .as("ks"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** [[vExactQuantiles]]' HIGH-CARDINALITY twin through the DISTRIBUTED
     * search state ([[graft.operators.Quantiles.exactQuantilesDist]]):
     * per-USER p50/p95 of `value` — the group column nobody would hand
@@ -581,6 +606,7 @@ object ValidationQueries extends QueryPack {
     "v_drift_grid_bound" -> (vDriftGridBound _),
     "v_exact_quantiles" -> (vExactQuantiles _),
     "v_kll_quantiles" -> (vKllQuantiles _),
+    "v_kll_ks" -> (vKllKs _),
     "v_quantiles_dist" -> (vQuantilesDist _),
     "v_weighted_quantiles" -> (vWeightedQuantiles _),
     "v_weighted_quantiles_dist" -> (vWeightedQuantilesDist _),
@@ -751,6 +777,30 @@ object ValidationQueries extends QueryPack {
       FROM r JOIN qs
         ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
       ORDER BY r.event_type, qs.q""",
+    "v_kll_ks" -> """
+      WITH ev AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+      t AS (SELECT DISTINCT event_type FROM ev),
+      pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM t a JOIN t b ON a.event_type < b.event_type),
+      u AS (
+        SELECT p.ta, p.tb, e.v,
+               CASE WHEN e.event_type = p.ta THEN 1 ELSE 0 END AS ia,
+               CASE WHEN e.event_type = p.tb THEN 1 ELSE 0 END AS ib
+        FROM pairs p JOIN ev e ON e.event_type IN (p.ta, p.tb)),
+      c AS (
+        SELECT ta, tb,
+               SUM(ia) OVER (PARTITION BY ta, tb ORDER BY v) AS ca,
+               SUM(ib) OVER (PARTITION BY ta, tb ORDER BY v) AS cb,
+               SUM(ia) OVER (PARTITION BY ta, tb) AS na,
+               SUM(ib) OVER (PARTITION BY ta, tb) AS nb
+        FROM u)
+      SELECT ta AS type_a, tb AS type_b,
+             MAX(ABS(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) -
+                     CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "v_quantiles_dist" -> """
       WITH ev AS (
         SELECT CAST(user_id AS VARCHAR) AS user_id, value FROM events

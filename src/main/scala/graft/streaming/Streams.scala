@@ -1449,6 +1449,23 @@ object Streams {
         batchId)
     }
 
+  /** Grid-free drift SCORE over the [[kllMergeBatch]] state: two-sample
+    * KS distance of each key's accumulated sketch against a reference
+    * sketch frame (`ref`: keyCols + a `kll` binary column — typically a
+    * training-corpus baseline built with the same aggregate). Runs over
+    * the keys-sized state, no data rescan; exact while both sides are
+    * exact-regime, rank-bounded beyond. The grid twin ([[ksAgainst]])
+    * stays for pre-declared-bucket deployments. */
+  def kllKsState(spark: SparkSession, path: String,
+      keyCols: Seq[String], ref: DataFrame): DataFrame =
+    spark.read.parquet(path)
+      .select(keyCols.map(col) :+ col("kll"): _*)
+      .join(ref.select(keyCols.map(col) :+ col("kll").as("__ref"): _*),
+        keyCols)
+      .select(keyCols.map(col) :+
+        graft.functions.NativeAgg.kllKs(col("kll"), col("__ref"))
+          .as("ks"): _*)
+
   /** Scoring half of [[kllMergeBatch]]: the accumulated per-key
     * quantiles at `qs` — (keys…, q, value) long form, read from the
     * keys-sized stored state, no data rescan. */

@@ -142,6 +142,64 @@ class KllSpec extends AnyFunSuite with SparkSpec {
     val nRows = spark.read.parquet(path).select(sum(col("n_rows")))
       .head().getLong(0)
     assert(nRows == n.toLong)
+    // grid-free drift score over the folded state: the state vs a
+    // one-shot reference sketch of the SAME data must score KS ≈ 0
+    // within the summed rank bounds (0 exactly in the exact regime;
+    // k=512 over 9k values is compacted, so bounded)
+    val ref = vs.toDF("g", "v").groupBy(col("g"))
+      .agg(NativeAgg.kllSketch(col("v"), 512).as("kll"))
+    val ks = graft.streaming.Streams
+      .kllKsState(spark, path, Seq("g"), ref)
+      .head().getDouble(1)
+    val e = ((math.log(n.toDouble / 512) / math.log(2)).ceil + 2) / 512
+    assert(ks <= 2 * e, s"self-KS $ks > ${2 * e}")
+  }
+
+  test("two-sample KS from sketches: exact regime == brute-force KS; " +
+      "identical distributions score 0; compacted within summed bounds") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val a = Array.fill(2000)(rng.nextGaussian())
+    val b = Array.fill(3000)(rng.nextGaussian() + 0.4)
+    def bruteKs(x: Array[Double], y: Array[Double]): Double = {
+      val support = (x ++ y).distinct.sorted
+      val xs = x.sorted
+      val ys = y.sorted
+      def cdf(s: Array[Double], v: Double): Double = {
+        var lo = 0; var hi = s.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (s(m) <= v) lo = m + 1 else hi = m
+        }
+        lo.toDouble / s.length
+      }
+      support.map(v => math.abs(cdf(xs, v) - cdf(ys, v))).max
+    }
+    def sketchOf(vs: Array[Double], k: Int) = vs.toSeq.toDF("v")
+      .agg(NativeAgg.kllSketch(col("v"), k)).head().getAs[Array[Byte]](0)
+    // exact regime: sketches hold everything → exact two-sample KS
+    val exact = spark.range(1)
+      .select(NativeAgg.kllKs(lit(sketchOf(a, 4096)), lit(sketchOf(b, 4096))))
+      .head().getDouble(0)
+    assert(exact == bruteKs(a, b), s"$exact vs ${bruteKs(a, b)}")
+    // same distribution, same data → 0 exactly
+    val zero = spark.range(1)
+      .select(NativeAgg.kllKs(lit(sketchOf(a, 4096)), lit(sketchOf(a, 4096))))
+      .head().getDouble(0)
+    assert(zero == 0.0)
+    // compacted: |sketchKS − trueKS| ≤ εa + εb (the summed rank bounds)
+    val k = 128
+    val skKs = spark.range(1)
+      .select(NativeAgg.kllKs(lit(sketchOf(a, k)), lit(sketchOf(b, k))))
+      .head().getDouble(0)
+    def eps(n: Int) = ((math.log(n.toDouble / k) / math.log(2)).ceil + 2) / k
+    assert(math.abs(skKs - bruteKs(a, b)) <= eps(a.length) + eps(b.length),
+      s"sketch KS $skKs vs true ${bruteKs(a, b)}")
+    // empty side → null
+    val e = Seq.empty[Double].toDF("v")
+      .agg(NativeAgg.kllSketch(col("v"), 64)).head().getAs[Array[Byte]](0)
+    assert(spark.range(1)
+      .select(NativeAgg.kllKs(lit(e), lit(sketchOf(a, 64)))).head().isNullAt(0))
   }
 
   test("KllSketchAgg/KllMergeAgg are imperative aggregates (allowed " +

@@ -37,7 +37,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     "sim_topk_brute", "tx_curation_funnel", "tx_funnel_model",
     "tx_html_funnel", "sft_funnel", "tx_pretrain_pipeline",
     "tx_kmv_overlap", "sim_range_search", "sim_recall_eval",
-    "sim_contrastive_pairs")
+    "sim_contrastive_pairs",
+    // pairwise sketch-vs-sketch KS: both BNLJ sides are the per-type
+    // aggregate output — TYPE-count-sized at any corpus size, the
+    // tx_kmv_overlap argument with sketches instead of hash lists
+    "v_kll_ks")
 
   test("no query plans a CartesianProduct; BNLJ only where provably bounded") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
