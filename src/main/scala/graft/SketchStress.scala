@@ -164,7 +164,54 @@ object SketchStress {
     require(kept == nResp - planted,
       s"rouge dedup kept $kept, expected ${nResp - planted}")
 
-    println(f"""{"metric":"sketch_stress","kmv_rows":$rows,"kmv_sec":$kmvSec%.1f,"pagerank_edges":11000000,"pagerank_sec":$prSec%.1f,"cc_closure_sec":$closureSec%.1f,"cc_fold_sec":$foldSec%.1f,"cc_reclosure_sec":$reclosureSec%.1f,"rouge_docs":$nResp,"rouge_sec":$rougeSec%.1f,"peak_heap_mb":${peakHeapMb()}}""")
+    // ——— 5. KLL sketch (round-14): 20M values across 200 keys ———
+    // the drift-state regime: 100k values per key vs k=1024 sketch
+    // entries, deep compaction. Asserted invariants per key: every
+    // returned quantile's rank error ≤ the deterministic-compactor
+    // bound, and the PARTITIONING-INDEPENDENT bound holds on a second
+    // layout (the merge-tree changes, the guarantee must not).
+    val kllN = 20000000L
+    val kllKeys = 200
+    val kllK = 1024
+    val perKey = kllN / kllKeys
+    val step = 1000000L / perKey
+    require(perKey * step == 1000000L, "lattice step must be integral")
+    val kllBase = spark.range(kllN)
+      .select((col("id") % kllKeys).as("g"),
+        // per-key integer lattice (distinct, uniform on [0, 1M)): the
+        // rank of value v within a key is v/step + 1 in CLOSED FORM —
+        // no 20M-row sort needed to check every returned rank
+        expr(s"CAST((id DIV $kllKeys) * $step AS DOUBLE)").as("v"))
+    val kllQs = Seq(0.05, 0.5, 0.95)
+    val kllBound =
+      ((math.log(perKey.toDouble / kllK) / math.log(2)).ceil + 2) *
+        perKey / kllK
+    def kllRun(parts: Int): Double = {
+      val (rows, sec) = timed {
+        spark.sparkContext.setJobGroup("kll", s"kll-$parts")
+        val got = kllBase.repartition(parts, col("g"))
+          .groupBy(col("g"))
+          .agg(graft.functions.NativeAgg.kllQuantiles(col("v"), kllK, kllQs)
+            .as("vals"))
+          .collect()
+        require(got.length == kllKeys)
+        got.foreach { r =>
+          val vs = r.getSeq[Double](1)
+          kllQs.zip(vs).foreach { case (q, v) =>
+            val target = math.max(1L, math.ceil(q * perKey).toLong)
+            val rank = (v / step).toLong + 1 // closed-form lattice rank
+            require(math.abs(rank - target) <= kllBound,
+              s"key ${r.get(0)} q=$q rank err ${math.abs(rank - target)}")
+          }
+        }
+        got.length
+      }
+      sec
+    }
+    val kllSec32 = kllRun(32)
+    val kllSec7 = kllRun(7)
+
+    println(f"""{"metric":"sketch_stress","kmv_rows":$rows,"kmv_sec":$kmvSec%.1f,"pagerank_edges":11000000,"pagerank_sec":$prSec%.1f,"cc_closure_sec":$closureSec%.1f,"cc_fold_sec":$foldSec%.1f,"cc_reclosure_sec":$reclosureSec%.1f,"rouge_docs":$nResp,"rouge_sec":$rougeSec%.1f,"kll_rows":$kllN,"kll_sec_32p":$kllSec32%.1f,"kll_sec_7p":$kllSec7%.1f,"peak_heap_mb":${peakHeapMb()}}""")
     spark.stop()
   }
 }
