@@ -107,6 +107,45 @@ object Sampling {
       .drop(bucket, rank)
   }
 
+  /** Exact per-stratum WEIGHTED quota — "exactly n documents per
+    * source, preferring higher-quality ones": exactly min(`n`,
+    * |stratum|) rows per stratum, inclusion odds tilted by an INTEGER
+    * weight in [0, `wMax`] via the lottery-ticket scheme — each row's
+    * priority is the SMALLEST of its w deterministic ticket hashes
+    * (`hash60(key#r)`, r < w), so P(priority ≤ t) = 1 − (1 − t)^w rises
+    * strictly with every extra ticket while the whole selection stays
+    * integer md5 arithmetic an external engine replays bit-for-bit.
+    * (The textbook Efraimidis–Spirakis priority u^(1/w) needs ln/pow,
+    * which is NOT cross-engine-exact — libm differs by 1 ulp and a
+    * flipped near-tie changes top-k MEMBERSHIP, not just order; the
+    * ticket scheme trades exact proportionality for exact
+    * replayability, the house discipline.) Weight 0 = no tickets:
+    * those rows carry the maximum priority and fill the quota last,
+    * tie-broken by key. Ranking goes through the bounded-heap top-k
+    * operator — one shuffle on the stratum, n rows of state per
+    * stratum, never a per-stratum sort; wMax md5 evaluations per row,
+    * map-side, codegen'd (no HOF — keep wMax config-small). */
+  def weightedQuota(df: DataFrame, strataCol: String, keyCol: String,
+      weight: Column, n: Int, wMax: Int = 8): DataFrame = {
+    require(n > 0 && wMax >= 1 && wMax <= 64, s"n=$n wMax=$wMax")
+    val taken = df.columns.toSet
+    val prio = freshName("__prio", taken)
+    val rank = freshName("__rank", taken)
+    val w = least(greatest(weight.cast(LongType), lit(0L)), lit(wMax))
+    val tickets = (0 until wMax).map(r =>
+      when(lit(r) < w,
+        hash60(concat(col(keyCol).cast(StringType), lit("#"), lit(r))))
+        .otherwise(lit(Long.MaxValue)))
+    val prioCol =
+      if (tickets.size == 1) tickets.head else least(tickets: _*)
+    graft.plans.TopK.perKey(
+        df.withColumn(prio, prioCol),
+        Seq(strataCol),
+        Seq(graft.plans.TopK.asc(prio), graft.plans.TopK.asc(keyCol)),
+        n, rankName = rank)
+      .drop(prio, rank)
+  }
+
   /** Exact global sample of min(`n`, |df|) rows by the md5 key hash.
     * Plans as TakeOrderedAndProject: each partition keeps its local
     * top-n then the driver merges n-sized heads — no global sort, no

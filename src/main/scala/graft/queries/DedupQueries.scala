@@ -212,6 +212,21 @@ object DedupQueries extends QueryPack {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Exact per-source WEIGHTED quota
+    * ([[graft.operators.Sampling.weightedQuota]]): 25 documents per
+    * source with inclusion odds tilted by a length-derived quality
+    * weight (min(n_chars div 300, 8) lottery tickets — the smallest
+    * ticket hash wins), all integer md5 arithmetic the oracle replays
+    * ticket for ticket. The quota-filling contract for curation:
+    * "exactly n per source, prefer substantial documents, reproducible
+    * on any engine". */
+  def sampleWeightedQuota(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedQuota(
+        table(s, dir, "documents"), "source", "doc_id",
+        expr("n_chars DIV 300"), n = 25)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Exact global sample ([[graft.operators.Sampling.exactSample]]):
     * the hash-lowest 100 documents corpus-wide. */
   def sampleExactN(s: SparkSession, dir: String): DataFrame =
@@ -440,6 +455,7 @@ object DedupQueries extends QueryPack {
     "sample_shards" -> (sampleShards _),
     "mix_epoch_budget" -> (mixEpochBudget _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_weighted_quota" -> (sampleWeightedQuota _),
     "sample_exact_n" -> (sampleExactN _),
     "sample_splits" -> (sampleSplits _),
     "sample_splits_leakfree" -> (sampleSplitsLeakFree _),
@@ -630,6 +646,25 @@ object DedupQueries extends QueryPack {
         FROM documents)
       WHERE rn <= 30
       ORDER BY doc_id""",
+    "sample_weighted_quota" -> {
+      val tickets = (0 until 8).map(r =>
+        "CASE WHEN " + r + " < w THEN CAST(concat('0x', " +
+          s"substr(md5(CAST(doc_id AS VARCHAR) || '#$r'), 1, 15)) " +
+          "AS BIGINT) ELSE 9223372036854775807 END").mkString(",\n               ")
+      s"""
+      SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY prio, doc_id) AS rn
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 LEAST($tickets) AS prio
+          FROM (SELECT doc_id, source, n_chars,
+                       LEAST(GREATEST(n_chars // 300, 0), 8) AS w
+                FROM documents)))
+      WHERE rn <= 25
+      ORDER BY doc_id"""
+    },
     "sample_exact_n" -> s"""
       SELECT doc_id, source FROM (
         SELECT doc_id, source FROM documents

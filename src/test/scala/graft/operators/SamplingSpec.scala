@@ -86,6 +86,48 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("weighted quota: exact per-stratum n, heavier weights win more " +
+      "tickets, zero-weight rows fill last, partition-independent, " +
+      "heap-planned") {
+    import spark.implicits._
+    val s2 = spark
+    // one stratum: 100 heavy (w=8), 100 light (w=1), 20 zero (w=0)
+    val rows = (0 until 100).map(i => (s"h$i", "s", 8L)) ++
+      (0 until 100).map(i => (s"l$i", "s", 1L)) ++
+      (0 until 20).map(i => (s"z$i", "s", 0L))
+    val df = rows.toDF("k", "src", "w")
+    val out = Sampling.weightedQuota(df, "src", "k", col("w"), n = 50)
+      .collect().map(_.getString(0))
+    assert(out.length == 50)
+    val heavy = out.count(_.startsWith("h"))
+    val light = out.count(_.startsWith("l"))
+    // min-of-8-tickets beats min-of-1 with prob 8/9: heavy should
+    // clearly dominate (binomial-comfortable margin, deterministic
+    // data so this never flakes)
+    assert(heavy > light * 2, s"heavy=$heavy light=$light")
+    assert(!out.exists(_.startsWith("z")),
+      "zero-weight rows must not enter while positive-weight rows remain")
+    // zero-weight rows DO fill an underfilled quota, tie-broken by key
+    val tiny = ((0 until 3).map(i => (s"p$i", "s", 1L)) ++
+      (0 until 5).map(i => (s"z$i", "s", 0L))).toDF("k", "src", "w")
+    val filled = Sampling.weightedQuota(tiny, "src", "k", col("w"), n = 6)
+      .collect().map(_.getString(0)).sorted
+    assert(filled.length == 6 && filled.count(_.startsWith("p")) == 3 &&
+      filled.count(_.startsWith("z")) == 3)
+    assert(filled.filter(_.startsWith("z")).toSeq == Seq("z0", "z1", "z2"))
+    // partitioning-independent; bounded-heap plan; quota exactness on
+    // the real corpus with a length weight
+    val docsQ = Sampling.weightedQuota(docs, "source", "doc_id",
+      expr("n_chars DIV 300"), n = 25)
+    val again = Sampling.weightedQuota(docs.repartition(7), "source",
+      "doc_id", expr("n_chars DIV 300"), n = 25).select("doc_id")
+    assert(docsQ.select("doc_id").exceptAll(again).isEmpty &&
+      again.exceptAll(docsQ.select("doc_id")).isEmpty)
+    assert(docsQ.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val fb = graft.PlanProbe.codegenFallbacks(docsQ)
+    assert(fb.isEmpty, fb.mkString(", "))
+  }
+
   test("exact global sample: n rows, nested in larger samples, TakeOrdered plan") {
     val out = Sampling.exactSample(docs, "doc_id", 50)
     assert(out.count() == 50)
