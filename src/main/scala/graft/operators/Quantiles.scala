@@ -84,9 +84,15 @@ object Quantiles {
     * other "median of the MASS, not the row count" statistic use
     * this; the refinement machinery is identical because the per-pass
     * histogram just sums weights instead of counting rows. */
+  /** Optional exact integer rank targets for [[exactQuantiles]]:
+    * `rankOverride(qIdx, n)` replaces the default IEEE
+    * `max(1, ⌈qs(qIdx)·n⌉)` — [[rankCuts]] passes its pure-integer
+    * `⌈num·n/den⌉` here so its two physical routes are rank-identical
+    * BY CONSTRUCTION, not just on non-edge data. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], bits: Int = 12,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      rankOverride: Option[(Int, Long) => Long] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantile fractions must be in (0, 1], got $qs")
     require(bits >= 4 && bits <= 16, s"bits must be in [4, 16], got $bits")
@@ -129,7 +135,10 @@ object Quantiles {
         s"group '$g' carries $n total weight — rank arithmetic is only " +
           "exact below 2^53; pre-scale the weight column")
       qs.zipWithIndex.foreach { case (q, i) =>
-        val k = math.max(1L, math.ceil(q * n).toLong)
+        val k = rankOverride match {
+          case Some(f) => math.min(n, math.max(1L, f(i, n)))
+          case None => math.max(1L, math.ceil(q * n).toLong)
+        }
         searches :+=
           (if (lo >= 0 || hi < 0) Search(g, i, lo, hi, k) // one sign already
           else if (k <= nneg) Search(g, i, lo, -1L, k) // k-th is negative
@@ -448,11 +457,10 @@ object Quantiles {
     *    matter how many executors exist — so the cuts route through
     *    [[exactQuantiles]] range refinement instead: count-only
     *    shuffles, ≤ 6 scans of the (checkpointed) frame, zero row
-    *    sorts. Same lower-quantile convention; the rank is
-    *    `max(1, ⌈(num/den)·n⌉)` in IEEE double there, which can sit
-    *    one rank off the integer `⌈num·n/den⌉` only when `(num/den)·n`
-    *    rounds across an integer — a documented edge the oracle never
-    *    sees (it runs the bounded-domain route). Values come back cast
+    *    sorts. The refinement receives the SAME pure-integer
+    *    `⌈num·n/den⌉` rank targets via `rankOverride`, so both routes
+    *    choose identical ranks BY CONSTRUCTION — no IEEE ⌈q·n⌉
+    *    rounding edge. Values come back cast
     *    to the input value type; the caller's value→double mapping
     *    must be order-preserving and roundtrip-safe (true for the
     *    decimal prices here — see the class scaladoc's key contract).
@@ -487,9 +495,20 @@ object Quantiles {
       cut.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     } else {
       val valT = byVal.schema(valCol).dataType
-      val qs = cuts.map { case (_, num, den) => num.toDouble / den }.distinct
+      // one search per DISTINCT fraction; the integer (num, den) of its
+      // first spelling drives the EXACT rank target, so this route's
+      // ranks equal the window route's ⌈num·n/den⌉ by construction
+      // (no IEEE ⌈q·n⌉ rounding edge)
+      val distinctCuts = cuts.map { case (_, num, den) =>
+        (num.toDouble / den, num, den)
+      }.distinctBy(_._1)
+      val qs = distinctCuts.map(_._1)
       val eq = exactQuantiles(byVal, groupCol, valCol, qs,
-        weightCol = Some(cntCol))
+        weightCol = Some(cntCol),
+        rankOverride = Some { (i, n) =>
+          val (_, num, den) = distinctCuts(i)
+          (num * n + den - 1) / den
+        })
       val aggs = cuts.map { case (name, num, den) =>
         min(when(col("q") === num.toDouble / den, col("value")))
           .cast(valT).as(name)
