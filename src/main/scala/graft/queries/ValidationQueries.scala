@@ -572,6 +572,55 @@ object ValidationQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING twin of [[vKllQuantiles]] under the oracle gate: the
+    * events table replays through [[graft.streaming.Streams.kllMergeSink]]
+    * in 3 deterministic micro-batches (event_id order), the per-type
+    * KLL states fold across batches via the serialized-sketch merge,
+    * and the accumulated state answers the same quantiles. Exact
+    * regime at the oracle scale (k=4096 ≥ per-type counts), where the
+    * DETERMINISTIC merge makes the streamed fold bit-identical to the
+    * one-shot aggregate — so the DuckDB row_number oracle pins the
+    * whole batch-boundary/merge/serialize path, not just the agg. */
+  def vKllStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val qs = Seq(0.25, 0.5, 0.9, 0.95)
+    val cur = table(s, dir, "events")
+      .orderBy(col("event_id"))
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2))))
+    val splits = Seq(cur.take(cur.length / 3),
+      cur.slice(cur.length / 3, 2 * cur.length / 3),
+      cur.drop(2 * cur.length / 3))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_kll_stream").toString
+    val input = MemoryStream[(Long, String, Option[Double])]
+    val q = graft.streaming.Streams.kllMergeSink(
+        input.toDF().toDF("event_id", "event_type", "value")
+          .drop("event_id"),
+        s"$work/state", s"$work/cp", Seq("event_type"), "value", 4096,
+        trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    val rows =
+      try {
+        try splits.foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+        finally q.stop()
+        graft.streaming.Streams
+          .kllQuantilesState(s, s"$work/state", Seq("event_type"), qs)
+          .join(s.read.parquet(s"$work/state")
+            .select(col("event_type"), col("n_rows").as("n")), "event_type")
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+            r.getLong(3)))
+      } finally graft.core.AtomicSwap.deleteRecursively(new java.io.File(work))
+    rows.toDF("event_type", "q", "value", "n")
+      .orderBy(col("event_type"), col("q"))
+  }
+
   import graft.validation.Privacy
 
   /** Privacy: k-anonymity class-size histogram over the customer QI
@@ -607,6 +656,7 @@ object ValidationQueries extends QueryPack {
     "v_exact_quantiles" -> (vExactQuantiles _),
     "v_kll_quantiles" -> (vKllQuantiles _),
     "v_kll_ks" -> (vKllKs _),
+    "v_kll_stream" -> (vKllStream _),
     "v_quantiles_dist" -> (vQuantilesDist _),
     "v_weighted_quantiles" -> (vWeightedQuantiles _),
     "v_weighted_quantiles_dist" -> (vWeightedQuantilesDist _),
@@ -774,6 +824,22 @@ object ValidationQueries extends QueryPack {
       qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.95)) AS t(q))
       SELECT r.event_type, CAST(qs.q AS DOUBLE) AS q,
              CAST(r.n AS BIGINT) AS n, r.value
+      FROM r JOIN qs
+        ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
+      ORDER BY r.event_type, qs.q""",
+    "v_kll_stream" -> """
+      WITH ev AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+      r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev),
+      qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.95)) AS t(q))
+      SELECT r.event_type, CAST(qs.q AS DOUBLE) AS q, r.value,
+             CAST(r.n AS BIGINT) AS n
       FROM r JOIN qs
         ON r.rn = GREATEST(1, CAST(CEIL(qs.q * r.n) AS BIGINT))
       ORDER BY r.event_type, qs.q""",

@@ -1432,7 +1432,9 @@ object Streams {
       batch.groupBy(keyCols.map(col): _*).agg(
         graft.functions.NativeAgg.kllSketch(
           col(valueCol).cast("double"), k).as("kll"),
-        count(col(valueCol)).as("n_rows"))
+        // count what the sketch holds: null AND NaN are excluded
+        count(when(col(valueCol).cast("double").isNotNull &&
+          !isnan(col(valueCol).cast("double")), 1)).as("n_rows"))
     ) { (all, _) =>
       all.groupBy(keyCols.map(col): _*).agg(
         graft.functions.NativeAgg.kllMerge(col("kll"), k).as("kll"),
