@@ -236,7 +236,25 @@ object SimilarityQueries extends QueryPack {
     "sim_contrastive_pairs" -> (simContrastivePairs _),
     "sim_cluster_sample" -> (simClusterSample _),
     "sim_pca_pc1" -> (simPcaPc1 _),
-    "sim_abtt" -> (simAbtt _))
+    "sim_abtt" -> (simAbtt _),
+    "sim_int8_codes" -> (simInt8Codes _))
+
+  /** Int8 storage compression ([[Similarity.compressInt8]]) under the
+    * oracle gate — long form (vec_id, pos, code, scale): per-vector
+    * symmetric quantization, scale = max|x|/127 (float max is
+    * order-free exact, the divide widens to double in both engines),
+    * codes = HALF_UP(x/scale) (DuckDB ROUND is half-away-from-zero =
+    * the same convention). Previously a test-only API; every
+    * arithmetic step is engine-replayable so it earns an oracle row. */
+  def simInt8Codes(s: SparkSession, dir: String): DataFrame =
+    Similarity.compressInt8(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "embedding")
+      .select(col("vec_id"), col("embedding_scale").as("scale"),
+        posexplode(col("embedding_i8")).as(Seq("pos", "code")))
+      .select(col("vec_id"), col("pos"), col("code").cast("int").as("code"),
+        col("scale"))
+      .orderBy(col("vec_id"), col("pos"))
 
   /** Integer-quantized corpus CTE shared by the oracles: q = floor(x·10⁴)
     * components, nsq = exact squared norm. */
@@ -343,6 +361,24 @@ object SimilarityQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "sim_pca_pc1" -> pcaSql,
     "sim_abtt" -> abttSql,
+    "sim_int8_codes" -> """
+      WITH s AS (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                 AS DOUBLE) / 127.0 AS scale
+        FROM embeddings),
+      c AS (
+        SELECT vec_id, scale,
+               unnest([{'pos': i - 1, 'x': embedding[i]}
+                       FOR i IN range(1, len(embedding) + 1)],
+                      recursive := true)
+        FROM s)
+      SELECT vec_id, CAST(pos AS INT) AS pos,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INT) END
+               AS code,
+             scale
+      FROM c ORDER BY vec_id, pos""",
     "sim_pq_adc" -> s"""
       WITH prep AS ($prepSql),
       cents AS (SELECT * FROM (VALUES $coarseValuesSql) AS t(cid, cv)),
