@@ -784,10 +784,15 @@ object Dedup {
       .agg(min(struct(col("__id"), col("__idx"))).as("__first"))
     val kept = lines.join(firsts, Seq("__line"))
       .filter(col("__first") === struct(col("__id"), col("__idx")))
+    // compiled re-pack: the interpreted concat_ws(transform(array_sort(…)))
+    // spelling ran ArraySort's interpreted struct comparator + a lambda
+    // per LINE of the corpus on the post-shuffle side (measured 1.6–1.7×
+    // warm, ≤2.4× across windows, at 40× volume / 10.8M lines —
+    // graft.RepackAb); SortedStructConcatExpr is its parity-pinned
+    // one-pass twin (SortedStructConcatSpec)
     val rebuilt = kept.groupBy(col("__id"))
-      .agg(concat_ws("\n",
-        transform(array_sort(collect_list(struct(col("__idx"), col("__line")))),
-          x => x("__line"))).as("__clean"))
+      .agg(graft.functions.NativeText.sortedStructConcat(
+        collect_list(struct(col("__idx"), col("__line"))), "\n").as("__clean"))
     df.join(rebuilt, col(idCol) === col("__id"), "left")
       .withColumn(textCol, coalesce(col("__clean"), lit("")))
       .select(outCols.map(col): _*)

@@ -766,10 +766,16 @@ case class KllKsExpr(left: Expression, right: Expression)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val ref = ctx.addReferenceObj("kllKs", this,
       "graft.functions.KllKsExpr")
+    // freshName: a fixed local (`Object r`) would redeclare when two
+    // KllKsExpr instances with non-nullable children land in one
+    // generated projection (nullSafeExec emits unbraced code there) —
+    // janino then fails and the WHOLE projection silently falls back
+    // to interpreted
+    val r = ctx.freshName("kllKsRes")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = $ref.ks($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+      Object $r = $ref.ks($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
     """)
   }
   override protected def withNewChildrenInternal(

@@ -844,9 +844,124 @@ case class TrimSegmentsExpr(child: Expression, sep: String)
     copy(child = newChild)
 }
 
+/** array<struct<k: int|long, v: string>> → the struct-sorted
+  * concatenation of the v fields joined by `sep` — ONE compiled pass
+  * replacing the interpreted group re-pack
+  * `concat_ws(sep, transform(array_sort(collect_list(struct(k, v))),
+  * x -> x.v))` (per-doc line/token reassembly in
+  * [[graft.dedup.Dedup.dedupLinesGlobal]] and the span-removal
+  * rebuild). The interpreted spelling pays ArraySort's per-COMPARISON
+  * interpreted struct ordering, a per-element lambda invocation, and
+  * an extra array materialization — all multiplied by every line/token
+  * of every document (corpus-linear work on the post-shuffle side).
+  *
+  * Semantics pinned to the interpreted spelling by NativeTextSpec:
+  *  - elements ordered by (k asc, then v asc binary) — exactly
+  *    array_sort's struct field-by-field ordering;
+  *  - a NULL v sorts before non-null at equal k (asc nulls-first
+  *    field ordering) and is then skipped by the concat (concat_ws
+  *    contract);
+  *  - NULL elements are ignored entirely (array_sort puts them last,
+  *    transform maps them to null, concat_ws skips them);
+  *  - empty array → empty string; null array → empty string (concat_ws
+  *    SKIPS null arguments and never itself returns null — so this
+  *    expression is non-nullable, exactly like the spelling it
+  *    replaces). */
+case class SortedStructConcatExpr(child: Expression, sep: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _) if fields.length == 2 &&
+        (fields(0).dataType == IntegerType ||
+          fields(0).dataType == LongType) &&
+        fields(1).dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<int|long, string>>, got ${t.sql}")
+  }
+  override def prettyName: String = "graft_sorted_struct_concat"
+
+  private lazy val keyIsLong = child.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType].fields(0).dataType == LongType
+  private lazy val sepU = UTF8String.fromString(sep)
+
+  /** Called from generated code. */
+  def repack(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    // gather non-null elements; encode a null k as (nullK=0) so it
+    // sorts before every real key (asc nulls-first field ordering)
+    val ks = new Array[Long](n)
+    val kNull = new Array[Boolean](n)
+    val vs = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, 2)
+        kNull(m) = row.isNullAt(0)
+        ks(m) = if (row.isNullAt(0)) 0L
+          else if (keyIsLong) row.getLong(0) else row.getInt(0).toLong
+        vs(m) = if (row.isNullAt(1)) null else row.getUTF8String(1)
+        m += 1
+      }
+      i += 1
+    }
+    val order = new Array[Integer](m)
+    i = 0
+    while (i < m) { order(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val ia = a.intValue(); val ib = b.intValue()
+        // field 0: asc nulls-first, then numeric
+        if (kNull(ia) != kNull(ib)) return if (kNull(ia)) -1 else 1
+        val kc = java.lang.Long.compare(ks(ia), ks(ib))
+        if (kc != 0) return kc
+        // field 1: asc nulls-first, then binary UTF8 order (Spark's
+        // default string ordering)
+        val va = vs(ia); val vb = vs(ib)
+        if (va eq null) { if (vb eq null) 0 else -1 }
+        else if (vb eq null) 1
+        else va.compareTo(vb)
+      }
+    })
+    val sorted = new Array[UTF8String](m)
+    i = 0
+    while (i < m) { sorted(i) = vs(order(i).intValue()); i += 1 }
+    UTF8String.concatWs(sepU, sorted: _*) // skips nulls, like concat_ws
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = child.eval(input)
+    if (c == null) UTF8String.EMPTY_UTF8
+    else repack(c.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("sortedStructConcat", this,
+      "graft.functions.SortedStructConcatExpr")
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      UTF8String ${ev.value} = ${childGen.isNull}
+        ? UTF8String.EMPTY_UTF8 : $ref.repack(${childGen.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedStructConcatExpr =
+    copy(child = newChild)
+}
+
 object NativeText {
   def trimSegments(text: Column, sep: String): Column =
     GraftShims.column(TrimSegmentsExpr(GraftShims.expression(text), sep))
+  /** Compiled twin of `concat_ws(sep, transform(array_sort(arr),
+    * x -> x.<field1>))` over array<struct<int|long, string>>. */
+  def sortedStructConcat(arr: Column, sep: String): Column =
+    GraftShims.column(SortedStructConcatExpr(GraftShims.expression(arr), sep))
 
   /** Column wrappers. */
   def lcsLength(a: Column, b: Column): Column =

@@ -584,6 +584,14 @@ case class NgramWindowsExpr(child: Expression, k: Int)
 case class DecDotQExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DecimalType(38, 0)
+  // decDot returns null on length mismatch / null elements even when
+  // BOTH inputs are non-null — without this override, non-nullable
+  // children (e.g. collect_list output: the sim_semdedup __csq
+  // projection) make nullSafeCodeGen interpolate an UNDECLARED isNull
+  // variable into the generated assignment; janino fails and the whole
+  // stage silently falls back to interpreted (and a wrong nullable is
+  // its own correctness hazard: Catalyst may fold isnull() to false)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dec_dotq"
 
   private def isLongArray(t: DataType): Boolean = t match {

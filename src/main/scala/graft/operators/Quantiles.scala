@@ -481,15 +481,26 @@ object Quantiles {
         .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     if (maxDistinct <= bound) {
       import org.apache.spark.sql.expressions.Window
+      // collision-proof temp names (same guard as repartitionBySizeHint):
+      // a caller frame already carrying __cum/__n would be silently
+      // clobbered — and __n is referenced inside an expr() string, so
+      // the chosen name must be interpolated there too
+      def fresh(base: String): String = {
+        var c = base
+        while (byVal.columns.contains(c)) c += "_"
+        c
+      }
+      val cumCol = fresh("__cum")
+      val nCol = fresh("__n")
       val wCum = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col(groupCol))
       val cut = byVal
-        .withColumn("__cum", sum(col(cntCol)).over(wCum))
-        .withColumn("__n", sum(col(cntCol)).over(wAll))
+        .withColumn(cumCol, sum(col(cntCol)).over(wCum))
+        .withColumn(nCol, sum(col(cntCol)).over(wAll))
       val aggs = cuts.map { case (name, num, den) =>
-        min(when(col("__cum") >=
-            expr(s"($num * __n + ${den - 1}) div $den"), col(valCol)))
+        min(when(col(cumCol) >=
+            expr(s"($num * `$nCol` + ${den - 1}) div $den"), col(valCol)))
           .as(name)
       }
       cut.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)

@@ -273,10 +273,12 @@ object Boilerplate {
       .withColumn("__cov", max(col("__end")).over(w))
       .filter(col("__k") === 1 &&
         (col("__cov").isNull || col("__cov") < col("pos")))
+    // compiled re-pack (same justification and parity pin as
+    // dedupLinesGlobal: the interpreted spelling cost a struct-compare
+    // + lambda per surviving TOKEN; measured in graft.RepackAb)
     val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x("tok"))).as("__clean"))
+      .agg(graft.functions.NativeText.sortedStructConcat(
+        collect_list(struct(col("pos"), col("tok"))), " ").as("__clean"))
       .select(col("doc_id").as("__rid"), col("__clean"))
     docs.join(rebuilt, col(idCol) === col("__rid"), "left")
       .withColumn(textCol, coalesce(col("__clean"), lit("")))

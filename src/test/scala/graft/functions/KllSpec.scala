@@ -202,6 +202,24 @@ class KllSpec extends AnyFunSuite with SparkSpec {
       .select(NativeAgg.kllKs(lit(e), lit(sketchOf(a, 64)))).head().isNullAt(0))
   }
 
+  test("TWO KllKsExpr in one projection compile under codegen (ADVICE " +
+      "r14: with non-nullable lit children nullSafeExec emits the block " +
+      "unbraced, so a fixed `Object r` local redeclared and janino " +
+      "failed — freshName fixes it)") {
+    import spark.implicits._
+    def sketchOf(vs: Array[Double]) = vs.toSeq.toDF("v")
+      .agg(NativeAgg.kllSketch(col("v"), 64)).head().getAs[Array[Byte]](0)
+    val sa = sketchOf(Array(1.0, 2.0, 3.0))
+    val sb = sketchOf(Array(1.5, 2.5))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.range(1).select(
+        NativeAgg.kllKs(lit(sa), lit(sb)).as("k1"),
+        NativeAgg.kllKs(lit(sb), lit(sa)).as("k2")).head()
+      assert(r.getDouble(0) == r.getDouble(1)) // KS is symmetric
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("KllSketchAgg/KllMergeAgg are imperative aggregates (allowed " +
       "fallback class); KllQuantilesExpr is codegen'd (not fallback)") {
     val cf = classOf[org.apache.spark.sql.catalyst.expressions

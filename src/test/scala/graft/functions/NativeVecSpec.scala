@@ -324,6 +324,31 @@ class NativeVecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("decDotQ stays CODEGEN with non-nullable children (the " +
+      "sim_semdedup __csq projection): decDot can return null even for " +
+      "non-null inputs, so nullable must be overridden true — pre-fix, " +
+      "janino failed on an undeclared isNull and the stage silently " +
+      "interpreted") {
+    // the exact plan shape from the bench failure: collect_list output
+    // (non-nullable) re-packed, then decDotQ(sv, sv)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val csq = emb
+        .select(col("label"),
+          posexplode(Similarity.quantize(col("embedding")))
+            .as(Seq("pos", "q")))
+        .groupBy(col("label"), col("pos"))
+        .agg(org.apache.spark.sql.functions.sum(col("q")).as("s"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x("s")).as("sv"))
+        .select(graft.functions.NativeVec.decDotQ(col("sv"), col("sv"))
+          .as("csq"))
+      csq.collect() // fallback=false: a janino failure THROWS here
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("native ngramWindows copies null tokens through like the " +
       "reference's element_at (ADVICE r13)") {
     import spark.implicits._

@@ -50,6 +50,25 @@ class QuantilesSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("rankCuts: a caller frame already carrying __cum/__n is not " +
+      "clobbered (ADVICE r14 — fresh temp names, same guard as " +
+      "repartitionBySizeHint)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+    val cuts = Seq(("p50", 1, 2))
+    val clean = Quantiles.rankCuts(li, "l_returnflag",
+      "l_extendedprice", "cnt", cuts)
+    // the same frame with both temp names pre-occupied by junk must
+    // produce the same cuts (pre-fix: withColumn silently overwrote
+    // the caller's columns and `expr("__n")` bound to the wrong one)
+    val dirty = Quantiles.rankCuts(
+      li.withColumn("__cum", lit(-1L)).withColumn("__n", lit(-2L)),
+      "l_returnflag", "l_extendedprice", "cnt", cuts)
+      .select(clean.columns.map(col): _*)
+    assert(clean.exceptAll(dirty).isEmpty && dirty.exceptAll(clean).isEmpty)
+  }
+
   test("exactQuantiles == sort-based ranks on random data with " +
       "duplicates, negatives, and infinities") {
     val s = spark

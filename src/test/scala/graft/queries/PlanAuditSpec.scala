@@ -110,8 +110,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * justification; a query growing ANY other fallback — or a NEW
     * query growing one — fails by name. */
   private val justifiedHofs: Map[String, Set[String]] = Map(
-    // per-doc surviving-line re-pack of collect_list output
-    "d10_line_dedup" -> Set("ArrayTransform", "ArraySort"),
+    // (round 15) d10_line_dedup / tx_dup_span_removal(_runs) left this
+    // list: their per-doc re-packs — the two corpus-proportional
+    // entries, flagged by the r14 verdict — are now the compiled
+    // SortedStructConcatExpr (graft.RepackAb: interpreted spelling
+    // 1.6–1.7× slower warm at 40× volume / 10.8M elements;
+    // SortedStructConcatSpec pins byte parity)
     // per-pack token-array assembly from collect_list
     "pack_materialize" -> Set("ArrayTransform", "ArraySort"),
     // listagg = sort + join of a per-group collect_list
@@ -123,9 +127,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // label-count-sized, the broadcast side of centroidCosine)
     "sim_cluster_sample" -> Set("ArrayTransform", "ArraySort"),
     "sim_semdedup" -> Set("ArrayTransform", "ArraySort"),
-    // per-doc duplicate-span re-pack of collect_list output
-    "tx_dup_span_removal" -> Set("ArrayTransform", "ArraySort"),
-    "tx_dup_span_removal_runs" -> Set("ArrayTransform", "ArraySort"),
     // k-sized KMV sketch arrays, one per SOURCE (config-sized side)
     "tx_kmv_overlap" -> Set("ArraySort"),
     // per-group grid-bound arrays (bucket-count-sized)
