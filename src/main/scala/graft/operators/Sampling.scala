@@ -372,14 +372,20 @@ object Sampling {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("batch_tokens"),
-        md5(concat_ws("\u001e",
-          transform(array_sort(collect_list(struct(col(keyCol),
-            coalesce(col(textCol), lit("")).as("__t")))),
-            x => x("__t")))).as("packed_md5"),
-        concat_ws(",",
-          transform(array_sort(collect_list(struct(col(keyCol),
-            col("__off").as("__o")))),
-            x => x("__o").cast(StringType))).as("offsets"))
+        // compiled re-packs (round 15, the d10/tx_dup_span* swap): a
+        // batch is budget-bounded but batches grow with corpus tokens,
+        // so the interpreted sort+lambda still ran per document of the
+        // corpus. The offset pre-casts to string INSIDE the struct -
+        // keyCol is unique within a (group, batch), so the value never
+        // breaks a tie and the sorted order is unchanged (SamplingSpec
+        // pins equality to the interpreted spelling)
+        md5(graft.functions.NativeText.sortedStructConcat(
+          collect_list(struct(col(keyCol),
+            coalesce(col(textCol), lit("")).as("__t"))), "\u001e"))
+          .as("packed_md5"),
+        graft.functions.NativeText.sortedStructConcat(
+          collect_list(struct(col(keyCol),
+            col("__off").cast(StringType).as("__o"))), ",").as("offsets"))
   }
 
   /** Length-bucketed batch layout — the PADDED-batch twin of

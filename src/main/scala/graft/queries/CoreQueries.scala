@@ -218,11 +218,21 @@ object CoreQueries extends QueryPack {
     * repeated within an order can't double-count. */
   def q7BasketPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = table(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-    li.as("a").hint("shuffle_hash").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+    // ONE exchange on the order key builds each basket's DISTINCT item
+    // set (collect_set dedups inside the aggregate); pairs then explode
+    // MAP-SIDE from the basket array. The previous spelling paid TWO
+    // corpus-sized exchanges — distinct() on (order, part), then a
+    // re-key to the order key for a shuffle_hash self-join — for the
+    // same k(k−1)/2 pairs per basket (round 15, guide §2.4: remove
+    // shuffles outright). Skew posture unchanged: a hub basket's k²
+    // pairs sat in one task under the keyed self-join too.
+    val baskets = table(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("__parts"))
+    baskets
+      .select(explode($"__parts").as("part_a"), $"__parts")
+      .select($"part_a", explode($"__parts").as("part_b"))
+      .filter($"part_a" < $"part_b")
       .groupBy($"part_a", $"part_b")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy($"n_orders".desc, $"part_a", $"part_b")

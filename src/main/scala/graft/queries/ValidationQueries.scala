@@ -163,12 +163,21 @@ object ValidationQueries extends QueryPack {
     * order): exactly the discovery a profiler exists to surface.
     * Both verdict branches carry violation counts, not just booleans. */
   def vFdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    // "the group holds ≥2 distinct non-null rhs values" ⟺ min ≠ max
+    // (both ignore nulls; a 0-or-1-distinct group has min <=> max, and
+    // the null <=> null case means zero non-null values — not a
+    // violation, same as countDistinct ≤ 1). The min/max spelling is a
+    // plain partial aggregate — one hash-agg pass, map-side combined —
+    // where countDistinct planned a two-phase distinct aggregation
+    // shuffling every (lhs, rhs) pair (round 15; the retention-cohorts
+    // Expand-avoidance argument applied to FD checking)
     def check(df: DataFrame, lhs: Seq[String], rhs: String,
         label: String): DataFrame =
       df.groupBy(lhs.map(col): _*)
-        .agg(countDistinct(col(rhs)).as("__d"))
+        .agg(min(col(rhs)).as("__lo"), max(col(rhs)).as("__hi"))
         .agg(count(lit(1)).as("n_groups"),
-          sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating"))
+          sum(when(col("__lo") =!= col("__hi"), 1L).otherwise(0L))
+            .as("n_violating"))
         .select(lit(label).as("fd"), col("n_groups"), col("n_violating"),
           (col("n_violating") === 0).as("holds"))
     val orders = table(s, dir, "orders")

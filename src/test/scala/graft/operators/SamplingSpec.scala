@@ -362,6 +362,29 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L)._4 == md5hex("z1 z2 z3 z4 z5 z6 z7 z8 z9"))
   }
 
+  test("materializePacked: NULL text keeps its slot as the empty string " +
+      "(the coalesce contract survives the compiled re-pack, round 15)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "s", "aa bb", 2L),
+      (2L, "s", null.asInstanceOf[String], 3L), // null text, 3 tokens
+      (3L, "s", "cc", 1L)
+    ).toDF("doc_id", "source", "text", "w")
+    val out = Sampling.materializePacked(docs, "source", "doc_id",
+        "text", col("w"), budget = 100L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("batch_tokens") == 6L)
+    assert(r.getAs[String]("offsets") == "0,2,5") // null doc HOLDS its slot
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the null text concatenates as "" BETWEEN the separators — the
+    // md5 stays aligned with the offsets
+    assert(r.getAs[String]("packed_md5") == md5hex("aa bb\u001e\u001ecc"))
+  }
+
   test("lengthBucketedBatches: exact NTILE buckets, bounded batches, monotone lengths") {
     val s = spark
     import s.implicits._

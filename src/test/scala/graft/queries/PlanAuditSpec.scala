@@ -93,7 +93,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // imperative aggregates: evaluated through the aggregation
     // iterator's buffer machinery, not per-row projection codegen —
     // Spark has no codegen path for them (builtin or typed)
-    "CollectList", "PivotFirst", "Percentile",
+    "CollectList", "CollectSet", "PivotFirst", "Percentile",
     "HeavyHittersAgg", "KmvMinHashesAgg", "KllSketchAgg",
     // Spark's JSON parser: no codegen exists; the SFT corpus stores
     // conversations as JSON text by contract
@@ -116,8 +116,6 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // SortedStructConcatExpr (graft.RepackAb: interpreted spelling
     // 1.6–1.7× slower warm at 40× volume / 10.8M elements;
     // SortedStructConcatSpec pins byte parity)
-    // per-pack token-array assembly from collect_list
-    "pack_materialize" -> Set("ArrayTransform", "ArraySort"),
     // listagg = sort + join of a per-group collect_list
     "q11_status_listagg" -> Set("ArrayTransform", "ArraySort"),
     // per-conversation turn re-pack of collect_list output
