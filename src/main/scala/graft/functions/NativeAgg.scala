@@ -804,7 +804,21 @@ object NativeAgg {
       GramMatrixAgg(GraftShims.expression(vec)).toAggregateExpression())
 
   /** Column wrapper: `kllSketch(x, k)` aggregates a double column into
-    * a serialized mergeable KLL sketch (binary). */
+    * a serialized mergeable KLL sketch (binary).
+    *
+    * Double-domain contract (VERDICT r14 #5, the `bucketOf`
+    * non-numeric-rejection precedent): every caller — vKllQuantiles,
+    * [[graft.streaming.Streams.kllMergeBatch]], profileFrame's approx
+    * median — casts its input to DOUBLE before sketching. A decimal or
+    * 64-bit-integer column whose values differ only beyond the 53-bit
+    * double significand (|x| > 2⁵³ ≈ 9.0·10¹⁵, or a decimal with more
+    * than ~15–16 significant digits) COLLIDES distinct values onto one
+    * double; the sketch then sees them as equal and any returned
+    * quantile is the shared double, not one of the original values.
+    * Fine for the drift-monitoring role (rank error already dominates
+    * one-ulp collisions); use `Quantiles.exactQuantiles` when exact
+    * value identity on wide decimals matters. KllSpec pins the
+    * boundary. */
   def kllSketch(x: Column, k: Int): Column =
     GraftShims.column(
       KllSketchAgg(GraftShims.expression(x), k).toAggregateExpression())

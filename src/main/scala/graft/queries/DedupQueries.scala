@@ -261,10 +261,14 @@ object DedupQueries extends QueryPack {
         docs, "doc_id", comp,
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
       .localCheckpoint()
+    // "cluster spans ≥2 splits" ⟺ min(split) != max(split) — a plain
+    // partial aggregate instead of countDistinct's two-phase distinct
+    // aggregation (round 15, the v_fd_discovery rewrite; clusters grow
+    // with the corpus, so the Expand tax here is corpus-proportional)
     val leaky = assigned.join(comp, Seq("doc_id"))
       .groupBy(col("cluster_id"))
-      .agg(countDistinct(col("split")).as("ns"))
-      .filter(col("ns") > 1).count()
+      .agg(min(col("split")).as("__lo"), max(col("split")).as("__hi"))
+      .filter(col("__lo") =!= col("__hi")).count()
     assigned.join(comp, Seq("doc_id"), "left")
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),

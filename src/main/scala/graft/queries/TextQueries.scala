@@ -1532,11 +1532,17 @@ object TextQueries extends QueryPack {
       .join(sk.select(col("source").as("source_b"),
         col("kmv").as("kmv_b"), col("nd").as("nd_b")),
         col("source_a") < col("source_b"))
-    val dist = h.distinct()
-    val inter = dist.as("x").join(dist.as("y"),
-        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("source_a"),
-        col("y.source").as("source_b"))
+    // exact twin via ONE exchange on the hash: collect_set dedups the
+    // (source, h) pairs inside the aggregate and source pairs explode
+    // map-side from each hash's source set — the q7_basket_pairs
+    // rewrite (round 15, guide §2.4); the old spelling paid a distinct
+    // exchange on (source, h) PLUS a re-key to h for a self-join
+    val inter = h.groupBy(col("h"))
+      .agg(collect_set(col("source")).as("__s"))
+      .select(explode(col("__s")).as("source_a"), col("__s"))
+      .select(col("source_a"), explode(col("__s")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("inter_exact"))
     pairs
       .withColumn("bigk",

@@ -100,7 +100,18 @@ object Validator {
     * of every distinct value and exact `countDistinct` triggers the
     * Expand rewrite — both scale with cardinality, not with the sketch.
     * At 100 TB profile with `approx=true`: HLL distinct counts and
-    * KLL-sketch medians, constant state per partition. */
+    * KLL-sketch medians, constant state per partition.
+    *
+    * NaN contract (ADVICE r14): the KLL sketch EXCLUDES NaN (KllSpec),
+    * while the exact path's `percentile` ranks NaN as the greatest
+    * double — on a NaN-bearing numeric column the approx median is the
+    * median of the FINITE values and the exact median can be pulled
+    * upward by the NaN mass. This is deliberate: a profile monitor
+    * wants the location of the real data, and NaN presence is already
+    * surfaced by its own signals (null/zero/negative counts; add a NaN
+    * rule for columns where it matters). Documented rather than
+    * "fixed" because filtering NaN inside the exact branch would
+    * silently change the oracle-pinned exact rows. */
   def profileAggs(df: DataFrame, c: String, approx: Boolean = false): Seq[Column] = {
     val dt = df.schema(c).dataType
     val x = col(c)

@@ -202,6 +202,24 @@ class KllSpec extends AnyFunSuite with SparkSpec {
       .select(NativeAgg.kllKs(lit(e), lit(sketchOf(a, 64)))).head().isNullAt(0))
   }
 
+  test("double-cast boundary (VERDICT r14 #5): distinct wide decimals " +
+      "beyond the 53-bit significand collide into one sketch value — " +
+      "documented contract, pinned here") {
+    import spark.implicits._
+    // 2^53 and 2^53 + 1 are distinct longs but the SAME double
+    val big = 9007199254740992L // 2^53
+    val df = Seq(big, big + 1, big + 1).toDF("v")
+    val qs = df.agg(NativeAgg.kllQuantiles(col("v").cast("double"), 64,
+      Seq(0.000001, 1.0))).head().getSeq[Double](0)
+    // all three inserts collapsed onto one double: min == max
+    assert(qs(0) == qs(1) && qs(0) == big.toDouble)
+    // below the boundary the distinction survives
+    val ok = Seq(100L, 101L).toDF("v")
+      .agg(NativeAgg.kllQuantiles(col("v").cast("double"), 64,
+        Seq(0.000001, 1.0))).head().getSeq[Double](0)
+    assert(ok(0) == 100.0 && ok(1) == 101.0)
+  }
+
   test("TWO KllKsExpr in one projection compile under codegen (ADVICE " +
       "r14: with non-nullable lit children nullSafeExec emits the block " +
       "unbraced, so a fixed `Object r` local redeclared and janino " +
