@@ -844,25 +844,35 @@ case class TrimSegmentsExpr(child: Expression, sep: String)
     copy(child = newChild)
 }
 
-/** array<struct<k: int|long, v: string>> → the struct-sorted
-  * concatenation of the v fields joined by `sep` — ONE compiled pass
+/** array<struct<k1 .. kN-1, v: string>> → the struct-sorted
+  * concatenation of the LAST field joined by `sep` — ONE compiled pass
   * replacing the interpreted group re-pack
-  * `concat_ws(sep, transform(array_sort(collect_list(struct(k, v))),
+  * `concat_ws(sep, transform(array_sort(collect_list(struct(k…, v))),
   * x -> x.v))` (per-doc line/token reassembly in
-  * [[graft.dedup.Dedup.dedupLinesGlobal]] and the span-removal
-  * rebuild). The interpreted spelling pays ArraySort's per-COMPARISON
+  * [[graft.dedup.Dedup.dedupLinesGlobal]], the span-removal rebuild,
+  * the q11 LISTAGG ordering, the w_pattern_match event-sequence
+  * re-pack). The interpreted spelling pays ArraySort's per-COMPARISON
   * interpreted struct ordering, a per-element lambda invocation, and
-  * an extra array materialization — all multiplied by every line/token
-  * of every document (corpus-linear work on the post-shuffle side).
+  * an extra array materialization — all multiplied by every
+  * line/token/order/event of the corpus (corpus-linear work on the
+  * post-shuffle side).
   *
-  * Semantics pinned to the interpreted spelling by NativeTextSpec:
-  *  - elements ordered by (k asc, then v asc binary) — exactly
-  *    array_sort's struct field-by-field ordering;
-  *  - a NULL v sorts before non-null at equal k (asc nulls-first
-  *    field ordering) and is then skipped by the concat (concat_ws
-  *    contract);
-  *  - NULL elements are ignored entirely (array_sort puts them last,
-  *    transform maps them to null, concat_ws skips them);
+  * Key fields (all but the last) may be int, long, date, timestamp
+  * (the latter two are int/long in the internal representation with
+  * the SAME ordering) or string (binary UTF8 order — Spark's default
+  * UTF8_BINARY collation). Elements are ordered field-by-field, each
+  * asc nulls-first — exactly array_sort's struct ordering; the last
+  * (string payload) field participates in the ordering the same way,
+  * which is what makes the 2-field form's tiebreak a special case.
+  *
+  * Semantics pinned to the interpreted spelling by
+  * SortedStructConcatSpec:
+  *  - a NULL payload sorts before non-null at equal keys (asc
+  *    nulls-first field ordering) and is then skipped by the concat
+  *    (concat_ws contract);
+  *  - NULL elements are ignored entirely (array_sort puts them last /
+  *    sort_array(asc) first, transform maps them to null, concat_ws
+  *    skips them — so BOTH interpreted spellings agree with this one);
   *  - empty array → empty string; null array → empty string (concat_ws
   *    SKIPS null arguments and never itself returns null — so this
   *    expression is non-nullable, exactly like the spelling it
@@ -871,40 +881,47 @@ case class SortedStructConcatExpr(child: Expression, sep: String)
     extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
+  private def keyOk(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType | TimestampType |
+        TimestampNTZType | StringType => true
+    case _ => false
+  }
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StructType(fields), _) if fields.length == 2 &&
-        (fields(0).dataType == IntegerType ||
-          fields(0).dataType == LongType) &&
-        fields(1).dataType == StringType =>
+    case ArrayType(StructType(fields), _) if fields.length >= 2 &&
+        fields.last.dataType == StringType &&
+        fields.init.forall(f => keyOk(f.dataType)) =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<struct<int|long, string>>, got ${t.sql}")
+      s"$prettyName requires array<struct<(int|long|date|timestamp|string)…, " +
+        s"string>>, got ${t.sql}")
   }
   override def prettyName: String = "graft_sorted_struct_concat"
 
-  private lazy val keyIsLong = child.dataType.asInstanceOf[ArrayType]
-    .elementType.asInstanceOf[StructType].fields(0).dataType == LongType
+  // field accessor tags: 0 = int-backed (int/date), 1 = long-backed
+  // (long/timestamp), 2 = string
+  private lazy val fieldTags: Array[Int] = child.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    .fields.map(_.dataType match {
+      case IntegerType | DateType => 0
+      case LongType | TimestampType | TimestampNTZType => 1
+      case StringType => 2
+      case t => throw new IllegalStateException(s"unexpected field type $t")
+    })
+  private lazy val nFields = fieldTags.length
   private lazy val sepU = UTF8String.fromString(sep)
 
   /** Called from generated code. */
   def repack(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
-    // gather non-null elements; encode a null k as (nullK=0) so it
-    // sorts before every real key (asc nulls-first field ordering)
-    val ks = new Array[Long](n)
-    val kNull = new Array[Boolean](n)
-    val vs = new Array[UTF8String](n)
+    val nf = nFields
+    val tags = fieldTags
+    // gather non-null elements (null elements are skipped by the
+    // interpreted twin's concat regardless of where its sort put them)
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
     var m = 0
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val row = arr.getStruct(i, 2)
-        kNull(m) = row.isNullAt(0)
-        ks(m) = if (row.isNullAt(0)) 0L
-          else if (keyIsLong) row.getLong(0) else row.getInt(0).toLong
-        vs(m) = if (row.isNullAt(1)) null else row.getUTF8String(1)
-        m += 1
-      }
+      if (!arr.isNullAt(i)) { rows(m) = arr.getStruct(i, nf); m += 1 }
       i += 1
     }
     val order = new Array[Integer](m)
@@ -912,22 +929,32 @@ case class SortedStructConcatExpr(child: Expression, sep: String)
     while (i < m) { order(i) = Integer.valueOf(i); i += 1 }
     java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
       override def compare(a: Integer, b: Integer): Int = {
-        val ia = a.intValue(); val ib = b.intValue()
-        // field 0: asc nulls-first, then numeric
-        if (kNull(ia) != kNull(ib)) return if (kNull(ia)) -1 else 1
-        val kc = java.lang.Long.compare(ks(ia), ks(ib))
-        if (kc != 0) return kc
-        // field 1: asc nulls-first, then binary UTF8 order (Spark's
-        // default string ordering)
-        val va = vs(ia); val vb = vs(ib)
-        if (va eq null) { if (vb eq null) 0 else -1 }
-        else if (vb eq null) 1
-        else va.compareTo(vb)
+        val ra = rows(a.intValue()); val rb = rows(b.intValue())
+        var f = 0
+        while (f < nf) {
+          // each field: asc nulls-first, then the type's order
+          val na = ra.isNullAt(f); val nb = rb.isNullAt(f)
+          if (na != nb) return if (na) -1 else 1
+          if (!na) {
+            val c = tags(f) match {
+              case 0 => java.lang.Integer.compare(ra.getInt(f), rb.getInt(f))
+              case 1 => java.lang.Long.compare(ra.getLong(f), rb.getLong(f))
+              case _ => ra.getUTF8String(f).compareTo(rb.getUTF8String(f))
+            }
+            if (c != 0) return c
+          }
+          f += 1
+        }
+        0
       }
     })
     val sorted = new Array[UTF8String](m)
     i = 0
-    while (i < m) { sorted(i) = vs(order(i).intValue()); i += 1 }
+    while (i < m) {
+      val r = rows(order(i).intValue())
+      sorted(i) = if (r.isNullAt(nf - 1)) null else r.getUTF8String(nf - 1)
+      i += 1
+    }
     UTF8String.concatWs(sepU, sorted: _*) // skips nulls, like concat_ws
   }
 

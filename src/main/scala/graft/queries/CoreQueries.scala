@@ -321,16 +321,18 @@ object CoreQueries extends QueryPack {
     * `collect_list` is unordered, so the deterministic form collects
     * (date, key, status) structs and sorts INSIDE each group —
     * per-group state is bounded by orders-per-customer, and there is
-    * no global sort. */
+    * no global sort. The re-pack (sort + extract + join) is the
+    * compiled [[graft.functions.SortedStructConcatExpr]] — the
+    * interpreted transform/array_sort spelling ran two lambdas per
+    * ORDER of the corpus post-shuffle (round 15; same swap as d10's
+    * line re-pack, RepackAb-measured 1.6–1.7× at volume). */
   def q11StatusListagg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct($"o_orderdate", $"o_orderkey", $"o_orderstatus"))),
-            x => x.getField("o_orderstatus")),
+        graft.functions.NativeText.sortedStructConcat(
+          collect_list(struct($"o_orderdate", $"o_orderkey", $"o_orderstatus")),
           ",").as("status_seq"),
         count(lit(1)).as("n_orders"))
       .orderBy($"o_custkey")

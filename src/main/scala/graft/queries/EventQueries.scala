@@ -287,11 +287,16 @@ object EventQueries extends QueryPack {
       .when($"event_type" === "purchase", "p")
       .when($"event_type" === "signup", "s")
       .otherwise("e")
+    // re-pack compiled (round 15): the interpreted
+    // sort_array + transform spelling ran two lambdas per EVENT of the
+    // corpus post-shuffle; sort_array(asc) and array_sort differ only
+    // in null-ELEMENT placement, which concat skips either way — the
+    // native expression is the pinned twin of both spellings
     val seqs = table(s, dir, "events")
       .select($"user_id", struct($"ts", $"event_id", letter.as("l")).as("e"))
       .groupBy($"user_id")
-      .agg(array_join(transform(sort_array(collect_list($"e")),
-        x => x.getField("l")), "").as("seq"))
+      .agg(graft.functions.NativeText.sortedStructConcat(
+        collect_list($"e"), "").as("seq"))
     seqs.select($"user_id",
         length($"seq").as("n_events"),
         expr("regexp_count(seq, 'vcp')").as("n_vcp_adjacent"),

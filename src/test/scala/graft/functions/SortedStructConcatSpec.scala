@@ -101,6 +101,95 @@ class SortedStructConcatSpec extends AnyFunSuite with SparkSpec {
     assert(cmp.filter(not(col("native") <=> col("ref"))).count() == 0)
   }
 
+  // ---- multi-key form (round 15: q11_status_listagg / w_pattern_match) ----
+
+  test("q11 shape: (timestamp|date, long, string) ≡ interpreted array_sort " +
+      "spelling on the real orders table") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"))
+    val cmp = o.groupBy(col("o_custkey"))
+      .agg(
+        NativeText.sortedStructConcat(
+          collect_list(struct(col("o_orderdate"), col("o_orderkey"),
+            col("o_orderstatus"))), ",").as("native"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("o_orderdate"),
+              col("o_orderkey"), col("o_orderstatus")))),
+            x => x("o_orderstatus")), ",").as("ref"))
+    assert(cmp.filter(not(col("native") <=> col("ref"))).count() == 0)
+  }
+
+  test("w_pattern shape: (ts, string, string) ≡ BOTH interpreted " +
+      "spellings (sort_array AND array_sort) on the real events table") {
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("l")).as("e"))
+    val cmp = e.groupBy(col("user_id"))
+      .agg(
+        NativeText.sortedStructConcat(collect_list(col("e")), "").as("native"),
+        array_join(transform(sort_array(collect_list(col("e"))),
+          x => x("l")), "").as("ref_sa"),
+        array_join(transform(array_sort(collect_list(col("e"))),
+          x => x("l")), "").as("ref_as"))
+    assert(cmp.filter(not(col("native") <=> col("ref_sa")) ||
+      not(col("native") <=> col("ref_as"))).count() == 0)
+  }
+
+  /** Multi-key edge fixtures: null key fields at each position (asc
+    * nulls-first per field), string-key BINARY order (uppercase before
+    * lowercase), full-tie stability irrelevance (payload equal), and
+    * ties resolved by the LAST (payload) field. Parquet round-trip so
+    * codegen actually runs. */
+  test("multi-key edge fixtures: null keys, binary string order, deep ties") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("k1", LongType),
+        StructField("k2", StringType),
+        StructField("v", StringType)))))))
+    val rows = Seq(
+      // k1 ties → k2 binary order decides: "B" (0x42) < "a" (0x61)
+      Row(1, Seq(Row(1L, "a", "second"), Row(1L, "B", "first"))),
+      // null k1 sorts before every real k1
+      Row(2, Seq(Row(0L, "x", "later"), Row(null, "z", "nullfirst"))),
+      // null k2 sorts before real k2 at equal k1
+      Row(3, Seq(Row(1L, "a", "real"), Row(1L, null, "nullk2"))),
+      // k1 and k2 tie → payload field decides
+      Row(4, Seq(Row(1L, "a", "zz"), Row(1L, "a", "aa"))))
+    val tmp = java.nio.file.Files.createTempDirectory("ssc_mk").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val cmp = df.select(col("id"),
+      NativeText.sortedStructConcat(col("arr"), " ").as("native"),
+      concat_ws(" ",
+        transform(array_sort(col("arr")), x => x("v"))).as("ref"))
+    val bad = cmp.filter(not(col("native") <=> col("ref"))).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+    val got = cmp.orderBy(col("id")).collect()
+      .map(r => r.getAs[String]("native"))
+    assert(got(0) == "first second")
+    assert(got(1) == "nullfirst later")
+    assert(got(2) == "nullk2 real")
+    assert(got(3) == "aa zz")
+  }
+
+  test("non-key field types are rejected at analysis") {
+    import spark.implicits._
+    val df = Seq((1, 0.5, "v")).toDF("g", "k", "v")
+    val ex = intercept[Exception] {
+      df.groupBy(col("g"))
+        .agg(NativeText.sortedStructConcat(
+          collect_list(struct(col("k"), col("v"))), ",").as("x"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("graft_sorted_struct_concat"))
+  }
+
   test("the re-pack projection is codegen (no CodegenFallback beyond collect_list)") {
     val lines = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"),

@@ -115,10 +115,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // entries, flagged by the r14 verdict — are now the compiled
     // SortedStructConcatExpr (graft.RepackAb: interpreted spelling
     // 1.6–1.7× slower warm at 40× volume / 10.8M elements;
-    // SortedStructConcatSpec pins byte parity)
-    // listagg = sort + join of a per-group collect_list
-    "q11_status_listagg" -> Set("ArrayTransform", "ArraySort"),
-    // per-conversation turn re-pack of collect_list output
+    // SortedStructConcatSpec pins byte parity). q11_status_listagg and
+    // w_pattern_match followed in the same round once the expression
+    // learned multi-key sorts — their re-packs ran once per ORDER /
+    // EVENT of the corpus, the same tax class. Every remaining entry
+    // is group- or config-bounded, never corpus-row-proportional:
+    // per-conversation turn re-pack of collect_list output (the
+    // transform applies md5 per turn — a VALUE map, not the
+    // SortedStructConcat extract shape; turns-per-conversation ≈ 5)
     "sft_dedup" -> Set("ArrayTransform"),
     "sft_funnel" -> Set("ArrayTransform"),
     // label-sum table re-pack (labels × dims → one array per label;
@@ -128,9 +132,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // k-sized KMV sketch arrays, one per SOURCE (config-sized side)
     "tx_kmv_overlap" -> Set("ArraySort"),
     // per-group grid-bound arrays (bucket-count-sized)
-    "v_equidepth_hist" -> Set("ArrayFilter"),
-    // per-user event-sequence re-pack of collect_list output
-    "w_pattern_match" -> Set("ArrayTransform"))
+    "v_equidepth_hist" -> Set("ArrayFilter"))
 
   test("no query evaluates a CodegenFallback expression outside the " +
       "justified group-re-pack/sketch set (COVERAGE round-13 claim, " +
