@@ -105,9 +105,47 @@ object RepackAb {
         col("tok"))
       .localCheckpoint()
     println(s"toksBig: ${toksBig.count()}")
+    // the MULTI-KEY shapes (round 15, q11_status_listagg /
+    // w_pattern_match): sort keys (long, long) and (long, string)
+    // with a separate payload field — same grouped-array discipline
+    def ab3(label: String, src: DataFrame, k1: org.apache.spark.sql.Column,
+        k2: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column,
+        sep: String): Unit = {
+      val arrays = src.groupBy(col("doc_id"))
+        .agg(collect_list(struct(k1.as("k1"), k2.as("k2"), v.as("v")))
+          .as("arr"))
+        .localCheckpoint()
+      arrays.count()
+      def run(repack: org.apache.spark.sql.Column): Long =
+        arrays.select(repack.as("__clean"))
+          .agg(sum(crc32(col("__clean")))).head().getLong(0)
+      val hof = concat_ws(sep,
+        transform(array_sort(col("arr")), x => x("v")))
+      val native =
+        graft.functions.NativeText.sortedStructConcat(col("arr"), sep)
+      var tn = Double.MaxValue; var tr = Double.MaxValue
+      var hn = 0L; var hr = 0L
+      for (_ <- 1 to 6) {
+        tr = math.min(tr, time { hr = run(hof) })
+        tn = math.min(tn, time { hn = run(native) })
+      }
+      require(hn == hr, s"$label: native/hof outputs DIFFER ($hn vs $hr)")
+      println(f"$label%-22s native=$tn%6.2f s  hof=$tr%6.2f s  " +
+        f"speedup=${tr / tn}%4.1f×  (outputs equal)")
+      arrays.unpersist(blocking = true)
+    }
+
     ab("tokenRepack (spans)", toks, "pos", "tok", " ")
     ab("tokenRepack ~1k/doc", toksBig, "pos", "tok", " ")
     ab("lineRepack (d10)", lines, "__idx", "__line", "\n")
+    // q11 shape: (long date-ish, long unique key) → 1-char status
+    ab3("listagg (q11 shape)", toksBig,
+      floor(col("pos") / 7).cast("long"), col("pos").cast("long"),
+      substring(col("tok"), 1, 1), ",")
+    // w_pattern shape: (long ts, string tiebreak) → 1-char letter
+    ab3("eventSeq (w_pattern)", toksBig,
+      col("pos").cast("long"), col("tok"),
+      substring(col("tok"), 1, 1), "")
     spark.stop()
   }
 }
