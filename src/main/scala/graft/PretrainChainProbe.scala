@@ -40,6 +40,82 @@ object PretrainChainProbe {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // ---- checkpoint-placement sweep (`runMain … sweep`) -------------
+    // Which of the chain's four stage-boundary localCheckpoints are
+    // load-bearing? Build the WHOLE ledger with each checkpoint
+    // individually disabled (the frame passes through un-materialized,
+    // so Catalyst re-derives its subtree once per downstream consumer)
+    // and time the end-to-end materialization. Two rounds, warm
+    // reported.
+    if (args.headOption.contains("sweep")) {
+      import graft.text.{Curation, QualityClassifier, QualityModelFixture, TextFunctions}
+      def ledger(drop: String): DataFrame = {
+        def ck(name: String)(df: DataFrame): DataFrame =
+          if (name == drop) df else df.localCheckpoint()
+        val docs = graft.queries.table(spark, dir, "documents")
+        val terms = Seq("slow", "Lorem", "ipsum")
+        val flagged = docs
+          .withColumn("__s1",
+            Curation.blocklistPassed(col("text"), terms, maxHits = 2L))
+          .withColumn("__sL",
+            col("__s1") && (TextFunctions.langId(col("text")) === "en"))
+          .withColumn("__s2", col("__sL") && Curation.gopherGate(
+            col("text"), minTokens = 50, minStopWords = 1))
+          .withColumn("__t2", graft.queries.segmentLines(col("text")))
+          .withColumn("clean",
+            Curation.c4CleanedText(col("__t2"), minWords = 3))
+          .withColumn("__s3", col("__s2") &&
+            !Curation.c4DocDrop(col("__t2")) && col("clean") =!= "")
+        val survivors = ck("survivors")(flagged.filter(col("__s3"))
+          .select(col("doc_id"), col("source"), col("clean")))
+        val modelKept = survivors.join(
+          QualityClassifier.scoreQuantized(survivors, "doc_id", "clean",
+              QualityModelFixture.weightsQ, QualityModelFixture.biasQ,
+              QualityModelFixture.buckets)
+            .filter(col("clf_pass") === 1).select(col("doc_id")),
+          Seq("doc_id"))
+        val exact = ck("exact")(
+          graft.dedup.Dedup.exactByContent(modelKept, "doc_id", "clean"))
+        val pairs = graft.dedup.Dedup.minhashNearDuplicates(exact,
+          "doc_id", "clean", shingleSize = 5, threshold = 0.8)
+        val near = ck("near")(graft.dedup.Dedup
+          .removeNearDuplicatesTransitive(exact, pairs, "doc_id"))
+        val evalFps = docs.filter(col("source") === "src0")
+          .select(TextFunctions.minShingleFingerprint(col("text"), 5)
+            .as("__fp"))
+          .filter(col("__fp").isNotNull).distinct()
+        val decon = near
+          .withColumn("__fp",
+            TextFunctions.minShingleFingerprint(col("clean"), 5))
+          .join(broadcast(evalFps), Seq("__fp"), "left_anti")
+          .drop("__fp")
+        val deconNear = ck("deconNear")(
+          graft.text.Boilerplate.ngramDecontaminate(
+            decon, "doc_id", "clean",
+            docs.filter(col("source") === "src0"), "text", n = 8))
+        val sampled = graft.operators.Sampling.deterministicSample(
+          deconNear, "doc_id", 0.5)
+        val reached = Seq(modelKept, exact, near, decon, deconNear, sampled)
+          .zipWithIndex.map { case (df, i) =>
+            df.select(col("doc_id"), lit(i + 1).as("__st"))
+          }.reduce(_.union(_))
+          .groupBy(col("doc_id")).agg(max(col("__st")).as("__reach"))
+        flagged
+          .select(col("doc_id"), col("__s1"), col("__sL"), col("__s2"),
+            col("__s3"))
+          .join(reached, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("__reach"))
+          .orderBy(col("doc_id"))
+      }
+      for (round <- 1 to 2) {
+        println(s"— sweep round $round${if (round == 2) " (WARM)" else ""} —")
+        for (drop <- Seq("none", "survivors", "exact", "near", "deconNear"))
+          t(s"ledger e2e, drop=$drop")(noop(ledger(drop)))
+      }
+      spark.stop()
+      return
+    }
+
     for (round <- 1 to 2) {
       println(s"— round $round (${if (round == 1) "cold: first-call codegen" else "WARM — the reported numbers"}) —")
       import graft.text.{Curation, QualityClassifier, QualityModelFixture, TextFunctions}
